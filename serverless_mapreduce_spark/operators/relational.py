@@ -1,0 +1,356 @@
+"""Relational workload operators W1–W8, W11, W12, W14 (SURVEY.md §2.2).
+
+Each function reproduces the *query semantics* of a reference workload as a
+declarative DataFrame program — scan→filter→project→shuffle-agg→sort are all
+left to Catalyst/Tungsten (predicate pushdown, column pruning, partial
+aggregation, AQE join selection come for free; see SURVEY.md §4).
+
+Fixture mapping (FIXTURES.md §7): ``rankings`` ≈ ``part``/``orders`` (unique
+key + numeric rank), ``uservisits`` ≈ ``lineitem``/``events`` (FK + revenue +
+date).
+
+Scale notes (100 TB design stance):
+- aggregations are plain ``groupBy().agg()`` → map-side partial agg + a
+  single hash shuffle on the group key; AQE coalesces/splits skewed
+  partitions at runtime;
+- the q3 join shuffles both sides on the join key (sort-merge) unless one
+  side fits the broadcast threshold, in which case Catalyst/AQE broadcasts —
+  exactly the strategy choice the reference lacks (it has only the
+  user-space repartition join, ``query_3_phase_1.py:41-70``);
+- top-1 is ``orderBy().limit(1)`` → TakeOrderedAndProject: per-partition
+  partial top-k then a driver-side merge of k·p rows — the distributed
+  running-max the reference hand-codes in ``query_3_phase_2.py:35-38``.
+
+Float determinism: money columns are exact 2-decimal doubles, so
+``CAST(x AS DECIMAL(18,2))`` is lossless; decimal sums are exact and
+order-independent; final ``CAST(... AS DOUBLE)`` yields bit-identical values
+in Spark and DuckDB (see registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.registry import query
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Exact, order-independent sum of a 2-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+# --- W1: filtered projection (reference query_1.py:1-20; hive/Query1.q:12) ---
+
+@query(
+    "q1_filter_scan",
+    oracle="""
+    SELECT p_partkey, p_name, p_size
+    FROM part
+    WHERE p_size > 30
+    """,
+)
+def q1_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT pageURL, pageRank FROM rankings WHERE pageRank > 10 — on
+    ``part`` (filter + project; both reach the parquet scan as
+    PushedFilters/ReadSchema)."""
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 30)
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+# --- W2: group-by sum (reference query_2.py:1-38; hive/Query2.q:19) ---------
+
+@query(
+    "q2_groupby_sum",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q2_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT sourceIP, SUM(adRevenue) GROUP BY sourceIP — on ``events``.
+    One hash shuffle on user_id; partial agg map-side (the reference's
+    opt-in combiner, map_shuffle_handler.py:145-162, is automatic here)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(dsum("value", "sum_value"), F.count("*").alias("n_events"))
+    )
+
+
+# --- W3: substring-keyed group-by sum (query_2_var.py:14) --------------------
+
+@query(
+    "q2b_substr_groupby_sum",
+    oracle="""
+    SELECT substring(c_name, 1, 16) AS name_prefix,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    GROUP BY substring(c_name, 1, 16)
+    """,
+)
+def q2b_substr_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT SUBSTR(sourceIP,1,7), SUM(adRevenue) GROUP BY 1 — substring
+    group key computed JVM-side, then the same single-shuffle agg as W2.
+    (Prefix 16 on 'Customer#00000NNNN' names → ~N/100 groups; a shorter
+    prefix degenerates to one group on the zero-padded fixture names.)"""
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.substring("c_name", 1, 16).alias("name_prefix"))
+        .agg(dsum("c_acctbal", "sum_acctbal"))
+    )
+
+
+# --- W4: date-predicate filter (query_3_phase_1.py:13,31-32) -----------------
+
+Q3_CUTOFF = "1995-06-01"
+
+
+@query(
+    "q3_date_filter",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+    """,
+)
+def q3_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE visitDate < cutoff — typed timestamp predicate, pushed to the
+    parquet row-group stats (the reference parses dates per-row in Python,
+    query_3_phase_1.py:31-32)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") < F.lit(Q3_CUTOFF).cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice")
+    )
+
+
+# --- W5: equi-join (query_3_phase_1.py:41-70; hive/Query3.q:26-31) -----------
+
+@query(
+    "q3_join",
+    oracle=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber, o_totalprice, l_extendedprice
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+    """,
+)
+def q3_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rankings ⋈ uservisits on pageURL=destURL (1:N unique-key equi-join) —
+    as orders ⋈ lineitem. The reference implements this as a user-space
+    tagged repartition join; here Catalyst picks broadcast / sort-merge /
+    shuffled-hash (AQE re-plans at runtime from actual sizes)."""
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    return orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey, "inner"
+    ).select("l_suppkey", "l_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice")
+
+
+# --- W6: join + group-by avg/sum (query_3_phase_2.py:17-41) ------------------
+
+_Q3_AGG_SQL = f"""
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_rank,
+           COUNT(*) AS n_rows
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+    GROUP BY l_suppkey
+"""
+
+
+def _q3_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg as exact-sum / count: both engines do one IEEE double division on
+    # bit-identical operands → bit-identical avg (a bare AVG(double) would
+    # be order-dependent).
+    return q3_join(spark, sf_dir).groupBy("l_suppkey").agg(
+        dsum("l_extendedprice", "total_revenue"),
+        (dsum("o_totalprice", "_sum_rank") / F.count("*")).alias("avg_rank"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("q3_groupby_avg_sum", oracle=_Q3_AGG_SQL)
+def q3_groupby_avg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT sourceIP, SUM(adRevenue) AS totalRevenue, AVG(pageRank) …
+    GROUP BY sourceIP — join output reshuffled once on the group key."""
+    return _q3_agg(spark, sf_dir)
+
+
+# --- W7: top-1 / argmax (query_3_phase_3.py:17-35; hive/Query3.q:33-34) ------
+
+@query(
+    "q3_top1",
+    oracle=f"""
+    SELECT * FROM ({_Q3_AGG_SQL})
+    ORDER BY total_revenue DESC, l_suppkey
+    LIMIT 1
+    """,
+)
+def q3_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY totalRevenue DESC LIMIT 1 — TakeOrderedAndProject (partial
+    per-partition top-k, merge k·p rows at the driver), the built-in version
+    of the reference's per-reducer running max + final single reducer.
+    Suppkey tiebreak keeps the row deterministic."""
+    return _q3_agg(spark, sf_dir).orderBy(
+        F.desc("total_revenue"), F.asc("l_suppkey")
+    ).limit(1)
+
+
+# --- W8: total order (sorting.py:1-39 + range_partition.py:1-8) --------------
+
+@query(
+    "sort_by_value",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY value, event_id) AS pos,
+           event_id, user_id, value
+    FROM events
+    """,
+)
+def sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort of (adRevenue, sourceIP) — on events(value). Spark's
+    orderBy is physically the reference's exact strategy (range partition →
+    per-partition sort), but with sampled range bounds instead of assuming
+    keys uniform in [0,1). The emitted ``pos`` makes the total order visible
+    to the order-insensitive hash check. Note: the rank is computed with a
+    global window here for oracle parity; at 100 TB you'd keep the plain
+    ``orderBy`` output (range-partitioned, no single-partition window) and
+    derive ranks with zipWithIndex-style partition offsets."""
+    df = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value", "event_id")
+    return df.select(
+        F.row_number().over(w).alias("pos"), "event_id", "user_id", "value"
+    )
+
+
+# --- W11: chained scalar transforms (user_job_5/map*.py) ---------------------
+
+@query(
+    "scalar_pipeline",
+    oracle="""
+    SELECT c_name AS key,
+           substring(replace(printf('%.2f', c_acctbal), '.', ''), 1, 4) AS val
+    FROM customer
+    """,
+)
+def scalar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-map chain of user_job_5 (parse CSV → cast float → strip '.' →
+    take 4 chars) as a single fused projection — Catalyst collapses the
+    chain into one WholeStageCodegen stage, vs. one Lambda stage + S3
+    materialization per map in the reference (driver.py:299-351)."""
+    return table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("key"),
+        F.substring(
+            F.regexp_replace(F.format_string("%.2f", F.col("c_acctbal")), r"\.", ""),
+            1,
+            4,
+        ).alias("val"),
+    )
+
+
+# --- W12: aggregate → union → re-aggregate DAG (web_user_main.py:70-78) ------
+
+@query(
+    "multi_source_union",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS val
+      FROM orders GROUP BY o_custkey
+    ), b AS (
+      SELECT c_custkey AS key, c_acctbal AS val FROM customer
+    )
+    SELECT key,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    GROUP BY key
+    """,
+)
+def multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two pipelines pre-aggregate, merge(), then re-aggregate — the
+    reference's finish/merge DAG (main.py:168-180, coordinator.py:113-184)
+    is just unionAll + a second groupBy in a lazy Spark DAG."""
+    a = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(dsum("o_totalprice", "val"))
+    )
+    b = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("val")
+    )
+    return a.unionAll(b).groupBy("key").agg(dsum("val", "total"))
+
+
+# --- W14: typed KV extract with projection (user_job_6/map.py:1-13) ----------
+
+@query(
+    "dynamo_typed_extract",
+    oracle="""
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS revenue,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+    FROM events
+    """,
+)
+def dynamo_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DynamoDB typed-row extract: column projection + cast, plus a
+    semi-structured field pull (the reference's dict rows → our JSON props
+    column). Projection reaches the scan via Catalyst column pruning (the
+    reference needs an explicit DynamoDB ProjectionExpression,
+    input_handler_dynamodb.py:154-158)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("double").alias("revenue"),
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+# --- headline: TPC-H Q1-shaped wide aggregation (bench anchor) ----------------
+
+@query(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide partial-agg stress query (the classic pricing summary): few
+    groups → near-total map-side reduction, minimal shuffle. Exact decimal
+    arithmetic end-to-end so the doubles hash-match the oracle."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(price * (1 - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )

@@ -1,0 +1,231 @@
+"""Text workloads W9/W10 + text-analysis extensions (language-ID, quality
+scoring, token counting, fingerprinting) over the ``documents`` table.
+
+W9 word_count reproduces ``word_count_map.py:1-17`` / ``word_count_reduce.py``
+(tokenize on the reference's delimiter regex, count per token); W10 url_count
+reproduces ``performance_functions/simplified_page_rank.py:1-43`` (findall of
+``https?://…`` per line, count per URL).
+
+All ops are pure built-in column expressions (split / explode / regexp /
+aggregate) — zero Python UDFs in the hot path, so they stay inside
+WholeStageCodegen and scale linearly: tokenize/explode is a narrow map, the
+count is one hash shuffle on the token (high-cardinality keys distribute
+well; AQE handles stragglers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.registry import query
+
+# The reference's tokenizer delimiters (word_count_map.py:12).
+WC_DELIM = r"; |, |\*|\n| |:|\."
+URL_RE = r"https?://[^\s]+"
+
+
+# --- W9: word count -----------------------------------------------------------
+
+@query(
+    "word_count",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(text, '{WC_DELIM}')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenize → explode → count per token. Narrow split/explode, one
+    shuffle on the word."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", WC_DELIM)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+# --- W10: URL in-link count ("simplified page rank") --------------------------
+
+@query(
+    "url_count",
+    oracle=f"""
+    SELECT url, COUNT(*) AS cnt
+    FROM (
+      SELECT unnest(regexp_extract_all(
+               text || ' see http://' || source || '.example.com/' || CAST(doc_id % 7 AS VARCHAR),
+               '{URL_RE}')) AS url
+      FROM documents
+    )
+    GROUP BY url
+    """,
+)
+def url_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findall(https?://…) per document → count per URL. The fixture corpus
+    carries no literal URLs, so each doc is suffixed with a deterministic
+    synthetic link (same expression in the oracle) — the regex-extract →
+    explode → count pipeline is exercised on real matches either way."""
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            (F.col("doc_id") % 7).cast("string"),
+        ),
+    )
+    return (
+        docs.select(F.explode(F.regexp_extract_all("text2", F.lit(URL_RE), 0)).alias("url"))
+        .groupBy("url")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+# --- extension: token statistics (whitespace + BPE-ish regex) ------------------
+
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (lowercase word / number / single-symbol pieces). Pure per-row column
+    expressions — embarrassingly parallel at any scale."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)).alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# --- extension: quality scoring ------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks,
+             length(text) AS n,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(CAST(len(list_filter(toks, w -> list_contains({_SW_SQL}, w))) AS DOUBLE)
+                 / GREATEST(len(toks), 1), 6) AS stopword_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n, 1), 6) AS punct_ratio,
+           (len(toks) >= 20 AND len(toks) <= 1000) AS len_ok
+    FROM t
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: token count, stopword ratio, punctuation
+    ratio, length gate — the standard cheap pre-filters of a training-data
+    pipeline. Ratios rounded to 6dp (single IEEE division; rounding only
+    guards repr differences)."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    n_tok = F.size(toks)
+    sw = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(sw.cast("double") / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        ((n_tok >= 20) & (n_tok <= 1000)).alias("len_ok"),
+    )
+
+
+# --- extension: language ID (marker-word heuristic) ----------------------------
+
+@query(
+    "lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN len(list_filter(toks, w -> w IN ('the', 'a', 'is'))) * 10 >= len(toks)
+               THEN 'en'
+             ELSE 'unknown'
+           END AS predicted_lang
+    FROM t
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-word language heuristic: classify 'en' when ≥10% of
+    tokens are high-frequency English function words. (The fixture corpus is
+    a synthetic shared vocabulary, so the heuristic mostly answers per the
+    marker density — the point is the distributed shape: pure column
+    expressions, no shuffle.)"""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    en_hits = F.size(F.filter(toks, lambda w: w.isin("the", "a", "is")))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(en_hits * 10 >= F.size(toks), "en").otherwise("unknown").alias("predicted_lang"),
+    )
+
+
+# --- extension: document fingerprinting ----------------------------------------
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ''),
+                              ch -> CAST(unicode(ch) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS fp_rolling
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fingerprints per normalized document: an md5 content hash and a
+    polynomial rolling hash (base 31 mod 1e9+7) folded over the characters
+    with ``F.aggregate`` — both pure JVM-side expressions; the rolling hash
+    is the building block for shingle/winnowing-style near-dup schemes."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    chars = F.split(norm, "")
+    rolling = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch).cast("long")) % 1000000007,
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        rolling.alias("fp_rolling"),
+    )

@@ -1,0 +1,110 @@
+"""Correctness-gate queries that run *through the builder facade* — proving
+the compatibility layer end-to-end against the same DuckDB oracle as the
+relational operators.
+
+These mirror the reference's own end-to-end tests (word count with golden
+outputs, ``tests/end_to_end_tests_2.py:32-51``; map-chain + custom partition
++ reduce, ``end_to_end_tests.py:34-54``) but checked against SQL instead of
+golden S3 JSON (strictly stronger — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.pipeline.builder import ServerlessMR
+from serverless_mapreduce_spark.registry import query
+
+# the reference's tokenizer (word_count_map.py:12)
+_WC_RE = r"; |, |\*|\n| |:|\."
+
+
+def wc_map(outputs: list, kv: tuple) -> None:
+    """word_count_map.py:1-17 semantics: tokenize the value, emit (tok, 1)."""
+    _, text = kv
+    for tok in re.split(_WC_RE, str(text)):
+        if tok:
+            outputs.append((tok, 1))
+
+
+def wc_reduce(outputs: list, kv: tuple) -> None:
+    """word_count_reduce.py:1-14 semantics: sum the counts."""
+    key, values = kv
+    outputs.append((key, sum(int(v) for v in values)))
+
+
+@query(
+    "facade_word_count",
+    oracle=f"""
+    SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value
+    FROM (
+      SELECT unnest(string_split_regex(text, '{_WC_RE}')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def facade_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count executed through map→combine→reduce on the facade (the
+    combiner exercises map-side pre-aggregation like useCombine)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        ServerlessMR(spark)
+        .source(docs, key_col="doc_id", value_col="text")
+        .map(wc_map)
+        .combine(wc_reduce)
+        .reduce(wc_reduce, num_reducers=8)
+        .run()
+    )
+
+
+def sum_map(outputs: list, kv: tuple) -> None:
+    """query_2.py:9-16 semantics: emit (sourceIP, adRevenue)."""
+    key, value = kv
+    outputs.append((key, float(value)))
+
+
+def sum_reduce(outputs: list, kv: tuple) -> None:
+    """query_2.py:21-38 semantics: stringly values, explicit float casts,
+    formatted emit ('%.2f' so the text form matches the oracle's printf)."""
+    key, values = kv
+    outputs.append((key, format(sum(float(v) for v in values), ".2f")))
+
+
+def ip_prefix_partition(key: str, num_bins: int) -> int:
+    """A custom content-based partitioner in the reference's
+    p(key, num_bins) shape (default/partition.py:4-11)."""
+    return sum(ord(c) for c in str(key)[:4]) % num_bins
+
+
+@query(
+    "facade_groupby_sum",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           printf('%.2f', CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) AS value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def facade_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 through the facade with a *custom* shuffle partitioner — placement
+    is user-controlled (rdd.partitionBy), results are identical to the
+    relational W2. Python float sums on exact 2-decimal inputs round-trip
+    through '%.2f' identically to the oracle's exact decimal sum."""
+    events = table(spark, sf_dir, "events")
+    out = (
+        ServerlessMR(spark)
+        .source(events, key_col="user_id", value_col="value")
+        .map(sum_map)
+        .shuffle(ip_prefix_partition)
+        .reduce(sum_reduce, num_reducers=8)
+        .run()
+    )
+    # facade values are JSON-encoded; strip the quotes of the string scalar
+    # so the text form matches the oracle's printf output
+    return out.select("key", F.regexp_replace("value", '^"|"$', "").alias("value"))

@@ -1,0 +1,38 @@
+"""The correctness gate, locally: every registered query with an oracle is
+compared against DuckDB at sf0.001 (fast) — the driver repeats this at
+sf0.01. Queries without an oracle get a rows-materialize smoke check."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_mapreduce_spark.registry import all_oracles, all_queries
+from tests.oracle import assert_matches_oracle
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    if name in ORACLES:
+        n = assert_matches_oracle(df, ORACLES[name], sf_dir)
+    else:
+        n = df.count()
+    assert n >= 0
+
+
+def test_every_query_has_oracle_or_is_whitelisted():
+    # keep the weaker rows-only checks an explicit, reviewed list
+    no_oracle = set(QUERIES) - set(ORACLES)
+    assert no_oracle <= set(), f"queries missing oracles: {no_oracle}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert set(e.oracle_sql()) <= set(e.queries())
