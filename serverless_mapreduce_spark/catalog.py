@@ -33,12 +33,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ReadSchema in .explain)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+        # parquet reader rejects outright. nanosAsLong is a runtime-settable
+        # SQL conf, so set it here rather than only in our session factory —
+        # callers (the driver's harness included) bring their own session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long (see session.py) → microsecond-precision timestamp
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # nanos → micros with *integer* division: epoch-nanos (~1.7e18)
+        # exceed double's 53-bit mantissa, so `/ 1000` via IEEE double would
+        # corrupt the microseconds.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
