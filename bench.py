@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall times.
+
+Timing uses the `noop` datasource sink so the full distributed plan executes
+(scan → shuffle → agg) without driver-side collect cost — the closest local
+analog of "job wall time" on a cluster. Output (last stdout line):
+
+    {"metric": "bench_total_sec", "value": N, "unit": "sec",
+     "queries": {"tpch_q1": s, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the reference's marquee Amplab workloads (SURVEY.md §2.2) plus
+# the heaviest extension operators — the queries whose plans matter at 100 TB.
+HEADLINE = (
+    "tpch_q1",
+    "q1_filter_scan",
+    "q2_groupby_sum",
+    "q2b_substr_groupby_sum",
+    "q3_top1",
+    "sort_by_value",
+    "word_count",
+    "url_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_lsh_topk",
+    "doc_fingerprint",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    from serverless_mapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+
+    # Warm the JVM/codegen path once so per-query numbers measure the plan,
+    # not first-query session initialization.
+    queries["q1_filter_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
