@@ -219,20 +219,68 @@ def q3_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global sort of (adRevenue, sourceIP) — on events(value). Spark's
-    orderBy is physically the reference's exact strategy (range partition →
-    per-partition sort), but with sampled range bounds instead of assuming
-    keys uniform in [0,1). The emitted ``pos`` makes the total order visible
-    to the order-insensitive hash check. Note: the rank is computed with a
-    global window here for oracle parity; at 100 TB you'd keep the plain
-    ``orderBy`` output (range-partitioned, no single-partition window) and
-    derive ranks with zipWithIndex-style partition offsets."""
-    df = table(spark, sf_dir, "events")
+    """Global sort of (adRevenue, sourceIP) — on events(value), with a
+    *scalable* global rank. The reference range-partitions keys into ordered
+    bins and sorts each bin (``range_partition.py:1-8`` + the reducer's key
+    sort); Spark's ``repartitionByRange`` is the same strategy with sampled
+    bounds. The global position is then derived without ever funneling data
+    through one partition:
+
+      1. range-partition + sort within partitions (total order across pids);
+      2. local ``row_number`` windowed *per partition id* — parallel;
+      3. per-pid counts (tiny: one row per partition) → running-sum offsets;
+      4. broadcast-join offsets back: ``pos = offset + local_rn``.
+
+    The range buckets come from explicit quantile bounds computed once on the
+    driver (one cheap pass over a single column), NOT from
+    ``repartitionByRange``'s per-exchange sampling: the bucket id is then a
+    *pure function* of the row, so the counts branch and the rank branch can
+    never disagree on placement (sampled exchanges re-sample per physical
+    instance, which desyncs the offset table — observed and rejected).
+    Skewed duplicate values make one bucket larger but never wrong; the
+    per-bucket window is bounded by ~N/num_buckets rows."""
+    from functools import reduce
+
     from pyspark.sql import Window
 
-    w = Window.orderBy("value", "event_id")
-    return df.select(
-        F.row_number().over(w).alias("pos"), "event_id", "user_id", "value"
+    df = table(spark, sf_dir, "events")
+    npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    # Quantile bounds: the engine-side analog of the reference assuming keys
+    # uniform in [0,1) (range_partition.py:4-8) — we measure instead of assume.
+    probs = [i / npart for i in range(1, npart)]
+    bounds = sorted(set(df.approxQuantile("value", probs, 0.001))) if probs else []
+    bucket = reduce(
+        lambda acc, b: acc + F.when(F.col("value") > F.lit(b), 1).otherwise(0),
+        bounds,
+        F.lit(0),
+    ).alias("bucket")
+
+    ranked = df.select("event_id", "user_id", "value", bucket).withColumn(
+        "local_rn",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("value", "event_id")
+        ),
+    )
+    offsets = (
+        df.select(bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").select(
+        (F.col("offset") + F.col("local_rn")).alias("pos"),
+        "event_id",
+        "user_id",
+        "value",
     )
 
 
