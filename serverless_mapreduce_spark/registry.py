@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         udf_tasks,
     )
     from serverless_mapreduce_spark.pipeline import facade_queries  # noqa: F401
+    from serverless_mapreduce_spark.sources import source_queries  # noqa: F401
 
 
 # SQL fragment helpers shared by oracle strings -------------------------------

@@ -1,0 +1,93 @@
+"""Correctness queries for the source/sink layer (E1 CSV scan, E4/E5 sinks).
+
+Each query exercises a real round-trip through the write path or the typed
+CSV reader and is oracle-checked against the *parquet* tables — proving the
+persisted bytes decode to the same values (the reference's whole test
+strategy is exactly this shape: run the job, read the output object back,
+assert values — ``tests/end_to_end_tests.py:34-54``).
+
+Scratch outputs live under ``<repo>/.scratch`` (gitignored), keyed by sf so
+scale factors don't collide.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.registry import query
+from serverless_mapreduce_spark.sources.csv_ddl import read_csv
+from serverless_mapreduce_spark.sources.sinks import read_output, write_output
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_SCRATCH, sf, name)
+
+
+_AGG_ORACLE = """
+    SELECT substring(c_name, 1, 16) AS name_prefix,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    GROUP BY substring(c_name, 1, 16)
+"""
+
+
+def _agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.substring("c_name", 1, 16).alias("name_prefix"))
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"))
+    )
+
+
+@query("sink_roundtrip", oracle=_AGG_ORACLE)
+def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 write path: aggregate → parquet out (4 files, the reference's
+    one-object-per-reducer layout, ``output_handler_s3.py:41-53``) → read
+    back. Oracle-matching the re-read result proves a lossless persist."""
+    path = write_output(
+        _agg(spark, sf_dir), _scratch(sf_dir, "sink_roundtrip"),
+        fmt="parquet", num_partitions=4,
+    )
+    return read_output(spark, path, fmt="parquet")
+
+
+@query("sink_roundtrip_json", oracle=_AGG_ORACLE)
+def sink_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 variant with the reference's actual output encoding (JSON bodies,
+    ``output_handler_s3.py:53``). Read-back uses an explicit schema — JSON
+    doubles round-trip exactly via shortest-repr printing."""
+    path = write_output(
+        _agg(spark, sf_dir), _scratch(sf_dir, "sink_roundtrip_json"),
+        fmt="json", num_partitions=2,
+    )
+    schema = StructType.fromDDL("name_prefix STRING, sum_acctbal DOUBLE")
+    return read_output(spark, path, fmt="json", schema=schema)
+
+
+@query(
+    "csv_scan",
+    oracle="""
+    SELECT p_partkey, p_name, p_size
+    FROM part
+    WHERE p_size > 30
+    """,
+)
+def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 CSV-with-DDL source: materialize ``part`` as headerless
+    comma-delimited text (the reference's input layout, ``hive/Query1.q:6-8``),
+    re-scan it with the DDL schema, and run the W1 filter. Matching W1's
+    parquet oracle proves the typed CSV path is lossless. The filter still
+    prunes: Spark pushes the predicate into the CSV scan and reads only the
+    three projected columns."""
+    src = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    path = write_output(src, _scratch(sf_dir, "csv_scan"), fmt="csv", num_partitions=4)
+    df = read_csv(spark, path, "p_partkey BIGINT, p_name STRING, p_size INT")
+    return df.filter(F.col("p_size") > 30).select("p_partkey", "p_name", "p_size")
