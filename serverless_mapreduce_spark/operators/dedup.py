@@ -10,14 +10,16 @@ JVM-side and distributes:
 - minhash_lsh: shingle → K minhashes → B bands → band-bucket self-join →
   exact Jaccard verify on candidates. The self-join is on (band, band_hash),
   i.e. only colliding docs meet — the standard sub-quadratic near-dup plan
-  at 100 TB. Minhash values are md5 *hex strings* (lexicographic min ==
-  numeric min for fixed-width hex), which both Spark and DuckDB compute
-  identically — this is what makes the oracle hash-match.
+  at 100 TB. Minhash uses *double hashing*: one md5 per shingle split into
+  two 32-bit ints (h1, h2), hash_j = (h1 + j·h2) mod P, sig[j] = min — both
+  engines derive (h1, h2) from the same md5 hex, which is what makes the
+  oracle hash-match.
 - ngram_jaccard: exact Jaccard via a shingle inverted index (explode →
   join on shingle → count shared / union) — no N² pair enumeration.
 - simhash: 16-bit sign-of-sum fingerprint from per-token md5 bits.
-- embedding_cosine: near-dup pairs by cosine over ``array<float>`` — the
-  brute-force plan here; the LSH-bucketed scale path lives in similarity.py.
+- embedding_cosine_pairs: exact all-pairs cosine *verifier helper* (not a
+  registered query); the registered scale path is
+  similarity.dedup_embedding_lsh (bucket first, verify inside buckets).
 """
 
 from __future__ import annotations
@@ -310,9 +312,14 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: bit i is the sign of Σ_tokens (±1 by bit i of the
     token's md5 — here the top bit of hex digit i). Near-dups then differ in
     ≤ d bits; pairing by hamming distance buckets on the fingerprint is a
-    follow-up join keyed by simhash bands. Pure nested higher-order
-    expressions — one narrow pass."""
-    toks = F.array_distinct(_tokens())
+    follow-up join keyed by simhash bands. The md5 is computed once per
+    token in a separate projection step (round 1 re-hashed every token at
+    every one of the 16 bit positions), then the per-bit majority votes are
+    integer folds over the cached hex strings — one narrow pass."""
+    hashed = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(F.array_distinct(_tokens()), lambda t: F.md5(t)).alias("tmd5"),
+    )
     # For each bit position i, a majority vote over tokens, then set bit i.
     sim = F.aggregate(
         F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
@@ -320,18 +327,18 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, i: acc
         + F.when(
             F.aggregate(
-                toks,
+                F.col("tmd5"),
                 F.lit(0),
-                lambda a, t: a
+                lambda a, h: a
                 + F.when(
-                    F.lit("89abcdef").contains(F.substring(F.md5(t), i + 1, 1)), 1
+                    F.lit("89abcdef").contains(F.substring(h, i + 1, 1)), 1
                 ).otherwise(-1),
             )
             > 0,
             F.pow(F.lit(2.0), i).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
     )
-    return table(spark, sf_dir, "documents").select("doc_id", sim.alias("simhash"))
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 # --- embedding cosine near-dup ------------------------------------------------------
@@ -369,20 +376,13 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (norm(ad) * norm(bd))
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESH}
-    """,
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: all pairs with cosine ≥ τ. This is the O(N²)
-    verification plan — correct at any N but quadratic; the LSH-bucketed
-    candidate generator in similarity.py is the 100 TB path (bucket first,
-    then run exactly this verify inside buckets)."""
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ τ — the exact O(N²) *verifier*, intentionally
+    NOT a registered query: its inequality-only join condition plans as a
+    BroadcastNestedLoopJoin, fine as ground truth on a sample but never the
+    shipped dedup path. The registered plan is ``dedup_embedding_lsh``
+    (similarity.py): LSH-bucket first, then run exactly this verify inside
+    buckets."""
     emb = table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))

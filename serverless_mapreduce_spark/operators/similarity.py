@@ -18,11 +18,18 @@ contract with the DuckDB oracle).
 
 from __future__ import annotations
 
+import hashlib
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_mapreduce_spark.catalog import table
-from serverless_mapreduce_spark.operators.dedup import _cosine_sql, cosine
+from serverless_mapreduce_spark.operators.dedup import (
+    COSINE_THRESH,
+    _cosine_sql,
+    cosine,
+)
 from serverless_mapreduce_spark.registry import query
 
 TOP_K = 5
@@ -77,40 +84,53 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_bucket(emb: Column) -> Column:
-    """P-bit random-hyperplane signature: plane p has deterministic ±1
-    weights w(p,d) = +1 iff hex digit d of md5('p:<p>:<d>') has its top bit
-    set; bit p = sign(Σ_d emb[d]·w(p,d)). Same expression is reproduced in
-    the oracle SQL, so bucket ids match across engines exactly (sign of a
-    sum only flips within ~1e-13 of 0 — not observed on this data)."""
-    dims = F.sequence(F.lit(1), F.size(emb))
-    proj = lambda p: F.aggregate(  # noqa: E731
-        F.zip_with(
-            emb,
-            dims,
-            lambda x, d: x.cast("double")
-            * F.when(
-                F.lit("89abcdef").contains(
-                    F.substring(
-                        F.md5(F.concat(F.lit("p:"), p.cast("string"), F.lit(":"), d.cast("string"))),
-                        1,
-                        1,
-                    )
-                ),
-                1.0,
-            ).otherwise(-1.0),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+@lru_cache(maxsize=32)
+def _plane_weights(dim: int, nplanes: int) -> tuple[tuple[float, ...], ...]:
+    """Deterministic ±1 hyperplane weights, hoisted to driver-side literals:
+    w(p,d) = +1 iff hex digit 0 of md5('p:<p>:<d>') has its top bit set.
+    hashlib.md5 here == md5() in Spark == md5() in DuckDB, so the literal
+    table is bit-identical to the oracle's in-SQL derivation — but computed
+    once instead of per row inside codegen (the round-1 version re-hashed
+    P·D md5s for every row)."""
+    return tuple(
+        tuple(
+            1.0
+            if hashlib.md5(f"p:{p}:{d}".encode()).hexdigest()[0] in "89abcdef"
+            else -1.0
+            for d in range(1, dim + 1)
+        )
+        for p in range(nplanes)
     )
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(LSH_PLANES - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, p: acc
-        + F.when(proj(p) > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
+
+
+def lsh_bucket(emb: Column, dim: int, start: int = 0, nbits: int = LSH_PLANES) -> Column:
+    """Random-hyperplane signature over planes [start, start+nbits): bit i =
+    sign(Σ_d emb[d]·w(start+i,d)), with the constant weight table baked in
+    as array literals. The oracle SQL reproduces the same weights from md5,
+    so bucket ids match across engines exactly (sign of a sum only flips
+    within ~1e-13 of 0 — not observed on this data)."""
+    weights = _plane_weights(dim, start + nbits)
+    ed = F.transform(emb, lambda x: x.cast("double"))
+    bucket: Column = F.lit(0).cast("long")
+    for i in range(nbits):
+        w_p = F.array(*[F.lit(v) for v in weights[start + i]])
+        proj = F.aggregate(
+            F.zip_with(ed, w_p, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
-        ),
-    )
+        )
+    return bucket
+
+
+def embedding_dim(df: DataFrame, col: str = "embedding") -> int:
+    """Probe the (fixed) embedding dimensionality — one single-row job."""
+    row = df.select(F.size(F.col(col)).alias("d")).head()
+    if row is None:
+        return 0
+    return row.d
 
 
 _SQL_PROJ = """
@@ -157,7 +177,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: score only same-LSH-bucket vectors. The join key
     is the bucket id → the corpus shuffles once on bucket (or is stored
     pre-bucketed), each query touches ~N/2^P vectors instead of N."""
-    emb = table(spark, sf_dir, "embeddings").withColumn("bucket", lsh_bucket(F.col("embedding")))
+    raw = table(spark, sf_dir, "embeddings")
+    emb = raw.withColumn("bucket", lsh_bucket(F.col("embedding"), embedding_dim(raw)))
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -178,4 +199,82 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+DEDUP_TABLES = 2  # L hash tables (OR)
+DEDUP_BITS = 4    # K planes per table (AND) → 2^K buckets per table
+
+# Bucket for table t uses global planes [t*K, t*K+K): seed 'p:<t*K+p>:<d>'.
+_SQL_DEDUP_BUCKET = f"""
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, {DEDUP_BITS})),
+    (acc, p) -> acc + CASE WHEN {_SQL_PROJ.format(e='embedding', p=f'(t * {DEDUP_BITS} + p)')} > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+"""
+
+
+@query(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT e.vec_id, e.embedding, t.t, {_SQL_DEDUP_BUCKET} AS bucket
+      FROM embeddings e, (SELECT unnest(range(0, {DEDUP_TABLES})) AS t) t
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bucketed a JOIN bucketed b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           ROUND({_cosine_sql('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE {_cosine_sql('ea.embedding', 'eb.embedding')} >= {COSINE_THRESH}
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dedup, the 100 TB plan: the classic multi-table
+    random-hyperplane LSH (OR of ANDs, the same AND/OR structure as minhash
+    banding). Each of L tables buckets every vector by K sign bits; a pair
+    is a candidate iff it shares a bucket in ≥1 table; candidates get the
+    exact cosine verify (dedup.embedding_cosine_pairs' math). Cost is
+    Σ_t Σ_b n_tb² ≈ L·N²/2^K for balanced buckets — sub-quadratic and
+    shuffle-keyed on (table, bucket), vs the all-pairs
+    BroadcastNestedLoopJoin this replaces. Recall for a pair at angle θ is
+    1-(1-(1-θ/π)^K)^L — tune L up for recall, K up for cost; the oracle
+    buckets identically so both engines miss the same pairs."""
+    raw = table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(raw)
+    bucketed = None
+    for t in range(DEDUP_TABLES):
+        part = raw.select(
+            F.lit(t).alias("t"),
+            "vec_id",
+            lsh_bucket(F.col("embedding"), dim, start=t * DEDUP_BITS, nbits=DEDUP_BITS).alias("bucket"),
+        )
+        bucketed = part if bucketed is None else bucketed.unionAll(part)
+
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    emb = raw.select("vec_id", "embedding")
+    pairs = cand.join(
+        emb.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("embedding", "emb_a"), "vec_a"
+    ).join(
+        emb.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("embedding", "emb_b"), "vec_b"
+    )
+    cs = cosine(F.col("emb_a"), F.col("emb_b"))
+    return (
+        pairs.withColumn("cos_raw", cs)
+        .filter(F.col("cos_raw") >= COSINE_THRESH)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
