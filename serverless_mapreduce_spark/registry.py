@@ -64,6 +64,7 @@ def _ensure_loaded() -> None:
     )
     from serverless_mapreduce_spark.pipeline import facade_queries  # noqa: F401
     from serverless_mapreduce_spark.sources import source_queries  # noqa: F401
+    from serverless_mapreduce_spark.streaming import stream_queries  # noqa: F401
 
 
 # SQL fragment helpers shared by oracle strings -------------------------------

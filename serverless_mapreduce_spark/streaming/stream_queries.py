@@ -1,0 +1,252 @@
+"""Streaming analogs of W2 (groupBy-sum) and W9 (word count), plus session
+windows (SURVEY §7.2 step 7).
+
+Design: the fixtures are static parquet, so each query builds a *bounded*
+stream over them (``readStream`` file source with an explicit schema — the
+same source you'd point at an S3 drop directory in production), applies the
+windowed/stateful transformation, and drains it with
+``trigger(availableNow=True)`` into an in-memory sink. The returned
+DataFrame is the sink table — batch-queryable, so the driver's DuckDB
+oracle can verify values exactly.
+
+Watermarks are declared on every event-time aggregation: in ``complete``
+output mode they don't drop output rows (state is kept — what makes the
+bounded-run result deterministic and oracle-checkable), but they are the
+real knob that bounds state at 100 TB/day: switch the sink to ``append``
+and late data beyond the delay is dropped and windows finalize
+incrementally. The pytest suite exercises that append/watermark path;
+the registered queries keep complete mode for exact oracle parity.
+
+Reference citation for parity bookkeeping: the closest thing the reference
+has to incremental processing is its stage-by-stage Lambda pipelining
+(``coordinator/coordinator.py:58-110``) — batch-only; this module is pure
+extension scope.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from serverless_mapreduce_spark.registry import query
+
+EVENTS_DDL = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+DOCUMENTS_DDL = "doc_id BIGINT, source STRING, lang STRING, text STRING"
+
+WATERMARK = "1 hour"
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """The file streaming source only accepts *directories* (it monitors
+    them for new files — in production this is the S3/HDFS drop prefix).
+    The fixtures are single read-only files in a shared dir, so expose each
+    table as its own directory of symlinks under .scratch."""
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "streamsrc",
+        sf,
+        name,
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded stream over events.parquet with event-time ``ts``.
+
+    The file source needs the schema up front (no inference on streams);
+    TIMESTAMP(NANOS) parquet requires nanosAsLong (see catalog.table), so
+    ``ts`` arrives as epoch-nanos and is converted with integer division."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(StructType.fromDDL(EVENTS_DDL)).parquet(
+        _stream_dir(sf_dir, "events")
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.readStream.schema(StructType.fromDDL(DOCUMENTS_DDL)).parquet(
+        _stream_dir(sf_dir, "documents")
+    )
+
+
+def run_stream_to_memory(
+    sdf: DataFrame, *, mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Drain a bounded streaming DataFrame into a memory sink and return the
+    sink table. availableNow processes everything currently in the source
+    then stops — the streaming equivalent of one batch run."""
+    name = name or f"stream_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+# --- W2 streaming analog: tumbling-window revenue sum -------------------------
+
+@query(
+    "stream_windowed_sum",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS win_start,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_windowed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2's groupBy-sum as a streaming tumbling-window aggregate: 1-hour
+    event-time windows per event_type, 1-hour watermark. State is keyed by
+    (window, event_type) — bounded by watermark in append mode; the shuffle
+    is identical to the batch plan (hash on the group key, partial agg
+    map-side)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "sum_value",
+            "n_events",
+        )
+    )
+    return run_stream_to_memory(agg)
+
+
+# --- sliding-window variant ---------------------------------------------------
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    WITH offsets AS (SELECT unnest([0, 1]) AS k)
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL '1 hour' AS TIMESTAMP)
+             AS win_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, offsets
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2-hour length, 1-hour slide): every event lands in
+    exactly two windows — the oracle reproduces that with a 2-offset unnest.
+    Same bounded-state story as the tumbling variant."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    agg = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n_events")
+    )
+    return run_stream_to_memory(agg)
+
+
+# --- W9 streaming analog: word count ------------------------------------------
+
+@query(
+    "stream_word_count",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+      SELECT unnest(string_split_regex(text, '; |, |\\*|\\n| |:|\\.')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def stream_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 as a stream: tokenize → explode → running count per word (complete
+    mode = the converged totals; the same query in update mode is a live
+    leaderboard). No event time needed — state is one counter per word."""
+    from serverless_mapreduce_spark.operators.text import WC_DELIM
+
+    docs = documents_stream(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(F.split("text", WC_DELIM)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return run_stream_to_memory(counts)
+
+
+# --- session windows (gap-based sessionization) -------------------------------
+
+SESSION_GAP = "30 minutes"
+
+
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, v,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM o
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, v)
+    ), sessions AS (
+      SELECT user_id, ts, v,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, v
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window`` (gap
+    30 min): a session's end is its last event + gap. The oracle derives the
+    same sessions with the classic gaps-and-islands window construction.
+    Runs here in batch (same operator works under a stream + watermark);
+    state/shuffle is keyed by user_id — the natural partitioning at scale."""
+    from serverless_mapreduce_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
