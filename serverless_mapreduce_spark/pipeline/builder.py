@@ -84,6 +84,7 @@ class _Stage:
     num_reducers: int = 0
     partitioner: PartitionFn | None = None
     combiner: ReduceFn | None = None
+    combiner_associative: bool = False
 
 
 @dataclass
@@ -107,6 +108,7 @@ class ServerlessMR:
         self._next_pid = 1
         self._pending_shuffle: PartitionFn | None = None
         self._pending_combine: ReduceFn | None = None
+        self._pending_combine_assoc: bool = False
 
     # -- builder surface (main.py:104-180 parity) --
 
@@ -125,8 +127,16 @@ class ServerlessMR:
         self._pending_shuffle = partitioner
         return self
 
-    def combine(self, combiner: ReduceFn) -> "ServerlessMR":
+    def combine(self, combiner: ReduceFn, associative: bool = False) -> "ServerlessMR":
+        """``associative=True`` declares that the combiner emits exactly one
+        pair per key and combine(combine(a,b),c) == combine(a,combine(b,c)).
+        The facade then folds values into a per-key accumulator as the
+        partition streams through, bounding combiner memory to O(distinct
+        keys) instead of materializing the whole partition (the reference
+        always materializes, ``map_shuffle_handler.py:145-162`` — faithful
+        but OOM-prone on hot keys at scale)."""
         self._pending_combine = combiner
+        self._pending_combine_assoc = associative
         return self
 
     def reduce(self, fn: ReduceFn, num_reducers: int, combine: bool = False) -> "ServerlessMR":
@@ -134,11 +144,13 @@ class ServerlessMR:
         # to the shuffle boundary it creates. combine=True with no explicit
         # combiner reuses the reduce function (main.py:155-160).
         combiner = self._pending_combine if self._pending_combine else (fn if combine else None)
+        assoc = getattr(self, "_pending_combine_assoc", False) if self._pending_combine else False
         self._current.stages.append(
-            _Stage("reduce", fn, num_reducers, self._pending_shuffle, combiner)
+            _Stage("reduce", fn, num_reducers, self._pending_shuffle, combiner, assoc)
         )
         self._pending_shuffle = None
         self._pending_combine = None
+        self._pending_combine_assoc = False
         return self
 
     def finish(self) -> int:
@@ -240,7 +252,28 @@ def _run_reduce(spark: SparkSession, df: DataFrame, stage: _Stage) -> DataFrame:
 
     rdd = df.rdd.map(lambda row: (row[0], row[1]))
 
-    if combiner is not None:
+    if combiner is not None and stage.combiner_associative:
+        # Bounded-memory path: stream the partition, folding each value into
+        # a per-key accumulator via pairwise combiner calls — memory is
+        # O(distinct keys), not O(partition rows).
+        def combine_part_assoc(it):
+            acc: dict = {}
+            for k, v in it:
+                val = _decode(v)
+                if k in acc:
+                    merged: list[tuple] = []
+                    combiner(merged, (k, [acc[k], val]))
+                    acc[k] = merged[0][1]
+                else:
+                    acc[k] = val
+            return [(k, _encode(v)) for k, v in acc.items()]
+
+        rdd = rdd.mapPartitions(combine_part_assoc, preservesPartitioning=False)
+    elif combiner is not None:
+        # Contract-parity path: the combiner sees each key's full value list
+        # (sorted, like the reference's map-side combine) — which requires
+        # materializing the map task's output, the reference's own memory
+        # behavior (map_shuffle_handler.py:145-162).
         def combine_part(it):
             pairs = list(it)
             out: list[tuple] = []

@@ -11,6 +11,7 @@ golden S3 JSON (strictly stronger — SURVEY.md §5).
 from __future__ import annotations
 
 import re
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,10 +71,15 @@ def sum_map(outputs: list, kv: tuple) -> None:
 
 
 def sum_reduce(outputs: list, kv: tuple) -> None:
-    """query_2.py:21-38 semantics: stringly values, explicit float casts,
-    formatted emit ('%.2f' so the text form matches the oracle's printf)."""
+    """query_2.py:21-38 semantics: stringly values, explicit casts, formatted
+    emit. Accumulates in exact Decimal (Decimal(str(v)) is exact for the
+    2-decimal inputs and for '%.2f'-formatted intermediates), so the result
+    is order-independent and matches the oracle's DECIMAL(18,2) sum on any
+    partitioning — an IEEE left-fold could flip the 2-decimal rounding on
+    half-ulp boundaries at larger scale."""
     key, values = kv
-    outputs.append((key, format(sum(float(v) for v in values), ".2f")))
+    total = sum(Decimal(str(v)) for v in values)
+    outputs.append((key, f"{total:.2f}"))
 
 
 def ip_prefix_partition(key: str, num_bins: int) -> int:
@@ -107,4 +113,52 @@ def facade_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # facade values are JSON-encoded; strip the quotes of the string scalar
     # so the text form matches the oracle's printf output
+    return out.select("key", F.regexp_replace("value", '^"|"$', "").alias("value"))
+
+
+def identity_map(outputs: list, kv: tuple) -> None:
+    """user_job_6/map_3.py:1-14 semantics: pass the pair through."""
+    outputs.append((kv[0], kv[1]))
+
+
+@query(
+    "facade_merge_union",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS key,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS val
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS key,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS val
+      FROM customer
+    )
+    SELECT key, printf('%.2f', CAST(SUM(val) AS DOUBLE)) AS value
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    GROUP BY key
+    """,
+)
+def facade_merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's marquee multi-pipeline DAG (web_user_main.py:70-78):
+    two pipelines pre-aggregate independently, finish(), then a third
+    pipeline merge()s their concatenated outputs through identity map →
+    associative combine → re-aggregate. Exercises finish/merge (E12), the
+    default hash shuffle, and the bounded-memory combiner path."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+
+    smr = ServerlessMR(spark)
+    smr.source(orders, key_col="o_custkey", value_col="o_totalprice").map(sum_map).reduce(
+        sum_reduce, num_reducers=4
+    )
+    p1 = smr.finish()
+    smr.source(customer, key_col="c_custkey", value_col="c_acctbal").map(sum_map)
+    p2 = smr.finish()
+    out = (
+        smr.merge([p1, p2])
+        .map(identity_map)
+        .combine(sum_reduce, associative=True)
+        .reduce(sum_reduce, num_reducers=4)
+        .run()
+    )
     return out.select("key", F.regexp_replace("value", '^"|"$', "").alias("value"))
