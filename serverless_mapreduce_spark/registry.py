@@ -57,6 +57,7 @@ def _ensure_loaded() -> None:
     """Import every operator module for its registration side effects."""
     from serverless_mapreduce_spark.operators import (  # noqa: F401
         dedup,
+        multimodal,
         relational,
         similarity,
         text,
