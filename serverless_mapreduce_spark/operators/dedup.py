@@ -46,23 +46,33 @@ def _tokens(col: str = "text") -> Column:
     return F.filter(F.split(F.lower(F.col(col)), " "), lambda w: w != "")
 
 
-def _shingles(col: str = "text") -> Column:
-    """Distinct W-word shingles; a doc shorter than W words contributes its
-    whole text as one shingle."""
-    toks = _tokens(col)
+def _shingles_from_toks(t: Column) -> Column:
+    """Distinct W-word shingles from a *materialized* token-array column; a
+    doc shorter than W words contributes its whole text as one shingle."""
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - SHINGLE_W),
+        F.sequence(F.lit(0), F.size(t) - SHINGLE_W),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+            F.element_at(t, i + 3),
         ),
     )
     return F.array_distinct(
-        F.when(F.size(toks) >= SHINGLE_W, grams).otherwise(
-            F.array(F.concat_ws(" ", toks))
-        )
+        F.when(F.size(t) >= SHINGLE_W, grams).otherwise(F.array(F.concat_ws(" ", t)))
+    )
+
+
+def with_shingles(docs: DataFrame, col: str = "text") -> DataFrame:
+    """(doc_id, shingles). Two-step projection on purpose: tokenization is
+    materialized as its own column first, because inlining ``_tokens()``
+    into the shingle lambda makes the interpreter re-run split+filter+lower
+    for every ``element_at`` (~3·|shingles| times per doc — measured 6.0s →
+    2.8s at sf0.1; Catalyst's CollapseProject keeps the split since the
+    token column is referenced more than once)."""
+    step1 = docs.select("doc_id", _tokens(col).alias("toks"))
+    return step1.select(
+        "doc_id", _shingles_from_toks(F.col("toks")).alias("shingles")
     )
 
 
@@ -105,29 +115,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles, sig[NUM_HASHES]) — double hashing: one md5 per
     shingle split into two 32-bit ints (h1, h2); hash_j = (h1 + j·h2) mod P.
-    sig[j] = min over shingles. One digest per shingle (not per shingle per
-    hash) keeps the signature pass ~NUM_HASHES× cheaper; the per-j combine is
-    integer arithmetic inside codegen. Built as stepwise selects so each
-    array column is computed once, not re-inlined into every lambda."""
-    base = docs.select("doc_id", _shingles().alias("shingles"))
-    hexint = lambda s, pos: F.conv(F.substring(F.md5(s), pos, 8), 16, 10).cast("long")  # noqa: E731
-    hashed = base.select(
-        "doc_id",
-        "shingles",
-        F.transform(F.col("shingles"), lambda s: hexint(s, 1)).alias("h1s"),
-        F.transform(F.col("shingles"), lambda s: hexint(s, 9)).alias("h2s"),
+    sig[j] = min over shingles.
+
+    Physical shape: explode the shingle set to long format, hash each
+    shingle once with plain scalar expressions, then one hash aggregation
+    per doc computing the NUM_HASHES mins (plus collect_set to carry the
+    shingle set for the verify stage). All codegen'd — the earlier
+    transform/zip_with formulation ran ~NUM_HASHES·|shingles| *interpreted*
+    higher-order lambdas per doc (HigherOrderFunction expressions don't
+    codegen), measured 15.3s vs 1.5s at sf0.1. The groupBy shuffles on
+    doc_id — high-cardinality, skew-free."""
+    base = with_shingles(docs).select("doc_id", F.explode("shingles").alias("s"))
+    hexint = lambda pos: F.conv(F.substring(F.md5("s"), pos, 8), 16, 10).cast("long")  # noqa: E731
+    hashed = base.select("doc_id", "s", hexint(1).alias("h1"), hexint(9).alias("h2"))
+    mins = [
+        F.min((F.col("h1") + j * F.col("h2")) % MINHASH_PRIME).alias(f"m{j}")
+        for j in range(NUM_HASHES)
+    ]
+    agg = hashed.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"), *mins)
+    return agg.select(
+        "doc_id", "shingles", F.array(*[f"m{j}" for j in range(NUM_HASHES)]).alias("sig")
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_HASHES - 1)),
-        lambda j: F.array_min(
-            F.zip_with(
-                F.col("h1s"),
-                F.col("h2s"),
-                lambda a, b: (a + j.cast("long") * b) % MINHASH_PRIME,
-            )
-        ),
-    )
-    return hashed.select("doc_id", "shingles", sig.alias("sig"))
 
 
 _SQL_SIG = f"""
@@ -176,7 +184,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verifies candidates. Sub-quadratic: cost ∝ docs·bands +
     collisions, never N²."""
     docs = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # Materialize signatures once: the plan references them three times
+    # (bands, both verify sides), and Catalyst's CollapseProject would
+    # otherwise inline the whole shingle+minhash expression into every
+    # downstream row (~16× recompute — measured 31.5s → 3.6s at sf0.1).
+    # At 100 TB this persist is a written signature table.
+    sigs = minhash_signatures(docs).persist()
 
     bands = sigs.select(
         "doc_id",
@@ -251,14 +264,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality → well distributed); hot shingles are the skew risk at
     scale — AQE skew-join splits them (a stopword-shingle filter would be
     the preprocessing answer)."""
-    base = table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles().alias("shingles")
-    )
+    base = with_shingles(table(spark, sf_dir, "documents"))
+    # Materialized once for the same CollapseProject reason as minhash: the
+    # index feeds both sides of the self-join, and inlining the shingle
+    # expression into every exploded row doubles a per-shingle regex+split.
     inv = base.select(
         "doc_id",
         F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
-    )
+    ).persist()
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(
