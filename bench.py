@@ -33,8 +33,12 @@ HEADLINE = (
     "url_count",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "ann_lsh_topk",
     "doc_fingerprint",
+    "session_window_agg",
+    "stream_windowed_sum",
+    "multimodal_frame_sample",
 )
 
 
