@@ -278,3 +278,88 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= COSINE_THRESH)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# --- IVF-style ANN: coarse quantize to centroids, probe one cell --------------
+
+CENTROID_MOD = 50  # vec_id % CENTROID_MOD == 0 → centroid (deterministic "training")
+
+_SQL_IVF = f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ), assigned AS (
+      SELECT vec_id, embedding, c_id AS centroid
+      FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cosine_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, centroid FROM assigned
+      WHERE vec_id % {QUERY_MOD} = 0
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND({_cosine_sql('q.q_emb', 'e.embedding')}, 6) AS cos_sim
+      FROM q JOIN assigned e ON e.centroid = q.centroid AND e.vec_id <> q.q_id
+    )
+    SELECT q_id, vec_id, cos_sim, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {TOP_K}
+"""
+
+
+@query("ann_ivf_topk", oracle=_SQL_IVF)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k (the other classic ANN scale path beside
+    LSH): coarse-quantize every vector to its nearest of C centroids (here a
+    deterministic sample — vec_id % 50 == 0 — standing in for k-means, so
+    the oracle can reproduce the 'training'), then each query probes only
+    its own cell (nprobe=1). Cost: assignment is one broadcast pass over the
+    corpus (C ≪ N), search joins on the centroid id — candidates ≈ N/C per
+    query. At 100 TB the assigned table is written partitioned by centroid
+    so probes become partition-pruned scans. Recall loses only neighbors
+    quantized into other cells; raise nprobe for recall like any IVF index."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("c_id")
+    )
+    assigned = (
+        emb.join(F.broadcast(cent))
+        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("centroid"))
+        .persist()  # referenced by both the query and corpus sides below
+    )
+    q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid").alias("q_centroid"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(assigned, F.col("centroid") == F.col("q_centroid"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+    )

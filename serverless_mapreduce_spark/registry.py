@@ -61,6 +61,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity,
         text,
+        training_pipeline,
         udf_tasks,
     )
     from serverless_mapreduce_spark.pipeline import facade_queries  # noqa: F401
