@@ -402,3 +402,28 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price * (1 - disc) * (1 + tax)).cast("double").alias("sum_charge"),
         F.count("*").alias("count_order"),
     )
+
+
+# --- SQL surface: one shared ANSI string runs on both engines ----------------
+
+_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+"""
+
+
+@query("sql_tpch_q6", oracle=_Q6_SQL)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: register the catalog as temp views and run
+    a plain ANSI string through ``spark.sql`` — the *same* string is the
+    DuckDB oracle, proving dialect-portable semantics. (The reference has no
+    SQL surface at all; its hive/*.q files are documentation.) Catalyst
+    still pushes the range + BETWEEN predicates into the parquet scan."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)

@@ -162,3 +162,44 @@ def facade_merge_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .run()
     )
     return out.select("key", F.regexp_replace("value", '^"|"$', "").alias("value"))
+
+
+def chain_map_cast(outputs: list, kv: tuple) -> None:
+    """user_job_5/map_2.py:11 semantics: cast the value to float."""
+    outputs.append((kv[0], float(kv[1])))
+
+
+def chain_map_fmt_strip(outputs: list, kv: tuple) -> None:
+    """user_job_5/map_3.py:11 semantics: '%.2f'-format then strip the dot."""
+    outputs.append((kv[0], format(float(kv[1]), ".2f").replace(".", "")))
+
+
+def chain_map_take4(outputs: list, kv: tuple) -> None:
+    """user_job_5/map_4.py:11 semantics: first 4 chars."""
+    outputs.append((kv[0], str(kv[1])[:4]))
+
+
+@query(
+    "facade_map_chain",
+    oracle="""
+    SELECT c_name AS key,
+           substring(replace(printf('%.2f', c_acctbal), '.', ''), 1, 4) AS value
+    FROM customer
+    """,
+)
+def facade_map_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11's multi-map stage chain *through the facade* — the shape of the
+    reference's own e2e test (``end_to_end_tests.py:34-54``: chained maps +
+    reducers). In the reference every .map() is a separate Lambda stage with
+    an S3 materialization between; here the three mapInPandas stages pipeline
+    within one task with no materialization (Spark fuses narrow stages)."""
+    customer = table(spark, sf_dir, "customer")
+    out = (
+        ServerlessMR(spark)
+        .source(customer, key_col="c_name", value_col="c_acctbal")
+        .map(chain_map_cast)
+        .map(chain_map_fmt_strip)
+        .map(chain_map_take4)
+        .run()
+    )
+    return out.select("key", F.regexp_replace("value", '^"|"$', "").alias("value"))
