@@ -70,6 +70,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) parquet requires nanosAsLong (see catalog.table), so
     ``ts`` arrives as epoch-nanos and is converted with integer division."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Window starts are emitted as timestamps: pin the session TZ so the
+    # collected values are invariant to the caller's environment (the
+    # DuckDB oracle reads naive timestamps).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = spark.readStream.schema(StructType.fromDDL(EVENTS_DDL)).parquet(
         _stream_dir(sf_dir, "events")
     )
@@ -235,6 +239,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     state/shuffle is keyed by user_id — the natural partitioning at scale."""
     from serverless_mapreduce_spark.catalog import table
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # ts columns in output
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
