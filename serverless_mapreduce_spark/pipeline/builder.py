@@ -85,6 +85,7 @@ class _Stage:
     partitioner: PartitionFn | None = None
     combiner: ReduceFn | None = None
     combiner_associative: bool = False
+    reduce_associative: bool = False
 
 
 @dataclass
@@ -139,14 +140,34 @@ class ServerlessMR:
         self._pending_combine_assoc = associative
         return self
 
-    def reduce(self, fn: ReduceFn, num_reducers: int, combine: bool = False) -> "ServerlessMR":
+    def reduce(
+        self,
+        fn: ReduceFn,
+        num_reducers: int,
+        combine: bool = False,
+        associative: bool = False,
+    ) -> "ServerlessMR":
         # Like main.py:136-166: reduce() binds any pending shuffle/combine
         # to the shuffle boundary it creates. combine=True with no explicit
         # combiner reuses the reduce function (main.py:155-160).
+        # associative=True opts the *reduce side* into the streaming per-key
+        # fold (same contract as combine(associative=True)): memory bounded
+        # by O(distinct keys in the reducer) instead of the whole partition —
+        # the fix for the reference's hot-key OOM (reduce_handler.py:122
+        # materializes everything). Trade-off: no sorted-key iteration and
+        # no cross-key reducer state, so the default stays contract-parity.
         combiner = self._pending_combine if self._pending_combine else (fn if combine else None)
         assoc = getattr(self, "_pending_combine_assoc", False) if self._pending_combine else False
         self._current.stages.append(
-            _Stage("reduce", fn, num_reducers, self._pending_shuffle, combiner, assoc)
+            _Stage(
+                "reduce",
+                fn,
+                num_reducers,
+                self._pending_shuffle,
+                combiner,
+                assoc,
+                associative,
+            )
         )
         self._pending_shuffle = None
         self._pending_combine = None
@@ -288,12 +309,27 @@ def _run_reduce(spark: SparkSession, df: DataFrame, stage: _Stage) -> DataFrame:
     else:
         rdd = rdd.partitionBy(n)
 
-    def reduce_part(it):
-        pairs = list(it)
-        out: list[tuple] = []  # one shared outputs list per reducer
-        for key, vals in _group_sorted(pairs):
-            fn(out, (key, [_decode(v) for v in vals]))
-        return [(k, _encode(v)) for k, v in out]
+    if stage.reduce_associative:
+        def reduce_part(it):
+            acc: dict = {}
+            for k, v in it:
+                val = _decode(v)
+                if k in acc:
+                    merged: list[tuple] = []
+                    fn(merged, (k, [acc[k], val]))
+                    acc[k] = merged[0][1]
+                else:
+                    single: list[tuple] = []
+                    fn(single, (k, [val]))
+                    acc[k] = single[0][1]
+            return [(k, _encode(v)) for k, v in acc.items()]
+    else:
+        def reduce_part(it):
+            pairs = list(it)
+            out: list[tuple] = []  # one shared outputs list per reducer
+            for key, vals in _group_sorted(pairs):
+                fn(out, (key, [_decode(v) for v in vals]))
+            return [(k, _encode(v)) for k, v in out]
 
     reduced = rdd.mapPartitions(reduce_part, preservesPartitioning=True)
     return spark.createDataFrame(reduced.map(lambda kv: (str(kv[0]), kv[1])), KV_SCHEMA)

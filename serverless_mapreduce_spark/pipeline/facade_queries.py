@@ -203,3 +203,37 @@ def facade_map_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .run()
     )
     return out.select("key", F.regexp_replace("value", '^"|"$', "").alias("value"))
+
+
+@query(
+    "facade_full_chain",
+    oracle="""
+    SELECT c_name AS key,
+           substring(replace(printf('%.2f',
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)), '.', ''), 1, 4)
+             AS value
+    FROM customer
+    GROUP BY c_name
+    """,
+)
+def facade_full_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full commented flagship chain (user_main.py:27-28):
+    map → map → combine → shuffle → reduce → map → map in ONE pipeline —
+    exercises pre-shuffle map fusion, the combiner, a custom partitioner,
+    and post-reduce map stages. Each reference .map() is a separate Lambda
+    stage + S3 materialization; here the whole thing is one lazy DAG with
+    exactly one shuffle (the custom-partitioned reduce)."""
+    customer = table(spark, sf_dir, "customer")
+    out = (
+        ServerlessMR(spark)
+        .source(customer, key_col="c_name", value_col="c_acctbal")
+        .map(identity_map)
+        .map(chain_map_cast)
+        .combine(sum_reduce, associative=True)
+        .shuffle(ip_prefix_partition)
+        .reduce(sum_reduce, num_reducers=4)
+        .map(chain_map_fmt_strip)
+        .map(chain_map_take4)
+        .run()
+    )
+    return out.select("key", F.regexp_replace("value", '^"|"$', "").alias("value"))
