@@ -427,3 +427,99 @@ def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     still pushes the range + BETWEEN predicates into the parquet scan."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_Q6_SQL)
+
+
+# --- rollup: hierarchical aggregates (beyond-reference relational surface) ----
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (flag, status): per-group + per-flag subtotal + grand total in
+    one pass — Spark expands the grouping sets and still does partial
+    aggregation map-side, so the cost is one shuffle regardless of how many
+    levels the hierarchy has (the reference would need one MapReduce job per
+    level plus a union)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows"))
+    )
+
+
+# --- partitioned window: running sum (scales: keyed by user, never global) ----
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per user — a *partitioned* window (PARTITION BY
+    user_id), so work distributes across users and no single-partition
+    funnel exists (contrast the global-window anti-pattern sort_by_value
+    replaced). Ordered by the unique event_id so both engines fold in the
+    identical order; decimal accumulation keeps every prefix exact."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_sum"),
+    )
+
+
+# --- explicit skew-join salting (the 100 TB hot-key technique, demonstrated) --
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT event_id, user_id, value, c_name
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salting for a skewed fact⋈dim join: events has only ~15
+    distinct user_ids (hot keys by construction), so a plain shuffle join
+    lands everything on ≤15 reducers. Salting splits each hot key into
+    SALT_BUCKETS subkeys — fact rows get a deterministic salt
+    (pmod(hash(event_id), R)), the dim side replicates R× via explode — and
+    the join key becomes (key, salt), spreading each hot key over R tasks.
+    Results are salt-invariant (the oracle is the unsalted join). AQE's
+    skew-join handles the same problem adaptively; this operator is the
+    explicit form for engines/pipelines where the skew is known up front.
+    sort-merge is hinted so the salted path is actually exercised (the dim
+    would otherwise broadcast at this SF)."""
+    fact = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(SALT_BUCKETS))
+    )
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)])))
+    )
+    joined = fact.hint("merge").join(
+        dim,
+        (fact.user_id == dim.c_custkey) & (fact.salt == dim.salt),
+    )
+    return joined.select("event_id", "user_id", "value", "c_name")
