@@ -255,3 +255,48 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --- custom stateful operator: applyInPandasWithState --------------------------
+
+@query(
+    "stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A *custom* stateful streaming operator via applyInPandasWithState:
+    per-user running (count, exact cents sum) kept in GroupState across
+    micro-batches — the escape hatch for stateful logic that windowed
+    aggregates can't express (custom eviction, ML feature state, CDC merge).
+    State is keyed by user_id so it distributes like any keyed shuffle;
+    update mode emits each group's latest stats per batch, and the bounded
+    availableNow run converges to the batch aggregate (the oracle). The
+    cents accumulator keeps the Python-side sum exact and order-independent."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_stats(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(float(pdf["value"].sum()) * 100))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+        )
+
+    ev = events_stream(spark, sf_dir)
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        update_stats,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_memory(stats, mode="update")

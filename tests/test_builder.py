@@ -46,3 +46,25 @@ def test_associative_combine_matches_default(spark, sf_dir):
         )
 
     assert build(False) == build(True)
+
+
+def test_custom_partitioner_controls_placement(spark, sf_dir):
+    """The reference contract is that shuffle(p) controls *placement*
+    (default/partition.py:4-11): every key must land in partition
+    p(key, n) % n exactly."""
+    events = table(spark, sf_dir, "events")
+    n = 4
+    out = (
+        ServerlessMR(spark)
+        .source(events, key_col="user_id", value_col="value")
+        .map(sum_map)
+        .shuffle(ip_prefix_partition)
+        .reduce(sum_reduce, num_reducers=n)
+        .run()
+    )
+    placed = out.rdd.mapPartitionsWithIndex(
+        lambda pid, it: [(pid, row.key) for row in it]
+    ).collect()
+    assert placed, "no output rows"
+    for pid, key in placed:
+        assert pid == ip_prefix_partition(key, n) % n, (pid, key)
