@@ -523,3 +523,77 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fact.user_id == dim.c_custkey) & (fact.salt == dim.salt),
     )
     return joined.select("event_id", "user_id", "value", "c_name")
+
+
+# --- join family: semi / anti / outer (engine surface beyond the reference) ---
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers having ≥1 order. Semi joins never duplicate the
+    left side and never carry right columns — at scale that's a smaller
+    shuffle than join+distinct (and Catalyst can broadcast the keys-only
+    right side)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_CUTOFF = "1998-01-01"
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '{ANTI_CUTOFF} 00:00:00'
+    )
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no *recent* order (none since the cutoff) —
+    the churn / orphan-detection shape. The date filter lands on the right
+    side *before* the join, so the anti probe set is already pruned; every
+    fixture customer has some order, hence the filter keeps the result
+    non-trivial. Same shuffle profile as the semi join."""
+    customer = table(spark, sf_dir, "customer")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(ANTI_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_outer_order_counts",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER + count: order counts per customer with zero-order
+    customers kept (COUNT of the nullable key counts only matches). One
+    shuffle for the join, one for the re-key — or none extra when Catalyst
+    broadcasts."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
