@@ -1,0 +1,385 @@
+"""Advanced analytics operators beyond the reference's workload set: as-of
+join, range join, pivot, top-k per group, exact distinct counts, reproducible
+stratified sampling, exact grouped quantiles, and a hypertable-style
+multi-granularity time rollup.
+
+The reference (hanglili/Serverless-MapReduce) has no analog for any of these —
+its surface stops at map/shuffle/reduce (``src/python/serverless_mr/job/``) —
+but a user running analytics on the same data needs them, so they are part of
+this engine's first-class query surface. Every query here is a declarative
+DataFrame program with a DuckDB oracle; none uses a Python UDF.
+
+Scale stance (100 TB):
+- The as-of join is the union-tag + keyed-window plan: one shuffle on the
+  join key, no per-row range probe, no cross product. This is the standard
+  distributed as-of strategy (kdb/QuestDB semantics, Flink temporal-join
+  shape) expressed in pure DataFrame ops.
+- The range join keeps an equality key (user_id) so candidates are bounded
+  per key; for keyless interval joins, bucketize time into interval-width
+  bins, join on bin, then post-filter — same plan shape, still no cartesian.
+- Sampling is hash-threshold based (md5), so it is deterministic,
+  partition-invariant, pushed to the scan as a cheap filter, and needs no
+  shuffle at all — unlike ``df.sampleBy`` whose seed-per-partition output
+  changes with parallelism.
+- Quantiles are exact within each group for oracle parity; the 100 TB path
+  is ``approx_percentile`` (t-digest sketch, mergeable map-side) — swap one
+  expression, same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.registry import query
+
+
+# --- as-of join: latest 'view' at-or-before each 'purchase', per user --------
+
+@query(
+    "join_asof_purchase_view",
+    oracle="""
+    SELECT event_id, user_id, asof_view_id, asof_view_value
+    FROM (
+      SELECT p.event_id, p.user_id,
+             v.event_id AS asof_view_id, v.value AS asof_view_value,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM events p
+      JOIN events v
+        ON v.user_id = p.user_id
+       AND v.event_type = 'view'
+       AND v.ts <= p.ts
+      WHERE p.event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: for each purchase, the most recent view by the same user
+    at-or-before the purchase timestamp (ties: latest event_id).
+
+    Plan: tag views and purchases, union, then one window per user ordered by
+    (ts, is_view DESC, event_id) carrying ``last(view_struct ignorenulls)``
+    — a running "latest view so far". One shuffle on user_id, work per
+    partition is a single sorted pass. The naive plan (inequality join +
+    rank, which the oracle uses) is O(views x purchases) per user and
+    unusable at 100 TB; this one is O(n log n) per user.
+    """
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_view"),
+        F.struct(
+            F.col("event_id").alias("view_id"), F.col("value").alias("view_value")
+        ).alias("v"),
+        F.col("event_id").alias("order_id"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_view"),
+        F.lit(None).cast("struct<view_id:bigint,view_value:double>").alias("v"),
+        F.lit(None).cast("long").alias("order_id"),
+        "event_id",
+    )
+    # Sort order within a user: time asc; at equal ts the view comes FIRST
+    # (at-or-before includes the same instant); among equal-ts views the
+    # largest event_id lands last, so `last()` picks it — matching the
+    # oracle's (ts DESC, event_id DESC) choice.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_view").desc(), F.col("order_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = views.unionByName(purchases).withColumn(
+        "asof", F.last("v", ignorenulls=True).over(w)
+    )
+    return (
+        tagged.filter((F.col("is_view") == 0) & F.col("asof").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("asof.view_id").alias("asof_view_id"),
+            F.col("asof.view_value").alias("asof_view_value"),
+        )
+    )
+
+
+# --- range join: clicks in the hour before each purchase, per user -----------
+
+@query(
+    "join_range_click_burst",
+    oracle="""
+    SELECT p.event_id, COUNT(*) AS n_clicks_1h
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def join_range_click_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: count clicks by the same user in the hour before each
+    purchase. The equality key (user_id) makes this a plain shuffled
+    equi-join with the time-range as a post-join filter — candidates are
+    bounded per user, never a cartesian. For a *keyless* interval join,
+    bucketize ts into 1-hour bins, join on bin (and bin+1), then apply the
+    same range filter: identical plan shape, still no cross product."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts < p.p_ts),
+    )
+    return joined.groupBy("event_id").agg(F.count("*").alias("n_clicks_1h"))
+
+
+# --- pivot: order counts, status columns by priority rows --------------------
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an *explicit* value list: passing the pivot values up front
+    skips the extra distinct-scan job Spark otherwise runs to discover them
+    — at 100 TB that implicit pass over the fact table is a full extra scan.
+    Pivot compiles to a single groupBy with conditional aggregates (exactly
+    the oracle's CASE form): one shuffle."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+# --- top-k per group: 3 biggest orders per customer --------------------------
+
+@query(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price. A *partitioned* window (keyed by
+    customer), so it distributes — and Spark inserts a rank-limit before the
+    final sort per partition (WindowGroupLimit), so each task keeps only k
+    rows per key rather than ranking everything. Ties broken by o_orderkey
+    for cross-engine determinism."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# --- exact distinct per day: daily active users ------------------------------
+
+@query(
+    "daily_active_users",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users: COUNT(DISTINCT) per day. Spark plans this as
+    two-phase (partial distinct on (day, user) map-side, then merge), so the
+    shuffle carries deduplicated pairs, not raw events. At 100 TB swap in
+    ``approx_count_distinct`` (HyperLogLog++, mergeable sketch, one narrow
+    shuffle) — exact is registered because the oracle can verify it. Day is
+    emitted as a string; session TZ pinned so truncation is UTC on any
+    caller's session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# --- reproducible stratified sample ------------------------------------------
+
+# Per-stratum keep-thresholds over the md5 hex keyspace: a row stays iff
+# md5(key) < threshold, so 'O' keeps ~0x1a/0x100 ≈ 10.2%, 'F' ~15.6%, 'P' 50%.
+STRATA_THRESHOLDS = {"F": "28", "O": "1a", "P": "80"}
+
+
+@query(
+    "stratified_sample_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE md5(CAST(o_orderkey AS VARCHAR)) <
+          CASE o_orderstatus
+            WHEN 'F' THEN '{STRATA_THRESHOLDS["F"]}'
+            WHEN 'O' THEN '{STRATA_THRESHOLDS["O"]}'
+            ELSE '{STRATA_THRESHOLDS["P"]}'
+          END
+    """,
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates, implemented as a
+    hash-threshold filter (keep iff md5(key) < stratum threshold) instead of
+    ``df.sampleBy``. Why: the hash filter is deterministic across runs,
+    engines, AND partitionings (sampleBy's per-partition RNG changes output
+    when parallelism changes), it needs zero shuffles, and it composes — the
+    same key always lands in the sample, so downstream joins of two sampled
+    tables stay consistent. This is how reproducible training-data
+    subsampling should work at 100 TB."""
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    thr = (
+        F.when(F.col("o_orderstatus") == "F", STRATA_THRESHOLDS["F"])
+        .when(F.col("o_orderstatus") == "O", STRATA_THRESHOLDS["O"])
+        .otherwise(STRATA_THRESHOLDS["P"])
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(h < thr)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+# --- exact grouped quantiles (cent-integer trick for cross-engine equality) --
+
+@query(
+    "price_quantiles_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(cents, 0.25) AS p25_cents,
+           quantile_cont(cents, 0.50) AS p50_cents,
+           quantile_cont(cents, 0.75) AS p75_cents
+    FROM (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of order price per priority. Prices are converted to
+    integer cents via DECIMAL (lossless), so linear interpolation at
+    quarter fractions is *exact* in IEEE doubles — both engines compute
+    bit-identical results with no rounding epsilon. Exact percentile sorts
+    within each group; at 100 TB use ``approx_percentile`` (t-digest,
+    mergeable map-side, one narrow shuffle) — same expression slot."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    pct = F.percentile(F.col("cents"), F.lit([0.25, 0.50, 0.75]))
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", cents.alias("cents"))
+        .groupBy("o_orderpriority")
+        .agg(pct.alias("q"))
+        .select(
+            "o_orderpriority",
+            F.col("q")[0].alias("p25_cents"),
+            F.col("q")[1].alias("p50_cents"),
+            F.col("q")[2].alias("p75_cents"),
+        )
+    )
+
+
+# --- hypertable-style rollup: hour -> day -> total from reusable partials ----
+
+@query(
+    "time_bucket_rollup",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H') AS hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY ROLLUP (day, hour)
+    """,
+)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup (hourly, daily, grand total) built the
+    continuous-aggregate way: aggregate ONCE at the finest grain (hour),
+    then re-aggregate those partials upward. ``df.rollup`` would instead
+    Expand every input row 3x before the shuffle — 3x shuffle volume on the
+    fact table; here the day/total levels re-aggregate the (tiny) hourly
+    result, which is the hypertable/materialized-rollup pattern at 100 TB.
+    Decimal partials keep the re-aggregation exact; TZ pinned to UTC so
+    bucket edges match the naive-timestamp oracle on any session."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    hourly = ev.groupBy("day", "hour").agg(
+        F.sum("v").alias("_sv"), F.count("*").alias("n_events")
+    )
+    daily = hourly.groupBy("day").agg(
+        F.lit(None).cast("string").alias("hour"),
+        F.sum("_sv").alias("_sv"),
+        F.sum("n_events").alias("n_events"),
+    )
+    total = daily.agg(
+        F.lit(None).cast("string").alias("day"),
+        F.lit(None).cast("string").alias("hour"),
+        F.sum("_sv").alias("_sv"),
+        F.sum("n_events").alias("n_events"),
+    )
+    out_cols = [
+        "day",
+        "hour",
+        F.col("_sv").cast("double").alias("sum_value"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ]
+    return (
+        hourly.select(*out_cols)
+        .unionByName(daily.select(*out_cols))
+        .unionByName(total.select(*out_cols))
+    )

@@ -56,6 +56,7 @@ def all_oracles() -> dict[str, str]:
 def _ensure_loaded() -> None:
     """Import every operator module for its registration side effects."""
     from serverless_mapreduce_spark.operators import (  # noqa: F401
+        analytics,
         dedup,
         multimodal,
         relational,
