@@ -50,6 +50,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(spark: SparkSession, df: DataFrame, *keys: str) -> DataFrame:
+    """Restore scan parallelism for CPU-heavy narrow pipelines.
+
+    Parquet scans split at row-group granularity; the small fixture files are
+    single-row-group, so a scan yields ONE partition and every per-row
+    expression downstream (shingling, minhash, LSH bits) runs on one core —
+    and AQE then coalesces the tiny shuffles back to 1 partition too.
+
+    With ``keys``, this hoists the exchange the downstream aggregation/join
+    would perform anyway: ``repartition(n, keys)`` moves the hash shuffle
+    *before* the expensive projection, so compute parallelizes and the later
+    ``groupBy(keys)`` reuses the partitioning (no second exchange). With an
+    explicit partition count, AQE does not re-coalesce it. Without ``keys``
+    it round-robins, which adds one shuffle of the *raw* (pre-explosion)
+    rows — cheapest possible placement.
+
+    Gated: a no-op whenever the scan already splits (≥ half the cores), which
+    is always true on real multi-row-group data at scale — so plans at 100 TB
+    are unchanged while single-file fixtures use the whole machine."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, n // 2):
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(n, *[F.col(k) for k in keys]) if keys else df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -46,34 +46,45 @@ def _tokens(col: str = "text") -> Column:
     return F.filter(F.split(F.lower(F.col(col)), " "), lambda w: w != "")
 
 
-def _shingles_from_toks(t: Column) -> Column:
-    """Distinct W-word shingles from a *materialized* token-array column; a
-    doc shorter than W words contributes its whole text as one shingle."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - SHINGLE_W),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(t, i + 1),
-            F.element_at(t, i + 2),
-            F.element_at(t, i + 3),
-        ),
-    )
-    return F.array_distinct(
-        F.when(F.size(t) >= SHINGLE_W, grams).otherwise(F.array(F.concat_ws(" ", t)))
-    )
+def shingle_rows(docs: DataFrame, col: str = "text") -> DataFrame:
+    """(doc_id, s): one row per W-word shingle occurrence, built entirely
+    from codegen-able scalar/window ops — ``posexplode(split(...))`` then
+    window ``lead`` for token adjacency. A doc shorter than W words
+    contributes its whole (normalized) text as one shingle; ``concat_ws``
+    skipping NULL leads yields exactly that on the doc's first token row.
 
+    Why long format and no array column: the obvious
+    ``transform(sequence(...), i -> ...)`` array formulation is a
+    HigherOrderFunction — *interpreted*, never codegen — and exploding such
+    an array makes Generate re-evaluate the interpreted expression per
+    output row (measured 6.4s vs 0.26s over materialized arrays at sf0.1).
+    Here every expression is JVM-codegen'd and evaluated once.
 
-def with_shingles(docs: DataFrame, col: str = "text") -> DataFrame:
-    """(doc_id, shingles). Two-step projection on purpose: tokenization is
-    materialized as its own column first, because inlining ``_tokens()``
-    into the shingle lambda makes the interpreter re-run split+filter+lower
-    for every ``element_at`` (~3·|shingles| times per doc — measured 6.0s →
-    2.8s at sf0.1; Catalyst's CollapseProject keeps the split since the
-    token column is referenced more than once)."""
-    step1 = docs.select("doc_id", _tokens(col).alias("toks"))
-    return step1.select(
-        "doc_id", _shingles_from_toks(F.col("toks")).alias("shingles")
+    Scale shape: hash-repartition by doc_id up front (a no-op on real
+    multi-row-group inputs, see ensure_parallelism) — the windows and every
+    downstream per-doc aggregation then reuse that one exchange."""
+    from pyspark.sql import Window
+
+    from serverless_mapreduce_spark.catalog import ensure_parallelism
+
+    docs = ensure_parallelism(docs.sparkSession, docs, "doc_id")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower(F.col(col)), " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    wc = Window.partitionBy("doc_id")
+    x = tok.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "w", F.lead("w", 1).over(wd), F.lead("w", 2).over(wd)
+        ).alias("s"),
+        F.lead("w", SHINGLE_W - 1).over(wd).isNotNull().alias("is_full"),
+        F.row_number().over(wd).alias("rn"),
+        F.count("*").over(wc).alias("n_tok"),
     )
+    return x.filter(
+        F.col("is_full") | ((F.col("rn") == 1) & (F.col("n_tok") < SHINGLE_W))
+    ).select("doc_id", "s")
 
 
 # SQL twins of the helpers above (DuckDB dialect).
@@ -117,15 +128,14 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     shingle split into two 32-bit ints (h1, h2); hash_j = (h1 + j·h2) mod P.
     sig[j] = min over shingles.
 
-    Physical shape: explode the shingle set to long format, hash each
-    shingle once with plain scalar expressions, then one hash aggregation
-    per doc computing the NUM_HASHES mins (plus collect_set to carry the
-    shingle set for the verify stage). All codegen'd — the earlier
-    transform/zip_with formulation ran ~NUM_HASHES·|shingles| *interpreted*
-    higher-order lambdas per doc (HigherOrderFunction expressions don't
-    codegen), measured 15.3s vs 1.5s at sf0.1. The groupBy shuffles on
-    doc_id — high-cardinality, skew-free."""
-    base = with_shingles(docs).select("doc_id", F.explode("shingles").alias("s"))
+    Physical shape: long-format shingle rows (see shingle_rows — no arrays,
+    no interpreted HOFs anywhere in this pipeline), hash each shingle once
+    with plain scalar expressions, then one hash aggregation per doc
+    computing the NUM_HASHES mins (plus collect_set to carry the distinct
+    shingle set for the verify stage; duplicate shingle occurrences don't
+    change a min). The groupBy shuffles on doc_id — high-cardinality,
+    skew-free — and reuses shingle_rows' existing doc_id partitioning."""
+    base = shingle_rows(docs)
     hexint = lambda pos: F.conv(F.substring(F.md5("s"), pos, 8), 16, 10).cast("long")  # noqa: E731
     hashed = base.select("doc_id", "s", hexint(1).alias("h1"), hexint(9).alias("h2"))
     mins = [
@@ -264,15 +274,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality → well distributed); hot shingles are the skew risk at
     scale — AQE skew-join splits them (a stopword-shingle filter would be
     the preprocessing answer)."""
-    base = with_shingles(table(spark, sf_dir, "documents"))
-    # Materialized once for the same CollapseProject reason as minhash: the
-    # index feeds both sides of the self-join, and inlining the shingle
-    # expression into every exploded row doubles a per-shingle regex+split.
-    inv = base.select(
-        "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
-    ).persist()
+    from pyspark.sql import Window
+
+    rows = shingle_rows(table(spark, sf_dir, "documents"))
+    # Occurrences → distinct (doc, shingle) pairs, then the per-doc distinct
+    # count as an unordered window. Both reuse shingle_rows' doc_id
+    # partitioning (hashpartitioning(doc_id) satisfies clustering on
+    # (doc_id, s)), so neither adds an exchange. Persisted because the index
+    # feeds both sides of the self-join.
+    inv = (
+        rows.dropDuplicates(["doc_id", "s"])
+        .select(
+            "doc_id",
+            F.col("s").alias("shingle"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+        )
+        .persist()
+    )
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(
@@ -377,17 +395,31 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<float> columns (double math)."""
+def vec_dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float> columns in double math."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(
+    return F.aggregate(
         F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    norm = lambda v: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def vec_norm(a: Column) -> Column:
+    """L2 norm of an array<float> column in double math — precompute this
+    per *vector* (N evaluations) so the per-*pair* verify computes only the
+    dot: the aggregate/zip_with folds are interpreted HOFs, and cosine
+    evaluates three of them; hoisting the two norms cuts the per-pair
+    interpreter work ~3x with bit-identical results (same fold, same
+    operation order)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
-    return dot / (norm(ad) * norm(bd))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float> columns (double math)."""
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
 
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -389,7 +389,12 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide partial-agg stress query (the classic pricing summary): few
     groups → near-total map-side reduction, minimal shuffle. Exact decimal
     arithmetic end-to-end so the doubles hash-match the oracle."""
-    li = table(spark, sf_dir, "lineitem").filter(
+    from serverless_mapreduce_spark.catalog import ensure_parallelism
+
+    # Round-robin (not keyed): only ~6 group combos exist, so hashing by the
+    # group key would idle all but 6 cores; partial agg still collapses each
+    # partition to ≤6 rows before the real shuffle.
+    li = ensure_parallelism(spark, table(spark, sf_dir, "lineitem")).filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     price = F.col("l_extendedprice").cast("decimal(18,2)")

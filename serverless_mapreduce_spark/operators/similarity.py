@@ -24,11 +24,13 @@ from functools import lru_cache
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.catalog import ensure_parallelism, table
 from serverless_mapreduce_spark.operators.dedup import (
     COSINE_THRESH,
     _cosine_sql,
     cosine,
+    vec_dot,
+    vec_norm,
 )
 from serverless_mapreduce_spark.registry import query
 
@@ -177,7 +179,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: score only same-LSH-bucket vectors. The join key
     is the bucket id → the corpus shuffles once on bucket (or is stored
     pre-bucketed), each query touches ~N/2^P vectors instead of N."""
-    raw = table(spark, sf_dir, "embeddings")
+    raw = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
     emb = raw.withColumn("bucket", lsh_bucket(F.col("embedding"), embedding_dim(raw)))
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -202,8 +204,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_TABLES = 2  # L hash tables (OR)
-DEDUP_BITS = 4    # K planes per table (AND) → 2^K buckets per table
+# K/L trade (recall for a pair at angle θ is 1-(1-(1-θ/π)^K)^L): K=8 gives
+# 2^8 buckets per table so candidate volume ≈ L·N²/256 (measured 250k → 35k
+# pairs at sf0.1 vs K=4), L=4 tables buys back recall. For a *true* near-dup
+# bar (cos ≥ 0.85, per-plane agree ≈ 0.86) these settings give ~74% recall
+# per the formula; precision is always 1.0 — every candidate is exact-verified.
+DEDUP_TABLES = 4  # L hash tables (OR)
+DEDUP_BITS = 8    # K planes per table (AND) → 2^K buckets per table
 
 # Bucket for table t uses global planes [t*K, t*K+K): seed 'p:<t*K+p>:<d>'.
 _SQL_DEDUP_BUCKET = f"""
@@ -244,7 +251,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin this replaces. Recall for a pair at angle θ is
     1-(1-(1-θ/π)^K)^L — tune L up for recall, K up for cost; the oracle
     buckets identically so both engines miss the same pairs."""
-    raw = table(spark, sf_dir, "embeddings")
+    raw = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
     dim = embedding_dim(raw)
     bucketed = None
     for t in range(DEDUP_TABLES):
@@ -266,13 +273,25 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    emb = raw.select("vec_id", "embedding")
+    # Norms once per vector (N folds), not per pair (C folds, C >> N): the
+    # verify below then runs a single interpreted fold (the dot) per pair.
+    emb = raw.select("vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"))
     pairs = cand.join(
-        emb.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("embedding", "emb_a"), "vec_a"
+        emb.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
+        ),
+        "vec_a",
     ).join(
-        emb.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("embedding", "emb_b"), "vec_b"
+        emb.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+        ),
+        "vec_b",
     )
-    cs = cosine(F.col("emb_a"), F.col("emb_b"))
+    cs = vec_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.withColumn("cos_raw", cs)
         .filter(F.col("cos_raw") >= COSINE_THRESH)
@@ -327,7 +346,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query. At 100 TB the assigned table is written partitioned by centroid
     so probes become partition-pruned scans. Recall loses only neighbors
     quantized into other cells; raise nprobe for recall like any IVF index."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
     cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
