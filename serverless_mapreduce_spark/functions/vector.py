@@ -1,0 +1,56 @@
+"""Vectorized vector math over ``array<float>`` columns.
+
+The interpreted alternative — ``F.aggregate(F.zip_with(a, b, *), …)`` — is a
+higher-order function chain that Catalyst never compiles (interpreted eval,
+one closure call per element per row). For *per-pair* scoring in the
+similarity family that fold was the single hottest expression in the bench
+(dedup_embedding_lsh 4.46 s at sf0.1, VERDICT r2). This module moves the dot
+product to an Arrow-batched ``pandas_udf``: the array column crosses to
+Python once per batch as contiguous Arrow buffers and the dot is one numpy
+``einsum`` over a (batch, dim) matrix — SIMD, no per-element interpreter.
+
+Numeric contract: numpy's pairwise/SIMD summation and the engines'
+sequential folds differ by O(1e-16) relative error; every consumer rounds to
+6 decimals (registry.py determinism contract), orders of magnitude above
+that, so oracle hash-matching is preserved.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf("double")
+def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    av = np.asarray(a.tolist(), dtype=np.float64)
+    bv = np.asarray(b.tolist(), dtype=np.float64)
+    return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+
+@pandas_udf("double")
+def _cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    av = np.asarray(a.tolist(), dtype=np.float64)
+    bv = np.asarray(b.tolist(), dtype=np.float64)
+    dots = np.einsum("ij,ij->i", av, bv)
+    na = np.sqrt(np.einsum("ij,ij->i", av, av))
+    nb = np.sqrt(np.einsum("ij,ij->i", bv, bv))
+    return pd.Series(dots / (na * nb))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two equal-length ``array<float>`` columns (double)."""
+    return _dot_arrow(a, b)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ``array<float>`` columns (double math),
+    one numpy pass per Arrow batch for dot and both norms."""
+    return _cosine_arrow(a, b)

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from serverless_mapreduce_spark.caching import persist_tracked
 from serverless_mapreduce_spark.catalog import table
 from serverless_mapreduce_spark.registry import query
 
@@ -101,7 +102,7 @@ _SQL_SHINGLES = f"""
 # --- exact dedup ---------------------------------------------------------------
 
 @query(
-    "dedup_exact",
+    "dedup_exact", priority=200,
     oracle="""
     SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_key,
            MIN(doc_id) AS keeper_doc_id,
@@ -198,8 +199,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bands, both verify sides), and Catalyst's CollapseProject would
     # otherwise inline the whole shingle+minhash expression into every
     # downstream row (~16× recompute — measured 31.5s → 3.6s at sf0.1).
-    # At 100 TB this persist is a written signature table.
-    sigs = minhash_signatures(docs).persist()
+    # At 100 TB this persist is a written signature table. Tracked so the
+    # next query invocation releases it (caching.py).
+    sigs = persist_tracked(minhash_signatures(docs))
 
     bands = sigs.select(
         "doc_id",
@@ -282,14 +284,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning (hashpartitioning(doc_id) satisfies clustering on
     # (doc_id, s)), so neither adds an exchange. Persisted because the index
     # feeds both sides of the self-join.
-    inv = (
+    inv = persist_tracked(
         rows.dropDuplicates(["doc_id", "s"])
         .select(
             "doc_id",
             F.col("s").alias("shingle"),
             F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
         )
-        .persist()
     )
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
@@ -317,60 +318,197 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash fingerprint ----------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 16        # fingerprint width of the `simhash` query (reference parity)
+SIMHASH_PAIR_BITS = 64   # fingerprint width of the pairing query (see simhash_pairs)
+HAMMING_THRESH = 3       # near-dup cutoff in bits
+SIMHASH_BANDS = 4        # pigeonhole: B bands catch every pair with hamming <= B-1
+
+
+def _bit_cond(i: int):
+    """Vote condition for fingerprint bit i over a token's md5 hex string
+    ``h``: bits 0..31 test the top bit of hex digit i+1 (digit ≥ 8); bits
+    32..63 test the second bit of digit i-31 (digit in 4-7, c-f) — two
+    independent md5 bits per digit, so up to 64 fingerprint bits."""
+    if i < 32:
+        return F.lit("89abcdef").contains(F.substring("h", i + 1, 1))
+    return F.lit("4567cdef").contains(F.substring("h", i - 31, 1))
+
+
+def _bit_addend(i: int) -> int:
+    """Two's-complement addend that sets bit i of a signed 64-bit long —
+    bit 63's power is min-long, not +2^63 (which neither engine can hold)."""
+    return (1 << i) if i < 63 else -(1 << 63)
+
+
+def simhash_fingerprint(
+    docs: DataFrame, bits: int, weighted: bool = False, col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash): ``bits``-wide SimHash (bits ≤ 64). Bit i is the
+    sign of Σ over tokens of ±1 by md5 bit i of the token (see _bit_cond);
+    ``weighted=True`` is classic tf-weighted SimHash (every occurrence
+    votes), ``False`` votes once per distinct token.
+
+    Physical shape (same rationale as shingle_rows): explode tokens to long
+    format, hash each token ONCE, derive the ``bits`` per-token ±1 votes as
+    plain scalar expressions, and compute all majority votes in a single
+    hash aggregation on doc_id — every expression codegen'd, one skew-free
+    shuffle. The round-2 formulation folded nested
+    ``F.aggregate``/``F.transform`` higher-order functions — interpreted,
+    never WholeStageCodegen — re-walking the token array 16×.
+
+    ``explode_outer`` keeps token-less docs: their single NULL-hash row
+    votes -1 on every bit, so the fingerprint is 0 — identical to the
+    fold-over-empty-array semantics."""
+    from functools import reduce as freduce
+
+    toks = _tokens(col) if weighted else F.array_distinct(_tokens(col))
+    tok = docs.select("doc_id", F.explode_outer(toks).alias("t"))
+    hashed = tok.select("doc_id", F.md5("t").alias("h"))
+    # NULL h ⇒ condition NULL ⇒ otherwise branch ⇒ -1.
+    vote = lambda i: F.when(_bit_cond(i), 1).otherwise(-1)  # noqa: E731
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.sum(vote(i)).alias(f"v{i}") for i in range(bits)]
+    )
+    fp = freduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"v{i}") > 0, F.lit(_bit_addend(i)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def _sql_bit_cond(i: int) -> str:
+    """DuckDB twin of _bit_cond over a hex column ``h``."""
+    if i < 32:
+        return f"contains('89abcdef', substr(h, {i + 1}, 1))"
+    return f"contains('4567cdef', substr(h, {i - 31}, 1))"
+
+
+def _sql_simhash(bits: int, weighted: bool = False) -> str:
+    """DuckDB twin of simhash_fingerprint: a (doc_id, simhash) subquery over
+    a CTE ``t(doc_id, toks)``. Mirrors the Spark shape (unnest → md5 once →
+    per-bit vote sums → bit pack); ``[NULL]`` stands in for an empty token
+    list exactly like Spark's explode_outer."""
+    toks = "toks" if weighted else "list_distinct(toks)"
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN {_sql_bit_cond(i)} THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({_bit_addend(i)} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""(
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len({toks}) = 0 THEN [CAST(NULL AS VARCHAR)]
+                           ELSE {toks} END) AS tk
+        FROM t
+      ), h AS (
+        SELECT doc_id, md5(tk) AS h FROM tok
+      ), v AS (
+        SELECT doc_id, {votes}
+        FROM h GROUP BY doc_id
+      )
+      SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM v
+    )"""
 
 
 @query(
     "simhash",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks FROM documents
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
     )
-    SELECT doc_id,
-           CAST(list_reduce(
-             list_prepend(CAST(0 AS BIGINT), range(0, {SIMHASH_BITS})),
-             (acc, i) -> acc + CASE WHEN
-                 list_reduce(list_prepend(0,
-                   list_transform(toks,
-                     t -> CASE WHEN contains('89abcdef', substr(md5(t), CAST(i AS INT) + 1, 1))
-                               THEN 1 ELSE -1 END)),
-                   (x, y) -> x + y) > 0
-               THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END
-           ) AS BIGINT) AS simhash
-    FROM t
+    SELECT doc_id, simhash FROM {_sql_simhash(SIMHASH_BITS)} fp
     """,
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: bit i is the sign of Σ_tokens (±1 by bit i of the
-    token's md5 — here the top bit of hex digit i). Near-dups then differ in
-    ≤ d bits; pairing by hamming distance buckets on the fingerprint is a
-    follow-up join keyed by simhash bands. The md5 is computed once per
-    token in a separate projection step (round 1 re-hashed every token at
-    every one of the 16 bit positions), then the per-bit majority votes are
-    integer folds over the cached hex strings — one narrow pass."""
-    hashed = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.transform(F.array_distinct(_tokens()), lambda t: F.md5(t)).alias("tmd5"),
+    """16-bit SimHash fingerprint per document (see simhash_fingerprint for
+    the vote semantics and the codegen-friendly physical shape). Pairing by
+    hamming distance is the follow-up query ``simhash_pairs``."""
+    return simhash_fingerprint(table(spark, sf_dir, "documents"), SIMHASH_BITS)
+
+
+@query(
+    "simhash_pairs",
+    priority=0,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), fp AS (
+      SELECT * FROM {_sql_simhash(SIMHASH_PAIR_BITS, weighted=True)} q
     )
-    # For each bit position i, a majority vote over tokens, then set bit i.
-    sim = F.aggregate(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            F.aggregate(
-                F.col("tmd5"),
-                F.lit(0),
-                lambda a, h: a
-                + F.when(
-                    F.lit("89abcdef").contains(F.substring(h, i + 1, 1)), 1
-                ).otherwise(-1),
-            )
-            > 0,
-            F.pow(F.lit(2.0), i).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_THRESH}
+    """,
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: band the fingerprint into
+    SIMHASH_BANDS hamming segments, self-join on (segment index, segment
+    bits), then verify true hamming ≤ HAMMING_THRESH with bit_count(xor).
+    Pigeonhole makes the banding EXACT for d ≤ B-1: a pair differing in ≤ 3
+    bits must agree on at least one of 4 segments — so the banded plan
+    returns identical rows to the oracle's all-pairs scan while shuffling
+    only docs·B band rows and verifying only colliding candidates (the
+    minhash-LSH shape, dedup_minhash_lsh above).
+
+    Width and weighting: 64-bit tf-weighted fingerprints here, not the
+    16-bit unweighted of `simhash` — at N docs a w-bit space admits
+    ~N²/2 · P(hamming≤d) chance collisions (P ≈ Σ C(w,k)/2^w ≈ 1% at w=16,
+    d=3 — noise that grows quadratically with corpus size; ≈ 2e-14 at
+    w=64), and unweighted votes barely separate docs drawn from a shared
+    vocabulary (measured on this corpus at w=32/d=3: 35,540 unweighted
+    pairs vs 36 weighted-64 — the latter being the true near-dup family,
+    consistent with the ~25 pairs the Jaccard operators find)."""
+    docs = table(spark, sf_dir, "documents")
+    # Fingerprints feed the band explode and both verify sides — persist or
+    # Catalyst re-inlines the token aggregation into each (CollapseProject;
+    # at 100 TB this is a written fingerprint table).
+    fp = persist_tracked(
+        simhash_fingerprint(docs, SIMHASH_PAIR_BITS, weighted=True)
     )
-    return hashed.select("doc_id", sim.alias("simhash"))
+
+    seg_bits = SIMHASH_PAIR_BITS // SIMHASH_BANDS
+    mask = (1 << seg_bits) - 1
+    segments = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * seg_bits).bitwiseAND(F.lit(mask))
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = fp.select(
+        "doc_id", F.posexplode(segments).alias("seg_idx", "seg")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.seg_idx") == F.col("b.seg_idx"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    f = fp.select("doc_id", "simhash")
+    out = (
+        cand.join(
+            f.withColumnsRenamed({"doc_id": "doc_a", "simhash": "fp_a"}), "doc_a"
+        )
+        .join(f.withColumnsRenamed({"doc_id": "doc_b", "simhash": "fp_b"}), "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+    )
+    return out.filter(F.col("hamming") <= HAMMING_THRESH).select(
+        "doc_a", "doc_b", "hamming"
+    )
 
 
 # --- embedding cosine near-dup ------------------------------------------------------

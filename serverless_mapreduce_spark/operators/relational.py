@@ -45,7 +45,7 @@ def dsum(col: str | Column, alias: str) -> Column:
 # --- W1: filtered projection (reference query_1.py:1-20; hive/Query1.q:12) ---
 
 @query(
-    "q1_filter_scan",
+    "q1_filter_scan", priority=200,
     oracle="""
     SELECT p_partkey, p_name, p_size
     FROM part
@@ -89,7 +89,7 @@ def q2_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W3: substring-keyed group-by sum (query_2_var.py:14) --------------------
 
 @query(
-    "q2b_substr_groupby_sum",
+    "q2b_substr_groupby_sum", priority=200,
     oracle="""
     SELECT substring(c_name, 1, 16) AS name_prefix,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
@@ -115,7 +115,7 @@ Q3_CUTOFF = "1995-06-01"
 
 
 @query(
-    "q3_date_filter",
+    "q3_date_filter", priority=200,
     oracle=f"""
     SELECT l_orderkey, l_linenumber, l_suppkey, l_extendedprice
     FROM lineitem
@@ -136,7 +136,7 @@ def q3_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W5: equi-join (query_3_phase_1.py:41-70; hive/Query3.q:26-31) -----------
 
 @query(
-    "q3_join",
+    "q3_join", priority=200,
     oracle=f"""
     SELECT l_suppkey, l_orderkey, l_linenumber, o_totalprice, l_extendedprice
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -181,7 +181,7 @@ def _q3_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q3_groupby_avg_sum", oracle=_Q3_AGG_SQL)
+@query("q3_groupby_avg_sum", priority=200, oracle=_Q3_AGG_SQL)
 def q3_groupby_avg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT sourceIP, SUM(adRevenue) AS totalRevenue, AVG(pageRank) …
     GROUP BY sourceIP — join output reshuffled once on the group key."""
@@ -191,7 +191,7 @@ def q3_groupby_avg_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W7: top-1 / argmax (query_3_phase_3.py:17-35; hive/Query3.q:33-34) ------
 
 @query(
-    "q3_top1",
+    "q3_top1", priority=200,
     oracle=f"""
     SELECT * FROM ({_Q3_AGG_SQL})
     ORDER BY total_revenue DESC, l_suppkey
@@ -287,7 +287,7 @@ def sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W11: chained scalar transforms (user_job_5/map*.py) ---------------------
 
 @query(
-    "scalar_pipeline",
+    "scalar_pipeline", priority=200,
     oracle="""
     SELECT c_name AS key,
            substring(replace(printf('%.2f', c_acctbal), '.', ''), 1, 4) AS val
@@ -312,7 +312,7 @@ def scalar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W12: aggregate → union → re-aggregate DAG (web_user_main.py:70-78) ------
 
 @query(
-    "multi_source_union",
+    "multi_source_union", priority=200,
     oracle="""
     WITH a AS (
       SELECT o_custkey AS key,
@@ -369,7 +369,7 @@ def dynamo_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- headline: TPC-H Q1-shaped wide aggregation (bench anchor) ----------------
 
 @query(
-    "tpch_q1",
+    "tpch_q1", priority=200,
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -11,9 +11,12 @@ Two plans for top-k cosine neighbors:
   the 100 TB path: the corpus is bucketed once (could be written
   partitioned-by-bucket), queries probe one bucket each.
 
-Everything is built-in expressions (zip_with/aggregate folds) so scoring is
-JVM-side; cosine math matches dedup.cosine (see there for the determinism
-contract with the DuckDB oracle).
+Scoring and bucketing are Arrow-vectorized (functions/vector.py): the
+round-2 zip_with/aggregate folds were interpreted per element per row —
+the bench's hottest expression (VERDICT r2) — while one numpy matmul per
+Arrow batch scores thousands of pairs SIMD-side. The DuckDB oracles keep
+their sequential folds; both sides round scores to 6 decimals, far above
+the O(1e-16) summation-order difference (registry.py contract).
 """
 
 from __future__ import annotations
@@ -21,17 +24,16 @@ from __future__ import annotations
 import hashlib
 from functools import lru_cache
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
+from serverless_mapreduce_spark.caching import persist_tracked
 from serverless_mapreduce_spark.catalog import ensure_parallelism, table
-from serverless_mapreduce_spark.operators.dedup import (
-    COSINE_THRESH,
-    _cosine_sql,
-    cosine,
-    vec_dot,
-    vec_norm,
-)
+from serverless_mapreduce_spark.functions.vector import cosine
+from serverless_mapreduce_spark.operators.dedup import COSINE_THRESH, _cosine_sql
 from serverless_mapreduce_spark.registry import query
 
 TOP_K = 5
@@ -105,26 +107,34 @@ def _plane_weights(dim: int, nplanes: int) -> tuple[tuple[float, ...], ...]:
     )
 
 
-def lsh_bucket(emb: Column, dim: int, start: int = 0, nbits: int = LSH_PLANES) -> Column:
-    """Random-hyperplane signature over planes [start, start+nbits): bit i =
-    sign(Σ_d emb[d]·w(start+i,d)), with the constant weight table baked in
-    as array literals. The oracle SQL reproduces the same weights from md5,
-    so bucket ids match across engines exactly (sign of a sum only flips
-    within ~1e-13 of 0 — not observed on this data)."""
-    weights = _plane_weights(dim, start + nbits)
-    ed = F.transform(emb, lambda x: x.cast("double"))
-    bucket: Column = F.lit(0).cast("long")
-    for i in range(nbits):
-        w_p = F.array(*[F.lit(v) for v in weights[start + i]])
-        proj = F.aggregate(
-            F.zip_with(ed, w_p, lambda x, w: x * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bucket
+def lsh_buckets(emb: Column, dim: int, ntables: int, nbits: int) -> Column:
+    """``array<long>`` of ``ntables`` random-hyperplane bucket ids computed
+    in ONE Arrow pass: table t's bit i is sign(Σ_d emb[d]·w(t·nbits+i, d)).
+    All ntables·nbits projections are a single (batch, dim)×(dim, planes)
+    numpy matmul per Arrow batch — the round-2 version evaluated one
+    interpreted zip_with/aggregate fold per plane per row, and unioned one
+    corpus pass per table. The oracle SQL reproduces the same md5-derived
+    weights, so bucket ids match across engines exactly (the sign of a
+    projection only flips within ~1e-13 of 0 — not observed on this data)."""
+    planes = np.asarray(_plane_weights(dim, ntables * nbits), dtype=np.float64)
+    powers = (1 << np.arange(nbits, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def buckets(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        av = np.asarray(a.tolist(), dtype=np.float64)
+        proj = av @ planes.T                       # (batch, ntables*nbits)
+        bits = (proj > 0).astype(np.int64)
+        ids = bits.reshape(len(av), ntables, nbits) @ powers  # (batch, ntables)
+        return pd.Series(list(ids))
+
+    return buckets(emb)
+
+
+def lsh_bucket(emb: Column, dim: int, nbits: int = LSH_PLANES) -> Column:
+    """Single-table random-hyperplane bucket id (planes 0..nbits)."""
+    return F.element_at(lsh_buckets(emb, dim, 1, nbits), 1)
 
 
 def embedding_dim(df: DataFrame, col: str = "embedding") -> int:
@@ -180,7 +190,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the bucket id → the corpus shuffles once on bucket (or is stored
     pre-bucketed), each query touches ~N/2^P vectors instead of N."""
     raw = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
-    emb = raw.withColumn("bucket", lsh_bucket(F.col("embedding"), embedding_dim(raw)))
+    # Bucket the corpus ONCE (persisted): the query side below is derived
+    # from this same frame, and without the persist both the broadcast
+    # build and the probe side would re-run the scan + Arrow bucket pass.
+    emb = persist_tracked(
+        raw.withColumn("bucket", lsh_bucket(F.col("embedding"), embedding_dim(raw)))
+    )
     q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -253,14 +268,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets identically so both engines miss the same pairs."""
     raw = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
     dim = embedding_dim(raw)
-    bucketed = None
-    for t in range(DEDUP_TABLES):
-        part = raw.select(
-            F.lit(t).alias("t"),
+    # All L bucket ids in one corpus pass (one Arrow matmul), then explode
+    # to (t, bucket) rows — round 2 ran one scan + interpreted fold pass per
+    # table and unioned them. Persisted: both self-join sides consume it.
+    bucketed = persist_tracked(
+        raw.select(
             "vec_id",
-            lsh_bucket(F.col("embedding"), dim, start=t * DEDUP_BITS, nbits=DEDUP_BITS).alias("bucket"),
+            F.posexplode(
+                lsh_buckets(F.col("embedding"), dim, DEDUP_TABLES, DEDUP_BITS)
+            ).alias("t", "bucket"),
         )
-        bucketed = part if bucketed is None else bucketed.unionAll(part)
+    )
 
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
@@ -273,27 +291,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    # Norms once per vector (N folds), not per pair (C folds, C >> N): the
-    # verify below then runs a single interpreted fold (the dot) per pair.
-    emb = raw.select("vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"))
+    emb = raw.select("vec_id", "embedding")
     pairs = cand.join(
-        emb.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("embedding").alias("emb_a"),
-            F.col("nrm").alias("nrm_a"),
-        ),
+        emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")),
         "vec_a",
     ).join(
-        emb.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("embedding").alias("emb_b"),
-            F.col("nrm").alias("nrm_b"),
-        ),
+        emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")),
         "vec_b",
     )
-    cs = vec_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        pairs.withColumn("cos_raw", cs)
+        pairs.withColumn("cos_raw", cosine(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos_raw") >= COSINE_THRESH)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
@@ -353,13 +360,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("c_cos"), F.asc("c_id")
     )
-    assigned = (
+    assigned = persist_tracked(
         emb.join(F.broadcast(cent))
         .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", F.col("c_id").alias("centroid"))
-        .persist()  # referenced by both the query and corpus sides below
+        # referenced by both the query and corpus sides below
     )
     q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),

@@ -29,7 +29,7 @@ URL_RE = r"https?://[^\s]+"
 # --- W9: word count -----------------------------------------------------------
 
 @query(
-    "word_count",
+    "word_count", priority=200,
     oracle=f"""
     SELECT word, COUNT(*) AS cnt
     FROM (
@@ -56,7 +56,7 @@ def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W10: URL in-link count ("simplified page rank") --------------------------
 
 @query(
-    "url_count",
+    "url_count", priority=200,
     oracle=f"""
     SELECT url, COUNT(*) AS cnt
     FROM (
@@ -97,7 +97,7 @@ _BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
 @query(
-    "token_stats",
+    "token_stats", priority=200,
     oracle=f"""
     SELECT doc_id,
            len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens,
@@ -125,7 +125,7 @@ _SW_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 
 @query(
-    "quality_score",
+    "quality_score", priority=200,
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
@@ -166,7 +166,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- extension: language ID (marker-word heuristic) ----------------------------
 
 @query(
-    "lang_id",
+    "lang_id", priority=200,
     oracle="""
     WITH t AS (
       SELECT doc_id, lang,
@@ -200,7 +200,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- extension: document fingerprinting ----------------------------------------
 
 @query(
-    "doc_fingerprint",
+    "doc_fingerprint", priority=200,
     oracle="""
     SELECT doc_id,
            md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5,

@@ -39,7 +39,7 @@ def wc_reduce(outputs: list, kv: tuple) -> None:
 
 
 @query(
-    "facade_word_count",
+    "facade_word_count", priority=200,
     oracle=f"""
     SELECT word AS key, CAST(COUNT(*) AS VARCHAR) AS value
     FROM (
@@ -122,7 +122,7 @@ def identity_map(outputs: list, kv: tuple) -> None:
 
 
 @query(
-    "facade_merge_union",
+    "facade_merge_union", priority=0,
     oracle="""
     WITH a AS (
       SELECT CAST(o_custkey AS VARCHAR) AS key,
@@ -180,7 +180,7 @@ def chain_map_take4(outputs: list, kv: tuple) -> None:
 
 
 @query(
-    "facade_map_chain",
+    "facade_map_chain", priority=0,
     oracle="""
     SELECT c_name AS key,
            substring(replace(printf('%.2f', c_acctbal), '.', ''), 1, 4) AS value
@@ -206,7 +206,7 @@ def facade_map_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "facade_full_chain",
+    "facade_full_chain", priority=0,
     oracle="""
     SELECT c_name AS key,
            substring(replace(printf('%.2f',

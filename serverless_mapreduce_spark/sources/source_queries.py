@@ -47,7 +47,7 @@ def _agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_roundtrip", oracle=_AGG_ORACLE)
+@query("sink_roundtrip", priority=0, oracle=_AGG_ORACLE)
 def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 write path: aggregate → parquet out (4 files, the reference's
     one-object-per-reducer layout, ``output_handler_s3.py:41-53``) → read
@@ -59,7 +59,7 @@ def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_output(spark, path, fmt="parquet")
 
 
-@query("sink_roundtrip_json", oracle=_AGG_ORACLE)
+@query("sink_roundtrip_json", priority=0, oracle=_AGG_ORACLE)
 def sink_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 variant with the reference's actual output encoding (JSON bodies,
     ``output_handler_s3.py:53``). Read-back uses an explicit schema — JSON
@@ -73,7 +73,7 @@ def sink_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "csv_scan",
+    "csv_scan", priority=0,
     oracle="""
     SELECT p_partkey, p_name, p_size
     FROM part

@@ -58,8 +58,15 @@ def _stream_dir(sf_dir: str, name: str) -> str:
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{name}.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+    target = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    # lexists, not exists: a broken symlink must be replaced, not raced into
+    # FileExistsError; and two sf_dirs sharing a basename must not serve each
+    # other's data — re-point whenever the target differs.
+    if os.path.lexists(link):
+        if os.path.islink(link) and os.readlink(link) == target:
+            return d
+        os.remove(link)
+    os.symlink(target, link)
     return d
 
 
@@ -107,7 +114,7 @@ def run_stream_to_memory(
 # --- W2 streaming analog: tumbling-window revenue sum -------------------------
 
 @query(
-    "stream_windowed_sum",
+    "stream_windowed_sum", priority=0,
     oracle="""
     SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS win_start,
            event_type,
@@ -143,7 +150,7 @@ def stream_windowed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sliding-window variant ---------------------------------------------------
 
 @query(
-    "stream_sliding_counts",
+    "stream_sliding_counts", priority=0,
     oracle="""
     WITH offsets AS (SELECT unnest([0, 1]) AS k)
     SELECT CAST(time_bucket(INTERVAL '1 hour', ts) - k * INTERVAL '1 hour' AS TIMESTAMP)
@@ -170,7 +177,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W9 streaming analog: word count ------------------------------------------
 
 @query(
-    "stream_word_count",
+    "stream_word_count", priority=0,
     oracle="""
     SELECT word, COUNT(*) AS cnt
     FROM (
@@ -203,7 +210,7 @@ SESSION_GAP = "30 minutes"
 
 
 @query(
-    "session_window_agg",
+    "session_window_agg", priority=0,
     oracle="""
     WITH o AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -211,8 +218,11 @@ SESSION_GAP = "30 minutes"
       FROM events
     ), marked AS (
       SELECT user_id, ts, v,
+             -- >= not >: Spark session windows are [ts, ts+gap) and merge
+             -- only strictly-overlapping windows, so an event at exactly
+             -- last_ts+gap opens a NEW session
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM o
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, v)
@@ -260,7 +270,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- custom stateful operator: applyInPandasWithState --------------------------
 
 @query(
-    "stream_stateful_user_stats",
+    "stream_stateful_user_stats", priority=0,
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
@@ -285,7 +295,11 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(round(float(pdf["value"].sum()) * 100))
+            # Round each value to cents BEFORE summing: exact for 2-decimal
+            # inputs regardless of group size, whereas rounding the float
+            # sum of a whole batch once lets accumulated IEEE error flip a
+            # cent on large groups.
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
