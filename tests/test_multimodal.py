@@ -1,16 +1,23 @@
-"""Multimodal plumbing tests: stubbed decoder gating, batch shapes, and the
-binary slicing ops (the oracle-checked queries are covered by the
-parametrized oracle test)."""
+"""Multimodal plumbing tests: real BMP/WAV codec roundtrips, container
+validation, batch shapes, and the binary slicing ops (the oracle-checked
+queries are covered by the parametrized oracle test)."""
 
 from __future__ import annotations
 
 import pytest
 
 from serverless_mapreduce_spark.operators.multimodal import (
-    decode_image,
+    BMP_HEADER,
+    WAV_HEADER,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
     extract_features,
     fake_decode,
+    media_blob_table,
     media_table,
+    sniff_decode,
 )
 
 
@@ -28,15 +35,44 @@ def test_media_table_schema(spark, sf_dir):
     assert row.media_type in ("image", "audio", "video")
 
 
-def test_real_decoder_is_gated(spark):
-    with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image("image", b"\x89PNG....")
+@pytest.mark.parametrize(
+    ("data", "width"), [(b"hello world pixel data", 5), (b"abc", 1), (b"", 7), (b"x" * 100, 4)]
+)
+def test_bmp_roundtrip(data, width):
+    blob = encode_bmp(data, width)
+    row_raw = width * 3
+    stride = (row_raw + 3) // 4 * 4
+    height = (len(data) + row_raw - 1) // row_raw if data else 0
+    assert blob[:2] == b"BM"
+    assert len(blob) == BMP_HEADER + stride * height
+    assert decode_bmp(blob) == {"width": width, "height": height, "checksum": sum(data)}
 
 
-def test_extract_features_with_real_decoder_fails_loudly(spark, sf_dir):
-    df = extract_features(media_table(spark, sf_dir), decoder=decode_image)
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
-        df.head()
+@pytest.mark.parametrize(("data", "rate"), [(b"audio bytes", 8000), (b"", 12000), (b"z" * 999, 16000)])
+def test_wav_roundtrip(data, rate):
+    blob = encode_wav(data, rate)
+    assert blob[:4] == b"RIFF"
+    assert len(blob) == WAV_HEADER + len(data)
+    assert decode_wav(blob) == {"sample_rate": rate, "n_samples": len(data), "checksum": sum(data)}
+
+
+def test_decoders_reject_foreign_containers():
+    with pytest.raises(ValueError):
+        decode_bmp(encode_wav(b"not an image", 8000))
+    with pytest.raises(ValueError):
+        decode_wav(encode_bmp(b"not audio", 4))
+    with pytest.raises(ValueError):
+        sniff_decode(b"\x89PNG\r\n")
+
+
+def test_media_blob_table_builds_real_containers(spark, sf_dir):
+    rows = media_blob_table(spark, sf_dir).orderBy("doc_id").limit(4).collect()
+    for r in rows:
+        blob = bytes(r.blob)
+        magic = blob[:2] if r.doc_id % 2 == 0 else blob[:4]
+        assert magic == (b"BM" if r.doc_id % 2 == 0 else b"RIFF")
+        feats = sniff_decode(blob)
+        assert feats["media_type"] == ("image" if r.doc_id % 2 == 0 else "audio")
 
 
 def test_fake_decode_matches_plumbed_output(spark, sf_dir):
