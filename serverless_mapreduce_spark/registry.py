@@ -101,7 +101,10 @@ def _ensure_loaded() -> None:
     )
     from serverless_mapreduce_spark.pipeline import facade_queries  # noqa: F401
     from serverless_mapreduce_spark.sources import source_queries  # noqa: F401
-    from serverless_mapreduce_spark.streaming import stream_queries  # noqa: F401
+    from serverless_mapreduce_spark.streaming import (  # noqa: F401
+        file_sink,
+        stream_queries,
+    )
 
 
 # SQL fragment helpers shared by oracle strings -------------------------------
