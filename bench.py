@@ -39,6 +39,21 @@ HEADLINE = (
     "session_window_agg",
     "stream_windowed_sum",
     "multimodal_frame_sample",
+    # analytics + join families (round 3): regressions in the as-of union
+    # trick, range join, grouped top-k, rollup, windowing, and salted skew
+    # join become visible round-over-round.
+    "join_asof_purchase_view",
+    "join_range_click_burst",
+    "topk_orders_per_customer",
+    "time_bucket_rollup",
+    "window_running_sum",
+    "skew_salted_join",
+    "join_outer_order_counts",
+    # round-3 operators
+    "simhash",
+    "simhash_pairs",
+    "multimodal_decode",
+    "ann_ivf_kmeans_topk",
 )
 
 
@@ -69,6 +84,15 @@ def main() -> None:
     spark.range(256).select(
         dot(F.array(F.lit(1.0)), F.array(F.lit(1.0)))
     ).write.format("noop").mode("overwrite").save()
+    # And Spark ML: the first fit in a session pays MLlib class-loading +
+    # BLAS init (~7s) — session-fixed, not a property of the IVF plan.
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    _warm = spark.range(8).select(
+        array_to_vector(F.array(F.col("id").cast("float"))).alias("features")
+    )
+    KMeans(k=2, seed=1, maxIter=1).fit(_warm)
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -17,40 +17,52 @@ that, so oracle hash-matching is preserved.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
-from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-@pandas_udf("double")
-def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
-    if len(a) == 0:
-        return pd.Series(np.empty(0, dtype=np.float64))
-    av = np.asarray(a.tolist(), dtype=np.float64)
-    bv = np.asarray(b.tolist(), dtype=np.float64)
-    return pd.Series(np.einsum("ij,ij->i", av, bv))
+@lru_cache(maxsize=1)
+def _dot_arrow():
+    # Constructed lazily: pandas_udf parses its DDL return type eagerly,
+    # which requires an active SparkContext — a module-level decorator
+    # would break any import that happens before the session exists.
+    @pandas_udf("double")
+    def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        av = np.asarray(a.tolist(), dtype=np.float64)
+        bv = np.asarray(b.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+    return dot_udf
 
 
-@pandas_udf("double")
-def _cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
-    if len(a) == 0:
-        return pd.Series(np.empty(0, dtype=np.float64))
-    av = np.asarray(a.tolist(), dtype=np.float64)
-    bv = np.asarray(b.tolist(), dtype=np.float64)
-    dots = np.einsum("ij,ij->i", av, bv)
-    na = np.sqrt(np.einsum("ij,ij->i", av, av))
-    nb = np.sqrt(np.einsum("ij,ij->i", bv, bv))
-    return pd.Series(dots / (na * nb))
+@lru_cache(maxsize=1)
+def _cosine_arrow():
+    @pandas_udf("double")
+    def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        av = np.asarray(a.tolist(), dtype=np.float64)
+        bv = np.asarray(b.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", av, bv)
+        na = np.sqrt(np.einsum("ij,ij->i", av, av))
+        nb = np.sqrt(np.einsum("ij,ij->i", bv, bv))
+        return pd.Series(dots / (na * nb))
+
+    return cosine_udf
 
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two equal-length ``array<float>`` columns (double)."""
-    return _dot_arrow(a, b)
+    return _dot_arrow()(a, b)
 
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two ``array<float>`` columns (double math),
     one numpy pass per Arrow batch for dot and both norms."""
-    return _cosine_arrow(a, b)
+    return _cosine_arrow()(a, b)

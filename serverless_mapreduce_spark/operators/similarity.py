@@ -342,6 +342,94 @@ _SQL_IVF = f"""
 """
 
 
+N_CENTROIDS = 8   # KMeans cells for the trained IVF variant
+NPROBE = 3        # cells probed per query
+
+
+def ann_ivf_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """IVF with a REAL coarse quantizer: Spark ML KMeans centroids and
+    multi-cell probing. Train on the corpus (one ML job), assign every
+    vector to its centroid (model.transform — a broadcast of the small
+    centroid matrix, one narrow pass), then each query probes its
+    ``nprobe`` nearest cells and ranks candidates by exact cosine.
+
+    At 100 TB: train on a sample, write the assigned table partitioned by
+    cell, and probes become partition-pruned scans; nprobe trades recall
+    for candidates exactly as in FAISS-style IVF. Not oracle-registered —
+    k-means isn't reproducible in SQL — so recall is asserted against
+    ann_topk_bruteforce in tests/test_ivf_recall.py instead, and the
+    deterministic sampled-centroid ``ann_ivf_topk`` below keeps the exact
+    oracle row."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # Natural scan partitioning, no ensure_parallelism: IVF per-row work is
+    # O(k·dim) flops — nothing like the shingling ops that helper exists
+    # for — and fanning a tiny fixture across 32 partitions turns every one
+    # of this query's several small jobs into scheduler overhead. At 100 TB
+    # the scan is already thousands of partitions.
+    emb = table(spark, sf_dir, "embeddings")
+    # KMeans makes one pass per iteration: cache the training frame or every
+    # iteration re-runs the scan + array→vector conversion. Train on a few
+    # fat partitions and bound iterations: a coarse IVF quantizer needs
+    # balanced cells, not convergence to the last ulp. At 100 TB the
+    # training frame is a SAMPLE of the corpus (coalesced the same way);
+    # assignment below still runs at full scan parallelism.
+    vecs = persist_tracked(
+        emb.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    )
+    train = vecs.select("features").coalesce(4)
+    model = KMeans(k=n_centroids, seed=42, maxIter=8, featuresCol="features").fit(train)
+    assigned = persist_tracked(
+        model.transform(vecs).select(
+            "vec_id", "embedding", F.col("prediction").alias("cell")
+        )
+    )
+
+    # Probe list: distance from each query to every centroid is driver-side
+    # math over the tiny (k × dim) centroid matrix → a literal probe table.
+    centers = np.asarray(model.clusterCenters())
+    q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    q_rows = q.collect()  # |queries| is tiny by construction (QUERY_MOD)
+    probes = [
+        (int(r.q_id), int(c))
+        for r in q_rows
+        for c in np.argsort(
+            ((np.asarray(r.q_emb, dtype=float) - centers) ** 2).sum(axis=1)
+        )[:nprobe]
+    ]
+    probe_df = spark.createDataFrame(probes, "q_id bigint, cell int")
+
+    cand = F.broadcast(probe_df.join(F.broadcast(q), "q_id")).join(
+        assigned, "cell"
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    ).dropDuplicates(["q_id", "vec_id"])  # a vector can sit in 2 probed cells
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+@query("ann_ivf_kmeans_topk", priority=0)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry for the KMeans IVF (rows-only driver check: result
+    cardinality is always TOP_K·|queries| however the centroids land)."""
+    return ann_ivf_kmeans(spark, sf_dir)
+
+
 @query("ann_ivf_topk", oracle=_SQL_IVF)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k (the other classic ANN scale path beside

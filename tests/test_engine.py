@@ -1,0 +1,55 @@
+"""Engine run/status surface: per-run metrics are captured, failures are
+recorded, and the registry listing matches the driver contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_mapreduce_spark.engine import Engine
+
+
+def test_engine_lists_registered_queries(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    names = eng.queries()
+    assert "q1_filter_scan" in names and "dedup_exact" in names
+    import __spark_entry__ as entry
+
+    assert names == list(entry.queries())
+
+
+def test_engine_run_records_metrics(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    eng.run("q1_filter_scan")
+    eng.run("dedup_exact")
+    eng.run("q1_filter_scan")
+
+    st = eng.status("q1_filter_scan")["q1_filter_scan"]
+    assert len(st) == 2
+    for rec in st:
+        assert rec["status"] == "SUCCEEDED"
+        assert rec["rows"] > 0
+        assert rec["wall_s"] > 0
+        assert rec["num_jobs"] >= 1
+        assert rec["num_tasks"] >= 1
+        assert rec["error"] is None
+    assert set(eng.status()) == {"q1_filter_scan", "dedup_exact"}
+
+
+def test_engine_records_failures(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    with pytest.raises(KeyError):
+        eng.run("no_such_query")
+    # Unknown names never reach a run record; a failing query does.
+    import serverless_mapreduce_spark.registry as registry
+
+    registry._QUERIES.setdefault("_boom", lambda s, d: 1 / 0)
+    registry._PRIORITY.setdefault("_boom", 999)
+    try:
+        with pytest.raises(ZeroDivisionError):
+            eng.run("_boom")
+    finally:
+        registry._QUERIES.pop("_boom", None)
+        registry._PRIORITY.pop("_boom", None)
+    rec = eng.status("_boom")["_boom"][0]
+    assert rec["status"] == "FAILED"
+    assert "ZeroDivisionError" in rec["error"]

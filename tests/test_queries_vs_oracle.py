@@ -24,9 +24,11 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 
 def test_every_query_has_oracle_or_is_whitelisted():
-    # keep the weaker rows-only checks an explicit, reviewed list
+    # keep the weaker rows-only checks an explicit, reviewed list:
+    # - ann_ivf_kmeans_topk: k-means centroids aren't SQL-reproducible; its
+    #   answer quality is asserted against brute force in test_ivf_recall.py
     no_oracle = set(QUERIES) - set(ORACLES)
-    assert no_oracle <= set(), f"queries missing oracles: {no_oracle}"
+    assert no_oracle <= {"ann_ivf_kmeans_topk"}, f"queries missing oracles: {no_oracle}"
 
 
 def test_entry_smoke(spark):
