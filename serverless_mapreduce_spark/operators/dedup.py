@@ -161,7 +161,7 @@ _SQL_SIG = f"""
 
 
 @query(
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh", priority=200,
     oracle=f"""
     WITH base AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
@@ -253,7 +253,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exact n-gram Jaccard via inverted index -------------------------------------
 
 @query(
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard", priority=200,
     oracle=f"""
     WITH base AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents

@@ -29,6 +29,8 @@ in Spark and DuckDB (see registry.py docstring).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -601,4 +603,198 @@ def join_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey", "c_name")
         .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --- bucketed co-located join (the 100 TB shuffle-elimination story) -----------
+
+BUCKETS = 8
+_REVENUE_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders/lineitem bucketed + sorted by the join key into the
+    session warehouse (once per session+sf). This is exactly the layout a
+    100 TB deployment maintains for its fact tables: both sides
+    hash-bucketed into the same bucket count, so every future equi-join on
+    the key is Exchange-free — the shuffle is paid once at write time, not
+    per query. Reference parity: the reference's shuffle stage writes
+    hash-partitioned intermediates to S3 per job
+    (job/shuffle_handler.py) — bucketing is that same hash layout made
+    durable and reusable."""
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    names = (f"orders_bkt_{tag}", f"lineitem_bkt_{tag}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl, src, key in (
+        (names[0], "orders", "o_orderkey"),
+        (names[1], "lineitem", "l_orderkey"),
+    ):
+        if not spark.catalog.tableExists(tbl):
+            # Managed-table metadata is session-scoped but the files are
+            # not: a location orphaned by a previous session fails the
+            # write, so clear it first.
+            shutil.rmtree(os.path.join(warehouse, tbl.lower()), ignore_errors=True)
+            (
+                table(spark, sf_dir, src)
+                .write.bucketBy(BUCKETS, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    return names
+
+
+@query(
+    "join_bucketed_colocated",
+    priority=0,
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact equi-join over pre-bucketed tables: both sides are stored
+    hash-bucketed (and sorted) by the join key, so the sort-merge join reads
+    co-located buckets directly — NO Exchange on either join side (asserted
+    by tests/test_bucketed_join.py); the only shuffle in the plan is the
+    final small re-key to o_orderpriority. The merge hint keeps the tiny
+    fixture from taking the broadcast path that would bypass the layout
+    being demonstrated. Revenue math in decimal so the sum is exact and
+    order-independent (registry.py contract)."""
+    orders_t, lineitem_t = _bucketed_tables(spark, sf_dir)
+    o = spark.table(orders_t)
+    l = spark.table(lineitem_t)  # noqa: E741
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        o.hint("merge")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --- TPC-H q3 / q5 (join-planning showcases over the TPC-H-ish fixtures) ------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01"
+
+
+@query(
+    "tpch_q3",
+    priority=0,
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+      AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the fixture schema
+    (o_orderpriority stands in for o_shippriority). Plan shape at scale:
+    the segment filter prunes customer BEFORE the join (predicate pushdown
+    to the scan), customer broadcasts, orders⋈lineitem shuffles once on the
+    orderkey, and the global top-10 is a TakeOrdered — no full sort.
+    Decimal revenue keeps the sum exact (ties broken by date+key so LIMIT
+    is deterministic)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == Q3_SEGMENT)
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        F.broadcast(c.select("c_custkey"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1997-01-01", "1998-01-01"
+
+
+@query(
+    "tpch_q5",
+    priority=0,
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{Q5_FROM} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{Q5_TO} 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table join-ordering
+    showcase. Scale shape: region→nation prunes suppliers to one region
+    (two broadcast hops), supplier and customer broadcast into the
+    fact⋈fact spine (orders⋈lineitem — the only real shuffle), and the
+    c_nationkey = s_nationkey clause rides the supplier join rather than
+    forcing an extra exchange. Catalyst reorders the small dims freely
+    because each is a broadcast."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_TO).cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    sn = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            sn,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
