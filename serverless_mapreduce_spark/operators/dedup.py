@@ -128,26 +128,63 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles, sig[NUM_HASHES]) — double hashing: one md5 per
-    shingle split into two 32-bit ints (h1, h2); hash_j = (h1 + j·h2) mod P.
-    sig[j] = min over shingles.
+    distinct shingle split into two 32-bit ints (h1, h2); hash_j =
+    (h1 + j·h2) mod P; sig[j] = min over shingles. A doc shorter than
+    SHINGLE_W words contributes its whole token string as one shingle;
+    token-less docs contribute nothing (shingle_rows semantics).
 
-    Physical shape: long-format shingle rows (see shingle_rows — no arrays,
-    no interpreted HOFs anywhere in this pipeline), hash each shingle once
-    with plain scalar expressions, then one hash aggregation per doc
-    computing the NUM_HASHES mins (plus collect_set to carry the distinct
-    shingle set for the verify stage; duplicate shingle occurrences don't
-    change a min). The groupBy shuffles on doc_id — high-cardinality,
-    skew-free — and reuses shingle_rows' existing doc_id partitioning."""
-    base = shingle_rows(docs)
-    hexint = lambda pos: F.conv(F.substring(F.md5("s"), pos, 8), 16, 10).cast("long")  # noqa: E731
-    hashed = base.select("doc_id", "s", hexint(1).alias("h1"), hexint(9).alias("h2"))
-    mins = [
-        F.min((F.col("h1") + j * F.col("h2")) % MINHASH_PRIME).alias(f"m{j}")
-        for j in range(NUM_HASHES)
-    ]
-    agg = hashed.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"), *mins)
-    return agg.select(
-        "doc_id", "shingles", F.array(*[f"m{j}" for j in range(NUM_HASHES)]).alias("sig")
+    Physical shape: ONE Arrow ``mapInPandas`` pass — shingle in Python,
+    md5 each distinct shingle of a batch once (hashlib, C speed), and take
+    the NUM_HASHES mins as a numpy reduction. All-integer math ⇒
+    bit-identical to any evaluation order. Shuffle-FREE: the previous
+    explode → window → groupBy(doc_id) formulation shuffled ~10× the
+    corpus bytes in shingle-occurrence rows (the long format is still the
+    right shape for the *inverted index* in dedup_ngram_jaccard, where
+    per-shingle rows are the point)."""
+    import hashlib
+    from collections.abc import Iterable
+
+    j_range = np.arange(NUM_HASHES, dtype=np.int64)
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            out = []
+            cache: dict[str, tuple[int, int]] = {}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [w for w in text.lower().split(" ") if w] if text else []
+                if not toks:
+                    continue
+                if len(toks) >= SHINGLE_W:
+                    sh = {
+                        " ".join(toks[i : i + SHINGLE_W])
+                        for i in range(len(toks) - SHINGLE_W + 1)
+                    }
+                else:
+                    sh = {" ".join(toks)}
+                hs = []
+                for s in sh:
+                    hv = cache.get(s)
+                    if hv is None:
+                        hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+                        hv = cache[s] = (int(hx[:8], 16), int(hx[8:16], 16))
+                    hs.append(hv)
+                h = np.asarray(hs, dtype=np.int64)  # (n_shingles, 2)
+                # (n_shingles, NUM_HASHES) hash matrix → column mins
+                sig = ((h[:, :1] + j_range * h[:, 1:]) % MINHASH_PRIME).min(axis=0)
+                out.append((doc_id, sorted(sh), [int(x) for x in sig]))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "shingles", "sig"]
+            ) if out else pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"), "shingles": [], "sig": []}
+            )
+
+    from serverless_mapreduce_spark.catalog import ensure_parallelism
+
+    # Round-robin the RAW docs so the md5/shingle CPU work uses every core
+    # (single-row-group fixture ⇒ 1-partition scan; a no-op at scale).
+    docs = ensure_parallelism(docs.sparkSession, docs)
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, shingles array<string>, sig array<bigint>"
     )
 
 
