@@ -169,6 +169,8 @@ def fake_decode(media_type: str, payload: bytes) -> dict[str, Any]:
 
 BMP_HEADER = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
 WAV_HEADER = 44  # RIFF(12) + fmt(24) + data chunk header(8)
+BMP_WIDTH_MOD = 31   # image width = doc_id % 31 + 1
+WAV_RATE_MOD = 9     # sample_rate = 8000 + (doc_id % 9) * 1000
 
 
 def encode_bmp(payload: bytes, width: int) -> bytes:
@@ -246,6 +248,95 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
     return {"sample_rate": rate, "n_samples": n, "checksum": sum(samples)}
 
 
+RESIZE_TO = 16  # output side length of the resize operator
+
+
+def resize_bmp(payload: bytes, out_w: int = RESIZE_TO, out_h: int = RESIZE_TO):
+    """Nearest-neighbor resize of a 24-bit BMP to (out_w, out_h): parse the
+    container, reassemble the pixel grid (stride-aware), sample source
+    pixel (r·h//out_h, c·w//out_w) per output pixel. Returns the original
+    dims and the resized RGB checksum — real pixel indexing, the CPU shape
+    of any thumbnailing stage."""
+    import struct
+
+    import numpy as np
+
+    meta = decode_bmp(payload)  # validates magic/bpp
+    w, h = meta["width"], meta["height"]
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    row_raw = w * 3
+    stride = (row_raw + 3) // 4 * 4
+    if h == 0:
+        return {"width": w, "height": h, "resized_checksum": 0}
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    rows = np.stack(
+        [buf[data_off + r * stride : data_off + r * stride + row_raw] for r in range(h)]
+    ).reshape(h, w, 3)
+    rr = np.arange(out_h) * h // out_h
+    cc = np.arange(out_w) * w // out_w
+    resized = rows[rr][:, cc]                      # (out_h, out_w, 3)
+    return {"width": w, "height": h, "resized_checksum": int(resized.sum())}
+
+
+@query(
+    "multimodal_resize",
+    priority=0,
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, text, length(text) AS len,
+             CAST(doc_id % {BMP_WIDTH_MOD} + 1 AS INT) AS w,
+             CAST(ceil(length(text) / ((doc_id % {BMP_WIDTH_MOD} + 1) * 3.0)) AS INT) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ), px AS (
+      SELECT doc_id, w, h,
+             -- source byte of output pixel (r, c, k): nearest-neighbor row/col,
+             -- zero beyond the payload (the encoder's zero padding)
+             ((r.r * h) // {RESIZE_TO}) * (w * 3) + ((c.c * w) // {RESIZE_TO}) * 3 + k.k AS idx,
+             len, text
+      FROM img,
+           (SELECT unnest(range(0, {RESIZE_TO})) AS r) r,
+           (SELECT unnest(range(0, {RESIZE_TO})) AS c) c,
+           (SELECT unnest(range(0, 3)) AS k) k
+      WHERE h > 0
+    ), summed AS (
+      SELECT doc_id, w AS width, h AS height,
+             SUM(CASE WHEN idx < len THEN unicode(substring(text, CAST(idx AS INT) + 1, 1))
+                      ELSE 0 END) AS resized_checksum
+      FROM px GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, width, height, CAST(resized_checksum AS BIGINT) AS resized_checksum
+    FROM summed
+    UNION ALL
+    SELECT doc_id, w AS width, 0 AS height, CAST(0 AS BIGINT) AS resized_checksum
+    FROM img WHERE h = 0
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize through the real container path: encode each image doc
+    as a genuine BMP, then nearest-neighbor downsample to
+    {RESIZE_TO}×{RESIZE_TO} in an Arrow mapInPandas stage (numpy fancy
+    indexing over the stride-decoded pixel grid). The oracle recomputes
+    every sampled byte position arithmetically, so both the header parsing
+    and the resampling index math are value-checked. Narrow, no shuffle."""
+    import pandas as pd
+
+    blobs = media_blob_table(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+
+    def gen(batches: Iterable["pd.DataFrame"]):
+        for pdf in batches:
+            rows = [
+                {"doc_id": d, **resize_bmp(bytes(b))}
+                for d, b in zip(pdf["doc_id"], pdf["blob"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "resized_checksum"]
+            )
+
+    return blobs.mapInPandas(
+        gen, "doc_id bigint, width int, height int, resized_checksum bigint"
+    )
+
+
 def extract_features(
     media: DataFrame,
     decoder: Callable[[str, bytes], dict[str, Any]] = fake_decode,
@@ -267,9 +358,6 @@ def extract_features(
         gen, FEATURE_SCHEMA
     )
 
-
-BMP_WIDTH_MOD = 31   # image width = doc_id % 31 + 1
-WAV_RATE_MOD = 9     # sample_rate = 8000 + (doc_id % 9) * 1000
 
 DECODE_SCHEMA = (
     "doc_id bigint, media_type string, width int, height int, "

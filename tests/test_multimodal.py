@@ -86,3 +86,26 @@ def test_fake_decode_matches_plumbed_output(spark, sf_dir):
         expected["sum_bytes"],
         expected["n_bytes"],
     )
+
+
+def test_resize_bmp_nearest_neighbor():
+    from serverless_mapreduce_spark.operators.multimodal import RESIZE_TO, encode_bmp, resize_bmp
+
+    data = bytes(range(256)) * 3  # 768 bytes -> 16 rows at width 16
+    blob = encode_bmp(data, 16)
+    out = resize_bmp(blob)
+    assert (out["width"], out["height"]) == (16, 16)
+    # identity-size resize samples every pixel exactly once
+    assert out["resized_checksum"] == sum(data)
+
+    # upscale from a 1x1 image: every output pixel is the single source pixel
+    one = encode_bmp(b"\x05\x06\x07", 1)
+    up = resize_bmp(one)
+    assert up == {
+        "width": 1,
+        "height": 1,
+        "resized_checksum": (5 + 6 + 7) * RESIZE_TO * RESIZE_TO,
+    }
+
+    # empty payload -> zero-height image, zero checksum
+    assert resize_bmp(encode_bmp(b"", 4))["resized_checksum"] == 0
