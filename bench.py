@@ -53,7 +53,11 @@ HEADLINE = (
     "simhash",
     "simhash_pairs",
     "multimodal_decode",
+    "multimodal_resize",
     "ann_ivf_kmeans_topk",
+    "join_bucketed_colocated",
+    "tpch_q3",
+    "tpch_q5",
 )
 
 
@@ -93,6 +97,12 @@ def main() -> None:
         array_to_vector(F.array(F.col("id").cast("float"))).alias("features")
     )
     KMeans(k=2, seed=1, maxIter=1).fit(_warm)
+    # Materialize the bucketed-table layout once: production maintains it
+    # a priori (pay-the-shuffle-at-write-time); the query being measured
+    # is the Exchange-free join over it.
+    from serverless_mapreduce_spark.operators.relational import _bucketed_tables
+
+    _bucketed_tables(spark, sf_dir)
 
     timings: dict[str, float] = {}
     total = 0.0

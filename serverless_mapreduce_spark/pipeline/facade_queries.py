@@ -89,7 +89,7 @@ def ip_prefix_partition(key: str, num_bins: int) -> int:
 
 
 @query(
-    "facade_groupby_sum",
+    "facade_groupby_sum", priority=200,
     oracle="""
     SELECT CAST(user_id AS VARCHAR) AS key,
            printf('%.2f', CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) AS value

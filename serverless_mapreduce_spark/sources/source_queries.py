@@ -91,3 +91,40 @@ def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = write_output(src, _scratch(sf_dir, "csv_scan"), fmt="csv", num_partitions=4)
     df = read_csv(spark, path, "p_partkey BIGINT, p_name STRING, p_size INT")
     return df.filter(F.col("p_size") > 30).select("p_partkey", "p_name", "p_size")
+
+
+@query(
+    "sink_partitioned_pruned",
+    priority=0,
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5's hive-style partitioned write + the pruning it buys: events are
+    persisted ``partitionBy(event_type)`` (the scalable replacement for the
+    reference's per-key DynamoDB placement, output_handler_dynamodb.py:
+    100-112), and the read-back filter on the partition column prunes to
+    ONE directory — the scan never opens the other partitions' files
+    (PartitionFilters in the plan; asserted by tests/test_sources.py). At
+    100 TB this is the difference between scanning 1/5th and 5/5ths of the
+    table."""
+    ev = table(spark, sf_dir, "events")
+    path = write_output(
+        ev, _scratch(sf_dir, "sink_partitioned"),
+        fmt="parquet", partition_by=["event_type"],
+    )
+    back = read_output(spark, path, fmt="parquet")
+    return (
+        back.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+    )

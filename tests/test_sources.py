@@ -79,3 +79,18 @@ def test_partition_by_creates_hive_layout(spark, tmp_path):
     back = read_output(spark, path)
     assert {r.grp for r in back.collect()} == {"a", "b"}
     assert schema is not None
+
+
+def test_partitioned_sink_prunes_to_one_partition(spark, sf_dir):
+    from serverless_mapreduce_spark.sources.source_queries import sink_partitioned_pruned
+
+    df = sink_partitioned_pruned(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "PartitionFilters: [isnotnull(event_type" in final, final
+    # the other four event_type directories are never read (the filter sits
+    # in PartitionFilters, i.e. directory pruning, not a data filter)
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^]]*= click\)", final), final
