@@ -94,3 +94,11 @@ class Engine:
         reference's status endpoint would serve)."""
         items = self._runs.items() if name is None else [(name, self._runs.get(name, []))]
         return {n: [asdict(r) for r in rs] for n, rs in items}
+
+    def explain(self, name: str, mode: str = "formatted") -> str:
+        """The optimized physical plan of a registered query without
+        executing it (the reference's job-detail view, but for plans)."""
+        df = registry.all_queries()[name](self.spark, self.sf_dir)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+            df._jdf.queryExecution(), mode
+        )

@@ -53,3 +53,10 @@ def test_engine_records_failures(spark, sf_dir):
     rec = eng.status("_boom")["_boom"][0]
     assert rec["status"] == "FAILED"
     assert "ZeroDivisionError" in rec["error"]
+
+
+def test_engine_explain_returns_physical_plan(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    plan = eng.explain("q1_filter_scan")
+    assert "Physical Plan" in plan
+    assert "Scan parquet" in plan or "FileScan" in plan
