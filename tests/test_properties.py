@@ -1,0 +1,67 @@
+"""Property-based checks (hypothesis) for the pure-Python codec layer:
+arbitrary payloads must roundtrip through the real BMP/WAV containers, and
+the resize index math must hold for any (payload, width) combination."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from serverless_mapreduce_spark.operators.multimodal import (
+    BMP_HEADER,
+    RESIZE_TO,
+    WAV_HEADER,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    resize_bmp,
+    sniff_decode,
+)
+
+payloads = st.binary(min_size=0, max_size=2048)
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=payloads, width=st.integers(min_value=1, max_value=64))
+def test_bmp_roundtrip_any_payload(data: bytes, width: int):
+    blob = encode_bmp(data, width)
+    row_raw = width * 3
+    stride = (row_raw + 3) // 4 * 4
+    height = (len(data) + row_raw - 1) // row_raw if data else 0
+    assert len(blob) == BMP_HEADER + stride * height
+    out = decode_bmp(blob)
+    assert out == {"width": width, "height": height, "checksum": sum(data)}
+    assert sniff_decode(blob)["media_type"] == "image"
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=payloads, rate=st.integers(min_value=1, max_value=192_000))
+def test_wav_roundtrip_any_payload(data: bytes, rate: int):
+    blob = encode_wav(data, rate)
+    assert len(blob) == WAV_HEADER + len(data)
+    out = decode_wav(blob)
+    assert out == {"sample_rate": rate, "n_samples": len(data), "checksum": sum(data)}
+    assert sniff_decode(blob)["media_type"] == "audio"
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=payloads, width=st.integers(min_value=1, max_value=64))
+def test_resize_checksum_matches_index_model(data: bytes, width: int):
+    """resize_bmp must equal the oracle's arithmetic model: output pixel
+    (r, c, k) samples payload byte (r·h//T)·3w + (c·w//T)·3 + k (zero
+    beyond the payload — the encoder's padding)."""
+    out = resize_bmp(encode_bmp(data, width))
+    row_raw = width * 3
+    h = (len(data) + row_raw - 1) // row_raw if data else 0
+    expect = (
+        sum(
+            data[idx] if (idx := (r * h // RESIZE_TO) * row_raw + (c * width // RESIZE_TO) * 3 + k) < len(data) else 0
+            for r in range(RESIZE_TO)
+            for c in range(RESIZE_TO)
+            for k in range(3)
+        )
+        if h
+        else 0
+    )
+    assert out == {"width": width, "height": h, "resized_checksum": expect}
