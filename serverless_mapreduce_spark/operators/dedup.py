@@ -630,3 +630,114 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= COSINE_THRESH)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# --- cross-corpus decontamination ---------------------------------------------
+
+BENCH_MOD = 10  # doc_id % 10 == 0 → the held-out "benchmark" corpus
+
+
+@query(
+    "dedup_decontaminate",
+    priority=0,
+    oracle=f"""
+    WITH corp AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      WHERE doc_id % {BENCH_MOD} <> 0
+    ), bench AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+      WHERE doc_id % {BENCH_MOD} = 0
+    ), cs AS (
+      SELECT doc_id, shingles, {_SQL_SIG.format(sh='shingles')} AS sig FROM corp
+    ), bs AS (
+      SELECT doc_id, shingles, {_SQL_SIG.format(sh='shingles')} AS sig FROM bench
+    ), cb AS (
+      SELECT doc_id, b.band_idx,
+             md5(CAST(sig[b.band_idx * 2 + 1] AS VARCHAR) || ','
+                 || CAST(sig[b.band_idx * 2 + 2] AS VARCHAR)) AS band_hash
+      FROM cs, (SELECT unnest(range(0, {NUM_BANDS})) AS band_idx) b
+    ), bb AS (
+      SELECT doc_id, b.band_idx,
+             md5(CAST(sig[b.band_idx * 2 + 1] AS VARCHAR) || ','
+                 || CAST(sig[b.band_idx * 2 + 2] AS VARCHAR)) AS band_hash
+      FROM bs, (SELECT unnest(range(0, {NUM_BANDS})) AS band_idx) b
+    ), cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_doc, b.doc_id AS bench_doc
+      FROM cb c JOIN bb b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
+    )
+    SELECT c.corpus_doc, c.bench_doc,
+           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+             AS jaccard
+    FROM cand c
+    JOIN cs sa ON sa.doc_id = c.corpus_doc
+    JOIN bs sb ON sb.doc_id = c.bench_doc
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {JACCARD_THRESH}
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination — the training-data op of flagging
+    corpus documents that near-duplicate a held-out benchmark set (test-set
+    leakage removal). Same banded-minhash shape as dedup_minhash_lsh, but
+    the band join is corpus×benchmark instead of a self-join: signatures
+    for BOTH sides come from the shuffle-free Arrow pass, the join is keyed
+    on (band_idx, band_hash) so only banding collisions meet, and exact
+    Jaccard verifies candidates. At 100 TB the benchmark side is tiny and
+    its band table BROADCASTS — the corpus never shuffles at all (hinted
+    here; at fixture scale Catalyst would pick it anyway)."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = persist_tracked(minhash_signatures(docs))
+    corp = sigs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench = sigs.filter(F.col("doc_id") % BENCH_MOD == 0)
+
+    def bands(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("band_idx"),
+            "sig",
+        ).select(
+            "doc_id",
+            "band_idx",
+            F.md5(
+                F.concat(
+                    F.element_at("sig", F.col("band_idx") * 2 + 1).cast("string"),
+                    F.lit(","),
+                    F.element_at("sig", F.col("band_idx") * 2 + 2).cast("string"),
+                )
+            ).alias("band_hash"),
+        )
+
+    cand = (
+        bands(corp)
+        .alias("c")
+        .join(
+            F.broadcast(bands(bench)).alias("b"),
+            (F.col("c.band_idx") == F.col("b.band_idx"))
+            & (F.col("c.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("c.doc_id").alias("corpus_doc"), F.col("b.doc_id").alias("bench_doc")
+        )
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "shingles")
+    jac = (
+        cand.join(
+            sh.withColumnsRenamed({"doc_id": "corpus_doc", "shingles": "sh_a"}),
+            "corpus_doc",
+        )
+        .join(
+            sh.withColumnsRenamed({"doc_id": "bench_doc", "shingles": "sh_b"}),
+            "bench_doc",
+        )
+        .withColumn(
+            "jaccard_raw",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+        )
+    )
+    return (
+        jac.filter(F.col("jaccard_raw") >= JACCARD_THRESH)
+        .select("corpus_doc", "bench_doc", F.round("jaccard_raw", 6).alias("jaccard"))
+    )

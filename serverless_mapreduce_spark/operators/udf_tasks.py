@@ -48,7 +48,7 @@ def _fib_udf():
 
 
 @query(
-    "cpu_udf_fib",
+    "cpu_udf_fib", priority=200,
     oracle=f"""
     WITH RECURSIVE fib(n, a, b) AS (
       SELECT 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
