@@ -52,6 +52,7 @@ HEADLINE = (
     # round-3 operators
     "simhash",
     "simhash_pairs",
+    "dedup_decontaminate",
     "multimodal_decode",
     "multimodal_resize",
     "ann_ivf_kmeans_topk",

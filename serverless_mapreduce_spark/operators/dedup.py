@@ -2,9 +2,12 @@
 training-data-pipeline extension family (no reference analog; mandated by
 BASELINE.json's north star).
 
-Five schemes, all expressed with built-in column expressions (higher-order
-array functions, md5, explode/join) — no Python UDFs, so everything stays
-JVM-side and distributes:
+Join/aggregate shapes are built-in column expressions (md5, explode, band
+joins — JVM-side, codegen); the per-document fingerprint computations
+(minhash signatures, simhash) run as single shuffle-free Arrow passes with
+exact integer math — see minhash_signatures/simhash_fingerprint for why
+that beats both interpreted higher-order functions and wide codegen
+aggregates for md5-bound work.
 
 - exact: hash-groupBy on normalized content. One shuffle on the md5 key.
 - minhash_lsh: shingle → K minhashes → B bands → band-bucket self-join →
@@ -14,9 +17,11 @@ JVM-side and distributes:
   two 32-bit ints (h1, h2), hash_j = (h1 + j·h2) mod P, sig[j] = min — both
   engines derive (h1, h2) from the same md5 hex, which is what makes the
   oracle hash-match.
+- decontaminate: the same banding, corpus×benchmark instead of self-join
+  (benchmark side broadcasts — test-set leakage removal).
 - ngram_jaccard: exact Jaccard via a shingle inverted index (explode →
   join on shingle → count shared / union) — no N² pair enumeration.
-- simhash: 16-bit sign-of-sum fingerprint from per-token md5 bits.
+- simhash: fingerprint + hamming-banded pairing (simhash_pairs).
 - embedding_cosine_pairs: exact all-pairs cosine *verifier helper* (not a
   registered query); the registered scale path is
   similarity.dedup_embedding_lsh (bucket first, verify inside buckets).
@@ -64,8 +69,9 @@ def shingle_rows(docs: DataFrame, col: str = "text") -> DataFrame:
     Here every expression is JVM-codegen'd and evaluated once.
 
     Scale shape: hash-repartition by doc_id up front (a no-op on real
-    multi-row-group inputs, see ensure_parallelism) — the windows and every
-    downstream per-doc aggregation then reuse that one exchange."""
+    multi-row-group inputs, see ensure_parallelism) — the windows and the
+    inverted-index consumer (dedup_ngram_jaccard) reuse that one
+    exchange."""
     from pyspark.sql import Window
 
     from serverless_mapreduce_spark.catalog import ensure_parallelism
