@@ -615,34 +615,39 @@ _REVENUE_DEC = (
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write orders/lineitem bucketed + sorted by the join key into the
-    session warehouse (once per session+sf). This is exactly the layout a
-    100 TB deployment maintains for its fact tables: both sides
-    hash-bucketed into the same bucket count, so every future equi-join on
-    the key is Exchange-free — the shuffle is paid once at write time, not
-    per query. Reference parity: the reference's shuffle stage writes
-    hash-partitioned intermediates to S3 per job
-    (job/shuffle_handler.py) — bucketing is that same hash layout made
-    durable and reusable."""
+    """Write orders/lineitem bucketed + sorted by the join key (once per
+    session+sf), as EXTERNAL tables under the repo's .scratch — an explicit
+    ``path`` rather than the session warehouse, whose default location
+    follows the caller's cwd. This is exactly the layout a 100 TB
+    deployment maintains for its fact tables: both sides hash-bucketed
+    into the same bucket count, so every future equi-join on the key is
+    Exchange-free — the shuffle is paid once at write time, not per query.
+    Reference parity: the reference's shuffle stage writes
+    hash-partitioned intermediates to S3 per job (job/shuffle_handler.py)
+    — bucketing is that same hash layout made durable and reusable."""
     import shutil
-    from urllib.parse import urlparse
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     names = (f"orders_bkt_{tag}", f"lineitem_bkt_{tag}")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "bucketed",
+    )
     for tbl, src, key in (
         (names[0], "orders", "o_orderkey"),
         (names[1], "lineitem", "l_orderkey"),
     ):
         if not spark.catalog.tableExists(tbl):
-            # Managed-table metadata is session-scoped but the files are
-            # not: a location orphaned by a previous session fails the
-            # write, so clear it first.
-            shutil.rmtree(os.path.join(warehouse, tbl.lower()), ignore_errors=True)
+            # Table metadata is session-scoped but the files are not:
+            # clear any location orphaned by a previous session first.
+            loc = os.path.join(base, tbl)
+            shutil.rmtree(loc, ignore_errors=True)
             (
                 table(spark, sf_dir, src)
                 .write.bucketBy(BUCKETS, key)
                 .sortBy(key)
+                .option("path", loc)
                 .mode("overwrite")
                 .saveAsTable(tbl)
             )
