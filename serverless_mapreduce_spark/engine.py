@@ -96,9 +96,18 @@ class Engine:
         return {n: [asdict(r) for r in rs] for n, rs in items}
 
     def explain(self, name: str, mode: str = "formatted") -> str:
-        """The optimized physical plan of a registered query without
-        executing it (the reference's job-detail view, but for plans)."""
-        df = registry.all_queries()[name](self.spark, self.sf_dir)
+        """The optimized physical plan of a registered query, without
+        executing the returned DataFrame (the reference's job-detail view,
+        but for plans). Calls the query fn UNWRAPPED — plan inspection must
+        not trigger the registry wrapper's ``release_cached()``, which
+        would unpersist a concurrently-running query's live caches. Note:
+        queries that prepare their input driver-side (sink round-trips,
+        bucketed-table writes, stream drains) necessarily run that
+        preparation to have a plan at all — only the final DataFrame stays
+        lazy."""
+        fn = registry.all_queries()[name]
+        fn = getattr(fn, "__wrapped__", fn)
+        df = fn(self.spark, self.sf_dir)
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
             df._jdf.queryExecution(), mode
         )

@@ -102,9 +102,15 @@ _SQL_SHINGLES = f"""
   CASE WHEN len({_SQL_TOKS}) >= {SHINGLE_W}
        THEN list_distinct(list_transform(range(1, len({_SQL_TOKS}) - {SHINGLE_W - 2}),
               i -> {_SQL_TOKS}[i] || ' ' || {_SQL_TOKS}[i+1] || ' ' || {_SQL_TOKS}[i+2]))
-       ELSE [array_to_string({_SQL_TOKS}, ' ')]
+       ELSE list_filter([array_to_string({_SQL_TOKS}, ' ')], s -> s <> '')
   END
 """
+# Token-less docs: the ELSE arm filters the '' shingle so a blank document
+# gets [] — its minhash sig is then all-NULL, its band_hash NULL, and NULL
+# never equi-joins, exactly matching the Arrow pass dropping the doc
+# (minhash_signatures: `if not toks: continue`). Without the filter, two
+# blank docs would get identical md5('') signatures and the oracle would
+# report a pair Spark never emits.
 
 
 # --- exact dedup ---------------------------------------------------------------
@@ -178,10 +184,17 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
                 # (n_shingles, NUM_HASHES) hash matrix → column mins
                 sig = ((h[:, :1] + j_range * h[:, 1:]) % MINHASH_PRIME).min(axis=0)
                 out.append((doc_id, sorted(sh), [int(x) for x in sig]))
+            # Explicit object dtype for the empty arms: a bare [] column
+            # defaults to float64, which Arrow cannot cast to list<string>
+            # — a batch of only token-less docs would crash the stage.
             yield pd.DataFrame(
                 out, columns=["doc_id", "shingles", "sig"]
             ) if out else pd.DataFrame(
-                {"doc_id": pd.Series(dtype="int64"), "shingles": [], "sig": []}
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "shingles": pd.Series(dtype="object"),
+                    "sig": pd.Series(dtype="object"),
+                }
             )
 
     from serverless_mapreduce_spark.catalog import ensure_parallelism

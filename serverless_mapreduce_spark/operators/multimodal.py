@@ -196,22 +196,33 @@ def encode_bmp(payload: bytes, width: int) -> bytes:
 def decode_bmp(payload: bytes) -> dict[str, Any]:
     """Parse a 24-bit BMP: validate the magic, read width/height/bpp/data
     offset from the header, then walk rows (stride-aware) summing the pixel
-    bytes — padding bytes are excluded by the stride arithmetic."""
+    bytes — padding bytes are excluded by the stride arithmetic.
+
+    Error contract (sniff_decode): malformed input raises ValueError, never
+    a silent wrong answer — truncated headers/pixel data and non-24-bit
+    variants are rejected; a negative biHeight (top-down BMP) is decoded as
+    |height| rows in stored order (for a whole-image checksum, row order is
+    immaterial)."""
     import struct
 
+    if len(payload) < BMP_HEADER:
+        raise ValueError(f"truncated BMP header ({len(payload)} bytes)")
     magic, size, _, _, data_off = struct.unpack_from("<2sIHHI", payload, 0)
     if magic != b"BM":
         raise ValueError("not a BMP payload")
     _, width, height, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
     if bpp != 24:
         raise ValueError(f"unsupported bpp {bpp}")
+    n_rows = abs(height)
     row_raw = width * 3
     stride = (row_raw + 3) // 4 * 4
+    if n_rows and len(payload) < data_off + (n_rows - 1) * stride + row_raw:
+        raise ValueError("truncated BMP pixel data")
     pix_sum = 0
-    for r in range(height):
+    for r in range(n_rows):
         off = data_off + r * stride
         pix_sum += sum(payload[off : off + row_raw])
-    return {"width": width, "height": height, "checksum": pix_sum}
+    return {"width": width, "height": n_rows, "checksum": pix_sum}
 
 
 def encode_wav(payload: bytes, sample_rate: int) -> bytes:
@@ -233,6 +244,8 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
     (format, channels, rate, bits), then the data chunk size and sample sum."""
     import struct
 
+    if len(payload) < WAV_HEADER:
+        raise ValueError(f"truncated WAV header ({len(payload)} bytes)")
     riff, _, wave = struct.unpack_from("<4sI4s", payload, 0)
     if riff != b"RIFF" or wave != b"WAVE":
         raise ValueError("not a WAV payload")
@@ -244,6 +257,8 @@ def decode_wav(payload: bytes) -> dict[str, Any]:
     data, n = struct.unpack_from("<4sI", payload, 36)
     if data != b"data":
         raise ValueError("missing data chunk")
+    if len(payload) < WAV_HEADER + n:
+        raise ValueError("truncated WAV sample data")
     samples = payload[WAV_HEADER : WAV_HEADER + n]
     return {"sample_rate": rate, "n_samples": n, "checksum": sum(samples)}
 
@@ -320,7 +335,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the resampling index math are value-checked. Narrow, no shuffle."""
     import pandas as pd
 
-    blobs = media_blob_table(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+    # Filter BELOW the encode stage (see media_blob_table): encoding the odd
+    # (WAV) half only to discard it would double the Python work.
+    even_docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    blobs = media_blob_table(spark, sf_dir, docs=even_docs)
 
     def gen(batches: Iterable["pd.DataFrame"]):
         for pdf in batches:
@@ -365,15 +383,23 @@ DECODE_SCHEMA = (
 )
 
 
-def media_blob_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_blob_table(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """documents → (doc_id, blob): REAL media containers — even doc_ids
     become 24-bit BMPs (width doc_id%31+1, pixels = the UTF-8 text bytes),
     odd doc_ids become 8-bit PCM WAVs (rate 8000+doc_id%9·1000, samples =
     the text bytes). Ingest-side Python (mapInPandas): container packing is
-    inherently per-item byte work, batched through Arrow once."""
+    inherently per-item byte work, batched through Arrow once.
+
+    Callers that only want a subset must pass a pre-filtered ``docs`` frame:
+    Catalyst cannot push a filter through MapInPandasExec, so filtering the
+    *output* would pay the Python encode for rows that are then dropped."""
     import pandas as pd
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    if docs is None:
+        docs = table(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "text")
 
     def gen(batches: Iterable["pd.DataFrame"]):
         for pdf in batches:

@@ -627,13 +627,13 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     — bucketing is that same hash layout made durable and reusable."""
     import shutil
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+
+    # sf_tag (not basename): table names key the session-scoped catalog
+    # cache, so two sf_dirs sharing a basename must not share tables.
+    tag = sf_tag(sf_dir)
     names = (f"orders_bkt_{tag}", f"lineitem_bkt_{tag}")
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".scratch",
-        "bucketed",
-    )
+    base = scratch("bucketed")
     for tbl, src, key in (
         (names[0], "orders", "o_orderkey"),
         (names[1], "lineitem", "l_orderkey"),

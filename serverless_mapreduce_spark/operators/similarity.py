@@ -410,11 +410,14 @@ def ann_ivf_kmeans(
     cand = F.broadcast(probe_df.join(F.broadcast(q), "q_id")).join(
         assigned, "cell"
     ).filter(F.col("vec_id") != F.col("q_id"))
+    # No dedup needed: cells PARTITION the vectors (each vec_id sits in
+    # exactly one cell) and a query's probe cells are distinct, so the join
+    # yields each (q_id, vec_id) at most once.
     scored = cand.select(
         "q_id",
         "vec_id",
         F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
-    ).dropDuplicates(["q_id", "vec_id"])  # a vector can sit in 2 probed cells
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

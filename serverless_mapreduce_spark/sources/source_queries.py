@@ -23,12 +23,11 @@ from serverless_mapreduce_spark.registry import query
 from serverless_mapreduce_spark.sources.csv_ddl import read_csv
 from serverless_mapreduce_spark.sources.sinks import read_output, write_output
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+from serverless_mapreduce_spark.paths import scratch, sf_tag
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    sf = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(_SCRATCH, sf, name)
+    return scratch(sf_tag(sf_dir), name)
 
 
 _AGG_ORACLE = """

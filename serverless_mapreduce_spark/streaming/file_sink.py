@@ -69,8 +69,9 @@ def run_stream_to_parquet(
 
 
 def _scratch(sf_dir: str, *parts: str) -> str:
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(repo, ".scratch", "filesink", os.path.basename(sf_dir.rstrip("/")), *parts)
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+
+    return scratch("filesink", sf_tag(sf_dir), *parts)
 
 
 @query(

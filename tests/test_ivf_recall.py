@@ -21,7 +21,7 @@ def test_kmeans_ivf_recall_vs_bruteforce(spark, sf_dir):
 
     got = _pairs(ann_ivf_kmeans(spark, sf_dir))
     recall = len(got & truth) / len(truth)
-    # nprobe=2 of 8 cells: most neighbors live in the query's own cell.
+    # Default nprobe (3 of 8 cells): most neighbors live in the nearest cells.
     assert recall >= 0.5, f"recall {recall:.2f}"
 
     # Probing every cell makes IVF exhaustive — exact recovery.
