@@ -1,0 +1,63 @@
+"""Plan lint: no registered batch query may compile to a scale-killer plan.
+
+The correctness gate proves the right ROWS; this locks the right SHAPE. A
+CartesianProduct (both sides shuffled to one partition, O(N·M) compare) or
+an unintended BroadcastNestedLoopJoin would pass every sf0.01 value check
+and then melt down at 100 TB — exactly the class of regression a value
+oracle can't see. Plans are only CONSTRUCTED here (no execution), so the
+whole registry lints in seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_mapreduce_spark import registry
+
+# Queries whose *construction* executes driver-side work (sink writes,
+# stream drains, bucketed-table writes, KMeans training) — linted by their
+# own dedicated tests instead of re-running that work here.
+SIDE_EFFECTING = {
+    "stream_windowed_sum",
+    "stream_sliding_counts",
+    "stream_word_count",
+    "session_window_agg",
+    "stream_stateful_user_stats",
+    "stream_file_sink",
+    "sink_roundtrip",
+    "sink_roundtrip_json",
+    "csv_scan",
+    "sink_partitioned_pruned",
+    "join_bucketed_colocated",
+    "ann_ivf_kmeans_topk",
+}
+
+# BroadcastNestedLoopJoin is legitimate ONLY where the broadcast side is a
+# deliberately tiny set crossed against the corpus: the brute-force ANN
+# baseline (every query × every vector is the SPEC) and the IVF centroid
+# assignment (corpus × ~constant centroid table). Anywhere else it means a
+# join lost its equi-condition.
+BNLJ_ALLOWED = {"ann_topk_bruteforce", "ann_ivf_topk"}
+
+FORBIDDEN_EVERYWHERE = ("CartesianProduct",)
+
+
+def _batch_queries():
+    return [
+        (name, fn)
+        for name, fn in registry.all_queries().items()
+        if name not in SIDE_EFFECTING
+    ]
+
+
+@pytest.mark.parametrize("name,fn", _batch_queries(), ids=lambda p: p if isinstance(p, str) else "")
+def test_no_scale_killer_operators(spark, sf_dir, name, fn):
+    fn = getattr(fn, "__wrapped__", fn)
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    for op in FORBIDDEN_EVERYWHERE:
+        assert op not in plan, f"{name}: plan contains {op}\n{plan}"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected BroadcastNestedLoopJoin — a join probably "
+            f"lost its equi-condition\n{plan}"
+        )
