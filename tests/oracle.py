@@ -4,6 +4,7 @@ comparison at sf0.01)."""
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 
 import duckdb
@@ -51,7 +52,28 @@ def assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> int:
     exp_rows = expected.fetchall()
 
     got_cols = spark_df.columns
-    got_rows = [tuple(r) for r in spark_df.collect()]
+    # PySpark's collect() renders TimestampType (an INSTANT) as a naive
+    # datetime in the PROCESS-local timezone (it ignores
+    # spark.sql.session.timeZone, which only governs SQL casts and the
+    # Arrow/toPandas path), while TimestampNTZType comes back as the wall
+    # value unshifted. DuckDB returns naive UTC wall values for both.
+    # Re-express only the instant columns local→UTC so the comparison is
+    # environment-independent (no-op when TZ=UTC).
+    from pyspark.sql.types import TimestampType
+
+    instant_cols = {
+        i for i, f in enumerate(spark_df.schema.fields)
+        if isinstance(f.dataType, TimestampType)
+    }
+
+    def _utcify(i, v):
+        if i in instant_cols and isinstance(v, _dt.datetime) and v.tzinfo is None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    got_rows = [
+        tuple(_utcify(i, v) for i, v in enumerate(r)) for r in spark_df.collect()
+    ]
 
     assert sorted(c.lower() for c in got_cols) == sorted(c.lower() for c in exp_cols), (
         f"column mismatch: spark={got_cols} duckdb={exp_cols}"

@@ -48,7 +48,14 @@ def _run_available_now(spark, src, ckpt, sink_name):
         .start()
     )
     q.awaitTermination()
-    return {r.win_start.strftime("%H:%M"): r.n for r in emitted}
+    # collect() renders timestamps as naive PROCESS-local datetimes; re-express
+    # as the UTC wall value the fixture wrote so the assert is TZ-independent.
+    import datetime as _dt
+
+    def _utc(d):
+        return d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+
+    return {_utc(r.win_start).strftime("%H:%M"): r.n for r in emitted}
 
 
 def test_append_watermark_finalization_recovery_and_late_drop(spark, tmp_path):
