@@ -59,6 +59,7 @@ HEADLINE = (
     "join_bucketed_colocated",
     "tpch_q3",
     "tpch_q5",
+    "dedup_cluster",
 )
 
 

@@ -216,10 +216,11 @@ _SQL_SIG = f"""
 """
 
 
-@query(
-    "dedup_minhash_lsh", priority=200,
-    oracle=f"""
-    WITH base AS (
+# The banded-minhash near-dup pair derivation as a reusable CTE chain
+# (`pairs` is the final CTE): shared by the dedup_minhash_lsh oracle and by
+# the connected-components oracle in dedup_cluster.
+_SQL_PAIR_CTES = f"""
+    base AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
       FROM documents
     ), sigs AS (
@@ -236,16 +237,23 @@ _SQL_SIG = f"""
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+               AS jaccard
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {JACCARD_THRESH}
     )
-    SELECT c.doc_a, c.doc_b,
-           ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
-    FROM cand c
-    JOIN sigs sa ON sa.doc_id = c.doc_a
-    JOIN sigs sb ON sb.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-          / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {JACCARD_THRESH}
-    """,
+"""
+
+
+@query(
+    "dedup_minhash_lsh", priority=200,
+    oracle=f"WITH {_SQL_PAIR_CTES} SELECT doc_a, doc_b, jaccard FROM pairs",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup: only documents agreeing on a whole band meet
@@ -303,6 +311,102 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         jac.filter(F.col("jaccard_raw") >= JACCARD_THRESH)
         .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+# --- near-dup clustering (connected components over LSH pairs) ----------------
+
+CC_MAX_ITERS = 15  # hash-to-min rounds; LSH components are near-cliques (~2-3)
+
+
+@query(
+    "dedup_cluster",
+    priority=0,
+    oracle=f"""
+    WITH RECURSIVE {_SQL_PAIR_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc_id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ),
+    comp AS (SELECT doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY doc_id)
+    SELECT c.doc_id, c.canonical_id, s.cluster_size
+    FROM comp c
+    JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY canonical_id) s USING (canonical_id)
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup **clustering**: pairwise LSH matches are not yet a dedup
+    decision — transitive matches (A~B, B~C) must collapse into one cluster
+    with one canonical keeper. Computes connected components over the
+    dedup_minhash_lsh pair graph via *hash-to-min* label propagation: every
+    doc starts labeled with its own id; each round every doc takes the min
+    label among itself and its neighbors; fixpoint = component-min labels.
+
+    Output: (doc_id, canonical_id, cluster_size) for every doc in ≥1 pair —
+    the keep/drop list is ``doc_id == canonical_id``.
+
+    Scale shape: each round is one equi-join (edges.dst = labels.doc_id) and
+    one groupBy(doc_id) — both hash-partitioned on doc_id, so the exchange is
+    reused across rounds rather than re-planned. Rounds needed = eccentricity
+    of each component's min node; LSH near-dup components are near-cliques
+    (1-2 rounds). For adversarially chain-shaped graphs the same loop slots
+    in alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), which converges in O(log n) rounds;
+    not needed for near-dup workloads. Per-round frames are persisted and the
+    superseded generation is unpersisted immediately, so peak executor
+    storage is 2 label tables regardless of round count.
+
+    Oracle: recursive CTE propagating labels along edges, then MIN per doc —
+    same fixpoint, derived by DuckDB's recursion instead of the driver loop.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = persist_tracked(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    )
+    labels = persist_tracked(
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+    )
+    # Labels only ever decrease, so sum(lbl) strictly decreases each round
+    # until the fixpoint: one cheap aggregate per round detects convergence
+    # (no join-against-previous needed). Exact integer math — no float drift.
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = edges.join(labels, edges["dst"] == labels["doc_id"]).select(
+            edges["src"].alias("doc_id"), labels["lbl"].alias("lbl")
+        )
+        new_labels = persist_tracked(
+            labels.unionByName(neighbor_min)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        # The aggregate also materializes new_labels' cache, making it safe
+        # to release the superseded generation right away.
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"dedup_cluster did not converge in {CC_MAX_ITERS} rounds — "
+            "component diameter exceeds the near-dup assumption; switch to "
+            "large-star/small-star for this graph"
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        "doc_id", F.col("lbl").alias("canonical_id"), "cluster_size"
     )
 
 
