@@ -60,6 +60,9 @@ HEADLINE = (
     "tpch_q3",
     "tpch_q5",
     "dedup_cluster",
+    "tpch_q4",
+    "tpch_q12",
+    "tpch_q14",
 )
 
 

@@ -803,3 +803,149 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+Q4_FROM, Q4_TO = "1997-01-01", "1997-04-01"
+Q4_LATE_DAYS = 30
+
+
+@query(
+    "tpch_q4",
+    priority=0,
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q4_FROM} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{Q4_TO} 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to the fixture schema:
+    the reference's l_commitdate < l_receiptdate lateness predicate becomes
+    "some line shipped more than 30 days after the order date" (the fixture
+    carries no commit/receipt dates). The EXISTS compiles to a LEFT SEMI
+    join — each qualifying order is emitted once no matter how many late
+    lines it has, and the semi join short-circuits per key instead of
+    materializing the multiplicity. Scale shape: the quarter filter prunes
+    orders at the scan, the semi join is the only shuffle (keyed on
+    orderkey), and the tiny 5-row aggregate is map-side partial."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_TO).cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q12_FROM, Q12_TO = "1998-01-01", "1999-01-01"
+_Q12_HIGH = "('1-URGENT', '2-HIGH')"
+
+
+@query(
+    "tpch_q12",
+    priority=0,
+    oracle=f"""
+    SELECT l_linestatus,
+           -- CAST: DuckDB SUM(INTEGER) yields HUGEINT, which lands in pandas
+           -- as float64 ("1771.0") and would string-mismatch Spark's bigint
+           CAST(SUM(CASE WHEN o_orderpriority IN {_Q12_HIGH} THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN {_Q12_HIGH} THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '{Q12_FROM} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q12_TO} 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority), adapted: l_linestatus
+    stands in for l_shipmode and the lateness predicates collapse into the
+    ship-year filter (no commit/receipt dates in the fixture). The
+    conditional counts are SUM(CASE) pairs — one pass, map-side partial
+    aggregation, no second scan per class. Scale shape: the year filter
+    pushes to the lineitem scan, the join shuffles once on orderkey, and
+    the 2-row result never funnels through a single partition."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q12_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_TO).cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q14_FROM, Q14_TO = "1997-09-01", "1997-10-01"
+
+
+@query(
+    "tpch_q14",
+    priority=0,
+    oracle=f"""
+    SELECT CAST(100 AS DOUBLE)
+           * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE_DEC}
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(SUM({_REVENUE_DEC}) AS DOUBLE) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{Q14_FROM} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q14_TO} 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share; fixture p_type is exactly 'PROMO',
+    not a prefix). Both revenue sums are exact DECIMAL accumulations —
+    converted to double only for the final ratio, and in the same
+    multiply-then-divide order as the oracle so the IEEE result is
+    bit-identical. Scale shape: part projects two columns and BROADCASTS
+    into the month-pruned lineitem scan — no shuffle at all before the
+    single-row aggregate."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_TO).cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_rev"),
+            F.sum(revenue).alias("total_rev"),
+        )
+    )
+    return agg.select(
+        (
+            F.lit(100).cast("double")
+            * F.col("promo_rev").cast("double")
+            / F.col("total_rev").cast("double")
+        ).alias("promo_revenue")
+    )
