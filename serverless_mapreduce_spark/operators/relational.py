@@ -461,6 +461,32 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cube_order_totals",
+    priority=0,
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (status, priority): all four grouping sets — per-pair, per-status,
+    per-priority, grand total — in one pass. Completes the grouping-sets
+    family next to rollup_revenue: CUBE's cross-dimension subtotals
+    (per-priority alone) are exactly what ROLLUP's hierarchy omits. Same
+    scale shape as rollup: Spark expands the sets before the exchange, so
+    partial aggregation still happens map-side and the cost stays one
+    shuffle regardless of dimension count."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice", "sum_total"), F.count("*").alias("n_orders"))
+    )
+
+
 # --- partitioned window: running sum (scales: keyed by user, never global) ----
 
 @query(
