@@ -63,6 +63,8 @@ HEADLINE = (
     "tpch_q4",
     "tpch_q12",
     "tpch_q14",
+    "cube_order_totals",
+    "stream_stream_join",
 )
 
 

@@ -314,3 +314,71 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_stream_to_memory(stats, mode="update")
+
+
+# --- stream-stream join: click→purchase attribution ---------------------------
+
+ATTRIB_WINDOW = "10 minutes"
+
+
+@query(
+    "stream_stream_join", priority=0,
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id,
+           date_diff('microsecond', CAST(c.ts AS TIMESTAMP),
+                     CAST(p.ts AS TIMESTAMP)) AS lag_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP)
+         >= CAST(p.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join — the Structured Streaming surface where
+    BOTH sides carry watermark-bounded state: every click within 10 minutes
+    before a same-user purchase (ad-attribution shape). Matches emit as soon
+    as both rows have arrived (inner-join semantics need no watermark wait),
+    so the bounded availableNow run yields exactly the batch join — the
+    oracle.
+
+    Scale shape: the join is keyed on user_id, so both state stores
+    hash-partition by user like any keyed shuffle; the event-time range
+    condition plus the two watermarks bound each store to ~10 minutes + 1
+    hour of events per side — without them an inner stream-stream join
+    buffers both streams forever. At 100 TB/day that watermark bound IS the
+    operator's memory budget."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW}")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    return run_stream_to_memory(joined, mode="append")

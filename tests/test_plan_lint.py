@@ -23,6 +23,7 @@ SIDE_EFFECTING = {
     "stream_word_count",
     "session_window_agg",
     "stream_stateful_user_stats",
+    "stream_stream_join",
     "stream_file_sink",
     "sink_roundtrip",
     "sink_roundtrip_json",
