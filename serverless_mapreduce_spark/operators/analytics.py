@@ -383,3 +383,116 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(daily.select(*out_cols))
         .unionByName(total.select(*out_cols))
     )
+
+
+# --- batch sessionization: gap-based session ids via one keyed window ---------
+
+SESSION_GAP_HOURS = 12
+
+
+@query(
+    "sessionize_events",
+    priority=0,
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '{SESSION_GAP_HOURS} hours'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the offline twin of the streaming
+    ``session_window_agg``): a new session starts when a user's gap is
+    >= {SESSION_GAP_HOURS}h — the >= matches Spark's exclusive
+    session-window end, so batch and stream agree on boundaries. The
+    classic lag-flag-cumsum plan: ONE shuffle on user_id serves both
+    window passes AND the final per-session aggregate (all three are
+    user_id-partitioned — Spark reuses the exchange), so the whole query
+    is a single exchange over the events table at any scale. Tie-safety:
+    equal timestamps get flag 0, so every tie-order yields identical
+    session ids. Session bounds are emitted as epoch micros (BIGINT) —
+    timezone-free cross-engine."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = SESSION_GAP_HOURS * 3600
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") >= gap_s),
+        1,
+    ).otherwise(0)
+    sid = F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .withColumn("new_s", new_s)
+        .withColumn("session_id", sid.cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+# --- weekly cohort retention --------------------------------------------------
+
+@query(
+    "cohort_retention",
+    priority=0,
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+      FROM events
+    ),
+    first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id)
+    SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_wk, wk) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM e JOIN first ON e.user_id = first.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, counted
+    distinct in each subsequent week — the standard growth-analytics
+    triangle. Scale shape: the cohort dim is ONE ROW PER USER (tiny next
+    to the events fact) and broadcasts back onto events; the distinct
+    count is two-phase partial-distinct on (cohort, offset, user), so the
+    shuffle carries deduplicated triples. Weeks are Monday-truncated in
+    UTC in both engines; the offset is an exact day-diff / 7."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        e.join(F.broadcast(first), "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

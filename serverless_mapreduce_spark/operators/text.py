@@ -229,3 +229,66 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         rolling.alias("fp_rolling"),
     )
+
+
+# --- n-gram frequency: top bigrams across the corpus --------------------------
+
+NGRAM_TOP_K = 50
+
+
+@query(
+    "ngram_bigrams",
+    priority=0,
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ),
+    pairs AS (
+      SELECT u.p[1] || ' ' || u.p[2] AS bigram
+      FROM toks, UNNEST(list_zip(ts, ts[2:])) AS u(p)
+      WHERE u.p[2] IS NOT NULL AND u.p[2] <> ''
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM pairs
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {NGRAM_TOP_K}
+    """,
+)
+def ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency (the n-gram statistic LM data
+    pipelines compute before dedup/quality gates). SHUFFLE-FREE pairing:
+    tokens pair with their successor via slice+arrays_zip INSIDE each row
+    — plain codegen'd array expressions (no interpreted lambda HOFs, no
+    per-doc window shuffle; compare the lead()-over-(doc, pos) plan, which
+    shuffles the whole exploded token stream by doc_id first). The only
+    exchange is the final count's hash shuffle on the bigram, map-side
+    partial-aggregated. Leading/trailing separators are trimmed BEFORE the
+    split so no empty tokens exist (interior separator runs never produce
+    empties); the oracle's list_filter-then-zip is equivalent. Top-k is
+    TakeOrdered with the bigram tie-break."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.col("text")), r"^[^a-z]+|[^a-z]+$", ""),
+        r"[^a-z]+",
+    )
+    d = table(spark, sf_dir, "documents").select(toks.alias("ts"))
+    n = F.size(F.col("ts"))
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ts"), 1, n - 1).alias("a"),
+                F.slice(F.col("ts"), 2, n - 1).alias("b"),
+            )
+        ).alias("p")
+    ).filter((F.col("p.a") != "") & (F.col("p.b") != ""))
+    return (
+        pairs.select(
+            F.concat(F.col("p.a"), F.lit(" "), F.col("p.b")).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(NGRAM_TOP_K)
+    )
