@@ -65,6 +65,16 @@ HEADLINE = (
     "tpch_q14",
     "cube_order_totals",
     "stream_stream_join",
+    # round-3 wave 2: the wide-join TPC-H adaptations and the new
+    # analytics/text operators with non-trivial plans
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q22",
+    "sessionize_events",
+    "ngram_bigrams",
 )
 
 
