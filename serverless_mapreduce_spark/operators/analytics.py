@@ -496,3 +496,178 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# --- conversion funnel: ordered view → click → purchase ----------------------
+
+@query(
+    "funnel_conversion",
+    priority=0,
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_buy
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL
+    SELECT 'click_after_view', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 'purchase_after_click', (SELECT COUNT(*) FROM p)
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that first qualifying click —
+    the sequential-dependency analytics shape (product funnels, training
+    curricula). Three staged min-timestamp aggregations, each joined back
+    to the previous stage. EVERY stage groups and joins on user_id, so all
+    six operators sit on one hash-partitioning — Spark reuses the exchange
+    and the whole funnel is a single logical shuffle of events; the stage
+    dims shrink monotonically (funnel property) and broadcast. Counts are
+    emitted as labeled rows via union (not one wide row) so no scalar
+    cross-join appears in the plan."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def first_after(etype: str, prev: DataFrame, prev_col: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(F.broadcast(prev), "user_id").filter(
+                F.col("ts") > F.col(prev_col)
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    v = first_after("view", None, "")
+    c = first_after("click", v, "t_view")
+    p = first_after("purchase", c, "t_click")
+
+    def count_row(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        count_row(v, "view")
+        .unionAll(count_row(c, "click_after_view"))
+        .unionAll(count_row(p, "purchase_after_click"))
+    )
+
+
+# --- set operations: INTERSECT / EXCEPT over yearly customer sets -------------
+
+SETOP_Y1 = ("1997-01-01", "1998-01-01")
+SETOP_Y2 = ("1998-01-01", "1999-01-01")
+
+
+@query(
+    "set_ops_customers",
+    priority=0,
+    oracle=f"""
+    WITH y1 AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '{SETOP_Y1[0]} 00:00:00'
+                  AND o_orderdate < TIMESTAMP '{SETOP_Y1[1]} 00:00:00'),
+         y2 AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '{SETOP_Y2[0]} 00:00:00'
+                  AND o_orderdate < TIMESTAMP '{SETOP_Y2[1]} 00:00:00')
+    SELECT 'both_years' AS cohort,
+           (SELECT COUNT(*) FROM (SELECT * FROM y1 INTERSECT SELECT * FROM y2)) AS n_customers
+    UNION ALL
+    SELECT 'only_{SETOP_Y1[0][:4]}',
+           (SELECT COUNT(*) FROM (SELECT * FROM y1 EXCEPT SELECT * FROM y2))
+    UNION ALL
+    SELECT 'only_{SETOP_Y2[0][:4]}',
+           (SELECT COUNT(*) FROM (SELECT * FROM y2 EXCEPT SELECT * FROM y1))
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over customer activity: who ordered in both years, who
+    churned, who is new — INTERSECT and EXCEPT as first-class operators
+    (the reference has no set operators at all). Spark plans both as
+    LEFT SEMI / LEFT ANTI joins over distinct keys — same keyed-shuffle
+    shape as any join, no sort, no cross product; the year filters push to
+    the orders scan. Labeled count rows union into the result (no scalar
+    cross-join)."""
+    o = table(spark, sf_dir, "orders")
+
+    def year_keys(lo: str, hi: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y1 = year_keys(*SETOP_Y1)
+    y2 = year_keys(*SETOP_Y2)
+
+    def count_row(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_customers")).select(
+            F.lit(label).alias("cohort"), "n_customers"
+        )
+
+    return (
+        count_row(y1.intersect(y2), "both_years")
+        .unionAll(count_row(y1.exceptAll(y2).distinct(), f"only_{SETOP_Y1[0][:4]}"))
+        .unionAll(count_row(y2.exceptAll(y1).distinct(), f"only_{SETOP_Y2[0][:4]}"))
+    )
+
+
+# --- unpivot: wide status counts melted back to long --------------------------
+
+@query(
+    "unpivot_order_status",
+    priority=0,
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'F' AS o_orderstatus, F AS n_orders FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'O', O FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'P', P FROM wide
+    """,
+)
+def unpivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of ``pivot_status_by_priority``:
+    aggregate wide (one SUM(CASE) per status, single shuffle with map-side
+    partials), then ``DataFrame.unpivot`` melts the three count columns
+    back to (priority, status, n) rows. Unpivot is a narrow, zero-shuffle
+    expansion (each wide row emits 3 long rows in place) — the plan is one
+    exchange total at any scale. The oracle melts via UNION ALL of the
+    same wide CTE."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("F"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("bigint")
+        .alias("O"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+        .cast("bigint")
+        .alias("P"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="o_orderstatus",
+        valueColumnName="n_orders",
+    )
