@@ -671,3 +671,60 @@ def unpivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="o_orderstatus",
         valueColumnName="n_orders",
     )
+
+
+# --- keyless interval join via time-bucketization -----------------------------
+
+RANGE_WINDOW_US = 300_000_000  # ±5 minutes, in microseconds
+
+
+@query(
+    "join_range_keyless",
+    priority=0,
+    oracle=f"""
+    SELECT e.event_id, COUNT(*) AS n_signups_nearby
+    FROM events e
+    JOIN events s
+      ON s.event_type = 'signup'
+     AND abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+             - epoch_us(CAST(s.ts AS TIMESTAMP))) <= {RANGE_WINDOW_US}
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def join_range_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval join (no shared equality key): errors matched to
+    signups within ±5 minutes. The naive plan is a cartesian with a range
+    filter — O(N·M) and exactly what the plan lint forbids. The scalable
+    plan BUCKETIZES time into window-width bins: each error explodes to
+    its bin and both neighbors (3 rows), each signup keeps its single bin,
+    and the join becomes an EQUI join on the bin — candidates per bin are
+    bounded by local event density, never N·M. Only one side explodes, and
+    a signup's bin is unique, so each qualifying pair matches exactly once
+    (no post-dedup). The exact |dt| predicate then prunes bin-neighbors.
+    This is the ``join_range_click_burst`` shape with the equality key
+    removed — the bin IS the manufactured key; the oracle runs the naive
+    inequality join (fine at oracle SF)."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bin_ = F.floor(us / F.lit(RANGE_WINDOW_US))
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("event_id"), us.alias("e_us"), bin_.alias("b"))
+        .select(
+            "event_id",
+            "e_us",
+            F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)).alias(
+                "bin"
+            ),
+        )
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        us.alias("s_us"), bin_.alias("bin")
+    )
+    return (
+        errors.join(signups, "bin")
+        .filter(F.abs(F.col("e_us") - F.col("s_us")) <= RANGE_WINDOW_US)
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_signups_nearby"))
+    )
