@@ -292,3 +292,50 @@ def ngram_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(NGRAM_TOP_K)
     )
+
+
+# --- heavy hitters: relative-frequency filter over token counts ---------------
+
+HH_FRAC = 0.033
+
+
+@query(
+    "heavy_hitters_words",
+    priority=0,
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(text, '{WC_DELIM}')) AS word
+      FROM documents
+    ),
+    counts AS (
+      SELECT word, COUNT(*) AS cnt FROM toks WHERE word <> '' GROUP BY word
+    )
+    SELECT word, cnt
+    FROM counts
+    WHERE cnt > {HH_FRAC} * (SELECT SUM(cnt) FROM counts)
+    """,
+)
+def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: tokens whose count exceeds a FRACTION of the
+    corpus total — the relative-frequency filter (stopword discovery,
+    vocabulary pruning) that needs a scalar aggregate over the aggregate
+    itself. The token counts materialize ONCE (persisted, vocab-sized —
+    tiny next to the corpus) and serve both the global-total scalar
+    subquery and the filter; the scalar rides Catalyst's SubqueryExec (no
+    nested-loop join — same pattern as tpch_q22). Exact is registered
+    because the oracle can verify it; at 100 TB the one-pass alternative
+    is a count-min sketch / Misra-Gries merge, same output contract."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    d = table(spark, sf_dir, "documents")
+    counts = persist_tracked(
+        d.select(F.explode(F.split(F.col("text"), WC_DELIM)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    counts.createOrReplaceTempView("hh_word_counts")
+    return spark.sql(
+        f"""SELECT word, cnt FROM hh_word_counts
+            WHERE cnt > {HH_FRAC} * (SELECT SUM(cnt) FROM hh_word_counts)"""
+    )
