@@ -532,10 +532,11 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     their first view, then purchased AFTER that first qualifying click —
     the sequential-dependency analytics shape (product funnels, training
     curricula). Three staged min-timestamp aggregations, each joined back
-    to the previous stage. EVERY stage groups and joins on user_id, so all
-    six operators sit on one hash-partitioning — Spark reuses the exchange
-    and the whole funnel is a single logical shuffle of events; the stage
-    dims shrink monotonically (funnel property) and broadcast. Counts are
+    to the previous stage. Each stage shuffles only ITS event-type subset
+    (the three subsets are disjoint, so the combined shuffle volume is at
+    most one pass over events), and every stage keys on user_id; the
+    per-stage user dims shrink monotonically (funnel property) and
+    broadcast into the next stage's filter. Counts are
     emitted as labeled rows via union (not one wide row) so no scalar
     cross-join appears in the plan."""
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
