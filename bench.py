@@ -75,6 +75,11 @@ HEADLINE = (
     "tpch_q22",
     "sessionize_events",
     "ngram_bigrams",
+    "funnel_conversion",
+    "set_ops_customers",
+    "join_range_keyless",
+    "heavy_hitters_words",
+    "tpch_q9",
 )
 
 

@@ -1569,3 +1569,64 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q22_SQL)
+
+
+Q9_PART_LIKE = "%gear%"
+
+
+@query(
+    "tpch_q9",
+    priority=0,
+    oracle=f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               - CAST(p_retailprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '{Q9_PART_LIKE}'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: with no partsupp table,
+    supply cost becomes p_retailprice × quantity — the join topology
+    (part + supplier + nation hanging off the orders⋈lineitem spine) and
+    the LIKE-on-part-name pruning are preserved. Scale shape: the LIKE
+    filter prunes part BEFORE its broadcast (a contains-match can't push
+    to parquet stats, but it runs in the scan stage), supplier+nation
+    broadcast, and the only real shuffle is orders⋈lineitem on orderkey
+    followed by the (nation × year)-group aggregate — small domain,
+    map-side partials. Amount is exact decimal arithmetic end-to-end;
+    one final cast to double."""
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(Q9_PART_LIKE)
+    ).select("p_partkey", "p_retailprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("p_retailprice").cast("decimal(18,2)") * F.col("l_quantity").cast(
+        "decimal(18,2)"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
