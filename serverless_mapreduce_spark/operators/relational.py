@@ -1630,3 +1630,244 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(amount).cast("double").alias("sum_profit"))
     )
+
+
+# --- TPC-H Q2/Q11/Q16/Q20: the partsupp-family, on a derived supply relation --
+# The fixture has no partsupp table; its role (which supplier supplies which
+# part, at what cost/volume) is reconstructed from lineitem itself — the
+# (l_partkey, l_suppkey) pairs ARE the supply relation, with unit cost
+# l_extendedprice/l_quantity and volume SUM(l_quantity). Join topology and
+# subquery shapes of the originals are preserved. With these four, all 22
+# TPC-H queries exist in fixture-adapted form.
+
+Q2_SIZE, Q2_TYPE, Q2_REGION = 25, "PROMO", "ASIA"
+
+
+@query(
+    "tpch_q2",
+    priority=0,
+    oracle=f"""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    asia AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = '{Q2_REGION}'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM part
+    JOIN supply ON p_partkey = l_partkey
+    JOIN asia ON l_suppkey = s_suppkey
+    WHERE p_size = {Q2_SIZE} AND p_type = '{Q2_TYPE}'
+      AND unit_cost = (SELECT MIN(s2.unit_cost)
+                       FROM supply s2 JOIN asia a2 ON s2.l_suppkey = a2.s_suppkey
+                       WHERE s2.l_partkey = p_partkey)
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): the correlated-argmin showcase.
+    The correlated MIN decorrelates to a per-part minimum over the
+    region's supply rows, joined back on (partkey, unit_cost) — Catalyst's
+    own decorrelation strategy, written out. Scale shape: the supply
+    relation aggregates lineitem once on its natural (part, supp) key;
+    the region's supplier dim broadcasts into it; the per-part min is a
+    second small aggregate over the SAME partitioning side; part (size +
+    type pruned at the scan) broadcasts last. The float equality is safe:
+    both engines compute the identical IEEE quotient and MIN picks the
+    same value."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    li = table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    asia = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply_asia = persist_tracked(
+        supply.join(F.broadcast(asia), F.col("l_suppkey") == F.col("s_suppkey"))
+    )  # scanned twice: per-part min + winner filter
+    best = supply_asia.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE)
+    ).select("p_partkey", "p_name")
+    return (
+        supply_asia.join(
+            best,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+    )
+
+
+Q11_NATION = "NATION_5"
+Q11_FRAC = 0.002
+
+
+@query(
+    "tpch_q11",
+    priority=0,
+    oracle=f"""
+    WITH natval AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = '{Q11_NATION}'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS value
+    FROM natval
+    WHERE CAST(val AS DOUBLE) >
+          {Q11_FRAC} * (SELECT CAST(SUM(val) AS DOUBLE) FROM natval)
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification): per-part value within
+    one nation's supply, kept only when above a FRACTION of the nation's
+    total — the group-then-scalar-threshold shape (same SubqueryExec
+    pattern as heavy_hitters_words, here over a decimal join aggregate).
+    The per-part values materialize once (persisted, part-cardinality);
+    the total is an exact decimal sum over THAT table, never a second
+    lineitem pass. One fact shuffle on l_partkey; the nation's suppliers
+    broadcast."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    nat_supp = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey"
+    )
+    val = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    natval = persist_tracked(
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val"))
+    )
+    natval.createOrReplaceTempView("tpch_q11_natval")
+    return spark.sql(
+        f"""SELECT l_partkey, CAST(val AS DOUBLE) AS value
+            FROM tpch_q11_natval
+            WHERE CAST(val AS DOUBLE) >
+                  {Q11_FRAC} * (SELECT CAST(SUM(val) AS DOUBLE) FROM tpch_q11_natval)"""
+    )
+
+
+Q16_EXCL_BRAND, Q16_EXCL_TYPE = "Brand#12", "PROMO"
+Q16_SIZES = (1, 5, 10, 15, 20, 25)
+
+
+@query(
+    "tpch_q16",
+    priority=0,
+    oracle=f"""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> '{Q16_EXCL_BRAND}'
+      AND p_type <> '{Q16_EXCL_TYPE}'
+      AND p_size IN {Q16_SIZES}
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (part-supplier relationship count): distinct suppliers
+    per part attribute triple, excluding blacklisted suppliers — the
+    "complaints" NOT IN becomes a negative-balance exclusion. The NOT IN
+    is expressed as a LEFT ANTI join (the keys are non-null, so the
+    null-aware subtlety of NOT IN is vacuous — the oracle keeps the NOT
+    IN spelling); the excluded set is tiny and broadcasts. Scale shape:
+    part (size IN-list pushed to the scan) broadcasts; the distinct count
+    is two-phase partial-distinct on (attrs, suppkey), so the shuffle
+    carries deduplicated quads."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & (F.col("p_type") != Q16_EXCL_TYPE)
+        & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q20_NATION = "NATION_7"
+Q20_PART_LIKE = "%bolt%"
+Q20_FROM, Q20_TO = "1997-01-01", "1998-01-01"
+Q20_QTY = 200
+
+
+@query(
+    "tpch_q20",
+    priority=0,
+    oracle=f"""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{Q20_NATION}'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '{Q20_PART_LIKE}'
+          AND l_shipdate >= TIMESTAMP '{Q20_FROM} 00:00:00'
+          AND l_shipdate < TIMESTAMP '{Q20_TO} 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > {Q20_QTY})
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one nation who
+    moved excess volume of one part family in one year — the
+    nested-IN-with-HAVING shape ("excess stock" becomes shipped volume;
+    no availqty in the fixture). Plan: the part family broadcasts into
+    the year-pruned lineitem scan, the HAVING aggregate groups on
+    l_suppkey, and the result (a set of supplier keys) drives a LEFT SEMI
+    join against the nation's suppliers — supplier-side work is all
+    broadcast-scale."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q20_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_TO).cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(Q20_PART_LIKE)
+    ).select("p_partkey")
+    movers = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > Q20_QTY)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == Q20_NATION)
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
