@@ -80,6 +80,7 @@ HEADLINE = (
     "join_range_keyless",
     "heavy_hitters_words",
     "tpch_q9",
+    "tpch_q2",
 )
 
 
