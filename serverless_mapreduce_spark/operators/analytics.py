@@ -674,6 +674,204 @@ def unpivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- time-series gap filling: zero-filled hourly counts per event type --------
+
+@query(
+    "gapfill_hourly_counts",
+    priority=50,
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM c GROUP BY 1),
+    s AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM r
+    )
+    SELECT s.event_type, epoch_us(s.hr) AS hour_us,
+           COALESCE(c.n, 0) AS n_events
+    FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.hr = c.hr
+    """,
+)
+def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILLING: hourly event counts per type with missing
+    hours zero-filled — the resample/asfreq operation every monitoring and
+    feature pipeline needs, which a plain GROUP BY cannot produce (absent
+    hours yield no row at all).
+
+    Scale shape: aggregate FIRST (events collapse to one row per
+    (type, hour) — the only pass over the fact table), then build the time
+    spine from each type's own [min, max] hourly range via
+    ``sequence`` + ``explode`` — generated distributed, one row per type
+    exploding to its range, never a driver-side loop or a cross join. The
+    spine left-joins the (tiny) aggregate; at 100 TB the join inputs are
+    both dimension-sized. Hours are emitted as epoch micros (BIGINT),
+    timezone-free across engines."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    counts = (
+        table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+        )
+    )
+    return spine.join(counts, ["event_type", "hr"], "left").select(
+        "event_type",
+        F.unix_micros(F.col("hr")).alias("hour_us"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+    )
+
+
+# --- per-user linear trend: exact-arithmetic regression slope ------------------
+
+#: x origin for the regression (any constant instant works; this one keeps
+#: x small and positive for the fixture's 2024 event range).
+REGR_EPOCH = "2024-01-01 00:00:00"
+
+
+@query(
+    "regr_slope_user_trend",
+    priority=50,
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(TIMESTAMP '{REGR_EPOCH}') AS BIGINT) // 1000000
+               AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y_cents
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y_cents AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * y_cents) AS sxy,
+             SUM(CAST(x AS DECIMAL(19,0)) * x) AS sxx
+      FROM pts GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 12)
+             AS slope_cents_per_sec
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+)
+def regr_slope_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend: least-squares slope of (event value) over
+    (event time) — ``REGR_SLOPE`` computed from EXACT integer/decimal
+    moments. Why not the built-in: both engines implement regr_slope with
+    IEEE-double partial aggregation, whose result depends on partition
+    merge order — unfixable for a hash-equality oracle. Instead x (seconds
+    since a constant origin) and y (cents) are integers, so the four
+    moments Σx, Σy, Σxy, Σx² are EXACT decimal sums — order-independent
+    under any partitioning — and the single final division is one
+    deterministic double op (rounded to 12 dp to absorb the two
+    decimal→double casts). One shuffle, map-side partial aggregation; the
+    moment-sum rewrite is exactly how a 1000-executor regression should
+    run — never collect points."""
+    us_origin = F.unix_micros(F.lit(REGR_EPOCH).cast("timestamp"))
+    pts = table(spark, sf_dir, "events").select(
+        "user_id",
+        ((F.unix_micros(F.col("ts")) - us_origin) / 1_000_000)
+        .cast("bigint")
+        .alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("y_cents"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y_cents").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y_cents")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(num.cast("double") / den.cast("double"), 12).alias(
+                "slope_cents_per_sec"
+            ),
+        )
+    )
+
+
+# --- fixed-width histogram of order prices -------------------------------------
+
+HIST_BUCKET_WIDTH_CENTS = 2_500_000  # $25,000 buckets over [$1k, $500k)
+
+
+@query(
+    "revenue_histogram",
+    priority=50,
+    oracle=f"""
+    SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                // {HIST_BUCKET_WIDTH_CENTS} AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def revenue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width HISTOGRAM of order prices: bucket id = floor(cents /
+    width). The bucketing expression is a pure row function (no
+    width_bucket UDF, no per-bucket scan), so the whole histogram is ONE
+    hash aggregation with map-side partials — each task emits at most
+    #buckets rows regardless of input size, the textbook
+    mergeable-summary shape. Cents go through DECIMAL so bucket edges are
+    exact (no 0.1-ulp bucket flips); empty buckets are simply absent
+    (compose with ``gapfill_hourly_counts``'s spine trick to zero-fill)."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            (cents / HIST_BUCKET_WIDTH_CENTS).cast("bigint").alias("bucket"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("p").cast("double").alias("sum_price"),
+        )
+    )
+
+
+# --- approximate distinct: HyperLogLog users per event type --------------------
+
+@query("approx_distinct_users", priority=50)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT) per event type via HyperLogLog++
+    (``approx_count_distinct``, rsd=0.01). THE cardinality operator at
+    100 TB: the sketch is a few KB per group and merges associatively, so
+    the shuffle carries one sketch per (task, group) instead of the
+    deduplicated keys that exact distinct (``daily_active_users``) must
+    move. No DuckDB oracle on purpose — its approx_count_distinct is a
+    different HLL implementation with different bias correction, so the
+    estimates legitimately differ; the pytest gate instead asserts the
+    estimate lands within the configured error bound of the exact count
+    (tests/test_edge_cases.py::test_approx_distinct_within_rsd)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )
+
+
 # --- keyless interval join via time-bucketization -----------------------------
 
 RANGE_WINDOW_US = 300_000_000  # ±5 minutes, in microseconds

@@ -104,3 +104,32 @@ def test_sf_tag_distinguishes_same_basename(tmp_path):
     b.mkdir(parents=True)
     assert sf_tag(str(a)) != sf_tag(str(b))
     assert sf_tag(str(a)) == sf_tag(str(a) + "/")  # trailing slash stable
+
+
+# --- approximate distinct: HLL estimate stays inside its error bound ------------
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """approx_distinct_users has no DuckDB oracle (different HLL impls give
+    legitimately different estimates); this is its accuracy gate: every
+    group's estimate must land within 5x the configured rsd (1%) of the
+    exact distinct count — generous enough to never flake, tight enough to
+    catch a wired-wrong column or sketch."""
+    from serverless_mapreduce_spark.registry import all_queries
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries()["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    import duckdb
+
+    exact = dict(
+        duckdb.sql(
+            f"SELECT event_type, COUNT(DISTINCT user_id) "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for et, est in approx.items():
+        assert abs(est - exact[et]) <= max(1, 0.05 * exact[et]), (
+            f"{et}: estimate {est} vs exact {exact[et]}"
+        )
