@@ -1,0 +1,214 @@
+"""Data-management operators: CDC-style upsert (MERGE), order-independent
+table checksums, and semi-structured (JSON) column extraction.
+
+The reference has no analog for any of these — its sinks overwrite whole S3
+prefixes per job (``data_sources/output_handler_s3.py:41-53``) and its only
+"typed" input is the DynamoDB column projection
+(``data_sources/input_handler_dynamodb.py:154-158``) — but a user operating
+the same pipelines at 100 TB needs exactly these three: apply a change batch
+without rewriting the world, prove two copies of a table are identical
+without moving either, and query the JSON blobs that real event streams
+carry.
+
+Scale stance (100 TB):
+- The upsert is the shuffle-once MERGE plan: union the snapshot with the
+  change batch, one hash shuffle on the key, ``max_by(row, version)`` picks
+  the survivor. No join, no second pass, no driver-side diffing; the same
+  plan is how Delta/Iceberg MERGE compiles when the change batch is too big
+  to broadcast.
+- The checksum is a pure map + one 1-row aggregation: each row hashes
+  independently (embarrassingly parallel, no shuffle of data — only of
+  64-bit partials), and both XOR and SUM aggregates are commutative, so the
+  result is identical under any partitioning, ordering, or cluster size.
+  This is how you validate a 100 TB migration without sorting either side.
+- JSON extraction is a JVM-side row function (no Python), so it fuses into
+  the scan; the aggregate behind it is an ordinary one-shuffle groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.registry import query
+
+
+# --- CDC upsert: apply a change batch to a snapshot in one shuffle ------------
+
+#: Deterministic synthetic change batch derived from orders itself:
+#: every 7th key is an UPDATE (status forced to 'U', a flat $5.00 fee added),
+#: every 11th key an INSERT under a fresh (negated) key.
+UPSERT_UPDATE_MOD = 7
+UPSERT_INSERT_MOD = 11
+
+
+@query(
+    "merge_upsert_orders",
+    priority=50,
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, cents + 500 AS cents
+      FROM base WHERE o_orderkey % {UPSERT_UPDATE_MOD} = 0
+      UNION ALL
+      SELECT -o_orderkey, 'N', cents
+      FROM base WHERE o_orderkey % {UPSERT_INSERT_MOD} = 0
+    )
+    SELECT o_orderkey, o_orderstatus, cents FROM changes
+    UNION ALL
+    SELECT b.o_orderkey, b.o_orderstatus, b.cents
+    FROM base b WHERE NOT EXISTS (
+      SELECT 1 FROM changes c WHERE c.o_orderkey = b.o_orderkey
+    )
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert: apply a change batch (updates + inserts) onto the
+    orders snapshot — the SCD-type-1 "current state" operation behind every
+    incremental pipeline. Plan: tag snapshot rows version=0 and change rows
+    version=1, UNION, then one hash aggregation per key keeps
+    ``max_by(row, version)`` — the change wins where both exist. ONE
+    shuffle of snapshot+changes, no join (the oracle's NOT EXISTS anti-join
+    is the naive two-pass form). Prices move as integer cents so updated
+    values are exact in both engines."""
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    updates = base.filter(F.col("o_orderkey") % UPSERT_UPDATE_MOD == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("cents") + 500).alias("cents"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % UPSERT_INSERT_MOD == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "cents",
+    )
+    tagged = base.withColumn("version", F.lit(0)).unionByName(
+        updates.unionByName(inserts).withColumn("version", F.lit(1))
+    )
+    row = F.struct("o_orderstatus", "cents")
+    return (
+        tagged.groupBy("o_orderkey")
+        .agg(F.max_by(row, F.col("version")).alias("r"))
+        .select("o_orderkey", "r.o_orderstatus", "r.cents")
+    )
+
+
+# --- order-independent table checksum ------------------------------------------
+
+#: Columns of the canonical row string, in fixed order. Doubles are
+#: canonicalized through DECIMAL cents and timestamps through an explicit
+#: format so both engines render byte-identical strings.
+_CHECKSUM_HEX_DIGITS = 12  # 48 bits per row: SUM of 2^63/2^48 ≈ 32T rows safe
+
+
+@query(
+    "table_checksum_orders",
+    priority=50,
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR),
+               CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS VARCHAR),
+               strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+               o_orderpriority)), 1, {_CHECKSUM_HEX_DIGITS})) AS BIGINT) AS h
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_check,
+           BIT_XOR(h) AS xor_check
+    FROM rows_
+    """,
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent TABLE CHECKSUM: every row is canonicalized to a
+    fixed string form, md5-hashed, truncated to 48 bits, and folded with
+    two commutative aggregates (SUM catches duplicate/missing rows that
+    XOR's self-cancelation would hide; XOR is immune to SUM's carry
+    structure) plus the row count. Identical under any partitioning,
+    row order, file layout, or engine — so two 100 TB copies compare by
+    exchanging three scalars. The map side is embarrassingly parallel
+    (hash fuses into the scan; only 64-bit partials shuffle). Canonical
+    form pins the usual cross-engine traps: doubles via DECIMAL cents,
+    timestamps via an explicit strftime."""
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, _CHECKSUM_HEX_DIGITS), 16, 10).cast(
+        "bigint"
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(h.alias("h"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("sum_check"),
+            F.bit_xor("h").alias("xor_check"),
+        )
+    )
+
+
+# --- semi-structured: JSON property extraction + aggregation -------------------
+
+@query(
+    "json_props_agg",
+    priority=50,
+    oracle="""
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           SUM(k) AS sum_k,
+           ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 9) AS avg_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull an integer property out of the raw
+    JSON ``props`` column and aggregate it per event type. The extraction
+    (``get_json_object``) is a JVM-side row expression — it fuses into the
+    scan under whole-stage codegen, no Python, no intermediate
+    materialization — and the aggregate is one ordinary shuffle with
+    map-side partials. At 100 TB prefer parsing ONCE into a typed struct
+    column (``from_json`` at ingest, stored as parquet) over re-extracting
+    per query; this operator is the query-time form for data you don't
+    own. The average divides two exact integers (one deterministic double
+    op, rounded to absorb nothing — kept for cross-engine discipline)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(
+                F.sum("k").cast("double") / F.count("k").cast("double"), 9
+            ).alias("avg_k"),
+        )
+    )

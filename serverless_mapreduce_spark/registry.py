@@ -91,7 +91,9 @@ def _ensure_loaded() -> None:
     """Import every operator module for its registration side effects."""
     from serverless_mapreduce_spark.operators import (  # noqa: F401
         analytics,
+        datamgmt,
         dedup,
+        graph,
         multimodal,
         relational,
         similarity,
