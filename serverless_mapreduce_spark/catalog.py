@@ -9,7 +9,8 @@ and SQL surfaces see them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -40,14 +41,43 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # callers (the driver's harness included) bring their own session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
-
-        # nanos → micros with *integer* division: epoch-nanos (~1.7e18)
-        # exceed double's 53-bit mantissa, so `/ 1000` via IEEE double would
-        # corrupt the microseconds.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = df.withColumn("ts", _to_ntz(dict(df.dtypes).get("ts")))
     return df
+
+
+def _to_ntz(dtype: str | None) -> Column:
+    """Normalize the events ``ts`` column to TIMESTAMP_NTZ — the engine-wide
+    event-time type. NTZ is wall-clock arithmetic with no session-timezone
+    dependence, which is exactly DuckDB's TIMESTAMP: queries hash-match the
+    oracle under ANY caller timezone (the hostile-TZ tests rely on this).
+    The fixtures have shipped two physical encodings, both mapped here:
+
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark already reads
+      timestamp_ntz: pass through.
+    - TIMESTAMP(NANOS) → read as epoch-nanos BIGINT via nanosAsLong (the
+      vectorized reader rejects nanos outright), then *integer*-divide to
+      micros (epoch-nanos ~1.7e18 exceed double's 53-bit mantissa — a
+      float `/1000` would corrupt microseconds) and add to the NTZ epoch
+      with pure wall-clock timestampadd.
+    """
+    if dtype == "bigint":
+        return F.expr(
+            "timestampadd(MICROSECOND, ts div 1000,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+    return F.col("ts")
+
+
+def epoch_us(col: Column) -> Column:
+    """Timezone-free epoch microseconds from a TIMESTAMP_NTZ column — the
+    twin of DuckDB's ``epoch_us``. ``unix_micros`` only accepts TIMESTAMP
+    (instant) input; this is the NTZ equivalent, pure wall-clock diff."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        col,
+    )
 
 
 def ensure_parallelism(spark: SparkSession, df: DataFrame, *keys: str) -> DataFrame:

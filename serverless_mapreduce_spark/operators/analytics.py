@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.catalog import epoch_us, table
 from serverless_mapreduce_spark.registry import query
 
 
@@ -434,7 +434,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     new_s = F.when(
         prev.isNull()
-        | (F.col("ts").cast("long") - prev.cast("long") >= gap_s),
+        | (F.timestamp_diff("SECOND", prev, F.col("ts")) >= gap_s),
         1,
     ).otherwise(0)
     sid = F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -445,8 +445,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("session_id", sid.cast("bigint"))
         .groupBy("user_id", "session_id")
         .agg(
-            F.unix_micros(F.min("ts")).alias("session_start_us"),
-            F.unix_micros(F.max("ts")).alias("session_end_us"),
+            epoch_us(F.min("ts")).alias("session_start_us"),
+            epoch_us(F.max("ts")).alias("session_end_us"),
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
@@ -728,7 +728,7 @@ def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spine.join(counts, ["event_type", "hr"], "left").select(
         "event_type",
-        F.unix_micros(F.col("hr")).alias("hour_us"),
+        epoch_us(F.col("hr")).alias("hour_us"),
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
     )
 
@@ -781,10 +781,10 @@ def regr_slope_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal→double casts). One shuffle, map-side partial aggregation; the
     moment-sum rewrite is exactly how a 1000-executor regression should
     run — never collect points."""
-    us_origin = F.unix_micros(F.lit(REGR_EPOCH).cast("timestamp"))
+    us_origin = epoch_us(F.lit(REGR_EPOCH).cast("timestamp_ntz"))
     pts = table(spark, sf_dir, "events").select(
         "user_id",
-        ((F.unix_micros(F.col("ts")) - us_origin) / 1_000_000)
+        ((epoch_us(F.col("ts")) - us_origin) / 1_000_000)
         .cast("bigint")
         .alias("x"),
         (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("y_cents"),
@@ -905,7 +905,7 @@ def join_range_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed — the bin IS the manufactured key; the oracle runs the naive
     inequality join (fine at oracle SF)."""
     ev = table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(F.col("ts"))
     bin_ = F.floor(us / F.lit(RANGE_WINDOW_US))
     errors = (
         ev.filter(F.col("event_type") == "error")

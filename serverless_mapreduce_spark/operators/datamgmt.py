@@ -38,7 +38,10 @@ from serverless_mapreduce_spark.registry import query
 
 #: Deterministic synthetic change batch derived from orders itself:
 #: every 7th key is an UPDATE (status forced to 'U', a flat $5.00 fee added),
-#: every 11th key an INSERT under a fresh (negated) key.
+#: every 11th key an INSERT under a fresh key. Insert keys are -(k+1), not
+#: -k: the fixture contains o_orderkey = 0 (divisible by both mods), and a
+#: plain negation would collide the key-0 insert with the key-0 update —
+#: a change batch with duplicate keys has no well-defined MERGE result.
 UPSERT_UPDATE_MOD = 7
 UPSERT_INSERT_MOD = 11
 
@@ -56,7 +59,7 @@ UPSERT_INSERT_MOD = 11
       SELECT o_orderkey, 'U' AS o_orderstatus, cents + 500 AS cents
       FROM base WHERE o_orderkey % {UPSERT_UPDATE_MOD} = 0
       UNION ALL
-      SELECT -o_orderkey, 'N', cents
+      SELECT -(o_orderkey + 1), 'N', cents
       FROM base WHERE o_orderkey % {UPSERT_INSERT_MOD} = 0
     )
     SELECT o_orderkey, o_orderstatus, cents FROM changes
@@ -89,7 +92,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") + 500).alias("cents"),
     )
     inserts = base.filter(F.col("o_orderkey") % UPSERT_INSERT_MOD == 0).select(
-        (-F.col("o_orderkey")).alias("o_orderkey"),
+        (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
         "cents",
     )
@@ -178,7 +181,7 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(k) AS n_with_k,
-           SUM(k) AS sum_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
            ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 9) AS avg_k
     FROM (
       SELECT event_type,

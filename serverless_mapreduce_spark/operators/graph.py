@@ -1,0 +1,223 @@
+"""Graph operators over a relational-derived edge set: degree, triangle
+counting, and PageRank — expressed as DataFrame joins/aggregations, the way
+graph algorithms actually run on Spark (GraphX is RDD-bound and unmaintained;
+GraphFrames compiles to exactly these join-plans).
+
+The reference (hanglili/Serverless-MapReduce) has no graph surface at all —
+its API stops at map/shuffle/reduce (``src/python/serverless_mr/job/``) —
+but the dedup family here already needed one graph algorithm (connected
+components in ``dedup_cluster``); this module makes the graph family
+first-class.
+
+Graph: the PART CO-PURCHASE graph. Nodes are parts; an undirected edge
+links two parts that appear in the same order (classic market-basket
+structure). Built from lineitem alone:
+
+    edges = distinct { (a, b) : a < b, a and b sold in the same order }
+
+Scale stance (100 TB):
+- Edge build is a self-join of (orderkey, partkey) pairs CO-PARTITIONED on
+  orderkey — one shuffle of the projected fact, and the pair fanout per
+  order is bounded by order width (single-digit lines per order in this
+  schema), so output is O(|lineitem|), never quadratic.
+- Triangle counting joins oriented edges (a<b) so each triangle is counted
+  once, not 6 times. The production refinement at heavy skew is DEGREE
+  orientation (point each edge at the higher-degree endpoint, bounding
+  wedge fanout by sqrt(|E|)); id-orientation is kept here because the
+  fixture graph is near-uniform and the oracle must reproduce it exactly.
+- PageRank is the standard iterative join-agg: each iteration is one
+  shuffle of contributions keyed by dst. The degree-annotated edge list is
+  persisted once (persist_tracked) and reused by all iterations; ranks
+  themselves form a linear lineage. At 1000 executors you'd checkpoint
+  ranks every ~10 iterations to truncate lineage — 5 iterations doesn't
+  need it.
+
+Cross-engine determinism: PageRank runs in IEEE doubles in both engines
+with IDENTICAL per-step arithmetic (rank/degree, then 0.15/N + 0.85*sum);
+per-key double sums differ only in merge order (~1e-16 relative), and
+damping CONTRACTS that error each iteration rather than amplifying it, so
+rounding the final rank to 9 dp (values ~1e-3) absorbs it with ~6 orders
+of margin. Every node has degree >= 1 by construction (nodes are edge
+endpoints) — no dangling-mass term needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.caching import persist_tracked
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.registry import query
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMP = 0.85
+
+#: Shared oracle fragment: the co-purchase edge set, oriented a < b.
+EDGES_SQL = """
+    edges AS (
+      SELECT DISTINCT l.l_partkey AS a, r.l_partkey AS b
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) r
+        ON l.l_orderkey = r.l_orderkey AND l.l_partkey < r.l_partkey
+    ),
+    sym AS (
+      SELECT a AS src, b AS dst FROM edges
+      UNION ALL
+      SELECT b AS src, a AS dst FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (a < b) co-purchase edges. Pre-distincting (orderkey,
+    partkey) before the self-join keeps repeat lines of the same part out
+    of the pair build; the join is co-partitioned on orderkey."""
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    left = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
+    right = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
+    return (
+        left.join(right, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    """Symmetrized directed view of the undirected edge set."""
+    return edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
+# --- degree ------------------------------------------------------------------
+
+@query(
+    "graph_degrees",
+    priority=50,
+    oracle=f"""
+    WITH {EDGES_SQL}
+    SELECT src AS partkey, d AS degree FROM deg
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node degree of the co-purchase graph: how many distinct parts each
+    part co-occurs with. One edge-build + one count shuffle; degree is the
+    first thing every graph pipeline computes (it drives orientation,
+    sampling, and skew decisions downstream)."""
+    sym = _sym(_edges(spark, sf_dir))
+    return sym.groupBy(F.col("src").alias("partkey")).agg(
+        F.count("*").alias("degree")
+    )
+
+
+# --- triangles ---------------------------------------------------------------
+
+@query(
+    "graph_triangles",
+    priority=50,
+    oracle=f"""
+    WITH {EDGES_SQL}
+    SELECT
+      (SELECT COUNT(*) FROM deg) AS n_nodes,
+      (SELECT COUNT(*) FROM edges) AS n_edges,
+      (SELECT COUNT(*)
+       FROM edges e1
+       JOIN edges e2 ON e2.a = e1.b
+       JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNT (plus node/edge tallies) via the oriented
+    wedge-closure join: with every edge stored a < b, a triangle a<b<c is
+    found exactly once as (a,b)+(b,c) closed by (a,c). Two join shuffles
+    over the edge list — the closing join is LEFT SEMI in spirit but an
+    inner join is identical here because edges are distinct. The edge list
+    is persisted once and feeds all three tallies."""
+    edges = persist_tracked(_edges(spark, sf_dir))
+    e1 = edges.select(F.col("a"), F.col("b"))
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closed = wedges.join(
+        edges.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    n_nodes = (
+        edges.select(F.col("a").alias("x"))
+        .unionByName(edges.select(F.col("b").alias("x")))
+        .distinct()
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_nodes, edges.count(), closed.count())],
+        "n_nodes bigint, n_edges bigint, n_triangles bigint",
+    )
+
+
+# --- pagerank ----------------------------------------------------------------
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration DuckDB PageRank, arithmetic-identical to the
+    DataFrame program (see module docstring for why doubles hash-match)."""
+    prev = "r0"
+    cte = [
+        EDGES_SQL,
+        "n AS (SELECT COUNT(*) AS n FROM deg)",
+        "r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM n) AS rank FROM deg)",
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        cte.append(
+            f"""r{i} AS (
+      SELECT s.dst AS node,
+             0.15 / (SELECT n FROM n)
+               + {PAGERANK_DAMP} * SUM(r.rank / d.d) AS rank
+      FROM sym s
+      JOIN r{i - 1} r ON r.node = s.src
+      JOIN deg d ON d.src = s.src
+      GROUP BY s.dst
+    )"""
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"\n    SELECT node AS partkey, ROUND(rank, 9) AS pagerank FROM {prev}"
+    )
+
+
+@query("graph_pagerank", priority=50, oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGERANK ({PAGERANK_ITERS} iterations, damping {PAGERANK_DAMP}) over
+    the co-purchase graph. Each iteration: join current ranks onto the
+    degree-annotated adjacency (shuffle on src), emit rank/degree
+    contributions, hash-aggregate them by dst (map-side partials), damp.
+    The adjacency is persisted once and reused by every iteration; N is a
+    single driver-side scalar count (one cheap job — NOT a collect of
+    data). The oracle unrolls the same five iterations as chained CTEs
+    with identical arithmetic."""
+    sym = _sym(_edges(spark, sf_dir))
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    adj = persist_tracked(sym.join(deg, "src"))
+    n = deg.count()
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = adj.join(ranks, adj.src == ranks.node).select(
+            F.col("dst"), (F.col("rank") / F.col("d")).alias("c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (F.lit(0.15 / n) + F.lit(PAGERANK_DAMP) * F.sum("c")).alias(
+                    "rank"
+                )
+            )
+            .select(F.col("dst").alias("node"), "rank")
+        )
+    return ranks.select(
+        F.col("node").alias("partkey"), F.round("rank", 9).alias("pagerank")
+    )

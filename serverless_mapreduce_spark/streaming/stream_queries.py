@@ -35,7 +35,7 @@ from pyspark.sql.types import StructType
 from serverless_mapreduce_spark.registry import query
 
 EVENTS_DDL = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 DOCUMENTS_DDL = "doc_id BIGINT, source STRING, lang STRING, text STRING"
@@ -91,17 +91,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded stream over events.parquet with event-time ``ts``.
 
     The file source needs the schema up front (no inference on streams);
-    TIMESTAMP(NANOS) parquet requires nanosAsLong (see catalog.table), so
-    ``ts`` arrives as epoch-nanos and is converted with integer division."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Window starts are emitted as timestamps: pin the session TZ so the
-    # collected values are invariant to the caller's environment (the
-    # DuckDB oracle reads naive timestamps).
+    the parquet stores ``ts`` as TIMESTAMP_NTZ (see catalog._to_ntz), but
+    the watermark machinery only accepts instant TIMESTAMP
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise), so the session TZ is
+    pinned to UTC FIRST and then the NTZ wall clock is cast — under UTC
+    the cast is the identity on wall values, making window starts and
+    collected results invariant to the caller's environment (the DuckDB
+    oracle reads naive timestamps; the hostile-TZ pytest covers this)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = spark.readStream.schema(StructType.fromDDL(EVENTS_DDL)).parquet(
         _stream_dir(sf_dir, "events")
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,6 +407,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "purchase_id",
         "user_id",
-        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+        F.timestamp_diff("MICROSECOND", F.col("c_ts"), F.col("p_ts")).alias(
+            "lag_us"
+        ),
     )
     return run_stream_to_memory(joined, mode="append")
