@@ -81,6 +81,16 @@ HEADLINE = (
     "heavy_hitters_words",
     "tpch_q9",
     "tpch_q2",
+    # round-4 operators: the graph family (iterative join-agg plans), the
+    # CDC/merge + checksum data-management pair, and the training-pipeline
+    # split/chunk preprocessing stages
+    "graph_degrees",
+    "graph_triangles",
+    "graph_pagerank",
+    "merge_upsert_orders",
+    "table_checksum_orders",
+    "train_val_test_split",
+    "docs_chunk_sliding",
 )
 
 

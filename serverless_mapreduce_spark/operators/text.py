@@ -339,3 +339,137 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""SELECT word, cnt FROM hh_word_counts
             WHERE cnt > {HH_FRAC} * (SELECT SUM(cnt) FROM hh_word_counts)"""
     )
+
+
+# --- extension: deterministic train/val/test split -----------------------------
+
+#: Hash-bucket split bounds (out of 100): [0,80) train, [80,90) val, rest test.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90
+
+
+@query(
+    "train_val_test_split",
+    priority=50,
+    oracle=f"""
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, text,
+             CASE
+               WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+               WHEN b < {SPLIT_VAL_PCT} THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (
+        SELECT lang, text,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b
+        FROM documents
+      )
+    )
+    GROUP BY split, lang
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST SPLIT — the assignment every training
+    pipeline needs before anything else touches the corpus. The split key
+    is a hash bucket of doc_id (md5 prefix mod 100), NOT ``rand()``:
+    hash assignment is reproducible across runs, clusters, partitionings,
+    and engines, and the three splits are disjoint BY CONSTRUCTION (one
+    bucket value per doc), which is the leakage guarantee auditors ask
+    for. The assignment is a pure row expression fused into the scan; the
+    per-(split, lang) audit aggregation shown here is one shuffle. At
+    100 TB the same expression becomes the partition column of the output
+    write (``partitionBy('split')``) — no extra pass."""
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(split.alias("split"), "lang", F.length("text").alias("n_chars"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# --- extension: sliding-window document chunking -------------------------------
+
+CHUNK_TOKENS = 64   #: tokens per chunk
+CHUNK_STRIDE = 48   #: tokens between chunk starts (64-48 = 16-token overlap)
+
+
+@query(
+    "docs_chunk_sliding",
+    priority=50,
+    oracle=f"""
+    SELECT doc_id, chunk_idx,
+           len(list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                          chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS n_tokens,
+           md5(array_to_string(
+                 list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                            chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                 ' ')) AS chunk_md5
+    FROM (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ), LATERAL (
+      SELECT unnest(range(0, CAST(ceil(
+               greatest(len(toks) - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0
+             ) AS BIGINT) + 1)) AS chunk_idx
+    )
+    WHERE len(toks) > 0
+    """,
+)
+def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW CHUNKING: split each document into {CHUNK_TOKENS}-token
+    chunks every {CHUNK_STRIDE} tokens (16-token overlap) — the standard
+    context-window preprocessing step for embedding/training pipelines.
+    Chunk boundaries are pure per-row array arithmetic (tokenize once,
+    slice per window): narrow map, NO shuffle, no Python — the chunk
+    count per doc is ceil((len-W)/S)+1 so short docs yield exactly one
+    chunk and every token lands in >= 1 chunk. Output carries an md5 of
+    each chunk's joined text so the oracle verifies CONTENT, not just
+    counts. At 100 TB this is the map stage feeding the embedding UDF;
+    the explode multiplies rows ~len/stride but each output row is
+    narrow."""
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size(F.col("toks")) - CHUNK_TOKENS, F.lit(0))
+            / F.lit(float(CHUNK_STRIDE))
+        ).cast("int")
+        + 1
+    )
+    chunk = F.slice(
+        F.col("toks"),
+        F.col("chunk_idx") * CHUNK_STRIDE + 1,
+        CHUNK_TOKENS,
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
