@@ -487,3 +487,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "vec_id", "cos_sim", "rnk")
     )
+
+
+# --- per-label embedding centroids ---------------------------------------------
+
+@query(
+    "embedding_label_centroids",
+    priority=50,
+    oracle="""
+    -- two unnests in one SELECT zip positionally in DuckDB (no WITH
+    -- ORDINALITY support), pairing each element with its 0-based dim
+    SELECT label, dim,
+           ROUND(AVG(CAST(val AS DOUBLE)), 6) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM (
+      SELECT label,
+             CAST(unnest(range(len(embedding))) AS INT) AS dim,
+             unnest(embedding) AS val
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed VECTOR MEAN per class label — the building block behind
+    k-means init, class prototypes, and centroid-based retrieval. Output is
+    LONG format (label, dim, centroid, n_vecs): posexplode each vector and
+    hash-aggregate per (label, dim) — map-side partial sums make this one
+    shuffle of (labels x dims) partials regardless of corpus size, and no
+    row ever carries a whole vector through the shuffle. (Re-assembling
+    arrays would need an ordered collect_list per label — a needless sort;
+    downstream consumers join on (label, dim) or pivot at the tiny result.)
+    Elements are f32 read exactly into f64 in both engines; AVG's
+    order-dependence is ~1e-13 relative, absorbed by ROUND(..., 6)."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"),
+            F.count("*").alias("n_vecs"),
+        )
+    )

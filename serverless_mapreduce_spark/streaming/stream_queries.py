@@ -412,3 +412,40 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_stream_to_memory(joined, mode="append")
+
+
+# --- streaming exactly-once dedup ---------------------------------------------
+
+@query(
+    "stream_dedup_events",
+    priority=50,
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DEDUP: at-least-once sources (Kinesis/Kafka redeliveries,
+    S3 double drops) need exactly-once semantics restored in the pipeline.
+    Each event is deliberately DUPLICATED (explode x2) before
+    ``dropDuplicatesWithinWatermark`` on event_id collapses replicas —
+    state holds one key per event_id seen within the watermark horizon,
+    then EXPIRES (the unbounded-state trap of plain dropDuplicates on
+    streams is exactly what the WithinWatermark variant fixes). State is
+    keyed by event_id: uniformly distributed, skew-free. The per-type
+    tally is computed BATCH-side on the drained sink (the streaming op
+    under test is the dedup); the oracle is the batch count — correct
+    because event_ids are unique in the fixture, so dedup must restore
+    exactly the original cardinality."""
+    ev = events_stream(stateful_session(spark), sf_dir).withWatermark(
+        "ts", WATERMARK
+    )
+    doubled = ev.select(
+        "event_id", "ts", "event_type", F.explode(F.array(F.lit(1), F.lit(2)))
+    )
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "event_type"
+    )
+    sink = run_stream_to_memory(deduped, mode="append")
+    return sink.groupBy("event_type").agg(F.count("*").alias("n_unique"))
