@@ -91,6 +91,8 @@ HEADLINE = (
     "table_checksum_orders",
     "train_val_test_split",
     "docs_chunk_sliding",
+    "embedding_label_centroids",
+    "stream_dedup_events",
 )
 
 

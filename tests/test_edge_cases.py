@@ -133,3 +133,79 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert abs(est - exact[et]) <= max(1, 0.05 * exact[et]), (
             f"{et}: estimate {est} vs exact {exact[et]}"
         )
+
+
+# --- round-4 operators: chunking boundaries, split disjointness, pagerank ----
+
+CHUNK_DOCS = {
+    "doc_id": [0, 1, 2, 3],
+    "lang": ["en", "en", "de", "de"],
+    "source": ["s", "s", "s", "s"],
+    "text": [
+        "",                      # token-less: yields NO chunks
+        "one two three",         # shorter than the window: exactly one chunk
+        " ".join(f"w{i}" for i in range(64)),   # exactly one full window
+        " ".join(f"w{i}" for i in range(65)),   # one token past: two chunks
+    ],
+}
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("chunkdocs")
+    pd.DataFrame(CHUNK_DOCS).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def test_chunking_boundaries(spark, chunk_dir):
+    from serverless_mapreduce_spark.operators.text import (
+        CHUNK_STRIDE,
+        docs_chunk_sliding,
+    )
+
+    rows = docs_chunk_sliding(spark, chunk_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 0 not in by_doc                      # empty doc → no chunks
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_tokens == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 64
+    two = sorted(by_doc[3], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in two] == [64, 65 - CHUNK_STRIDE]
+    # overlap invariant: consecutive chunks start CHUNK_STRIDE tokens apart,
+    # so every token of doc 3 lands in at least one chunk
+    assert two[0].chunk_idx == 0 and two[1].chunk_idx == 1
+
+
+def test_split_is_exhaustive_and_disjoint(spark, sf_dir):
+    from serverless_mapreduce_spark.operators.text import train_val_test_split
+
+    agg = train_val_test_split(spark, sf_dir).collect()
+    n_split = sum(r.n_docs for r in agg)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # every document lands in exactly one split (disjoint + exhaustive)
+    assert n_split == n_docs
+    assert {r.split for r in agg} <= {"train", "val", "test"}
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """With no dangling nodes, total rank mass stays 1 every iteration —
+    a global invariant the per-row oracle comparison can't see."""
+    from serverless_mapreduce_spark.operators.graph import graph_pagerank
+
+    total = (
+        graph_pagerank(spark, sf_dir)
+        .agg({"pagerank": "sum"})
+        .collect()[0][0]
+    )
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_triangle_count_positive_and_bounded(spark, sf_dir):
+    from serverless_mapreduce_spark.operators.graph import graph_triangles
+
+    r = graph_triangles(spark, sf_dir).collect()[0]
+    assert r.n_nodes > 0 and r.n_edges > 0
+    # each triangle needs 3 distinct edges; wildly loose upper bound that
+    # still catches double-counting (6x) regressions on the fixture graph
+    assert 0 < r.n_triangles < r.n_edges * r.n_edges
