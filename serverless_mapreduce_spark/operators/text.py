@@ -15,7 +15,7 @@ well; AQE handles stragglers).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_mapreduce_spark.catalog import table
@@ -472,4 +472,48 @@ def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(chunk).alias("n_tokens"),
             F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
         )
+    )
+
+
+# --- extension: per-source quota sampling --------------------------------------
+
+QUOTA_PER_SOURCE = 10
+
+
+@query(
+    "source_quota_sample",
+    priority=50,
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {QUOTA_PER_SOURCE}
+    """,
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE QUOTA SAMPLING: cap every source at {QUOTA_PER_SOURCE}
+    documents — the mixture-balancing step of corpus curation (no single
+    crawl may dominate the training mix). The within-source order is the
+    md5 of doc_id: a deterministic uniform shuffle, reproducible across
+    runs/engines/partitionings, unlike ``rand()`` (doc_id tiebreak is
+    belt-and-braces). One shuffle keyed by source. At 100 TB a hot source
+    funnels into one task under a bare window; the fix keeping IDENTICAL
+    output is rank pushdown: per-partition partial top-K on (source,
+    hash) first — K rows per source per partition survive — then the
+    global window ranks the tiny union. Spark's TakeOrderedAndProject
+    does this automatically for global top-K; per-group it's one extra
+    partial-filter stage."""
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "lang")
     )

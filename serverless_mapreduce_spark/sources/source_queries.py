@@ -127,3 +127,50 @@ def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "schema_evolution_read",
+    priority=50,
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_legacy
+    FROM (
+      SELECT lang, CAST(NULL AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT lang, length(text) AS n_chars
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    GROUP BY lang
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION: a long-lived corpus accretes columns — old files
+    lack fields that new files carry. Write two generations of the
+    documents table (gen-0 without ``n_chars``, gen-1 with it) into one
+    dataset directory and read it back with ``mergeSchema``: Spark unions
+    the footers into the widest schema and null-fills the missing column
+    in old files — no rewrite of the historical data (at 100 TB rewriting
+    history for every added column is the thing you cannot afford; this
+    read-side merge is the standard alternative, with the merged schema
+    pinned in a metastore once discovered). The aggregate distinguishes
+    legacy rows (NULL n_chars) per lang, proving null-fill semantics
+    rather than just schema shape."""
+    docs = table(spark, sf_dir, "documents")
+    base = _scratch(sf_dir, "schema_evo")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "gen=0"))
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    ).write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_legacy"),
+    )
