@@ -531,37 +531,67 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel: users who viewed, then clicked AFTER
     their first view, then purchased AFTER that first qualifying click —
     the sequential-dependency analytics shape (product funnels, training
-    curricula). Three staged min-timestamp aggregations, each joined back
-    to the previous stage. Each stage shuffles only ITS event-type subset
-    (the three subsets are disjoint, so the combined shuffle volume is at
-    most one pass over events), and every stage keys on user_id; the
-    per-stage user dims shrink monotonically (funnel property) and
-    broadcast into the next stage's filter. Counts are
-    emitted as labeled rows via union (not one wide row) so no scalar
-    cross-join appears in the plan."""
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-
-    def first_after(etype: str, prev: DataFrame, prev_col: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == etype)
-        if prev is not None:
-            e = e.join(F.broadcast(prev), "user_id").filter(
-                F.col("ts") > F.col(prev_col)
-            )
-        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
-
-    v = first_after("view", None, "")
-    c = first_after("click", v, "t_view")
-    p = first_after("purchase", c, "t_click")
-
-    def count_row(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(F.count("*").alias("n_users")).select(
-            F.lit(label).alias("step"), "n_users"
+    curricula). Plan: ONE exchange on user_id serves three chained
+    whole-partition window minimums (t_view, then first click > t_view,
+    then first purchase > that click — each window reuses the same
+    partitioning, so Catalyst plans a single shuffle), a per-user collapse
+    on the SAME partitioning (again exchange-reused), and a 1-row global
+    conditional count unpivoted to labeled rows via inline() — no joins
+    at all. The previous formulation staged three aggregations and
+    BROADCAST each stage's user dim into the next — fine at fixture
+    scale, but a per-user dim is exactly what you cannot broadcast on a
+    real corpus; this plan's only wide op is the user_id hash partition,
+    at any scale. (Oracle keeps the naive staged-join form.)"""
+    w = Window.partitionBy("user_id")
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    flagged = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
         )
-
-    return (
-        count_row(v, "view")
-        .unionAll(count_row(c, "click_after_view"))
-        .unionAll(count_row(p, "purchase_after_click"))
+    ).over(w)
+    flagged = flagged.withColumn("t_click", t_click)
+    t_buy = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        flagged.withColumn("t_buy", t_buy)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("t_view").isNotNull()).alias("viewed"),
+            F.max(F.col("t_click").isNotNull()).alias("clicked"),
+            F.max(F.col("t_buy").isNotNull()).alias("bought"),
+        )
+    )
+    wide = per_user.agg(
+        F.sum(F.col("viewed").cast("long")).alias("n_v"),
+        F.sum(F.col("clicked").cast("long")).alias("n_c"),
+        F.sum(F.col("bought").cast("long")).alias("n_b"),
+    )
+    return wide.select(
+        F.inline(
+            F.array(
+                F.struct(F.lit("view").alias("step"), F.col("n_v").alias("n_users")),
+                F.struct(
+                    F.lit("click_after_view").alias("step"),
+                    F.col("n_c").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit("purchase_after_click").alias("step"),
+                    F.col("n_b").alias("n_users"),
+                ),
+            )
+        )
     )
 
 
