@@ -517,3 +517,53 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= QUOTA_PER_SOURCE)
         .select("doc_id", "source", "lang")
     )
+
+
+# --- extension: PII scrubbing ---------------------------------------------------
+
+#: Kept to constructs with IDENTICAL semantics in Java regex (Spark) and RE2
+#: (DuckDB): character classes, bounded/unbounded repetition — no backrefs,
+#: no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{5,18}[0-9]"
+
+
+@query(
+    "pii_scrub",
+    priority=50,
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(
+                  regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{PII_PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII SCRUBBING: redact emails then phone-shaped digit runs from every
+    document — the compliance pass a training corpus goes through before
+    anything is tokenized. Pure JVM regexp row expressions fused into the
+    scan (no Python, no shuffle — embarrassingly parallel at any corpus
+    size); phones are counted AFTER email redaction so an address's digits
+    can't double-count. The output carries counts per PII type (the audit
+    metric) plus an md5 of the scrubbed text, so the oracle verifies the
+    redacted CONTENT byte-for-byte, not just tallies. Patterns are
+    restricted to the Java-regex ∩ RE2 common subset so both engines
+    match identical spans."""
+    scrub1 = F.regexp_replace(F.col("text"), PII_EMAIL_RE, "<EMAIL>")
+    scrub2 = F.regexp_replace(scrub1, PII_PHONE_RE, "<PHONE>")
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(scrub1, F.lit(PII_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        F.md5(scrub2).alias("scrubbed_md5"),
+    )

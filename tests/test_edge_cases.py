@@ -209,3 +209,35 @@ def test_triangle_count_positive_and_bounded(spark, sf_dir):
     # each triangle needs 3 distinct edges; wildly loose upper bound that
     # still catches double-counting (6x) regressions on the fixture graph
     assert 0 < r.n_triangles < r.n_edges * r.n_edges
+
+
+PII_DOCS = {
+    "doc_id": [0, 1, 2],
+    "lang": ["en", "en", "en"],
+    "source": ["s", "s", "s"],
+    "text": [
+        "contact alice.smith+spam@example.co.uk or call +1 (415) 555-0199 now",
+        "no pii here at all",
+        "two mails a@b.io c@d.org and digits 12345678",
+    ],
+}
+
+
+def test_pii_scrub_redacts(spark, tmp_path_factory):
+    from serverless_mapreduce_spark.operators.text import pii_scrub
+
+    d = tmp_path_factory.mktemp("piidocs")
+    pd.DataFrame(PII_DOCS).to_parquet(d / "documents.parquet")
+    rows = {r.doc_id: r for r in pii_scrub(spark, str(d)).collect()}
+    assert rows[0].n_emails == 1 and rows[0].n_phones == 1
+    assert rows[1].n_emails == 0 and rows[1].n_phones == 0
+    assert rows[2].n_emails == 2 and rows[2].n_phones == 1
+    # scrubbed content actually changed where PII existed, not elsewhere
+    import hashlib
+
+    assert rows[1].scrubbed_md5 == hashlib.md5(
+        PII_DOCS["text"][1].encode()
+    ).hexdigest()
+    assert rows[0].scrubbed_md5 != hashlib.md5(
+        PII_DOCS["text"][0].encode()
+    ).hexdigest()
