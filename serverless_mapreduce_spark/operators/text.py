@@ -567,3 +567,84 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(scrub2).alias("scrubbed_md5"),
     )
+
+
+# --- extension: repeated-bigram ratio (repetition quality filter) ---------------
+
+REPETITION_MAX_SHARE = 0.2  #: docs above this top-bigram share are flagged
+
+
+@query(
+    "repetition_filter",
+    priority=50,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             t[i + 1] || ' ' || t[i + 2] AS bg
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, greatest(len(t) - 1, 0))) AS i
+      )
+      WHERE len(t) >= 2
+    ),
+    per_doc AS (
+      -- SUM(cnt), not COUNT(*): total bigram occurrences, not distinct kinds
+      SELECT doc_id, SUM(cnt) AS n_bigrams,
+             MAX(cnt) AS top_cnt
+      FROM (
+        SELECT doc_id, bg, COUNT(*) AS cnt
+        FROM bigrams GROUP BY doc_id, bg
+      ) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(top_cnt AS BIGINT) AS top_bigram_cnt,
+           ROUND(CAST(top_cnt AS DOUBLE) / n_bigrams, 6) AS top_share,
+           CAST(top_cnt AS DOUBLE) / n_bigrams > {REPETITION_MAX_SHARE}
+             AS flagged
+    FROM per_doc
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPETITION FILTER (Gopher-rule style): the share of a document's
+    most frequent bigram — boilerplate, keyword-stuffed, and
+    generation-loop text scores high and gets flagged. Bigrams come from
+    the shuffle-free slice/arrays_zip pairing (same shape as
+    ngram_bigrams, no HOF lambdas), then ONE hash aggregation per
+    (doc, bigram) and a per-doc max — both key on doc_id-prefixed keys,
+    so the second agg reuses the first's partitioning. The share divides
+    two exact integers, rounded once; the flag threshold is applied to
+    the unrounded ratio identically in both engines. At corpus scale
+    nothing here is wider than the doc's own bigram multiset."""
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("bg"))
+    per_doc = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_cnt"))
+    )
+    share = F.col("top_cnt").cast("double") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("top_cnt").cast("bigint").alias("top_bigram_cnt"),
+        F.round(share, 6).alias("top_share"),
+        (share > REPETITION_MAX_SHARE).alias("flagged"),
+    )

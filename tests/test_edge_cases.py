@@ -241,3 +241,23 @@ def test_pii_scrub_redacts(spark, tmp_path_factory):
     assert rows[0].scrubbed_md5 != hashlib.md5(
         PII_DOCS["text"][0].encode()
     ).hexdigest()
+
+
+def test_repetition_filter_flags_looping_text(spark, tmp_path_factory):
+    from serverless_mapreduce_spark.operators.text import repetition_filter
+
+    d = tmp_path_factory.mktemp("repdocs")
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "text": [
+                "buy now " * 30,                       # generation loop
+                "a perfectly ordinary varied sentence with no repeats",
+            ],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = {r.doc_id: r for r in repetition_filter(spark, str(d)).collect()}
+    assert rows[0].flagged and rows[0].top_share > 0.4
+    assert not rows[1].flagged
