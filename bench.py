@@ -93,6 +93,8 @@ HEADLINE = (
     "docs_chunk_sliding",
     "embedding_label_centroids",
     "stream_dedup_events",
+    "pii_scrub",
+    "repetition_filter",
 )
 
 
