@@ -25,12 +25,13 @@ Scale stance (100 TB):
   orientation (point each edge at the higher-degree endpoint, bounding
   wedge fanout by sqrt(|E|)); id-orientation is kept here because the
   fixture graph is near-uniform and the oracle must reproduce it exactly.
-- PageRank is the standard iterative join-agg: each iteration is one
-  shuffle of contributions keyed by dst. The degree-annotated edge list is
-  persisted once (persist_tracked) and reused by all iterations; ranks
-  themselves form a linear lineage. At 1000 executors you'd checkpoint
-  ranks every ~10 iterations to truncate lineage — 5 iterations doesn't
-  need it.
+- PageRank is the standard iterative join-agg: each iteration broadcasts
+  the node-count-sized rank table into the persisted degree-annotated
+  adjacency (the big side never re-shuffles) and hash-aggregates
+  contributions by dst. Every rank generation is localCheckpoint'ed —
+  lineage otherwise doubles per round and Catalyst re-optimizes the full
+  tree at the final action (a measured 152-exchange plan without
+  truncation); on a real cluster use reliable checkpoint() instead.
 
 Cross-engine determinism: PageRank runs in IEEE doubles in both engines
 with IDENTICAL per-step arithmetic (rank/degree, then 0.15/N + 0.85*sum);
@@ -201,19 +202,31 @@ def _pagerank_oracle() -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PAGERANK ({PAGERANK_ITERS} iterations, damping {PAGERANK_DAMP}) over
     the co-purchase graph. Each iteration: join current ranks onto the
-    degree-annotated adjacency (shuffle on src), emit rank/degree
+    degree-annotated adjacency (ranks are node-count-sized, so the join
+    broadcasts them — the big side never re-shuffles), emit rank/degree
     contributions, hash-aggregate them by dst (map-side partials), damp.
     The adjacency is persisted once and reused by every iteration; N is a
     single driver-side scalar count (one cheap job — NOT a collect of
-    data). The oracle unrolls the same five iterations as chained CTEs
-    with identical arithmetic."""
+    data). Each generation of ranks is localCheckpoint'ed: without lineage
+    truncation the logical plan doubles every round and Catalyst
+    re-optimizes the FULL tree at the final action — measured as a
+    152-exchange physical plan and 7.8 s at sf0.1, vs one shallow
+    broadcast-join + agg per round after truncation (the same finding
+    dedup_cluster documents; on a real cluster use reliable checkpoint()).
+    The oracle unrolls the same five iterations as chained CTEs with
+    identical arithmetic."""
     sym = _sym(_edges(spark, sf_dir))
     deg = sym.groupBy("src").agg(F.count("*").alias("d"))
     adj = persist_tracked(sym.join(deg, "src"))
     n = deg.count()
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint()
     for _ in range(PAGERANK_ITERS):
-        contrib = adj.join(ranks, adj.src == ranks.node).select(
+        # explicit broadcast: a checkpointed frame has no catalog stats, so
+        # the planner would otherwise fall back to a sort-merge join and
+        # re-shuffle the (much larger) adjacency every iteration
+        contrib = adj.join(F.broadcast(ranks), adj.src == ranks.node).select(
             F.col("dst"), (F.col("rank") / F.col("d")).alias("c")
         )
         ranks = (
@@ -224,6 +237,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .select(F.col("dst").alias("node"), "rank")
+            # every generation: a lazily-chained generation re-executes
+            # inside the next round's broadcast build (measured slower than
+            # eager truncation every round)
+            .localCheckpoint()
         )
     return ranks.select(
         F.col("node").alias("partkey"), F.round("rank", 9).alias("pagerank")
