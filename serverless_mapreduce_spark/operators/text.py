@@ -648,3 +648,76 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("top_share"),
         (share > REPETITION_MAX_SHARE).alias("flagged"),
     )
+
+
+# --- extension: cross-document boilerplate passage detection --------------------
+
+@query(
+    "boilerplate_chunks",
+    priority=50,
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                   list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                              chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                   ' ')) AS chunk_md5
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+        FROM documents
+      ), LATERAL (
+        SELECT unnest(range(0, CAST(ceil(
+                 greatest(len(toks) - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0
+               ) AS BIGINT) + 1)) AS chunk_idx
+      )
+      WHERE len(toks) > 0
+    )
+    SELECT chunk_md5,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE PASSAGE DETECTION: chunk every document with the
+    docs_chunk_sliding windows, then find chunk texts that recur across
+    >= 2 DISTINCT documents — headers, license blocks, templated
+    paragraphs — the passage-level dedup that document-level dedup cannot
+    see (two different documents sharing one pasted paragraph are not
+    near-dups as wholes). Composition of two existing shapes: shuffle-free
+    chunking (pure array arithmetic in the scan) into ONE hash aggregation
+    keyed by the 128-bit chunk digest — uniformly distributed, skew-free;
+    count(distinct doc_id) is the only memory-bearing agg and is bounded
+    per digest by true repetition. The downstream action on hits is an
+    anti-join of (doc_id, chunk_idx) against keepers — same shape as
+    dedup_exact."""
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.size(F.col("toks")) - CHUNK_TOKENS, F.lit(0))
+            / F.lit(float(CHUNK_STRIDE))
+        ).cast("int")
+        + 1
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            "toks",
+        )
+        .select("doc_id", F.md5(F.array_join(chunk, " ")).alias("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

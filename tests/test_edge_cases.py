@@ -261,3 +261,26 @@ def test_repetition_filter_flags_looping_text(spark, tmp_path_factory):
     rows = {r.doc_id: r for r in repetition_filter(spark, str(d)).collect()}
     assert rows[0].flagged and rows[0].top_share > 0.4
     assert not rows[1].flagged
+
+
+def test_boilerplate_chunks_detects_shared_passage(spark, tmp_path_factory):
+    from serverless_mapreduce_spark.operators.text import boilerplate_chunks
+
+    passage = " ".join(f"lic{i}" for i in range(64))  # one full license block
+    d = tmp_path_factory.mktemp("bpdocs")
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "text": [
+                passage + " body of the first document here",
+                passage + " entirely different second body text",
+                "no shared passage in this one at all " * 4,
+            ],
+        }
+    ).to_parquet(d / "documents.parquet")
+    hits = boilerplate_chunks(spark, str(d)).collect()
+    # the shared 64-token block is chunk 0 of docs 0 and 1 — exactly one hit
+    assert len(hits) == 1
+    assert hits[0].n_docs == 2 and hits[0].n_occurrences == 2
