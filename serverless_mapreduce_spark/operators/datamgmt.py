@@ -215,3 +215,69 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_k"),
         )
     )
+
+
+# --- table profiling -----------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+
+def _profile_oracle() -> str:
+    arms = []
+    for c in _PROFILE_COLS:
+        arms.append(f"""
+    SELECT '{c}' AS col,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_str,
+           CAST(MAX({c}) AS VARCHAR) AS max_str
+    FROM orders""")
+    return "\n    UNION ALL".join(arms)
+
+
+@query("profile_orders", priority=50, oracle=_profile_oracle())
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE PROFILING: per-column null count, exact distinct count, and
+    min/max — the first query every data platform runs against a new
+    table (drives skew decisions, join-key selection, and data-quality
+    alerts downstream). All five columns profile in ONE pass over the
+    scan: count/min/max are plain map-side-partial aggregates and the
+    exact distincts expand via Spark's single expand+aggregate rewrite —
+    no per-column scans (the oracle's UNION of five scans is the naive
+    form). At 100 TB swap COUNT(DISTINCT) for approx_count_distinct
+    (HLL partials merge map-side; same plan minus the expand) — exact is
+    registered because the oracle can verify it. Min/max are CAST to
+    strings so one output schema covers heterogeneous column types; the
+    double column's shortest-repr cast is identical in both engines."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    return wide.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_str"),
+                        F.col(f"{c}__max").alias("max_str"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        )
+    )

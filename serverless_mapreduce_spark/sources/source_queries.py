@@ -174,3 +174,53 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_legacy"),
     )
+
+
+#: Compaction target: bytes per output file (tiny for the fixture; in
+#: production ~128-512 MB, aligned with spark.sql.files.maxPartitionBytes).
+COMPACT_TARGET_BYTES = 256 * 1024
+FRAGMENT_FILES = 64
+
+
+@query(
+    "compact_small_files",
+    priority=50,
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION: streaming ingests and per-reducer sinks leave
+    thousands of tiny files per partition (the reference writes one S3
+    object per reducer — output_handler_s3.py:41-53 — which at 100 TB/day
+    is exactly this problem); every downstream scan then pays per-file
+    open/footer costs and the NameNode/listing pays the metadata. This op
+    is the maintenance job: write the table fragmented ({FRAGMENT_FILES}
+    files), size the compacted layout from the FRAGMENTED DATA's actual
+    on-disk bytes (sum of file sizes / target — the same arithmetic a
+    Delta OPTIMIZE does), rewrite with repartition(n), and read the
+    compacted copy back. The registered result aggregates the compacted
+    copy against the original table's oracle — proving the rewrite is
+    lossless, which is the invariant that matters; the file-count
+    reduction itself is asserted in tests/test_sources.py."""
+    import glob
+
+    docs = table(spark, sf_dir, "documents")
+    frag_dir = _scratch(sf_dir, "compact_frag")
+    docs.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag_dir)
+    frag_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(frag_dir, "*.parquet"))
+    )
+    n_out = max(1, min(FRAGMENT_FILES, round(frag_bytes / COMPACT_TARGET_BYTES)))
+    compact_dir = _scratch(sf_dir, "compact_out")
+    spark.read.parquet(frag_dir).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(compact_dir)
+    back = spark.read.parquet(compact_dir)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )

@@ -94,3 +94,25 @@ def test_partitioned_sink_prunes_to_one_partition(spark, sf_dir):
     import re
 
     assert re.search(r"PartitionFilters: \[[^]]*= click\)", final), final
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    import glob
+    import os
+
+    from serverless_mapreduce_spark.operators import datamgmt  # noqa: F401
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+    from serverless_mapreduce_spark.sources.source_queries import (
+        FRAGMENT_FILES,
+        compact_small_files,
+    )
+
+    compact_small_files(spark, sf_dir).count()
+    frag = glob.glob(
+        os.path.join(scratch(sf_tag(sf_dir), "compact_frag"), "*.parquet")
+    )
+    out = glob.glob(
+        os.path.join(scratch(sf_tag(sf_dir), "compact_out"), "*.parquet")
+    )
+    assert len(frag) == FRAGMENT_FILES
+    assert 1 <= len(out) < len(frag)
