@@ -95,6 +95,8 @@ HEADLINE = (
     "stream_dedup_events",
     "pii_scrub",
     "repetition_filter",
+    "boilerplate_chunks",
+    "profile_orders",
 )
 
 
