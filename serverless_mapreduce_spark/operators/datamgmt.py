@@ -254,8 +254,15 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (HLL partials merge map-side; same plan minus the expand) — exact is
     registered because the oracle can verify it. Min/max are CAST to
     strings so one output schema covers heterogeneous column types; the
-    double column's shortest-repr cast is identical in both engines."""
-    o = table(spark, sf_dir, "orders")
+    double column's shortest-repr cast is identical in both engines.
+    ensure_parallelism spreads the 5x expand off the single-row-group
+    fixture scan (a no-op on real multi-row-group data); the ~3 s warm
+    cost at sf0.1 is the expand itself — 5 distinct aggregates rewrite to
+    a 6-way expand with two shuffle phases, the price of EXACT profiling
+    that the approx variant avoids."""
+    from serverless_mapreduce_spark.catalog import ensure_parallelism
+
+    o = ensure_parallelism(spark, table(spark, sf_dir, "orders"))
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
