@@ -449,3 +449,51 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_stream_to_memory(deduped, mode="append")
     return sink.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+
+
+# --- stream-static enrichment join --------------------------------------------
+
+N_USER_TIERS = 4
+
+
+@query(
+    "stream_static_enrich",
+    priority=50,
+    oracle=f"""
+    WITH tiers AS (
+      SELECT DISTINCT user_id, user_id % {N_USER_TIERS} AS tier FROM events
+    )
+    SELECT t.tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN tiers t ON t.user_id = e.user_id
+    GROUP BY t.tier
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN: enrich a live stream with a slowly-changing
+    batch dimension — the single most common production streaming shape
+    (clickstream x user profile, txn x account). The static side is a
+    plain batch DataFrame (here a deterministic user→tier dim derived
+    from the fixture so the oracle can rebuild it); Spark re-plans the
+    join EVERY micro-batch, so dim updates between batches are picked up
+    automatically, and a small dim broadcasts — the stream side never
+    shuffles for the join and, unlike a stream-stream join, NO state
+    store is involved. The running per-tier aggregate is ordinary keyed
+    streaming state in complete mode."""
+    ss = stateful_session(spark)
+    from serverless_mapreduce_spark.catalog import table as _table
+
+    tiers = (
+        _table(ss, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.col("user_id") % N_USER_TIERS)
+    )
+    ev = events_stream(ss, sf_dir)
+    joined = ev.join(F.broadcast(tiers), "user_id")
+    agg = joined.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return run_stream_to_memory(agg)
