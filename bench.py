@@ -97,6 +97,7 @@ HEADLINE = (
     "repetition_filter",
     "boilerplate_chunks",
     "profile_orders",
+    "stream_static_enrich",
 )
 
 
