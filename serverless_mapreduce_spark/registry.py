@@ -72,9 +72,60 @@ def query(
     return deco
 
 
+_DRIVER_GREEN: set[str] | None = None
+
+
+def driver_green() -> set[str]:
+    """Query names with a clean driver row in ANY checked-in
+    ``CORRECTNESS_r*.json`` at the repo root.
+
+    This makes the driver-window ordering (SURVEY.md §2.5) data-driven: a
+    query is demoted behind the 50-slot correctness window exactly when a
+    prior round's driver already hash-verified it, with no per-site
+    ``priority=`` bookkeeping to go stale between rounds (round 4's static
+    priorities would have let round 5 re-check 49 already-green queries
+    while reaching only 1 of the 23 never-verified ones).
+
+    Green = no ``err`` and no ``False`` among rows/schema/hash matches
+    (``None`` tolerated so a future rows-only check of a no-oracle query
+    still counts once the driver records it clean).
+    """
+    global _DRIVER_GREEN
+    if _DRIVER_GREEN is None:
+        import glob
+        import json
+        import os
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        green: set[str] = set()
+        for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+            try:
+                with open(path) as fh:
+                    data = json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if not isinstance(data, dict):
+                continue
+            for name, rec in data.items():
+                if not isinstance(rec, dict) or rec.get("err") is not None:
+                    continue
+                checks = (
+                    rec.get("rows_match"),
+                    rec.get("schema_match"),
+                    rec.get("hash_match"),
+                )
+                if False not in checks:
+                    green.add(name)
+        _DRIVER_GREEN = green
+    return _DRIVER_GREEN
+
+
 def _ordered(names: list[str]) -> list[str]:
     index = {n: i for i, n in enumerate(_QUERIES)}
-    return sorted(names, key=lambda n: (_PRIORITY[n], index[n]))
+    verified = driver_green()
+    return sorted(
+        names, key=lambda n: (n in verified, _PRIORITY[n], index[n])
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -19,15 +19,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _prior_green() -> set[str]:
+    """Independent re-derivation of registry.driver_green() (ALL rounds'
+    files, green = no err and no False check) so a bug in the registry's
+    parsing can't hide from the test that exists to police it."""
     names: set[str] = set()
-    for r in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        path = os.path.join(REPO, r)
-        if not os.path.exists(path):
+    for fname in sorted(os.listdir(REPO)):
+        if not (fname.startswith("CORRECTNESS_r") and fname.endswith(".json")):
             continue
-        for name, rec in json.load(open(path)).items():
-            if rec.get("rows_match") and rec.get("hash_match"):
+        data = json.load(open(os.path.join(REPO, fname)))
+        for name, rec in data.items():
+            if rec.get("err") is not None:
+                continue
+            checks = (
+                rec.get("rows_match"),
+                rec.get("schema_match"),
+                rec.get("hash_match"),
+            )
+            if False not in checks:
                 names.add(name)
     return names
+
+
+def test_driver_green_matches_independent_scan():
+    assert registry.driver_green() == _prior_green()
 
 
 def test_unverified_queries_form_a_prefix():
