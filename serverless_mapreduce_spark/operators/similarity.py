@@ -433,11 +433,30 @@ def ann_ivf_kmeans(
     )
 
 
-@query("ann_ivf_kmeans_topk", priority=0)
+@query(
+    "ann_ivf_kmeans_topk",
+    priority=0,
+    oracle=f"""
+    -- shape oracle: wherever the KMeans centroids land, every query vector
+    -- (vec_id % {QUERY_MOD} = 0) yields exactly ranks 1..{TOP_K} (nprobe=3
+    -- of {N_CENTROIDS} cells always holds >= {TOP_K} candidates), so the
+    -- deterministic projection (q_id, rnk) is hashable; neighbor QUALITY is
+    -- gated separately by the recall pytest (tests/test_ivf_recall.py).
+    SELECT e.vec_id AS q_id, r.rnk
+    FROM embeddings e
+    CROSS JOIN (SELECT UNNEST(range(1, {TOP_K + 1})) AS rnk) r
+    WHERE e.vec_id % {QUERY_MOD} = 0
+""",
+)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered entry for the KMeans IVF (rows-only driver check: result
-    cardinality is always TOP_K·|queries| however the centroids land)."""
-    return ann_ivf_kmeans(spark, sf_dir)
+    """Registered entry for the KMeans IVF. The driver-checked projection is
+    the DETERMINISTIC part of the result — (q_id, rnk), i.e. "each query
+    returns a full exact-cosine-ranked top-{TOP_K}" — because which vec_ids
+    fill those ranks legitimately depends on where the (non-SQL-expressible)
+    k-means centroids land. Recall vs ann_topk_bruteforce is the pytest gate
+    (tests/test_ivf_recall.py); the full result shape stays available as
+    ``ann_ivf_kmeans`` for the bench and tests."""
+    return ann_ivf_kmeans(spark, sf_dir).select("q_id", "rnk")
 
 
 @query("ann_ivf_topk", oracle=_SQL_IVF)

@@ -109,16 +109,19 @@ def test_sf_tag_distinguishes_same_basename(tmp_path):
 # --- approximate distinct: HLL estimate stays inside its error bound ------------
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    """approx_distinct_users has no DuckDB oracle (different HLL impls give
-    legitimately different estimates); this is its accuracy gate: every
-    group's estimate must land within 5x the configured rsd (1%) of the
-    exact distinct count — generous enough to never flake, tight enough to
-    catch a wired-wrong column or sketch."""
-    from serverless_mapreduce_spark.registry import all_queries
+    """Accuracy gate for the HLL estimate itself (the registered query's
+    driver oracle only hashes the within-3rsd boolean; different HLL impls
+    give legitimately different estimates, so the raw estimate can't be
+    oracle-hashed): every group's estimate must land within 5x the
+    configured rsd (1%) of the exact distinct count — generous enough to
+    never flake, tight enough to catch a wired-wrong column or sketch."""
+    from serverless_mapreduce_spark.operators.analytics import (
+        approx_distinct_estimates,
+    )
 
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in all_queries()["approx_distinct_users"](spark, sf_dir).collect()
+        for r in approx_distinct_estimates(spark, sf_dir).collect()
     }
     import duckdb
 
