@@ -1,0 +1,106 @@
+"""Graph-family tests: orientation invariance of the triangle count and the
+shared materialized edge table.
+
+The registered ``graph_triangles`` uses id-orientation (oracle-reproducible);
+``triangle_stats(..., orientation='degree')`` is the skew-bounded production
+variant (out-lists cap at ~sqrt(2|E|)). Any total order on nodes finds each
+triangle exactly once — these tests pin that equivalence on a graph where the
+two orders genuinely differ (a hot hub star plus cliques), and on edge cases
+(empty graph, triangle-free graph).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.operators.graph import (
+    _edges,
+    _sym,
+    triangle_stats,
+)
+
+
+def _edge_df(spark, pairs):
+    if not pairs:
+        return spark.createDataFrame([], "a bigint, b bigint")
+    rows = [(min(a, b), max(a, b)) for a, b in pairs]
+    return spark.createDataFrame(sorted(set(rows)), "a bigint, b bigint")
+
+
+def _brute_triangles(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    return sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+
+
+def _skewed_graph():
+    """Hub 0 linked to everyone (degree 40) + two 5-cliques + a path: the
+    degree order and the id order disagree on most edges."""
+    pairs = [(0, i) for i in range(1, 41)]
+    pairs += list(combinations(range(1, 6), 2))  # clique on 1..5
+    pairs += list(combinations(range(30, 35), 2))  # clique on 30..34
+    pairs += [(i, i + 1) for i in range(10, 20)]  # path (no new triangles w/o hub)
+    return pairs
+
+
+def test_triangle_count_orientation_invariant(spark):
+    pairs = _skewed_graph()
+    edges = _edge_df(spark, pairs)
+    by_id = triangle_stats(spark, edges, orientation="id").collect()[0]
+    by_deg = triangle_stats(spark, edges, orientation="degree").collect()[0]
+    expected = _brute_triangles(pairs)
+    assert by_id["n_triangles"] == expected
+    assert by_deg["n_triangles"] == expected
+    assert by_id == by_deg
+
+
+def test_degree_orientation_bounds_hub_fanout(spark):
+    """The point of degree orientation: the hub's out-list must NOT carry
+    its full degree — every hub edge points AT the hub except toward
+    equally-or-higher-connected nodes."""
+    pairs = _skewed_graph()
+    edges = _edge_df(spark, pairs)
+    deg = _sym(edges).groupBy("src").agg(F.count("*").alias("d"))
+    hub_degree = {r["src"]: r["d"] for r in deg.collect()}[0]
+    # Reproduce the degree orientation and measure the hub's out-degree.
+    ann = edges.join(
+        deg.select(F.col("src").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("src").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    out_of_hub = ann.filter(
+        (F.when(a_first, F.col("a")).otherwise(F.col("b"))) == 0
+    ).count()
+    assert hub_degree == 40
+    assert out_of_hub == 0  # nothing out-ranks the hub, so its out-list is empty
+
+
+def test_triangle_count_empty_and_triangle_free(spark):
+    empty = _edge_df(spark, [])
+    row = triangle_stats(spark, empty, orientation="id").collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (0, 0, 0)
+    path = _edge_df(spark, [(1, 2), (2, 3), (3, 4)])
+    for orientation in ("id", "degree"):
+        row = triangle_stats(spark, path, orientation=orientation).collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 3, 0)
+
+
+def test_edge_table_materialized_once(spark, sf_dir):
+    """_edges writes the bucketed table on first call and serves the saved
+    table afterwards (same row count, catalog table exists)."""
+    from serverless_mapreduce_spark.paths import sf_tag
+
+    first = _edges(spark, sf_dir)
+    assert spark.catalog.tableExists(f"graph_edges_{sf_tag(sf_dir)}")
+    again = _edges(spark, sf_dir)
+    assert first.count() == again.count() > 0
