@@ -478,6 +478,7 @@ def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- extension: per-source quota sampling --------------------------------------
 
 QUOTA_PER_SOURCE = 10
+QUOTA_SALTS = 32
 
 
 @query(
@@ -500,20 +501,29 @@ def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl may dominate the training mix). The within-source order is the
     md5 of doc_id: a deterministic uniform shuffle, reproducible across
     runs/engines/partitionings, unlike ``rand()`` (doc_id tiebreak is
-    belt-and-braces). One shuffle keyed by source. At 100 TB a hot source
-    funnels into one task under a bare window; the fix keeping IDENTICAL
-    output is rank pushdown: per-partition partial top-K on (source,
-    hash) first — K rows per source per partition survive — then the
-    global window ranks the tiny union. Spark's TakeOrderedAndProject
-    does this automatically for global top-K; per-group it's one extra
-    partial-filter stage."""
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
+    belt-and-braces).
+
+    Skew story (the rank pushdown this docstring used to only promise):
+    a bare PARTITION BY source window funnels a hot source into ONE task.
+    Instead rank in two phases with IDENTICAL output: (1) a SALTED window
+    on (source, hash(doc_id) % {QUOTA_SALTS}) — the hot source spreads
+    over {QUOTA_SALTS} tasks, and only the top {QUOTA_PER_SOURCE} rows
+    per salt survive (the true per-source top-K is a subset of the union
+    of per-salt top-Ks, so nothing needed is lost); (2) the global
+    per-source window then ranks at most {QUOTA_SALTS}*{QUOTA_PER_SOURCE}
+    rows per source — driver-trivial however hot the source. Costs one
+    extra (balanced) exchange; at 100 TB that trade is the difference
+    between a straggler task holding the whole job and none."""
+    ord_ = F.md5(F.col("doc_id").cast("string"))
+    salt = F.abs(F.hash("doc_id")) % QUOTA_SALTS
+    w_salted = Window.partitionBy("source", "salt").orderBy("ord", "doc_id")
+    w_global = Window.partitionBy("source").orderBy("ord", "doc_id")
     return (
         table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "lang")
-        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "source", "lang", ord_.alias("ord"), salt.alias("salt"))
+        .withColumn("prn", F.row_number().over(w_salted))
+        .filter(F.col("prn") <= QUOTA_PER_SOURCE)
+        .withColumn("rn", F.row_number().over(w_global))
         .filter(F.col("rn") <= QUOTA_PER_SOURCE)
         .select("doc_id", "source", "lang")
     )
