@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from serverless_mapreduce_spark.catalog import epoch_us, table
 from serverless_mapreduce_spark.registry import query
+from serverless_mapreduce_spark.session import utc_session
 
 
 # --- as-of join: latest 'view' at-or-before each 'purchase', per user --------
@@ -237,7 +238,7 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle) — exact is registered because the oracle can verify it. Day is
     emitted as a string; session TZ pinned so truncation is UTC on any
     caller's session."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = utc_session(spark)
     return (
         table(spark, sf_dir, "events")
         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
@@ -352,7 +353,7 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, which is the hypertable/materialized-rollup pattern at 100 TB.
     Decimal partials keep the re-aggregation exact; TZ pinned to UTC so
     bucket edges match the naive-timestamp oracle on any session."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = utc_session(spark)
     ev = table(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
@@ -481,7 +482,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is two-phase partial-distinct on (cohort, offset, user), so the
     shuffle carries deduplicated triples. Weeks are Monday-truncated in
     UTC in both engines; the offset is an exact day-diff / 7."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = utc_session(spark)
     e = table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
     )
@@ -739,7 +740,7 @@ def gapfill_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine left-joins the (tiny) aggregate; at 100 TB the join inputs are
     both dimension-sized. Hours are emitted as epoch micros (BIGINT),
     timezone-free across engines."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = utc_session(spark)
     counts = (
         table(spark, sf_dir, "events")
         .select("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from serverless_mapreduce_spark.catalog import table
 from serverless_mapreduce_spark.registry import query
+from serverless_mapreduce_spark.session import utc_session
 
 
 # --- CDC upsert: apply a change batch to a snapshot in one shuffle ------------
@@ -161,7 +162,7 @@ def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(canon), 1, _CHECKSUM_HEX_DIGITS), 16, 10).cast(
         "bigint"
     )
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark = utc_session(spark)
     return (
         table(spark, sf_dir, "orders")
         .select(h.alias("h"))

@@ -54,3 +54,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def utc_session(spark: SparkSession) -> SparkSession:
+    """The caller's session with the session timezone pinned to UTC — as a
+    CLONE (own conf, shared SparkContext) when it isn't already, so pinning
+    never mutates shared state: operators that need deterministic
+    wall-clock rendering (date_format/date_trunc output, NTZ→TIMESTAMP
+    casts for watermarks) used to ``spark.conf.set`` mid-query, a write a
+    concurrent ``engine.Engine`` caller on the same session could race.
+    Cloning is cheap (no new context) and scoped to the returned handle."""
+    if spark.conf.get("spark.sql.session.timeZone", None) == "UTC":
+        return spark
+    ss = spark.newSession()
+    ss.conf.set("spark.sql.session.timeZone", "UTC")
+    return ss

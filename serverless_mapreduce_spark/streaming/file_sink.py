@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_mapreduce_spark.registry import query
+from serverless_mapreduce_spark.session import utc_session
 from serverless_mapreduce_spark.streaming.stream_queries import (
     WATERMARK,
     events_stream,
@@ -96,6 +97,10 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (out, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 
+    # One UTC-pinned clone for the WHOLE query: the sink writes win_start as
+    # an instant, so the read-back below must render it under the same
+    # session timezone the stream aggregated in.
+    spark = utc_session(spark)
     ev = events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
     agg = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")

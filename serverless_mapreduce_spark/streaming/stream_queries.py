@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from serverless_mapreduce_spark.registry import query
+from serverless_mapreduce_spark.session import utc_session
 
 EVENTS_DDL = (
     "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
@@ -78,12 +79,16 @@ def stateful_session(spark: SparkSession) -> SparkSession:
     small drains into pure state-commit overhead (measured 13.7 s → ~3 s on
     the stream-stream join at sf0.1). Cloning leaves the caller's session
     untouched; at production volume size this to
-    events/sec × watermark ÷ target-state-per-partition."""
+    events/sec × watermark ÷ target-state-per-partition. The clone also
+    pins the session timezone to UTC: every event-time query casts the NTZ
+    wall clock to the instant TIMESTAMP the watermark machinery requires,
+    and under UTC that cast is the identity on wall values."""
     ss = spark.newSession()
     ss.conf.set(
         "spark.sql.shuffle.partitions",
         max(2, ss.sparkContext.defaultParallelism // 4),
     )
+    ss.conf.set("spark.sql.session.timeZone", "UTC")
     return ss
 
 
@@ -97,8 +102,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned to UTC FIRST and then the NTZ wall clock is cast — under UTC
     the cast is the identity on wall values, making window starts and
     collected results invariant to the caller's environment (the DuckDB
-    oracle reads naive timestamps; the hostile-TZ pytest covers this)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    oracle reads naive timestamps; the hostile-TZ pytest covers this).
+    Pinning happens on a CLONE when needed (utc_session) — never by
+    mutating the caller's session conf mid-query."""
+    spark = utc_session(spark)
     stream = spark.readStream.schema(StructType.fromDDL(EVENTS_DDL)).parquet(
         _stream_dir(sf_dir, "events")
     )
@@ -267,7 +274,7 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     state/shuffle is keyed by user_id — the natural partitioning at scale."""
     from serverless_mapreduce_spark.catalog import table
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # ts columns in output
+    spark = utc_session(spark)  # ts columns in output
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
