@@ -15,6 +15,7 @@ no extra pass, no driver-side collect of the result.
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import asdict, dataclass, field
 
@@ -27,7 +28,11 @@ from serverless_mapreduce_spark.monitoring import observe_counts
 @dataclass
 class QueryRun:
     """Status record for one query execution (the reference's job-status
-    row: web_ui/app.py:501-554)."""
+    row: web_ui/app.py:501-554). The resource fields are the engine's
+    cost-accounting substitute for the reference's dollar model
+    (driver/driver.py:523-701 prices Lambda GB-s and S3 requests; on Spark
+    the corresponding billable quantities are executor task time and bytes
+    moved, which any deployment can multiply by its own rates)."""
 
     name: str
     status: str = "RUNNING"          # RUNNING | SUCCEEDED | FAILED
@@ -36,6 +41,12 @@ class QueryRun:
     rows: int | None = None
     num_jobs: int = 0
     num_tasks: int = 0
+    task_time_ms: int = 0            # summed executor run time across stages
+    cpu_time_ms: int = 0             # summed executor CPU time
+    shuffle_read_bytes: int = 0
+    shuffle_write_bytes: int = 0
+    input_bytes: int = 0
+    output_bytes: int = 0
     error: str | None = None
 
 
@@ -78,6 +89,11 @@ class Engine:
             tracker = sc.statusTracker()
             job_ids = tracker.getJobIdsForGroup(group)
             rec.num_jobs = len(job_ids)
+            # Stage metrics come from the driver's AppStatusStore — the same
+            # store the Spark UI reads, populated by the always-on internal
+            # listener, so this costs no extra listener and no extra jobs.
+            store = sc._jsc.sc().statusStore()  # type: ignore[attr-defined]
+            seen: set[int] = set()
             for jid in job_ids:
                 info = tracker.getJobInfo(jid)
                 if info is None:
@@ -86,6 +102,19 @@ class Engine:
                     sinfo = tracker.getStageInfo(sid)
                     if sinfo is not None:
                         rec.num_tasks += sinfo.numTasks
+                    if sid in seen:
+                        continue  # stages shared across jobs count once
+                    seen.add(sid)
+                    try:
+                        att = store.lastStageAttempt(sid)
+                    except Exception:
+                        continue  # stage evicted from the store or skipped
+                    rec.task_time_ms += int(att.executorRunTime())
+                    rec.cpu_time_ms += int(att.executorCpuTime()) // 1_000_000
+                    rec.shuffle_read_bytes += int(att.shuffleReadBytes())
+                    rec.shuffle_write_bytes += int(att.shuffleWriteBytes())
+                    rec.input_bytes += int(att.inputBytes())
+                    rec.output_bytes += int(att.outputBytes())
             sc.setJobGroup("", "")
         return df
 
@@ -94,6 +123,35 @@ class Engine:
         reference's status endpoint would serve)."""
         items = self._runs.items() if name is None else [(name, self._runs.get(name, []))]
         return {n: [asdict(r) for r in rs] for n, rs in items}
+
+    def report(self, name: str | None = None) -> dict[str, dict]:
+        """Per-query resource report aggregated over this Engine's runs —
+        the in-library substitute for the reference's post-job cost model
+        (driver/driver.py:523-701, which multiplies Lambda GB-seconds and
+        S3 request counts by price constants). Spark's billable analogs are
+        reported raw so a deployment applies its own rates: total executor
+        task time (the GB-s analog), CPU time, and bytes scanned / shuffled
+        / written (the request-count analog)."""
+        out: dict[str, dict] = {}
+        items = (
+            self._runs.items()
+            if name is None
+            else [(name, self._runs.get(name, []))]
+        )
+        for n, runs in items:
+            done = [r for r in runs if r.status == "SUCCEEDED"]
+            out[n] = {
+                "runs": len(runs),
+                "succeeded": len(done),
+                "wall_s": round(sum(r.wall_s for r in done), 3),
+                "task_time_ms": sum(r.task_time_ms for r in done),
+                "cpu_time_ms": sum(r.cpu_time_ms for r in done),
+                "shuffle_read_bytes": sum(r.shuffle_read_bytes for r in done),
+                "shuffle_write_bytes": sum(r.shuffle_write_bytes for r in done),
+                "input_bytes": sum(r.input_bytes for r in done),
+                "output_bytes": sum(r.output_bytes for r in done),
+            }
+        return out
 
     def explain(self, name: str, mode: str = "formatted") -> str:
         """The optimized physical plan of a registered query, without
@@ -111,3 +169,65 @@ class Engine:
         return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
             df._jdf.queryExecution(), mode
         )
+
+    def schedule(
+        self,
+        name: str,
+        every_s: float,
+        *,
+        max_runs: int | None = None,
+    ) -> "ScheduledJob":
+        """Recurring in-process execution of a registered query — the
+        library analog of the reference's cron schedule-job endpoint
+        (web_ui/app.py:417, which re-invokes the registered driver Lambda
+        on a schedule). Runs on a daemon thread; Spark job groups are
+        thread-local so scheduled runs don't disturb callers on other
+        threads, and each tick lands in the same status()/report() history
+        as a manual run. For out-of-process scheduling, point any external
+        cron at a ``spark-submit``/Spark Connect script calling
+        ``Engine.run`` — the in-process form is what a *library* consumer
+        can actually hold."""
+        if name not in registry.all_queries():
+            raise KeyError(name)
+        job = ScheduledJob(name=name, every_s=every_s, max_runs=max_runs)
+        job._start(self)
+        return job
+
+
+@dataclass
+class ScheduledJob:
+    """Handle for one Engine.schedule loop: observe ticks, cancel, join."""
+
+    name: str
+    every_s: float
+    max_runs: int | None = None
+    runs: int = 0
+    _stop: threading.Event = field(default_factory=threading.Event)
+    _thread: threading.Thread | None = None
+
+    def _start(self, engine: "Engine") -> None:
+        def loop() -> None:
+            while not self._stop.wait(self.every_s):
+                try:
+                    engine.run(self.name)
+                except Exception:
+                    pass  # recorded as a FAILED run in engine.status()
+                self.runs += 1
+                if self.max_runs is not None and self.runs >= self.max_runs:
+                    self._stop.set()
+
+        self._thread = threading.Thread(
+            target=loop, name=f"smr-schedule-{self.name}", daemon=True
+        )
+        self._thread.start()
+
+    def cancel(self) -> None:
+        self._stop.set()
+
+    def join(self, timeout: float | None = None) -> None:
+        assert self._thread is not None
+        self._thread.join(timeout)
+
+    @property
+    def active(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
