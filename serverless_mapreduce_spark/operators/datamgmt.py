@@ -229,6 +229,25 @@ _PROFILE_COLS = (
 )
 
 
+#: Columns whose min/max go through DECIMAL(18,2) before stringifying:
+#: engines disagree on double→string rendering (Spark emits scientific
+#: notation for |x| >= 1e7, DuckDB shortest-repr), so a fixed-scale decimal
+#: makes the rendering engine-independent at any fixture value range.
+_PROFILE_DECIMAL_COLS = frozenset({"o_totalprice"})
+
+
+def _profile_minmax_sql(c: str) -> str:
+    if c in _PROFILE_DECIMAL_COLS:
+        return (
+            f"CAST(CAST(MIN({c}) AS DECIMAL(18,2)) AS VARCHAR) AS min_str,\n"
+            f"           CAST(CAST(MAX({c}) AS DECIMAL(18,2)) AS VARCHAR) AS max_str"
+        )
+    return (
+        f"CAST(MIN({c}) AS VARCHAR) AS min_str,\n"
+        f"           CAST(MAX({c}) AS VARCHAR) AS max_str"
+    )
+
+
 def _profile_oracle() -> str:
     arms = []
     for c in _PROFILE_COLS:
@@ -236,8 +255,7 @@ def _profile_oracle() -> str:
     SELECT '{c}' AS col,
            COUNT(*) - COUNT({c}) AS n_nulls,
            COUNT(DISTINCT {c}) AS n_distinct,
-           CAST(MIN({c}) AS VARCHAR) AS min_str,
-           CAST(MAX({c}) AS VARCHAR) AS max_str
+           {_profile_minmax_sql(c)}
     FROM orders""")
     return "\n    UNION ALL".join(arms)
 
@@ -254,8 +272,9 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     form). At 100 TB swap COUNT(DISTINCT) for approx_count_distinct
     (HLL partials merge map-side; same plan minus the expand) — exact is
     registered because the oracle can verify it. Min/max are CAST to
-    strings so one output schema covers heterogeneous column types; the
-    double column's shortest-repr cast is identical in both engines.
+    strings so one output schema covers heterogeneous column types;
+    double columns go through DECIMAL(18,2) first because the engines'
+    double→string renderings differ (see _PROFILE_DECIMAL_COLS).
     ensure_parallelism spreads the 5x expand off the single-row-group
     fixture scan (a no-op on real multi-row-group data); the ~3 s warm
     cost at sf0.1 is the expand itself — 5 distinct aggregates rewrite to
@@ -266,11 +285,14 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = ensure_parallelism(spark, table(spark, sf_dir, "orders"))
     aggs = []
     for c in _PROFILE_COLS:
+        mn, mx = F.min(c), F.max(c)
+        if c in _PROFILE_DECIMAL_COLS:
+            mn, mx = mn.cast("decimal(18,2)"), mx.cast("decimal(18,2)")
         aggs += [
             (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            mn.cast("string").alias(f"{c}__min"),
+            mx.cast("string").alias(f"{c}__max"),
         ]
     wide = o.agg(*aggs)
     return wide.select(

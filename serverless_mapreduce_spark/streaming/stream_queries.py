@@ -35,8 +35,13 @@ from pyspark.sql.types import StructType
 from serverless_mapreduce_spark.registry import query
 from serverless_mapreduce_spark.session import utc_session
 
+#: ``{ts}`` is filled per-fixture: the driver's generator has shipped events
+#: with two physical ts encodings across rounds (TIMESTAMP(NANOS) → read as
+#: BIGINT under nanosAsLong; TIMESTAMP(MICROS, not-UTC-adjusted) → read as
+#: TIMESTAMP_NTZ), and a streaming source binds its schema up front — so the
+#: DDL must match whichever encoding is on disk (see events_stream).
 EVENTS_DDL = (
-    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts {ts}, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 DOCUMENTS_DDL = "doc_id BIGINT, source STRING, lang STRING, text STRING"
@@ -104,11 +109,24 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected results invariant to the caller's environment (the DuckDB
     oracle reads naive timestamps; the hostile-TZ pytest covers this).
     Pinning happens on a CLONE when needed (utc_session) — never by
-    mutating the caller's session conf mid-query."""
+    mutating the caller's session conf mid-query.
+
+    The declared schema BRANCHES on the file's actual ts encoding (probed
+    with a batch footer read, the same dual-encoding contract as
+    catalog._to_ntz): nanos fixtures stream ts as epoch-nanos BIGINT and
+    convert; micros-NTZ fixtures stream TIMESTAMP_NTZ directly."""
+    from serverless_mapreduce_spark.catalog import _to_ntz
+
     spark = utc_session(spark)
-    stream = spark.readStream.schema(StructType.fromDDL(EVENTS_DDL)).parquet(
-        _stream_dir(sf_dir, "events")
-    )
+    # nanosAsLong is required even to PROBE a nanos file; inert for micros.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    ts_ddl = "BIGINT" if raw == "bigint" else "TIMESTAMP_NTZ"
+    stream = spark.readStream.schema(
+        StructType.fromDDL(EVENTS_DDL.format(ts=ts_ddl))
+    ).parquet(_stream_dir(sf_dir, "events"))
+    if raw == "bigint":
+        stream = stream.withColumn("ts", _to_ntz(raw))
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 

@@ -97,3 +97,52 @@ def test_append_watermark_finalization_recovery_and_late_drop(spark, tmp_path):
     )
     got2 = _run_available_now(spark, src, ckpt, "wm_run2")
     assert got2 == {"05:00": 2}, got2
+
+
+def test_events_stream_branches_on_nanos_encoding(spark, tmp_path):
+    """The fixture generator has shipped events.ts as TIMESTAMP(NANOS) in
+    some rounds and TIMESTAMP(MICROS, not-UTC-adjusted) in others;
+    events_stream probes the footer and binds the matching stream schema,
+    so BOTH encodings drain to identical NTZ wall-clock values."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from serverless_mapreduce_spark.streaming.stream_queries import (
+        events_stream,
+        run_stream_to_memory,
+    )
+
+    wall = ["2024-01-01 00:05:00", "2024-01-01 02:15:00"]
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(wall),
+            "user_id": [10, 20],
+            "event_type": ["view", "click"],
+            "value": [1.5, 2.5],
+            "props": ["{}", "{}"],
+        }
+    )
+    for enc, unit in (("nanos", "ns"), ("micros", "us")):
+        d = tmp_path / enc
+        d.mkdir()
+        tbl = pa.Table.from_pandas(base, preserve_index=False)
+        ts_type = pa.timestamp(unit)  # tz-naive: isAdjustedToUTC=false
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"),
+            "ts",
+            tbl.column("ts").cast(ts_type),
+        )
+        pq.write_table(tbl, d / "events.parquet", store_schema=False)
+        ev = events_stream(spark, str(d))
+        got = {
+            (r["event_id"], str(r["ts"]))
+            for r in run_stream_to_memory(
+                ev.select("event_id", "ts"), mode="append"
+            ).collect()
+        }
+        assert got == {(1, "2024-01-01 00:05:00"), (2, "2024-01-01 02:15:00")}, (
+            enc,
+            got,
+        )
