@@ -98,6 +98,19 @@ HEADLINE = (
     "boilerplate_chunks",
     "profile_orders",
     "stream_static_enrich",
+    # round-4 queries not previously benched: keep every registered family's
+    # regressions visible round-over-round
+    "gapfill_hourly_counts",
+    "regr_slope_user_trend",
+    "revenue_histogram",
+    "approx_distinct_users",
+    "json_props_agg",
+    "schema_evolution_read",
+    "compact_small_files",
+    "source_quota_sample",
+    # round-5 operators
+    "docs_pack_sequences",
+    "source_mixture_weights",
 )
 
 

@@ -731,3 +731,194 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# --- extension: sequence packing (concat-and-cut context windows) --------------
+
+PACK_WINDOW = 512  #: tokens per packed training sequence
+
+
+@query(
+    "docs_pack_sequences",
+    priority=0,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas renders as
+      -- float and breaks the string-compare harness
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // {PACK_WINDOW} AS seq_id,
+           start_offset // {PACK_WINDOW}
+             <> (start_offset + greatest(n_tokens, 1) - 1) // {PACK_WINDOW}
+             AS straddles
+    FROM c
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING for LLM training: concatenate the corpus in
+    deterministic doc_id order and cut every {PACK_WINDOW} tokens — each
+    document gets its global token ``start_offset``, the id of the packed
+    sequence it starts in, and whether it straddles a window boundary
+    (the rows a loss-masking/data-loader step needs). The core is a
+    GLOBAL EXCLUSIVE PREFIX SUM, which naively is a single-partition
+    window; here it runs fully distributed with the same two-phase shape
+    as ``sort_by_value``'s global rank:
+
+      1. bucket docs by driver-computed doc_id quantile bounds (a pure
+         row function, so both branches agree on placement),
+      2. per-bucket exclusive cumsum — parallel windows,
+      3. per-bucket token totals (one tiny row each) → running offsets,
+      4. broadcast offsets back; start_offset = bucket offset + local sum.
+
+    At 100 TB the token-count pass and the cumsum pass are two scans of a
+    3-column projection; no shuffle moves the text itself. Packing is
+    deterministic (doc_id order), so re-runs resume identically —
+    mixture/curriculum reordering composes by changing the ORDER key."""
+    from functools import reduce
+
+    df = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "n_tokens"
+        ),
+    )
+    npart = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    probs = [i / npart for i in range(1, npart)]
+    bounds = (
+        sorted(set(df.approxQuantile("doc_id", probs, 0.001))) if probs else []
+    )
+    bucket = reduce(
+        lambda acc, b: acc + F.when(F.col("doc_id") > F.lit(b), 1).otherwise(0),
+        bounds,
+        F.lit(0),
+    ).alias("bucket")
+
+    local = df.select("doc_id", "n_tokens", bucket).withColumn(
+        "local_prefix",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                Window.partitionBy("bucket")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    offsets = (
+        df.select(bucket, "n_tokens")
+        .groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .withColumn(
+            "bucket_offset",
+            F.coalesce(
+                F.sum("tok").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "bucket_offset")
+    )
+    start = (F.col("bucket_offset") + F.col("local_prefix")).alias("start_offset")
+    out = local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id", "n_tokens", start
+    )
+    seq = F.floor(F.col("start_offset") / PACK_WINDOW)
+    end_seq = F.floor(
+        (F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+        / PACK_WINDOW
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        seq.cast("bigint").alias("seq_id"),
+        (seq != end_seq).alias("straddles"),
+    )
+
+
+# --- extension: per-source mixture weights -------------------------------------
+
+@query(
+    "source_mixture_weights",
+    priority=0,
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+               AS total_tokens
+      FROM documents
+      GROUP BY source
+    ), tot AS (
+      SELECT SUM(total_tokens) AS all_tokens,
+             COUNT(*) AS n_sources
+      FROM s
+    )
+    SELECT source,
+           n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           ROUND(total_tokens / (SELECT all_tokens FROM tot), 9) AS token_share,
+           ROUND(
+             (1.0 / (SELECT n_sources FROM tot))
+               / (total_tokens / (SELECT all_tokens FROM tot)),
+             9) AS uniform_weight
+    FROM s
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE WEIGHTING: per-source token counts, corpus share, and the
+    resampling weight that would flatten the mix to uniform-per-source —
+    the bookkeeping every multi-source training run does before sampling
+    (weights multiply into the sampler; swap the uniform target for any
+    target distribution). One aggregation over a 2-column projection
+    produces the per-source table (map-side partials; #sources rows
+    survive), persisted once; the corpus totals re-aggregate THAT tiny
+    table as scalar subqueries (Catalyst SubqueryExec — the
+    heavy_hitters_words pattern, no nested-loop join), never a second
+    pass over the corpus. Shares/weights are double ratios of exact
+    integer sums, rounded to 9 dp, well above accumulated error."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    s = persist_tracked(
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+                "n_tokens"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    s.createOrReplaceTempView("mixture_source_stats")
+    return spark.sql(
+        """
+        SELECT source, n_docs, total_tokens,
+               ROUND(total_tokens / (SELECT CAST(SUM(total_tokens) AS DOUBLE)
+                                     FROM mixture_source_stats), 9)
+                 AS token_share,
+               ROUND((1.0 / (SELECT CAST(COUNT(*) AS DOUBLE)
+                             FROM mixture_source_stats))
+                     / (total_tokens / (SELECT CAST(SUM(total_tokens) AS DOUBLE)
+                                        FROM mixture_source_stats)), 9)
+                 AS uniform_weight
+        FROM mixture_source_stats
+        """
+    )

@@ -65,3 +65,25 @@ def test_resize_checksum_matches_index_model(data: bytes, width: int):
         else 0
     )
     assert out == {"width": width, "height": h, "resized_checksum": expect}
+
+
+def test_pack_sequences_prefix_sum_invariants(spark, sf_dir):
+    """docs_pack_sequences' two-phase distributed prefix sum must equal the
+    sequential definition: sorted by doc_id, each start_offset is the sum
+    of all earlier docs' n_tokens, and seq assignment follows from it."""
+    from serverless_mapreduce_spark.operators.text import (
+        PACK_WINDOW,
+        docs_pack_sequences,
+    )
+
+    rows = sorted(
+        docs_pack_sequences(spark, sf_dir).collect(), key=lambda r: r["doc_id"]
+    )
+    assert rows
+    run = 0
+    for r in rows:
+        assert r["start_offset"] == run, (r, run)
+        assert r["seq_id"] == run // PACK_WINDOW
+        end = run + max(r["n_tokens"], 1) - 1
+        assert r["straddles"] == (end // PACK_WINDOW != r["seq_id"])
+        run += r["n_tokens"]
