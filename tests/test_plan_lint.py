@@ -31,6 +31,7 @@ SIDE_EFFECTING = {
     "sink_partitioned_pruned",
     "join_bucketed_colocated",
     "ann_ivf_kmeans_topk",
+    "kv_jdbc_roundtrip",
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY where the broadcast side is a
