@@ -1,0 +1,264 @@
+"""Tokenizer-training and term-weighting operators over ``documents``.
+
+These extend the reference's text workloads (word_count_map.py:1-17 — its
+only tokenizer-adjacent op is the delimiter-split word count) with the three
+distributed steps an LLM tokenizer/retrieval pipeline actually runs at
+corpus scale:
+
+- ``tfidf_top_terms``  — per-document term weighting (BM25-style idf) and
+  top-k term extraction: the map side of building a keyword index.
+- ``bpe_pair_counts``  — one iteration of byte-pair-encoding training: the
+  weighted adjacent-pair count that picks the next merge. The scale trick is
+  that pairs are generated from the *distinct word* table (vocab-sized)
+  weighted by word frequency, never from the raw token stream.
+- ``vocab_encode``     — frequency-ranked dictionary encoding of each
+  document's token sequence: the "apply tokenizer" step, expressed as one
+  join against the vocab table.
+
+All three are pure built-in expressions — tokenize/explode is a narrow map,
+every aggregation has a map-side partial, no Python in the hot path.
+
+Cross-engine exactness: the tf-idf score deliberately uses the BM25-ish
+rational idf ``(N - df + 0.5) / (df + 0.5)`` instead of ``ln(N/df)``.
+Additions, divisions and multiplications of integer-valued doubles are
+correctly-rounded IEEE ops, bit-identical between Spark and DuckDB, whereas
+``ln`` is libm-dependent (JVM Math.log tolerates 1 ulp) and could flip a
+near-tied ranking. Exactness contract per registry.py's module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.registry import query
+
+#: Tokenizer shared by the three ops: lowercase, split on non-letter runs.
+TOKEN_SPLIT_RE = "[^a-z]+"
+
+TFIDF_TOP_K = 3     #: terms kept per document
+BPE_TOP_K = 20      #: candidate merges reported
+VOCAB_PREFIX = 16   #: encoded ids kept per document (the training "peek")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) token stream: narrow split/explode, no shuffle."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+# --- TF-IDF top terms per document --------------------------------------------
+
+@query(
+    "tfidf_top_terms",
+    priority=0,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ((n.n - df.df + 0.5) / (df.df + 0.5)) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TFIDF_TOP_K}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (BM25-flavored idf) top-{TFIDF_TOP_K} terms per document.
+
+    Plan shape, and why it holds at 100 TB: tf is one hash aggregation on
+    (doc_id, term) with map-side partials; df reuses tf's output (vocab ×
+    docs-per-term rows in, vocab rows out); the tf⋈df join is keyed on term
+    — vocab-sized, orders of magnitude under the corpus, and AQE broadcasts
+    it when it fits; the final top-k is a window on doc_id, the same key tf
+    already grouped by. N is a 1-row aggregate crossed in (broadcast), not
+    a driver collect. No Cartesian, no Python, no ln (see module docstring
+    for the exactness argument)."""
+    tf = _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = table(spark, sf_dir, "documents").agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "rnk", "score")
+    )
+
+
+# --- BPE training: weighted adjacent-pair counts ------------------------------
+
+@query(
+    "bpe_pair_counts",
+    priority=0,
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, COUNT(*) AS freq FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      FROM (SELECT w, freq, unnest(range(1, CAST(length(w) AS BIGINT))) AS i FROM wf)
+    ),
+    pc AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk FROM pc)
+    WHERE rnk <= {BPE_TOP_K}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration: count adjacent symbol pairs weighted by
+    word frequency; the top pair is the next merge rule.
+
+    The 100 TB shape is the point: real distributed BPE trainers never
+    enumerate pairs over the raw token stream (corpus-sized × word length).
+    Instead the corpus collapses to the DISTINCT-WORD table first (one
+    hash agg with map-side combine — vocab-sized output), and pairs explode
+    from that small table weighted by ``freq``. Pair generation is a narrow
+    sequence/substr map; the pair count is a second vocab-bigram-sized
+    aggregation. The global top-{BPE_TOP_K} window runs over the pair-count
+    table (≤ alphabet², trivially small) — the single-partition window is
+    bounded by key cardinality, not data size."""
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("freq"))
+    pairs = (
+        wf.select(
+            "w",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"), "freq")
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("freq").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        pc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= BPE_TOP_K)
+        .select("pair", "cnt", "rnk")
+    )
+
+
+# --- Vocabulary dictionary encoding -------------------------------------------
+
+@query(
+    "vocab_encode",
+    priority=0,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, arr[CAST(i AS INT)] AS term, i AS pos
+      FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM toks)
+    ),
+    vocab AS (
+      SELECT term,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS id
+      FROM pos GROUP BY term
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           array_to_string(list(id ORDER BY pos) FILTER (WHERE pos <= {VOCAB_PREFIX}),
+                           ' ') AS ids_str
+    FROM pos JOIN vocab USING (term)
+    GROUP BY doc_id
+    """,
+)
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked dictionary encoding ("apply the tokenizer"): build a
+    vocab where id = rank by (count desc, term asc), then encode each
+    document's token sequence; emits the token count and the first
+    {VOCAB_PREFIX} ids space-joined (content check without array-schema
+    coupling to the oracle).
+
+    Scale shape: the token stream aggregates to the vocab (one shuffle,
+    map-side combine); id assignment is a window over the VOCAB table only
+    — vocab-sized, not corpus-sized (on a real cluster this global rank is
+    the classic sort + zipWithIndex; the single-partition window is fine
+    because the vocab is millions of rows when the corpus is billions).
+    Encoding joins the positional token stream against the vocab on term —
+    AQE broadcasts the vocab when it fits, else it is a plain shuffled join
+    on a high-cardinality key. Re-assembly groups by doc_id with an
+    order-pinned aggregate; the prefix filter keeps the reduced row narrow."""
+    toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda x: x != "")
+    pos = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("arr"))
+        .select(
+            "doc_id",
+            F.posexplode("arr").alias("pos0", "term"),
+        )
+        .select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    )
+    vocab = (
+        pos.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("term")))
+            .cast("bigint"),
+        )
+        .select("term", "id")
+    )
+    enc = pos.join(vocab, "term")
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("pos") <= VOCAB_PREFIX,
+                            F.struct("pos", "id"),
+                        )
+                    )
+                ),
+                lambda s: s.id.cast("string"),
+            ),
+            " ",
+        ).alias("ids_str"),
+    )

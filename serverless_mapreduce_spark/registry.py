@@ -146,6 +146,7 @@ def _ensure_loaded() -> None:
         dedup,
         graph,
         multimodal,
+        nlp,
         relational,
         similarity,
         text,
