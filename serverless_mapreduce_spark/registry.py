@@ -154,7 +154,12 @@ def _ensure_loaded() -> None:
         udf_tasks,
     )
     from serverless_mapreduce_spark.pipeline import facade_queries  # noqa: F401
-    from serverless_mapreduce_spark.sources import jdbc_kv, source_queries  # noqa: F401
+    from serverless_mapreduce_spark.sources import (  # noqa: F401
+        jdbc_kv,
+        layout,
+        snapshots,
+        source_queries,
+    )
     from serverless_mapreduce_spark.streaming import (  # noqa: F401
         file_sink,
         stream_queries,

@@ -1,0 +1,145 @@
+"""Multi-dimensional data layout: z-order clustering for scan pruning.
+
+The reference's only layout lever is "one object per reducer"
+(``output_handler_s3.py:41-53``) — readers scan everything. At 100 TB the
+dominant cost of a selective query is the files it does NOT have to open,
+and single-column sort helps only the leading column. Z-ordering interleaves
+the bits of two (or more) key columns so that a file's parquet min/max
+stats are tight on EVERY interleaved dimension at once — a filter box on
+(custkey, orderdate) then prunes most files at planning time, which is the
+same mechanism Delta's OPTIMIZE ZORDER BY uses.
+
+Interleaving raw values is the classic z-order mistake: whichever dimension
+has the larger magnitude owns the high bits and the "z-order" collapses to
+a plain sort on that dimension (measured here: per-file custkey span 145 of
+146 when raw epoch-days dominate). So each dimension is first QUANTIZED to
+the full 16-bit range with min/max integer scaling — ``(v - min) * 65535
+intdiv max(max - min, 1)`` — which is exact integer arithmetic, rendered
+into both Spark (``div``) and DuckDB (``//``) so the oracle reproduces the
+z-value bit-for-bit (a float rescale could round differently per engine).
+Production systems quantize by rank-percentile instead, which also absorbs
+skew; min/max scaling keeps the expression closed-form for the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.paths import scratch, sf_tag
+from serverless_mapreduce_spark.registry import query
+
+Z_BITS = 16          #: bits per dimension after quantization (0..65535)
+Z_FILES = 16         #: clustered output file count (range partitions)
+CUSTKEY_LO = 100     #: correctness probe: the filter box read back
+CUSTKEY_HI = 220
+
+_QMAX = (1 << Z_BITS) - 1
+
+
+def _interleave(x: str, y: str, shift: str) -> str:
+    """Bit-interleave SQL: z = Σ ((x>>i)&1)<<2i + ((y>>i)&1)<<2i+1.
+
+    ``shift`` is a format string for the engine's right-shift —
+    ``"shiftright({c}, {i})"`` (Spark) or ``"({c} >> {i})"`` (DuckDB); the
+    rest is engine-neutral integer arithmetic."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({shift.format(c=x, i=i)} & 1) * {1 << (2 * i)})")
+        terms.append(f"(({shift.format(c=y, i=i)} & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+def _quant(v: str, lo: str, hi: str, intdiv: str) -> str:
+    """Quantize ``v`` to 0..{_QMAX} given min/max columns — exact integer
+    scaling, ``intdiv`` is the engine's integer-division operator."""
+    return f"((({v}) - ({lo})) * {_QMAX} {intdiv} greatest(({hi}) - ({lo}), 1))"
+
+
+_DAYS_SPARK = "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)"
+_DAYS_DUCK = (
+    "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
+)
+
+
+def with_zval(orders: DataFrame) -> DataFrame:
+    """orders + quantized-interleaved ``zval`` over (custkey, orderdate).
+
+    Dimension min/max come from a 1-row aggregate crossed in by broadcast —
+    no driver collect, and at 100 TB the stats pass is a cheap
+    column-pruned scan (or comes free from table-level metadata)."""
+    stats = orders.agg(
+        F.min("o_custkey").alias("xlo"),
+        F.max("o_custkey").alias("xhi"),
+        F.min(F.expr(_DAYS_SPARK)).alias("ylo"),
+        F.max(F.expr(_DAYS_SPARK)).alias("yhi"),
+    )
+    qx = _quant("o_custkey", "xlo", "xhi", "div")
+    qy = _quant(_DAYS_SPARK, "ylo", "yhi", "div")
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .withColumn("qx", F.expr(qx).cast("bigint"))
+        .withColumn("qy", F.expr(qy).cast("bigint"))
+        .withColumn(
+            "zval",
+            F.expr(_interleave("qx", "qy", "shiftright({c}, {i})")).cast("bigint"),
+        )
+        .drop("xlo", "xhi", "ylo", "yhi", "qx", "qy")
+    )
+
+
+_DUCK_QX = _quant("o_custkey", "s.xlo", "s.xhi", "//")
+_DUCK_QY = _quant(_DAYS_DUCK, "s.ylo", "s.yhi", "//")
+
+
+@query(
+    "zorder_cluster_write",
+    priority=0,
+    oracle=f"""
+    WITH s AS (
+      SELECT MIN(o_custkey) AS xlo, MAX(o_custkey) AS xhi,
+             MIN({_DAYS_DUCK}) AS ylo, MAX({_DAYS_DUCK}) AS yhi
+      FROM orders
+    ),
+    q AS (
+      SELECT o_orderkey, o_custkey,
+             {_DUCK_QX} AS qx, {_DUCK_QY} AS qy
+      FROM orders, s
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST({_interleave("qx", "qy", "({c} >> {i})")} AS BIGINT) AS zval
+    FROM q
+    WHERE o_custkey BETWEEN {CUSTKEY_LO} AND {CUSTKEY_HI}
+    """,
+)
+def zorder_cluster_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER CLUSTERED REWRITE: quantize (o_custkey, epoch-days) to 16
+    bits each, interleave into ``zval``, range-partition by it ({Z_FILES}
+    files), sort within partitions, write, and read the clustered copy back
+    through a custkey filter box.
+
+    Why this is the 100 TB shape: the rewrite is one range-exchange (sample
+    + shuffle, the same machinery as orderBy) and the z-sort within files
+    makes parquet row-group min/max tight on BOTH dimensions, so the
+    read-back filter prunes at footer level — the scan shows PushedFilters
+    on o_custkey and skips non-overlapping row groups/files;
+    tests/test_layout.py measures the per-file custkey span shrinking ~4x
+    vs a round-robin layout of the same file count. The registered result
+    is the filtered read-back (orderkey, custkey, zval), proving the
+    rewrite is lossless and the z-value matches the oracle bit-for-bit."""
+    base = scratch(sf_tag(sf_dir), "zorder")
+    clustered_dir = os.path.join(base, "clustered")
+    df = with_zval(table(spark, sf_dir, "orders"))
+    (
+        df.repartitionByRange(Z_FILES, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(clustered_dir)
+    )
+    back = spark.read.parquet(clustered_dir)
+    return back.filter(
+        (F.col("o_custkey") >= CUSTKEY_LO) & (F.col("o_custkey") <= CUSTKEY_HI)
+    ).select("o_orderkey", "o_custkey", "zval")

@@ -1,0 +1,165 @@
+"""Manifest-based snapshot table: versioned commits + time-travel reads.
+
+The reference's sinks are write-once object dumps (one S3 object per
+reducer, ``output_handler_s3.py:41-53``); re-running a job clobbers or
+duplicates, and a reader racing a writer sees partial output. The standard
+fix at 100 TB is the Iceberg/Delta manifest pattern, reproduced here in its
+minimal form:
+
+- data files are immutable parquet under ``data/``, written once, never
+  renamed;
+- each commit writes the NEW files, then atomically publishes a manifest
+  ``_manifests/v{N}.json`` listing the COMPLETE file set of that version
+  (append = parent's list + new files, overwrite = new files only);
+- readers resolve a version (latest by default) to its manifest and read
+  exactly that file list — snapshot isolation without locks, because a
+  manifest never changes once written and a half-finished commit is
+  invisible until its manifest appears;
+- old versions stay readable (time travel) until a retention job deletes
+  their files.
+
+Scale notes: the reader's cost is one small JSON read instead of an object
+listing (at 100 TB, listing a day's ingest is itself a job); the file list
+is passed to ``spark.read.parquet(*files)`` so partition planning sees only
+live files. A production manifest also carries per-file column min/max for
+planning-time pruning — kept out of scope here; layout.py covers stats
+pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.paths import scratch, sf_tag
+from serverless_mapreduce_spark.registry import query
+
+
+class SnapshotTable:
+    """A directory of immutable parquet files published through versioned
+    JSON manifests. ``commit`` is atomic: files first, manifest rename last."""
+
+    def __init__(self, base_dir: str):
+        self.base = base_dir
+        self.data_dir = os.path.join(base_dir, "data")
+        self.manifest_dir = os.path.join(base_dir, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- versions ---------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version}.json")
+
+    def _files(self, version: int) -> list[str]:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)["files"]
+
+    # -- write ------------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df``'s rows as new immutable files, publish version N+1.
+
+        The commit directory is uuid-named so concurrent writers never
+        collide on data files; whichever manifest rename lands second wins
+        the version number (last-writer-wins — real formats CAS the
+        manifest pointer instead, same structure)."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown commit mode {mode!r}")
+        commit_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.data_dir, commit_id)
+        df.write.mode("error").parquet(out_dir)
+        new_files = sorted(
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+        parent = self.latest_version()
+        files = list(new_files)
+        if mode == "append" and parent is not None:
+            files = self._files(parent) + new_files
+        version = (parent or 0) + 1
+        tmp = os.path.join(self.manifest_dir, f".tmp-{commit_id}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "mode": mode, "files": files}, fh)
+        os.rename(tmp, self._manifest_path(version))
+        return version
+
+    # -- read -------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        files = self._files(version)
+        return spark.read.parquet(*files)
+
+
+#: Time-travel probe: v1 holds orders strictly before the cutoff, v2 appends
+#: the rest. Both engines compare the TIMESTAMP column against the same
+#: UTC-wall literal.
+SNAPSHOT_CUTOFF = "1995-01-01"
+
+
+@query(
+    "snapshot_time_travel",
+    priority=0,
+    oracle=f"""
+    SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_CUTOFF} 00:00:00'
+    UNION ALL
+    SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    """,
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT ISOLATION + TIME TRAVEL: commit orders-before-cutoff as v1,
+    append the remainder as v2, then aggregate BOTH versions through the
+    manifest reader. v1's numbers must still equal the pre-append state
+    after v2 lands — immutable data files + per-version manifests is what
+    guarantees it (module docstring). The v2 aggregate doubles as the
+    losslessness check against the full source table."""
+    base = scratch(sf_tag(sf_dir), "snapshot_orders")
+    # fresh table per run: wipe prior manifests so versions are deterministic
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.to_timestamp(F.lit(f"{SNAPSHOT_CUTOFF} 00:00:00"))
+    t.commit(orders.filter(F.col("o_orderdate") < cutoff), mode="append")
+    t.commit(orders.filter(F.col("o_orderdate") >= cutoff), mode="append")
+
+    def agg(version: int) -> DataFrame:
+        return t.read(spark, version).agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+
+    return agg(1).unionAll(agg(2))

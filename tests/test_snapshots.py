@@ -1,0 +1,44 @@
+"""SnapshotTable: versioned manifests give stable time travel, overwrite
+semantics, and invisibility of unpublished commits."""
+
+from __future__ import annotations
+
+import os
+
+from serverless_mapreduce_spark.paths import scratch
+from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "x bigint")
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    assert t.latest_version() is None
+
+    v1 = t.commit(_df(spark, [1, 2, 3]))
+    v2 = t.commit(_df(spark, [4, 5]))
+    assert (v1, v2) == (1, 2)
+    assert t.read(spark).count() == 5
+    # v1 is immutable after the append
+    assert sorted(r.x for r in t.read(spark, 1).collect()) == [1, 2, 3]
+
+    v3 = t.commit(_df(spark, [9]), mode="overwrite")
+    assert v3 == 3
+    assert [r.x for r in t.read(spark).collect()] == [9]
+    # time travel still sees the pre-overwrite snapshot
+    assert t.read(spark, 2).count() == 5
+    assert t.versions() == [1, 2, 3]
+
+
+def test_unpublished_commit_is_invisible(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1]))
+    # simulate a crashed writer: data files exist, manifest only half-written
+    stray = os.path.join(t.data_dir, "deadbeef")
+    os.makedirs(stray)
+    with open(os.path.join(t.manifest_dir, ".tmp-deadbeef.json"), "w") as fh:
+        fh.write("{not json")
+    assert t.versions() == [1]
+    assert t.read(spark).count() == 1
