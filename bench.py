@@ -111,6 +111,14 @@ HEADLINE = (
     # round-5 operators
     "docs_pack_sequences",
     "source_mixture_weights",
+    "kv_jdbc_roundtrip",
+    "tfidf_top_terms",
+    "bpe_pair_counts",
+    "vocab_encode",
+    "zorder_cluster_write",
+    "snapshot_time_travel",
+    "stream_upsert_latest",
+    "keyword_search_topk",
 )
 
 
@@ -131,6 +139,14 @@ def main() -> None:
     # Warm the JVM/codegen path once so per-query numbers measure the plan,
     # not first-query session initialization.
     queries["q1_filter_scan"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the OS page cache + parquet footers for every fixture table: the
+    # first query to touch each table otherwise absorbs its cold read
+    # (measured: dedup_exact 2.1 s cold vs 0.33 s warm at sf0.1 — the delta
+    # is the documents.parquet cold scan, not the dedup plan).
+    for t in ("documents", "events", "embeddings", "lineitem", "orders"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.format(
+            "noop"
+        ).mode("overwrite").save()
     # Warm the Python worker pool + Arrow path too: the first pandas_udf in
     # a session forks one worker per core (~4s on local[32]) — a fixed cost
     # a long-lived cluster pays once, not a property of any query's plan.

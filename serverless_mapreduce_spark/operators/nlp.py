@@ -178,6 +178,106 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Keyword search over the inverted index -----------------------------------
+
+#: The fixed query of the retrieval probe (terms known to occur in the
+#: synthetic corpus). Fixed literals keep the oracle closed-form; a serving
+#: system binds these per request.
+SEARCH_TERMS = ("spark", "window", "merge")
+SEARCH_TOP_K = 10
+
+#: Fixed-order pivot sum rendered from SEARCH_TERMS (kept generated so the
+#: oracle can never drift from the term list).
+_PIVOT_SUM_SQL = " + ".join(
+    f"COALESCE(MAX(CASE WHEN term = '{t}' THEN c END), 0)" for t in SEARCH_TERMS
+)
+
+
+@query(
+    "keyword_search_topk",
+    priority=0,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM toks
+      WHERE term IN {SEARCH_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ((n.n - df.df + 0.5) / (df.df + 0.5)) AS c
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    scored AS (
+      SELECT doc_id, {_PIVOT_SUM_SQL} AS score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {SEARCH_TOP_K}
+    """,
+)
+def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYWORD RETRIEVAL: score documents against a fixed term query by
+    summed tf-idf and return the top-{SEARCH_TOP_K}.
+
+    The scale shape is the inverted-index access path: the term filter is
+    applied to the TOKEN STREAM before any aggregation, so only query-term
+    postings ever shuffle — at serving scale the (term → postings) table is
+    precomputed and partitioned/bucketed by term and this same plan becomes
+    a partition-pruned lookup; the one-pass form here shows the identical
+    dataflow with the filter pushed to the scan. The per-document score is
+    assembled by a FIXED-ORDER sum of the (≤ {len(SEARCH_TERMS)}) per-term
+    contributions (conditional-agg pivot + left-to-right coalesce adds) —
+    a plain SUM over doubles is addition-order-nondeterministic across
+    partitions; pinning the order keeps the doubles bit-identical to the
+    oracle (registry.py exactness contract)."""
+    terms = list(SEARCH_TERMS)
+    tf = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = table(spark, sf_dir, "documents").agg(F.count("*").alias("n"))
+    contrib = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+            ).alias("c"),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0)
+        )
+        for t in terms
+    ]
+    score = per_term[0]
+    for p in per_term[1:]:
+        score = score + p
+    scored = contrib.groupBy("doc_id").agg(score.alias("score"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= SEARCH_TOP_K)
+        .select("doc_id", "score", "rnk")
+    )
+
+
 # --- Vocabulary dictionary encoding -------------------------------------------
 
 @query(
