@@ -91,32 +91,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs-per-term rows in, vocab rows out); the tf⋈df join is keyed on term
     — vocab-sized, orders of magnitude under the corpus, and AQE broadcasts
     it when it fits; the final top-k is a window on doc_id, the same key tf
-    already grouped by. N is a 1-row aggregate crossed in (broadcast), not
-    a driver collect. No Cartesian, no Python, no ln (see module docstring
-    for the exactness argument)."""
-    tf = _tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf")
-    )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = table(spark, sf_dir, "documents").agg(F.count("*").alias("n"))
-    scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            (
-                F.col("tf")
-                * ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-            ).alias("score"),
+    already grouped by. N rides a scalar subquery (SubqueryExec — computed
+    once, inlined), not a driver collect or a 1-row crossJoin. No
+    Cartesian, no Python, no ln (see module docstring for the exactness
+    argument)."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("tfidf_docs")
+    # The corpus count rides a scalar subquery (SubqueryExec — computed once,
+    # result inlined), not a 1-row crossJoin: the broadcast-nested-loop a
+    # crossJoin plans to is exactly what the registry-wide plan lint forbids.
+    return spark.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, explode(split(lower(text), '{TOKEN_SPLIT_RE}')) AS term
+          FROM tfidf_docs
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * (((SELECT COUNT(*) FROM tfidf_docs) - df.df + 0.5D)
+                          / (df.df + 0.5D)) AS score
+          FROM tf JOIN df USING (term)
         )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= TFIDF_TOP_K)
-        .select("doc_id", "term", "rnk", "score")
-    )
+        SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, score
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+          FROM scored
+        ) WHERE rnk <= {TFIDF_TOP_K}
+    """)
 
 
 # --- BPE training: weighted adjacent-pair counts ------------------------------
@@ -239,43 +244,35 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain SUM over doubles is addition-order-nondeterministic across
     partitions; pinning the order keeps the doubles bit-identical to the
     oracle (registry.py exactness contract)."""
-    terms = list(SEARCH_TERMS)
-    tf = (
-        _tokens(spark, sf_dir)
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n = table(spark, sf_dir, "documents").agg(F.count("*").alias("n"))
-    contrib = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            (
-                F.col("tf")
-                * ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-            ).alias("c"),
+    table(spark, sf_dir, "documents").createOrReplaceTempView("search_docs")
+    # Same scalar-subquery shape as tfidf_top_terms (no 1-row crossJoin →
+    # no BNLJ); _PIVOT_SUM_SQL is valid in both dialects, so the fixed
+    # addition order is shared with the oracle by construction.
+    return spark.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, explode(split(lower(text), '{TOKEN_SPLIT_RE}')) AS term
+          FROM search_docs
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE term IN {SEARCH_TERMS!r} GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * (((SELECT COUNT(*) FROM search_docs) - df.df + 0.5D)
+                          / (df.df + 0.5D)) AS c
+          FROM tf JOIN df USING (term)
+        ),
+        scored AS (
+          SELECT doc_id, {_PIVOT_SUM_SQL} AS score
+          FROM contrib GROUP BY doc_id
         )
-    )
-    per_term = [
-        F.coalesce(
-            F.max(F.when(F.col("term") == t, F.col("c"))), F.lit(0.0)
-        )
-        for t in terms
-    ]
-    score = per_term[0]
-    for p in per_term[1:]:
-        score = score + p
-    scored = contrib.groupBy("doc_id").agg(score.alias("score"))
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= SEARCH_TOP_K)
-        .select("doc_id", "score", "rnk")
-    )
+        SELECT doc_id, score, CAST(rnk AS BIGINT) AS rnk
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {SEARCH_TOP_K}
+    """)
 
 
 # --- Vocabulary dictionary encoding -------------------------------------------
