@@ -119,6 +119,7 @@ HEADLINE = (
     "snapshot_time_travel",
     "stream_upsert_latest",
     "keyword_search_topk",
+    "typedkv_scan",
 )
 
 

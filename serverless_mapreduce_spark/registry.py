@@ -157,6 +157,7 @@ def _ensure_loaded() -> None:
     from serverless_mapreduce_spark.sources import (  # noqa: F401
         jdbc_kv,
         layout,
+        pyds_kv,
         snapshots,
         source_queries,
     )

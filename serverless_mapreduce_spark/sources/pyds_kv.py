@@ -1,0 +1,218 @@
+"""A pluggable typed-KV source as a Spark 4 Python DataSource.
+
+The reference reads DynamoDB items — maps of ``column → {type_tag:
+string_value}`` with a per-column ``(name, type_tag)`` spec driving both
+decoding and a server-side ``ProjectionExpression``
+(``data_sources/input_handler_dynamodb.py:135-213``; item layout written in
+``put_items``, :100-115). ``dynamo_typed_extract`` (operators/relational.py)
+reproduces the SEMANTICS over parquet; this module reproduces the SOURCE
+CONTRACT: a first-class ``spark.read.format("typedkv")`` connector that
+
+- decodes typed items from JSON-lines files (the same ``{"col": {"N":
+  "123"}}`` wire shape DynamoDB uses),
+- declares its schema from a column spec option (``name:tag:sqltype,...``
+  — the analog of INPUT_COLUMNS_DYNAMODB),
+- splits one :class:`InputPartition` per file so the scan parallelizes
+  across executors exactly like the reference's one-Lambda-per-key fanout,
+- and implements ``pushFilters`` so equality/IsNotNull predicates are
+  evaluated INSIDE the source before rows reach Spark — the moral
+  equivalent of the reference's server-side projection/filter push
+  (``read_value``'s ProjectionExpression, :171-213): at 100 TB the win is
+  rows never serialized into the engine, not rows filtered after the scan.
+
+Scale notes: the per-file partitioning means planning is O(files) and each
+task streams one file (in production, one S3 key range); decoding is
+line-at-a-time Python, which is the documented cost of a *Python*
+DataSource — the parquet path (dynamo_typed_extract) remains the fast lane,
+and this connector is the integration-parity lane, same split the
+reference has between its S3 and DynamoDB handlers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    IsNotNull,
+)
+from pyspark.sql.types import StructType
+
+
+def _parse_spec(spec: str) -> list[tuple[str, str, str]]:
+    """``"event_id:N:bigint,event_type:S:string"`` → [(name, tag, sqltype)]."""
+    out = []
+    for part in spec.split(","):
+        name, tag, sqltype = part.strip().split(":")
+        out.append((name, tag, sqltype))
+    return out
+
+
+_CASTS = {
+    "bigint": int,
+    "int": int,
+    "double": float,
+    "string": str,
+}
+
+
+class TypedKVReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.spec = _parse_spec(options["columns"])
+        self._pushed: list[tuple[str, object]] = []   # (col, required value|None)
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept EqualTo/IsNotNull on declared columns; everything else is
+        returned for Spark to evaluate post-scan (the API contract)."""
+        names = {n for n, _, _ in self.spec}
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1 and f.attribute[0] in names:
+                self._pushed.append((f.attribute[0], f.value))
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1 and f.attribute[0] in names:
+                self._pushed.append((f.attribute[0], None))
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        files = sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if not f.startswith(("_", "."))
+        )
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        casts = [(name, tag, _CASTS[sqltype]) for name, tag, sqltype in self.spec]
+        with open(partition.value) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                item = json.loads(line)
+                row, keep = [], True
+                for name, tag, cast in casts:
+                    cell = item.get(name)
+                    raw = None if cell is None else cell.get(tag)
+                    row.append(None if raw is None else cast(raw))
+                if keep and self._pushed:
+                    vals = dict(zip([n for n, _, _ in casts], row))
+                    for col, want in self._pushed:
+                        got = vals[col]
+                        if got is None or (want is not None and got != want):
+                            keep = False
+                            break
+                if keep:
+                    yield tuple(row)
+
+
+class TypedKVDataSource(DataSource):
+    """``spark.read.format("typedkv").option("columns", spec).load(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "typedkv"
+
+    def schema(self) -> str:
+        # a DDL string, not StructType.fromDDL: schema() executes in an
+        # isolated Python worker with no SparkSession to parse DDL through
+        return ", ".join(
+            f"{name} {sqltype}" for name, _, sqltype in _parse_spec(self.options["columns"])
+        )
+
+    def reader(self, schema: StructType) -> TypedKVReader:
+        return TypedKVReader(dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration."""
+    spark.dataSource.register(TypedKVDataSource)
+
+
+# --- registered correctness query ---------------------------------------------
+
+EVENTS_SPEC = "event_id:N:bigint,user_id:N:bigint,event_type:S:string,value:N:double"
+KV_FILES = 8  #: fixture files → reader partitions (the per-key fanout analog)
+
+
+def _write_typed_fixture(spark, sf_dir: str) -> str:
+    """Render events as DynamoDB-wire JSON-lines ({col: {tag: str}}), one
+    file per partition. Doubles go through the JVM's shortest round-trip
+    Double.toString, so float() in the reader restores them bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from serverless_mapreduce_spark.catalog import table
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+
+    out = scratch(sf_tag(sf_dir), "typedkv_events")
+    (
+        table(spark, sf_dir, "events")
+        .select(
+            F.to_json(
+                F.struct(
+                    F.struct(F.col("event_id").cast("string").alias("N")).alias("event_id"),
+                    F.struct(F.col("user_id").cast("string").alias("N")).alias("user_id"),
+                    F.struct(F.col("event_type").alias("S")).alias("event_type"),
+                    F.struct(F.col("value").cast("string").alias("N")).alias("value"),
+                )
+            ).alias("value")
+        )
+        .repartition(KV_FILES)
+        .write.mode("overwrite")
+        .text(out)
+    )
+    return out
+
+
+from serverless_mapreduce_spark.registry import query  # noqa: E402
+
+
+@query(
+    "typedkv_scan",
+    priority=0,
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def typedkv_scan(spark, sf_dir: str):
+    """E2 as a REAL connector: write events in DynamoDB wire shape, read
+    them back through the ``typedkv`` Python DataSource with the
+    ``event_type = 'click'`` predicate PUSHED into the source
+    (``pushFilters`` — rows that fail it are never serialized into Spark,
+    the reference's server-side filter analog), then aggregate per user.
+    The oracle runs the same predicate over the parquet events table, so a
+    connector decode or pushdown bug fails the hash, not just a row count.
+    tests/test_pyds_kv.py pins the pushdown contract itself (accepted vs
+    returned filters, partition fanout, null/missing-attribute decode)."""
+    from pyspark.sql import functions as F
+
+    path = _write_typed_fixture(spark, sf_dir)
+    # pushFilters is gated behind spark.sql.python.filterPushdown.enabled
+    # (default false). Enable it on a CLONE (own conf, shared context) —
+    # operators never mutate the caller's session config.
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    df = (
+        spark.read.format("typedkv")
+        .option("columns", EVENTS_SPEC)
+        .load(path)
+    )
+    return (
+        df.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
