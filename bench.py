@@ -120,6 +120,7 @@ HEADLINE = (
     "stream_upsert_latest",
     "keyword_search_topk",
     "typedkv_scan",
+    "approx_quantiles_bounded",
 )
 
 

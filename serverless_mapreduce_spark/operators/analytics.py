@@ -940,6 +940,80 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- approximate quantiles with a rank-error contract --------------------------
+
+APPROX_Q_ACC = 10_000  #: percentile_approx accuracy (rank error <= n/ACC)
+
+
+def approx_quantile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, q50, q95, n) via the KLL-style quantile sketch
+    (``percentile_approx``). THE percentile operator at 100 TB: the sketch
+    is O(accuracy) memory per group and merges associatively, so the
+    shuffle carries one sketch per (task, group) instead of the full
+    sorted value set that an exact percentile
+    (``price_quantiles_by_priority``) must see."""
+    qs = F.percentile_approx("value", [0.5, 0.95], APPROX_Q_ACC)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(qs.alias("qs"), F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.col("qs")[0].alias("q50"),
+            F.col("qs")[1].alias("q95"),
+            "n",
+        )
+    )
+
+
+@query(
+    "approx_quantiles_bounded",
+    priority=0,
+    oracle="""
+    -- Same contract shape as approx_distinct_users: DuckDB's approx
+    -- quantile is a different sketch, so the estimate itself can't be the
+    -- hashed value. percentile_approx guarantees the returned value's RANK
+    -- is within n/accuracy of the target rank; the query emits that rank
+    -- check (with slack for ties) as booleans, which must be TRUE per group.
+    SELECT event_type, TRUE AS p50_within, TRUE AS p95_within
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95 of ``value`` per event type with the rank-error
+    bound verified IN the query: a second pass counts values <= each
+    estimate (broadcast of the tiny per-group estimates, conditional sum)
+    and checks the count lands within target_rank ± (3n/accuracy + 2).
+    The verification pass exists for the driver gate only — a production
+    caller takes (q50, q95) from :func:`approx_quantile_estimates`'s
+    single sketch aggregation and never rescans. The estimate-vs-exact
+    distance is separately gated in
+    tests/test_edge_cases.py::test_approx_quantiles_near_exact."""
+    est = approx_quantile_estimates(spark, sf_dir)
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    counted = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("q50"), 1).otherwise(0)).alias("le50"),
+            F.sum(F.when(F.col("value") <= F.col("q95"), 1).otherwise(0)).alias("le95"),
+            F.first("n").alias("n"),
+        )
+    )
+    tol = 3.0 * F.col("n") / APPROX_Q_ACC + 2
+    return counted.select(
+        "event_type",
+        (
+            (F.col("le50") >= 0.5 * F.col("n") - tol)
+            & (F.col("le50") <= 0.5 * F.col("n") + tol)
+        ).alias("p50_within"),
+        (
+            (F.col("le95") >= 0.95 * F.col("n") - tol)
+            & (F.col("le95") <= 0.95 * F.col("n") + tol)
+        ).alias("p95_within"),
+    )
+
+
 # --- keyless interval join via time-bucketization -----------------------------
 
 RANGE_WINDOW_US = 300_000_000  # ±5 minutes, in microseconds

@@ -287,3 +287,43 @@ def test_boilerplate_chunks_detects_shared_passage(spark, tmp_path_factory):
     # the shared 64-token block is chunk 0 of docs 0 and 1 — exactly one hit
     assert len(hits) == 1
     assert hits[0].n_docs == 2 and hits[0].n_occurrences == 2
+
+
+def test_approx_quantiles_near_exact(spark, sf_dir):
+    """Accuracy gate for the quantile sketch itself (the registered query
+    hashes only the rank-bound booleans): each group's estimate must sit
+    within 2 percentage points of rank of the exact percentile — loose
+    enough to never flake at fixture sizes, tight enough to catch a
+    swapped column or a broken accuracy knob."""
+    from pyspark.sql import functions as F
+
+    from serverless_mapreduce_spark.catalog import table
+    from serverless_mapreduce_spark.operators.analytics import (
+        approx_quantile_estimates,
+    )
+
+    est = {r.event_type: r for r in approx_quantile_estimates(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("e50"),
+            F.expr("percentile(value, 0.95)").alias("e95"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for et, e in exact.items():
+        a = est[et]
+        ranks = (
+            table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == et)
+            .agg(
+                F.sum(F.when(F.col("value") <= a.q50, 1).otherwise(0)).alias("r50"),
+                F.sum(F.when(F.col("value") <= a.q95, 1).otherwise(0)).alias("r95"),
+            )
+            .collect()[0]
+        )
+        assert abs(ranks.r50 / e.n - 0.5) <= 0.02, (et, ranks.r50, e.n)
+        assert abs(ranks.r95 / e.n - 0.95) <= 0.02, (et, ranks.r95, e.n)
