@@ -121,6 +121,7 @@ HEADLINE = (
     "keyword_search_topk",
     "typedkv_scan",
     "approx_quantiles_bounded",
+    "csv_corrupt_records",
 )
 
 

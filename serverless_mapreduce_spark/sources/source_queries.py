@@ -224,3 +224,91 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
     )
+
+
+# --- corrupt-record quarantine channel ----------------------------------------
+
+#: Every CORRUPT_EVERY-th customer row is replaced by a malformed line in
+#: the generated CSV — deterministic, so the oracle knows exactly which
+#: rows were sacrificed.
+CORRUPT_EVERY = 50
+
+
+@query(
+    "csv_corrupt_records",
+    priority=0,
+    oracle=f"""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer WHERE c_custkey % {CORRUPT_EVERY} <> 0
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT '__corrupt__', COUNT(*), CAST(0.0 AS DOUBLE)
+    FROM customer WHERE c_custkey % {CORRUPT_EVERY} = 0
+    """,
+)
+def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRUPT-RECORD QUARANTINE: ingest a CSV feed that contains malformed
+    lines (1 in {CORRUPT_EVERY}, injected deterministically) in PERMISSIVE
+    mode with ``columnNameOfCorruptRecord`` — good rows parse and
+    aggregate, broken rows land intact in the quarantine column and are
+    COUNTED, never silently dropped or job-fatal. This is the third point
+    on the reference's error-handling spectrum: its mappers split lines
+    blind (``word_count_map.py``, crash-or-garbage on bad input) and the
+    repo's FAILFAST reader (csv_ddl.py) makes schema drift fatal;
+    production 100 TB ingest needs this middle mode — keep the job alive,
+    quarantine the bad bytes for replay, and make the corrupt count an
+    OBSERVABLE output so an upstream format break pages someone instead of
+    shrinking the table. The parsed frame is persisted before the
+    good/corrupt split: Spark disallows filtering raw-scan corrupt columns
+    alone (the parser would have to run twice, possibly disagreeing), and
+    the persist also means one parse feeds both branches."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    cust = table(spark, sf_dir, "customer")
+    csv_dir = _scratch(sf_dir, "corrupt_csv")
+    (
+        cust.select(
+            F.when(
+                F.col("c_custkey") % CORRUPT_EVERY == 0,
+                F.concat(F.lit("!!malformed "), F.col("c_name")),
+            )
+            .otherwise(
+                F.concat_ws(
+                    ",",
+                    F.col("c_custkey").cast("string"),
+                    F.col("c_name"),
+                    F.col("c_mktsegment"),
+                    F.col("c_acctbal").cast("string"),
+                )
+            )
+            .alias("value")
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .text(csv_dir)
+    )
+    parsed = persist_tracked(
+        spark.read.schema(
+            "c_custkey BIGINT, c_name STRING, c_mktsegment STRING, "
+            "c_acctbal DOUBLE, _corrupt STRING"
+        )
+        .options(mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt")
+        .csv(csv_dir)
+    )
+    good = (
+        parsed.filter(F.col("_corrupt").isNull())
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
+    bad = parsed.filter(F.col("_corrupt").isNotNull()).agg(
+        F.lit("__corrupt__").alias("segment"),
+        F.count("*").alias("n_rows"),
+        F.lit(0.0).alias("sum_acctbal"),
+    )
+    return good.unionAll(bad)
