@@ -122,6 +122,7 @@ HEADLINE = (
     "typedkv_scan",
     "approx_quantiles_bounded",
     "csv_corrupt_records",
+    "snapshot_pruned_read",
 )
 
 

@@ -21,9 +21,10 @@ minimal form:
 Scale notes: the reader's cost is one small JSON read instead of an object
 listing (at 100 TB, listing a day's ingest is itself a job); the file list
 is passed to ``spark.read.parquet(*files)`` so partition planning sees only
-live files. A production manifest also carries per-file column min/max for
-planning-time pruning — kept out of scope here; layout.py covers stats
-pruning.
+live files. Manifests optionally carry per-file column min/max
+(``commit(stats_cols=...)``) so a box predicate prunes files at planning
+time (``read(where=...)``) — composing with layout.py, which makes those
+per-file ranges tight in the first place.
 """
 
 from __future__ import annotations
@@ -67,19 +68,36 @@ class SnapshotTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.manifest_dir, f"v{version}.json")
 
-    def _files(self, version: int) -> list[str]:
+    def _entries(self, version: int) -> list[dict]:
+        """Manifest file entries, normalized to ``{"path": ..., "stats":
+        {col: [min, max]}?}`` (plain-string entries from stats-less commits
+        normalize to path-only)."""
         with open(self._manifest_path(version)) as fh:
-            return json.load(fh)["files"]
+            raw = json.load(fh)["files"]
+        return [e if isinstance(e, dict) else {"path": e} for e in raw]
+
+    def _files(self, version: int) -> list[str]:
+        return [e["path"] for e in self._entries(version)]
 
     # -- write ------------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def commit(
+        self, df: DataFrame, mode: str = "append", stats_cols: tuple[str, ...] = ()
+    ) -> int:
         """Write ``df``'s rows as new immutable files, publish version N+1.
 
         The commit directory is uuid-named so concurrent writers never
         collide on data files; whichever manifest rename lands second wins
         the version number (last-writer-wins — real formats CAS the
-        manifest pointer instead, same structure)."""
+        manifest pointer instead, same structure).
+
+        ``stats_cols`` (numeric columns) records per-file min/max in the
+        manifest — the Iceberg manifest-stats mechanism that lets a reader
+        prune files at PLANNING time (see :meth:`read`'s ``where``). The
+        stats pass is one aggregation over the just-written files grouped
+        by ``input_file_name`` (driver memory O(files·cols) — exactly what
+        a manifest is; production formats lift the same numbers straight
+        from the parquet footers they just wrote)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
         commit_id = uuid.uuid4().hex[:12]
@@ -90,25 +108,76 @@ class SnapshotTable:
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         )
+        entries: list[dict] = [{"path": f} for f in new_files]
+        if stats_cols:
+            from pyspark.sql import functions as F
+
+            aggs = []
+            for c in stats_cols:
+                aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+            rows = (
+                df.sparkSession.read.parquet(out_dir)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(*aggs)
+                .collect()
+            )
+            by_base = {os.path.basename(r["f"]): r for r in rows}
+            for ent in entries:
+                r = by_base.get(os.path.basename(ent["path"]))
+                if r is not None:
+                    ent["stats"] = {
+                        c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
+                    }
         parent = self.latest_version()
-        files = list(new_files)
         if mode == "append" and parent is not None:
-            files = self._files(parent) + new_files
+            entries = self._entries(parent) + entries
         version = (parent or 0) + 1
         tmp = os.path.join(self.manifest_dir, f".tmp-{commit_id}.json")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "mode": mode, "files": files}, fh)
+            json.dump({"version": version, "mode": mode, "files": entries}, fh)
         os.rename(tmp, self._manifest_path(version))
         return version
 
     # -- read -------------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def plan_files(
+        self,
+        version: int | None = None,
+        where: tuple[str, float, float] | None = None,
+    ) -> tuple[list[str], int]:
+        """(files to scan, total files in the version). ``where = (col, lo,
+        hi)`` drops every file whose recorded [min, max] for ``col`` cannot
+        intersect the box; files committed without stats for ``col`` are
+        conservatively kept. This decision costs one small JSON read — no
+        file is opened, no task launched — which is the entire point at
+        100 TB: the fastest scan is the file never planned."""
         if version is None:
             version = self.latest_version()
         if version is None:
             raise ValueError("snapshot table has no committed version")
-        files = self._files(version)
+        entries = self._entries(version)
+        if where is None:
+            return [e["path"] for e in entries], len(entries)
+        col, lo, hi = where
+        kept = []
+        for e in entries:
+            rng = e.get("stats", {}).get(col)
+            if rng is None or (rng[0] <= hi and rng[1] >= lo):
+                kept.append(e["path"])
+        return kept, len(entries)
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: tuple[str, float, float] | None = None,
+    ) -> DataFrame:
+        """Read a version; ``where`` prunes files via manifest stats. File
+        pruning is RANGE-granular, not row-exact — callers still apply the
+        row filter (same contract as parquet row-group stats)."""
+        files, _ = self.plan_files(version, where)
+        if not files:
+            raise ValueError("pruning removed every file; empty reads need a schema")
         return spark.read.parquet(*files)
 
 
@@ -163,3 +232,51 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg(1).unionAll(agg(2))
+
+
+# --- manifest-stats file pruning ----------------------------------------------
+
+PRUNE_LO = 100   #: the read-back probe box on o_custkey
+PRUNE_HI = 220
+PRUNE_FILES = 8  #: committed file count (range partitions on the stats col)
+
+
+@query(
+    "snapshot_pruned_read",
+    priority=0,
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_custkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+    """,
+)
+def snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-STATS FILE PRUNING: commit orders range-partitioned on
+    o_custkey ({PRUNE_FILES} files) with per-file min/max recorded in the
+    manifest, then serve a custkey box query by pruning the file list at
+    planning time (plan_files) and applying the residual row filter to the
+    survivors. Because the layout is range-clustered on the stats column,
+    most files fall entirely outside the box and are never planned —
+    tests/test_snapshots.py asserts the kept/total ratio. This composes
+    the two halves built separately: layout.py makes per-file stats TIGHT,
+    the manifest makes them VISIBLE without opening a single footer."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_pruned")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    t.commit(
+        orders.repartitionByRange(PRUNE_FILES, "o_custkey"),
+        stats_cols=("o_custkey",),
+    )
+    back = t.read(spark, where=("o_custkey", PRUNE_LO, PRUNE_HI))
+    return back.filter(
+        (F.col("o_custkey") >= PRUNE_LO) & (F.col("o_custkey") <= PRUNE_HI)
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

@@ -42,3 +42,29 @@ def test_unpublished_commit_is_invisible(spark, tmp_path):
         fh.write("{not json")
     assert t.versions() == [1]
     assert t.read(spark).count() == 1
+
+
+def test_manifest_stats_prune(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    t.commit(df.repartitionByRange(10, "k"), stats_cols=("k",))
+
+    kept, total = t.plan_files(where=("k", 150, 250))
+    assert total == 10
+    # a 10%-wide box on a range-clustered layout touches ~2 of 10 files
+    assert 1 <= len(kept) <= 3
+    got = sorted(
+        r.k for r in t.read(spark, where=("k", 150, 250)).filter(
+            "k BETWEEN 150 AND 250").collect()
+    )
+    assert got == list(range(150, 251))
+
+
+def test_stats_less_files_are_kept(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    t.commit(df.coalesce(1))                              # no stats
+    t.commit(df.coalesce(1), stats_cols=("k",))           # stats
+    kept, total = t.plan_files(where=("k", 5000, 6000))
+    # the stats-bearing file prunes (out of range); the blind one must stay
+    assert total == 2 and len(kept) == 1
