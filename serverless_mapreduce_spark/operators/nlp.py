@@ -267,11 +267,19 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored AS (
           SELECT doc_id, {_PIVOT_SUM_SQL} AS score
           FROM contrib GROUP BY doc_id
+        ),
+        -- ORDER BY + LIMIT compiles to TakeOrderedAndProject: each
+        -- partition keeps its local top-{SEARCH_TOP_K} and only those merge
+        -- — a global row_number window here would drag EVERY matching doc
+        -- into one partition (corpus-sized for a common term). The rank is
+        -- assigned afterwards over the {SEARCH_TOP_K} survivors.
+        top AS (
+          SELECT doc_id, score FROM scored
+          ORDER BY score DESC, doc_id LIMIT {SEARCH_TOP_K}
         )
-        SELECT doc_id, score, CAST(rnk AS BIGINT) AS rnk
-        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
-              FROM scored)
-        WHERE rnk <= {SEARCH_TOP_K}
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        FROM top
     """)
 
 
