@@ -86,15 +86,15 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF (BM25-flavored idf) top-{TFIDF_TOP_K} terms per document.
 
-    Plan shape, and why it holds at 100 TB: tf is one hash aggregation on
-    (doc_id, term) with map-side partials; df reuses tf's output (vocab ×
-    docs-per-term rows in, vocab rows out); the tf⋈df join is keyed on term
-    — vocab-sized, orders of magnitude under the corpus, and AQE broadcasts
-    it when it fits; the final top-k is a window on doc_id, the same key tf
-    already grouped by. N rides a scalar subquery (SubqueryExec — computed
-    once, inlined), not a driver collect or a 1-row crossJoin. No
-    Cartesian, no Python, no ln (see module docstring for the exactness
-    argument)."""
+    Plan shape, and why it holds at 100 TB: one corpus scan — tf is one
+    hash aggregation on (doc_id, term) with map-side partials; df is a
+    COUNT window over tf partitioned by term (one term-keyed exchange of
+    the aggregated postings, no join, no re-scan — the SQL comment explains
+    why the join form is worse under Spark's no-CTE-materialization); the
+    final top-k is a window on doc_id. N rides a scalar subquery
+    (SubqueryExec — computed once, inlined), not a driver collect or a
+    1-row crossJoin. No Cartesian, no Python, no ln (see module docstring
+    for the exactness argument)."""
     table(spark, sf_dir, "documents").createOrReplaceTempView("tfidf_docs")
     # The corpus count rides a scalar subquery (SubqueryExec — computed once,
     # result inlined), not a 1-row crossJoin: the broadcast-nested-loop a
@@ -108,12 +108,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, term, COUNT(*) AS tf
           FROM toks WHERE term <> '' GROUP BY doc_id, term
         ),
-        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        -- df as a window count over tf, NOT a self-join against a df CTE:
+        -- Spark does not materialize CTEs, so the join form re-tokenizes
+        -- the whole corpus for the df branch (measured: 6 exchanges, two
+        -- corpus scans); the window form is one term-keyed exchange over
+        -- the already-aggregated tf table.
         scored AS (
-          SELECT tf.doc_id, tf.term,
-                 tf.tf * (((SELECT COUNT(*) FROM tfidf_docs) - df.df + 0.5D)
-                          / (df.df + 0.5D)) AS score
-          FROM tf JOIN df USING (term)
+          SELECT doc_id, term,
+                 tf * (((SELECT COUNT(*) FROM tfidf_docs)
+                        - COUNT(*) OVER (PARTITION BY term) + 0.5D)
+                       / (COUNT(*) OVER (PARTITION BY term) + 0.5D)) AS score
+          FROM tf
         )
         SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, score
         FROM (
@@ -257,12 +262,14 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, term, COUNT(*) AS tf
           FROM toks WHERE term IN {SEARCH_TERMS!r} GROUP BY doc_id, term
         ),
-        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        -- window-count df over tf (same rationale as tfidf_top_terms: the
+        -- join form re-runs the corpus tokenize for the df branch)
         contrib AS (
-          SELECT tf.doc_id, tf.term,
-                 tf.tf * (((SELECT COUNT(*) FROM search_docs) - df.df + 0.5D)
-                          / (df.df + 0.5D)) AS c
-          FROM tf JOIN df USING (term)
+          SELECT doc_id, term,
+                 tf * (((SELECT COUNT(*) FROM search_docs)
+                        - COUNT(*) OVER (PARTITION BY term) + 0.5D)
+                       / (COUNT(*) OVER (PARTITION BY term) + 0.5D)) AS c
+          FROM tf
         ),
         scored AS (
           SELECT doc_id, {_PIVOT_SUM_SQL} AS score
