@@ -123,6 +123,7 @@ HEADLINE = (
     "approx_quantiles_bounded",
     "csv_corrupt_records",
     "snapshot_pruned_read",
+    "embedding_quantize_int8",
 )
 
 

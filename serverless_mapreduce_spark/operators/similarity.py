@@ -548,3 +548,79 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vecs"),
         )
     )
+
+
+# --- int8 scalar quantization of the embedding corpus --------------------------
+
+@query(
+    "embedding_quantize_int8",
+    priority=0,
+    oracle="""
+    WITH long AS (
+      SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    stats AS (SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM long GROUP BY dim),
+    q AS (
+      SELECT vec_id, dim,
+             CAST(least(greatest(
+               CASE WHEN hi > lo THEN floor((val - lo) * 255 / (hi - lo)) ELSE 0 END,
+               0), 255) AS BIGINT) AS q
+      FROM long JOIN stats USING (dim)
+    )
+    SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(q) AS BIGINT) AS q_sum,
+           md5(array_to_string(list(CAST(q AS VARCHAR) ORDER BY dim), ' ')) AS q_md5
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 SCALAR QUANTIZATION of the embedding corpus: per-dimension
+    min/max over all vectors, then each element maps to
+    ``floor((v - lo_d) * 255 / (hi_d - lo_d))`` clamped to [0, 255] — 4x
+    smaller vectors, the standard compression in front of a large-scale
+    ANN index (IVF-SQ8). Plan shape (same long format as
+    embedding_label_centroids): posexplode is a narrow map; the per-dim
+    stats aggregate is one shuffle collapsing to dims rows, broadcast back
+    onto the stream; re-assembly groups by vec_id with an order-pinned
+    md5 so the oracle verifies every quantized BYTE, not just counts.
+    Exactness: subtract/multiply/divide/floor on doubles are
+    correctly-rounded IEEE ops, bit-identical across engines — even at a
+    cell where (hi-lo)*255/(hi-lo) lands just under 255, both engines land
+    there together (registry.py exactness contract). f32 elements widen to
+    f64 exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    long = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    stats = long.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    raw_q = F.when(
+        F.col("hi") > F.col("lo"),
+        F.floor((F.col("val") - F.col("lo")) * 255 / (F.col("hi") - F.col("lo"))),
+    ).otherwise(F.lit(0))
+    q = (
+        long.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.least(F.greatest(raw_q, F.lit(0)), F.lit(255))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    return q.groupBy("vec_id").agg(
+        F.count("*").alias("n_dims"),
+        F.sum("q").cast("bigint").alias("q_sum"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "q"))),
+                    lambda s: s.q.cast("string"),
+                ),
+                " ",
+            )
+        ).alias("q_md5"),
+    )
