@@ -124,6 +124,7 @@ HEADLINE = (
     "csv_corrupt_records",
     "snapshot_pruned_read",
     "embedding_quantize_int8",
+    "scd2_user_state",
 )
 
 

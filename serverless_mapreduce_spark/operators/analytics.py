@@ -1069,3 +1069,82 @@ def join_range_keyless(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id")
         .agg(F.count("*").alias("n_signups_nearby"))
     )
+
+
+# --- SCD2: slowly-changing-dimension intervals from the event log --------------
+
+@query(
+    "scd2_user_state",
+    priority=0,
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, event_id, ts, event_type FROM (
+        SELECT *, lag(event_type) OVER w AS prev_type
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ) WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    iv AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM chg
+    )
+    SELECT user_id, state,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 0
+                         ELSE epoch_us(valid_to) - epoch_us(valid_from) END)
+                AS BIGINT) AS closed_dur_us,
+           CAST(MAX(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS has_current
+    FROM iv GROUP BY user_id, state
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 DIMENSION BUILD: turn the append-only event log into
+    validity intervals per user — collapse consecutive same-state
+    observations (change detection via lag), open an interval at each
+    change, close it at the next change (lead; NULL = current row). This
+    is how a warehouse derives a historized dimension from CDC at 100 TB,
+    and the plan is the sessionize shape: lag-filter, lead, and the final
+    (user, state) aggregate are ALL user_id-partitioned, so one exchange
+    serves every pass. Determinism: windows order by (ts, event_id) — the
+    unique tiebreaker makes every interval boundary reproducible under any
+    partitioning. Registered result aggregates interval count, total
+    CLOSED duration, and a current-state flag per (user, state) — interval
+    endpoints feed the hash via the duration sum, so a wrong boundary
+    fails the gate."""
+    from serverless_mapreduce_spark.catalog import epoch_us
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    chg = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .drop("prev_type")
+    )
+    iv = chg.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("valid_to"),
+    )
+    return iv.groupBy("user_id", "state").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(
+            F.when(F.col("valid_to").isNull(), F.lit(0)).otherwise(
+                epoch_us(F.col("valid_to")) - epoch_us(F.col("valid_from"))
+            )
+        )
+        .cast("bigint")
+        .alias("closed_dur_us"),
+        F.max(F.when(F.col("valid_to").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("has_current"),
+    )
