@@ -1148,3 +1148,59 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("has_current"),
     )
+
+
+# --- HLL sketch rollup: persist per-day sketches, merge without raw data -------
+
+HLL_ROLLUP_LGK = 14  #: lgConfigK → relative error ~= 1.04 / sqrt(2^14) ~= 0.8%
+
+
+@query(
+    "hll_sketch_rollup",
+    priority=0,
+    oracle="""
+    -- Same contract as approx_distinct_users: the Datasketches estimate
+    -- is implementation-defined, so the hashed value is the accuracy
+    -- bound, which must hold per group. The REAL assertion this query
+    -- adds is structural: the estimate comes from MERGED per-day
+    -- sketches, never from re-scanning raw user_ids.
+    SELECT event_type, TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH ROLLUP — the incremental-distinct pattern at 100 TB: each
+    day's partition aggregates its users into a Datasketches HLL sketch
+    ONCE (``hll_sketch_agg``, a few KB per group); any later question
+    ("distinct users per event type this quarter?") merges the stored
+    sketches (``hll_union_agg``) without touching raw data again. The
+    first aggregation is the only pass over the events table; the merge
+    input is (days x event_types) sketch rows. The exact count rides along
+    solely to emit the driver-checkable error-bound boolean (estimates are
+    gated against exact in tests/test_edge_cases.py). The relative error
+    for lgConfigK={HLL_ROLLUP_LGK} is ~1.04/sqrt(2^{HLL_ROLLUP_LGK}) ≈
+    0.8%; the bound below allows 5x that, tight enough to catch a
+    mis-merged or mis-keyed sketch."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_ROLLUP_LGK)).alias("sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    err = 5 * 1.04 / (2 ** (HLL_ROLLUP_LGK / 2))
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= err
+        ).alias("within_bound"),
+    )

@@ -327,3 +327,36 @@ def test_approx_quantiles_near_exact(spark, sf_dir):
         )
         assert abs(ranks.r50 / e.n - 0.5) <= 0.02, (et, ranks.r50, e.n)
         assert abs(ranks.r95 / e.n - 0.95) <= 0.02, (et, ranks.r95, e.n)
+
+
+def test_hll_sketch_merge_near_exact(spark, sf_dir):
+    """Accuracy gate for the MERGED per-day sketches (the registered
+    hll_sketch_rollup hashes only the bound boolean): the union of daily
+    sketches must estimate each group within 5x the configured relative
+    error — a mis-keyed or double-counted merge lands far outside."""
+    from pyspark.sql import functions as F
+
+    from serverless_mapreduce_spark.catalog import table
+    from serverless_mapreduce_spark.operators.analytics import HLL_ROLLUP_LGK
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_ROLLUP_LGK)).alias("sketch")
+    )
+    merged = {
+        r.event_type: r.est
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.ex
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("ex"))
+        .collect()
+    }
+    err = 5 * 1.04 / (2 ** (HLL_ROLLUP_LGK / 2))
+    for et, ex in exact.items():
+        assert abs(merged[et] - ex) / ex <= err, (et, merged[et], ex)
