@@ -125,6 +125,7 @@ HEADLINE = (
     "snapshot_pruned_read",
     "embedding_quantize_int8",
     "scd2_user_state",
+    "hll_sketch_rollup",
 )
 
 
