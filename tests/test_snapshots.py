@@ -68,3 +68,21 @@ def test_stats_less_files_are_kept(spark, tmp_path):
     kept, total = t.plan_files(where=("k", 5000, 6000))
     # the stats-bearing file prunes (out of range); the blind one must stay
     assert total == 2 and len(kept) == 1
+
+
+def test_incremental_read_plans_only_the_delta(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1, 2, 3]))
+    t.commit(_df(spark, [4, 5]))
+
+    delta = t.incremental_files(1, 2)
+    # the planned set is exactly v2's additions: no v1 file is ever opened
+    assert delta and set(delta) == set(t._files(2)) - set(t._files(1))
+    assert sorted(r.x for r in t.read_incremental(spark, 1, 2).collect()) == [4, 5]
+
+    # an overwrite replaces the file list, so the "delta" is the full rewrite
+    t.commit(_df(spark, [9]), mode="overwrite")
+    assert set(t.incremental_files(2, 3)) == set(t._files(3))
+
+    # no-op range (same version) has no delta
+    assert t.incremental_files(2, 2) == []
