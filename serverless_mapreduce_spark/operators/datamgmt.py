@@ -311,3 +311,93 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --- declarative data-quality expectations ------------------------------------
+
+#: Upper bound for the deliberately-failing price expectation: the fixture's
+#: o_totalprice tops out just under 500k, so a 400k cap yields real
+#: violations — the report must prove it can COUNT failures, not just emit
+#: zeros.
+DQ_PRICE_CAP = 400000
+
+
+@query(
+    "data_quality_checks",
+    priority=0,
+    oracle=f"""
+    SELECT check_name, violations, violations = 0 AS passed FROM (
+      SELECT 'o_orderkey_null' AS check_name,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations FROM orders
+      UNION ALL
+      SELECT 'o_orderkey_dup',
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate_null',
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+      UNION ALL
+      SELECT 'o_totalprice_nonpositive',
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+      UNION ALL
+      SELECT 'o_totalprice_over_cap',
+             CAST(SUM(CASE WHEN o_totalprice > {DQ_PRICE_CAP} THEN 1 ELSE 0 END)
+                  AS BIGINT)
+        FROM orders
+      UNION ALL
+      SELECT 'o_custkey_fk_orphan', CAST(COUNT(*) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_custkey IS NULL
+    )
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARATIVE DATA-QUALITY EXPECTATIONS (dbt-test / Deequ style): one
+    report row per constraint — ``(check_name, violations, passed)`` — over
+    the orders table: PK non-null + uniqueness, required-column non-null,
+    value-range bounds, and referential integrity against customer. The
+    reference pipelines ingest blindly (``input_handler_s3.py`` hands bytes
+    straight to the mapper); a 100 TB ingest needs the gate in front.
+
+    Plan shape (what survives a 100x scale-up): every row-local expectation
+    — nulls, ranges, the cap — folds into ONE aggregation in a single scan
+    (conditional sums fuse into the same codegen stage; adding a tenth
+    check adds a column, not a pass). PK uniqueness rides the same
+    aggregate as ``count(*) - count(distinct pk)``. Referential integrity
+    is the one check that genuinely needs a second relation: a LEFT ANTI
+    join with the dimension broadcast, so the fact table still streams
+    through exactly once and nothing shuffles. The checks are assembled
+    with ``stack`` + a 1-row union, never a cross join (the registry-wide
+    plan lint forbids CartesianProduct)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    wide = o.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("bigint")).alias("pk_null"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.sum(F.col("o_orderdate").isNull().cast("bigint")).alias("date_null"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("nonpos"),
+        F.sum((F.col("o_totalprice") > DQ_PRICE_CAP).cast("bigint")).alias(
+            "over_cap"
+        ),
+    )
+    row_checks = wide.select(
+        F.expr(
+            "stack(5,"
+            " 'o_orderkey_null', pk_null,"
+            " 'o_orderkey_dup', pk_dup,"
+            " 'o_orderdate_null', date_null,"
+            " 'o_totalprice_nonpositive', nonpos,"
+            " 'o_totalprice_over_cap', over_cap)"
+            " AS (check_name, violations)"
+        )
+    )
+    orphans = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("o_custkey_fk_orphan").alias("check_name"), "violations")
+    )
+    return row_checks.unionAll(orphans).withColumn(
+        "passed", F.col("violations") == 0
+    )
