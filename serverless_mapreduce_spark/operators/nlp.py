@@ -374,3 +374,91 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("ids_str"),
     )
+
+
+# --- n-gram language-model counts ---------------------------------------------
+
+TRIGRAM_TOP_K = 30  #: trigram types reported (ordered by count, then text)
+
+
+@query(
+    "trigram_lm_counts",
+    priority=0,
+    oracle=f"""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    tris AS (
+      SELECT u.p[1] AS w1, u.p[2] AS w2, u.p[3] AS w3
+      FROM toks, UNNEST(list_zip(ts, ts[2:], ts[3:])) AS u(p)
+      WHERE u.p[3] IS NOT NULL AND u.p[3] <> ''
+    ),
+    tc AS (
+      SELECT w1, w2, w3, COUNT(*) AS n_tri FROM tris GROUP BY w1, w2, w3
+    ),
+    wc AS (
+      SELECT w1, w2, w3, n_tri,
+             SUM(n_tri) OVER (PARTITION BY w1, w2) AS n_ctx
+      FROM tc
+    )
+    SELECT w1 || ' ' || w2 || ' ' || w3 AS trigram,
+           CAST(n_tri AS BIGINT) AS n_tri,
+           CAST(n_ctx AS BIGINT) AS n_ctx,
+           ROUND(CAST(n_tri AS DOUBLE) / n_ctx, 6) AS cond_prob
+    FROM wc
+    ORDER BY n_tri DESC, trigram
+    LIMIT {TRIGRAM_TOP_K}
+    """,
+)
+def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM LANGUAGE-MODEL COUNT COLLECTION (the KenLM/ngram-training
+    map-reduce): corpus-wide trigram counts plus the conditional MLE
+    probability P(w3 | w1 w2), reported for the top-{TRIGRAM_TOP_K}
+    trigram types. The reference's text surface stops at unigram word
+    count (``word_count_map.py``); LM estimation is the same shape one
+    order up.
+
+    Scale shape: the raw token stream is touched by exactly ONE hash
+    aggregation (trigram-type counts, map-side partials — the only
+    corpus-sized shuffle). The denominator — the context count
+    c(w1,w2) = Σ_w3 c(w1,w2,w3) — is BY DEFINITION a sum over the
+    trigram-type table, so it runs as a window over (w1,w2) on the
+    Zipf-compressed type table, never as a second corpus scan (same
+    one-scan trick as the tf-idf document-frequency window, 0bf9a76).
+    Trigram assembly is a narrow per-row array zip: no explode-join, no
+    self-join on token position. The final top-K is TakeOrdered (per-
+    partition partial top-K, no global sort materialization). Determinism:
+    count ties break on the trigram string in both engines; cond_prob
+    divides two exact small integers as doubles and rounds once."""
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(toks.alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    n = F.size("t")
+    tris = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, n - 2).alias("w1"),
+                F.slice(F.col("t"), 2, n - 2).alias("w2"),
+                F.slice(F.col("t"), 3, n - 2).alias("w3"),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2", "p.w3")
+    tc = tris.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n_tri"))
+    w = Window.partitionBy("w1", "w2")
+    wc = tc.withColumn("n_ctx", F.sum("n_tri").over(w))
+    return (
+        wc.select(
+            F.concat_ws(" ", "w1", "w2", "w3").alias("trigram"),
+            F.col("n_tri").cast("bigint").alias("n_tri"),
+            F.col("n_ctx").cast("bigint").alias("n_ctx"),
+            F.round(F.col("n_tri").cast("double") / F.col("n_ctx"), 6).alias(
+                "cond_prob"
+            ),
+        )
+        .orderBy(F.desc("n_tri"), "trigram")
+        .limit(TRIGRAM_TOP_K)
+    )
