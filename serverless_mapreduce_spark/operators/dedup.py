@@ -889,3 +889,80 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.filter(F.col("jaccard_raw") >= JACCARD_THRESH)
         .select("corpus_doc", "bench_doc", F.round("jaccard_raw", 6).alias("jaccard"))
     )
+
+
+# --- asymmetric shingle containment -------------------------------------------
+
+CONTAIN_THRESH = 0.9  #: fraction of the smaller doc's shingles found in the other
+
+
+@query(
+    "dedup_containment",
+    priority=0,
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+    ), inv AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM base
+    ), shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS n_a, COUNT(*) AS n_shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_shared AS DOUBLE) / n_a, 6) AS containment
+    FROM shared
+    WHERE CAST(n_shared AS DOUBLE) / n_a >= {CONTAIN_THRESH}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC SHINGLE CONTAINMENT c(A→B) = |S(A) ∩ S(B)| / |S(A)|: the
+    quote/excerpt detector Jaccard structurally misses — a 100-word doc
+    embedded verbatim in a 10,000-word doc has Jaccard ≈ 0.01 but
+    containment 1.0 (Broder's original resemblance-vs-containment split).
+    Emits ORDERED pairs (doc_a is the contained side), so a superset doc
+    and its excerpt appear once in each role with different scores.
+
+    Plan: reuses the same inverted shingle index as dedup_ngram_jaccard —
+    distinct (doc, shingle) with the per-doc shingle count attached as a
+    doc-keyed window (no extra exchange over shingle_rows' doc_id
+    partitioning) — then one shingle-keyed self-join and one pair-keyed
+    count. Only |S(A)| is needed, so the b-side carries NO count column:
+    the join's build side is one column narrower than Jaccard's. Same
+    skew stance as Jaccard: shingle keys are high-cardinality; hot
+    (stopword-run) shingles are AQE skew-join territory at 100 TB, with a
+    document-frequency stoplist as the preprocessing fix. Threshold tuned
+    so the synthetic corpus's planted near-dups surface (50 pairs at
+    sf0.01) without an all-pairs blowup; bucket-then-verify variants
+    (LSH) remain the first line at corpus scale."""
+    from pyspark.sql import Window
+
+    rows = shingle_rows(table(spark, sf_dir, "documents"))
+    inv = persist_tracked(
+        rows.dropDuplicates(["doc_id", "s"])
+        .select(
+            "doc_id",
+            F.col("s").alias("shingle"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+        )
+    )
+    a = inv.alias("a")
+    b = inv.select("doc_id", "shingle").alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    cont = F.col("n_shared").cast("double") / F.col("n_a")
+    return shared.filter(cont >= CONTAIN_THRESH).select(
+        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
+    )
