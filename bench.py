@@ -126,6 +126,10 @@ HEADLINE = (
     "embedding_quantize_int8",
     "scd2_user_state",
     "hll_sketch_rollup",
+    "snapshot_incremental_read",
+    "data_quality_checks",
+    "trigram_lm_counts",
+    "dedup_containment",
 )
 
 

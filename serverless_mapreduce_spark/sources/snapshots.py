@@ -349,3 +349,63 @@ def snapshot_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
     )
+
+
+# --- incremental aggregate maintenance ---------------------------------------
+
+
+@query(
+    "incremental_agg_maintenance",
+    priority=0,
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE (materialized-view refresh from
+    the change feed): a per-priority revenue rollup is first built from v1,
+    then REFRESHED by aggregating only the v2 delta
+    (``read_incremental``) and merging partials — count and decimal-cent
+    sums are commutative monoids, so partial ⊕ partial ≡ full recompute,
+    and the oracle verifies exactly that identity against the whole
+    table. The refresh cost is O(delta) + O(groups): at 100 TB with a
+    daily ingest of 0.1 %, refreshing this way is ~1000x cheaper than the
+    re-aggregation the reference would run (its jobs always re-list and
+    re-read the full input prefix, ``input_handler_s3.py``). The merge is
+    a groupBy over (groups x 2 partial rows) — group-cardinality-sized,
+    never data-sized; the stored aggregate would be the snapshot table's
+    own next version in a production loop (the streaming twin is
+    ``stream_upsert_latest``)."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_incr_agg")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.to_timestamp(F.lit(f"{SNAPSHOT_CUTOFF} 00:00:00"))
+    t.commit(orders.filter(F.col("o_orderdate") < cutoff), mode="append")
+    t.commit(orders.filter(F.col("o_orderdate") >= cutoff), mode="append")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("sum_cents"),
+        )
+
+    stored = partial(t.read(spark, 1))            # the v1 materialized view
+    delta = partial(t.read_incremental(spark, 1, 2))  # ingest-sized refresh
+    return (
+        stored.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
