@@ -130,6 +130,8 @@ HEADLINE = (
     "data_quality_checks",
     "trigram_lm_counts",
     "dedup_containment",
+    "incremental_agg_maintenance",
+    "scd2_point_in_time_join",
 )
 
 

@@ -1204,3 +1204,99 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= err
         ).alias("within_bound"),
     )
+
+
+# --- SCD2 consumer: point-in-time (temporal) join ------------------------------
+
+@query(
+    "scd2_point_in_time_join",
+    priority=0,
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, event_id, ts, event_type FROM (
+        SELECT *, lag(event_type) OVER w AS prev_type
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ) WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    iv AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM chg
+    ),
+    probes AS (
+      SELECT user_id, event_id, ts FROM e WHERE event_type = 'purchase'
+    )
+    SELECT iv.state AS prior_state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT probes.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(probes.event_id) AS BIGINT) AS sum_event_id
+    FROM probes JOIN iv
+      ON probes.user_id = iv.user_id
+     AND probes.ts > iv.valid_from
+     AND (iv.valid_to IS NULL OR iv.valid_to >= probes.ts)
+    GROUP BY iv.state
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME (temporal) JOIN against the SCD2 dimension: each
+    purchase event is matched to the user-state interval valid at the
+    instant JUST BEFORE its timestamp — the feature-store lookup ("what
+    state was the user in when they decided to buy?"), and the reason
+    scd2_user_state builds intervals at all. Probing at ts itself is
+    degenerate (the purchase opens or continues a 'purchase' interval, so
+    it would always find itself); probing at ts-epsilon is the leak-free
+    as-of semantics every feature store specifies. On half-open intervals
+    [from, to) the instant before ts is covered exactly when
+    ``valid_from < ts AND (valid_to IS NULL OR valid_to >= ts)`` — pure
+    interval arithmetic, no epsilon literal. A user whose FIRST event is
+    the purchase has no prior interval and drops out of the inner join
+    (both engines agree).
+
+    Plan shape: the interval build reuses the SCD2 single-exchange pattern
+    (lag-filter and lead both ride one user_id partitioning); the join
+    itself is an equi-join ON user_id with the range containment as a
+    residual filter — Spark plans SortMergeJoin on the key, and the
+    per-user interval list is change-count-sized (orders of magnitude
+    smaller than events), so the residual scans a short sorted run per
+    probe, never a cross product. Because intervals PARTITION each user's
+    timeline from their first event, every probe matches exactly one
+    interval — sum_event_id pins that bijection into the hash (a
+    double-match or a miss shifts the sum). Aggregation output is
+    state-cardinality-sized."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    chg = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .drop("prev_type")
+    )
+    iv = chg.select(
+        F.col("user_id").alias("iv_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    joined = probes.join(
+        iv,
+        (F.col("user_id") == F.col("iv_user"))
+        & (F.col("ts") > F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") >= F.col("ts"))),
+    )
+    return joined.groupBy(F.col("state").alias("prior_state")).agg(
+        F.count("*").alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+    )
