@@ -1300,3 +1300,75 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum("event_id").cast("bigint").alias("sum_event_id"),
     )
+
+
+# --- gaps-and-islands: longest same-state run per user -------------------------
+
+@query(
+    "longest_streak_per_user",
+    priority=0,
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+      FROM e
+    ),
+    runs AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM grp GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, run_len AS longest_run, event_type AS longest_type
+    FROM (
+      SELECT user_id, event_type, run_len,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY run_len DESC, event_type) AS rn
+      FROM runs
+    ) WHERE rn = 1
+    """,
+)
+def longest_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: the longest run of consecutive same-type events
+    per user (streak detection — the canonical pattern for "N failures in
+    a row", session quality gates, engagement streaks). Islands are
+    labeled by the ROW_NUMBER DIFFERENCE trick: the global per-user
+    sequence number minus the per-(user, type) sequence number is constant
+    exactly within a consecutive same-type run, so ONE subtraction turns
+    runs into group keys — no iterative logic, no self-join, integer-exact
+    in both engines.
+
+    Plan: both row_numbers, the run-length aggregation, and the final
+    per-user max all partition by user_id (the (user_id, event_type)
+    window and groupBys are hash-compatible refinements), so the whole
+    query rides a single user-keyed exchange — the sessionize/SCD2 shape
+    again. Deterministic tie on equal-length runs: the lexicographically
+    first type wins, pinned identically in the oracle via the ordered
+    MIN."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    grp = e.withColumn(
+        "island", F.row_number().over(w_all) - F.row_number().over(w_typ)
+    )
+    runs = grp.groupBy("user_id", "event_type", "island").agg(
+        F.count("*").alias("run_len")
+    )
+    w_pick = Window.partitionBy("user_id").orderBy(
+        F.desc("run_len"), "event_type"
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("run_len").cast("bigint").alias("longest_run"),
+            F.col("event_type").alias("longest_type"),
+        )
+    )
