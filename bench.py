@@ -132,6 +132,9 @@ HEADLINE = (
     "dedup_containment",
     "incremental_agg_maintenance",
     "scd2_point_in_time_join",
+    "longest_streak_per_user",
+    "chisq_lang_source",
+    "zscore_outliers",
 )
 
 

@@ -1372,3 +1372,144 @@ def longest_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("longest_type"),
         )
     )
+
+
+# --- chi-square independence: lang x source contingency ------------------------
+
+@query(
+    "chisq_lang_source",
+    priority=0,
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    margins AS (
+      SELECT lang, source, o,
+             SUM(o) OVER (PARTITION BY lang) AS row_tot,
+             SUM(o) OVER (PARTITION BY source) AS col_tot,
+             SUM(o) OVER () AS n
+      FROM obs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((o - row_tot * col_tot / n) * (o - row_tot * col_tot / n)
+                     / (row_tot * col_tot / n)), 6) AS chi2
+    FROM margins
+    """,
+)
+def chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE INDEPENDENCE TEST over the lang x source contingency
+    table — the standard corpus-composition diagnostic ("is language
+    distribution independent of the crawl source?") run before fixing
+    mixture weights (source_mixture_weights consumes the answer). One
+    aggregation builds the contingency cells; the marginals are WINDOW
+    sums over the CELL table (lang-count x source-count rows, never the
+    corpus), so raw documents are scanned exactly once no matter how many
+    margins are needed — at 100 TB the second pass the textbook two-scan
+    formulation would burn is the whole cost. Expected counts e = r*c/n
+    and the (o-e)^2/e terms are rational arithmetic on integer-valued
+    doubles — correctly-rounded IEEE ops, bit-identical across engines
+    (registry exactness contract); the final sum adds one term per CELL
+    in the deterministic single-partition order of the tiny cell table,
+    rounded once."""
+    obs = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("double").alias("o"))
+    )
+    m = (
+        obs.withColumn("row_tot", F.sum("o").over(Window.partitionBy("lang")))
+        .withColumn("col_tot", F.sum("o").over(Window.partitionBy("source")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    # coalesce(1): the cell table is tiny; one partition pins the FP
+    # summation order so the rounded chi2 is reproducible bit-for-bit
+    return (
+        m.select("lang", "source", term.alias("term"))
+        .coalesce(1)
+        .sortWithinPartitions("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.round(F.sum("term"), 6).alias("chi2"),
+        )
+    )
+
+
+# --- z-score outlier detection with decimal-exact moments ----------------------
+
+ZSCORE_K = 3.0  #: flag |value - mean| > K * stddev
+
+
+@query(
+    "zscore_outliers",
+    priority=0,
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n, s1 / n AS mean,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+      FROM m
+    )
+    SELECT e.event_type, ANY_VALUE(s.n) AS n,
+           ROUND(ANY_VALUE(s.mean), 6) AS mean,
+           ROUND(ANY_VALUE(s.sd), 6) AS stddev,
+           CAST(SUM(CASE WHEN abs(e.value - s.mean) > {ZSCORE_K} * s.sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-SCORE OUTLIER DETECTION per event_type: two-pass mean/stddev gate
+    — the anomaly screen a metrics pipeline runs over event values before
+    they feed dashboards or training labels. Cross-engine exactness is the
+    interesting part: ``stddev_samp`` is UNUSABLE for a hash-verified
+    oracle (its partial-aggregation summation order makes the last bits
+    partitioning-dependent), so the moments are accumulated as DECIMAL
+    sums — value has 2 decimal digits, value^2 exactly 4, so Σv and Σv²
+    are EXACT in both engines under any partitioning — and converted to
+    double once: mean = s1/n, sd = sqrt((s2 - s1^2/n)/(n-1)), all
+    correctly-rounded IEEE ops (sqrt included, unlike ln/pow). The flag
+    comparison then evaluates identical doubles on both sides.
+
+    Plan: pass 1 is one group-cardinality aggregation (map-side decimal
+    partials); pass 2 re-scans events with the 5-row stats table
+    BROADCAST onto it — at 100 TB the fact table streams through twice
+    and shuffles ZERO rows (the alternative single-pass
+    collect-then-filter materializes nothing either, but two cheap scans
+    beat one giant window sort)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    dec = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    stats = m.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    flagged = ev.join(F.broadcast(stats), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.round(F.first("mean"), 6).alias("mean"),
+        F.round(F.first("sd"), 6).alias("stddev"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("mean")) > ZSCORE_K * F.col("sd"))
+            .cast("bigint")
+        ).alias("n_outliers"),
+    )
