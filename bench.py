@@ -135,6 +135,7 @@ HEADLINE = (
     "longest_streak_per_user",
     "chisq_lang_source",
     "zscore_outliers",
+    "stream_stream_left_join",
 )
 
 

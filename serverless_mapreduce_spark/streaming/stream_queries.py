@@ -522,3 +522,102 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
     return run_stream_to_memory(agg)
+
+
+# --- stream-stream LEFT OUTER join: watermark-gated null emission --------------
+
+@query(
+    "stream_stream_left_join", priority=0,
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT c.click_id, c.user_id, p.purchase_id,
+             date_diff('microsecond', c.c_ts, p.p_ts) AS lag_us
+      FROM c JOIN p
+        ON c.user_id = p.user_id
+       AND c.c_ts <= p.p_ts
+       AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(c_ts) FROM c), (SELECT MAX(p_ts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    )
+    SELECT click_id, user_id, purchase_id, lag_us FROM m
+    UNION ALL
+    SELECT c.click_id, c.user_id,
+           CAST(NULL AS BIGINT) AS purchase_id, CAST(NULL AS BIGINT) AS lag_us
+    FROM c, wm
+    WHERE c.click_id NOT IN (SELECT click_id FROM m)
+      AND c.c_ts + INTERVAL 10 MINUTE < wm.w
+    """,
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the attribution join that also
+    emits UNATTRIBUTED clicks. Outer results cannot stream eagerly: a
+    click's null row is provable only once no future purchase can match,
+    i.e. when the global watermark passes the end of its match window
+    (c_ts + 10 min). Matched rows emit as they pair, exactly like the
+    inner join; null rows emit late, gated by the watermark.
+
+    The oracle encodes Spark's published emission rule precisely — the
+    global watermark of a multi-watermark query is the MIN across inputs
+    of (max event time seen − delay) [policy
+    ``spark.sql.streaming.multipleWatermarkPolicy`` = min, the default],
+    and an unmatched left row emits when ``c_ts + window < watermark`` —
+    so the bounded availableNow drain is reproducible in batch SQL: the
+    inner-join rows UNION the unmatched clicks old enough to have
+    expired. Clicks younger than the final watermark stay IN STATE at
+    shutdown (they would emit on resume; checkpoint-tested for the dedup
+    op in tests/test_streaming_resume.py) — a batch left join would
+    instead claim them unmatched NOW, which is exactly the
+    late-data-correctness difference between the two.
+
+    Scale shape: identical state layout to stream_stream_join (user-keyed
+    stores on both sides, watermark + range condition bounding each);
+    the outer variant additionally holds each unmatched left row until
+    watermark passage — the 1 h 10 m horizon IS the extra memory bound,
+    so delay tuning trades attribution completeness against state size at
+    100 TB/day."""
+    spark = stateful_session(spark)
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW}")),
+        "left_outer",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "purchase_id",
+        F.timestamp_diff("MICROSECOND", F.col("c_ts"), F.col("p_ts")).alias(
+            "lag_us"
+        ),
+    )
+    return run_stream_to_memory(joined, mode="append")
