@@ -1513,3 +1513,57 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
         ).alias("n_outliers"),
     )
+
+
+# --- time-range window frame: rolling 30-day spend per user --------------------
+
+ROLLING_DAYS = 30
+
+
+@query(
+    "rolling_30d_user_spend",
+    priority=0,
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL {ROLLING_DAYS} DAYS PRECEDING
+                       AND CURRENT ROW
+           ) AS BIGINT) AS cents_30d
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def rolling_30d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RANGE WINDOW FRAME: each purchase annotated with the user's
+    trailing-{ROLLING_DAYS}-day spend — a RANGE frame over EVENT TIME, not
+    a ROWS frame over positions (the registry's other windows are all
+    rows-framed; this is the one shape that answers "spend in the last N
+    days" when events are irregularly spaced). Spark's rangeBetween needs
+    a numeric ordering column, so the frame orders by epoch MICROSECONDS
+    (``catalog.epoch_us``) with a ±{ROLLING_DAYS}-day bound in µs — value-
+    identical to the oracle's INTERVAL frame over the timestamp, including
+    the tie rule (RANGE peers share identical order values in both
+    engines, so equal-timestamp purchases see each other's spend).
+
+    Plan: one user-keyed exchange, then a per-user time sort; the frame
+    is evaluated with a sliding two-pointer pass over each sorted
+    partition — O(n) amortized per user, state bounded by the window's
+    event count. Spend sums ride exact integer cents (decimal-cast at 2dp
+    first), so the rolling totals hash bit-identically. At 100 TB the
+    user-day skew story is the same as every user-keyed window here:
+    near-uniform key cardinality, AQE handles stragglers."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    us = epoch_us(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.alias("ord"))
+        .rangeBetween(-ROLLING_DAYS * 86_400 * 1_000_000, 0)
+    )
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).cast("bigint").alias("cents_30d"),
+    )
