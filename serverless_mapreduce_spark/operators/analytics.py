@@ -1376,9 +1376,14 @@ def longest_streak_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- chi-square independence: lang x source contingency ------------------------
 
+# priority=60: with 51 never-driver-verified queries and a 50-slot driver
+# window, exactly one must wait for round 6 — this one is the safest to
+# defer (single-row output, pinned summation order, oracle-checked in
+# pytest every run), so it sorts behind every other never-verified query,
+# including the round-4 priority-50 block.
 @query(
     "chisq_lang_source",
-    priority=0,
+    priority=60,
     oracle="""
     WITH obs AS (
       SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
