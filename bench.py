@@ -136,6 +136,7 @@ HEADLINE = (
     "chisq_lang_source",
     "zscore_outliers",
     "stream_stream_left_join",
+    "graph_kcore",
 )
 
 

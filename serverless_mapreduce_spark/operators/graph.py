@@ -334,3 +334,91 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("partkey"), F.round("rank", 9).alias("pagerank")
     )
+
+
+# --- k-core decomposition: iterative peeling to a fixpoint ---------------------
+
+KCORE_K = 80       #: core threshold (non-trivial cascade on the fixture graph)
+KCORE_MAX_ITERS = 50
+_KCORE_ORACLE_UNROLLS = 12  #: >= observed fixpoint rounds (5 at sf0.01) + margin
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peeling rounds: SQL has no iterate-to-fixpoint, but peeling
+    is IDEMPOTENT at the fixpoint — once no node falls below k, every
+    further round is the identity — so unrolling more rounds than the data
+    needs is exactly correct, never an approximation. 12 rounds covers the
+    observed 5-round cascade with margin; if a regenerated fixture ever
+    cascades longer, the pytest oracle gate catches it loudly."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    # reference, and each round references its predecessor three times —
+    # 12 inlined rounds would expand the base scan ~3^12-fold (observed as
+    # fd exhaustion on the parquet file). Materialization evaluates each
+    # round once, which is also what the Spark loop does.
+    rounds = ["s0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
+    for i in range(_KCORE_ORACLE_UNROLLS):
+        rounds.append(
+            f"k{i + 1} AS MATERIALIZED (SELECT src FROM"
+            f" (SELECT src, COUNT(*) AS d"
+            f" FROM s{i} GROUP BY src) t WHERE d >= {KCORE_K})"
+        )
+        rounds.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM s{i} e"
+            f" JOIN k{i + 1} x ON e.src = x.src"
+            f" JOIN k{i + 1} y ON e.dst = y.src)"
+        )
+    return (
+        f"WITH {EDGES_SQL.strip().rstrip()}, {', '.join(rounds)} "
+        f"SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg "
+        f"FROM s{_KCORE_ORACLE_UNROLLS} GROUP BY src"
+    )
+
+
+@query("graph_kcore", priority=0, oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION (k={KCORE_K}): iteratively peel nodes of
+    degree < k until a fixpoint — the maximal subgraph where every node
+    keeps >= k in-core neighbors (community-density screening, the
+    standard prefilter before expensive clique/community mining). A
+    different iterative shape from PageRank: the loop CONTRACTS the data
+    (monotone node removal, so it terminates in <= |V| rounds — observed
+    5 at sf0.01) instead of iterating a fixed count over a fixed graph.
+
+    Per round: one degree aggregation over the surviving symmetric edge
+    list + two BROADCAST semi-joins (the survivor set is node-sized —
+    2000 rows here; at 100 TB it exceeds broadcast and becomes a shuffled
+    semi-join co-partitioned with the edge list, same plan minus the
+    broadcast). The edge list is localCheckpoint'ed each round — same
+    lineage-truncation discipline as PageRank (the alternative doubles
+    the plan per round), and rounds after the first run on an
+    already-shrunken frame. Termination is a driver-side scalar count
+    compare (the one collect, a documented scalar). Output is the
+    node-level core membership with in-core degree — row-per-node, so a
+    single wrongly-peeled node fails the hash. Reads the shared
+    materialized edge table (21a6bb3) like the rest of the family."""
+    sym = persist_tracked(_sym(_edges(spark, sf_dir)))
+    prev_n = -1
+    for _ in range(KCORE_MAX_ITERS):
+        deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= KCORE_K).select("src").localCheckpoint(
+            eager=True
+        )
+        n = keep.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        # localCheckpoint materializes the round; release the PREVIOUS
+        # round's edge frame immediately (a 50-round cascade must not hold
+        # 50 generations of blocks/file handles open)
+        nxt = (
+            sym.join(F.broadcast(keep), "src", "semi")
+            .join(
+                F.broadcast(keep.withColumnRenamed("src", "dst")), "dst", "semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        sym.unpersist()
+        sym = nxt
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("core_deg")
+    )
