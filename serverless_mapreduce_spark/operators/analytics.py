@@ -1525,9 +1525,13 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLING_DAYS = 30
 
 
+# priority=60: deliberately behind the 50-slot driver window alongside
+# chisq_lang_source (52 never-verified queries, 50 slots) — exact integer
+# cents + pinned RANGE-peer semantics make it the other safest deferral;
+# both are oracle-checked in pytest every run and will top round 6's window.
 @query(
     "rolling_30d_user_spend",
-    priority=0,
+    priority=60,
     oracle=f"""
     SELECT event_id, user_id,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (
