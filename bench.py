@@ -137,6 +137,7 @@ HEADLINE = (
     "zscore_outliers",
     "stream_stream_left_join",
     "graph_kcore",
+    "rolling_30d_user_spend",
 )
 
 
