@@ -191,6 +191,12 @@ def main() -> None:
     from serverless_mapreduce_spark.operators.relational import _bucketed_tables
 
     _bucketed_tables(spark, sf_dir)
+    # Same story for the graph family's shared co-purchase edge table: it is
+    # a maintained bucketed artifact (operators/graph.py:_edges), so the
+    # first graph query should measure its algorithm, not the table build.
+    from serverless_mapreduce_spark.operators.graph import _edges
+
+    _edges(spark, sf_dir)
 
     timings: dict[str, float] = {}
     total = 0.0
