@@ -922,3 +922,115 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mixture_source_stats
         """
     )
+
+
+# --- Count-Min sketch frequency estimates with an in-query error contract ------
+
+CMS_EPS = 0.001    #: additive error bound: est - true <= eps * N (one-sided)
+CMS_DEPTH = 5      #: independent hash rows -> failure prob (1/e)^5 < 0.7%
+CMS_WIDTH = 2719   #: ceil(e / eps) buckets per row
+CMS_PROBE_K = 20   #: probe the top-K exact words (ties: lexicographic)
+
+
+# priority=60: third deliberate deferral behind the 50-slot driver window
+# (53 never-verified, 50 slots — see chisq_lang_source/rolling_30d): the
+# within-bound contract is the weakest driver signal of the new ops and is
+# pytest-gated every run.
+@query(
+    "cms_word_freq_bound",
+    priority=60,
+    oracle=f"""
+    WITH words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM (
+        SELECT unnest(string_split_regex(text, '{WC_DELIM}')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    )
+    SELECT word, exact_cnt, TRUE AS within_bound
+    FROM words
+    ORDER BY exact_cnt DESC, word
+    LIMIT {CMS_PROBE_K}
+    """,
+)
+def cms_word_freq_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH word frequencies, verified against the sketch's own
+    error contract: for every probed word, ``exact <= estimate <=
+    exact + eps*N`` (CMS only ever OVER-counts; the additive bound holds
+    with prob >= 1 - (1/e)^depth per probe, and with deterministic hashes
+    the boolean is fully reproducible). Same oracle pattern as
+    approx_distinct_users / hll_sketch_rollup: the estimate itself is
+    implementation-defined, so the hashed value is the CONTRACT
+    (within_bound) plus the exact counts, which are cross-engine.
+
+    Why a third sketch family member: HLL answers distinct-cardinality,
+    the KLL-style sketch answers rank, CMS answers POINT FREQUENCY over an
+    unbounded vocabulary in O(depth x width) memory — at 100 TB the full
+    word-count table is itself big, and CMS is the fixed-size mergeable
+    structure a streaming/monitoring pipeline keeps instead.
+
+    Built as PURE DataFrame ops (PySpark's stat API dropped the Scala
+    countMinSketch binding; rolling it from expressions is better anyway —
+    nothing leaves the JVM and the sketch STAYS a table): explode tokens,
+    cross the token stream with the {CMS_DEPTH} hash rows (a cheap
+    narrow fanout), bucket by ``pmod(xxhash64(word, row), width)``, and
+    ONE aggregation yields the (row, bucket, cnt) cell table —
+    {CMS_DEPTH} x {CMS_WIDTH} cells max, the textbook sketch, mergeable
+    across partitions/days by cell-wise sum exactly like the HLL rollup.
+    Probes join the exact top-{CMS_PROBE_K} words to their {CMS_DEPTH}
+    cells (broadcast — the probe side is K x depth rows) and take the
+    per-word MIN; the token total N for the bound is a scalar subquery on
+    the same cell table (row 0 sums to N by construction), so the raw
+    stream is scanned exactly twice (sketch + exact counts) and the full
+    vocabulary never reaches the driver."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    words = persist_tracked(
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", WC_DELIM)).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    hashes = F.explode(
+        F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    ).alias("h_row")
+    cells = persist_tracked(
+        words.select("word", hashes)
+        .select(
+            "h_row",
+            F.pmod(F.xxhash64("word", "h_row"), F.lit(CMS_WIDTH)).alias("bucket"),
+        )
+        .groupBy("h_row", "bucket")
+        .agg(F.count("*").alias("cell_cnt"))
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "word")
+        .limit(CMS_PROBE_K)
+    )
+    probe_cells = top.select(
+        "word",
+        "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("h_row"),
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("word", "h_row"), F.lit(CMS_WIDTH))
+    )
+    est = (
+        F.broadcast(probe_cells)
+        .join(cells, ["h_row", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("est"))
+    )
+    # N rides a scalar subquery over the row-0 cells (they sum to the token
+    # total by construction) — not a 1-row crossJoin, which would plan the
+    # BroadcastNestedLoopJoin the registry-wide lint forbids.
+    cells.createOrReplaceTempView("cms_cells")
+    est.createOrReplaceTempView("cms_est")
+    return spark.sql(f"""
+        SELECT word,
+               CAST(exact_cnt AS BIGINT) AS exact_cnt,
+               est >= exact_cnt
+               AND est <= exact_cnt + {CMS_EPS}
+                   * (SELECT SUM(cell_cnt) FROM cms_cells WHERE h_row = 0)
+                 AS within_bound
+        FROM cms_est
+    """)
