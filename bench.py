@@ -138,6 +138,7 @@ HEADLINE = (
     "stream_stream_left_join",
     "graph_kcore",
     "rolling_30d_user_spend",
+    "cms_word_freq_bound",
 )
 
 
