@@ -397,16 +397,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     single wrongly-peeled node fails the hash. Reads the shared
     materialized edge table (21a6bb3) like the rest of the family."""
     sym = persist_tracked(_sym(_edges(spark, sf_dir)))
-    prev_n = -1
     for _ in range(KCORE_MAX_ITERS):
-        deg = sym.groupBy("src").agg(F.count("*").alias("d"))
-        keep = deg.filter(F.col("d") >= KCORE_K).select("src").localCheckpoint(
+        deg = sym.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(
             eager=True
         )
-        n = keep.count()
-        if n == prev_n:
+        keep = deg.filter(F.col("d") >= KCORE_K).select("src")
+        # fixpoint the moment NOTHING falls below k — checked BEFORE the
+        # semi-joins, so the no-drop round (the common case once the
+        # cascade settles, and round 1 entirely at sf0.1 where every
+        # degree clears k) never pays a pointless edge-list rewrite
+        if keep.count() == deg.count():
             break
-        prev_n = n
         # localCheckpoint materializes the round; release the PREVIOUS
         # round's edge frame immediately (a 50-round cascade must not hold
         # 50 generations of blocks/file handles open)
@@ -419,6 +420,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sym.unpersist()
         sym = nxt
+    else:
+        raise RuntimeError("k-core peeling did not converge")
     return sym.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("core_deg")
     )
