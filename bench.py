@@ -139,6 +139,7 @@ HEADLINE = (
     "graph_kcore",
     "rolling_30d_user_spend",
     "cms_word_freq_bound",
+    "join_dpp_pruned_fact",
 )
 
 

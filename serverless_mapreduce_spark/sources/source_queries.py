@@ -312,3 +312,83 @@ def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("sum_acctbal"),
     )
     return good.unionAll(bad)
+
+
+# --- dynamic partition pruning: runtime subquery prunes the fact scan ----------
+
+DPP_QUARTER = "1995Q2"
+
+
+@query(
+    "join_dpp_pruned_fact",
+    priority=0,
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y') || 'Q'
+          || CAST((CAST(strftime(o_orderdate, '%m') AS INT) + 2) // 3 AS INT)
+          = '{DPP_QUARTER}'
+    GROUP BY month
+    """,
+)
+def join_dpp_pruned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING: the fact table lives PARTITIONED BY month
+    on disk; the query filters a month-dimension on quarter and joins it to
+    the fact — and Spark prunes the fact's partition DIRECTORIES at
+    RUNTIME from the dim-side join keys (DynamicPruningExpression: the
+    broadcast's key set becomes a partition filter before fact file
+    listing). Static pruning (sink_partitioned_pruned) needs the literal in
+    the query; DPP covers the star-schema reality where selectivity arrives
+    through a dimension — at 100 TB a 3-of-80-months quarter join reads
+    3/80ths of the fact with NO change to the query text. Both scratch
+    tables are maintained artifacts (built once per session+sf, like the
+    bucketed facts): the fact partitioned by month, the month-dim carrying
+    the quarter attribute the filter lands on. The plan-shape pytest pins
+    ``dynamicpruningexpression`` into the fact scan; the oracle recomputes
+    from raw orders with the quarter unrolled arithmetically."""
+    import threading
+
+    fact_dir = scratch(sf_tag(sf_dir), "dpp", "orders_by_month")
+    dim_dir = scratch(sf_tag(sf_dir), "dpp", "month_dim")
+    with _DPP_BUILD_LOCK:
+        if not os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
+            orders = table(spark, sf_dir, "orders").withColumn(
+                "month", F.date_format("o_orderdate", "yyyy-MM")
+            )
+            orders.write.mode("overwrite").partitionBy("month").parquet(fact_dir)
+            (
+                orders.select("month")
+                .distinct()
+                .withColumn(
+                    "quarter",
+                    F.concat(
+                        F.substring("month", 1, 4),
+                        F.lit("Q"),
+                        ((F.substring("month", 6, 2).cast("int") + 2) / 3)
+                        .cast("int")
+                        .cast("string"),
+                    ),
+                )
+                .write.mode("overwrite")
+                .parquet(dim_dir)
+            )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("quarter") == DPP_QUARTER)
+    return (
+        fact.join(F.broadcast(dim), "month")
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )
+
+
+_DPP_BUILD_LOCK = __import__("threading").Lock()

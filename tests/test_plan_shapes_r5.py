@@ -54,3 +54,10 @@ def test_zscore_stats_broadcast_no_fact_shuffle_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "zscore_outliers")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    # the dim-side quarter filter must reach the fact scan as a RUNTIME
+    # partition filter (DynamicPruningExpression), not a post-scan filter
+    plan = _plan(spark, sf_dir, "join_dpp_pruned_fact")
+    assert "dynamicpruning" in plan.lower()
