@@ -140,6 +140,7 @@ HEADLINE = (
     "rolling_30d_user_spend",
     "cms_word_freq_bound",
     "join_dpp_pruned_fact",
+    "bpe_train_merges",
 )
 
 

@@ -381,9 +381,12 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRIGRAM_TOP_K = 30  #: trigram types reported (ordered by count, then text)
 
 
+# priority=60: fifth deliberate deferral behind the 50-slot driver window
+# (see chisq_lang_source) — integer counts with a string tiebreak, the
+# next-safest hash; pytest oracle-checks it every run.
 @query(
     "trigram_lm_counts",
-    priority=0,
+    priority=60,
     oracle=f"""
     WITH toks AS (
       SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
@@ -462,3 +465,125 @@ def trigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tri"), "trigram")
         .limit(TRIGRAM_TOP_K)
     )
+
+
+# --- full BPE training loop: N merges to a merge table -------------------------
+
+BPE_N_MERGES = 8
+
+
+def _bpe_oracle() -> str:
+    """The merge loop unrolled: per round, a MATERIALIZED pair count, the
+    argmax merge (cnt DESC, then lexicographic — the exact Spark order),
+    and the vocab rewrite. Materialization is load-bearing (kcore's
+    lesson: plain CTEs re-inline per reference). The symbol encoding
+    makes replace-all ORDER-INDEPENDENT: every symbol is wrapped in its
+    OWN spaces (`' a  b  c '`), so a pair pattern `' a  b '` consumes
+    only its two tokens and two matches can never share characters —
+    no lookarounds needed (DuckDB's RE2 has none) and no left-to-right
+    disagreement between engines."""
+    rounds = [
+        "wf0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g')"
+        " AS seq, freq FROM wf)"
+    ]
+    for i in range(1, BPE_N_MERGES + 1):
+        rounds.append(
+            f"pc{i} AS MATERIALIZED ("
+            f" SELECT p[1] AS a, p[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt"
+            f" FROM (SELECT freq, unnest(list_zip(ts, ts[2:])) AS p FROM"
+            f"   (SELECT list_filter(string_split(seq, ' '), t -> t <> '')"
+            f"    AS ts, freq FROM wf{i - 1}))"
+            f" WHERE p[2] IS NOT NULL AND p[2] <> '' GROUP BY 1, 2)"
+        )
+        rounds.append(
+            f"bp{i} AS MATERIALIZED (SELECT a, b, cnt FROM pc{i}"
+            f" ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        rounds.append(
+            f"wf{i} AS MATERIALIZED (SELECT replace(seq,"
+            f" ' ' || (SELECT a FROM bp{i}) || '  ' || (SELECT b FROM bp{i}) || ' ',"
+            f" ' ' || (SELECT a || b FROM bp{i}) || ' ') AS seq, freq"
+            f" FROM wf{i - 1})"
+        )
+    merges = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rnk, a || ' ' || b AS pair, cnt FROM bp{i}"
+        for i in range(1, BPE_N_MERGES + 1)
+    )
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, COUNT(*) AS freq FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    {', '.join(rounds)}
+    {merges}
+    """
+
+
+@query("bpe_train_merges", priority=0, oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE TRAINING LOOP — {BPE_N_MERGES} merges, the actual
+    tokenizer-training algorithm (Sennrich et al.), not just the first
+    pair count (bpe_pair_counts): per round, count adjacent SYMBOL pairs
+    weighted by word frequency, adopt the most frequent as a new merged
+    symbol, rewrite the vocabulary, repeat. Returns the MERGE TABLE
+    (rnk, pair, cnt) — the artifact a trained tokenizer ships.
+
+    Scale shape: the corpus is touched ONCE (the word-frequency count);
+    every training round then runs on the DISTINCT-WORD table — vocab-
+    sized, Zipf-compressed, orders of magnitude smaller than the token
+    stream — which is the same observation that makes real BPE trainers
+    (HuggingFace tokenizers, SentencePiece) feasible. Per round: one
+    vocab-sized pair aggregation, a 1-row argmax collect (the driver
+    scalar that BECOMES the output), and a string rewrite fused into the
+    next round's scan. The symbol encoding wraps every symbol in its own
+    spaces (' a  b  c '), making the pair rewrite a plain replace whose
+    matches can never overlap — order-independent, identical in Spark and
+    DuckDB, no regex lookarounds (which RE2 lacks) and no HOF lambdas
+    (which Catalyst interprets). Ties break (cnt DESC, a, b) in both
+    engines; counts are exact integers, so the merge sequence — and
+    therefore every later round — is bit-deterministic."""
+    wf = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.regexp_replace("w", "(.)", " $1 ").alias("seq"), "freq"
+        )
+    )
+    wf = wf.localCheckpoint(eager=True)  # corpus scan happens exactly once
+    merges = []
+    for rnk in range(1, BPE_N_MERGES + 1):
+        toks = F.filter(F.split("seq", " "), lambda t: t != "")
+        pairs = (
+            wf.select(toks.alias("ts"), "freq")
+            .filter(F.size("ts") >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("a"),
+                        F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("b"),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        merges.append((rnk, f"{a} {b}", int(cnt)))
+        wf = wf.select(
+            F.expr(
+                "replace(seq, ' ' || {a!r} || '  ' || {b!r} || ' ',"
+                " ' ' || {ab!r} || ' ')".format(a=a, b=b, ab=a + b)
+            ).alias("seq"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, "rnk bigint, pair string, cnt bigint")
