@@ -141,6 +141,7 @@ HEADLINE = (
     "cms_word_freq_bound",
     "join_dpp_pruned_fact",
     "bpe_train_merges",
+    "bpe_encode_docs",
 )
 
 

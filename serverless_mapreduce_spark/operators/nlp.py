@@ -556,7 +556,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wf = wf.localCheckpoint(eager=True)  # corpus scan happens exactly once
-    merges = []
+    merges = _learn_merges(wf)
+    return spark.createDataFrame(merges, "rnk bigint, pair string, cnt bigint")
+
+
+def _learn_merges(wf: DataFrame) -> list[tuple[int, str, int]]:
+    """The trainer's driver loop over the space-wrapped vocab frame ``wf``
+    (seq, freq) — shared by bpe_train_merges (which RETURNS the merge
+    table) and bpe_encode_docs (which APPLIES it). See bpe_train_merges
+    for the plan story."""
+    merges: list[tuple[int, str, int]] = []
     for rnk in range(1, BPE_N_MERGES + 1):
         toks = F.filter(F.split("seq", " "), lambda t: t != "")
         pairs = (
@@ -586,4 +595,116 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seq"),
             "freq",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(merges, "rnk bigint, pair string, cnt bigint")
+    return merges
+
+
+# --- apply the trained tokenizer: encode documents with the learned merges -----
+
+def _encode_oracle() -> str:
+    """Training unrolled as in bpe_train_merges' oracle, then the learned
+    merges applied IN RANK ORDER to every document's words and the
+    resulting tokens counted per doc."""
+    rounds = [
+        "wf0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g')"
+        " AS seq, freq FROM wf)"
+    ]
+    for i in range(1, BPE_N_MERGES + 1):
+        rounds.append(
+            f"pc{i} AS MATERIALIZED ("
+            f" SELECT p[1] AS a, p[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt"
+            f" FROM (SELECT freq, unnest(list_zip(ts, ts[2:])) AS p FROM"
+            f"   (SELECT list_filter(string_split(seq, ' '), t -> t <> '')"
+            f"    AS ts, freq FROM wf{i - 1}))"
+            f" WHERE p[2] IS NOT NULL AND p[2] <> '' GROUP BY 1, 2)"
+        )
+        rounds.append(
+            f"bp{i} AS MATERIALIZED (SELECT a, b, cnt FROM pc{i}"
+            f" ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        rounds.append(
+            f"wf{i} AS MATERIALIZED (SELECT replace(seq,"
+            f" ' ' || (SELECT a FROM bp{i}) || '  ' || (SELECT b FROM bp{i}) || ' ',"
+            f" ' ' || (SELECT a || b FROM bp{i}) || ' ') AS seq, freq"
+            f" FROM wf{i - 1})"
+        )
+    # nested rank-order application of the learned merges to each doc word
+    applied = "d0.seq"
+    for i in range(1, BPE_N_MERGES + 1):
+        applied = (
+            f"replace({applied},"
+            f" ' ' || (SELECT a FROM bp{i}) || '  ' || (SELECT b FROM bp{i}) || ' ',"
+            f" ' ' || (SELECT a || b FROM bp{i}) || ' ')"
+        )
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, COUNT(*) AS freq FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    {', '.join(rounds)},
+    d0 AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '(.)', ' \\1 ', 'g') AS seq,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split({applied}, ' '),
+                                t -> t <> '' AND t GLOB '[a-z]*'))
+                AS BIGINT) AS n_tokens
+    FROM d0
+    """
+
+
+# priority=60: registered behind the 50-slot driver window like the other
+# low-risk round-5 tail adds (see chisq_lang_source) — integer token counts,
+# pytest oracle-checked every run; tops round 6's window.
+@query("bpe_encode_docs", priority=60, oracle=_encode_oracle())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY THE TRAINED TOKENIZER: encode every document with the
+    {BPE_N_MERGES} learned merges and report per-doc compression —
+    (n_chars, n_tokens) — closing the train→apply loop that
+    bpe_train_merges opens (together they are the tokenizer pipeline's
+    offline and online halves). Application is where BPE earns its keep
+    at 100 TB: the merge TABLE is driver-small, so encoding compiles to
+    {BPE_N_MERGES} chained ``replace`` calls on the document text — all
+    fused into ONE WholeStageCodegen pass over the corpus, no join, no
+    shuffle, no Python; token counting is a split+filter on the result.
+    Characters the tokenizer never merges (the whole-text encoding keeps
+    non-letter symbols as singleton tokens) are excluded from the token
+    count via the letter-prefix filter, mirrored exactly in the oracle."""
+    wf = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.regexp_replace("w", "(.)", " $1 ").alias("seq"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges = _learn_merges(wf)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "(.)", " $1 ").alias("seq"),
+        F.length(
+            F.regexp_replace(F.lower("text"), "[^a-z]", "")
+        ).cast("bigint").alias("n_chars"),
+    )
+    # The chained replace is built as ONE SQL expression string (merges
+    # are letters-only, so the literals are quote-safe).
+    expr = "seq"
+    for _, pair, _cnt in merges:
+        a, b = pair.split(" ")
+        expr = (
+            f"replace({expr}, ' ' || '{a}' || '  ' || '{b}' || ' ',"
+            f" ' ' || '{a}{b}' || ' ')"
+        )
+    toks = F.filter(
+        F.split(F.expr(expr), " "),
+        lambda t: (t != "") & t.rlike("^[a-z]"),
+    )
+    return docs.select(
+        "doc_id", "n_chars", F.size(toks).cast("bigint").alias("n_tokens")
+    )
