@@ -1579,3 +1579,60 @@ def rolling_30d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(cents).over(w).cast("bigint").alias("cents_30d"),
     )
+
+
+# --- Markov transition matrix over the per-user event sequence -----------------
+
+@query(
+    "event_transition_matrix",
+    priority=60,
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events
+    ),
+    seq AS (
+      SELECT event_type AS dst,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS src
+      FROM e
+    ),
+    tc AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM tc
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV TRANSITIONS over each user's event sequence:
+    count (prev_type -> type) adjacencies and row-normalize into
+    transition probabilities — the behavior model behind next-action
+    prediction, funnel-drop diagnosis, and bot detection (a user whose
+    transition row collapses to one column is a script). One lag window
+    on the user-keyed exchange (the sessionize/SCD2/streak shape yet
+    again — the fourth operator on that same single shuffle, which is the
+    point: at 100 TB these all share one physical layout), then a
+    type-pair aggregation whose cardinality is |types|^2 = 25; the
+    row-normalizing window runs on that 25-row table, nowhere near the
+    data. Ordering ties break on (ts, event_id) as everywhere; p divides
+    exact integers and rounds once."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    seq = e.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    tc = seq.groupBy("src", "dst").agg(F.count("*").cast("bigint").alias("n"))
+    row = Window.partitionBy("src")
+    return tc.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(row), 6).alias("p"),
+    )
