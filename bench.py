@@ -142,6 +142,8 @@ HEADLINE = (
     "join_dpp_pruned_fact",
     "bpe_train_merges",
     "bpe_encode_docs",
+    "event_transition_matrix",
+    "rfm_segments",
 )
 
 

@@ -1636,3 +1636,83 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(row), 6).alias("p"),
     )
+
+
+# --- RFM segmentation: quintile scores over per-customer order stats -----------
+
+RFM_ANCHOR = "1998-12-31"  #: fixed analysis date (fixture orders end 1998-08)
+
+
+@query(
+    "rfm_segments",
+    priority=60,
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey AS c,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       DATE '{RFM_ANCHOR}') AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT c, cents,
+             ntile(5) OVER (ORDER BY recency_days ASC, c) AS r,
+             ntile(5) OVER (ORDER BY freq DESC, c) AS f,
+             ntile(5) OVER (ORDER BY cents DESC, c) AS m
+      FROM cust
+    )
+    SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+             AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM scored GROUP BY 1
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic customer-value cube: per customer,
+    Recency (days from last order to a FIXED analysis date — a literal,
+    not max(orderdate), so the score is reproducible and needs no global
+    aggregate), Frequency (order count), Monetary (exact cents); each
+    dimension quintiled with ntile(5) and the 3-digit segment code
+    aggregated. ntile is deterministic here because every ORDER BY
+    carries the custkey tiebreaker — a total order, so both engines
+    assign identical quintiles even at value ties (without the
+    tiebreaker, ntile on tied values is partitioning luck).
+
+    Plan: one customer-keyed aggregation over orders, then three ntile
+    windows over the CUSTOMER-cardinality table. The windows are
+    unpartitioned — a deliberate, documented exception to the
+    no-global-window rule: ntile needs the global rank, the input is the
+    aggregated customer table (orders-of-magnitude smaller than the
+    fact), and at 100 TB the standard evolution is quantile BOUNDARIES
+    from approx_percentile broadcast as a range join, same output
+    contract. Final segment rollup is 125 groups."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        ).alias("recency_days"),
+        F.count("*").alias("freq"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("cents"),
+    )
+    scored = cust.select(
+        "c",
+        "cents",
+        F.ntile(5).over(Window.orderBy(F.asc("recency_days"), "c")).alias("r"),
+        F.ntile(5).over(Window.orderBy(F.desc("freq"), "c")).alias("f"),
+        F.ntile(5).over(Window.orderBy(F.desc("cents"), "c")).alias("m"),
+    )
+    return scored.groupBy(
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ).alias("segment")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
