@@ -15,6 +15,16 @@ from serverless_mapreduce_spark.sources.pyds_kv import (
 SPEC = "id:N:bigint,name:S:string,score:N:double"
 
 
+def _rows(reader):
+    """Flatten the reader's Arrow RecordBatches to plain tuples."""
+    out = []
+    for p in reader.partitions():
+        for batch in reader.read(p):
+            cols = [c.to_pylist() for c in batch.columns]
+            out.extend(zip(*cols))
+    return out
+
+
 def _write(path, items):
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "part-0.jsonl"), "w") as fh:
@@ -48,7 +58,7 @@ def test_reader_applies_pushed_filters_and_decodes_nulls(tmp_path):
     )
     r = TypedKVReader({"path": d, "columns": SPEC})
     list(r.pushFilters([EqualTo(("name",), "x")]))
-    rows = [row for p in r.partitions() for row in r.read(p)]
+    rows = _rows(r)
     # name='x' keeps ids 1 and 3; id 4's name decodes NULL (wrong tag) and a
     # pushed equality never matches NULL
     assert rows == [(1, "x", 1.5), (3, "x", None)]
