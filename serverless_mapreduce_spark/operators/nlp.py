@@ -708,3 +708,116 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "n_chars", F.size(toks).cast("bigint").alias("n_tokens")
     )
+
+
+# --- held-out LM familiarity scoring -------------------------------------------
+
+LM_TRAIN_PCT = 80   #: md5 bucket cut — same key as train_val_test_split
+
+
+@query(
+    "trigram_lm_score",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, b, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM b
+    ),
+    tris AS (
+      SELECT doc_id, b, u.p[1] AS w1, u.p[2] AS w2, u.p[3] AS w3
+      FROM toks, UNNEST(list_zip(ts, ts[2:], ts[3:])) AS u(p)
+      WHERE u.p[3] IS NOT NULL AND u.p[3] <> ''
+    ),
+    tc AS (
+      SELECT w1, w2, w3, COUNT(*) AS n FROM tris
+      WHERE b < {LM_TRAIN_PCT} GROUP BY w1, w2, w3
+    ),
+    v AS (
+      SELECT doc_id, w1, w2, w3, COUNT(*) AS c FROM tris
+      WHERE b >= {LM_TRAIN_PCT} GROUP BY doc_id, w1, w2, w3
+    )
+    SELECT v.doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tri,
+           CAST(SUM(CASE WHEN tc.n IS NULL THEN c ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(c * COALESCE(tc.n, 0)) AS BIGINT) AS sum_freq,
+           ROUND(CAST(SUM(c * COALESCE(tc.n, 0)) AS DOUBLE) / SUM(c), 6)
+             AS familiarity
+    FROM v LEFT JOIN tc USING (w1, w2, w3)
+    GROUP BY v.doc_id
+    """,
+)
+def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT LM FAMILIARITY SCORING — the CCNet/KenLM-style quality
+    gate: train trigram counts on the md5-bucket TRAIN split (same
+    leakage-free key as train_val_test_split), then score every held-out
+    document by how familiar its trigrams are to the trained counts.
+    Integer-exact contract instead of perplexity: per doc, the trigram
+    token count, the OOV count (trigrams never seen in train), and the
+    summed train-frequency — the monotone core of the LM score without a
+    libm ``log`` that engines round differently; ``familiarity`` divides
+    the two exact integers once and rounds once (registry.py contract).
+
+    Distributed shape: the corpus is scanned ONCE into the trigram stream
+    (narrow zip, no per-position shuffle — same assembly as
+    trigram_lm_counts); the train side collapses to the Zipf-compressed
+    trigram-TYPE table and the held-out side pre-aggregates per-doc type
+    counts BEFORE the join, so the join matches type-table against
+    type-table, never raw token volume. At 100 TB both sides shuffle on
+    the trigram key (broadcast is wrong: a web-corpus trigram vocabulary
+    is itself TBs); the final per-doc rollup is one more keyed exchange.
+    Reference parity: extends word_count (word_count_map.py:1-17) to the
+    model-based filtering stage the reference lacks."""
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", b.alias("b"), toks.alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    n = F.size("t")
+    tris = d.select(
+        "doc_id",
+        "b",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, n - 2).alias("w1"),
+                F.slice(F.col("t"), 2, n - 2).alias("w2"),
+                F.slice(F.col("t"), 3, n - 2).alias("w3"),
+            )
+        ).alias("p"),
+    ).select("doc_id", "b", "p.w1", "p.w2", "p.w3")
+    train = (
+        tris.filter(F.col("b") < LM_TRAIN_PCT)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("n"))
+    )
+    held = (
+        tris.filter(F.col("b") >= LM_TRAIN_PCT)
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count("*").alias("c"))
+    )
+    sum_freq = F.sum(F.col("c") * F.coalesce(F.col("n"), F.lit(0)))
+    return (
+        held.join(train, ["w1", "w2", "w3"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tri"),
+            F.sum(F.when(F.col("n").isNull(), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            sum_freq.cast("bigint").alias("sum_freq"),
+            F.round(
+                sum_freq.cast("double") / F.sum("c"), 6
+            ).alias("familiarity"),
+        )
+    )

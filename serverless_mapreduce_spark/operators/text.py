@@ -1034,3 +1034,120 @@ def cms_word_freq_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS within_bound
         FROM cms_est
     """)
+
+
+# --- extension: winnowing fingerprint selection --------------------------------
+
+WINNOW_K = 8       #: characters per gram
+WINNOW_W = 4       #: window of consecutive gram hashes per fingerprint pick
+WINNOW_P = 1000000007
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, length(s) AS L,
+             list_transform(string_split(s, ''),
+                            ch -> CAST(unicode(ch) AS BIGINT)) AS codes
+      FROM n
+    ),
+    g AS (
+      SELECT doc_id,
+        CASE WHEN L >= {WINNOW_K} THEN
+          list_transform(range(1, L - {WINNOW_K} + 2),
+            i -> list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                           list_slice(codes, i, i + {WINNOW_K} - 1)),
+              (acc, ch) -> (acc * 257 + ch) % {WINNOW_P}))
+        ELSE CAST([] AS BIGINT[]) END AS gh
+      FROM c
+    ),
+    w AS (
+      SELECT doc_id, len(gh) AS m,
+        CASE WHEN len(gh) >= {WINNOW_W} THEN
+          list_distinct(list_transform(range(1, len(gh) - {WINNOW_W} + 2),
+            j -> list_min(list_slice(gh, j, j + {WINNOW_W} - 1))))
+        ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM g
+    )
+    SELECT doc_id, CAST(m AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
+    FROM w
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken, MOSS):
+    hash every {k}-char gram of the normalized text, then keep the MINIMUM
+    hash of each window of {w} consecutive gram hashes — guaranteeing at
+    least one shared fingerprint for any match of length >= k + w - 1 while
+    selecting only ~2/(w+1) of all gram hashes. This is the position-robust
+    alternative to whole-doc hashing (doc_fingerprint) and the standard
+    front-end for plagiarism/near-dup passage detection: at 100 TB the
+    selected (fingerprint, doc_id) pairs feed the same inverted-index
+    bucket-join as the shingle pipelines (dedup_ngram_jaccard), at a
+    (w+1)/2-fold smaller index than indexing every gram.
+
+    Distributed shape: the whole selection is per-row array arithmetic
+    fused into the scan — gram hashes via a rolling polynomial
+    (base 257 mod 1e9+7, integer-exact in both engines), window minima via
+    array_min over slices — so there is NO shuffle at all; the output is a
+    per-doc count + order-independent checksum of the distinct selected
+    hashes (a content-verifying contract: a single wrong fingerprint moves
+    fp_sum). O(L * k) lambda ops per doc stay JVM-side; the explode-join
+    alternative would shuffle the full character stream. Tie-handling note:
+    classic winnowing picks the RIGHTMOST minimal position; the selected
+    VALUE set — what this operator emits and what a bucket-join keys on —
+    is position-free, so both engines agree without simulating the cursor.
+    Reference parity: the reference has no sub-document fingerprinting;
+    this extends its whole-file dedup story (SURVEY §2.2 W9 family)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", "")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", norm.alias("s"), F.length(norm).alias("L")
+    )
+    codes = F.transform(F.split("s", ""), lambda ch: F.ascii(ch).cast("long"))
+    d = d.select("doc_id", "L", codes.alias("codes"))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.col("L") - WINNOW_K + 1),
+        lambda i: F.aggregate(
+            F.slice("codes", i, WINNOW_K),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 257 + ch) % WINNOW_P,
+        ),
+    )
+    # sequence(1, m) with m <= 0 counts DOWN — every branch is CASE-guarded
+    # (CaseWhen evaluates lazily per row, so short docs never build arrays)
+    d = d.select(
+        "doc_id",
+        F.when(F.col("L") >= WINNOW_K, gram_hashes)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("gh"),
+    )
+    m = F.size("gh")
+    wmins = F.transform(
+        F.sequence(F.lit(1), m - WINNOW_W + 1),
+        lambda j: F.array_min(F.slice("gh", j, WINNOW_W)),
+    )
+    d = d.select(
+        "doc_id",
+        m.alias("m"),
+        F.when(m >= WINNOW_W, F.array_distinct(wmins))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("fps"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("m").cast("bigint").alias("n_grams"),
+        F.size("fps").cast("bigint").alias("n_fp"),
+        F.coalesce(
+            F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("fp_sum"),
+    )
