@@ -966,3 +966,184 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared.filter(cont >= CONTAIN_THRESH).select(
         "doc_a", "doc_b", F.round(cont, 6).alias("containment")
     )
+
+
+# --- entity resolution: blocked match over the value dictionary ----------------
+
+ER_LEV_MAX = 3   #: max edit distance to call two names the same entity
+
+
+@query(
+    "er_blocked_pairs",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY p_name
+    ),
+    blocked AS (
+      SELECT p_name, n_rows, split_part(p_name, ' ', 1) AS blk FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {ER_LEV_MAX}
+    """,
+)
+def er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION via blocking + edit-distance verify — the record-
+    linkage primitive (Fellegi-Sunter blocking stage) the reference has no
+    analog for: find name pairs that are plausibly the same real-world
+    entity (typos, variant spellings) without comparing all N² rows.
+
+    Scale shape, in order: (1) collapse the row stream to the DISTINCT-name
+    dictionary first — matching runs on value types, never on rows (the
+    same Zipf-compression trick as the BPE trainer: a 100 TB catalog has
+    orders of magnitude fewer distinct names than rows, and the per-name
+    row count rides along for later weighting); (2) BLOCK on a cheap
+    deterministic key (first token) so the self-join only meets names
+    inside a block, never across — the standard sub-quadratic ER plan
+    (same family as the LSH band join, dedup_minhash_lsh); (3) verify
+    candidates with levenshtein, a built-in on BOTH engines (classic
+    integer edit distance — bit-identical, so the driver hash-matches).
+    Pair order is pinned by name_a < name_b. At 100 TB skewed blocks
+    (one hot first-token) are the known risk; the mitigation is a second
+    blocking key round (e.g. last token) unioned in, same plan shape."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .withColumn("blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_rows").alias("n_rows_a"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_rows").alias("n_rows_b"), "blk"
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= ER_LEV_MAX)
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("bigint").alias("dist"),
+            "n_rows_a",
+            "n_rows_b",
+        )
+    )
+
+
+# --- exact substring-duplication spans (gram-and-merge) ------------------------
+
+DUP_SPAN_K = 8   #: token-gram length; duplicated substrings >= K tokens found
+
+
+@query(
+    "substring_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(ts) AS n, u.i AS pos,
+             array_to_string(list_slice(ts, u.i, u.i + {DUP_SPAN_K} - 1), ' ')
+               AS gram
+      FROM toks, UNNEST(range(1, len(ts) - {DUP_SPAN_K} + 2)) AS u(i)
+      WHERE len(ts) >= {DUP_SPAN_K}
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    p AS (SELECT doc_id, n, pos FROM g JOIN dup USING (gram)),
+    flag AS (
+      SELECT doc_id, n, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {DUP_SPAN_K} THEN 1 ELSE 0 END AS brk
+      FROM p
+    ),
+    isl AS (
+      SELECT doc_id, n, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM flag
+    ),
+    sp AS (
+      SELECT doc_id, n, sid, MIN(pos) AS s, MAX(pos) + {DUP_SPAN_K} - 1 AS e
+      FROM isl GROUP BY doc_id, n, sid
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+    FROM sp GROUP BY doc_id, n
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING-DUPLICATION SPANS — the operator behind "dedup the
+    repeated passages, not the whole doc" (Lee et al. 2022, *Deduplicating
+    Training Data Makes Language Models Better*): find every maximal span
+    of >= {K} consecutive tokens that also appears verbatim in ANOTHER
+    document, and report per-doc duplicated-token accounting (the input to
+    a span-cut rewrite). Lee et al. build a suffix array; the distributed
+    equivalent here is gram-and-merge, which finds exactly the same
+    >=K-token cross-doc matches: every length-K token gram, keyed by its
+    text, is duplicated iff its gram type spans two docs; overlapping or
+    abutting duplicated grams (gap <= K) then merge into maximal spans via
+    the gaps-and-islands window (same trick as longest_streak_per_user).
+
+    Scale shape: ONE corpus-sized aggregation (gram types — same cost
+    class as the n-gram counts the pipeline already runs), one semi-join
+    of the gram stream against the duplicated types (gram-keyed, both
+    sides shuffle; broadcast is wrong — dup types grow with the corpus),
+    then all window/merge work rides a single doc-keyed exchange. Memory
+    is bounded per gram type (min/max doc_id, not a posting list) — the
+    HAVING min<>max trick is what keeps hot grams (boilerplate) from
+    building giant groups. K tunes recall/cost exactly as in the paper."""
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= DUP_SPAN_K)
+    )
+    n = F.size("t")
+    grams = d.select(
+        "doc_id",
+        n.alias("n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n - DUP_SPAN_K + 1),
+                lambda i: F.concat_ws(" ", F.slice("t", i, DUP_SPAN_K)),
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("gram")
+    )
+    p = grams.join(dup, "gram", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flag = p.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > DUP_SPAN_K, 1).otherwise(0),
+    )
+    isl = flag.withColumn("sid", F.sum("brk").over(w))
+    spans = isl.groupBy("doc_id", "n", "sid").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + DUP_SPAN_K - 1).alias("e"),
+    )
+    return spans.groupBy("doc_id", "n").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+    ).select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "n_spans",
+        "dup_tokens",
+    )
