@@ -121,3 +121,133 @@ def kcore_delta(edges: set[tuple[int, int]], k: int) -> dict[int, int]:
 def test_delta_peeling_equals_recompute(raw, k):
     edges = {(min(a, b), max(a, b)) for a, b in raw}
     assert kcore_delta(edges, k) == kcore_recompute(edges, k)
+
+
+# --- winnowing: selection guarantee + soundness --------------------------------
+
+WK, WW, WP = 8, 4, 1000000007  #: mirrors text.WINNOW_K/WINNOW_W/WINNOW_P
+
+
+def winnow_fps(s: str) -> set[int]:
+    """Pure-python mirror of winnowing_fingerprints' per-row math (poly
+    gram hash base 257 mod P, min per window of WW gram hashes)."""
+    codes = [ord(c) for c in s]
+    if len(codes) < WK:
+        return set()
+    gh = []
+    for i in range(len(codes) - WK + 1):
+        acc = 0
+        for c in codes[i : i + WK]:
+            acc = (acc * 257 + c) % WP
+        gh.append(acc)
+    if len(gh) < WW:
+        return set()
+    return {min(gh[j : j + WW]) for j in range(len(gh) - WW + 1)}
+
+
+texts = st.text(alphabet="ab01", min_size=0, max_size=60)
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=texts, b=texts, shared=st.text(alphabet="ab01", min_size=WK + WW - 1,
+                                        max_size=WK + WW + 10))
+def test_winnowing_shared_substring_guarantee(a, b, shared):
+    # THE winnowing theorem: any shared substring of length >= k + w - 1
+    # contains at least one full window of grams, whose min hash both docs
+    # select — so the fingerprint sets must intersect.
+    x, y = a + shared + b, b + shared + a
+    assert winnow_fps(x) & winnow_fps(y)
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=texts)
+def test_winnowing_sound_and_bounded(s):
+    fps = winnow_fps(s)
+    codes = [ord(c) for c in s]
+    all_gh = set()
+    for i in range(max(0, len(codes) - WK + 1)):
+        acc = 0
+        for c in codes[i : i + WK]:
+            acc = (acc * 257 + c) % WP
+        all_gh.add(acc)
+    # every fingerprint is a real gram hash, and at most one per window start
+    assert fps <= all_gh
+    if len(codes) >= WK + WW - 1:
+        assert 1 <= len(fps) <= len(codes) - WK + 1
+
+
+# --- substring-dup spans: gap<=K island merge == interval-cover union ----------
+
+SK = 4  #: small gram length so tiny generated docs collide
+
+
+def dup_spans_mirror(docs: list[list[str]]) -> dict[int, tuple[int, int]]:
+    """Mirror of substring_dup_spans' math at gram length SK: positions of
+    cross-doc duplicated grams, merged when the position gap is <= SK.
+    Returns {doc: (n_spans, dup_tokens)}."""
+    first: dict[str, int] = {}
+    dup: set[str] = set()
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - SK + 1):
+            g = " ".join(toks[i : i + SK])
+            if g in first and first[g] != d:
+                dup.add(g)
+            first.setdefault(g, d)
+    out: dict[int, tuple[int, int]] = {}
+    for d, toks in enumerate(docs):
+        pos = [
+            i
+            for i in range(len(toks) - SK + 1)
+            if " ".join(toks[i : i + SK]) in dup
+        ]
+        if not pos:
+            continue
+        spans = 1
+        tokens = 0
+        start = prev = pos[0]
+        for p in pos[1:]:
+            if p - prev > SK:
+                tokens += prev + SK - start
+                spans += 1
+                start = p
+            prev = p
+        tokens += prev + SK - start
+        out[d] = (spans, tokens)
+    return out
+
+
+def dup_cover_brute(docs: list[list[str]]) -> dict[int, tuple[int, int]]:
+    """Ground truth: a token position is duplicated iff covered by some
+    SK-gram that appears in another doc; spans are the connected components
+    of the covered set."""
+    grams: dict[str, set[int]] = defaultdict(set)
+    for d, toks in enumerate(docs):
+        for i in range(len(toks) - SK + 1):
+            grams[" ".join(toks[i : i + SK])].add(d)
+    out: dict[int, tuple[int, int]] = {}
+    for d, toks in enumerate(docs):
+        covered = set()
+        for i in range(len(toks) - SK + 1):
+            if len(grams[" ".join(toks[i : i + SK])]) > 1:
+                covered.update(range(i, i + SK))
+        if not covered:
+            continue
+        spans = sum(1 for p in covered if p - 1 not in covered)
+        out[d] = (spans, len(covered))
+    return out
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["x", "y"]), min_size=0, max_size=24),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(docs=docs_strategy)
+def test_dup_span_merge_equals_interval_cover(docs):
+    # the gap<=K gaps-and-islands merge computes exactly the union of the
+    # duplicated grams' [p, p+K-1] coverage intervals — span count and
+    # duplicated-token count both match the brute-force cover
+    assert dup_spans_mirror(docs) == dup_cover_brute(docs)
