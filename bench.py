@@ -144,6 +144,12 @@ HEADLINE = (
     "bpe_encode_docs",
     "event_transition_matrix",
     "rfm_segments",
+    # round-5 continuation: fingerprinting/ER/LM-scoring additions and the
+    # Arrow-batched connector rewrite
+    "winnowing_fingerprints",
+    "trigram_lm_score",
+    "er_blocked_pairs",
+    "substring_dup_spans",
 )
 
 

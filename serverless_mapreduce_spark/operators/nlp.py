@@ -763,14 +763,16 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm ``log`` that engines round differently; ``familiarity`` divides
     the two exact integers once and rounds once (registry.py contract).
 
-    Distributed shape: the corpus is scanned ONCE into the trigram stream
+    Distributed shape: the corpus is scanned ONCE — the trigram stream
     (narrow zip, no per-position shuffle — same assembly as
-    trigram_lm_counts); the train side collapses to the Zipf-compressed
-    trigram-TYPE table and the held-out side pre-aggregates per-doc type
-    counts BEFORE the join, so the join matches type-table against
+    trigram_lm_counts) collapses immediately to PER-DOC TYPE COUNTS, and
+    that Zipf-compressed table is persisted so the train side (one more
+    type-level aggregation) and the held-out side both derive from it
+    without re-scanning documents. The join matches type-table against
     type-table, never raw token volume. At 100 TB both sides shuffle on
     the trigram key (broadcast is wrong: a web-corpus trigram vocabulary
-    is itself TBs); the final per-doc rollup is one more keyed exchange.
+    is itself TBs; AQE picks it locally when the fixture train side is
+    tiny); the final per-doc rollup is one more keyed exchange.
     Reference parity: extends word_count (word_count_map.py:1-17) to the
     model-based filtering stage the reference lacks."""
     b = (
@@ -796,15 +798,20 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "b", "p.w1", "p.w2", "p.w3")
-    train = (
-        tris.filter(F.col("b") < LM_TRAIN_PCT)
-        .groupBy("w1", "w2", "w3")
-        .agg(F.count("*").alias("n"))
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    per_doc = persist_tracked(
+        tris.groupBy("doc_id", "b", "w1", "w2", "w3").agg(
+            F.count("*").alias("c")
+        )
     )
-    held = (
-        tris.filter(F.col("b") >= LM_TRAIN_PCT)
-        .groupBy("doc_id", "w1", "w2", "w3")
-        .agg(F.count("*").alias("c"))
+    train = (
+        per_doc.filter(F.col("b") < LM_TRAIN_PCT)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.sum("c").alias("n"))
+    )
+    held = per_doc.filter(F.col("b") >= LM_TRAIN_PCT).select(
+        "doc_id", "w1", "w2", "w3", "c"
     )
     sum_freq = F.sum(F.col("c") * F.coalesce(F.col("n"), F.lit(0)))
     return (

@@ -108,3 +108,30 @@ def test_runtime_bloom_filter_join_reduction(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_winnowing_no_exchange(spark, sf_dir):
+    # the whole selection is per-row array arithmetic fused into the scan:
+    # the plan must contain NO shuffle of any kind
+    plan = _plan(spark, sf_dir, "winnowing_fingerprints")
+    assert _exchanges(plan) == 0
+
+
+def test_substring_dup_spans_semi_join_and_doc_windows(spark, sf_dir):
+    # duplicated gram types reach the position stream as a SEMI join (never
+    # materializing pair lists), and the island/span windows ride doc-keyed
+    # exchanges — no cartesian anywhere (registry lint) and no broadcast of
+    # the dup-type table is REQUIRED for correctness (AQE may still pick one
+    # at fixture scale, so only the semi-ness is pinned)
+    plan = _plan(spark, sf_dir, "substring_dup_spans")
+    assert "LeftSemi" in plan
+
+
+def test_er_blocked_pairs_joins_on_block_key(spark, sf_dir):
+    # the self-join must be keyed on the blocking key — an equi-join the
+    # planner can hash/sort-merge — with the name inequality and the edit
+    # distance applied as post-join filters, never a nested-loop pair scan
+    plan = _plan(spark, sf_dir, "er_blocked_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "blk" in plan
