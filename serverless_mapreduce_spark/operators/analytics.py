@@ -1716,3 +1716,127 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
+
+
+# --- grouping sets: the explicit multi-grain aggregate -------------------------
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the explicit form completing the multi-grain
+    aggregate trio (cube_order_totals enumerates all 2^n grains,
+    rollup_revenue the hierarchical prefix chain; GROUPING SETS names
+    exactly the grains wanted — here both one-column marginals plus the
+    full cross and the grand total, which is NOT a rollup prefix chain).
+    ``gid`` (grouping_id) disambiguates a subtotal NULL from a data NULL —
+    the contract consumers pivot on. One pass: Spark plans an Expand (one
+    input row fans to the 4 grains) feeding a single hash aggregate with
+    map-side partials — the same shape as cube, cost proportional to
+    |grains| x input, no per-grain rescan. Exact integer cents keep the
+    hash engine-identical. Reference parity: the reference computes one
+    grain per job (driver.py re-runs the whole pipeline per aggregation);
+    this is the multi-grain one-pass replacement."""
+    o = table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        o.select("o_orderpriority", "o_orderstatus", cents.alias("cents"))
+        .groupingSets(
+            [
+                ["o_orderpriority", "o_orderstatus"],
+                ["o_orderpriority"],
+                ["o_orderstatus"],
+                [],
+            ],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+# --- full-outer join: the one join type not yet in the matrix ------------------
+
+@query(
+    "join_full_outer_user_days",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.day, p.day) AS day,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           c.user_id IS NOT NULL AS clicked,
+           p.user_id IS NOT NULL AS purchased
+    FROM c FULL OUTER JOIN p
+      ON c.user_id = p.user_id AND c.day = p.day
+    """,
+)
+def join_full_outer_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the last join type missing from the registry's
+    matrix (inner/left/semi/anti/asof/range/bucketed/salted/DPP are
+    registered elsewhere): daily click activity against daily purchase
+    activity per user, keeping user-days that appear on EITHER side —
+    the activity-overlap table funnel/attribution analyses start from.
+    Null-handling is the point of the operator: side flags + COALESCEd
+    counts make the three populations (click-only, purchase-only, both)
+    explicit. Scale shape: both inputs pre-aggregate to (user, day) BEFORE
+    the join — the join runs on reduced keyspaces, never raw events, and
+    both sides already share the join key's hash partitioning from their
+    groupBys, so the join adds no extra exchange; a full-outer can never
+    broadcast (both sides must see all keys), making the co-partitioned
+    sort-merge the only correct 100 TB plan — which is exactly what
+    Catalyst picks."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("timestamp").cast("date")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "day")
+        .agg(F.count("*").cast("bigint").alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+    )
+    cu, pu = F.col("c.user_id"), F.col("p.user_id")
+    return (
+        c.alias("c")
+        .join(
+            p.alias("p"),
+            (cu == pu) & (F.col("c.day") == F.col("p.day")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(cu, pu).alias("user_id"),
+            F.coalesce(F.col("c.day"), F.col("p.day")).alias("day"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            cu.isNotNull().alias("clicked"),
+            pu.isNotNull().alias("purchased"),
+        )
+    )

@@ -621,3 +621,80 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_stream_to_memory(joined, mode="append")
+
+
+# --- chained stateful operators: gate -> dedup -> enrich -> windowed agg -------
+
+INGEST_TYPES = ("click", "purchase")
+
+
+@query(
+    "stream_training_ingest",
+    oracle=f"""
+    WITH gated AS (
+      SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, value
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS cut FROM gated)
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS win_start,
+           user_id % {N_USER_TIERS} AS tier,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM gated, wm
+    WHERE CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)
+          + INTERVAL 1 HOUR <= cut
+    GROUP BY 1, 2
+    """,
+)
+def stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END STREAMING INGEST: quality gate → exactly-once restore
+    (dropDuplicatesWithinWatermark) → broadcast dimension enrich →
+    event-time windowed rollup, all CHAINED IN ONE streaming query — the
+    multiple-stateful-operators pipeline Spark supports since 3.4/3.5
+    that production ingest actually deploys (the standalone pieces are
+    registered separately: stream_dedup_events, stream_static_enrich,
+    stream_windowed_sum; the composition is the operator here, because one
+    query = one checkpoint = one exactly-once boundary instead of three
+    jobs glued by intermediate storage).
+
+    Chaining rules the shape obeys: the watermark is declared ONCE before
+    the first stateful operator and flows through; chained stateful ops
+    require APPEND mode, so the rollup emits a window only after the
+    global watermark passes its end — the oracle encodes that emission
+    rule exactly (windows with end <= max(gated ts) - delay; the late
+    tail stays in state at shutdown, same contract as
+    stream_stream_left_join). The watermark column is read POST-gate, so
+    the cutoff derives from gated events only. State layout: dedup state
+    keys on event_id (uniform, expiring), the enrich join keeps NO state
+    (broadcast stream-static), window state keys on (window, tier) —
+    bounded by the watermark horizon. The gate itself is stateless and
+    fuses into the source scan."""
+    ss = stateful_session(spark)
+    from serverless_mapreduce_spark.catalog import table as _table
+
+    tiers = (
+        _table(ss, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.col("user_id") % N_USER_TIERS)
+    )
+    ev = (
+        events_stream(ss, sf_dir)
+        .filter(
+            F.col("event_type").isin(*INGEST_TYPES) & F.col("value").isNotNull()
+        )
+        .withWatermark("ts", WATERMARK)
+    )
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
+    enriched = deduped.join(F.broadcast(tiers), "user_id")
+    agg = enriched.groupBy(F.window("ts", "1 hour"), "tier").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    out = agg.select(
+        F.col("window.start").alias("win_start"), "tier", "n_events", "sum_value"
+    )
+    return run_stream_to_memory(out, mode="append")
