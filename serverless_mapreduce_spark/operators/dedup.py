@@ -980,15 +980,24 @@ ER_LEV_MAX = 3   #: max edit distance to call two names the same entity
       SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows
       FROM part GROUP BY p_name
     ),
-    blocked AS (
-      SELECT p_name, n_rows, split_part(p_name, ' ', 1) AS blk FROM names
+    keyed AS (
+      SELECT p_name, n_rows, '1:' || split_part(p_name, ' ', 1) AS blk
+      FROM names
+      UNION ALL
+      SELECT p_name, n_rows, '2:' || ts[len(ts)] AS blk
+      FROM (SELECT p_name, n_rows, string_split(p_name, ' ') AS ts FROM names)
+    ),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, a.n_rows AS n_rows_a,
+                      b.p_name AS name_b, b.n_rows AS n_rows_b
+      FROM keyed a JOIN keyed b
+        ON a.blk = b.blk AND a.p_name < b.p_name
     )
-    SELECT a.p_name AS name_a, b.p_name AS name_b,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
-           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b
-    FROM blocked a JOIN blocked b
-      ON a.blk = b.blk AND a.p_name < b.p_name
-    WHERE levenshtein(a.p_name, b.p_name) <= {ER_LEV_MAX}
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+           n_rows_a, n_rows_b
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= {ER_LEV_MAX}
     """,
 )
 def er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,30 +1011,47 @@ def er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same Zipf-compression trick as the BPE trainer: a 100 TB catalog has
     orders of magnitude fewer distinct names than rows, and the per-name
     row count rides along for later weighting); (2) BLOCK on a cheap
-    deterministic key (first token) so the self-join only meets names
-    inside a block, never across — the standard sub-quadratic ER plan
-    (same family as the LSH band join, dedup_minhash_lsh); (3) verify
-    candidates with levenshtein, a built-in on BOTH engines (classic
-    integer edit distance — bit-identical, so the driver hash-matches).
-    Pair order is pinned by name_a < name_b. At 100 TB skewed blocks
-    (one hot first-token) are the known risk; the mitigation is a second
-    blocking key round (e.g. last token) unioned in, same plan shape."""
+    deterministic key so the self-join only meets names inside a block,
+    never across — the standard sub-quadratic ER plan (same family as the
+    LSH band join, dedup_minhash_lsh). Blocking is MULTI-PASS (the
+    Fellegi-Sunter recall fix): every name posts under TWO tagged keys —
+    first token and last token — so a typo in either end of the name
+    still lands the pair in one shared block; candidate pairs are
+    DISTINCT-ed across passes before verification. Multi-pass blocking
+    also bounds skew: one hot key family (every name sharing a first
+    token) no longer decides total recall, and each pass's block stays
+    the unit of join work. (3) verify candidates with levenshtein, a
+    built-in on BOTH engines (classic integer edit distance —
+    bit-identical, so the driver hash-matches). Pair order is pinned by
+    name_a < name_b."""
     names = (
         table(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count("*").cast("bigint").alias("n_rows"))
-        .withColumn("blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)))
     )
-    a = names.select(
+    toks = F.split("p_name", " ")
+    keyed = names.select(
+        "p_name",
+        "n_rows",
+        F.explode(
+            F.array(
+                F.concat(F.lit("1:"), toks.getItem(0)),
+                F.concat(F.lit("2:"), F.element_at(toks, -1)),
+            )
+        ).alias("blk"),
+    )
+    a = keyed.select(
         F.col("p_name").alias("name_a"), F.col("n_rows").alias("n_rows_a"), "blk"
     )
-    b = names.select(
+    b = keyed.select(
         F.col("p_name").alias("name_b"), F.col("n_rows").alias("n_rows_b"), "blk"
     )
     dist = F.levenshtein("name_a", "name_b")
     return (
         a.join(b, "blk")
         .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "n_rows_a", "name_b", "n_rows_b")
+        .distinct()
         .filter(dist <= ER_LEV_MAX)
         .select(
             "name_a",
