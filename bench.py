@@ -150,6 +150,10 @@ HEADLINE = (
     "trigram_lm_score",
     "er_blocked_pairs",
     "substring_dup_spans",
+    "winnowing_pairs",
+    "grouping_sets_revenue",
+    "join_full_outer_user_days",
+    "stream_training_ingest",
 )
 
 
