@@ -1840,3 +1840,104 @@ def join_full_outer_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             pu.isNotNull().alias("purchased"),
         )
     )
+
+
+# --- two-sample KS drift test: exact integer contract --------------------------
+
+@query(
+    "ks_drift_clicks_purchases",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS c1i,
+             CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS c2i
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      GROUP BY value
+    ),
+    c AS (
+      SELECT value,
+             SUM(c1i) OVER (ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(c2i) OVER (ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cum2,
+             SUM(c1i) OVER () AS n1,
+             SUM(c2i) OVER () AS n2
+      FROM s
+    ),
+    d AS (
+      SELECT value, n1, n2, ABS(cum1 * n2 - cum2 * n1) AS d_num FROM c
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(MAX(d_num) AS BIGINT) AS d_num,
+           CAST(MAX(n1) * MAX(n2) AS BIGINT) AS denom,
+           MIN(value) FILTER (d_num = (SELECT MAX(d_num) FROM d)) AS at_value,
+           ROUND(CAST(MAX(d_num) AS DOUBLE) / (MAX(n1) * MAX(n2)), 6) AS d
+    FROM d
+    """,
+)
+def ks_drift_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV drift test — the distribution-drift
+    monitor every production pipeline wants between snapshots/sources,
+    here comparing the `value` distribution of clicks vs purchases.
+    Exactness trick: the KS statistic D = max_v |F1(v) − F2(v)| is
+    computed over the COMMON DENOMINATOR as the integer numerator
+    max |c1(v)·n2 − c2(v)·n1| — no float CDFs, no libm, so the driver
+    hash-matches bit-exactly; the rounded ratio rides along for humans.
+    `at_value` (the smallest value achieving the max) pins determinism
+    under ties.
+
+    Distributed shape: the event stream collapses to the per-VALUE type
+    table first (one hash shuffle — the only corpus-sized exchange), the
+    empirical CDFs are cumulative sums over that value-ordered table, and
+    the final row is a plain max aggregation. The ORDER BY window with no
+    partition key is the honest cost: at 100 TB the type table is still
+    range-partitionable (two-pass prefix sums: per-partition totals
+    broadcast as offsets — the same decomposition sort_by_value documents
+    for its range partitioner); Spark's single-partition window is the
+    local[32] instantiation of that plan, sized to the distinct-value
+    cardinality, not the corpus."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
+    )
+    s = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1i"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2i"),
+    )
+    w_cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = s.select(
+        "value",
+        F.sum("c1i").over(w_cum).alias("cum1"),
+        F.sum("c2i").over(w_cum).alias("cum2"),
+        F.sum("c1i").over(w_all).alias("n1"),
+        F.sum("c2i").over(w_all).alias("n2"),
+    )
+    d = c.select(
+        "value",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+            "d_num"
+        ),
+    )
+    d = d.withColumn("dmax", F.max("d_num").over(w_all))
+    return d.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.max("d_num").cast("bigint").alias("d_num"),
+        (F.max("n1") * F.max("n2")).cast("bigint").alias("denom"),
+        F.min(F.when(F.col("d_num") == F.col("dmax"), F.col("value"))).alias(
+            "at_value"
+        ),
+        F.round(
+            F.max("d_num").cast("double") / (F.max("n1") * F.max("n2")), 6
+        ).alias("d"),
+    )
