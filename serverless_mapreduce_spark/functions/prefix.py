@@ -1,0 +1,81 @@
+"""Range-partitioned two-pass prefix sums — the distributed form of a
+global ``SUM() OVER (ORDER BY ...)``.
+
+A window with ORDER BY and no PARTITION BY plans as a single-partition sort
+in Spark: every row moves to one task. That is the textbook scale smell the
+operator docstrings (sort_by_value, ks_drift_clicks_purchases) name, and
+this module is the decomposition they prescribe, implemented once:
+
+1. ``repartitionByRange`` on the order key — rows land in P contiguous,
+   sorted ranges (one sampling pass picks the boundaries; the same
+   machinery Spark's own global ``orderBy`` uses);
+2. per-partition running sums — an ordinary window PARTITIONED by the
+   physical range id, so every task computes its own prefix independently;
+3. per-partition TOTALS collected to the driver (P rows — bytes, not
+   data), turned into exclusive offsets, and joined back on the range id.
+
+Wall-clock is two narrow passes over the data plus a P-row driver round
+trip, and no task ever holds more than its range. Requires UNIQUE order
+keys (ties would make the within-partition ROWS frame order-dependent);
+callers aggregate to a distinct-key table first, which is also what keeps
+the input type-table-sized rather than corpus-sized.
+
+No reference analog: the reference sorts globally by shipping every
+record through its range partitioner into per-bucket Lambdas
+(``shuffle_service``) and never computes running aggregates; this is the
+Spark-native generalization its sort path would need for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.caching import persist_tracked
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return ``df`` plus ``cum_<c>`` (inclusive running sum in global
+    ``order_col`` order) and ``total_<c>`` (grand total) for each ``c`` in
+    ``sum_cols``. ``order_col`` values must be unique."""
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    # persist pins the sampled range boundaries AND the partition ids: both
+    # passes below must observe the identical physical layout
+    rp = persist_tracked(
+        df.repartitionByRange(p, F.col(order_col)).withColumn(
+            "_rid", F.spark_partition_id()
+        )
+    )
+    totals = (
+        rp.groupBy("_rid")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .collect()
+    )
+    totals.sort(key=lambda r: r["_rid"])
+    offsets: list[tuple] = []
+    running = {c: 0 for c in sum_cols}
+    grand = {c: sum(r[c] or 0 for r in totals) for c in sum_cols}
+    for r in totals:
+        offsets.append(tuple([r["_rid"]] + [running[c] for c in sum_cols]))
+        for c in sum_cols:
+            running[c] += r[c] or 0
+    off_df = spark.createDataFrame(
+        offsets, ["_rid"] + [f"_off_{c}" for c in sum_cols]
+    )
+    w = (
+        Window.partitionBy("_rid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = rp.join(F.broadcast(off_df), "_rid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}", F.sum(c).over(w) + F.col(f"_off_{c}")
+        ).withColumn(f"total_{c}", F.lit(grand[c]))
+    return out.drop("_rid", *[f"_off_{c}" for c in sum_cols])

@@ -1889,15 +1889,15 @@ def ks_drift_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     under ties.
 
     Distributed shape: the event stream collapses to the per-VALUE type
-    table first (one hash shuffle — the only corpus-sized exchange), the
-    empirical CDFs are cumulative sums over that value-ordered table, and
-    the final row is a plain max aggregation. The ORDER BY window with no
-    partition key is the honest cost: at 100 TB the type table is still
-    range-partitionable (two-pass prefix sums: per-partition totals
-    broadcast as offsets — the same decomposition sort_by_value documents
-    for its range partitioner); Spark's single-partition window is the
-    local[32] instantiation of that plan, sized to the distinct-value
-    cardinality, not the corpus."""
+    table first (one hash shuffle — the only corpus-sized exchange); the
+    empirical CDFs are then computed by functions/prefix.py's
+    RANGE-PARTITIONED TWO-PASS PREFIX SUMS — per-range running sums plus
+    driver-broadcast partition offsets — NOT a single-partition global
+    window, so no task ever holds more than its value range even when the
+    distinct-value table itself is huge. The final row is one plain
+    aggregate (map-side partials; min_by struct tiebreak pins at_value)."""
+    from serverless_mapreduce_spark.functions.prefix import prefix_sums
+
     ev = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
     )
@@ -1909,34 +1909,24 @@ def ks_drift_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c2i"),
     )
-    w_cum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = s.select(
-        "value",
-        F.sum("c1i").over(w_cum).alias("cum1"),
-        F.sum("c2i").over(w_cum).alias("cum2"),
-        F.sum("c1i").over(w_all).alias("n1"),
-        F.sum("c2i").over(w_all).alias("n2"),
-    )
+    c = prefix_sums(s, "value", ["c1i", "c2i"])
     d = c.select(
         "value",
-        "n1",
-        "n2",
-        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
-            "d_num"
-        ),
+        F.col("total_c1i").alias("n1"),
+        F.col("total_c2i").alias("n2"),
+        F.abs(
+            F.col("cum_c1i") * F.col("total_c2i")
+            - F.col("cum_c2i") * F.col("total_c1i")
+        ).alias("d_num"),
     )
-    d = d.withColumn("dmax", F.max("d_num").over(w_all))
     return d.agg(
         F.max("n1").cast("bigint").alias("n1"),
         F.max("n2").cast("bigint").alias("n2"),
         F.max("d_num").cast("bigint").alias("d_num"),
         (F.max("n1") * F.max("n2")).cast("bigint").alias("denom"),
-        F.min(F.when(F.col("d_num") == F.col("dmax"), F.col("value"))).alias(
-            "at_value"
-        ),
+        F.min_by(
+            F.col("value"), F.struct((-F.col("d_num")).alias("a"), "value")
+        ).alias("at_value"),
         F.round(
             F.max("d_num").cast("double") / (F.max("n1") * F.max("n2")), 6
         ).alias("d"),
