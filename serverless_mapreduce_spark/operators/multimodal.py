@@ -510,3 +510,84 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fake decoder (ASCII corpus ⇒ byte values == codepoints,
     so the oracle rebuilds the same features in SQL)."""
     return extract_features(media_table(spark, sf_dir), decoder=fake_decode)
+
+
+# --- audio feature extraction over the decoded sample stream -------------------
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             8000 + (doc_id % {WAV_RATE_MOD}) * 1000 AS sample_rate,
+             list_transform(string_split(text, ''),
+                            ch -> CAST(unicode(ch) AS BIGINT)) AS s
+      FROM documents
+      WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(len(s) AS BIGINT) AS n_samples,
+           CAST(list_max(s) AS BIGINT) AS peak,
+           CAST(list_min(s) AS BIGINT) AS trough,
+           CAST(list_sum(list_transform(s, x -> (x - 128) * (x - 128)))
+                AS BIGINT) AS energy,
+           CAST(COALESCE(list_sum(list_transform(
+                  list_zip(s, s[2:]),
+                  p -> CASE WHEN p[2] IS NOT NULL
+                             AND (p[1] - 128) * (p[2] - 128) < 0
+                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+    FROM a
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO FEATURE EXTRACTION through the real decode path: the WAV
+    containers (odd doc_ids in media_blob_table) are parsed by decode_wav
+    — magic/fmt validation, data-chunk walk — and the 8-bit PCM sample
+    stream then yields the librosa-style scalar features a training
+    pipeline filters on: peak/trough amplitude, midpoint-centered ENERGY
+    (Σ(s−128)², the RMS numerator kept as an exact integer — no sqrt, no
+    float, so the driver hash-matches), and ZERO CROSSINGS of the
+    midpoint (strict sign changes of s−128 — the classic voiced/unvoiced
+    discriminator). Feature math is VECTORIZED numpy over each Arrow
+    batch (one frombuffer + three array ops per blob, no per-sample
+    Python loop); a real mel/MFCC extractor slots into the identical
+    mapInPandas batch shape. The audio filter is applied on doc_id
+    BEFORE the blob encode (media_blob_table's contract: Catalyst cannot
+    push filters through MapInPandasExec). No shuffle anywhere — the
+    whole operator pipelines with the scan. The oracle rebuilds every
+    feature from codepoints (ASCII corpus ⇒ sample bytes == codepoints),
+    so a decoder or feature bug fails the value hash, not just counts."""
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    blobs = media_blob_table(spark, sf_dir, docs=docs)
+
+    def feats(batches: Iterable["pd.DataFrame"]):
+        for pdf in batches:
+            rows = []
+            for d, b in zip(pdf["doc_id"], pdf["blob"]):
+                meta = decode_wav(bytes(b))
+                s = np.frombuffer(
+                    bytes(b), dtype=np.uint8, count=meta["n_samples"],
+                    offset=WAV_HEADER,
+                ).astype(np.int64) - 128
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "sample_rate": meta["sample_rate"],
+                        "n_samples": meta["n_samples"],
+                        "peak": int(s.max()) + 128,
+                        "trough": int(s.min()) + 128,
+                        "energy": int((s * s).sum()),
+                        "zero_crossings": int(((s[:-1] * s[1:]) < 0).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(
+        feats,
+        "doc_id bigint, sample_rate bigint, n_samples bigint, peak bigint, "
+        "trough bigint, energy bigint, zero_crossings bigint",
+    )
