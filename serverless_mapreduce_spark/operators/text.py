@@ -1289,3 +1289,101 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= WPAIR_MIN)
     )
+
+
+# --- Gopher-rules composite quality gate ---------------------------------------
+
+GOPHER_MIN_WORDS = 10
+GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI = 3, 10   #: mean word length bounds
+GOPHER_ALPHA_PCT = 80        #: >= 80% of words must contain a letter
+GOPHER_STOPWORDS = ("the", "a", "is", "and", "of")
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_DUP_PCT = 50          #: > 50% duplicate words → repetition flag
+
+
+@query(
+    "gopher_quality_gate",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(ws) AS n,
+             COALESCE(list_sum(list_transform(ws,
+               w -> CAST(length(w) AS BIGINT))), 0) AS chars,
+             len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha,
+             len(list_filter(ws,
+               w -> list_contains({list(GOPHER_STOPWORDS)}, w))) AS stops,
+             len(list_distinct(ws)) AS n_distinct
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN n < {GOPHER_MIN_WORDS} THEN 1 ELSE 0 END
+              + CASE WHEN n > 0 AND (chars < {GOPHER_MEAN_LEN_LO} * n
+                           OR chars > {GOPHER_MEAN_LEN_HI} * n)
+                     THEN 2 ELSE 0 END
+              + CASE WHEN alpha * 100 < {GOPHER_ALPHA_PCT} * n
+                     THEN 4 ELSE 0 END
+              + CASE WHEN stops < {GOPHER_MIN_STOPWORDS} THEN 8 ELSE 0 END
+              + CASE WHEN (n - n_distinct) * 100 > {GOPHER_DUP_PCT} * n
+                     THEN 16 ELSE 0 END AS BIGINT) AS reasons,
+           CAST(n AS BIGINT) AS n_words
+    FROM m
+    """,
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER-RULES QUALITY GATE — the composite document filter (Rae et
+    al. 2021 §A1.1, reused by MassiveText/RefinedWeb/Dolma): five
+    heuristics evaluated in ONE scan-fused pass, emitted as a REASONS
+    BITMASK (bit 1 too-few-words, 2 mean-word-length out of [3,10],
+    4 <80% alphabetic words, 8 too-few stopwords, 16 >50% duplicate
+    words) so downstream can both filter (reasons = 0) and AUDIT which
+    rule fired — the bitmask is what pipeline dashboards aggregate.
+    Every threshold compares as an integer cross-multiplication
+    (alpha·100 < 80·n, never alpha/n < 0.8): no division, no float, no
+    epsilon — bit-identical across engines and partitionings.
+
+    Scale shape: pure per-row array expressions (split/filter/distinct),
+    zero shuffles, zero joins — the gate fuses into whatever scan feeds
+    it, which is why production gates run first: every later stage sees
+    only survivors. The row-local rule set deliberately excludes
+    corpus-relative signals (those are the separate registered operators:
+    repetition_filter for bigram rates, trigram_lm_score for LM
+    familiarity, heavy_hitters_words for vocabulary stats) — composing
+    row-local checks into one pass vs keyed aggregations is exactly the
+    split a 100 TB pipeline wants."""
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = table(spark, sf_dir, "documents").select("doc_id", ws.alias("ws"))
+    n = F.size("ws")
+    chars = F.coalesce(
+        F.aggregate(
+            F.transform("ws", lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+        F.lit(0),
+    )
+    alpha = F.size(F.filter("ws", lambda w: w.rlike("[a-z]")))
+    stops = F.size(F.filter("ws", lambda w: w.isin(*GOPHER_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct("ws"))
+    reasons = (
+        F.when(n < GOPHER_MIN_WORDS, 1).otherwise(0)
+        + F.when(
+            (n > 0)
+            & (
+                (chars < GOPHER_MEAN_LEN_LO * n)
+                | (chars > GOPHER_MEAN_LEN_HI * n)
+            ),
+            2,
+        ).otherwise(0)
+        + F.when(alpha * 100 < GOPHER_ALPHA_PCT * n, 4).otherwise(0)
+        + F.when(stops < GOPHER_MIN_STOPWORDS, 8).otherwise(0)
+        + F.when((n - n_distinct) * 100 > GOPHER_DUP_PCT * n, 16).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        reasons.cast("bigint").alias("reasons"),
+        n.cast("bigint").alias("n_words"),
+    )
