@@ -157,6 +157,7 @@ HEADLINE = (
     "ks_drift_clicks_purchases",
     "multimodal_audio_features",
     "gopher_quality_gate",
+    "graph_components",
 )
 
 

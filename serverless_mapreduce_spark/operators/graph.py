@@ -448,3 +448,98 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("core_deg")
     )
+
+
+# --- connected components: hash-min label propagation --------------------------
+
+CC_MAX_ITERS = 50
+_CC_ORACLE_UNROLLS = 15  #: >= observed convergence rounds + margin
+
+
+def _cc_oracle() -> str:
+    """Min-label propagation unrolled: idempotent at the fixpoint (once
+    every node holds its component minimum, further rounds are the
+    identity), so over-unrolling is exact, never approximate — the same
+    argument as the k-core oracle. MATERIALIZED per round for the same
+    inline-explosion reason."""
+    rounds = [
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS comp FROM sym)"
+    ]
+    for i in range(_CC_ORACLE_UNROLLS):
+        rounds.append(
+            f"l{i + 1} AS MATERIALIZED ("
+            f" SELECT node, MIN(comp) AS comp FROM ("
+            f"  SELECT node, comp FROM l{i}"
+            f"  UNION ALL"
+            f"  SELECT e.src AS node, l.comp FROM sym e"
+            f"  JOIN l{i} l ON e.dst = l.node"
+            f" ) GROUP BY node)"
+        )
+    return (
+        f"WITH {EDGES_SQL.strip().rstrip()}, {', '.join(rounds)} "
+        f"SELECT node, comp, "
+        f"CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size "
+        f"FROM l{_CC_ORACLE_UNROLLS}"
+    )
+
+
+@query("graph_components", oracle=_cc_oracle())
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTED COMPONENTS via hash-min label propagation — the graph
+    family's last missing member (degrees / triangles / PageRank / k-core
+    / components), and the generalization of dedup_cluster's
+    pair-clustering to an arbitrary edge set: every node converges to the
+    minimum node id reachable from it, which IS its component id.
+
+    Iterative shape: a third kind of loop next to PageRank (fixed count,
+    fixed graph) and k-core (contracting data) — fixed graph, MONOTONE
+    state (labels only decrease), terminating in diameter rounds.
+    Per round: one neighbor-label propagation (the edge-keyed join — the
+    only edge-sized work), a node-keyed min aggregation, and a
+    node-sized localCheckpoint to truncate lineage (PageRank's lesson:
+    without it the plan doubles per round). Convergence is detected by
+    an anti-join on (node, comp) pairs — empty means no label moved —
+    a node-sized check, and monotonicity makes it exact. At 100 TB you
+    swap hash-min for the large-star/small-star contraction (fewer
+    rounds on high-diameter graphs); the per-round shape stays
+    join + min-agg. Output carries the component SIZE per node (window
+    over the node-sized label table) so a single mislabeled node fails
+    the driver hash twice over."""
+    sym = persist_tracked(_sym(_edges(spark, sf_dir)))
+    lab = _label_propagate(sym)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("comp")
+    return lab.select(
+        "node", "comp", F.count("*").over(w).cast("bigint").alias("comp_size")
+    )
+
+
+def _label_propagate(sym: DataFrame) -> DataFrame:
+    """Hash-min label propagation over a symmetric (src, dst) edge frame →
+    (node, comp). Factored out of graph_components so the multi-component
+    correctness pytest (tests/test_graph.py) can drive it on crafted
+    graphs — the fixture's co-purchase graph is a single giant component,
+    which alone could not distinguish propagation from 'everything gets
+    the global minimum'."""
+    lab = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CC_MAX_ITERS):
+        prop = sym.join(
+            lab.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "comp")
+        nxt = (
+            lab.select("node", "comp")
+            .unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.join(lab, ["node", "comp"], "left_anti").isEmpty():
+            return nxt
+        lab = nxt
+    raise RuntimeError("label propagation did not converge")

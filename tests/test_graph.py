@@ -104,3 +104,21 @@ def test_edge_table_materialized_once(spark, sf_dir):
     assert spark.catalog.tableExists(f"graph_edges_{sf_tag(sf_dir)}")
     again = _edges(spark, sf_dir)
     assert first.count() == again.count() > 0
+
+
+def test_label_propagation_separates_components(spark):
+    """The fixture graph is one giant component, so the registered query
+    alone cannot distinguish real propagation from 'global min for all' —
+    this crafted graph (two chains + an isolated pair, ids interleaved so
+    component minima are non-obvious) pins the separation."""
+    from pyspark.sql import functions as F
+
+    from serverless_mapreduce_spark.operators.graph import _label_propagate
+
+    undirected = [(1, 9), (9, 5), (2, 8), (8, 4), (3, 7)]
+    edges = spark.createDataFrame(undirected, "a bigint, b bigint")
+    sym = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    lab = {r["node"]: r["comp"] for r in _label_propagate(sym).collect()}
+    assert lab == {1: 1, 9: 1, 5: 1, 2: 2, 8: 2, 4: 2, 3: 3, 7: 3}
