@@ -1,0 +1,40 @@
+"""Partition-count invariance: the registry's exactness contracts (decimal
+sums, integer cross-multiplication, md5 hashing) promise BIT-IDENTICAL
+results under ANY partitioning — the property that makes driver hash
+comparison meaningful on a real cluster. Run value-sensitive queries under
+3 vs 32 shuffle partitions and require exact row-set equality."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_mapreduce_spark.registry import all_queries
+
+# one representative per exactness mechanism: decimal aggregate (q1),
+# decimal moments (zscore), mergeable sketch cells (hll), LM join counts
+# (trigram score), common-denominator statistic (ks), float-ratio rounding
+# (quality_score), window quintiles with tiebreaks (rfm)
+CASES = (
+    "tpch_q1",
+    "zscore_outliers",
+    "hll_sketch_rollup",
+    "trigram_lm_score",
+    "ks_drift_clicks_purchases",
+    "quality_score",
+    "rfm_segments",
+)
+
+
+def _rows(spark, name, sf_dir, parts):
+    ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", str(parts))
+    df = all_queries()[name](ss, sf_dir)
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_partition_count_invariance(spark, sf_dir, name):
+    a = _rows(spark, name, sf_dir, 3)
+    b = _rows(spark, name, sf_dir, 32)
+    assert a == b, f"{name}: result depends on shuffle partition count"
