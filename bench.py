@@ -158,6 +158,7 @@ HEADLINE = (
     "multimodal_audio_features",
     "gopher_quality_gate",
     "graph_components",
+    "item_cooccurrence_topk",
 )
 
 

@@ -1931,3 +1931,80 @@ def ks_drift_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d_num").cast("double") / (F.max("n1") * F.max("n2")), 6
         ).alias("d"),
     )
+
+
+# --- market-basket co-occurrence: top-k recommendations per item ---------------
+
+COOC_TOP_K = 3
+
+
+@query(
+    "item_cooccurrence_topk",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT a AS item, b AS rec, n_orders FROM pairs
+      UNION ALL
+      SELECT b AS item, a AS rec, n_orders FROM pairs
+    ),
+    ranked AS (
+      SELECT item, rec, n_orders,
+             ROW_NUMBER() OVER (PARTITION BY item
+                                ORDER BY n_orders DESC, rec) AS rnk
+      FROM sym
+    )
+    SELECT item, rec, n_orders, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {COOC_TOP_K}
+    """,
+)
+def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET CO-OCCURRENCE top-{COOC_TOP_K} — the
+    "customers who bought X also bought" data-prep workload (the counting
+    half of association-rule mining; the graph family's edge build with
+    COUNTS kept instead of distinct-ed away). Shape: distinct (order,
+    item) first — repeat order lines must not inflate support — then the
+    pair build as a self-join CO-PARTITIONED on the order key (fanout
+    bounded by order width, output O(|lineitem|·width)), one pair-keyed
+    count aggregation, symmetrize by union (each direction ranked
+    independently), and a per-item row_number window for the top-k —
+    item-keyed, so the ranking distributes like any keyed shuffle, with
+    the (count DESC, rec ASC) tiebreak making the cut deterministic in
+    both engines. At 100 TB the known hazard is the mega-basket (one
+    order with 10⁴ items → 10⁸ pairs): production caps basket width or
+    samples within oversized baskets before the self-join — the same
+    hot-key discipline as the LSH posting caps (winnowing_pairs)."""
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    sym = pairs.select(
+        F.col("a").alias("item"), F.col("b").alias("rec"), "n_orders"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("item"), F.col("a").alias("rec"), "n_orders"
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("n_orders"), "rec")
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= COOC_TOP_K)
+        .select("item", "rec", "n_orders", F.col("rnk").cast("bigint"))
+    )
