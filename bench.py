@@ -159,6 +159,7 @@ HEADLINE = (
     "gopher_quality_gate",
     "graph_components",
     "item_cooccurrence_topk",
+    "assoc_rules_lift",
 )
 
 

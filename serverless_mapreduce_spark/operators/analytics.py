@@ -2008,3 +2008,121 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= COOC_TOP_K)
         .select("item", "rec", "n_orders", F.col("rnk").cast("bigint"))
     )
+
+
+# --- association rules: support / confidence / lift -----------------------------
+
+RULE_MIN_SUPPORT = 3   #: orders containing both items
+
+
+@query(
+    "assoc_rules_lift",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item
+      FROM op GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT ante, cons, n_both FROM pairs
+      UNION ALL
+      SELECT cons, ante, n_both FROM pairs
+    )
+    SELECT s.ante, s.cons, s.n_both,
+           ia.n_item AS n_ante, ic.n_item AS n_cons,
+           ROUND(CAST(s.n_both AS DOUBLE) / ia.n_item, 6) AS confidence,
+           ROUND(CAST(s.n_both * n.n_orders AS DOUBLE)
+                 / (ia.n_item * ic.n_item), 6) AS lift
+    FROM sym s
+    JOIN item ia ON ia.l_partkey = s.ante
+    JOIN item ic ON ic.l_partkey = s.cons
+    CROSS JOIN n
+    WHERE s.n_both >= {RULE_MIN_SUPPORT}
+    """,
+)
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION RULES (ante → cons) with support / confidence / lift —
+    the scoring half of market-basket mining on top of the
+    item_cooccurrence_topk counting plan. Exactness: every statistic is a
+    ratio of exact integers (n_both, per-item order counts, the global
+    basket count), divided ONCE as doubles and rounded ONCE — plus the
+    raw integers ride along, so the driver hash pins the counts even if a
+    consumer re-derives the ratios at different precision. The global
+    basket count enters via a scalar subquery (no 1-row crossJoin on the
+    Spark side — the plan lint forbids BroadcastNestedLoopJoin).
+
+    Scale shape: the pair count is the co-occurrence plan (order-keyed
+    self-join, bounded fanout); the two item-count joins are ITEM-keyed
+    against a vocabulary-sized table — at this fixture AQE broadcasts it,
+    at 100 TB it hash-joins on the item key; the min-support filter cuts
+    the rule set before the joins. Same mega-basket cap caveat as
+    item_cooccurrence_topk."""
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    op = persist_tracked(op)
+    item = op.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    a = op.select("l_orderkey", F.col("l_partkey").alias("ante"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("cons"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= RULE_MIN_SUPPORT)
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("cons").alias("ante"), F.col("ante").alias("cons"), "n_both"
+        )
+    )
+    op.createOrReplaceTempView("_rules_op")
+    n_orders = F.expr(
+        "(SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM _rules_op)"
+    )
+    out = (
+        sym.join(
+            item.select(
+                F.col("l_partkey").alias("ante"), F.col("n_item").alias("n_ante")
+            ),
+            "ante",
+        )
+        .join(
+            item.select(
+                F.col("l_partkey").alias("cons"), F.col("n_item").alias("n_cons")
+            ),
+            "cons",
+        )
+        .withColumn("n_orders", n_orders)
+    )
+    return out.select(
+        "ante",
+        "cons",
+        "n_both",
+        "n_ante",
+        "n_cons",
+        F.round(F.col("n_both").cast("double") / F.col("n_ante"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            (F.col("n_both") * F.col("n_orders")).cast("double")
+            / (F.col("n_ante") * F.col("n_cons")),
+            6,
+        ).alias("lift"),
+    )
