@@ -117,14 +117,14 @@ def test_winnowing_no_exchange(spark, sf_dir):
     assert _exchanges(plan) == 0
 
 
-def test_substring_dup_spans_semi_join_and_doc_windows(spark, sf_dir):
-    # duplicated gram types reach the position stream as a SEMI join (never
-    # materializing pair lists), and the island/span windows ride doc-keyed
-    # exchanges — no cartesian anywhere (registry lint) and no broadcast of
-    # the dup-type table is REQUIRED for correctness (AQE may still pick one
-    # at fixture scale, so only the semi-ness is pinned)
+def test_substring_dup_spans_single_gram_exchange_no_join(spark, sf_dir):
+    # cross-doc duplication is decided by window min/max on ONE gram-keyed
+    # exchange — no join materializes pair or type lists at all (the
+    # earlier groupBy+semi-join shape shuffled the gram stream twice);
+    # the only other exchange is the doc-keyed island/span window chain
     plan = _plan(spark, sf_dir, "substring_dup_spans")
-    assert "LeftSemi" in plan
+    assert "Join" not in plan
+    assert _exchanges(plan) == 2  # gram-keyed window + doc-keyed windows
 
 
 def test_er_blocked_pairs_joins_on_block_key(spark, sf_dir):
