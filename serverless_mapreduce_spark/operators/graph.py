@@ -528,9 +528,15 @@ def _label_propagate(sym: DataFrame) -> DataFrame:
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = lab.agg(F.sum("comp")).collect()[0][0]
     for _ in range(CC_MAX_ITERS):
+        # label table is node-sized → BROADCAST it into the edge join
+        # (same call as PageRank's rank broadcast, graph.py: a
+        # checkpointed frame has no stats, so without the hint the join
+        # would shuffle the full edge stream); the only per-round
+        # exchange is then the node-keyed min aggregation
         prop = sym.join(
-            lab.withColumnRenamed("node", "dst"), "dst"
+            F.broadcast(lab.withColumnRenamed("node", "dst")), "dst"
         ).select(F.col("src").alias("node"), "comp")
         nxt = (
             lab.select("node", "comp")
@@ -539,7 +545,12 @@ def _label_propagate(sym: DataFrame) -> DataFrame:
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
-        if nxt.join(lab, ["node", "comp"], "left_anti").isEmpty():
+        # monotone convergence: labels only ever DECREASE, so the label
+        # sum strictly drops until the fixpoint and equality is an exact
+        # no-change test — one scalar aggregate instead of an anti-join
+        cur_sum = nxt.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
             return nxt
+        prev_sum = cur_sum
         lab = nxt
     raise RuntimeError("label propagation did not converge")
