@@ -217,9 +217,10 @@ def main() -> None:
     # a maintained bucketed artifact (operators/graph.py:_edges), so the
     # first graph query should measure its algorithm, not the table build —
     # and one noop read warms the scan of the written buckets too.
-    from serverless_mapreduce_spark.operators.graph import _edges
+    from serverless_mapreduce_spark.operators.graph import _edges, _pair_counts
 
     _edges(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    _pair_counts(spark, sf_dir).write.format("noop").mode("overwrite").save()
     # The first Python-DataSource read in a session spins up the planner +
     # reader worker pool (~9s on local[32]) — session-fixed like the pandas
     # pool above; a tiny sf0.001 read through the connector warms it.

@@ -1978,23 +1978,16 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently), and a per-item row_number window for the top-k —
     item-keyed, so the ranking distributes like any keyed shuffle, with
     the (count DESC, rec ASC) tiebreak making the cut deterministic in
-    both engines. At 100 TB the known hazard is the mega-basket (one
-    order with 10⁴ items → 10⁸ pairs): production caps basket width or
-    samples within oversized baskets before the self-join — the same
-    hot-key discipline as the LSH posting caps (winnowing_pairs)."""
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select("l_orderkey", F.col("l_partkey").alias("a"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("bigint").alias("n_orders"))
-    )
+    both engines. The pair counts come from the MAINTAINED co-purchase
+    table shared with the graph family (graph._pair_counts — one
+    lineitem self-join per session/sf serves all of them). At 100 TB the
+    known hazard is the mega-basket (one order with 10⁴ items → 10⁸
+    pairs): production caps basket width or samples within oversized
+    baskets before the self-join — the same hot-key discipline as the
+    LSH posting caps (winnowing_pairs)."""
+    from serverless_mapreduce_spark.operators.graph import _pair_counts
+
+    pairs = _pair_counts(spark, sf_dir)
     sym = pairs.select(
         F.col("a").alias("item"), F.col("b").alias("rec"), "n_orders"
     ).unionByName(
@@ -2061,30 +2054,31 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket count enters via a scalar subquery (no 1-row crossJoin on the
     Spark side — the plan lint forbids BroadcastNestedLoopJoin).
 
-    Scale shape: the pair count is the co-occurrence plan (order-keyed
-    self-join, bounded fanout); the two item-count joins are ITEM-keyed
+    Scale shape: the pair counts come from the MAINTAINED co-purchase
+    table shared with the graph family and item_cooccurrence_topk
+    (graph._pair_counts); the two item-count joins are ITEM-keyed
     against a vocabulary-sized table — at this fixture AQE broadcasts it,
     at 100 TB it hash-joins on the item key; the min-support filter cuts
     the rule set before the joins. Same mega-basket cap caveat as
     item_cooccurrence_topk."""
-    op = (
+    from serverless_mapreduce_spark.caching import persist_tracked
+    from serverless_mapreduce_spark.operators.graph import _pair_counts
+
+    op = persist_tracked(
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    from serverless_mapreduce_spark.caching import persist_tracked
-
-    op = persist_tracked(op)
     item = op.groupBy("l_partkey").agg(
         F.count("*").cast("bigint").alias("n_item")
     )
-    a = op.select("l_orderkey", F.col("l_partkey").alias("ante"))
-    b = op.select("l_orderkey", F.col("l_partkey").alias("cons"))
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("ante") < F.col("cons"))
-        .groupBy("ante", "cons")
-        .agg(F.count("*").cast("bigint").alias("n_both"))
+        _pair_counts(spark, sf_dir)
+        .select(
+            F.col("a").alias("ante"),
+            F.col("b").alias("cons"),
+            F.col("n_orders").alias("n_both"),
+        )
         .filter(F.col("n_both") >= RULE_MIN_SUPPORT)
     )
     sym = pairs.unionByName(

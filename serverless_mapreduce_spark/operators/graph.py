@@ -61,7 +61,8 @@ PAGERANK_DAMP = 0.85
 #: bucketing story in operators/relational.py).
 EDGE_BUCKETS = 8
 
-_EDGE_BUILD_LOCK = threading.Lock()
+# RLock: _edges holds it while _build_edges re-enters via _pair_counts
+_EDGE_BUILD_LOCK = threading.RLock()
 
 #: Shared oracle fragment: the co-purchase edge set, oriented a < b.
 EDGES_SQL = """
@@ -80,24 +81,50 @@ EDGES_SQL = """
 """
 
 
+def _pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase PAIR COUNTS (a < b, n_orders) as a materialized bucketed
+    table — ONE lineitem self-join serves both the graph family (which
+    projects the distinct pairs away from the counts) and the
+    market-basket operators (item_cooccurrence_topk / assoc_rules_lift,
+    which need the counts). Build plan: pre-distinct (orderkey, partkey)
+    so repeat order lines never inflate support, then the self-join
+    CO-PARTITIONED on the order key (fanout bounded by order width), one
+    pair-keyed count. Same maintained-artifact contract as the edge
+    table below."""
+    import shutil
+
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+
+    name = f"graph_paircounts_{sf_tag(sf_dir)}"
+    with _EDGE_BUILD_LOCK:
+        if not spark.catalog.tableExists(name):
+            loc = os.path.join(scratch("graph"), name)
+            shutil.rmtree(loc, ignore_errors=True)
+            op = (
+                table(spark, sf_dir, "lineitem")
+                .select("l_orderkey", "l_partkey")
+                .distinct()
+            )
+            left = op.select("l_orderkey", F.col("l_partkey").alias("a"))
+            right = op.select("l_orderkey", F.col("l_partkey").alias("b"))
+            (
+                left.join(right, "l_orderkey")
+                .filter(F.col("a") < F.col("b"))
+                .groupBy("a", "b")
+                .agg(F.count("*").cast("bigint").alias("n_orders"))
+                .write.bucketBy(EDGE_BUCKETS, "a")
+                .sortBy("a")
+                .option("path", loc)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    return spark.table(name)
+
+
 def _build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The edge-build plan: one lineitem self-join CO-PARTITIONED on
-    orderkey. Pre-distincting (orderkey, partkey) before the self-join
-    keeps repeat lines of the same part out of the pair build; pair fanout
-    per order is bounded by order width, so output is O(|lineitem|)."""
-    op = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    left = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("a"))
-    right = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("b"))
-    return (
-        left.join(right, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    """Distinct oriented pairs = the pair-count table minus its counts
+    (the groupBy keys are already distinct)."""
+    return _pair_counts(spark, sf_dir).select("a", "b")
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
