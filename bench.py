@@ -160,6 +160,7 @@ HEADLINE = (
     "graph_components",
     "item_cooccurrence_topk",
     "assoc_rules_lift",
+    "variant_props_extract",
 )
 
 

@@ -401,3 +401,53 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row_checks.unionAll(orphans).withColumn(
         "passed", F.col("violations") == 0
     )
+
+
+# --- semi-structured: VARIANT (parse once, extract many) -----------------------
+
+@query(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` decodes each props payload ONCE into the binary
+    variant encoding, and every field access is then a typed
+    ``variant_get`` over that parsed value — vs the string-path
+    sibling (json_props_agg, get_json_object) which re-parses the raw
+    JSON text per extraction expression. At 100 TB of telemetry with
+    many extracted fields per row, parse-once is the difference between
+    one decode and F decodes per row, and variant columns persist to
+    parquet as shredded binary for pushdown-friendly storage. Extraction
+    semantics: ``try_variant_get`` returns NULL for missing paths (the
+    n_missing audit column counts them) exactly like the oracle's
+    json_extract_string, so the two engines agree on absent keys. The
+    aggregation itself is one event_type-keyed exchange; COUNT(DISTINCT)
+    rewrites to the standard two-phase expand."""
+    v = F.parse_json("props")
+    d = table(spark, sf_dir, "events").select(
+        "event_type", F.try_variant_get(v, "$.k", "bigint").alias("k")
+    )
+    return d.groupBy("event_type").agg(
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing"),
+    )
