@@ -65,9 +65,12 @@ def prefix_sums(
         offsets.append(tuple([r["_rid"]] + [running[c] for c in sum_cols]))
         for c in sum_cols:
             running[c] += r[c] or 0
-    off_df = spark.createDataFrame(
-        offsets, ["_rid"] + [f"_off_{c}" for c in sum_cols]
+    # explicit DDL schema: a schema-less createDataFrame cannot infer from
+    # an EMPTY offsets list (zero input partitions is a legal input)
+    off_schema = ", ".join(
+        ["_rid INT"] + [f"_off_{c} BIGINT" for c in sum_cols]
     )
+    off_df = spark.createDataFrame(offsets, off_schema)
     w = (
         Window.partitionBy("_rid")
         .orderBy(order_col)

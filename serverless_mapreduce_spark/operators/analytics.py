@@ -2086,9 +2086,15 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cons").alias("ante"), F.col("ante").alias("cons"), "n_both"
         )
     )
-    op.createOrReplaceTempView("_rules_op")
+    # unique per-invocation view name: temp views are session-global, and
+    # engine.Engine invites concurrent query threads — a fixed name would
+    # let two in-flight runs over different sf_dirs read each other's data
+    import uuid as _uuid
+
+    view = f"_rules_op_{_uuid.uuid4().hex[:12]}"
+    op.createOrReplaceTempView(view)
     n_orders = F.expr(
-        "(SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM _rules_op)"
+        f"(SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM {view})"
     )
     out = (
         sym.join(

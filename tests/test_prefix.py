@@ -46,3 +46,9 @@ def test_prefix_sums_single_row_and_more_partitions_than_rows(spark):
     rows = prefix_sums(df, "k", ["a"], num_partitions=8).collect()
     release_cached()
     assert [(r["cum_a"], r["total_a"]) for r in rows] == [(5, 5)]
+
+
+def test_prefix_sums_empty_input(spark):
+    df = spark.createDataFrame([], "k bigint, a bigint")
+    assert prefix_sums(df, "k", ["a"], num_partitions=4).collect() == []
+    release_cached()
