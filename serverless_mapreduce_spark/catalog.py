@@ -115,3 +115,18 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every fixture table as a temp view (for the SQL surface)."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def unique_view(df: DataFrame, prefix: str) -> str:
+    """Register ``df`` as a temp view under a UNIQUE per-invocation name
+    and return it. Temp views are session-global state, and the engine
+    invites concurrent query threads — a fixed view name would let two
+    in-flight runs (e.g. over different sf_dirs) read each other's data.
+    The canonical fixture names stay fixed by design in
+    :func:`register_views` (the opt-in SQL surface); every view that is
+    internal plumbing for one query goes through here."""
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(name)
+    return name

@@ -95,14 +95,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SubqueryExec — computed once, inlined), not a driver collect or a
     1-row crossJoin. No Cartesian, no Python, no ln (see module docstring
     for the exactness argument)."""
-    table(spark, sf_dir, "documents").createOrReplaceTempView("tfidf_docs")
+    from serverless_mapreduce_spark.catalog import unique_view
+
+    docs_view = unique_view(table(spark, sf_dir, "documents"), "tfidf_docs")
     # The corpus count rides a scalar subquery (SubqueryExec — computed once,
     # result inlined), not a 1-row crossJoin: the broadcast-nested-loop a
     # crossJoin plans to is exactly what the registry-wide plan lint forbids.
     return spark.sql(f"""
         WITH toks AS (
           SELECT doc_id, explode(split(lower(text), '{TOKEN_SPLIT_RE}')) AS term
-          FROM tfidf_docs
+          FROM {docs_view}
         ),
         tf AS (
           SELECT doc_id, term, COUNT(*) AS tf
@@ -115,7 +117,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- the already-aggregated tf table.
         scored AS (
           SELECT doc_id, term,
-                 tf * (((SELECT COUNT(*) FROM tfidf_docs)
+                 tf * (((SELECT COUNT(*) FROM {docs_view})
                         - COUNT(*) OVER (PARTITION BY term) + 0.5D)
                        / (COUNT(*) OVER (PARTITION BY term) + 0.5D)) AS score
           FROM tf
@@ -249,14 +251,16 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain SUM over doubles is addition-order-nondeterministic across
     partitions; pinning the order keeps the doubles bit-identical to the
     oracle (registry.py exactness contract)."""
-    table(spark, sf_dir, "documents").createOrReplaceTempView("search_docs")
+    from serverless_mapreduce_spark.catalog import unique_view
+
+    docs_view = unique_view(table(spark, sf_dir, "documents"), "search_docs")
     # Same scalar-subquery shape as tfidf_top_terms (no 1-row crossJoin →
     # no BNLJ); _PIVOT_SUM_SQL is valid in both dialects, so the fixed
     # addition order is shared with the oracle by construction.
     return spark.sql(f"""
         WITH toks AS (
           SELECT doc_id, explode(split(lower(text), '{TOKEN_SPLIT_RE}')) AS term
-          FROM search_docs
+          FROM {docs_view}
         ),
         tf AS (
           SELECT doc_id, term, COUNT(*) AS tf
@@ -266,7 +270,7 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- join form re-runs the corpus tokenize for the df branch)
         contrib AS (
           SELECT doc_id, term,
-                 tf * (((SELECT COUNT(*) FROM search_docs)
+                 tf * (((SELECT COUNT(*) FROM {docs_view})
                         - COUNT(*) OVER (PARTITION BY term) + 0.5D)
                        / (COUNT(*) OVER (PARTITION BY term) + 0.5D)) AS c
           FROM tf

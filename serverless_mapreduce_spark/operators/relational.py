@@ -1763,12 +1763,14 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("val"))
     )
-    natval.createOrReplaceTempView("tpch_q11_natval")
+    from serverless_mapreduce_spark.catalog import unique_view
+
+    natview = unique_view(natval, "tpch_q11_natval")
     return spark.sql(
         f"""SELECT l_partkey, CAST(val AS DOUBLE) AS value
-            FROM tpch_q11_natval
+            FROM {natview}
             WHERE CAST(val AS DOUBLE) >
-                  {Q11_FRAC} * (SELECT CAST(SUM(val) AS DOUBLE) FROM tpch_q11_natval)"""
+                  {Q11_FRAC} * (SELECT CAST(SUM(val) AS DOUBLE) FROM {natview})"""
     )
 
 

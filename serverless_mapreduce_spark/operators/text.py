@@ -334,10 +334,12 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
-    counts.createOrReplaceTempView("hh_word_counts")
+    from serverless_mapreduce_spark.catalog import unique_view
+
+    hh_view = unique_view(counts, "hh_word_counts")
     return spark.sql(
-        f"""SELECT word, cnt FROM hh_word_counts
-            WHERE cnt > {HH_FRAC} * (SELECT SUM(cnt) FROM hh_word_counts)"""
+        f"""SELECT word, cnt FROM {hh_view}
+            WHERE cnt > {HH_FRAC} * (SELECT SUM(cnt) FROM {hh_view})"""
     )
 
 
@@ -907,19 +909,21 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
-    s.createOrReplaceTempView("mixture_source_stats")
+    from serverless_mapreduce_spark.catalog import unique_view
+
+    mix_view = unique_view(s, "mixture_source_stats")
     return spark.sql(
-        """
+        f"""
         SELECT source, n_docs, total_tokens,
                ROUND(total_tokens / (SELECT CAST(SUM(total_tokens) AS DOUBLE)
-                                     FROM mixture_source_stats), 9)
+                                     FROM {mix_view}), 9)
                  AS token_share,
                ROUND((1.0 / (SELECT CAST(COUNT(*) AS DOUBLE)
-                             FROM mixture_source_stats))
+                             FROM {mix_view}))
                      / (total_tokens / (SELECT CAST(SUM(total_tokens) AS DOUBLE)
-                                        FROM mixture_source_stats)), 9)
+                                        FROM {mix_view})), 9)
                  AS uniform_weight
-        FROM mixture_source_stats
+        FROM {mix_view}
         """
     )
 
@@ -1023,16 +1027,18 @@ def cms_word_freq_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N rides a scalar subquery over the row-0 cells (they sum to the token
     # total by construction) — not a 1-row crossJoin, which would plan the
     # BroadcastNestedLoopJoin the registry-wide lint forbids.
-    cells.createOrReplaceTempView("cms_cells")
-    est.createOrReplaceTempView("cms_est")
+    from serverless_mapreduce_spark.catalog import unique_view
+
+    cells_view = unique_view(cells, "cms_cells")
+    est_view = unique_view(est, "cms_est")
     return spark.sql(f"""
         SELECT word,
                CAST(exact_cnt AS BIGINT) AS exact_cnt,
                est >= exact_cnt
                AND est <= exact_cnt + {CMS_EPS}
-                   * (SELECT SUM(cell_cnt) FROM cms_cells WHERE h_row = 0)
+                   * (SELECT SUM(cell_cnt) FROM {cells_view} WHERE h_row = 0)
                  AS within_bound
-        FROM cms_est
+        FROM {est_view}
     """)
 
 
