@@ -161,6 +161,7 @@ HEADLINE = (
     "item_cooccurrence_topk",
     "assoc_rules_lift",
     "variant_props_extract",
+    "substring_dedup_rewrite",
 )
 
 

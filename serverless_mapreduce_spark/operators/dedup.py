@@ -1068,6 +1068,57 @@ def er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_SPAN_K = 8   #: token-gram length; duplicated substrings >= K tokens found
 
 
+
+
+def _dup_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n, sid, s, e) — maximal cross-doc duplicated spans per doc
+    (1-based token positions, inclusive), shared by the accounting query
+    (substring_dup_spans) and the rewrite (substring_dedup_rewrite).
+
+    Cross-doc duplication is decided by WINDOW min/max over one gram-keyed
+    exchange: the earlier groupBy(gram) + semi-join formulation shuffled
+    the full gram stream TWICE (once into the type aggregation, once into
+    the join); the unordered window computes both extremes on the single
+    exchange the stream needs anyway (measured 3.7 s -> 1.7 s at sf0.1).
+    Span merge is the gaps-and-islands window on a doc-keyed exchange."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= DUP_SPAN_K)
+    )
+    n = F.size("t")
+    grams = d.select(
+        "doc_id",
+        n.alias("n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n - DUP_SPAN_K + 1),
+                lambda i: F.concat_ws(" ", F.slice("t", i, DUP_SPAN_K)),
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "gram")
+    wg = Window.partitionBy("gram")
+    p = (
+        grams.withColumn("mn", F.min("doc_id").over(wg))
+        .withColumn("mx", F.max("doc_id").over(wg))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "n", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flag = p.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > DUP_SPAN_K, 1).otherwise(0),
+    )
+    isl = flag.withColumn("sid", F.sum("brk").over(w))
+    return isl.groupBy("doc_id", "n", "sid").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + DUP_SPAN_K - 1).alias("e"),
+    )
+
+
 @query(
     "substring_dup_spans",
     oracle=f"""
@@ -1128,47 +1179,7 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded per gram type (min/max doc_id, not a posting list) — the
     HAVING min<>max trick is what keeps hot grams (boilerplate) from
     building giant groups. K tunes recall/cost exactly as in the paper."""
-    toks = F.filter(F.split("text", " "), lambda w: w != "")
-    d = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", toks.alias("t"))
-        .filter(F.size("t") >= DUP_SPAN_K)
-    )
-    n = F.size("t")
-    grams = d.select(
-        "doc_id",
-        n.alias("n"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), n - DUP_SPAN_K + 1),
-                lambda i: F.concat_ws(" ", F.slice("t", i, DUP_SPAN_K)),
-            )
-        ).alias("pos0", "gram"),
-    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "gram")
-    from pyspark.sql import Window
-
-    # cross-doc duplication as WINDOW min/max over one gram-keyed exchange:
-    # the earlier groupBy(gram) + semi-join formulation shuffled the full
-    # gram stream TWICE (once into the type aggregation, once into the
-    # join); the unordered window computes both extremes on the same single
-    # exchange the stream needs anyway (measured 3.7 s → 1.7 s at sf0.1)
-    wg = Window.partitionBy("gram")
-    p = (
-        grams.withColumn("mn", F.min("doc_id").over(wg))
-        .withColumn("mx", F.max("doc_id").over(wg))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("doc_id", "n", "pos")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    flag = p.withColumn(
-        "brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) > DUP_SPAN_K, 1).otherwise(0),
-    )
-    isl = flag.withColumn("sid", F.sum("brk").over(w))
-    spans = isl.groupBy("doc_id", "n", "sid").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + DUP_SPAN_K - 1).alias("e"),
-    )
+    spans = _dup_span_table(spark, sf_dir)
     return spans.groupBy("doc_id", "n").agg(
         F.count("*").cast("bigint").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
@@ -1177,4 +1188,113 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_tokens"),
         "n_spans",
         "dup_tokens",
+    )
+
+
+# --- the actionable half: rewrite docs with duplicated spans removed -----------
+
+@query(
+    "substring_dedup_rewrite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, len(ts) AS n, u.i AS pos,
+             array_to_string(list_slice(ts, u.i, u.i + {DUP_SPAN_K} - 1), ' ')
+               AS gram
+      FROM toks, UNNEST(range(1, len(ts) - {DUP_SPAN_K} + 2)) AS u(i)
+      WHERE len(ts) >= {DUP_SPAN_K}
+    ),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+    ),
+    p AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+    flag AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       > {DUP_SPAN_K} THEN 1 ELSE 0 END AS brk
+      FROM p
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM flag
+    ),
+    sp AS (
+      SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + {DUP_SPAN_K} - 1 AS e
+      FROM isl GROUP BY doc_id, sid
+    ),
+    spd AS (
+      SELECT doc_id,
+             list(struct_pack(s := CAST(s AS BIGINT),
+                              e := CAST(e AS BIGINT))) AS sps
+      FROM sp GROUP BY doc_id
+    ),
+    j AS (
+      SELECT t.doc_id, t.ts,
+             COALESCE(spd.sps, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sps
+      FROM toks t LEFT JOIN spd USING (doc_id)
+    ),
+    k AS (
+      SELECT doc_id, ts,
+             list_filter(ts, (x, i) ->
+               len(list_filter(sps, sp -> sp.s <= i AND i <= sp.e)) = 0)
+               AS kept
+      FROM j
+    )
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+    FROM k
+    """,
+)
+def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE half of passage dedup: rewrite every document with
+    its cross-doc duplicated spans CUT OUT (Lee et al. 2022's 'remove the
+    repeated substring' step — substring_dup_spans reports the damage,
+    this op produces the cleaned corpus). Every doc comes back — docs
+    with no duplicated span pass through verbatim — with the cleaned
+    text's md5 as the content contract (a single wrongly kept or cut
+    token moves the hash).
+
+    Distributed shape: the span detection is the shared plan
+    (_dup_span_table — one gram-keyed window exchange + one doc-keyed
+    island merge); spans then collapse to a PER-DOC ARRAY (a doc-keyed
+    aggregation of a few rows per doc) and the cut itself is a per-row
+    array filter over (token, position) — NO shuffle beyond the span
+    table's own, and the array-of-spans stays tiny because maximal spans
+    are disjoint by construction. The EXISTS containment check is
+    O(tokens x spans) per doc with spans ~ O(1); order of the collected
+    span array is irrelevant to EXISTS, so collect_list's
+    nondeterministic order is safe."""
+    spans = _dup_span_table(spark, sf_dir)
+    spd = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("s").cast("bigint").alias("s"),
+                F.col("e").cast("bigint").alias("e"),
+            )
+        ).alias("sps")
+    )
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    d = table(spark, sf_dir, "documents").select("doc_id", toks.alias("ts"))
+    j = d.join(spd, "doc_id", "left").withColumn(
+        "sps",
+        F.coalesce(F.col("sps"), F.array().cast("array<struct<s:bigint,e:bigint>>")),
+    )
+    # Spark's filter-lambda index is 0-based; spans are 1-based positions
+    kept = F.filter(
+        "ts",
+        lambda x, i: ~F.exists(
+            "sps", lambda sp: (sp["s"] <= i + 1) & (i + 1 <= sp["e"])
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("ts").cast("bigint").alias("n_tokens"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
     )
