@@ -162,6 +162,7 @@ HEADLINE = (
     "assoc_rules_lift",
     "variant_props_extract",
     "substring_dedup_rewrite",
+    "contrastive_negatives",
 )
 
 

@@ -1374,3 +1374,100 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         reasons.cast("bigint").alias("reasons"),
         n.cast("bigint").alias("n_words"),
     )
+
+
+# --- contrastive training: deterministic negative sampling ---------------------
+
+NEG_PER_ANCHOR = 4
+
+
+@query(
+    "contrastive_negatives",
+    oracle=f"""
+    WITH idx AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS i,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    anchors AS (
+      SELECT doc_id, i, n, u.k AS k,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                          || CAST(u.k AS VARCHAR)), 1, 8))
+                  AS BIGINT) % n AS pick
+      FROM idx, UNNEST(range(1, {NEG_PER_ANCHOR} + 1)) AS u(k)
+    ),
+    resolved AS (
+      SELECT doc_id, k,
+             CASE WHEN pick = i THEN (pick + 1) % n ELSE pick END AS neg_i
+      FROM anchors
+    )
+    SELECT r.doc_id, CAST(r.k AS BIGINT) AS k, x.doc_id AS neg_doc_id
+    FROM resolved r JOIN idx x ON x.i = r.neg_i
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING for contrastive training
+    (retrieval/embedding fine-tuning data prep): every document gets
+    {NEG_PER_ANCHOR} pseudo-random negatives, reproducible across runs,
+    engines, and partitionings — ``rand()`` is the obvious and WRONG tool
+    here (resampled per task retry, never auditable); hashing
+    (anchor, k) into the dense index space gives uniform-looking picks a
+    re-run or a different cluster reproduces bit-for-bit (same argument
+    as the md5-bucket train/val/test split). A self-collision resolves
+    to the next index, so an anchor never draws itself.
+
+    Distributed shape: a dense 0..N-1 index via ROW_NUMBER over doc_id
+    (a doc-COUNT-sized global window — at 100 TB this is the
+    two-pass range-partitioned rank of functions/prefix.py, or simply
+    zipWithIndex at write time; cardinality-bounded either way), a
+    narrow k-explode with modular hash arithmetic, and one equi-join
+    back on the dense index to resolve negative doc_ids — uniformly
+    distributed integer keys, skew-free. In-batch negatives (the other
+    standard scheme) need no operator at all; this is the
+    corpus-wide variant that feeds hard-negative mining."""
+    from pyspark.sql import Window
+
+    idx = table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    wa = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    idx = idx.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count("*").over(wa).alias("n"),
+    )
+    anchors = idx.select(
+        "doc_id",
+        "i",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(NEG_PER_ANCHOR))).alias("k"),
+    )
+    pick = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.col("n")
+    )
+    resolved = anchors.select(
+        "doc_id",
+        "k",
+        F.when(pick == F.col("i"), (pick + 1) % F.col("n"))
+        .otherwise(pick)
+        .alias("neg_i"),
+    )
+    neg = idx.select(F.col("i").alias("neg_i"), F.col("doc_id").alias("neg_doc_id"))
+    return resolved.join(neg, "neg_i").select(
+        "doc_id", F.col("k").cast("bigint").alias("k"), "neg_doc_id"
+    )
