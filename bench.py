@@ -226,12 +226,15 @@ def main() -> None:
     _pair_counts(spark, sf_dir).write.format("noop").mode("overwrite").save()
     # The first Python-DataSource read in a session spins up the planner +
     # reader worker pool (~9s on local[32]) — session-fixed like the pandas
-    # pool above; a tiny sf0.001 read through the connector warms it.
+    # pool above; a tiny read through the connector warms it. Prefer the
+    # smallest sibling fixture of the benched data root (NOT a hardcoded
+    # path — the root is env-configurable); fall back to the benched dir.
     from serverless_mapreduce_spark.sources.pyds_kv import typedkv_scan as _tkv
 
-    _tkv(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-        "overwrite"
-    ).save()
+    _warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(_warm_sf):
+        _warm_sf = sf_dir
+    _tkv(spark, _warm_sf).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -54,21 +54,43 @@ def prefix_sums(
     )
     totals = (
         rp.groupBy("_rid")
-        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            *[F.count(c).alias(f"_n_{c}") for c in sum_cols],
+        )
         .collect()
     )
     totals.sort(key=lambda r: r["_rid"])
     offsets: list[tuple] = []
     running = {c: 0 for c in sum_cols}
-    grand = {c: sum(r[c] or 0 for r in totals) for c in sum_cols}
+    running_n = {c: 0 for c in sum_cols}
+    # grand total preserves SQL SUM semantics: NULL when every value is
+    # NULL, the NULL-skipping sum otherwise
+    grand = {
+        c: (
+            sum(r[c] or 0 for r in totals)
+            if any(r[f"_n_{c}"] for r in totals)
+            else None
+        )
+        for c in sum_cols
+    }
     for r in totals:
-        offsets.append(tuple([r["_rid"]] + [running[c] for c in sum_cols]))
+        offsets.append(
+            tuple(
+                [r["_rid"]]
+                + [running[c] for c in sum_cols]
+                + [running_n[c] for c in sum_cols]
+            )
+        )
         for c in sum_cols:
             running[c] += r[c] or 0
+            running_n[c] += r[f"_n_{c}"]
     # explicit DDL schema: a schema-less createDataFrame cannot infer from
     # an EMPTY offsets list (zero input partitions is a legal input)
     off_schema = ", ".join(
-        ["_rid INT"] + [f"_off_{c} BIGINT" for c in sum_cols]
+        ["_rid INT"]
+        + [f"_off_{c} BIGINT" for c in sum_cols]
+        + [f"_offn_{c} BIGINT" for c in sum_cols]
     )
     off_df = spark.createDataFrame(offsets, off_schema)
     w = (
@@ -78,7 +100,26 @@ def prefix_sums(
     )
     out = rp.join(F.broadcast(off_df), "_rid")
     for c in sum_cols:
+        # exact global-window parity under NULLs: SUM over a frame with no
+        # non-NULL value is NULL, not 0 — track the running non-NULL COUNT
+        # alongside the running sum and NULL the cum where it is zero
+        # (a bare local-sum + offset would go NULL whenever a partition's
+        # LEADING values are NULL, and 0 where the global window says NULL)
+        seen = F.count(c).over(w) + F.col(f"_offn_{c}")
         out = out.withColumn(
-            f"cum_{c}", F.sum(c).over(w) + F.col(f"_off_{c}")
-        ).withColumn(f"total_{c}", F.lit(grand[c]))
-    return out.drop("_rid", *[f"_off_{c}" for c in sum_cols])
+            f"cum_{c}",
+            F.when(
+                seen > 0,
+                F.coalesce(F.sum(c).over(w), F.lit(0)) + F.col(f"_off_{c}"),
+            ),
+        ).withColumn(
+            f"total_{c}",
+            F.lit(grand[c]).cast("bigint")
+            if grand[c] is None
+            else F.lit(grand[c]),
+        )
+    return out.drop(
+        "_rid",
+        *[f"_off_{c}" for c in sum_cols],
+        *[f"_offn_{c}" for c in sum_cols],
+    )

@@ -2086,13 +2086,9 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cons").alias("ante"), F.col("ante").alias("cons"), "n_both"
         )
     )
-    # unique per-invocation view name: temp views are session-global, and
-    # engine.Engine invites concurrent query threads — a fixed name would
-    # let two in-flight runs over different sf_dirs read each other's data
-    import uuid as _uuid
+    from serverless_mapreduce_spark.catalog import unique_view
 
-    view = f"_rules_op_{_uuid.uuid4().hex[:12]}"
-    op.createOrReplaceTempView(view)
+    view = unique_view(op, "rules_op")
     n_orders = F.expr(
         f"(SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM {view})"
     )
@@ -2111,7 +2107,7 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_orders", n_orders)
     )
-    return out.select(
+    result = out.select(
         "ante",
         "cons",
         "n_both",
@@ -2126,3 +2122,5 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+    spark.catalog.dropTempView(view)
+    return result

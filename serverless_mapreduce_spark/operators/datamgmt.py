@@ -438,7 +438,10 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     json_extract_string, so the two engines agree on absent keys. The
     aggregation itself is one event_type-keyed exchange; COUNT(DISTINCT)
     rewrites to the standard two-phase expand."""
-    v = F.parse_json("props")
+    # try_parse_json, not parse_json: the oracle's json_extract_string is
+    # lenient (NULL on malformed JSON, counted under n_missing); the strict
+    # variant would fail the whole query on one bad payload
+    v = F.try_parse_json("props")
     d = table(spark, sf_dir, "events").select(
         "event_type", F.try_variant_get(v, "$.k", "bigint").alias("k")
     )

@@ -479,8 +479,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- connected components: hash-min label propagation --------------------------
 
-CC_MAX_ITERS = 50
-_CC_ORACLE_UNROLLS = 15  #: >= observed convergence rounds + margin
+#: Oracle unroll count AND the Spark loop's iteration cap — deliberately
+#: the SAME constant: if the Spark loop were allowed more rounds than the
+#: oracle unrolls, a graph converging in between would make a CORRECT
+#: result read as a driver mismatch with no hint the oracle is at fault.
+#: Tied together, a too-deep graph fails LOUDLY in the Spark loop instead.
+#: Observed fixpoint: 4 rounds at sf0.01/sf0.1.
+CC_MAX_ITERS = 15
+_CC_ORACLE_UNROLLS = CC_MAX_ITERS
 
 
 def _cc_oracle() -> str:

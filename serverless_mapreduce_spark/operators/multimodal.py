@@ -573,18 +573,28 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bytes(b), dtype=np.uint8, count=meta["n_samples"],
                     offset=WAV_HEADER,
                 ).astype(np.int64) - 128
+                # zero-length data chunk (empty source text): extrema and
+                # energy are NULL (matching the oracle's list_max([])),
+                # crossings 0 (the oracle COALESCEs them)
+                empty = len(s) == 0
                 rows.append(
                     {
                         "doc_id": d,
                         "sample_rate": meta["sample_rate"],
                         "n_samples": meta["n_samples"],
-                        "peak": int(s.max()) + 128,
-                        "trough": int(s.min()) + 128,
-                        "energy": int((s * s).sum()),
-                        "zero_crossings": int(((s[:-1] * s[1:]) < 0).sum()),
+                        "peak": None if empty else int(s.max()) + 128,
+                        "trough": None if empty else int(s.min()) + 128,
+                        "energy": None if empty else int((s * s).sum()),
+                        "zero_crossings": 0
+                        if empty
+                        else int(((s[:-1] * s[1:]) < 0).sum()),
                     }
                 )
-            yield pd.DataFrame(rows)
+            # nullable Int64: plain int columns silently become float64
+            # when any row holds None, and Arrow then refuses the cast
+            yield pd.DataFrame(rows).astype(
+                {"peak": "Int64", "trough": "Int64", "energy": "Int64"}
+            )
 
     return blobs.mapInPandas(
         feats,

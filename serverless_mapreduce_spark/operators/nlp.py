@@ -101,7 +101,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The corpus count rides a scalar subquery (SubqueryExec — computed once,
     # result inlined), not a 1-row crossJoin: the broadcast-nested-loop a
     # crossJoin plans to is exactly what the registry-wide plan lint forbids.
-    return spark.sql(f"""
+    out = spark.sql(f"""
         WITH toks AS (
           SELECT doc_id, explode(split(lower(text), '{TOKEN_SPLIT_RE}')) AS term
           FROM {docs_view}
@@ -129,6 +129,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored
         ) WHERE rnk <= {TFIDF_TOP_K}
     """)
+    spark.catalog.dropTempView(docs_view)
+    return out
 
 
 # --- BPE training: weighted adjacent-pair counts ------------------------------
@@ -257,7 +259,7 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same scalar-subquery shape as tfidf_top_terms (no 1-row crossJoin →
     # no BNLJ); _PIVOT_SUM_SQL is valid in both dialects, so the fixed
     # addition order is shared with the oracle by construction.
-    return spark.sql(f"""
+    out = spark.sql(f"""
         WITH toks AS (
           SELECT doc_id, explode(split(lower(text), '{TOKEN_SPLIT_RE}')) AS term
           FROM {docs_view}
@@ -292,6 +294,8 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
         FROM top
     """)
+    spark.catalog.dropTempView(docs_view)
+    return out
 
 
 # --- Vocabulary dictionary encoding -------------------------------------------

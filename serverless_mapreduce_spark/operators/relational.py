@@ -1766,12 +1766,16 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_mapreduce_spark.catalog import unique_view
 
     natview = unique_view(natval, "tpch_q11_natval")
-    return spark.sql(
+    out = spark.sql(
         f"""SELECT l_partkey, CAST(val AS DOUBLE) AS value
             FROM {natview}
             WHERE CAST(val AS DOUBLE) >
                   {Q11_FRAC} * (SELECT CAST(SUM(val) AS DOUBLE) FROM {natview})"""
     )
+    # analysis has resolved the view into the plan; drop it so long-lived
+    # engine sessions do not accumulate a view per invocation
+    spark.catalog.dropTempView(natview)
+    return out
 
 
 Q16_EXCL_BRAND, Q16_EXCL_TYPE = "Brand#12", "PROMO"

@@ -337,10 +337,12 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_mapreduce_spark.catalog import unique_view
 
     hh_view = unique_view(counts, "hh_word_counts")
-    return spark.sql(
+    out = spark.sql(
         f"""SELECT word, cnt FROM {hh_view}
             WHERE cnt > {HH_FRAC} * (SELECT SUM(cnt) FROM {hh_view})"""
     )
+    spark.catalog.dropTempView(hh_view)
+    return out
 
 
 # --- extension: deterministic train/val/test split -----------------------------
@@ -912,7 +914,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_mapreduce_spark.catalog import unique_view
 
     mix_view = unique_view(s, "mixture_source_stats")
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT source, n_docs, total_tokens,
                ROUND(total_tokens / (SELECT CAST(SUM(total_tokens) AS DOUBLE)
@@ -926,6 +928,8 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {mix_view}
         """
     )
+    spark.catalog.dropTempView(mix_view)
+    return out
 
 
 # --- Count-Min sketch frequency estimates with an in-query error contract ------
@@ -1031,7 +1035,7 @@ def cms_word_freq_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells_view = unique_view(cells, "cms_cells")
     est_view = unique_view(est, "cms_est")
-    return spark.sql(f"""
+    out = spark.sql(f"""
         SELECT word,
                CAST(exact_cnt AS BIGINT) AS exact_cnt,
                est >= exact_cnt
@@ -1040,6 +1044,9 @@ def cms_word_freq_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS within_bound
         FROM {est_view}
     """)
+    spark.catalog.dropTempView(cells_view)
+    spark.catalog.dropTempView(est_view)
+    return out
 
 
 # --- extension: winnowing fingerprint selection --------------------------------

@@ -109,7 +109,16 @@ class TypedKVReader(DataSourceReader):
 
         if os.path.getsize(partition.value) == 0:
             return
-        raw = pj.read_json(partition.value)
+        # blank-line tolerance (the per-row reader's `if not line: continue`
+        # contract): pyarrow.json rejects empty lines, so strip them first —
+        # but only when present, keeping the common case a zero-copy parse
+        with open(partition.value, "rb") as fh:
+            data = fh.read()
+        if b"\n\n" in data or data.startswith(b"\n"):
+            data = b"\n".join(ln for ln in data.split(b"\n") if ln.strip())
+        if not data.strip():
+            return
+        raw = pj.read_json(pa.BufferReader(data))
         n = raw.num_rows
         cols = []
         for name, tag, sqltype in self.spec:

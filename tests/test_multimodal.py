@@ -109,3 +109,24 @@ def test_resize_bmp_nearest_neighbor():
 
     # empty payload -> zero-height image, zero checksum
     assert resize_bmp(encode_bmp(b"", 4))["resized_checksum"] == 0
+
+
+def test_audio_features_zero_sample_wav(spark):
+    """An empty-text odd doc encodes to a valid WAV with a 0-length data
+    chunk: extrema/energy must be NULL (the oracle's list_max([])) and
+    crossings 0 — not a numpy reduction crash."""
+    from serverless_mapreduce_spark.operators.multimodal import (
+        multimodal_audio_features,
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(1, "", "en", "web", 0), (3, "ab cd", "en", "web", 5)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {r["doc_id"]: r for r in multimodal_audio_features(spark, td).collect()}
+    assert rows[1]["n_samples"] == 0
+    assert rows[1]["peak"] is None and rows[1]["energy"] is None
+    assert rows[1]["zero_crossings"] == 0
+    assert rows[3]["n_samples"] == 5 and rows[3]["peak"] is not None

@@ -52,3 +52,30 @@ def test_prefix_sums_empty_input(spark):
     df = spark.createDataFrame([], "k bigint, a bigint")
     assert prefix_sums(df, "k", ["a"], num_partitions=4).collect() == []
     release_cached()
+
+
+def test_prefix_sums_null_values_match_global_window(spark):
+    # NULL-bearing sum columns: cum must be NULL exactly where the global
+    # window's frame holds no non-NULL value (leading NULLs), and resume
+    # correctly across range-partition boundaries
+    rows = [(1, None), (2, None), (3, 7), (4, None), (5, 2), (6, None)]
+    df = spark.createDataFrame(rows, "k bigint, a bigint")
+    got = {
+        r["k"]: (r["cum_a"], r["total_a"])
+        for r in prefix_sums(df, "k", ["a"], num_partitions=3).collect()
+    }
+    release_cached()
+    want = {
+        r["k"]: (r["cum_a"], r["total_a"])
+        for r in _naive(df, "k", ["a"]).collect()
+    }
+    assert got == want
+    assert got[1] == (None, 9) and got[2] == (None, 9)
+    assert got[3] == (7, 9) and got[6] == (9, 9)
+
+
+def test_prefix_sums_all_null_column(spark):
+    df = spark.createDataFrame([(1, None), (2, None)], "k bigint, a bigint")
+    rows = prefix_sums(df, "k", ["a"], num_partitions=2).collect()
+    release_cached()
+    assert all(r["cum_a"] is None and r["total_a"] is None for r in rows)

@@ -92,3 +92,15 @@ def test_end_to_end_scan_with_spark(spark, tmp_path):
     df = ss.read.format("typedkv").option("columns", SPEC).load(d)
     got = {(r.id, r.name, r.score) for r in df.filter("name = 'b'").collect()}
     assert got == {(2, "b", 0.5)}
+
+
+def test_reader_tolerates_blank_lines(tmp_path):
+    # the per-row reader's `if not line: continue` contract, preserved
+    # across the Arrow rewrite
+    d = str(tmp_path)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part-0.jsonl"), "w") as fh:
+        fh.write('\n{"id": {"N": "1"}, "name": {"S": "x"}, "score": {"N": "0.5"}}\n\n'
+                 '{"id": {"N": "2"}, "name": {"S": "y"}, "score": {"N": "1.5"}}\n\n\n')
+    r = TypedKVReader({"path": d, "columns": SPEC})
+    assert _rows(r) == [(1, "x", 0.5), (2, "y", 1.5)]
