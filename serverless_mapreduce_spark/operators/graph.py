@@ -57,6 +57,13 @@ from serverless_mapreduce_spark.registry import query
 PAGERANK_ITERS = 5
 PAGERANK_DAMP = 0.85
 
+#: Node-table rows above which the iterative algorithms stop BROADCASTING
+#: node-sized state (ranks / labels) into the edge join and fall back to a
+#: partitioned (shuffle) join — a billion-node graph cannot broadcast its
+#: node table; the driver/executors OOM assembling it (VERDICT r5 item 2).
+#: ~8M rows of (long, double) ≈ 128 MB serialized — a sane broadcast ceiling.
+BROADCAST_NODE_LIMIT = 8_000_000
+
 #: Bucket count for the materialized edge table (matches the fact-table
 #: bucketing story in operators/relational.py).
 EDGE_BUCKETS = 8
@@ -335,14 +342,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = sym.groupBy("src").agg(F.count("*").alias("d"))
     adj = persist_tracked(sym.join(deg, "src"))
     n = deg.count()
+    # SIZE GATE on the per-iteration rank join: under the limit the rank
+    # table broadcasts (a checkpointed frame has no catalog stats, so
+    # without the hint the planner would sort-merge and re-shuffle the much
+    # larger adjacency every round); above it — a billion-node graph — the
+    # join runs PARTITIONED instead (shuffle_hash: hash the node-sized rank
+    # side, stream the adjacency, no sort), which is the only shape that
+    # survives a node table bigger than executor memory.
+    use_broadcast = n <= BROADCAST_NODE_LIMIT
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("rank")
     ).localCheckpoint()
     for _ in range(PAGERANK_ITERS):
-        # explicit broadcast: a checkpointed frame has no catalog stats, so
-        # the planner would otherwise fall back to a sort-merge join and
-        # re-shuffle the (much larger) adjacency every iteration
-        contrib = adj.join(F.broadcast(ranks), adj.src == ranks.node).select(
+        r = F.broadcast(ranks) if use_broadcast else ranks.hint("shuffle_hash")
+        contrib = adj.join(r, adj.src == r.node).select(
             F.col("dst"), (F.col("rank") / F.col("d")).alias("c")
         )
         ranks = (
@@ -548,13 +561,29 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _label_propagate(sym: DataFrame) -> DataFrame:
-    """Hash-min label propagation over a symmetric (src, dst) edge frame →
-    (node, comp). Factored out of graph_components so the multi-component
-    correctness pytest (tests/test_graph.py) can drive it on crafted
-    graphs — the fixture's co-purchase graph is a single giant component,
-    which alone could not distinguish propagation from 'everything gets
-    the global minimum'."""
+def _label_propagate(
+    sym: DataFrame, node_limit: int = BROADCAST_NODE_LIMIT
+) -> DataFrame:
+    """Connected components over a symmetric (src, dst) edge frame →
+    (node, comp), SIZE-GATED between two strategies (VERDICT r5 item 3):
+
+    - node table fits a broadcast (``<= node_limit`` rows) → hash-min label
+      propagation, broadcasting the node-sized label table into the edge
+      join each round (diameter rounds, cheapest per round);
+    - above the limit → :func:`_label_propagate_star`, the
+      large-star/small-star edge contraction (Kiveris et al., "Connected
+      Components in MapReduce and Beyond"): every round is partitioned
+      joins/aggregations only — NOTHING node-sized is ever broadcast — and
+      convergence takes O(log n) rounds even on high-diameter graphs.
+
+    Factored out of graph_components so the correctness pytests
+    (tests/test_graph.py) can drive both paths on crafted graphs — the
+    fixture's co-purchase graph is a single giant component, which alone
+    could not distinguish propagation from 'everything gets the global
+    minimum'."""
+    n_nodes = sym.select("src").distinct().count()
+    if n_nodes > node_limit:
+        return _label_propagate_star(sym)
     lab = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -587,3 +616,80 @@ def _label_propagate(sym: DataFrame) -> DataFrame:
         prev_sum = cur_sum
         lab = nxt
     raise RuntimeError("label propagation did not converge")
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One LARGE-STAR round over canonical (u < v) distinct edges: for each
+    node s with neighborhood Γ(s), connect every STRICTLY LARGER neighbor
+    t > s to m = min(Γ(s) ∪ {s}). Expressed as one symmetrize + min-agg +
+    edge-sized join — all partitioned, nothing broadcast. m <= s < t, so
+    the emitted (m, t) is already canonical and never a self-loop."""
+    s = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionByName(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    mins = s.groupBy("s").agg(F.min("t").alias("mn"))
+    return (
+        s.join(mins, "s")
+        .filter(F.col("t") > F.col("s"))
+        .select(
+            F.least("mn", F.col("s")).alias("u"), F.col("t").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One SMALL-STAR round: key each canonical edge at its LARGER endpoint
+    v (so Γ⁻(v) = its smaller neighbors u), compute m = min(Γ⁻(v)), and
+    re-link both v and every u to m. m <= u < v, so emitted edges are
+    canonical; (m, m) self-loops from u == m are dropped."""
+    mins = edges.groupBy("v").agg(F.min("u").alias("m"))
+    ann = edges.join(mins, "v")
+    return (
+        ann.select(F.col("m").alias("u"), F.col("v").alias("v"))
+        .unionByName(
+            ann.select(F.col("m").alias("u"), F.col("u").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _label_propagate_star(
+    sym: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star/small-star edge
+    contraction — the 100 TB path: every round is shuffle-keyed joins and
+    min-aggregations over the (shrinking) edge set, no node-sized broadcast
+    anywhere, and the fixpoint (a forest of stars, each rooted at its
+    component's minimum id) arrives in O(log n) rounds even where hash-min
+    needs diameter rounds. Convergence is an EXACT edge-set equality test
+    (count match + empty exceptAll — edge-sized, same cost class as the
+    round itself); labels then read directly off the star edges. Each
+    generation is localCheckpoint'ed for the usual lineage-truncation
+    reason (on a real cluster: reliable checkpoint())."""
+    edges = (
+        sym.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        converged = (
+            nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty()
+        )
+        edges = nxt
+        if converged:
+            break
+    else:
+        raise RuntimeError("star contraction did not converge")
+    # Star fixpoint: every edge is (root, member) with root = component min.
+    return (
+        edges.select(F.col("v").alias("node"), F.col("u").alias("comp"))
+        .unionByName(
+            edges.select(F.col("u").alias("node"), F.col("u").alias("comp"))
+        )
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )

@@ -122,3 +122,69 @@ def test_label_propagation_separates_components(spark):
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     lab = {r["node"]: r["comp"] for r in _label_propagate(sym).collect()}
     assert lab == {1: 1, 9: 1, 5: 1, 2: 2, 8: 2, 4: 2, 3: 3, 7: 3}
+
+
+def _sym_df(spark, undirected):
+    edges = spark.createDataFrame(undirected, "a bigint, b bigint")
+    return edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+
+
+def test_star_contraction_matches_hashmin_multi_component(spark):
+    """The size-gated scale path (_label_propagate with node_limit=0 forces
+    large-star/small-star) labels the same components as the broadcast
+    hash-min path on a multi-component graph with non-obvious minima."""
+    from serverless_mapreduce_spark.operators.graph import _label_propagate
+
+    undirected = [(1, 9), (9, 5), (2, 8), (8, 4), (3, 7), (11, 6), (6, 12)]
+    sym = _sym_df(spark, undirected)
+    via_broadcast = {
+        r["node"]: r["comp"] for r in _label_propagate(sym).collect()
+    }
+    via_star = {
+        r["node"]: r["comp"]
+        for r in _label_propagate(sym, node_limit=0).collect()
+    }
+    assert via_star == via_broadcast
+    assert via_star == {
+        1: 1, 9: 1, 5: 1, 2: 2, 8: 2, 4: 2, 3: 3, 7: 3, 11: 6, 6: 6, 12: 6,
+    }
+
+
+def test_star_contraction_high_diameter_path(spark):
+    """A 60-node path (diameter 59) — the case the star contraction exists
+    for: hash-min needs diameter rounds, star contraction O(log n). With
+    CC_MAX_ITERS = 15 < 59, only the contraction path can converge; ids
+    are reversed so the component minimum sits at the FAR end and a label
+    must genuinely traverse the whole chain."""
+    from serverless_mapreduce_spark.operators.graph import (
+        _label_propagate_star,
+    )
+
+    n = 60
+    undirected = [(n - i, n - i - 1) for i in range(n - 1)]  # 60-59, ..., 2-1
+    sym = _sym_df(spark, undirected)
+    lab = {r["node"]: r["comp"] for r in _label_propagate_star(sym).collect()}
+    assert lab == {i: 1 for i in range(1, n + 1)}
+
+
+def test_star_contraction_star_and_pair(spark):
+    """Degenerate shapes: an already-star component (hub = min and hub =
+    max variants) and a 2-node component are fixpoints the contraction must
+    pass through unchanged."""
+    from serverless_mapreduce_spark.operators.graph import (
+        _label_propagate_star,
+    )
+
+    undirected = (
+        [(1, i) for i in range(2, 7)]      # star rooted at its min
+        + [(20, i) for i in range(14, 19)]  # star rooted at its MAX (hub 20)
+        + [(30, 31)]                        # isolated pair
+    )
+    sym = _sym_df(spark, undirected)
+    lab = {r["node"]: r["comp"] for r in _label_propagate_star(sym).collect()}
+    expect = {i: 1 for i in range(1, 7)}
+    expect.update({i: 14 for i in list(range(14, 19)) + [20]})
+    expect.update({30: 30, 31: 30})
+    assert lab == expect
