@@ -124,6 +124,35 @@ def test_label_propagation_separates_components(spark):
     assert lab == {1: 1, 9: 1, 5: 1, 2: 2, 8: 2, 4: 2, 3: 3, 7: 3}
 
 
+def test_basket_cap_bounds_power_law_fanout(spark):
+    """A power-law basket mix — one 500-item mega-basket among narrow
+    ones — must produce C(BASKET_CAP, 2) pairs from the mega-basket (the
+    deterministic smallest-id truncation), not C(500, 2), while narrow
+    baskets are untouched."""
+    from serverless_mapreduce_spark.operators.graph import (
+        BASKET_CAP,
+        _pair_counts_from,
+    )
+
+    rows = [(1, p) for p in range(1000, 1500)]  # mega-basket, width 500
+    rows += [(2, p) for p in (1, 2, 3)]          # narrow basket
+    rows += [(3, p) for p in (2, 3)]             # narrow basket
+    op = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    pairs = _pair_counts_from(op)
+    total = pairs.agg(F.sum("n_orders")).collect()[0][0]
+    cap_pairs = BASKET_CAP * (BASKET_CAP - 1) // 2
+    assert total == cap_pairs + 3 + 1  # mega capped + C(3,2) + C(2,2=1 pair)
+    # the truncation keeps the smallest part ids: the largest surviving
+    # mega-basket item is 1000 + BASKET_CAP - 1
+    mx = (
+        pairs.filter(F.col("a") >= 1000).agg(F.max("b")).collect()[0][0]
+    )
+    assert mx == 1000 + BASKET_CAP - 1
+    # narrow-basket pair (2,3) appears in two baskets → support 2
+    n23 = pairs.filter((F.col("a") == 2) & (F.col("b") == 3)).collect()
+    assert n23[0]["n_orders"] == 2
+
+
 def _sym_df(spark, undirected):
     edges = spark.createDataFrame(undirected, "a bigint, b bigint")
     return edges.select(
