@@ -34,14 +34,32 @@ def _live() -> list[DataFrame]:
     return _TL.live
 
 
+def _live_views() -> list[tuple]:
+    if not hasattr(_TL, "views"):
+        _TL.views = []
+    return _TL.views
+
+
 def persist_tracked(df: DataFrame) -> DataFrame:
     """``df.persist()`` plus registration for deferred cleanup."""
     _live().append(df.persist())
     return df
 
 
+def track_view(spark, name: str) -> None:
+    """Register a temp view for DEFERRED dropping at the next
+    :func:`release_cached` on this thread. Dropping a view immediately
+    after building a DataFrame that references it only works because
+    classic PySpark analyzes plans eagerly — under Spark Connect analysis
+    defers to execution and the early drop would break the query — so
+    internal views ride the same query-scoped lifetime as tracked caches
+    instead (see catalog.unique_view)."""
+    _live_views().append((spark, name))
+
+
 def release_cached() -> int:
-    """Unpersist this thread's tracked caches (non-blocking); returns count."""
+    """Unpersist this thread's tracked caches and drop its tracked temp
+    views (non-blocking); returns the released-cache count."""
     live = _live()
     n = len(live)
     for df in live:
@@ -50,4 +68,11 @@ def release_cached() -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     live.clear()
+    views = _live_views()
+    for spark, name in views:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass  # session already stopped — nothing to drop
+    views.clear()
     return n

@@ -124,9 +124,19 @@ def unique_view(df: DataFrame, prefix: str) -> str:
     in-flight runs (e.g. over different sf_dirs) read each other's data.
     The canonical fixture names stay fixed by design in
     :func:`register_views` (the opt-in SQL surface); every view that is
-    internal plumbing for one query goes through here."""
+    internal plumbing for one query goes through here.
+
+    Lifetime: the view is registered with caching.track_view and dropped
+    at the next query-scoped ``release_cached()`` on this thread — NOT by
+    the operator before returning. An eager drop only worked because
+    classic PySpark analyzes the referencing plan at build time; Spark
+    Connect defers analysis to execution, where the view must still
+    exist."""
     import uuid
+
+    from serverless_mapreduce_spark.caching import track_view
 
     name = f"{prefix}_{uuid.uuid4().hex[:12]}"
     df.createOrReplaceTempView(name)
+    track_view(df.sparkSession, name)
     return name

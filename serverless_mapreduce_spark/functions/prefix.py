@@ -31,8 +31,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from serverless_mapreduce_spark.caching import persist_tracked
-
 
 def prefix_sums(
     df: DataFrame,
@@ -45,12 +43,17 @@ def prefix_sums(
     ``sum_cols``. ``order_col`` values must be unique."""
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    # persist pins the sampled range boundaries AND the partition ids: both
-    # passes below must observe the identical physical layout
-    rp = persist_tracked(
-        df.repartitionByRange(p, F.col(order_col)).withColumn(
-            "_rid", F.spark_partition_id()
-        )
+    # localCheckpoint (not persist): BOTH passes below must observe the
+    # identical physical layout — a merely-cached frame can be recomputed
+    # on eviction/executor loss, and the re-sampled range boundaries would
+    # silently shift _rid assignments between the totals collect and the
+    # final join. Eager materialization pins the layout (the same pattern
+    # the graph iterations use); on a real cluster prefer reliable
+    # checkpoint() to survive executor loss too.
+    rp = (
+        df.repartitionByRange(p, F.col(order_col))
+        .withColumn("_rid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     totals = (
         rp.groupBy("_rid")

@@ -2122,5 +2122,4 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
-    spark.catalog.dropTempView(view)
     return result

@@ -590,6 +590,10 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         else int(((s[:-1] * s[1:]) < 0).sum()),
                     }
                 )
+            # zero-row batch: pd.DataFrame([]) has NO columns, so astype
+            # would KeyError — emit nothing and let the next batch speak
+            if not rows:
+                continue
             # nullable Int64: plain int columns silently become float64
             # when any row holds None, and Arrow then refuses the cast
             yield pd.DataFrame(rows).astype(

@@ -129,7 +129,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM scored
         ) WHERE rnk <= {TFIDF_TOP_K}
     """)
-    spark.catalog.dropTempView(docs_view)
     return out
 
 
@@ -294,7 +293,6 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
         FROM top
     """)
-    spark.catalog.dropTempView(docs_view)
     return out
 
 

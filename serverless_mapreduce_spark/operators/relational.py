@@ -1772,9 +1772,8 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE CAST(val AS DOUBLE) >
                   {Q11_FRAC} * (SELECT CAST(SUM(val) AS DOUBLE) FROM {natview})"""
     )
-    # analysis has resolved the view into the plan; drop it so long-lived
-    # engine sessions do not accumulate a view per invocation
-    spark.catalog.dropTempView(natview)
+    # view lifetime: dropped at the next query-scoped release_cached()
+    # (catalog.unique_view contract — no eager drop, Spark Connect safe)
     return out
 
 

@@ -341,7 +341,6 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""SELECT word, cnt FROM {hh_view}
             WHERE cnt > {HH_FRAC} * (SELECT SUM(cnt) FROM {hh_view})"""
     )
-    spark.catalog.dropTempView(hh_view)
     return out
 
 
@@ -928,7 +927,6 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {mix_view}
         """
     )
-    spark.catalog.dropTempView(mix_view)
     return out
 
 
@@ -1044,8 +1042,6 @@ def cms_word_freq_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS within_bound
         FROM {est_view}
     """)
-    spark.catalog.dropTempView(cells_view)
-    spark.catalog.dropTempView(est_view)
     return out
 
 
@@ -1403,6 +1399,7 @@ NEG_PER_ANCHOR = 4
                                           || CAST(u.k AS VARCHAR)), 1, 8))
                   AS BIGINT) % n AS pick
       FROM idx, UNNEST(range(1, {NEG_PER_ANCHOR} + 1)) AS u(k)
+      WHERE n >= 2
     ),
     resolved AS (
       SELECT doc_id, k,
@@ -1422,7 +1419,9 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anchor, k) into the dense index space gives uniform-looking picks a
     re-run or a different cluster reproduces bit-for-bit (same argument
     as the md5-bucket train/val/test split). A self-collision resolves
-    to the next index, so an anchor never draws itself.
+    to the next index, so an anchor never draws itself; a single-document
+    corpus (n < 2) has no valid negative at all and emits nothing — the
+    (pick + 1) % n wrap would otherwise resolve back to the anchor.
 
     Distributed shape: a dense 0..N-1 index via ROW_NUMBER over doc_id
     (a doc-COUNT-sized global window — at 100 TB this is the
@@ -1467,7 +1466,7 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % F.col("n")
     )
-    resolved = anchors.select(
+    resolved = anchors.filter(F.col("n") >= 2).select(
         "doc_id",
         "k",
         F.when(pick == F.col("i"), (pick + 1) % F.col("n"))

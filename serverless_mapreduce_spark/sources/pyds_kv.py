@@ -109,13 +109,17 @@ class TypedKVReader(DataSourceReader):
 
         if os.path.getsize(partition.value) == 0:
             return
-        # blank-line tolerance (the per-row reader's `if not line: continue`
-        # contract): pyarrow.json rejects empty lines, so strip them first —
-        # but only when present, keeping the common case a zero-copy parse
+        # blank-line tolerance (the per-row reader's `line.strip()` contract):
+        # pyarrow.json rejects empty AND whitespace-only lines and chokes on
+        # CR, so normalize when any line needs it — skipping only the
+        # trailing empty split artifact — keeping the common case zero-copy
         with open(partition.value, "rb") as fh:
             data = fh.read()
-        if b"\n\n" in data or data.startswith(b"\n"):
-            data = b"\n".join(ln for ln in data.split(b"\n") if ln.strip())
+        lines = data.split(b"\n")
+        if b"\r" in data or any(not ln.strip() for ln in lines[:-1]):
+            data = b"\n".join(
+                ln for ln in (raw.rstrip(b"\r") for raw in lines) if ln.strip()
+            )
         if not data.strip():
             return
         raw = pj.read_json(pa.BufferReader(data))

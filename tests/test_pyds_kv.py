@@ -104,3 +104,16 @@ def test_reader_tolerates_blank_lines(tmp_path):
                  '{"id": {"N": "2"}, "name": {"S": "y"}, "score": {"N": "1.5"}}\n\n\n')
     r = TypedKVReader({"path": d, "columns": SPEC})
     assert _rows(r) == [(1, "x", 0.5), (2, "y", 1.5)]
+
+
+def test_reader_tolerates_whitespace_lines_and_crlf(tmp_path):
+    # the per-row reader skipped any line whose strip() is empty, and
+    # tolerated CRLF endings — whitespace-only lines and \r must not
+    # reach pyarrow.json
+    d = str(tmp_path)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part-0.jsonl"), "wb") as fh:
+        fh.write(b'  \r\n{"id": {"N": "1"}, "name": {"S": "x"}, "score": {"N": "0.5"}}\r\n'
+                 b' \t \n{"id": {"N": "2"}, "name": {"S": "y"}, "score": {"N": "1.5"}}\r\n')
+    r = TypedKVReader({"path": d, "columns": SPEC})
+    assert _rows(r) == [(1, "x", 0.5), (2, "y", 1.5)]
