@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     sch.add_argument("name")
     sch.add_argument("--every", type=float, required=True, help="seconds")
     sch.add_argument("--times", type=int, default=None, help="max runs")
+    srv = sub.add_parser(
+        "serve",
+        help="serve the engine over HTTP (/jobs /run /status /report "
+        "/explain /schedule /cancel — the reference web_ui analog)",
+    )
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8950)
     return p
 
 
@@ -76,7 +83,7 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
         print(oracles[args.name].strip(), file=out)
         return 0
 
-    if args.name not in registry.all_queries():
+    if args.cmd != "serve" and args.name not in registry.all_queries():
         print(f"unknown query {args.name!r} (see: list)", file=out)
         return 1
 
@@ -88,6 +95,19 @@ def main(argv: list[str] | None = None, spark=None, out=None) -> int:
     from serverless_mapreduce_spark.engine import Engine
 
     eng = Engine(spark=spark, sf_dir=args.sf_dir)
+
+    if args.cmd == "serve":
+        from serverless_mapreduce_spark.webui import StatusServer
+
+        server = StatusServer(eng, host=args.host, port=args.port)
+        host, port = server.start()
+        print(f"serving on http://{host}:{port}", file=out)
+        try:
+            assert server._thread is not None
+            server._thread.join()
+        except KeyboardInterrupt:
+            server.stop()
+        return 0
 
     if args.cmd == "explain":
         print(eng.explain(args.name), file=out)
