@@ -220,6 +220,27 @@ def q3_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
 )
+def _bucket_search(value: "F.Column", bounds: list) -> "F.Column":
+    """Range-bucket id for ``value`` against sorted ``bounds`` as a BALANCED
+    BINARY-SEARCH ``when`` tree: bucket(v) = |{b in bounds : v > b}|,
+    identical semantics to the chained-``when`` linear scan it replaces,
+    but each row evaluates O(log n) comparisons instead of O(n) — flat
+    per-row cost at thousands of partitions (the expression tree is still
+    O(n) nodes, which codegen splits into methods as needed). NULL values
+    compare false at every node and land in bucket 0, matching the linear
+    scan's ``otherwise(0)`` fall-through."""
+
+    def build(lo: int, hi: int) -> "F.Column":
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(value > F.lit(bounds[mid]), build(mid + 1, hi)).otherwise(
+            build(lo, mid)
+        )
+
+    return build(0, len(bounds))
+
+
 def sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort of (adRevenue, sourceIP) — on events(value), with a
     *scalable* global rank. The reference range-partitions keys into ordered
@@ -241,8 +262,6 @@ def sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     instance, which desyncs the offset table — observed and rejected).
     Skewed duplicate values make one bucket larger but never wrong; the
     per-bucket window is bounded by ~N/num_buckets rows."""
-    from functools import reduce
-
     from pyspark.sql import Window
 
     df = table(spark, sf_dir, "events")
@@ -251,11 +270,7 @@ def sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # uniform in [0,1) (range_partition.py:4-8) — we measure instead of assume.
     probs = [i / npart for i in range(1, npart)]
     bounds = sorted(set(df.approxQuantile("value", probs, 0.001))) if probs else []
-    bucket = reduce(
-        lambda acc, b: acc + F.when(F.col("value") > F.lit(b), 1).otherwise(0),
-        bounds,
-        F.lit(0),
-    ).alias("bucket")
+    bucket = _bucket_search(F.col("value"), bounds).alias("bucket")
 
     ranked = df.select("event_id", "user_id", "value", bucket).withColumn(
         "local_rn",

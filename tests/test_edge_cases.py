@@ -360,3 +360,25 @@ def test_hll_sketch_merge_near_exact(spark, sf_dir):
     err = 5 * 1.04 / (2 ** (HLL_ROLLUP_LGK / 2))
     for et, ex in exact.items():
         assert abs(merged[et] - ex) / ex <= err, (et, merged[et], ex)
+
+
+def test_bucket_search_matches_linear_scan(spark):
+    """The balanced binary-search bucket tree must equal the linear
+    |{b : v > b}| count on boundary hits, duplicates, extremes, and NULL
+    (which lands in bucket 0, the chained-when fall-through)."""
+    from pyspark.sql import functions as F
+
+    from serverless_mapreduce_spark.operators.relational import _bucket_search
+
+    bounds = [1.0, 2.5, 2.5, 4.0, 7.5, 9.0, 12.0]
+    vals = [None, -5.0, 1.0, 1.5, 2.5, 3.0, 4.0, 7.5, 8.0, 9.0, 11.0, 12.0, 99.0]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {
+        r["value"]: r["b"]
+        for r in df.select(
+            "value", _bucket_search(F.col("value"), bounds).alias("b")
+        ).collect()
+    }
+    for v in vals:
+        expect = 0 if v is None else sum(1 for b in bounds if v > b)
+        assert got[v] == expect, (v, got[v], expect)
