@@ -212,14 +212,6 @@ def q3_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- W8: total order (sorting.py:1-39 + range_partition.py:1-8) --------------
 
-@query(
-    "sort_by_value",
-    oracle="""
-    SELECT ROW_NUMBER() OVER (ORDER BY value, event_id) AS pos,
-           event_id, user_id, value
-    FROM events
-    """,
-)
 def _bucket_search(value: "F.Column", bounds: list) -> "F.Column":
     """Range-bucket id for ``value`` against sorted ``bounds`` as a BALANCED
     BINARY-SEARCH ``when`` tree: bucket(v) = |{b in bounds : v > b}|,
@@ -241,6 +233,14 @@ def _bucket_search(value: "F.Column", bounds: list) -> "F.Column":
     return build(0, len(bounds))
 
 
+@query(
+    "sort_by_value",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY value, event_id) AS pos,
+           event_id, user_id, value
+    FROM events
+    """,
+)
 def sort_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sort of (adRevenue, sourceIP) — on events(value), with a
     *scalable* global rank. The reference range-partitions keys into ordered
