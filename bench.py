@@ -163,6 +163,13 @@ HEADLINE = (
     "variant_props_extract",
     "substring_dedup_rewrite",
     "contrastive_negatives",
+    # round-6 operators: URL dedup, classifier inference, JL projection,
+    # and the driver-verified scale paths (star components, BFS)
+    "dedup_url_canonical",
+    "quality_classifier_score",
+    "embedding_random_projection",
+    "graph_components_star",
+    "graph_bfs_hops",
 )
 
 

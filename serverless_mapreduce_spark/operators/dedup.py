@@ -1298,3 +1298,184 @@ def substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("bigint").alias("n_kept"),
         F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
     )
+
+
+# --- URL-canonical dedup --------------------------------------------------------
+
+# Messy synthetic URL per document (the fixture carries no URL column — same
+# convention as url_count's synthetic link): scheme/host case, default and
+# explicit ports, trailing slashes, tracking params, and fragments all vary
+# deterministically with doc_id so the canonicalizer has real work on every
+# axis, and the oracle rebuilds the identical string.
+_URL_MESSY_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END
+     || '://'
+     || CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END
+     || '.Example.COM'
+     || CASE WHEN doc_id % 4 = 0 THEN ':80'
+             WHEN doc_id % 4 = 1 THEN ':443'
+             WHEN doc_id % 4 = 2 THEN ':8080'
+             ELSE '' END
+     || '/A/' || CAST(doc_id % 5 AS VARCHAR)
+     || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+     || CASE WHEN doc_id % 3 = 0
+             THEN '?utm_source=x&id=' || CAST(doc_id % 4 AS VARCHAR)
+             WHEN doc_id % 3 = 1
+             THEN '?id=' || CAST(doc_id % 4 AS VARCHAR) || '&b=2'
+             ELSE '' END
+     || CASE WHEN doc_id % 7 = 0 THEN '#Sec' ELSE '' END)
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    priority=150,
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_MESSY_SQL} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             regexp_extract(regexp_replace(url, '#.*$', ''),
+                            '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+             regexp_extract(regexp_replace(url, '#.*$', ''),
+                            '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(regexp_replace(url, '#.*$', ''),
+                            '\\?([^#]*)', 1) AS qs
+      FROM raw
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://'
+             || lower(regexp_replace(hostport, ':[0-9]+$', ''))
+             || CASE
+                  WHEN regexp_extract(hostport, ':([0-9]+)$', 1) = '' THEN ''
+                  WHEN scheme = 'http'
+                       AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80'
+                       THEN ''
+                  WHEN scheme = 'https'
+                       AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443'
+                       THEN ''
+                  ELSE ':' || regexp_extract(hostport, ':([0-9]+)$', 1)
+                END
+             || CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                     ELSE regexp_replace(path, '/+$', '') END
+             || CASE
+                  WHEN COALESCE(array_to_string(list_sort(list_filter(
+                         string_split(qs, '&'),
+                         x -> x <> '' AND NOT starts_with(x, 'utm_'))),
+                         '&'), '') = '' THEN ''
+                  ELSE '?' || array_to_string(list_sort(list_filter(
+                         string_split(qs, '&'),
+                         x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&')
+                END AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS canonical_doc
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-CANONICAL DEDUP — the stage that runs BEFORE any content dedup
+    in a crawl pipeline: normalize each document's URL (lowercase scheme
+    and host, drop the scheme's default port, collapse trailing slashes,
+    strip fragments, drop utm_* tracking params, sort surviving query
+    params) and keep the minimum doc_id per canonical URL. Entirely
+    codegen'd string/regex expressions fused with the scan — the only
+    shuffle is the final canonical-URL aggregation, so at 100 TB this is
+    one narrow pass + one hash-agg keyed on the (high-cardinality,
+    skew-free) canonical URL. The fixture has no URL column, so a messy
+    synthetic URL is derived per doc (the url_count convention) with
+    every normalization axis exercised; the oracle rebuilds the same
+    string and canonicalizes it with the same regexes."""
+    docs = table(spark, sf_dir, "documents")
+    messy = (
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("http")).otherwise(
+                F.lit("HTTPS")
+            ),
+            F.lit("://"),
+            F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+                F.col("source")
+            ),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":80"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(":443"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.lit("/A/"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("?utm_source=x&id="),
+                    (F.col("doc_id") % 4).cast("string"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit("?id="),
+                    (F.col("doc_id") % 4).cast("string"),
+                    F.lit("&b=2"),
+                ),
+            )
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#Sec")).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+    d = docs.select("doc_id", messy.alias("url")).withColumn(
+        "no_frag", F.regexp_replace("url", "#.*$", "")
+    )
+    scheme = F.lower(F.regexp_extract("url", "^([A-Za-z]+)://", 1))
+    hostport = F.regexp_extract("no_frag", "^[A-Za-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract("no_frag", "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    qs = F.regexp_extract("no_frag", r"\?([^#]*)", 1)
+    d = d.select(
+        "doc_id",
+        scheme.alias("scheme"),
+        hostport.alias("hostport"),
+        path.alias("path"),
+        qs.alias("qs"),
+    )
+    port = F.regexp_extract("hostport", ":([0-9]+)$", 1)
+    keep_port = (
+        F.when(port == "", F.lit(""))
+        .when((F.col("scheme") == "http") & (port == "80"), F.lit(""))
+        .when((F.col("scheme") == "https") & (port == "443"), F.lit(""))
+        .otherwise(F.concat(F.lit(":"), port))
+    )
+    stripped = F.regexp_replace("path", "/+$", "")
+    norm_path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split("qs", "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = F.concat(
+        F.col("scheme"),
+        F.lit("://"),
+        F.lower(F.regexp_replace("hostport", ":[0-9]+$", "")),
+        keep_port,
+        norm_path,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
+    )
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )

@@ -649,6 +649,104 @@ def _label_propagate(
     raise RuntimeError("label propagation did not converge")
 
 
+#: BFS loop cap AND oracle unroll count — tied for the same
+#: loud-failure reason as CC_MAX_ITERS: idempotent at the fixpoint, so
+#: over-unrolling is exact; a graph deeper than the cap fails in the
+#: Spark loop, never as a silent oracle mismatch.
+BFS_MAX_ITERS = 15
+
+
+def _bfs_oracle() -> str:
+    """Unrolled frontier-relaxation BFS from the minimum node id:
+    d_{i+1}(v) = min(d_i(v), 1 + min over neighbors u of d_i(u)).
+    MATERIALIZED per round (each round references its predecessor twice;
+    see _kcore_oracle for the inline-explosion story)."""
+    rounds = [
+        "d0 AS MATERIALIZED (SELECT MIN(src) AS node, 0 AS hops FROM sym)"
+    ]
+    for i in range(BFS_MAX_ITERS):
+        rounds.append(
+            f"d{i + 1} AS MATERIALIZED ("
+            f" SELECT node, MIN(hops) AS hops FROM ("
+            f"  SELECT node, hops FROM d{i}"
+            f"  UNION ALL"
+            f"  SELECT e.src AS node, d.hops + 1 AS hops FROM sym e"
+            f"  JOIN d{i} d ON e.dst = d.node"
+            f" ) GROUP BY node)"
+        )
+    return (
+        f"WITH {EDGES_SQL.strip().rstrip()}, {', '.join(rounds)} "
+        f"SELECT node, CAST(hops AS BIGINT) AS hops FROM d{BFS_MAX_ITERS}"
+    )
+
+
+@query("graph_bfs_hops", priority=150, oracle=_bfs_oracle())
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS HOP DISTANCE from the minimum-id node — the fourth iterative
+    shape in the graph family next to PageRank (fixed count, fixed
+    graph), k-core (contracting data), and components (monotone labels):
+    a GROWING FRONTIER with monotone distances, terminating in
+    source-eccentricity rounds. Per round: propagate dist+1 across edges
+    (the only edge-sized work, with the rank-join's size-gated broadcast
+    of the node-sized distance table), min-aggregate per node,
+    localCheckpoint. Convergence is exact and scalar: distances only
+    DECREASE and the reached set only GROWS, so (count, sum) unchanged
+    ⟺ fixpoint. Unreachable nodes are absent from the output in both
+    engines. At 100 TB the same rounds run with the partitioned join —
+    no node-sized broadcast above the gate — and high-diameter graphs
+    want the direction-optimizing / doubling variants; the registered
+    co-purchase graph converges in ~4 rounds."""
+    sym = persist_tracked(_sym(_edges(spark, sf_dir)))
+    n_nodes = sym.select("src").distinct().count()
+    use_broadcast = n_nodes <= BROADCAST_NODE_LIMIT
+    dist = (
+        sym.agg(F.min("src").alias("node"))
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    prev = (1, 0)
+    for _ in range(BFS_MAX_ITERS):
+        d = F.broadcast(dist) if use_broadcast else dist.hint("shuffle_hash")
+        prop = sym.join(d, sym.dst == d.node).select(
+            F.col("src").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        nxt = (
+            dist.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        row = nxt.agg(
+            F.count("*").alias("n"), F.sum("hops").alias("s")
+        ).collect()[0]
+        cur = (row["n"], row["s"])
+        dist = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("BFS did not converge")
+    return dist.select("node", F.col("hops").cast("bigint").alias("hops"))
+
+
+@query("graph_components_star", priority=150, oracle=_cc_oracle())
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB connected-components path, DRIVER-VERIFIED end-to-end:
+    identical output contract to graph_components (node, comp, comp_size —
+    same oracle), but computed via the large-star/small-star contraction
+    unconditionally (node_limit=0 bypasses the broadcast gate). Keeping
+    both registered means the scale path is held to the same hash-exact
+    bar as the broadcast path every round, not just by its pytests."""
+    sym = persist_tracked(_sym(_edges(spark, sf_dir)))
+    lab = _label_propagate(sym, node_limit=0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("comp")
+    return lab.select(
+        "node", "comp", F.count("*").over(w).cast("bigint").alias("comp_size")
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One LARGE-STAR round over canonical (u < v) distinct edges: for each
     node s with neighborhood Γ(s), connect every STRICTLY LARGER neighbor

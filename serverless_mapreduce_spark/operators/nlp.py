@@ -834,3 +834,80 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("familiarity"),
         )
     )
+
+
+# --- hashed linear quality classifier ------------------------------------------
+
+QCLS_BUCKETS = 128   #: feature-hash buckets (fastText-style hashing trick)
+
+
+@query(
+    "quality_classifier_score",
+    priority=150,
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    weighted AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('qw:' || CAST(
+               CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+                 % {QCLS_BUCKETS} AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 2001 - 1000 AS wt
+      FROM words
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_words, SUM(wt) AS s
+      FROM weighted GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(a.s AS BIGINT) AS score_sum,
+           ROUND(CAST(a.s AS DOUBLE) / (1000.0 * a.n_words), 6) AS score
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHED LINEAR CLASSIFIER INFERENCE — the distributed shape of a
+    fastText-style quality model scoring a corpus: each word feature-hashes
+    into one of {QCLS_BUCKETS} buckets, each bucket carries a weight, and a
+    document's score is the mean bucket weight over its words. The weight
+    table here is a deterministic md5-derived stand-in (wt(b) =
+    hash32('qw:'||b) % 2001 - 1000, i.e. milli-units in [-1000, 1000]) so
+    the oracle reproduces inference bit-exactly — swapping in real trained
+    weights changes one expression, not the plan.
+
+    Plan (the part that matters at 100 TB): NO weight-table join at all —
+    the weight lookup is pure hashing, fused into codegen next to the
+    tokenize/explode, so inference is a narrow map + one doc-keyed
+    aggregation; a real weight array would broadcast (kilobytes) into a
+    literal array lookup, same shape. Exactness: the score SUM is exact
+    integer milli-units; the single double division + ROUND(6) happens
+    once, identically in both engines. Empty docs survive via
+    explode_outer with NULL score — the LEFT JOIN in the oracle."""
+    docs = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = docs.select("doc_id", F.explode_outer(ws).alias("w"))
+
+    def h32(c):
+        return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+    bucket = h32(F.col("w")) % QCLS_BUCKETS
+    wt = h32(F.concat(F.lit("qw:"), bucket.cast("string"))) % 2001 - 1000
+    agg = d.groupBy("doc_id").agg(
+        F.count("w").cast("bigint").alias("n_words"),
+        F.sum(wt).cast("bigint").alias("score_sum"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "score_sum",
+        F.round(
+            F.col("score_sum").cast("double")
+            / (F.lit(1000.0) * F.col("n_words")),
+            6,
+        ).alias("score"),
+    )

@@ -516,6 +516,60 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- random-projection dimensionality reduction --------------------------------
+
+RP_DIMS = 8  # target dimensionality of the JL projection
+
+
+@query(
+    "embedding_random_projection",
+    priority=150,
+    oracle=f"""
+    SELECT vec_id, p,
+           ROUND({_SQL_PROJ.format(e='embedding', p='p')} / sqrt({RP_DIMS}), 6)
+             AS proj
+    FROM embeddings,
+         (SELECT CAST(unnest(range(0, {RP_DIMS})) AS INT) AS p) planes
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM-PROJECTION dimensionality reduction (Johnson-Lindenstrauss
+    with a ±1 Achlioptas matrix): project every embedding from its native
+    dimensionality onto {RP_DIMS} deterministic md5-derived hyperplanes,
+    scaled by 1/sqrt(k) so pairwise distances are preserved in
+    expectation — the standard cheap step in front of an ANN index or a
+    clustering pass when the native dimension is large. The plane weights
+    are the SAME md5-parity derivation the LSH family uses
+    (_plane_weights), so the oracle reproduces them in SQL exactly.
+
+    Plan: one Arrow pass — a (batch × dim) @ (dim × k) numpy matmul per
+    batch (the lsh_buckets machinery without the sign quantization) —
+    then posexplode to long format (vec_id, p, proj); no shuffle at all,
+    the projection pipelines with the scan. Exactness: the fold order
+    differs between numpy SIMD and DuckDB's sequential list_reduce only
+    at ~1e-16 relative; ROUND(..., 6) absorbs it (same argument as the
+    cosine scores)."""
+    emb = table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    planes = np.asarray(_plane_weights(dim, RP_DIMS), dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def project(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        av = np.asarray(a.tolist(), dtype=np.float64)
+        # divide (don't multiply by the reciprocal): x / sqrt(k) and
+        # x * (1/sqrt(k)) differ in the last ulp, and the oracle divides.
+        # Rounding happens JVM-side: F.round is HALF_UP like DuckDB's
+        # ROUND, while np.round is half-to-even.
+        proj = av @ planes.T / np.sqrt(RP_DIMS)
+        return pd.Series(list(proj))
+
+    return emb.select(
+        "vec_id", F.posexplode(project(F.col("embedding"))).alias("p", "raw")
+    ).select("vec_id", "p", F.round("raw", 6).alias("proj"))
+
+
 # --- per-label embedding centroids ---------------------------------------------
 
 @query(
