@@ -737,8 +737,11 @@ def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     unconditionally (node_limit=0 bypasses the broadcast gate). Keeping
     both registered means the scale path is held to the same hash-exact
     bar as the broadcast path every round, not just by its pytests."""
-    sym = persist_tracked(_sym(_edges(spark, sf_dir)))
-    lab = _label_propagate(sym, node_limit=0)
+    # _edges is already the distinct canonical (a < b) pair set, so the
+    # star loop's defensive dedup pass is skipped; calling the star path
+    # directly also skips the dispatcher's node-count gate job.
+    sym = _sym(_edges(spark, sf_dir))
+    lab = _label_propagate_star(sym, dedup=False)
     from pyspark.sql import Window
 
     w = Window.partitionBy("comp")
@@ -757,13 +760,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )
     mins = s.groupBy("s").agg(F.min("t").alias("mn"))
+    # no .distinct() here: small-star's min-agg is duplicate-tolerant and
+    # its own distinct canonicalizes the round's output — one fewer
+    # edge-sized shuffle per round
     return (
         s.join(mins, "s")
         .filter(F.col("t") > F.col("s"))
         .select(
             F.least("mn", F.col("s")).alias("u"), F.col("t").alias("v")
         )
-        .distinct()
     )
 
 
@@ -785,7 +790,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _label_propagate_star(
-    sym: DataFrame, max_iters: int = CC_MAX_ITERS
+    sym: DataFrame, max_iters: int = CC_MAX_ITERS, dedup: bool = True
 ) -> DataFrame:
     """Connected components by ALTERNATING large-star/small-star edge
     contraction — the 100 TB path: every round is shuffle-keyed joins and
@@ -797,12 +802,12 @@ def _label_propagate_star(
     round itself); labels then read directly off the star edges. Each
     generation is localCheckpoint'ed for the usual lineage-truncation
     reason (on a real cluster: reliable checkpoint())."""
-    edges = (
-        sym.filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    edges = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
+    if dedup:  # callers feeding a symmetrized DISTINCT edge set skip this
+        edges = edges.distinct()
+    edges = edges.localCheckpoint(eager=True)
     for _ in range(max_iters):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         converged = (
