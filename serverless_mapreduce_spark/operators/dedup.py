@@ -216,10 +216,10 @@ _SQL_SIG = f"""
 """
 
 
-# The banded-minhash near-dup pair derivation as a reusable CTE chain
-# (`pairs` is the final CTE): shared by the dedup_minhash_lsh oracle and by
-# the connected-components oracle in dedup_cluster.
-_SQL_PAIR_CTES = f"""
+# The shingle → signature → band derivation as a reusable CTE chain
+# (`bands` is the final CTE): shared by the pair CTEs below and by the
+# incremental-dedup oracle.
+_SQL_BAND_CTES = f"""
     base AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
       FROM documents
@@ -232,7 +232,14 @@ _SQL_PAIR_CTES = f"""
              md5(CAST(sig[b.band_idx * 2 + 1] AS VARCHAR) || ','
                  || CAST(sig[b.band_idx * 2 + 2] AS VARCHAR)) AS band_hash
       FROM sigs, (SELECT unnest(range(0, {NUM_BANDS})) AS band_idx) b
-    ), cand AS (
+    )
+"""
+
+# The banded-minhash near-dup pair derivation as a reusable CTE chain
+# (`pairs` is the final CTE): shared by the dedup_minhash_lsh oracle and by
+# the connected-components oracle in dedup_cluster.
+_SQL_PAIR_CTES = f"""
+    {_SQL_BAND_CTES}, cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -1477,5 +1484,148 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+
+# --- incremental dedup: new batch vs existing corpus ----------------------------
+
+#: Deterministic split: doc_id % INCR_MOD == 0 → the "incoming batch";
+#: everything else is the standing corpus.
+INCR_MOD = 10
+
+
+@query(
+    "dedup_incremental_minhash",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_BAND_CTES},
+    newb AS (SELECT * FROM bands WHERE doc_id % {INCR_MOD} = 0),
+    oldb AS (SELECT * FROM bands WHERE doc_id % {INCR_MOD} <> 0),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+      FROM newb n JOIN oldb o
+        ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+    ),
+    verified AS (
+      SELECT c.new_id, c.old_id,
+             ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+               AS jaccard
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.new_id
+      JOIN sigs sb ON sb.doc_id = c.old_id
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+            >= {JACCARD_THRESH}
+    ),
+    best AS (
+      SELECT new_id, old_id, jaccard FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+                                     ORDER BY jaccard DESC, old_id) AS rn
+        FROM verified
+      ) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM verified
+      GROUP BY new_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.n_matches, 0) AS n_matches,
+           b.old_id AS best_match,
+           b.jaccard AS best_jaccard
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {INCR_MOD} = 0) d
+    LEFT JOIN counts c ON c.new_id = d.doc_id
+    LEFT JOIN best b ON b.new_id = d.doc_id
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup — the shape a production crawl actually runs:
+    a small INCOMING BATCH (doc_id % {INCR_MOD} == 0 here) is checked
+    against the STANDING CORPUS's banded minhash index, never corpus ×
+    corpus. Every incoming doc gets a verdict row: how many corpus
+    near-dups it collides with, and its best match (highest verified
+    Jaccard, min doc_id tiebreak) — NULLs when it is genuinely new.
+
+    Scale shape: at 100 TB the corpus band table is a MAINTAINED artifact
+    (written bucketed by (band_idx, band_hash), exactly like the graph
+    family's edge table) and only the incoming batch is shingled and
+    hashed per run; the probe join broadcasts the batch's bands into the
+    index scan, so per-run cost is O(batch + collisions) regardless of
+    corpus size. Here both sides derive from one signature pass (the
+    fixture is small); the join/verify/aggregate plan is the production
+    one. Candidate cost stays sub-quadratic via the same band-collision
+    argument as dedup_minhash_lsh."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = persist_tracked(minhash_signatures(docs))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("band_idx"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "band_idx",
+        F.md5(
+            F.concat(
+                F.element_at("sig", F.col("band_idx") * 2 + 1).cast("string"),
+                F.lit(","),
+                F.element_at("sig", F.col("band_idx") * 2 + 2).cast("string"),
+            )
+        ).alias("band_hash"),
+    )
+    newb = bands.filter(F.col("doc_id") % INCR_MOD == 0).select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+    )
+    oldb = bands.filter(F.col("doc_id") % INCR_MOD != 0).select(
+        F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        F.broadcast(newb)
+        .join(oldb, ["band_idx", "band_hash"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a")),
+            "new_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_b")),
+            "old_id",
+        )
+        .withColumn(
+            "jaccard_raw",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESH)
+        .select("new_id", "old_id", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+    verified = persist_tracked(verified)  # consumed by both aggs below
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("old_id"))
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("old_id").alias("best_match"),
+                F.col("jaccard").alias("best_jaccard"))
+    )
+    counts = verified.groupBy("new_id").agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )
+    incoming = docs.filter(F.col("doc_id") % INCR_MOD == 0).select("doc_id")
+    return (
+        incoming.join(counts.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias(
+                "n_matches"
+            ),
+            "best_match",
+            "best_jaccard",
         )
     )
