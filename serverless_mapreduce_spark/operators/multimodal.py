@@ -605,3 +605,122 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, sample_rate bigint, n_samples bigint, peak bigint, "
         "trough bigint, energy bigint, zero_crossings bigint",
     )
+
+
+# --- perceptual-hash image dedup ------------------------------------------------
+
+PHASH_SIDE = 8  # aHash grid: 8x8 = 64 bits
+
+
+def ahash_bmp(payload: bytes) -> str:
+    """AVERAGE HASH (aHash) of a 24-bit BMP as a 64-char bit string:
+    nearest-neighbor downsample to {PHASH_SIDE}x{PHASH_SIDE} (the
+    resize_bmp sampling grid, file-row order), per-cell gray = channel
+    SUM (monotone-equivalent to the mean, keeps everything integer), bit
+    = 1 iff 64*gray > total — exact integer threshold, no float mean.
+    Empty image (height 0) hashes to all zeros."""
+    import struct
+
+    import numpy as np
+
+    meta = decode_bmp(payload)
+    w, h = meta["width"], meta["height"]
+    if h == 0:
+        return "0" * (PHASH_SIDE * PHASH_SIDE)
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    row_raw = w * 3
+    stride = (row_raw + 3) // 4 * 4
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    rows = np.stack(
+        [buf[data_off + r * stride : data_off + r * stride + row_raw] for r in range(h)]
+    ).reshape(h, w, 3)
+    rr = np.arange(PHASH_SIDE) * h // PHASH_SIDE
+    cc = np.arange(PHASH_SIDE) * w // PHASH_SIDE
+    gray = rows[rr][:, cc].sum(axis=2, dtype=np.int64)   # (8, 8)
+    total = int(gray.sum())
+    bits = (PHASH_SIDE * PHASH_SIDE * gray > total).astype(np.uint8)
+    return "".join("1" if b else "0" for b in bits.reshape(-1))
+
+
+@query(
+    "multimodal_phash_dedup",
+    priority=150,
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, text, length(text) AS len,
+             CAST(doc_id % {BMP_WIDTH_MOD} + 1 AS INT) AS w,
+             CAST(ceil(length(text) / ((doc_id % {BMP_WIDTH_MOD} + 1) * 3.0)) AS INT) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ), px AS (
+      SELECT doc_id, r.r, c.c,
+             ((r.r * h) // {PHASH_SIDE}) * (w * 3)
+               + ((c.c * w) // {PHASH_SIDE}) * 3 + k.k AS idx,
+             len, text
+      FROM img,
+           (SELECT unnest(range(0, {PHASH_SIDE})) AS r) r,
+           (SELECT unnest(range(0, {PHASH_SIDE})) AS c) c,
+           (SELECT unnest(range(0, 3)) AS k) k
+      WHERE h > 0
+    ), grays AS (
+      SELECT doc_id, r, c,
+             SUM(CASE WHEN idx < len
+                      THEN unicode(substring(text, CAST(idx AS INT) + 1, 1))
+                      ELSE 0 END) AS gray
+      FROM px GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT doc_id, SUM(gray) AS total FROM grays GROUP BY 1
+    ), ph AS (
+      SELECT g.doc_id,
+             string_agg(
+               CASE WHEN {PHASH_SIDE * PHASH_SIDE} * g.gray > t.total
+                    THEN '1' ELSE '0' END,
+               '' ORDER BY g.r, g.c) AS phash
+      FROM grays g JOIN tot t USING (doc_id)
+      GROUP BY g.doc_id
+    ), all_ph AS (
+      SELECT doc_id, phash FROM ph
+      UNION ALL
+      SELECT doc_id, repeat('0', {PHASH_SIDE * PHASH_SIDE}) AS phash
+      FROM img WHERE h = 0
+    )
+    SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_imgs, MIN(doc_id) AS canonical_doc
+    FROM all_ph GROUP BY phash
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH IMAGE DEDUP — the multimodal twin of minhash text
+    dedup: every image doc (even doc_ids, genuine BMP containers) gets an
+    aHash (downsample to {PHASH_SIDE}x{PHASH_SIDE}, threshold each cell
+    against the image mean), and images are grouped by hash — identical
+    perceptual signature ⇒ duplicate cluster, min doc_id canonical. At
+    100 TB this is the standard image-dedup first pass (aHash/pHash
+    bucketing, then pairwise verify inside buckets; a hamming-tolerant
+    variant bands the 64 bits exactly like simhash_pairs bands text
+    fingerprints). Plan: the decode+hash is one Arrow mapInPandas pass
+    fused with the blob build (no shuffle), then one hash-keyed
+    aggregation. The oracle recomputes every sampled byte position
+    arithmetically from the text codepoints (ASCII corpus ⇒ byte ==
+    codepoint, the multimodal_resize convention), so the container
+    parsing, the sampling grid, and the integer threshold are all
+    value-checked; the threshold uses 64*gray > total so no division or
+    float mean exists on either side."""
+    import pandas as pd
+
+    even_docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    blobs = media_blob_table(spark, sf_dir, docs=even_docs)
+
+    def gen(batches: Iterable["pd.DataFrame"]):
+        for pdf in batches:
+            rows = [
+                {"doc_id": d, "phash": ahash_bmp(bytes(b))}
+                for d, b in zip(pdf["doc_id"], pdf["blob"])
+            ]
+            if not rows:
+                continue
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    hashed = blobs.mapInPandas(gen, "doc_id bigint, phash string")
+    return hashed.groupBy("phash").agg(
+        F.count("*").cast("bigint").alias("n_imgs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
