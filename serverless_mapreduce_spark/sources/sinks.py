@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-_FORMATS = ("parquet", "json", "csv")
+_FORMATS = ("parquet", "json", "csv", "orc")
 
 
 def write_output(
@@ -70,6 +70,6 @@ def read_output(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt != "parquet":
+    elif fmt not in ("parquet", "orc"):  # self-describing columnar footers
         raise ValueError(f"{fmt} read-back requires an explicit schema")
     return getattr(reader, fmt)(path)

@@ -392,3 +392,19 @@ def join_dpp_pruned_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DPP_BUILD_LOCK = __import__("threading").Lock()
+
+
+@query("sink_roundtrip_orc", priority=150, oracle=_AGG_ORACLE)
+def sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 variant through ORC — the other columnar container a warehouse
+    migration actually encounters (Hive-era tables). Same lossless
+    round-trip contract as the parquet/JSON variants: aggregate → ORC out
+    → read back → the parquet-derived oracle must still hash-match. ORC is
+    a Spark built-in (no extra package) with the same predicate-pushdown /
+    column-pruning machinery, so the scale story matches parquet; read-back
+    needs no schema (self-describing footer)."""
+    path = write_output(
+        _agg(spark, sf_dir), _scratch(sf_dir, "sink_roundtrip_orc"),
+        fmt="orc", num_partitions=2,
+    )
+    return read_output(spark, path, fmt="orc")
