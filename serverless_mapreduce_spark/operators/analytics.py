@@ -2123,3 +2123,154 @@ def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lift"),
     )
     return result
+
+
+# --- item-item Jaccard similarity (collaborative-filtering prep) ----------------
+
+SIM_TOP_K = 5
+
+
+@query(
+    "item_similarity_jaccard_topk",
+    priority=150,
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM op GROUP BY 1
+    ),
+    sym AS (
+      SELECT a AS i, b AS j, n_both FROM pairs
+      UNION ALL
+      SELECT b AS i, a AS j, n_both FROM pairs
+    ),
+    scored AS (
+      SELECT s.i, s.j, s.n_both, ii.n_item AS n_i, jj.n_item AS n_j
+      FROM sym s
+      JOIN item ii ON ii.l_partkey = s.i
+      JOIN item jj ON jj.l_partkey = s.j
+    )
+    SELECT i, j, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / (n_i + n_j - n_both), 6) AS jaccard,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY i
+               ORDER BY CAST(n_both AS DOUBLE) / (n_i + n_j - n_both) DESC, j
+             ) AS rnk
+      FROM scored
+    ) WHERE rnk <= {SIM_TOP_K}
+    """,
+)
+def item_similarity_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITEM-ITEM JACCARD SIMILARITY top-{SIM_TOP_K} — the classic
+    neighborhood model behind "customers also bought" and the standard
+    item-sim feature in recommender training data: J(i,j) =
+    |baskets(i) ∩ baskets(j)| / |baskets(i) ∪ baskets(j)|, computed
+    entirely from counts — n_both from the SHARED materialized co-purchase
+    pair table (graph._pair_counts, basket-width-capped, one build per
+    session serves five consumers now), n_i/n_j from one item-keyed count.
+    No new basket self-join: the expensive exchange is amortized across
+    the family. Union size by inclusion-exclusion (n_i + n_j - n_both), so
+    the only float op is the final division — one ROUND, identical in both
+    engines, ranking by the same double. Per-item top-{SIM_TOP_K} via
+    window; Spark 3.5+ pushes the rank filter down as WindowGroupLimit
+    (partial top-k before the shuffle, the scalable form)."""
+    from serverless_mapreduce_spark.operators.graph import _pair_counts
+
+    pairs = _pair_counts(spark, sf_dir).withColumnRenamed("n_orders", "n_both")
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = op.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_item")
+    )
+    sym = pairs.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), "n_both"
+    ).unionByName(
+        pairs.select(F.col("b").alias("i"), F.col("a").alias("j"), "n_both")
+    )
+    scored = (
+        sym.join(
+            item.select(F.col("l_partkey").alias("i"), F.col("n_item").alias("n_i")),
+            "i",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("j"), F.col("n_item").alias("n_j")),
+            "j",
+        )
+        .withColumn(
+            "sim_raw",
+            F.col("n_both").cast("double")
+            / (F.col("n_i") + F.col("n_j") - F.col("n_both")),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("sim_raw"), F.asc("j"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= SIM_TOP_K)
+        .select("i", "j", "n_both", F.round("sim_raw", 6).alias("jaccard"), "rnk")
+    )
+
+
+# --- shuffle-key skew profiling -------------------------------------------------
+
+@query(
+    "key_skew_profile",
+    priority=150,
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    dist AS (
+      SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_keys FROM per_key GROUP BY cnt
+    )
+    SELECT cnt, n_keys,
+           ROUND(CAST(n_keys AS DOUBLE)
+                 / (SELECT COUNT(*) FROM per_key), 6) AS key_frac
+    FROM dist
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-KEY SKEW PROFILE — the diagnostic you run BEFORE choosing a
+    join/agg strategy at 100 TB: the count-of-counts distribution of rows
+    per key (here lineitem's order key, the engine's hottest join key).
+    The output is tiny (one row per distinct per-key cardinality) and
+    exact, unlike a sampled sketch: a power-law key set shows up as a long
+    cnt tail, which is precisely the signal that routes a plan to salting
+    / AQE skew handling (skew_salted_join) instead of a plain hash join.
+    Two cheap aggregations — per-key count (map-side partials), then a
+    count keyed by the count — nothing driver-side; key_frac is the one
+    derived float, divided and rounded once from exact integers in both
+    engines."""
+    per_key = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    per_key = persist_tracked(per_key)  # feeds dist AND the total below
+    total = per_key.count()
+    return (
+        per_key.groupBy("cnt")
+        .agg(F.count("*").cast("bigint").alias("n_keys"))
+        .select(
+            "cnt",
+            "n_keys",
+            F.round(F.col("n_keys").cast("double") / F.lit(total), 6).alias(
+                "key_frac"
+            ),
+        )
+    )

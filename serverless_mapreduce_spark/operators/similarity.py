@@ -686,3 +686,79 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("q_md5"),
     )
+
+
+# --- class-rebalancing undersampler ---------------------------------------------
+
+@query(
+    "label_rebalance_undersample",
+    priority=150,
+    oracle="""
+    WITH sized AS (
+      SELECT vec_id, label,
+             CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n_before,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR) || ':bal'), vec_id
+             ) AS rk
+      FROM embeddings
+    ),
+    tgt AS (
+      SELECT *, MIN(n_before) OVER () AS target FROM sized
+    )
+    SELECT label,
+           n_before,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           md5(array_to_string(
+             list(CAST(vec_id AS VARCHAR) ORDER BY vec_id), ' ')) AS kept_md5
+    FROM tgt WHERE rk <= target
+    GROUP BY label, n_before
+    """,
+)
+def label_rebalance_undersample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS REBALANCING by deterministic undersampling — the training-prep
+    step that equalizes label frequencies before fitting a classifier:
+    every label keeps exactly ``min(class size)`` vectors, chosen by
+    md5(vec_id)-rank within the class. Hash-rank, not rand(): retries,
+    partitionings, and engines all reproduce the same kept set — the same
+    auditability argument as train_val_test_split — and the oracle verifies
+    the EXACT membership (md5 over the sorted kept ids), not just counts.
+
+    Plan: one window pass partitioned by label (rank + class size in the
+    same exchange), a global-min over the tiny per-label frame, filter,
+    re-aggregate. At 100 TB the per-label rank window is the skew point —
+    a dominant class lands on one reducer chain — so the production form
+    pre-aggregates class sizes, computes per-class keep FRACTIONS, and
+    filters on a hash THRESHOLD (md5 < frac * 2^128, no rank window at
+    all, fully map-side); the exact-k rank form here is the auditable
+    variant the oracle can pin row-for-row."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    w_cnt = Window.partitionBy("label")
+    w_rk = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":bal"))),
+        F.asc("vec_id"),
+    )
+    sized = e.select(
+        "vec_id",
+        "label",
+        F.count("*").over(w_cnt).cast("bigint").alias("n_before"),
+        F.row_number().over(w_rk).alias("rk"),
+    )
+    tgt = sized.withColumn(
+        "target", F.min("n_before").over(Window.partitionBy())
+    )
+    kept = tgt.filter(F.col("rk") <= F.col("target"))
+    return kept.groupBy("label", "n_before").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("vec_id")),
+                    lambda v: v.cast("string"),
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
