@@ -762,3 +762,114 @@ def label_rebalance_undersample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kept_md5"),
     )
+
+
+# --- product quantization codes -------------------------------------------------
+
+PQ_M = 4  # sub-quantizers: dim splits into PQ_M contiguous sub-vectors
+#: Fixed codebook size: the deterministic sample is capped so the
+#: driver-side codebook is O(1) in the corpus — vec_id % CENTROID_MOD
+#: alone would grow with N and turn the collect into the exact
+#: corpus-proportional-driver-state flaw the IVF probe fix removed.
+PQ_CODEBOOK = 16
+
+_SQL_SUBDIST = """
+  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    list_transform(range(1, (len(e.embedding) // {m_total}) + 1),
+      i -> POWER(CAST(e.embedding[m.m * (len(e.embedding) // {m_total}) + i] AS DOUBLE)
+                 - CAST(c.c_emb[m.m * (len(e.embedding) // {m_total}) + i] AS DOUBLE), 2))),
+    (x, y) -> x + y)
+"""
+
+
+@query(
+    "embedding_pq_codes",
+    priority=150,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+      ORDER BY vec_id LIMIT {PQ_CODEBOOK}
+    ),
+    scored AS (
+      SELECT e.vec_id, m.m, c.c_id,
+             {_SQL_SUBDIST.format(m_total=PQ_M)} AS d2
+      FROM embeddings e
+      CROSS JOIN (SELECT CAST(unnest(range(0, {PQ_M})) AS INT) AS m) m
+      CROSS JOIN cent c
+    )
+    SELECT vec_id, m, c_id AS code, ROUND(d2, 6) AS dist2
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d2, c_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION (PQ) encoding — the third leg of the ANN
+    compression family next to IVF (coarse cells) and SQ8 (scalar int8):
+    each vector splits into {PQ_M} contiguous sub-vectors and each
+    sub-vector is assigned to its nearest sub-codebook entry by squared
+    L2, giving a {PQ_M}-byte code per vector — the representation FAISS
+    IVF-PQ searches over. The codebook here is the deterministic sample
+    (vec_id % {CENTROID_MOD} == 0, the ann_ivf_topk convention) so the
+    oracle can rebuild it; a trained codebook swaps in k-means per
+    sub-space (the ann_ivf_kmeans machinery) without changing the plan.
+
+    Plan: the codebook is tiny → closure-captured into ONE Arrow
+    pandas_udf that computes all {PQ_M} argmins per vector with a single
+    (batch × C) distance matrix per sub-space — one narrow pass, no
+    shuffle, no corpus-proportional driver state (the probe_cells
+    pattern). Exactness: numpy's pairwise summation and the oracle's
+    sequential fold agree to ~1e-16; an argmin flip would need two
+    sub-centroids equidistant to the same sub-vector within that — not
+    observed, same accepted risk the LSH sign bucketing documents.
+    ROUND(d2, 6) absorbs it in the value column."""
+    emb = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
+    # Bounded collect: the codebook is a FIXED PQ_CODEBOOK rows (ordered
+    # limit over the deterministic sample), never corpus-proportional.
+    cent = (
+        emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+        .select(F.col("vec_id").alias("c_id"), "embedding")
+        .orderBy("c_id")
+        .limit(PQ_CODEBOOK)
+        .collect()
+    )
+    c_ids = np.asarray([r.c_id for r in cent], dtype=np.int64)
+    c_mat = np.asarray([r.embedding for r in cent], dtype=np.float64)  # (C, dim)
+    dim = c_mat.shape[1]
+    sub = dim // PQ_M
+
+    @pandas_udf("array<struct<code: bigint, d2: double>>")
+    def pq(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        av = np.asarray(a.tolist(), dtype=np.float64)      # (batch, dim)
+        out = []
+        codes = np.empty((len(av), PQ_M), dtype=np.int64)
+        dists = np.empty((len(av), PQ_M), dtype=np.float64)
+        for m in range(PQ_M):
+            seg = slice(m * sub, (m + 1) * sub)
+            diff = av[:, None, seg] - c_mat[None, :, seg]  # (batch, C, sub)
+            d2 = (diff * diff).sum(axis=2)                 # (batch, C)
+            pick = d2.argmin(axis=1)                       # first = min c_id
+            codes[:, m] = c_ids[pick]
+            dists[:, m] = d2[np.arange(len(av)), pick]
+        for i in range(len(av)):
+            out.append(
+                [
+                    {"code": int(codes[i, m]), "d2": float(dists[i, m])}
+                    for m in range(PQ_M)
+                ]
+            )
+        return pd.Series(out)
+
+    return emb.select(
+        "vec_id", F.posexplode(pq(F.col("embedding"))).alias("m", "cd")
+    ).select(
+        "vec_id",
+        "m",
+        F.col("cd.code").alias("code"),
+        F.round(F.col("cd.d2"), 6).alias("dist2"),
+    )
