@@ -170,6 +170,13 @@ HEADLINE = (
     "embedding_random_projection",
     "graph_components_star",
     "graph_bfs_hops",
+    "dedup_incremental_minhash",
+    "multimodal_phash_dedup",
+    "sink_roundtrip_orc",
+    "item_similarity_jaccard_topk",
+    "key_skew_profile",
+    "label_rebalance_undersample",
+    "embedding_pq_codes",
 )
 
 
