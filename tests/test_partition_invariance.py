@@ -22,6 +22,10 @@ CASES = (
     "ks_drift_clicks_purchases",
     "quality_score",
     "rfm_segments",
+    # round-6 mechanisms: exact integer milli-unit sum (classifier),
+    # md5-rank window selection with membership hash (rebalance)
+    "quality_classifier_score",
+    "label_rebalance_undersample",
 )
 
 
