@@ -490,19 +490,28 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("d"))
         .localCheckpoint(eager=True)
     )
+    # Same size gate as PageRank/components: under the limit the node-sized
+    # drop/loss/alive tables broadcast into the edge scans; above it every
+    # one of these joins runs partitioned (the early rounds of a
+    # billion-node peel can drop more nodes than any broadcast holds).
+    n = deg.count()
+
+    def hinted(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n <= BROADCAST_NODE_LIMIT else df
+
     for _ in range(KCORE_MAX_ITERS):
         drop = deg.filter(F.col("d") < KCORE_K).select("src")
         if drop.isEmpty():
             break
         loss = (
-            sym.join(F.broadcast(drop), "src", "semi")
+            sym.join(hinted(drop), "src", "semi")
             .groupBy("dst")
             .agg(F.count("*").alias("lost"))
             .withColumnRenamed("dst", "src")
         )
         nxt = (
-            deg.join(F.broadcast(drop), "src", "anti")
-            .join(F.broadcast(loss), "src", "left")
+            deg.join(hinted(drop), "src", "anti")
+            .join(hinted(loss), "src", "left")
             .select(
                 "src",
                 (F.col("d") - F.coalesce(F.col("lost"), F.lit(0))).alias("d"),
@@ -513,8 +522,8 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         raise RuntimeError("k-core peeling did not converge")
     alive = deg.select("src")
-    core = sym.join(F.broadcast(alive), "src", "semi").join(
-        F.broadcast(alive.withColumnRenamed("src", "dst")), "dst", "semi"
+    core = sym.join(hinted(alive), "src", "semi").join(
+        hinted(alive.withColumnRenamed("src", "dst")), "dst", "semi"
     )
     return core.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("core_deg")
