@@ -130,3 +130,48 @@ def test_audio_features_zero_sample_wav(spark):
     assert rows[1]["peak"] is None and rows[1]["energy"] is None
     assert rows[1]["zero_crossings"] == 0
     assert rows[3]["n_samples"] == 5 and rows[3]["peak"] is not None
+
+
+def test_ahash_bmp_bits_and_empty():
+    """aHash: empty image hashes all-zero; a half-dark/half-light image has
+    exactly the bright half's bits set (integer threshold 64*gray > total,
+    no float mean)."""
+    from serverless_mapreduce_spark.operators.multimodal import (
+        PHASH_SIDE,
+        ahash_bmp,
+        encode_bmp,
+    )
+
+    assert ahash_bmp(encode_bmp(b"", 4)) == "0" * 64
+    # 8x8 image, top 4 file-rows dark (0x00), bottom 4 bright (0xff):
+    # nearest-neighbor is identity at equal size, so bits mirror the rows
+    payload = bytes([0] * (8 * 8 * 3 // 2) + [255] * (8 * 8 * 3 // 2))
+    bits = ahash_bmp(encode_bmp(payload, 8))
+    assert bits == "0" * 32 + "1" * 32
+    assert len(bits) == PHASH_SIDE * PHASH_SIDE
+
+
+def test_phash_groups_identical_images(spark):
+    """Two docs with identical text (→ identical BMPs) must share a phash
+    group with the min doc_id canonical."""
+    import os
+    import tempfile
+
+    from serverless_mapreduce_spark.operators.multimodal import (
+        multimodal_phash_dedup,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [
+                (2, "same image text", "en", "web", 15),
+                (4, "different words here", "en", "web", 20),
+                (64, "same image text", "en", "web", 15),
+            ],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = multimodal_phash_dedup(spark, td).collect()
+    by_canon = {r["canonical_doc"]: r["n_imgs"] for r in rows}
+    # doc 2 and 64: same text AND same width (2 % 31 + 1 == 64 % 31 + 1 == 3)
+    assert by_canon.get(2) == 2
+    assert by_canon.get(4) == 1
