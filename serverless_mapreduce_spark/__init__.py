@@ -23,4 +23,4 @@ from serverless_mapreduce_spark.session import get_spark
 from serverless_mapreduce_spark.catalog import load_tables, register_views
 
 __all__ = ["get_spark", "load_tables", "register_views"]
-__version__ = "0.1.0"
+__version__ = "0.2.0"
