@@ -2192,8 +2192,12 @@ def item_similarity_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    item = op.groupBy("l_partkey").agg(
-        F.count("*").cast("bigint").alias("n_item")
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    # persisted: BOTH broadcast builds below consume it — unpersisted, the
+    # lineitem distinct + count chain runs twice (one full fact shuffle each)
+    item = persist_tracked(
+        op.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n_item"))
     )
     sym = pairs.select(
         F.col("a").alias("i"), F.col("b").alias("j"), "n_both"
