@@ -698,3 +698,66 @@ def stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").alias("win_start"), "tier", "n_events", "sum_value"
     )
     return run_stream_to_memory(out, mode="append")
+
+
+# --- streaming cardinality: windowed HLL distinct users -------------------------
+
+STREAM_HLL_LGK = 12  # rsd ≈ 1.04 / 2^(lgk/2) ≈ 1.6%
+
+
+@query(
+    "stream_approx_distinct_users",
+    priority=150,
+    oracle="""
+    -- same contract as approx_distinct_users: DuckDB's HLL is a different
+    -- implementation, so the hashable fact is the exact count plus the
+    -- promise that Spark's estimate landed within 5x the sketch's rsd of
+    -- it — TRUE for every window, or the row hash fails.
+    SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP) AS win_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY 1
+    """,
+)
+def stream_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CARDINALITY — daily distinct users estimated with an HLL
+    SKETCH inside the stream: exact ``COUNT(DISTINCT)`` is not executable
+    on a stream at all (state would be unbounded per key and Spark rejects
+    it), so the sketch is not an optimization here, it is the only shape
+    that exists at 100 TB/day — per-window HLL state is a few KB
+    regardless of user count, merged across micro-batches. The drained
+    estimates are then audited BATCH-side against the exact per-day
+    distinct (the same plan the oracle runs) and each window emits its
+    exact count plus the within-bound verdict, so the driver hash pins
+    both the window assignment and the sketch's accuracy contract."""
+    ss = stateful_session(spark)
+    ev = events_stream(ss, sf_dir).withWatermark("ts", WATERMARK)
+    est = (
+        ev.groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(STREAM_HLL_LGK))
+            ).alias("approx_users")
+        )
+        .select(F.col("window.start").alias("win_day"), "approx_users")
+    )
+    drained = run_stream_to_memory(est)
+
+    from serverless_mapreduce_spark.catalog import table
+
+    exact = (
+        table(ss, sf_dir, "events")
+        .select(F.date_trunc("DAY", F.col("ts")).cast("timestamp").alias("win_day"),
+                "user_id")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    err = 5 * 1.04 / (2 ** (STREAM_HLL_LGK / 2))
+    return drained.join(exact, "win_day").select(
+        "win_day",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(err) * F.col("exact_users")
+        ).alias("within_bound"),
+    )
