@@ -642,11 +642,11 @@ def ahash_bmp(payload: bytes) -> str:
     return "".join("1" if b else "0" for b in bits.reshape(-1))
 
 
-@query(
-    "multimodal_phash_dedup",
-    priority=150,
-    oracle=f"""
-    WITH img AS (
+# doc_id → 64-char aHash bit string as a reusable oracle CTE chain
+# (`all_ph` is the final CTE): shared by the dedup grouping and the
+# hamming-banded pair query.
+_SQL_PHASH_CTES = f"""
+    img AS (
       SELECT doc_id, text, length(text) AS len,
              CAST(doc_id % {BMP_WIDTH_MOD} + 1 AS INT) AS w,
              CAST(ceil(length(text) / ((doc_id % {BMP_WIDTH_MOD} + 1) * 3.0)) AS INT) AS h
@@ -683,6 +683,14 @@ def ahash_bmp(payload: bytes) -> str:
       SELECT doc_id, repeat('0', {PHASH_SIDE * PHASH_SIDE}) AS phash
       FROM img WHERE h = 0
     )
+"""
+
+
+@query(
+    "multimodal_phash_dedup",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_PHASH_CTES}
     SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_imgs, MIN(doc_id) AS canonical_doc
     FROM all_ph GROUP BY phash
     """,
@@ -704,6 +712,16 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsing, the sampling grid, and the integer threshold are all
     value-checked; the threshold uses 64*gray > total so no division or
     float mean exists on either side."""
+    return _phash_table(spark, sf_dir).groupBy("phash").agg(
+        F.count("*").cast("bigint").alias("n_imgs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+
+
+def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash) for every image doc — the decode+hash Arrow pass
+    shared by the dedup grouping and the hamming-banded pair query. At
+    100 TB this is a maintained signature table, like the minhash sigs."""
     import pandas as pd
 
     even_docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
@@ -719,8 +737,97 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
-    hashed = blobs.mapInPandas(gen, "doc_id bigint, phash string")
-    return hashed.groupBy("phash").agg(
-        F.count("*").cast("bigint").alias("n_imgs"),
-        F.min("doc_id").alias("canonical_doc"),
+    return blobs.mapInPandas(gen, "doc_id bigint, phash string")
+
+
+PHASH_BANDS = 4        #: pigeonhole: B bands catch every pair with hamming <= B-1
+PHASH_HAM_MAX = 3      #: must stay < PHASH_BANDS for exact recall
+
+
+@query(
+    "multimodal_phash_pairs",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_PHASH_CTES},
+    bands AS (
+      SELECT doc_id, phash, b.b,
+             substr(phash, b.b * {64 // PHASH_BANDS} + 1,
+                    {64 // PHASH_BANDS}) AS seg
+      FROM all_ph,
+           (SELECT CAST(unnest(range(0, {PHASH_BANDS})) AS INT) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.phash AS ph_a, y.phash AS ph_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.seg = y.seg AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(ham AS BIGINT) AS hamming
+    FROM (
+      SELECT doc_a, doc_b,
+             list_reduce(list_transform(range(1, 65),
+               i -> CASE WHEN substr(ph_a, i, 1) <> substr(ph_b, i, 1)
+                         THEN 1 ELSE 0 END), (x, y) -> x + y) AS ham
+      FROM cand
+    ) WHERE ham <= {PHASH_HAM_MAX}
+    """,
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUPLICATE IMAGE PAIRS within hamming {PHASH_HAM_MAX} of each
+    other's aHash — the tolerant second stage the exact-grouping dedup
+    docstring promises, and the image twin of simhash_pairs: split the
+    64-bit hash into {PHASH_BANDS} segments; by pigeonhole, any pair
+    within hamming {PHASH_HAM_MAX} < {PHASH_BANDS} agrees on at least one
+    whole segment, so the self-join on (segment index, segment bits)
+    has EXACT recall while touching only colliding buckets — never
+    all-pairs (the plan-lint proof covers this query too). Candidates
+    are verified with the exact 64-position hamming distance, evaluated
+    only on the collision set. The signature table is persisted once and
+    feeds both join sides."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    seg_len = 64 // PHASH_BANDS
+    ph = persist_tracked(_phash_table(spark, sf_dir))
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "phash",
+        "b",
+        F.substring(
+            F.col("phash"), F.col("b") * seg_len + 1, seg_len
+        ).alias("seg"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.seg") == F.col("y.seg"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.phash").alias("ph_a"),
+            F.col("y.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.substring(F.col("ph_a"), i.cast("int"), 1)
+            != F.substring(F.col("ph_b"), i.cast("int"), 1),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        cand.withColumn("ham", ham)
+        .filter(F.col("ham") <= PHASH_HAM_MAX)
+        .select("doc_a", "doc_b", F.col("ham").cast("bigint").alias("hamming"))
     )
