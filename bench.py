@@ -177,6 +177,8 @@ HEADLINE = (
     "key_skew_profile",
     "label_rebalance_undersample",
     "embedding_pq_codes",
+    "stream_approx_distinct_users",
+    "multimodal_phash_pairs",
 )
 
 
