@@ -888,6 +888,21 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer milli-units; the single double division + ROUND(6) happens
     once, identically in both engines. Empty docs survive via
     explode_outer with NULL score — the LEFT JOIN in the oracle."""
+    return _classifier_sums(spark, sf_dir).select(
+        "doc_id",
+        "n_words",
+        "score_sum",
+        F.round(
+            F.col("score_sum").cast("double")
+            / (F.lit(1000.0) * F.col("n_words")),
+            6,
+        ).alias("score"),
+    )
+
+
+def _classifier_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, score_sum) — the exact-integer inference core
+    shared by quality_classifier_score and the PR-curve eval."""
     docs = table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     d = docs.select("doc_id", F.explode_outer(ws).alias("w"))
@@ -897,17 +912,180 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bucket = h32(F.col("w")) % QCLS_BUCKETS
     wt = h32(F.concat(F.lit("qw:"), bucket.cast("string"))) % 2001 - 1000
-    agg = d.groupBy("doc_id").agg(
+    return d.groupBy("doc_id").agg(
         F.count("w").cast("bigint").alias("n_words"),
         F.sum(wt).cast("bigint").alias("score_sum"),
     )
-    return agg.select(
+
+
+# --- evaluation operators -------------------------------------------------------
+
+# The weighted-sum CTE shared by the classifier oracle and the PR-curve
+# oracle (same md5-derived weights as the Spark side).
+_SQL_QCLS_SUMS = f"""
+    words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    weighted AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('qw:' || CAST(
+               CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+                 % {QCLS_BUCKETS} AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 2001 - 1000 AS wt
+      FROM words
+    ),
+    sums AS (
+      SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words, a.s AS score_sum
+      FROM documents d
+      LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n_words, SUM(wt) AS s
+        FROM weighted GROUP BY doc_id
+      ) a USING (doc_id)
+    )
+"""
+
+#: PR-curve thresholds: k/8 for k in -4..4 — exact binary fractions, so
+#: "score > t" compiles to the INTEGER comparison 8*score_sum > k*1000*n
+#: and the confusion counts are exact in both engines, no float compare.
+PR_THRESH_NUM = tuple(range(-4, 5))
+
+
+@query(
+    "eval_classifier_pr_curve",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_QCLS_SUMS},
+    labeled AS (
+      SELECT doc_id, n_words, score_sum,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM sums
+    ),
+    curve AS (
+      SELECT t.k, l.y,
+             CASE WHEN 8 * l.score_sum > t.k * 1000 * l.n_words
+                  THEN 1 ELSE 0 END AS pred
+      FROM labeled l,
+           (SELECT CAST(unnest(range(-4, 5)) AS INT) AS k) t
+    )
+    SELECT CAST(k AS DOUBLE) / 8 AS thresh,
+           CAST(SUM(pred * y) AS BIGINT) AS tp,
+           CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
+           CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
+           ROUND(CAST(SUM(pred * y) AS DOUBLE)
+                 / NULLIF(SUM(pred), 0), 6) AS precision,
+           ROUND(CAST(SUM(pred * y) AS DOUBLE)
+                 / NULLIF(SUM(y), 0), 6) AS recall
+    FROM curve GROUP BY k
+    """,
+)
+def eval_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION/RECALL CURVE for the hashed classifier — the EVAL side of
+    a training pipeline (sweep thresholds, score the filter against
+    labels) as a distributed query: every (doc, threshold) cell is one row
+    of an exact integer confusion tally. Labels here are the deterministic
+    pseudo-ground-truth doc_id % 3 == 0 (the fixture carries none — the
+    operator shape is what matters); thresholds are k/8, chosen so the
+    comparison ``score > t`` is the INTEGER inequality ``8·score_sum >
+    k·1000·n_words`` — no float compare anywhere, so tp/fp/fn hash
+    exactly; precision/recall are each one division + ROUND from exact
+    integers (NULL when the predicted-positive set is empty, matching
+    SQL NULLIF). Plan: one inference aggregation (shared with
+    quality_classifier_score), a {len(PR_THRESH_NUM)}-row threshold
+    explode, one grouped sum — cost is O(docs·thresholds) narrow rows
+    into a 9-group aggregate. Empty docs (score_sum NULL) predict
+    negative at every threshold in both engines (NULL comparison →
+    CASE falls through to 0)."""
+    sums = _classifier_sums(spark, sf_dir)
+    labeled = sums.select(
         "doc_id",
         "n_words",
         "score_sum",
+        F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("y"),
+    )
+    t = F.explode(
+        F.array(*[F.lit(k) for k in PR_THRESH_NUM])
+    ).alias("k")
+    curve = labeled.select("n_words", "score_sum", "y", t).withColumn(
+        "pred",
+        F.when(
+            8 * F.col("score_sum") > F.col("k") * 1000 * F.col("n_words"), 1
+        ).otherwise(0),
+    )
+    agg = curve.groupBy("k").agg(
+        F.sum(F.col("pred") * F.col("y")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("y"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("y")).cast("bigint").alias("fn"),
+        F.sum("pred").alias("predp"),
+        F.sum("y").alias("pos"),
+    )
+    return agg.select(
+        (F.col("k").cast("double") / 8).alias("thresh"),
+        "tp",
+        "fp",
+        "fn",
         F.round(
-            F.col("score_sum").cast("double")
-            / (F.lit(1000.0) * F.col("n_words")),
-            6,
-        ).alias("score"),
+            F.col("tp").cast("double") / F.nullif(F.col("predp"), F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("pos"), F.lit(0)), 6
+        ).alias("recall"),
+    )
+
+
+@query(
+    "eval_langid_confusion",
+    priority=150,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE
+               WHEN len(list_filter(toks, w -> w IN ('the', 'a', 'is'))) * 10
+                    >= len(toks)
+                 THEN 'en'
+               ELSE 'unknown'
+             END AS predicted_lang
+      FROM t
+    )
+    SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac_of_lang
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFUSION MATRIX of the lang_id heuristic against the labeled lang
+    column — the model-eval aggregation every classifier in the pipeline
+    needs: per (true, predicted) cell count plus the row-normalized
+    fraction (recall diagonal). One narrow prediction pass (lang_id's
+    expressions inline — no shuffle) into one two-key aggregation; the
+    fraction divides exact counts once, with the per-true-lang total from
+    a window over the TINY aggregated matrix, not a second pass over the
+    corpus."""
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    en_hits = F.size(F.filter(toks, lambda w: w.isin("the", "a", "is")))
+    pred = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(en_hits * 10 >= F.size(toks), "en")
+        .otherwise("unknown")
+        .alias("predicted_lang"),
+    )
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w), 6
+        ).alias("frac_of_lang"),
     )
