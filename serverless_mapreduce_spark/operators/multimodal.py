@@ -742,6 +742,17 @@ def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PHASH_BANDS = 4        #: pigeonhole: B bands catch every pair with hamming <= B-1
 PHASH_HAM_MAX = 3      #: must stay < PHASH_BANDS for exact recall
+#: Load-shedding cap: segment buckets holding more docs than this are
+#: skipped during candidate generation. aHash saturates on all-dark /
+#: all-light images (segments of all-1s/all-0s), and one such bucket is
+#: O(n_bucket^2) candidate pairs — the quadratic hot key that killed the
+#: uncapped run at sf0.1 (291-doc bucket -> 42k pairs alone; 117k pairs
+#: total for 2500 docs). Pairs that ONLY collide in a hot bucket are
+#: overwhelmingly identical-hash pairs, which the exact-grouping
+#: multimodal_phash_dedup already owns; the documented bias is that
+#: near-dup pairs of saturated hashes may be missed. Same pattern as the
+#: winnowing hot-fingerprint cap and the co-purchase BASKET_CAP.
+PHASH_BUCKET_CAP = 32
 
 
 @query(
@@ -756,11 +767,15 @@ PHASH_HAM_MAX = 3      #: must stay < PHASH_BANDS for exact recall
       FROM all_ph,
            (SELECT CAST(unnest(range(0, {PHASH_BANDS})) AS INT) AS b) b
     ),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY b, seg) AS bucket_n FROM bands
+    ),
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
              x.phash AS ph_a, y.phash AS ph_b
-      FROM bands x JOIN bands y
+      FROM sized x JOIN sized y
         ON x.b = y.b AND x.seg = y.seg AND x.doc_id < y.doc_id
+      WHERE x.bucket_n <= {PHASH_BUCKET_CAP}
     )
     SELECT doc_a, doc_b, CAST(ham AS BIGINT) AS hamming
     FROM (
@@ -779,28 +794,38 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit hash into {PHASH_BANDS} segments; by pigeonhole, any pair
     within hamming {PHASH_HAM_MAX} < {PHASH_BANDS} agrees on at least one
     whole segment, so the self-join on (segment index, segment bits)
-    has EXACT recall while touching only colliding buckets — never
-    all-pairs (the plan-lint proof covers this query too). Candidates
-    are verified with the exact 64-position hamming distance, evaluated
-    only on the collision set. The signature table is persisted once and
-    feeds both join sides."""
+    touches only colliding buckets — and buckets larger than
+    PHASH_BUCKET_CAP are load-shed (see the constant for the quadratic
+    hot-key story and the documented recall bias). Candidates are
+    verified with the exact hamming distance computed as
+    Σ bit_count(seg_a XOR seg_b) over the four 16-bit segment INTEGERS —
+    pure codegen bit ops (the 64-substring fold this replaces was the
+    verify bottleneck at sf0.1); the oracle keeps the character fold,
+    which must agree bit-for-bit. The signature table is persisted once
+    and feeds both join sides."""
     from serverless_mapreduce_spark.caching import persist_tracked
 
     seg_len = 64 // PHASH_BANDS
-    ph = persist_tracked(_phash_table(spark, sf_dir))
-    bands = ph.select(
-        "doc_id",
-        "phash",
-        F.explode(F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1))).alias("b"),
-    ).select(
-        "doc_id",
-        "phash",
-        "b",
-        F.substring(
-            F.col("phash"), F.col("b") * seg_len + 1, seg_len
-        ).alias("seg"),
+    ph = persist_tracked(
+        _phash_table(spark, sf_dir).select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PHASH_BANDS - 1)),
+                lambda b: F.conv(
+                    F.substring(F.col("phash"), b * seg_len + 1, seg_len), 2, 10
+                ).cast("bigint"),
+            ).alias("segs"),
+        )
     )
-    x, y = bands.alias("x"), bands.alias("y")
+    from pyspark.sql import Window
+
+    bands = ph.select(
+        "doc_id", "segs", F.posexplode("segs").alias("b", "seg")
+    )
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("b", "seg"))
+    )
+    x, y = sized.alias("x"), sized.alias("y")
     cand = (
         x.join(
             y,
@@ -808,23 +833,24 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.seg") == F.col("y.seg"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
+        .filter(F.col("x.bucket_n") <= PHASH_BUCKET_CAP)
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.phash").alias("ph_a"),
-            F.col("y.phash").alias("ph_b"),
+            F.col("x.segs").alias("segs_a"),
+            F.col("y.segs").alias("segs_b"),
         )
         .distinct()
     )
     ham = F.aggregate(
-        F.sequence(F.lit(1), F.lit(64)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            F.substring(F.col("ph_a"), i.cast("int"), 1)
-            != F.substring(F.col("ph_b"), i.cast("int"), 1),
-            1,
-        ).otherwise(0),
+        F.sequence(F.lit(1), F.lit(PHASH_BANDS)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.bit_count(
+            F.element_at(F.col("segs_a"), m.cast("int")).bitwiseXOR(
+                F.element_at(F.col("segs_b"), m.cast("int"))
+            )
+        ),
     )
     return (
         cand.withColumn("ham", ham)
