@@ -251,3 +251,134 @@ def test_dup_span_merge_equals_interval_cover(docs):
     # duplicated grams' [p, p+K-1] coverage intervals — span count and
     # duplicated-token count both match the brute-force cover
     assert dup_spans_mirror(docs) == dup_cover_brute(docs)
+
+
+# --- large-star/small-star: converges to union-find components -----------------
+
+def _ls_large(edges: set) -> set:
+    """Pure-python mirror of graph._large_star (duplicate-tolerant output,
+    canonicalized here for the set representation)."""
+    nbrs: dict[int, set] = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    out = set()
+    for s, ns in nbrs.items():
+        m = min(min(ns), s)
+        for t in ns:
+            if t > s:
+                out.add((min(m, t), max(m, t)))
+    return {(u, v) for u, v in out if u != v}
+
+
+def _ls_small(edges: set) -> set:
+    """Pure-python mirror of graph._small_star."""
+    smaller: dict[int, set] = defaultdict(set)
+    for u, v in edges:  # canonical u < v
+        smaller[v].add(u)
+    out = set()
+    for v, us in smaller.items():
+        m = min(us)
+        for u in us:
+            if u != m:
+                out.add((m, u))
+        out.add((m, v))
+    return {(u, v) for u, v in out if u != v}
+
+
+def _union_find_comps(edges: set) -> dict:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+star_edges = st.sets(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(raw=star_edges)
+def test_star_contraction_reaches_unionfind_components(raw):
+    """Alternating large-star/small-star must reach a star-forest fixpoint
+    whose labels equal union-find components, within the O(log n)-ish
+    round bound the Spark loop assumes (CC_MAX_ITERS = 15 covers any
+    41-node graph many times over)."""
+    edges = {(min(a, b), max(a, b)) for a, b in raw}
+    for rounds in range(1, 16):
+        nxt = _ls_small(_ls_large(edges))
+        if nxt == edges:
+            break
+        edges = nxt
+    else:
+        raise AssertionError("no fixpoint within 15 rounds")
+    labels: dict[int, int] = {}
+    for u, v in edges:
+        labels[v] = min(labels.get(v, v), u)
+        labels.setdefault(u, u)
+    expect = _union_find_comps(raw and {(min(a, b), max(a, b)) for a, b in raw})
+    assert labels == expect
+    # fixpoint is star-form: no non-root node appears as a smaller endpoint
+    roots = set(labels.values())
+    assert all(u in roots for u, _ in edges)
+
+
+# --- BFS frontier relaxation equals plain BFS ----------------------------------
+
+def _bfs_relax(edges: set) -> dict:
+    """Mirror of graph.graph_bfs_hops' per-round relaxation from min node."""
+    sym: dict[int, set] = defaultdict(set)
+    for u, v in edges:
+        sym[u].add(v)
+        sym[v].add(u)
+    src = min(sym)
+    dist = {src: 0}
+    prev = (1, 0)
+    for _ in range(100):
+        nxt = dict(dist)
+        for u, v in edges:
+            for a, b in ((u, v), (v, u)):
+                if a in dist:
+                    nxt[b] = min(nxt.get(b, dist[a] + 1), dist[a] + 1)
+        cur = (len(nxt), sum(nxt.values()))
+        dist = nxt
+        if cur == prev:
+            return dist
+        prev = cur
+    raise AssertionError("BFS relaxation did not converge")
+
+
+@settings(max_examples=300, deadline=None)
+@given(raw=star_edges)
+def test_bfs_relaxation_equals_plain_bfs(raw):
+    from collections import deque
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw}
+    sym: dict[int, set] = defaultdict(set)
+    for u, v in edges:
+        sym[u].add(v)
+        sym[v].add(u)
+    src = min(sym)
+    expect = {src: 0}
+    dq = deque([src])
+    while dq:
+        x = dq.popleft()
+        for y in sym[x]:
+            if y not in expect:
+                expect[y] = expect[x] + 1
+                dq.append(y)
+    assert _bfs_relax(edges) == expect
