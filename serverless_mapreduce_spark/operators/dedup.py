@@ -325,12 +325,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CC_MAX_ITERS = 15  # hash-to-min rounds; LSH components are near-cliques (~2-3)
 
-
-@query(
-    "dedup_cluster",
-    priority=0,
-    oracle=f"""
-    WITH RECURSIVE {_SQL_PAIR_CTES},
+# pairs → symmetric edges → transitive closure → component-min labels, as a
+# reusable CTE chain (`comp` is the final CTE; needs WITH RECURSIVE): shared
+# by the dedup_cluster oracle and the corpus-apply oracle.
+_SQL_COMP_CTES = f"""{_SQL_PAIR_CTES},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
@@ -341,7 +339,14 @@ CC_MAX_ITERS = 15  # hash-to-min rounds; LSH components are near-cliques (~2-3)
       UNION
       SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.doc_id = e.dst
     ),
-    comp AS (SELECT doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY doc_id)
+    comp AS (SELECT doc_id, MIN(lbl) AS canonical_id FROM reach GROUP BY doc_id)"""
+
+
+@query(
+    "dedup_cluster",
+    priority=0,
+    oracle=f"""
+    WITH RECURSIVE {_SQL_COMP_CTES}
     SELECT c.doc_id, c.canonical_id, s.cluster_size
     FROM comp c
     JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
@@ -1628,4 +1633,42 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_match",
             "best_jaccard",
         )
+    )
+
+
+# --- apply the dedup decision to the corpus -------------------------------------
+
+@query(
+    "dedup_apply_keep_canonical",
+    priority=150,
+    oracle=f"""
+    WITH RECURSIVE {_SQL_COMP_CTES}
+    SELECT d.doc_id,
+           COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+           (c.doc_id IS NULL OR c.canonical_id = d.doc_id) AS kept
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the near-dedup decision to the corpus — the stage after
+    clustering that actually produces the training set: every document
+    gets its cluster's canonical id (itself when it never matched any
+    pair) and a KEPT verdict (canonical of its cluster, or untouched).
+    Filtering ``kept`` downstream yields the deduped corpus; the full
+    verdict table is emitted (not just keepers) because production
+    pipelines keep the drop list for lineage/audit. Plan: the cluster
+    labels are the dedup_cluster program (banded LSH pairs → hash-min
+    components — sub-quadratic throughout), then ONE left join of the
+    corpus against the node-sized label table; at 100 TB that join is a
+    broadcast when labels fit, shuffled co-partitioned otherwise — either
+    way corpus-sized work is one pass."""
+    clusters = dedup_cluster(spark, sf_dir).select("doc_id", "canonical_id")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canonical_id"),
+        (
+            F.col("canonical_id").isNull()
+            | (F.col("canonical_id") == F.col("doc_id"))
+        ).alias("kept"),
     )

@@ -873,3 +873,84 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cd.code").alias("code"),
         F.round(F.col("cd.d2"), 6).alias("dist2"),
     )
+
+
+# --- in-engine recall@k evaluation of the LSH index -----------------------------
+
+@query(
+    "ann_recall_at_k_eval",
+    priority=150,
+    oracle=f"""
+    WITH bf_q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % {QUERY_MOD} = 0
+    ), bf_scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_cosine_sql('q.q_emb', 'e.embedding')} AS cs
+      FROM bf_q q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), bf AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY ROUND(cs, 6) DESC, vec_id) AS rnk
+        FROM bf_scored
+      ) WHERE rnk <= {TOP_K}
+    ), bucketed AS (
+      SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings
+    ), l_q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, bucket FROM bucketed
+      WHERE vec_id % {QUERY_MOD} = 0
+    ), l_scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_cosine_sql('q.q_emb', 'e.embedding')} AS cs
+      FROM l_q q JOIN bucketed e
+        ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+    ), lsh AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY ROUND(cs, 6) DESC, vec_id) AS rnk
+        FROM l_scored
+      ) WHERE rnk <= {TOP_K}
+    ), hits AS (
+      SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM bf b JOIN lsh l ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+      GROUP BY b.q_id
+    )
+    SELECT q.q_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / {TOP_K}.0, 6) AS recall_at_k
+    FROM (SELECT DISTINCT q_id FROM bf) q
+    LEFT JOIN hits h USING (q_id)
+    """,
+)
+def ann_recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL@{TOP_K} of the LSH index measured IN-ENGINE against the
+    exact bruteforce ranking — the eval loop every ANN deployment runs
+    when tuning bucket bits / probe counts, expressed as one query
+    instead of a notebook: run both retrieval plans (the registered
+    bruteforce truth and the LSH candidate path, shared code — this
+    query calls the same functions), intersect per query vector, and
+    emit n_hits / recall per q_id. The pytest recall gate
+    (test_ivf_recall.py) asserts a corpus-level bound once; this
+    operator makes per-query recall a first-class, driver-hashed
+    dataset — the thing you'd chart over index-parameter sweeps. Cost:
+    the two retrievals (each sub-quadratic as documented on their own
+    queries) plus two tiny query-keyed joins. Ranking ties are broken on
+    the ROUNDED score (both engines rank the identical rounded double,
+    then vec_id) so the truth set is engine-invariant."""
+    bf = ann_topk_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select("q_id", "vec_id")
+    hits = bf.join(lsh, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    return (
+        bf.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(TOP_K)), 6
+            ).alias("recall_at_k"),
+        )
+    )
