@@ -179,6 +179,10 @@ HEADLINE = (
     "embedding_pq_codes",
     "stream_approx_distinct_users",
     "multimodal_phash_pairs",
+    "eval_classifier_pr_curve",
+    "eval_langid_confusion",
+    "dedup_apply_keep_canonical",
+    "ann_recall_at_k_eval",
 )
 
 
