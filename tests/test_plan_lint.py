@@ -39,7 +39,13 @@ SIDE_EFFECTING = {
 # baseline (every query × every vector is the SPEC) and the IVF centroid
 # assignment (corpus × ~constant centroid table). Anywhere else it means a
 # join lost its equi-condition.
-BNLJ_ALLOWED = {"ann_topk_bruteforce", "ann_ivf_topk"}
+BNLJ_ALLOWED = {
+    "ann_topk_bruteforce",
+    "ann_ivf_topk",
+    # embeds the bruteforce baseline as its ground truth — the BNLJ is
+    # that sub-plan's deliberate query-set × corpus cross
+    "ann_recall_at_k_eval",
+}
 
 FORBIDDEN_EVERYWHERE = ("CartesianProduct",)
 
