@@ -866,7 +866,8 @@ QCLS_BUCKETS = 128   #: feature-hash buckets (fastText-style hashing trick)
     SELECT d.doc_id,
            CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
            CAST(a.s AS BIGINT) AS score_sum,
-           ROUND(CAST(a.s AS DOUBLE) / (1000.0 * a.n_words), 6) AS score
+           CAST(FLOOR(CAST(a.s AS DOUBLE) * 1000 / a.n_words) AS BIGINT)
+             AS score_micro
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
@@ -885,18 +886,22 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize/explode, so inference is a narrow map + one doc-keyed
     aggregation; a real weight array would broadcast (kilobytes) into a
     literal array lookup, same shape. Exactness: the score SUM is exact
-    integer milli-units; the single double division + ROUND(6) happens
-    once, identically in both engines. Empty docs survive via
+    integer milli-units; the derived mean is FLOOR(s·1000/n) in
+    MICRO-units — floor of the identical IEEE quotient is deterministic
+    across engines, where a ROUND-to-6 was not: Spark's ROUND rounds the
+    double's shortest DECIMAL string (0.0638125 → .063813) while
+    DuckDB rounds the binary value (→ .063812) — a real tie hit at
+    sf0.1 (doc 3316: s=-3063, n=48). Empty docs survive via
     explode_outer with NULL score — the LEFT JOIN in the oracle."""
     return _classifier_sums(spark, sf_dir).select(
         "doc_id",
         "n_words",
         "score_sum",
-        F.round(
-            F.col("score_sum").cast("double")
-            / (F.lit(1000.0) * F.col("n_words")),
-            6,
-        ).alias("score"),
+        F.floor(
+            F.col("score_sum").cast("double") * 1000 / F.col("n_words")
+        )
+        .cast("bigint")
+        .alias("score_micro"),
     )
 
 
