@@ -2278,3 +2278,146 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- time-series gap fill: LOCF + linear interpolation --------------------------
+
+@query(
+    "gapfill_interpolate",
+    priority=150,
+    oracle="""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS avg_val
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM c GROUP BY 1),
+    s AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+      FROM r
+    ),
+    grid AS (
+      SELECT s.event_type, CAST(epoch(s.hr) AS BIGINT) // 3600 AS hr_idx,
+             c.avg_val
+      FROM s LEFT JOIN c ON s.event_type = c.event_type AND s.hr = c.hr
+    ),
+    anchored AS (
+      SELECT event_type, hr_idx, avg_val,
+             last_value(avg_val IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+             last_value(CASE WHEN avg_val IS NOT NULL THEN hr_idx END
+                        IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_hr,
+             first_value(avg_val IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr_idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+             first_value(CASE WHEN avg_val IS NOT NULL THEN hr_idx END
+                         IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr_idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_hr
+      FROM grid
+    )
+    SELECT event_type, hr_idx,
+           (avg_val IS NOT NULL) AS observed,
+           CAST(FLOOR(prev_val * 1000000) AS BIGINT) AS locf_micro,
+           CAST(FLOOR(
+             CASE
+               WHEN avg_val IS NOT NULL THEN avg_val
+               WHEN prev_val IS NULL THEN next_val
+               WHEN next_val IS NULL THEN prev_val
+               ELSE prev_val + (next_val - prev_val)
+                    * (CAST(hr_idx - prev_hr AS DOUBLE)
+                       / CAST(next_hr - prev_hr AS DOUBLE))
+             END * 1000000) AS BIGINT) AS interp_micro
+    FROM anchored
+    """,
+)
+def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with VALUES, not just zero counts: hourly
+    mean event value per type on the dense lo..hi hour grid, absent hours
+    filled two ways — LOCF (last observation carried forward, the
+    monitoring default) and LINEAR INTERPOLATION between the neighboring
+    observed hours (the feature-pipeline default; TimescaleDB's
+    locf()/interpolate() pair). Distributed shape: the dense grid is one
+    per-type sequence explode (gapfill_hourly_counts' plan); both fills
+    come from ONE window pass each way — running last-non-null forward,
+    first-non-null backward — so the whole operator is two sorts within
+    the per-type partitions, no self-join against the observed subset.
+    Leading-edge gaps take the next observation, trailing-edge gaps the
+    previous (interp); LOCF is NULL before the first observation.
+    Exactness: observed means divide the exact decimal sum once; the
+    interpolation weight is IEEE (i/k) with the identical expression both
+    sides, and outputs are FLOOR(x·1e6) micro-units — deterministic where
+    a ROUND of these often-clean rationals is not (the classifier-score
+    lesson)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    c = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_val")
+        )
+    )
+    r = c.groupBy("event_type").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    s = r.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr"),
+    )
+    grid = s.join(c, ["event_type", "hr"], "left").select(
+        "event_type",
+        (F.unix_timestamp("hr") / 3600).cast("bigint").alias("hr_idx"),
+        "avg_val",
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hr_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hr_idx")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    hr_if_obs = F.when(F.col("avg_val").isNotNull(), F.col("hr_idx"))
+    anch = grid.select(
+        "event_type",
+        "hr_idx",
+        "avg_val",
+        F.last("avg_val", ignorenulls=True).over(wb).alias("prev_val"),
+        F.last(hr_if_obs, ignorenulls=True).over(wb).alias("prev_hr"),
+        F.first("avg_val", ignorenulls=True).over(wf).alias("next_val"),
+        F.first(hr_if_obs, ignorenulls=True).over(wf).alias("next_hr"),
+    )
+    interp = (
+        F.when(F.col("avg_val").isNotNull(), F.col("avg_val"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (
+                (F.col("hr_idx") - F.col("prev_hr")).cast("double")
+                / (F.col("next_hr") - F.col("prev_hr")).cast("double")
+            )
+        )
+    )
+    return anch.select(
+        "event_type",
+        "hr_idx",
+        F.col("avg_val").isNotNull().alias("observed"),
+        F.floor(F.col("prev_val") * 1000000).cast("bigint").alias("locf_micro"),
+        F.floor(interp * 1000000).cast("bigint").alias("interp_micro"),
+    )
