@@ -183,6 +183,7 @@ HEADLINE = (
     "eval_langid_confusion",
     "dedup_apply_keep_canonical",
     "ann_recall_at_k_eval",
+    "gapfill_interpolate",
 )
 
 
