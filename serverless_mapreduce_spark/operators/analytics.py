@@ -2421,3 +2421,62 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("prev_val") * 1000000).cast("bigint").alias("locf_micro"),
         F.floor(interp * 1000000).cast("bigint").alias("interp_micro"),
     )
+
+
+# --- exact global order statistics ----------------------------------------------
+
+QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+@query(
+    "exact_global_quantiles",
+    priority=150,
+    oracle=f"""
+    WITH ranked AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+      FROM events
+    ),
+    n AS (SELECT COUNT(*) AS n FROM events)
+    SELECT p.pct,
+           (p.pct * n.n + 99) // 100 AS k,
+           (SELECT value FROM ranked
+            WHERE rn = (p.pct * n.n + 99) // 100) AS value
+    FROM (SELECT CAST(UNNEST([{', '.join(str(p) for p in QUANTILE_PCTS)}])
+                 AS INT) AS pct) p, n
+    """,
+)
+def exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global quantiles (k-th smallest, k = ceil(p·n/100)) of
+    events.value — the order statistic a plain ``ORDER BY`` computes by
+    funneling every row through one partition, done instead with the
+    range-partitioned two-pass prefix-sum primitive (functions/prefix.py):
+    group values (one value-keyed shuffle, dup-safe), running counts per
+    contiguous value range, then each requested k resolves to
+    ``min(value) where cum_cnt >= k`` — expressed as ONE conditional
+    aggregation over the prefix frame (no inequality join, no
+    BroadcastNestedLoop, no global sort). approx_quantiles_bounded is the
+    sketch answer with error bars; this is the exact answer at one extra
+    shuffle — the pair a 100 TB deployment chooses between. The total
+    count is a 1-row driver scalar (the documented pattern); k uses pure
+    integer ceil arithmetic, and the output VALUE is an element of the
+    data (no derived float at all), so the hash is trivially exact."""
+    from serverless_mapreduce_spark.functions.prefix import prefix_sums
+
+    ev = table(spark, sf_dir, "events")
+    n = ev.count()
+    vc = ev.groupBy("value").agg(F.count("*").cast("bigint").alias("cnt"))
+    pref = prefix_sums(vc, "value", ["cnt"])
+    ks = {p: (p * n + 99) // 100 for p in QUANTILE_PCTS}
+    aggs = [
+        F.min(F.when(F.col("cum_cnt") >= F.lit(k), F.col("value"))).alias(
+            f"v{p}"
+        )
+        for p, k in ks.items()
+    ]
+    wide = pref.agg(*aggs)
+    stack = ", ".join(f"{p}, {ks[p]}L, v{p}" for p in QUANTILE_PCTS)
+    return wide.select(
+        F.expr(
+            f"stack({len(QUANTILE_PCTS)}, {stack}) as (pct, k, value)"
+        )
+    )
