@@ -67,6 +67,16 @@ class Engine:
         write — no driver collect), recording wall time, row count, and
         job/stage/task counts scoped to this run's job group. Returns the
         (lazy) result DataFrame for further use."""
+        return self._run(name)[0]
+
+    def run_info(self, name: str) -> dict:
+        """Execute one query and return THIS run's record as a dict —
+        concurrency-safe, unlike reading ``status(name)[name][-1]`` after
+        ``run()``: another thread (a second caller, a schedule tick) may
+        append a newer record in between."""
+        return asdict(self._run(name)[1])
+
+    def _run(self, name: str) -> tuple[DataFrame, QueryRun]:
         fn = registry.all_queries()[name]
         rec = QueryRun(name=name, started_at=time.time())
         self._runs.setdefault(name, []).append(rec)
@@ -116,7 +126,7 @@ class Engine:
                     rec.input_bytes += int(att.inputBytes())
                     rec.output_bytes += int(att.outputBytes())
             sc.setJobGroup("", "")
-        return df
+        return df, rec
 
     def status(self, name: str | None = None) -> dict[str, list[dict]]:
         """Run history (most recent last), as plain dicts (the JSON the

@@ -2159,7 +2159,8 @@ SIM_TOP_K = 5
       JOIN item jj ON jj.l_partkey = s.j
     )
     SELECT i, j, n_both,
-           ROUND(CAST(n_both AS DOUBLE) / (n_i + n_j - n_both), 6) AS jaccard,
+           CAST(FLOOR(CAST(n_both AS DOUBLE) * 1000000
+                / (n_i + n_j - n_both)) AS BIGINT) AS jaccard_micro,
            CAST(rnk AS BIGINT) AS rnk
     FROM (
       SELECT *, ROW_NUMBER() OVER (
@@ -2179,9 +2180,11 @@ def item_similarity_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair table (graph._pair_counts, basket-width-capped, one build per
     session serves five consumers now), n_i/n_j from one item-keyed count.
     No new basket self-join: the expensive exchange is amortized across
-    the family. Union size by inclusion-exclusion (n_i + n_j - n_both), so
-    the only float op is the final division — one ROUND, identical in both
-    engines, ranking by the same double. Per-item top-{SIM_TOP_K} via
+    the family. Union size by inclusion-exclusion (n_i + n_j - n_both);
+    RANKING compares the raw IEEE ratio (identical doubles both engines)
+    and the OUTPUT is FLOOR micro-units of it (the ROUND-tie lesson:
+    integer ratios can land on decimal-string ties). Per-item
+    top-{SIM_TOP_K} via
     window; Spark 3.5+ pushes the rank filter down as WindowGroupLimit
     (partial top-k before the shuffle, the scalable form)."""
     from serverless_mapreduce_spark.operators.graph import _pair_counts
@@ -2223,7 +2226,21 @@ def item_similarity_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= SIM_TOP_K)
-        .select("i", "j", "n_both", F.round("sim_raw", 6).alias("jaccard"), "rnk")
+        .select(
+            "i",
+            "j",
+            "n_both",
+            # same op ORDER as the oracle (multiply, then divide): the
+            # raw ratio * 1e6 differs in the last ulp from (n*1e6)/d
+            F.floor(
+                F.col("n_both").cast("double")
+                * 1000000
+                / (F.col("n_i") + F.col("n_j") - F.col("n_both"))
+            )
+            .cast("bigint")
+            .alias("jaccard_micro"),
+            "rnk",
+        )
     )
 
 
@@ -2241,8 +2258,8 @@ def item_similarity_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_keys FROM per_key GROUP BY cnt
     )
     SELECT cnt, n_keys,
-           ROUND(CAST(n_keys AS DOUBLE)
-                 / (SELECT COUNT(*) FROM per_key), 6) AS key_frac
+           CAST(FLOOR(CAST(n_keys AS DOUBLE) * 1000000
+                 / (SELECT COUNT(*) FROM per_key)) AS BIGINT) AS key_frac_micro
     FROM dist
     """,
 )
@@ -2255,9 +2272,9 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt tail, which is precisely the signal that routes a plan to salting
     / AQE skew handling (skew_salted_join) instead of a plain hash join.
     Two cheap aggregations — per-key count (map-side partials), then a
-    count keyed by the count — nothing driver-side; key_frac is the one
-    derived float, divided and rounded once from exact integers in both
-    engines."""
+    count keyed by the count — nothing driver-side; the key fraction is
+    FLOOR micro-units of the exact integer ratio (deterministic across
+    engines, per the classifier-score ROUND-tie lesson)."""
     per_key = (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -2273,9 +2290,9 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cnt",
             "n_keys",
-            F.round(F.col("n_keys").cast("double") / F.lit(total), 6).alias(
-                "key_frac"
-            ),
+            F.floor(F.col("n_keys").cast("double") * 1000000 / F.lit(total))
+            .cast("bigint")
+            .alias("key_frac_micro"),
         )
     )
 

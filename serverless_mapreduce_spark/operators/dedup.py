@@ -207,6 +207,29 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) from a signature frame — the banded
+    layout of the LSH index, defined ONCE for every Spark-side consumer
+    (dedup_minhash_lsh's self-join, the incremental probe) exactly as
+    _SQL_BAND_CTES defines it once for the oracles: rows-per-band = 2,
+    band hash = md5(sig[2b+1] || ',' || sig[2b+2])."""
+    return sigs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("band_idx"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "band_idx",
+        F.md5(
+            F.concat(
+                F.element_at("sig", F.col("band_idx") * 2 + 1).cast("string"),
+                F.lit(","),
+                F.element_at("sig", F.col("band_idx") * 2 + 2).cast("string"),
+            )
+        ).alias("band_hash"),
+    )
+
+
 _SQL_SIG = f"""
   list_transform(range(0, {NUM_HASHES}),
     j -> list_min(list_transform(range(1, len({{sh}}) + 1),
@@ -276,21 +299,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # next query invocation releases it (caching.py).
     sigs = persist_tracked(minhash_signatures(docs))
 
-    bands = sigs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("band_idx"),
-        F.col("sig"),
-    ).select(
-        "doc_id",
-        "band_idx",
-        F.md5(
-            F.concat(
-                F.element_at("sig", F.col("band_idx") * 2 + 1).cast("string"),
-                F.lit(","),
-                F.element_at("sig", F.col("band_idx") * 2 + 2).cast("string"),
-            )
-        ).alias("band_hash"),
-    )
+    bands = _bands(sigs)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -1499,6 +1508,12 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: everything else is the standing corpus.
 INCR_MOD = 10
 
+#: Band rows above which the incoming batch stops broadcasting into the
+#: corpus index probe and the join runs partitioned instead (same gate
+#: pattern as graph.BROADCAST_NODE_LIMIT — the batch here is a corpus
+#: fraction, not a constant).
+INCR_BROADCAST_LIMIT = 8_000_000
+
 
 @query(
     "dedup_incremental_minhash",
@@ -1563,30 +1578,27 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument as dedup_minhash_lsh."""
     docs = table(spark, sf_dir, "documents")
     sigs = persist_tracked(minhash_signatures(docs))
-    bands = sigs.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1))).alias("band_idx"),
-        F.col("sig"),
-    ).select(
-        "doc_id",
-        "band_idx",
-        F.md5(
-            F.concat(
-                F.element_at("sig", F.col("band_idx") * 2 + 1).cast("string"),
-                F.lit(","),
-                F.element_at("sig", F.col("band_idx") * 2 + 2).cast("string"),
-            )
-        ).alias("band_hash"),
-    )
+    bands = _bands(sigs)
     newb = bands.filter(F.col("doc_id") % INCR_MOD == 0).select(
         F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
     )
     oldb = bands.filter(F.col("doc_id") % INCR_MOD != 0).select(
         F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
     )
-    cand = (
+    # SIZE-GATED probe broadcast (the graph-family pattern): the fixture's
+    # "incoming batch" is a fixed FRACTION of the corpus (doc_id % 10), so
+    # an unconditional broadcast would grow linearly with scale; above the
+    # gate the probe join runs shuffle-keyed on (band_idx, band_hash).
+    n_incoming = (
+        docs.filter(F.col("doc_id") % INCR_MOD == 0).count() * NUM_BANDS
+    )
+    probe = (
         F.broadcast(newb)
-        .join(oldb, ["band_idx", "band_hash"])
+        if n_incoming <= INCR_BROADCAST_LIMIT
+        else newb.hint("shuffle_hash")
+    )
+    cand = (
+        probe.join(oldb, ["band_idx", "band_hash"])
         .select("new_id", "old_id")
         .distinct()
     )

@@ -979,10 +979,10 @@ PR_THRESH_NUM = tuple(range(-4, 5))
            CAST(SUM(pred * y) AS BIGINT) AS tp,
            CAST(SUM(pred * (1 - y)) AS BIGINT) AS fp,
            CAST(SUM((1 - pred) * y) AS BIGINT) AS fn,
-           ROUND(CAST(SUM(pred * y) AS DOUBLE)
-                 / NULLIF(SUM(pred), 0), 6) AS precision,
-           ROUND(CAST(SUM(pred * y) AS DOUBLE)
-                 / NULLIF(SUM(y), 0), 6) AS recall
+           CAST(FLOOR(CAST(SUM(pred * y) AS DOUBLE) * 1000000
+                 / NULLIF(SUM(pred), 0)) AS BIGINT) AS precision_micro,
+           CAST(FLOOR(CAST(SUM(pred * y) AS DOUBLE) * 1000000
+                 / NULLIF(SUM(y), 0)) AS BIGINT) AS recall_micro
     FROM curve GROUP BY k
     """,
 )
@@ -995,9 +995,9 @@ def eval_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator shape is what matters); thresholds are k/8, chosen so the
     comparison ``score > t`` is the INTEGER inequality ``8·score_sum >
     k·1000·n_words`` — no float compare anywhere, so tp/fp/fn hash
-    exactly; precision/recall are each one division + ROUND from exact
-    integers (NULL when the predicted-positive set is empty, matching
-    SQL NULLIF). Plan: one inference aggregation (shared with
+    exactly; precision/recall are FLOOR micro-units of the exact integer
+    ratios (deterministic across engines — the ROUND-tie lesson; NULL
+    when the predicted-positive set is empty, matching SQL NULLIF). Plan: one inference aggregation (shared with
     quality_classifier_score), a {len(PR_THRESH_NUM)}-row threshold
     explode, one grouped sum — cost is O(docs·thresholds) narrow rows
     into a 9-group aggregate. Empty docs (score_sum NULL) predict
@@ -1031,12 +1031,18 @@ def eval_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tp",
         "fp",
         "fn",
-        F.round(
-            F.col("tp").cast("double") / F.nullif(F.col("predp"), F.lit(0)), 6
-        ).alias("precision"),
-        F.round(
-            F.col("tp").cast("double") / F.nullif(F.col("pos"), F.lit(0)), 6
-        ).alias("recall"),
+        F.floor(
+            F.col("tp").cast("double") * 1000000
+            / F.nullif(F.col("predp"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("precision_micro"),
+        F.floor(
+            F.col("tp").cast("double") * 1000000
+            / F.nullif(F.col("pos"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("recall_micro"),
     )
 
 
@@ -1060,8 +1066,9 @@ def eval_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS frac_of_lang
+           CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) * 1000000
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang)) AS BIGINT)
+             AS frac_micro
     FROM pred GROUP BY lang, predicted_lang
     """,
 )
@@ -1069,7 +1076,8 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONFUSION MATRIX of the lang_id heuristic against the labeled lang
     column — the model-eval aggregation every classifier in the pipeline
     needs: per (true, predicted) cell count plus the row-normalized
-    fraction (recall diagonal). One narrow prediction pass (lang_id's
+    FLOOR-micro fraction (recall diagonal; micro-units per the ROUND-tie
+    lesson). One narrow prediction pass (lang_id's
     expressions inline — no shuffle) into one two-key aggregation; the
     fraction divides exact counts once, with the per-true-lang total from
     a window over the TINY aggregated matrix, not a second pass over the
@@ -1090,7 +1098,7 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "predicted_lang",
         "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(w), 6
-        ).alias("frac_of_lang"),
+        F.floor(F.col("n").cast("double") * 1000000 / F.sum("n").over(w))
+        .cast("bigint")
+        .alias("frac_micro"),
     )

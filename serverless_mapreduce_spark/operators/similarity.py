@@ -735,6 +735,16 @@ def label_rebalance_undersample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "embeddings")
+    # target = min class size, computed on the TINY per-label aggregate and
+    # read back as one scalar — a global MIN window over the per-vector
+    # frame would funnel the whole corpus through one partition (the
+    # single-partition smell functions/prefix.py exists to avoid)
+    target = (
+        e.groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n"))
+        .collect()[0][0]
+    )
     w_cnt = Window.partitionBy("label")
     w_rk = Window.partitionBy("label").orderBy(
         F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":bal"))),
@@ -746,10 +756,7 @@ def label_rebalance_undersample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w_cnt).cast("bigint").alias("n_before"),
         F.row_number().over(w_rk).alias("rk"),
     )
-    tgt = sized.withColumn(
-        "target", F.min("n_before").over(Window.partitionBy())
-    )
-    kept = tgt.filter(F.col("rk") <= F.col("target"))
+    kept = sized.filter(F.col("rk") <= F.lit(target))
     return kept.groupBy("label", "n_before").agg(
         F.count("*").cast("bigint").alias("n_kept"),
         F.md5(

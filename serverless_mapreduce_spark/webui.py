@@ -64,6 +64,19 @@ class StatusServer:
                     code, payload = 500, {
                         "error": f"{type(exc).__name__}: {exc}"
                     }
+                finally:
+                    # Cache/view lifetime is thread-scoped (caching.py) and
+                    # each request runs on a FRESH ThreadingHTTPServer
+                    # thread that never runs another query — without this,
+                    # every /run's persisted intermediates and temp views
+                    # would accumulate until storage memory is exhausted.
+                    # The run has materialized by now (noop write), so
+                    # releasing here is safe.
+                    from serverless_mapreduce_spark.caching import (
+                        release_cached,
+                    )
+
+                    release_cached()
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -112,8 +125,9 @@ class StatusServer:
             return 200, {"name": name, "plan": self.engine.explain(name)}
         if route == "/run":
             name = _required(q, "name")
-            self.engine.run(name)
-            return 200, {"name": name, "run": self.engine.status(name)[name][-1]}
+            # run_info returns THIS run's record — status(...)[-1] could be
+            # a concurrent run's (a second /run, a schedule tick)
+            return 200, {"name": name, "run": self.engine.run_info(name)}
         if route == "/schedule":
             name = _required(q, "name")
             every_s = float(_required(q, "every_s"))
