@@ -184,6 +184,9 @@ HEADLINE = (
     "dedup_apply_keep_canonical",
     "ann_recall_at_k_eval",
     "gapfill_interpolate",
+    "exact_global_quantiles",
+    "mad_outlier_events",
+    "pareto_revenue_share",
 )
 
 

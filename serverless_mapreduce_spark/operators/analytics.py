@@ -2497,3 +2497,162 @@ def exact_global_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(QUANTILE_PCTS)}, {stack}) as (pct, k, value)"
         )
     )
+
+
+# --- robust outliers: median absolute deviation ----------------------------------
+
+MAD_K_SIGMA = 3          #: flag |x - median| > MAD_K_SIGMA * 1.4826 * MAD
+
+
+@query(
+    "mad_outlier_events",
+    priority=150,
+    oracle=f"""
+    WITH ranked AS (
+      SELECT value, event_id,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    med AS (
+      SELECT value AS median FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev_ranked AS (
+      SELECT ABS(e.value - m.median) AS dev,
+             ROW_NUMBER() OVER (ORDER BY ABS(e.value - m.median), e.event_id)
+               AS rn,
+             COUNT(*) OVER () AS n
+      FROM events e, med m
+    ),
+    mad AS (SELECT dev AS mad FROM dev_ranked WHERE rn = (n + 1) // 2)
+    SELECT e.event_id, e.user_id, e.value,
+           CAST(FLOOR(ABS(e.value - m.median) * 1000000) AS BIGINT)
+             AS abs_dev_micro
+    FROM events e, med m, mad d
+    WHERE ABS(e.value - m.median) > {MAD_K_SIGMA} * 1.4826 * d.mad
+    """,
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection by MEDIAN ABSOLUTE DEVIATION — the
+    heavy-tail-safe twin of zscore_outliers (mean/std are themselves
+    dragged by the outliers they're meant to find; median/MAD are not).
+    Two EXACT order statistics — the value median, then the median of
+    absolute deviations — each computed with the range-partitioned
+    prefix-count trick (exact_global_quantiles' plan: group values, range
+    prefix counts, min value with cum >= k), never a global single-
+    partition sort; the two medians are 1-row driver scalars and the flag
+    pass is one fused scan. Exactness: the medians are data elements, the
+    deviation is one subtraction + ABS on identical IEEE doubles, the
+    threshold compare is the same double expression both engines, and the
+    output deviation is FLOOR micro-units (ROUND-tie lesson)."""
+    from serverless_mapreduce_spark.functions.prefix import prefix_sums
+
+    ev = table(spark, sf_dir, "events")
+    n = ev.count()
+    k = (n + 1) // 2
+
+    def exact_median(col_df, colname):
+        vc = col_df.groupBy(colname).agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+        pref = prefix_sums(vc, colname, ["cnt"])
+        row = pref.filter(F.col("cum_cnt") >= k).agg(
+            F.min(colname)
+        ).collect()[0]
+        return row[0]
+
+    median = exact_median(ev.select("value"), "value")
+    dev = ev.select(
+        (F.abs(F.col("value") - F.lit(median))).alias("dev")
+    )
+    mad = exact_median(dev, "dev")
+    thresh = MAD_K_SIGMA * 1.4826 * mad
+    return ev.filter(
+        F.abs(F.col("value") - F.lit(median)) > F.lit(thresh)
+    ).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.floor(F.abs(F.col("value") - F.lit(median)) * 1000000)
+        .cast("bigint")
+        .alias("abs_dev_micro"),
+    )
+
+
+# --- Pareto / Lorenz curve of customer revenue -----------------------------------
+
+@query(
+    "pareto_revenue_share",
+    priority=150,
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS revc
+      FROM orders GROUP BY o_custkey
+    ),
+    grp AS (
+      SELECT revc, CAST(COUNT(*) AS BIGINT) AS n_cust FROM cust GROUP BY revc
+    ),
+    cum AS (
+      SELECT revc, n_cust,
+             SUM(n_cust) OVER (ORDER BY revc DESC) AS cum_cust,
+             SUM(revc * n_cust) OVER (ORDER BY revc DESC) AS cum_revc,
+             SUM(revc * n_cust) OVER () AS total_revc
+      FROM grp
+    )
+    SELECT revc AS rev_cents, n_cust,
+           CAST(cum_cust AS BIGINT) AS cum_cust,
+           CAST(cum_revc AS BIGINT) AS cum_rev_cents,
+           CAST(FLOOR(CAST(cum_revc AS DOUBLE) * 1000000 / total_revc)
+                AS BIGINT) AS rev_share_micro
+    FROM cum
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / LORENZ CURVE of customer revenue — "the top k customers
+    hold what share of revenue", the concentration analysis behind
+    80/20 dashboards and sampling decisions: customers aggregate to exact
+    integer CENTS, collapse to revenue-value groups (unique keys, so ties
+    never straddle a row), and the DESCENDING cumulative customer count
+    and revenue come from the range-partitioned two-pass prefix sums
+    (functions/prefix.py, ordered on the negated cents key) — the same
+    global running total a naive ``SUM() OVER (ORDER BY …)`` would funnel
+    through one partition. Everything is integer until the single share
+    division, emitted as FLOOR micro-units (ROUND-tie lesson) with the
+    identical multiply-then-divide order in both engines."""
+    from serverless_mapreduce_spark.functions.prefix import prefix_sums
+
+    cust = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("revc")
+        )
+    )
+    grp = cust.groupBy("revc").agg(
+        F.count("*").cast("bigint").alias("n_cust")
+    )
+    pref = prefix_sums(
+        grp.select(
+            "revc",
+            "n_cust",
+            (-F.col("revc")).alias("_negkey"),
+            (F.col("revc") * F.col("n_cust")).alias("wrev"),
+        ),
+        "_negkey",
+        ["n_cust", "wrev"],
+    )
+    return pref.select(
+        F.col("revc").alias("rev_cents"),
+        "n_cust",
+        F.col("cum_n_cust").alias("cum_cust"),
+        F.col("cum_wrev").alias("cum_rev_cents"),
+        F.floor(
+            F.col("cum_wrev").cast("double") * 1000000 / F.col("total_wrev")
+        )
+        .cast("bigint")
+        .alias("rev_share_micro"),
+    )
