@@ -163,6 +163,38 @@ class Engine:
             }
         return out
 
+    def progress(self) -> dict:
+        """LIVE job/stage progress from the driver's status tracker — the
+        reference's /stage-progress endpoint (web_ui/app.py:516-529 polls
+        its DynamoDB stage table mid-job); here the same numbers come from
+        ``sc.statusTracker()`` with no storage side channel. Returns the
+        currently-active jobs with per-stage task completion counts."""
+        tracker = self.spark.sparkContext.statusTracker()
+        jobs = []
+        for jid in tracker.getActiveJobsIds():
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                continue
+            stages = []
+            for sid in info.stageIds:
+                s = tracker.getStageInfo(sid)
+                if s is None:
+                    continue
+                stages.append(
+                    {
+                        "stage_id": sid,
+                        "name": s.name,
+                        "num_tasks": s.numTasks,
+                        "num_active_tasks": s.numActiveTasks,
+                        "num_completed_tasks": s.numCompletedTasks,
+                        "num_failed_tasks": s.numFailedTasks,
+                    }
+                )
+            jobs.append(
+                {"job_id": jid, "status": str(info.status), "stages": stages}
+            )
+        return {"active_jobs": jobs}
+
     def explain(self, name: str, mode: str = "formatted") -> str:
         """The optimized physical plan of a registered query, without
         executing the returned DataFrame (the reference's job-detail view,

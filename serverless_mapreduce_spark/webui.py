@@ -16,6 +16,8 @@ Endpoints (all JSON):
 - ``GET /run?name=<q>``              → execute one query, return its run record
 - ``GET /status[?name=<q>]``         → run history
 - ``GET /report[?name=<q>]``         → aggregated resource report
+- ``GET /progress``                  → LIVE active-job/stage task counts
+  (the reference's /stage-progress analog, from sc.statusTracker())
 - ``GET /explain?name=<q>``          → optimized physical plan text
 - ``GET /schedule?name=<q>&every_s=<f>[&max_runs=<n>]`` → start a
   recurring run loop, returns a schedule id
@@ -120,6 +122,8 @@ class StatusServer:
             return 200, self.engine.status(q.get("name"))
         if route == "/report":
             return 200, self.engine.report(q.get("name"))
+        if route == "/progress":
+            return 200, self.engine.progress()
         if route == "/explain":
             name = _required(q, "name")
             return 200, {"name": name, "plan": self.engine.explain(name)}

@@ -78,6 +78,40 @@ def test_schedule_ticks_and_cancel(server):
     assert code == 200 and body["cancelled"]
 
 
+def test_progress_live_snapshot(server, spark):
+    """/progress returns the live tracker view: idle → no active jobs;
+    while a background job runs → it appears with stage task counts."""
+    import threading
+
+    code, body = _get(f"{server}/progress")
+    assert code == 200 and body == {"active_jobs": []}
+
+    seen: list[dict] = []
+    done = threading.Event()
+
+    def slow_job():
+        try:
+            spark.range(200).foreachPartition(
+                lambda it: __import__("time").sleep(0.5)
+            )
+        finally:
+            done.set()
+
+    t = threading.Thread(target=slow_job, daemon=True)
+    t.start()
+    deadline = time.time() + 30
+    while time.time() < deadline and not done.is_set():
+        _, body = _get(f"{server}/progress")
+        if body["active_jobs"]:
+            seen.append(body)
+            break
+        time.sleep(0.05)
+    t.join(timeout=60)
+    assert seen, "never observed the running job in /progress"
+    job = seen[0]["active_jobs"][0]
+    assert job["stages"] and job["stages"][0]["num_tasks"] > 0
+
+
 def test_errors_are_json(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(f"{server}/run?name=not_a_query")
