@@ -188,6 +188,36 @@ class ServerlessMR:
         self._current.dependents = list(pids)
         return self
 
+    def describe(self) -> dict:
+        """The pipeline DAG as plain JSON-able data — the reference's
+        /dag endpoint payload (web_ui/app.py:554-568 serves the registered
+        job's pipeline graph): one node per pipeline with its ordered
+        stage kinds / reducer counts / combiner flags, edges from merge()
+        dependencies. Pure introspection — nothing executes."""
+        pipes = dict(self._pipelines)
+        cur = self._current
+        if cur.stages or cur.source is not None or cur.dependents:
+            pipes[cur.pid] = cur
+        return {
+            "pipelines": [
+                {
+                    "pid": pid,
+                    "stages": [
+                        {
+                            "kind": s.kind,
+                            "num_reducers": s.num_reducers,
+                            "has_combiner": s.combiner is not None,
+                            "has_partitioner": s.partitioner is not None,
+                        }
+                        for s in p.stages
+                    ],
+                    "has_source": p.source is not None,
+                    "depends_on": list(p.dependents),
+                }
+                for pid, p in sorted(pipes.items())
+            ]
+        }
+
     # -- execution --
 
     def run(self) -> DataFrame:
