@@ -836,3 +836,123 @@ def _label_propagate_star(
         .groupBy("node")
         .agg(F.min("comp").alias("comp"))
     )
+
+
+# --- weighted single-source shortest paths ----------------------------------
+
+#: SSSP relaxation-round cap AND oracle unroll count — same tied-cap
+#: contract as BFS_MAX_ITERS: the recurrence is idempotent at the
+#: fixpoint so over-unrolling is exact, and a graph needing more rounds
+#: fails loudly in the Spark loop, never as a silent oracle mismatch.
+#: Weighted paths can be LONGER in hops than the BFS eccentricity (a
+#: cheap 10-hop detour can undercut an expensive 2-hop path), hence the
+#: deeper cap than BFS_MAX_ITERS.
+SSSP_MAX_ITERS = 20
+
+
+def _sssp_oracle() -> str:
+    """Unrolled Bellman-Ford from the minimum node over the SUPPORT-
+    WEIGHTED co-purchase graph: d_{i+1}(v) = min(d_i(v), min over
+    incoming (u,v,w) of d_i(u) + w). Weights are the exact integer
+    co-purchase counts (same derivation as EDGES_SQL plus the COUNT), so
+    every distance is an exact BIGINT sum — no float drift possible.
+    Rounds are MATERIALIZED (each references its predecessor twice; see
+    _kcore_oracle for the inline-explosion story)."""
+    rounds = [
+        "d0 AS MATERIALIZED (SELECT MIN(src) AS node, CAST(0 AS BIGINT)"
+        " AS dist FROM wsym)"
+    ]
+    for i in range(SSSP_MAX_ITERS):
+        rounds.append(
+            f"d{i + 1} AS MATERIALIZED ("
+            f" SELECT node, MIN(dist) AS dist FROM ("
+            f"  SELECT node, dist FROM d{i}"
+            f"  UNION ALL"
+            f"  SELECT e.src AS node, d.dist + e.w AS dist FROM wsym e"
+            f"  JOIN d{i} d ON e.dst = d.node"
+            f" ) GROUP BY node)"
+        )
+    return f"""
+    WITH wpairs AS (
+      SELECT l.l_partkey AS a, r.l_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) r
+        ON l.l_orderkey = r.l_orderkey AND l.l_partkey < r.l_partkey
+      GROUP BY l.l_partkey, r.l_partkey
+    ),
+    wsym AS (
+      SELECT a AS src, b AS dst, w FROM wpairs
+      UNION ALL
+      SELECT b AS src, a AS dst, w FROM wpairs
+    ),
+    {", ".join(rounds)}
+    SELECT node, dist FROM d{SSSP_MAX_ITERS}
+    """
+
+
+@query("graph_sssp_weighted", priority=150, oracle=_sssp_oracle())
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths (Bellman-Ford relaxation)
+    from the minimum-id part over the co-purchase graph, edge cost = the
+    co-purchase support count — the fifth iterative graph shape: like
+    BFS the frontier grows monotonically, but unlike BFS an already-
+    settled node can still IMPROVE when a cheaper many-hop path arrives,
+    so rounds run to cost-fixpoint, not reachability-fixpoint. Per
+    round: propagate dist+w across the weighted symmetric edge frame
+    (the one edge-sized join, distance table size-gated between
+    broadcast and shuffle_hash exactly like BFS/PageRank), min-aggregate
+    per node, localCheckpoint to truncate lineage. Convergence is exact
+    and scalar: the reached count only GROWS and the distance sum only
+    SHRINKS once reached, so (count, sum) unchanged ⟺ fixpoint.
+    Distances are exact integer sums of bigint weights — bit-identical
+    across engines by construction. At 100 TB the same rounds run with
+    the partitioned join above the broadcast gate; production SSSP on
+    high-diameter graphs wants delta-stepping's bucketed relaxation, but
+    the round structure (join + min-agg per step) is unchanged — this is
+    the exact-oracle-checkable core of it.
+
+    No reference analog (the reference's API stops at map/shuffle/
+    reduce); included with the graph family rationale at module top."""
+    wsym = persist_tracked(
+        _sym_weighted(_pair_counts(spark, sf_dir))
+    )
+    n_nodes = wsym.select("src").distinct().count()
+    use_broadcast = n_nodes <= BROADCAST_NODE_LIMIT
+    dist = (
+        wsym.agg(F.min("src").alias("node"))
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    prev = (1, 0)
+    for _ in range(SSSP_MAX_ITERS):
+        d = F.broadcast(dist) if use_broadcast else dist.hint("shuffle_hash")
+        prop = wsym.join(d, wsym.dst == d.node).select(
+            F.col("src").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        nxt = (
+            dist.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        row = nxt.agg(
+            F.count("*").alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        cur = (row["n"], row["s"])
+        dist = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("weighted SSSP did not converge")
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+def _sym_weighted(pairs: DataFrame) -> DataFrame:
+    """Symmetrized (src, dst, w) view of the weighted pair-count table."""
+    a, b, w = F.col("a"), F.col("b"), F.col("n_orders")
+    return pairs.select(
+        a.alias("src"), b.alias("dst"), w.alias("w")
+    ).unionByName(pairs.select(b.alias("src"), a.alias("dst"), w.alias("w")))
