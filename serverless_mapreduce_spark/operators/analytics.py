@@ -2656,3 +2656,83 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_share_micro"),
     )
+
+
+# --- exponentially-weighted moving average (true recurrence) -----------------
+
+@query(
+    "ewma_user_spend",
+    priority=150,
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT o_custkey AS custkey,
+             strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS spend_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT custkey, day, spend_cents,
+             ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY day) AS rn
+      FROM daily
+    ),
+    ewma AS (
+      SELECT custkey, day, spend_cents, spend_cents AS ewma_cents, rn
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.custkey, s.day, s.spend_cents,
+             (e.ewma_cents + s.spend_cents) // 2 AS ewma_cents, s.rn
+      FROM ewma e
+      JOIN seq s ON s.custkey = e.custkey AND s.rn = e.rn + 1
+    )
+    SELECT custkey, day, spend_cents, ewma_cents FROM ewma
+    """,
+)
+def ewma_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA of per-customer daily spend — a TRUE SEQUENTIAL RECURRENCE
+    (e_t = f(e_{t-1}, x_t)), the one time-series shape no window
+    function expresses: rolling_30d is a frame aggregate and gapfill's
+    LOCF is last_value, but EWMA's state feeds back into itself.
+    Batch twin of the streaming ``applyInPandasWithState`` operator:
+    ``groupBy(custkey).applyInPandas`` gives each customer's ordered
+    series to one Arrow batch, and the recurrence runs as a per-group
+    scan — embarrassingly parallel ACROSS customers (one shuffle on the
+    group key), sequential only WITHIN a customer's own days, which is
+    the irreducible data dependency. At 100 TB the per-group series
+    length is bounded (days per customer), so no group outgrows a task.
+
+    Exactness (ROUND-tie lesson): alpha = 1/2 in INTEGER CENTS with
+    floor — e_t = (e_{t-1} + x_t) // 2 — so every value is an exact
+    bigint in both engines (the oracle is a per-customer recursive CTE
+    advancing all customers one row per round); no float ever exists.
+    Spend per day uses the decimal-cent sum contract from module top."""
+    import pandas as pd
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+            )
+            .cast("bigint")
+            .alias("spend_cents")
+        )
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out, prev = [], None
+        for x in pdf["spend_cents"]:
+            x = int(x)
+            prev = x if prev is None else (prev + x) // 2
+            out.append(prev)
+        pdf["ewma_cents"] = pd.Series(out, dtype="int64")
+        return pdf
+
+    return daily.groupBy("custkey").applyInPandas(
+        ewma, "custkey bigint, day string, spend_cents bigint, ewma_cents bigint"
+    )
