@@ -2736,3 +2736,82 @@ def ewma_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("custkey").applyInPandas(
         ewma, "custkey bigint, day string, spend_cents bigint, ewma_cents bigint"
     )
+
+
+# --- time-weighted average (TWAP) --------------------------------------------
+
+@query(
+    "time_weighted_avg_user",
+    priority=150,
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+             epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS tn
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             SUM(vc * (tn - t)) AS swc,
+             SUM(tn - t) AS sd,
+             CAST(COUNT(*) AS BIGINT) AS n_intervals
+      FROM seq WHERE tn IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_intervals, sd AS held_us,
+           CAST(FLOOR(CAST(swc AS DOUBLE) * 10.0 / CAST(sd AS DOUBLE))
+                AS BIGINT) AS twap_milli
+    FROM agg
+    """,
+)
+def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average of an irregularly-sampled series (TWAP /
+    TimescaleDB ``time_weight``): each observation holds until the next
+    one, so its weight is the HOLD DURATION, not 1 — the correct average
+    for sensor readings, prices, or rates sampled on activity rather
+    than on a clock (a plain AVG over-weights bursts). Plan: one window
+    pass (LEAD on the user's timeline gives each reading its hold
+    interval — last-value-holds-until-next, the step-function
+    convention), then one hash aggregation; both are user_id-partitioned
+    so the single exchange is reused, same as sessionize_events. The
+    final reading has no successor and carries zero weight in both
+    engines. Tie-safe: equal timestamps are ordered by event_id in both
+    engines, so LEAD pairs identically.
+
+    Exactness: value cents x hold micros accumulate as exact BIGINT
+    products (bounded: cents < 1e4, series span < 1e13 us, sum < 1e17
+    << 2^63); the output is FLOOR of one IEEE double multiply+divide on
+    those identical bigints — deterministic cross-engine (ROUND-tie
+    lesson, registry docstring)."""
+    spark = utc_session(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("vc"),
+        epoch_us(F.col("ts")).alias("t"),
+        F.lead(epoch_us(F.col("ts"))).over(w).alias("tn"),
+    )
+    return (
+        seq.filter(F.col("tn").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum((F.col("tn") - F.col("t"))).alias("held_us"),
+            F.sum(F.col("vc") * (F.col("tn") - F.col("t"))).alias("_swc"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "held_us",
+            F.floor(
+                F.col("_swc").cast("double") * 10.0
+                / F.col("held_us").cast("double")
+            )
+            .cast("bigint")
+            .alias("twap_milli"),
+        )
+    )
