@@ -1891,3 +1891,104 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
     )
+
+
+# --- bloom-filter runtime prefilter for a non-broadcastable semi-join ---------
+
+#: Bloom bitmap size in BITS (2^19 = 64 KiB as 8192 longs) and the hash
+#: seeds (k = 4 hash functions via xxhash64(key, seed)). At the fixture's
+#: ~6k urgent orders k*n/m ≈ 0.046 → FP rate (1-e^-0.046)^4 ≈ 4e-6; at
+#: 100x keys scale m up with n (the bitmap stays KBs-to-MBs — the whole
+#: point vs broadcasting the key set itself).
+BLOOM_BITS = 1 << 19
+BLOOM_SEEDS = (0x9E37, 0x85EB, 0xC2B2, 0x27D4)
+
+
+@query(
+    "bloom_prefilter_join",
+    priority=150,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER prefilter for a fact⋈filtered-dim semi-join —
+    the technique Spark's own runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter.*) automates, built
+    explicitly so the mechanics are visible and testable: (1) aggregate
+    the filtered key set into a FIXED-SIZE bitmap — each key sets k bit
+    positions (xxhash64 with k seeds), positions fold into (word, mask)
+    pairs, one bit_or aggregation yields <= 8192 longs regardless of key
+    count (the ONLY driver-side object, 64 KiB, size-independent of the
+    data); (2) the fact side tests all k bits against the bitmap as a
+    constant-folded array literal — pure codegen, no Python, no join —
+    discarding the vast majority of non-matching rows BEFORE the shuffle;
+    (3) the surviving sliver exact-semi-joins the key set (removing the
+    ~4e-6 false positives), so the result is bit-identical to the plain
+    semi-join the oracle runs. Why it matters at 100 TB: when the
+    filtered dim is too big to broadcast, a shuffle semi-join moves the
+    FULL fact table; the bloom moves only matching rows (~20% here) for
+    64 KiB of ship cost. The final join is left unhinted: at fixture
+    scale Spark broadcasts it, above the threshold it shuffles the
+    already-prefiltered sliver — both correct.
+    Parity: reference has no bloom surface; this extends E7/E9's shuffle-
+    economy story (SURVEY §2) the way AQE extends static planning."""
+    keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    m, nwords = BLOOM_BITS, BLOOM_BITS >> 6
+    words = {}
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(s)), F.lit(m)).alias(
+            f"p{i}"
+        )
+        for i, s in enumerate(BLOOM_SEEDS)
+    ]
+    bitmap_rows = (
+        keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .selectExpr(
+            "CAST(pos DIV 64 AS INT) AS word",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT)) AS mask",
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()  # bounded: <= nwords rows (64 KiB), never key-count-sized
+    )
+    for r in bitmap_rows:
+        words[r["word"]] = r["bits"]
+    bitmap = [words.get(i, 0) for i in range(nwords)]
+
+    fact = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    probe = fact.withColumn("_bm", F.lit(bitmap))
+    for i, s in enumerate(BLOOM_SEEDS):
+        probe = probe.withColumn(
+            f"_p{i}", F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(s)), F.lit(m))
+        )
+    test = " AND ".join(
+        f"(element_at(_bm, CAST(_p{i} DIV 64 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT))) <> 0"
+        for i in range(len(BLOOM_SEEDS))
+    )
+    pre = probe.filter(F.expr(test)).select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    return (
+        pre.join(keys, pre.l_orderkey == keys.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+    )
