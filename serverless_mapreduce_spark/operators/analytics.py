@@ -2815,3 +2815,70 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("twap_milli"),
         )
     )
+
+
+# --- weight-proportional (Poisson) sampling ----------------------------------
+
+#: Bits of md5 used as the uniform draw for weighted sampling. 40 bits
+#: keeps every cross-multiplied compare inside BIGINT: U < 2^40 and
+#: cent-weights < 2^17 (fixture max ~49k cents), so both products stay
+#: < 2^57 with headroom.
+_WS_BITS = 40
+
+
+@query(
+    "weighted_sample_events",
+    priority=150,
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS value_cents,
+             CAST(concat('0x',
+               substr(md5(CAST(event_id AS VARCHAR) || ':ws'), 1, 10))
+               AS BIGINT) AS u
+      FROM events
+    )
+    SELECT event_id, user_id, value_cents
+    FROM w
+    WHERE u * (SELECT MAX(value_cents) FROM w)
+          < value_cents * {1 << _WS_BITS}
+    """,
+)
+def weighted_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-PROPORTIONAL Poisson sampling: each event is kept with
+    probability value_i / max(value) — the map-side sampling primitive
+    for importance-weighted training mixes (quota and stratified
+    sampling pick BY GROUP; this picks BY ROW WEIGHT). Fully
+    distributed: after one scalar max (a 1-row aggregate), the keep
+    decision is a per-row integer compare — no shuffle, no rank window,
+    no state — so it runs at scan speed on 100 TB and composes with any
+    downstream op. Deterministic and auditable (the run can be replayed
+    and the exact member set re-derived): the uniform draw is the top
+    40 bits of md5(event_id), salted ':ws' to decorrelate from every
+    other md5 derivation in the repo. Exactness: keep iff
+    u * max_cents < cents * 2^40 — integer cross-multiplication
+    (registry contract: never a float ratio), both products < 2^63.
+    Expected sample size is sum(w)/max(w); the A-Res/A-ExpJ reservoir
+    family gives EXACT-k weighted samples but needs a per-item
+    log/pow draw (non-deterministic cross-engine) and a global top-k —
+    this Poisson form is the oracle-checkable, shuffle-free variant."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    max_cents = ev.agg(F.max("value_cents")).collect()[0][0]  # 1-row scalar
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":ws"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return ev.filter(
+        u * F.lit(max_cents) < F.col("value_cents") * F.lit(1 << _WS_BITS)
+    ).select("event_id", "user_id", "value_cents")
