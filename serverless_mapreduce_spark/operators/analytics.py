@@ -2882,3 +2882,109 @@ def weighted_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(
         u * F.lit(max_cents) < F.col("value_cents") * F.lit(1 << _WS_BITS)
     ).select("event_id", "user_id", "value_cents")
+
+
+# --- one-pass Pearson correlation matrix -------------------------------------
+
+_CORR_COLS = ("quantity", "extendedprice", "discount", "tax")
+
+
+def _corr_oracle() -> str:
+    """All six pairwise correlations from ONE aggregation of exact
+    decimal sums; the corr arithmetic below is kept CHARACTER-IDENTICAL
+    to the Spark expression (same casts, same operand order) so the
+    IEEE doubles match bitwise (every op — *, -, /, sqrt — is correctly
+    rounded, so identical inputs + identical order = identical bits)."""
+    units = {
+        "quantity": "l_quantity",
+        "extendedprice": "l_extendedprice",
+        "discount": "l_discount",
+        "tax": "l_tax",
+    }
+    cols = ", ".join(
+        f"CAST(CAST({src} AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS {u}"
+        for u, src in units.items()
+    )
+    aggs = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for u in _CORR_COLS:
+        aggs.append(f"CAST(SUM({u}) AS DOUBLE) AS s_{u}")
+        aggs.append(f"CAST(SUM({u} * {u}) AS DOUBLE) AS ss_{u}")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(f"CAST(SUM({a} * {b}) AS DOUBLE) AS sp_{a}_{b}")
+    corr_rows = ", ".join(
+        f"('{a}~{b}', CAST(FLOOR(1000000.0 * "
+        f"(n * sp_{a}_{b} - s_{a} * s_{b}) / "
+        f"(sqrt(n * ss_{a} - s_{a} * s_{a}) * "
+        f"sqrt(n * ss_{b} - s_{b} * s_{b}))) AS BIGINT))"
+        for a, b in pairs
+    )
+    return f"""
+    WITH u AS (SELECT {cols} FROM lineitem),
+    agg AS (SELECT {", ".join(aggs)} FROM u)
+    SELECT p.* FROM agg, (VALUES {corr_rows}) AS _v,
+    LATERAL (SELECT _v.col0 AS pair, _v.col1 AS corr_micro) p
+    """
+
+
+@query("corr_matrix_lineitem", priority=150, oracle=_corr_oracle())
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise PEARSON CORRELATION matrix of the four lineitem measures
+    in ONE PASS — the profiling step before feature selection or drift
+    modeling: all 14 sufficient statistics (n, 4 sums, 4 sums of
+    squares, 6 cross-products) come from a single scan + single
+    partial+final aggregation (no shuffle of raw rows, one 1-row
+    exchange of partials), then the 6 correlations are pure arithmetic
+    on that one row, unpivoted with ``stack``. ``df.stat.corr`` computes
+    ONE pair per pass; at 100 TB re-scanning per pair is the difference
+    between 1 scan and C(k,2) scans. Exactness: unit sums are exact
+    DECIMAL integers (cents), and the correlation arithmetic is
+    CHARACTER-IDENTICAL across engines over doubles cast from those
+    exact sums — every IEEE op is correctly rounded, so the bits match
+    and FLOOR micro-units can't straddle (ROUND-tie lesson; sqrt is
+    IEEE-exact, unlike ln/exp)."""
+    li = table(spark, sf_dir, "lineitem")
+    units = {
+        "quantity": "l_quantity",
+        "extendedprice": "l_extendedprice",
+        "discount": "l_discount",
+        "tax": "l_tax",
+    }
+    u = li.select(
+        *[
+            (F.col(src).cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)")
+            .alias(name)
+            for name, src in units.items()
+        ]
+    )
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(c).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c) * F.col(c)).cast("double").alias(f"ss_{c}")
+        )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(a) * F.col(b)).cast("double").alias(f"sp_{a}_{b}")
+        )
+    agg = u.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}~{b}', CAST(FLOOR(1000000.0 * "
+        f"(n * sp_{a}_{b} - s_{a} * s_{b}) / "
+        f"(sqrt(n * ss_{a} - s_{a} * s_{a}) * "
+        f"sqrt(n * ss_{b} - s_{b} * s_{b}))) AS BIGINT)"
+        for a, b in pairs
+    )
+    return agg.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (pair, corr_micro)"
+    )
