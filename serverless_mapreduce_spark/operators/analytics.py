@@ -2988,3 +2988,78 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack({len(pairs)}, {stack_args}) AS (pair, corr_micro)"
     )
+
+
+# --- seasonal-baseline residual outliers -------------------------------------
+
+#: Residual threshold in cents: an event is anomalous for its hour-of-day
+#: when its value deviates from that hour's mean by more than this.
+SEASONAL_RESID_CENTS = 3000
+
+
+@query(
+    "seasonal_residual_outliers",
+    priority=150,
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             CAST(strftime(ts, '%H') AS INTEGER) AS hod,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM events
+    ),
+    base AS (
+      SELECT hod, SUM(vc) AS sh, CAST(COUNT(*) AS BIGINT) AS nh
+      FROM ev GROUP BY hod
+    )
+    SELECT event_id, user_id, event_type, e.hod, vc,
+           CAST(FLOOR(CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE)) AS BIGINT)
+             AS hour_mean_cents_floor
+    FROM ev e JOIN base b ON e.hod = b.hod
+    WHERE abs(vc * nh - sh) > {SEASONAL_RESID_CENTS} * nh
+    """,
+)
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY-AWARE outlier detection: score each event against the
+    mean of its OWN hour-of-day, not the global center — the
+    seasonal-naive residual model that catches a $40 value at 3am (quiet
+    hour) that zscore/MAD's global statistics would wave through, and
+    vice versa. Plan: one tiny 24-row baseline aggregate (hour-of-day →
+    sum, count) joined back broadcast-style into a second scan — the
+    classic two-pass profile-then-flag shape (same as zscore_outliers),
+    keyed so finely that the baseline is negligible at any scale; the
+    flag pass is pure codegen. Exactness: the deviation test is integer
+    cross-multiplication (|vc*nh - sh| > T*nh — never a float mean
+    compare; registry contract), bounded well inside BIGINT (sh < 2^40
+    at sf1k); the reported floor-mean is FLOOR of one IEEE divide on
+    identical bigints. TZ pinned so hour buckets match the naive-ts
+    oracle."""
+    spark = utc_session(spark)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.hour("ts").alias("hod"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("vc"),
+    )
+    base = ev.groupBy("hod").agg(
+        F.sum("vc").alias("sh"), F.count("*").cast("bigint").alias("nh")
+    )
+    return (
+        ev.join(F.broadcast(base), "hod")
+        .filter(
+            F.abs(F.col("vc") * F.col("nh") - F.col("sh"))
+            > F.lit(SEASONAL_RESID_CENTS) * F.col("nh")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "hod",
+            "vc",
+            F.floor(F.col("sh").cast("double") / F.col("nh").cast("double"))
+            .cast("bigint")
+            .alias("hour_mean_cents_floor"),
+        )
+    )
