@@ -3063,3 +3063,79 @@ def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hour_mean_cents_floor"),
         )
     )
+
+
+# --- last-touch marketing attribution ----------------------------------------
+
+#: Attribution lookback window: a purchase credits the most recent click
+#: within this many hours, else it counts as 'direct'.
+ATTRIB_WINDOW_HOURS = 24
+
+
+@query(
+    "attribution_last_touch",
+    priority=150,
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_ts
+      FROM events
+    )
+    SELECT user_id,
+           CASE WHEN last_click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(last_click_ts)
+                     <= CAST({ATTRIB_WINDOW_HOURS} AS BIGINT) * 3600 * 1000000
+                THEN 'click' ELSE 'direct' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: each purchase credits the user's most
+    recent click within a 24h lookback, else counts as 'direct' —
+    the event-sequence join every growth pipeline runs. NOT a join at
+    all in this plan: a purchase needs the latest PRECEDING click, which
+    is one running MAX(CASE WHEN click THEN ts END) over the user's
+    timeline (rows 1 PRECEDING excludes self), so the whole query is a
+    single user-keyed exchange + window pass + small aggregate — versus
+    the naive purchases⋈clicks range self-join whose candidate set is
+    quadratic in per-user activity. Same exchange-reuse family as
+    sessionize_events/TWAP. Tie-safe (ts, event_id ordering both
+    engines); window compare in exact epoch micros; no floats
+    anywhere."""
+    spark = utc_session(spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).over(w).alias("last_click_ts"),
+    )
+    within = (
+        F.col("last_click_ts").isNotNull()
+        & (
+            epoch_us(F.col("ts")) - epoch_us(F.col("last_click_ts"))
+            <= F.lit(ATTRIB_WINDOW_HOURS * 3600 * 1000000)
+        )
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.when(within, F.lit("click")).otherwise("direct").alias("channel"),
+        )
+        .groupBy("user_id", "channel")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+    )
