@@ -1,0 +1,344 @@
+"""Unit tests for the round-6 wave-5 operators: weighted SSSP, EWMA
+recurrence, bloom-prefilter join, weighted Poisson sampling, correlation
+matrix, TWAP, seasonal residuals, last-touch attribution.
+
+Each test drives the operator's CORE on crafted frames (the registered
+queries are already oracle-checked end-to-end by preflight/driver);
+these pin the algorithmic contracts a fixture-level hash can't isolate."""
+
+from __future__ import annotations
+
+import hashlib
+import heapq
+
+from pyspark.sql import functions as F
+
+
+# --- weighted SSSP vs reference Dijkstra -------------------------------------
+
+def _dijkstra(wedges, src):
+    adj = {}
+    for u, v, w in wedges:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {src: 0}
+    pq = [(0, src)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_sssp_rounds_match_dijkstra(spark):
+    """The Bellman-Ford round structure (join + min-agg, as in
+    graph_sssp_weighted) converges to Dijkstra's distances on a crafted
+    graph where the cheapest path is MORE hops than the hop-shortest
+    path — the case BFS gets wrong."""
+    # 0-1-2-3 cheap chain (1 each) plus a direct expensive 0-3 edge (10):
+    # weighted answer for 3 is 3 via three hops, not 10 via one.
+    wedges = [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10), (3, 4, 2)]
+    expected = _dijkstra(wedges, 0)
+
+    rows = [(u, v, w) for u, v, w in wedges] + [
+        (v, u, w) for u, v, w in wedges
+    ]
+    wsym = spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+    dist = (
+        wsym.agg(F.min("src").alias("node"))
+        .withColumn("dist", F.lit(0).cast("bigint"))
+    )
+    for _ in range(10):
+        prop = wsym.join(dist, wsym.dst == dist.node).select(
+            F.col("src").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    got = {r["node"]: r["dist"] for r in dist.collect()}
+    assert got == expected
+
+
+# --- EWMA recurrence ---------------------------------------------------------
+
+def test_ewma_matches_hand_recurrence(spark, sf_dir):
+    from serverless_mapreduce_spark.operators.analytics import ewma_user_spend
+
+    out = ewma_user_spend(spark, sf_dir).collect()
+    series = {}
+    for r in sorted(out, key=lambda r: (r["custkey"], r["day"])):
+        series.setdefault(r["custkey"], []).append(r)
+    assert series, "no customers"
+    for rows in series.values():
+        prev = None
+        for r in rows:
+            prev = (
+                r["spend_cents"]
+                if prev is None
+                else (prev + r["spend_cents"]) // 2
+            )
+            assert r["ewma_cents"] == prev
+
+
+# --- bloom prefilter ---------------------------------------------------------
+
+def test_bloom_prefilter_is_superset_and_selective(spark, sf_dir):
+    """The bitmap test must pass EVERY true key (no false negatives —
+    bloom's defining guarantee) while rejecting most non-members."""
+    from serverless_mapreduce_spark.operators.relational import (
+        BLOOM_BITS,
+        BLOOM_SEEDS,
+    )
+    from serverless_mapreduce_spark.catalog import table
+
+    keys = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    m, nwords = BLOOM_BITS, BLOOM_BITS >> 6
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(s)), F.lit(m)).alias(
+            f"p{i}"
+        )
+        for i, s in enumerate(BLOOM_SEEDS)
+    ]
+    words = {
+        r["word"]: r["bits"]
+        for r in keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .selectExpr(
+            "CAST(pos DIV 64 AS INT) AS word",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT)) AS mask",
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    }
+    bitmap = [words.get(i, 0) for i in range(nwords)]
+
+    fact = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    probe = fact.withColumn("_bm", F.lit(bitmap))
+    for i, s in enumerate(BLOOM_SEEDS):
+        probe = probe.withColumn(
+            f"_p{i}",
+            F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(s)), F.lit(m)),
+        )
+    test = " AND ".join(
+        f"(element_at(_bm, CAST(_p{i} DIV 64 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT))) <> 0"
+        for i in range(len(BLOOM_SEEDS))
+    )
+    passed = probe.filter(F.expr(test)).select("l_orderkey")
+    true_match = fact.join(keys, fact.l_orderkey == keys.o_orderkey, "left_semi")
+    # no false negatives: every true match survives the prefilter
+    assert true_match.exceptAll(passed).count() == 0
+    # selective: the prefilter admits (almost) nothing beyond the matches
+    n_passed, n_true, n_fact = (
+        passed.count(),
+        true_match.count(),
+        fact.count(),
+    )
+    assert n_passed < n_fact  # actually filtered something
+    # FP budget: with k=4, m=2^19 the expected FP rate is ~1e-5 at this
+    # key count; allow 1% slack so the test never flakes.
+    assert n_passed - n_true <= max(1, n_fact // 100)
+
+
+# --- weighted Poisson sampling ----------------------------------------------
+
+def test_weighted_sample_matches_md5_predicate(spark, sf_dir):
+    from serverless_mapreduce_spark.catalog import table
+    from serverless_mapreduce_spark.operators.analytics import (
+        _WS_BITS,
+        weighted_sample_events,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value").collect()
+    cents = {r["event_id"]: round(float(r["value"]) * 100) for r in ev}
+    mx = max(cents.values())
+
+    def keep(eid):
+        u = int(
+            hashlib.md5(f"{eid}:ws".encode()).hexdigest()[:10], 16
+        )
+        return u * mx < cents[eid] * (1 << _WS_BITS)
+
+    expected = {eid for eid in cents if keep(eid)}
+    got = {
+        r["event_id"]
+        for r in weighted_sample_events(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # weight-proportionality sanity: kept mean weight exceeds global mean
+    if expected:
+        kept_mean = sum(cents[e] for e in expected) / len(expected)
+        all_mean = sum(cents.values()) / len(cents)
+        assert kept_mean > all_mean
+
+
+# --- correlation matrix ------------------------------------------------------
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from serverless_mapreduce_spark.catalog import table
+    from serverless_mapreduce_spark.operators.analytics import (
+        corr_matrix_lineitem,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    arr = np.array(
+        [[float(c) for c in r] for r in li.collect()], dtype=float
+    )
+    ref = np.corrcoef(arr.T)
+    names = ["quantity", "extendedprice", "discount", "tax"]
+    got = {
+        r["pair"]: r["corr_micro"] / 1e6
+        for r in corr_matrix_lineitem(spark, sf_dir).collect()
+    }
+    for i, a in enumerate(names):
+        for j in range(i + 1, len(names)):
+            assert abs(got[f"{a}~{names[j]}"] - ref[i, j]) < 2e-6
+
+
+# --- TWAP --------------------------------------------------------------------
+
+def test_twap_hand_example(spark):
+    import pandas as pd
+
+    from serverless_mapreduce_spark.operators import analytics as A
+
+    # value 10.00 held 3 us, then 20.00 held 1 us -> twap = 12.50
+    rows = [
+        (1, 100, "2024-01-01 00:00:00.000000", 10.0),
+        (2, 100, "2024-01-01 00:00:00.000003", 20.0),
+        (3, 100, "2024-01-01 00:00:00.000004", 99.0),  # terminal, weight 0
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    df.createOrReplaceTempView("_twap_case")
+    from serverless_mapreduce_spark.catalog import epoch_us
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("vc"),
+        epoch_us(F.col("ts")).alias("t"),
+        F.lead(epoch_us(F.col("ts"))).over(w).alias("tn"),
+    )
+    agg = (
+        seq.filter(F.col("tn").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("vc") * (F.col("tn") - F.col("t"))).alias("swc"),
+            F.sum(F.col("tn") - F.col("t")).alias("sd"),
+        )
+        .collect()[0]
+    )
+    # (1000c*3 + 2000c*1) / 4us = 1250c -> 12500 milli-dollars
+    assert agg["swc"] == 1000 * 3 + 2000 * 1
+    assert agg["sd"] == 4
+    assert (agg["swc"] * 10) // agg["sd"] == 12500
+
+
+# --- seasonal residuals ------------------------------------------------------
+
+def test_seasonal_outliers_compare_within_hour(spark, sf_dir):
+    from serverless_mapreduce_spark.catalog import table
+    from serverless_mapreduce_spark.operators.analytics import (
+        SEASONAL_RESID_CENTS,
+        seasonal_residual_outliers,
+    )
+    from serverless_mapreduce_spark.session import utc_session
+
+    out = seasonal_residual_outliers(spark, sf_dir).collect()
+    ev = (
+        table(utc_session(spark), sf_dir, "events")
+        .select(
+            F.hour("ts").alias("hod"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .collect()
+    )
+    sums, counts = {}, {}
+    for r in ev:
+        sums[r["hod"]] = sums.get(r["hod"], 0) + r["vc"]
+        counts[r["hod"]] = counts.get(r["hod"], 0) + 1
+    for r in out:
+        nh, sh = counts[r["hod"]], sums[r["hod"]]
+        assert abs(r["vc"] * nh - sh) > SEASONAL_RESID_CENTS * nh
+
+
+# --- last-touch attribution --------------------------------------------------
+
+def test_attribution_window_and_channel(spark):
+    import pandas as pd
+
+    from serverless_mapreduce_spark.operators.analytics import (
+        attribution_last_touch,
+    )
+
+    rows = [
+        # user 1: click then purchase 1h later -> click-attributed
+        (1, 1, "2024-01-01 00:00:00", "click", 1.0),
+        (2, 1, "2024-01-01 01:00:00", "purchase", 1.0),
+        # user 1: purchase 30h after that click -> direct
+        (3, 1, "2024-01-02 07:00:00", "purchase", 1.0),
+        # user 2: purchase with no prior click -> direct
+        (4, 2, "2024-01-01 00:00:00", "purchase", 1.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    df = spark.createDataFrame(pdf).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+    )
+    import serverless_mapreduce_spark.catalog as catalog
+
+    orig = catalog.table
+
+    def fake_table(spark_, sf_dir_, name):
+        assert name == "events"
+        return df
+
+    # drive the query body against the crafted frame
+    import serverless_mapreduce_spark.operators.analytics as A
+
+    saved = A.table
+    A.table = fake_table
+    try:
+        got = {
+            (r["user_id"], r["channel"]): r["n_purchases"]
+            for r in attribution_last_touch(
+                spark, "unused"
+            ).collect()
+        }
+    finally:
+        A.table = saved
+    assert got == {(1, "click"): 1, (1, "direct"): 1, (2, "direct"): 1}
