@@ -187,6 +187,17 @@ HEADLINE = (
     "exact_global_quantiles",
     "mad_outlier_events",
     "pareto_revenue_share",
+    # round-6 wave 5: weighted SSSP (iterative), the recurrence/window
+    # time-series family, and the shuffle-economy ops (bloom prefilter,
+    # weight-proportional sampling, one-pass correlation)
+    "graph_sssp_weighted",
+    "ewma_user_spend",
+    "time_weighted_avg_user",
+    "bloom_prefilter_join",
+    "weighted_sample_events",
+    "corr_matrix_lineitem",
+    "seasonal_residual_outliers",
+    "attribution_last_touch",
 )
 
 
