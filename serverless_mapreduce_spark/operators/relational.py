@@ -1971,7 +1971,13 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
-    probe = fact.withColumn("_bm", F.lit(bitmap))
+    # ship the bitmap as a 1-row broadcast, NOT F.lit(list): a list
+    # literal compiles to CreateArray with 8192 child literals that
+    # codegen re-materializes PER ROW (measured ~3s of the 4.8s warm
+    # runtime at sf0.1); the broadcast row is built once and element_at
+    # reads the UnsafeArrayData in O(1)
+    bm_df = spark.createDataFrame([(bitmap,)], "_bm array<bigint>")
+    probe = fact.crossJoin(F.broadcast(bm_df))
     for i, s in enumerate(BLOOM_SEEDS):
         probe = probe.withColumn(
             f"_p{i}", F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(s)), F.lit(m))
