@@ -26,6 +26,14 @@ CASES = (
     # md5-rank window selection with membership hash (rebalance)
     "quality_classifier_score",
     "label_rebalance_undersample",
+    # wave-5 mechanisms: double arithmetic over exact decimal sufficient
+    # statistics (corr), integer cross-multiplied residual gate
+    # (seasonal), partition-level recurrence over a keyed sort (ewma),
+    # hold-duration weighting with floor quotient (twap)
+    "corr_matrix_lineitem",
+    "seasonal_residual_outliers",
+    "ewma_user_spend",
+    "time_weighted_avg_user",
 )
 
 
