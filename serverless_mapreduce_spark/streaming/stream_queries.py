@@ -761,3 +761,82 @@ def stream_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(err) * F.col("exact_users")
         ).alias("within_bound"),
     )
+
+
+# --- streaming EWMA: the batch recurrence's stateful twin --------------------
+
+@query(
+    "stream_ewma_user_value",
+    priority=150,
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ),
+    counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(rn) AS mx
+      FROM seq GROUP BY user_id
+    ),
+    e AS (
+      SELECT user_id, vc AS ewma_cents, rn FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, (e.ewma_cents + s.vc) // 2 AS ewma_cents, s.rn
+      FROM e JOIN seq s ON s.user_id = e.user_id AND s.rn = e.rn + 1
+    )
+    SELECT c.user_id, c.n_events, e.ewma_cents
+    FROM e JOIN counts c ON e.user_id = c.user_id AND e.rn = c.mx
+    """,
+)
+def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EWMA — the stateful-stream twin of the batch
+    ``ewma_user_spend`` recurrence: per-user exponentially-weighted value
+    (alpha = 1/2, integer cents, floor) carried in GroupState across
+    micro-batches via ``applyInPandasWithState``. The ORDER CONTRACT is
+    what makes a sequential recurrence well-defined on a stream: within
+    each micro-batch the group's rows are sorted by event time (ts,
+    event_id) before folding into state — the shuffle into the groupBy
+    delivers them unordered — and batches themselves arrive in file/
+    arrival order, which IS event order for an append-only event log (a
+    late event would need the full reorder-buffer treatment; the
+    watermarked windowed family handles that trade instead). State is
+    two bigints per user — constant memory per key at any scale — and
+    the bounded availableNow drain converges to the batch recurrence,
+    which the oracle replays as a per-user recursive CTE (same
+    ``(e + x) // 2`` arithmetic, same (ts, event_id) order, so every
+    intermediate is an exact integer in both engines)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_ewma(key, pdfs, state: GroupState):
+        n, ewma = state.get if state.exists else (0, None)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for v in (batch["value"] * 100).round().astype("int64"):
+            v = int(v)
+            ewma = v if ewma is None else (ewma + v) // 2
+            n += 1
+        state.update((n, ewma))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_cents": [ewma],
+            }
+        )
+
+    ev = events_stream(stateful_session(spark), sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update_ewma,
+        outputStructType="user_id bigint, n_events bigint, ewma_cents bigint",
+        stateStructType="n bigint, ewma bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_stream_to_memory(out, mode="update")
