@@ -1684,3 +1684,117 @@ def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("canonical_id") == F.col("doc_id"))
         ).alias("kept"),
     )
+
+
+# --- minhash estimator-quality eval ------------------------------------------
+
+@query(
+    "eval_minhash_jaccard_error",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_BAND_CTES}, cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+             AS n_inter,
+           CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+             AS BIGINT) AS n_union,
+           CAST(len(list_filter(range(1, {NUM_HASHES} + 1),
+                                i -> sa.sig[i] = sb.sig[i])) AS BIGINT)
+             AS n_sig_match,
+           CAST(FLOOR(CAST(abs(
+                  len(list_intersect(sa.shingles, sb.shingles))
+                    * {NUM_HASHES}
+                  - len(list_filter(range(1, {NUM_HASHES} + 1),
+                                    i -> sa.sig[i] = sb.sig[i]))
+                    * len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                ) AS DOUBLE) * 1000000
+                / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                       * {NUM_HASHES} AS DOUBLE)) AS BIGINT) AS err_micro
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    """,
+)
+def eval_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESTIMATOR-QUALITY EVAL for the minhash index — the dedup family's
+    analog of ann_recall_at_k_eval: on every LSH candidate pair, compare
+    the SIGNATURE-estimated Jaccard (matching minhash positions / 16 —
+    the unbiased estimator LSH banding is built on) against the EXACT
+    shingle Jaccard the verify stage computes anyway, and report the
+    absolute estimation error. This is the measurement that justifies
+    (or indicts) the signature length: E[err] ~ sqrt(J(1-J)/16), so a
+    drifting corpus shows up here before it shows up as missed dups.
+    Plan: reuses the banded self-join candidate derivation (bucketed,
+    never all-pairs) and the persisted signature table; the estimator
+    compare is one zip_with over two 16-element arrays — no extra
+    shuffle beyond the verify joins the LSH query already pays.
+    Exactness: n_inter/n_union/n_sig_match are integers; the error is
+    |ni*H - m*nu| / (nu*H) — integer numerator via cross-multiplication,
+    FLOOR of one IEEE multiply+divide (ROUND-tie lesson)."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = persist_tracked(minhash_signatures(docs))
+    bands = _bands(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = sigs.select("doc_id", "shingles", "sig")
+    j = (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("shingles", "sh_a")
+            .withColumnRenamed("sig", "sig_a"),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("shingles", "sh_b")
+            .withColumnRenamed("sig", "sig_b"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("bigint")
+            .alias("n_inter"),
+            F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+            .cast("bigint")
+            .alias("n_union"),
+            F.expr(
+                "CAST(size(filter(zip_with(sig_a, sig_b,"
+                " (x, y) -> x = y), b -> b)) AS BIGINT)"
+            ).alias("n_sig_match"),
+        )
+    )
+    h = F.lit(NUM_HASHES)
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        "n_union",
+        "n_sig_match",
+        F.floor(
+            F.abs(
+                F.col("n_inter") * h - F.col("n_sig_match") * F.col("n_union")
+            ).cast("double")
+            * 1000000
+            / (F.col("n_union") * h).cast("double")
+        )
+        .cast("bigint")
+        .alias("err_micro"),
+    )
