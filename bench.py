@@ -198,6 +198,8 @@ HEADLINE = (
     "corr_matrix_lineitem",
     "seasonal_residual_outliers",
     "attribution_last_touch",
+    "stream_ewma_user_value",
+    "eval_minhash_jaccard_error",
 )
 
 

@@ -961,3 +961,85 @@ def ann_recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# --- hard-negative mining ----------------------------------------------------
+
+HARD_NEG_K = 3
+
+
+@query(
+    "contrastive_hard_negatives",
+    priority=150,
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, label, {_SQL_BUCKET} AS bucket FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label, bucket
+      FROM bucketed WHERE vec_id % {QUERY_MOD} = 0
+    ), scored AS (
+      SELECT q.q_id, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
+             ROUND({_cosine_sql('q.q_emb', 'e.embedding')}, 6) AS cos_sim
+      FROM q JOIN bucketed e
+        ON e.bucket = q.bucket AND e.label <> q.q_label
+    )
+    SELECT q_id, q_label, neg_id, neg_label, cos_sim, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, neg_id) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {HARD_NEG_K}
+    """,
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training — the complement of
+    ``contrastive_negatives`` (which draws RANDOM negatives): for each
+    anchor, the top-3 most-similar vectors with a DIFFERENT label —
+    the near-boundary examples that actually move a contrastive loss
+    (random negatives are trivially separable after the first epochs).
+    Same sub-quadratic shape as ann_lsh_topk: anchors probe only their
+    own LSH bucket (corpus bucketed once, persisted; candidate volume
+    ~N/2^P per anchor, never N), the label-mismatch filter rides the
+    bucket join, and the per-anchor top-k is a bucket-local window. At
+    100 TB: corpus stored pre-bucketed; mining cost ∝ anchors x bucket
+    occupancy — the standard in-batch-negatives → mined-negatives
+    upgrade path. Exactness: same md5-derived hyperplanes and rounded
+    cosine as the whole ANN family (identical arithmetic both engines);
+    ties broken by neg_id."""
+    raw = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
+    emb = persist_tracked(
+        raw.withColumn(
+            "bucket", lsh_bucket(F.col("embedding"), embedding_dim(raw))
+        )
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            emb,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("label") != F.col("q_label")),
+            "inner",
+        )
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .select("q_id", "q_label", "neg_id", "neg_label", "cos_sim", "rnk")
+    )
