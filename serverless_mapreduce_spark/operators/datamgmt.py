@@ -454,3 +454,66 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_missing"),
     )
+
+
+# --- k-anonymity audit -------------------------------------------------------
+
+K_ANON = 5
+#: Account-balance band width (cents) for the quasi-identifier: bands of
+#: $1000 — coarse enough to be a realistic generalization level, fine
+#: enough that sparse cells exist in the fixture.
+K_ANON_BAND_CENTS = 100_000
+
+
+@query(
+    "k_anonymity_audit",
+    priority=150,
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  / {K_ANON_BAND_CENTS}.0) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band, n_rows,
+           n_rows < {K_ANON} AS violates_k
+    FROM cells
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY AUDIT — the governance check that runs before a table
+    is released for training: group rows by their QUASI-IDENTIFIER tuple
+    (nation, market segment, $1000 account-balance band — the columns an
+    attacker can link from public data) and flag every cell smaller than
+    k=5: rows in those cells are re-identifiable and must be
+    suppressed or generalized further. Complements pii_scrub (which
+    removes DIRECT identifiers; k-anonymity is about identifying
+    COMBINATIONS). One hash aggregation over the quasi-identifier key —
+    scan-speed at any scale, and the cell histogram it produces is
+    exactly what a generalization-lattice search (Mondrian/Incognito)
+    consumes upstream. Exactness: the balance band is FLOOR of an exact
+    cent integer divided by the band width (identical IEEE quotient both
+    engines); everything else is integer counts."""
+    cells = (
+        table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(
+                (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+                / F.lit(float(K_ANON_BAND_CENTS))
+            )
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    return cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "n_rows",
+        (F.col("n_rows") < K_ANON).alias("violates_k"),
+    )
