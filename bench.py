@@ -200,6 +200,8 @@ HEADLINE = (
     "attribution_last_touch",
     "stream_ewma_user_value",
     "eval_minhash_jaccard_error",
+    "contrastive_hard_negatives",
+    "k_anonymity_audit",
 )
 
 
