@@ -45,6 +45,11 @@ BNLJ_ALLOWED = {
     # embeds the bruteforce baseline as its ground truth — the BNLJ is
     # that sub-plan's deliberate query-set × corpus cross
     "ann_recall_at_k_eval",
+    # the 64 KiB bloom bitmap ships as a 1-row broadcast crossed into the
+    # probe side (constant × corpus — the runtime-filter shape); the
+    # wave-5 plan-shape test additionally asserts the LeftSemi that
+    # removes false positives is a real equi-join
+    "bloom_prefilter_join",
 }
 
 FORBIDDEN_EVERYWHERE = ("CartesianProduct",)
