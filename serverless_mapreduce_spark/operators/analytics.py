@@ -2660,6 +2660,17 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exponentially-weighted moving average (true recurrence) -----------------
 
+def _tdiv2(s: int) -> int:
+    """Integer (s / 2) TRUNCATED TOWARD ZERO — the semantics of DuckDB's
+    ``//`` on BIGINT, which the EWMA oracles use. Python's ``//`` FLOORS
+    instead, and the two diverge on negative sums (-7 // 2: Python -4,
+    DuckDB -3) — a silent 1-cent oracle mismatch the moment a fixture
+    carries refunds/chargebacks. Keeping the recurrence truncating on
+    both sides makes the contract sign-safe, not fixture-contingent."""
+    return s // 2 if s >= 0 else -((-s) // 2)
+
+
+
 @query(
     "ewma_user_spend",
     priority=150,
@@ -2708,7 +2719,9 @@ def ewma_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     no key outgrows a partition's scan.
 
     Exactness (ROUND-tie lesson): alpha = 1/2 in INTEGER CENTS with
-    floor — e_t = (e_{t-1} + x_t) // 2 — so every value is an exact
+    division truncated toward zero (DuckDB ``//`` semantics; see
+    _tdiv2) — e_t = trunc((e_{t-1} + x_t) / 2) — so every value is an
+    exact
     bigint in both engines (the oracle is a per-customer recursive CTE
     advancing all customers one row per round); no float ever exists.
     Spend per day uses the decimal-cent sum contract from module top."""
@@ -2738,7 +2751,7 @@ def ewma_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for k, x in zip(pdf["custkey"], pdf["spend_cents"]):
                 x = int(x)
-                prev = x if k != key else (prev + x) // 2
+                prev = x if k != key else _tdiv2(prev + x)
                 key = k
                 out.append(prev)
             pdf["ewma_cents"] = pd.Series(out, dtype="int64")
@@ -2779,7 +2792,7 @@ def ewma_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, n_intervals, sd AS held_us,
            CAST(FLOOR(CAST(swc AS DOUBLE) * 10.0 / CAST(sd AS DOUBLE))
                 AS BIGINT) AS twap_milli
-    FROM agg
+    FROM agg WHERE sd > 0
     """,
 )
 def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2819,6 +2832,10 @@ def time_weighted_avg_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("tn") - F.col("t"))).alias("held_us"),
             F.sum(F.col("vc") * (F.col("tn") - F.col("t"))).alias("_swc"),
         )
+        # a user whose events all share one timestamp has zero total hold
+        # time — no time-weighted average exists (0/0); drop them in both
+        # engines rather than diverging on NaN handling
+        .filter(F.col("held_us") > 0)
         .select(
             "user_id",
             "n_intervals",

@@ -258,16 +258,24 @@ _SQL_BAND_CTES = f"""
     )
 """
 
-# The banded-minhash near-dup pair derivation as a reusable CTE chain
-# (`pairs` is the final CTE): shared by the dedup_minhash_lsh oracle and by
-# the connected-components oracle in dedup_cluster.
-_SQL_PAIR_CTES = f"""
+# The banded-candidate derivation (`cand` is the final CTE) — the ONE
+# definition of "which document pairs meet" that every banded consumer
+# (pair verify, estimator eval) builds on; a change to the candidate
+# join must happen here and nowhere else.
+_SQL_CAND_CTES = f"""
     {_SQL_BAND_CTES}, cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
-    ), pairs AS (
+    )
+"""
+
+# The banded-minhash near-dup pair derivation as a reusable CTE chain
+# (`pairs` is the final CTE): shared by the dedup_minhash_lsh oracle and by
+# the connected-components oracle in dedup_cluster.
+_SQL_PAIR_CTES = f"""
+    {_SQL_CAND_CTES}, pairs AS (
       SELECT c.doc_a, c.doc_b,
              ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
                    / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
@@ -1692,12 +1700,7 @@ def dedup_apply_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eval_minhash_jaccard_error",
     priority=150,
     oracle=f"""
-    WITH {_SQL_BAND_CTES}, cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id
-    )
+    WITH {_SQL_CAND_CTES}
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
              AS n_inter,

@@ -1928,17 +1928,20 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions (xxhash64 with k seeds), positions fold into (word, mask)
     pairs, one bit_or aggregation yields <= 8192 longs regardless of key
     count (the ONLY driver-side object, 64 KiB, size-independent of the
-    data); (2) the fact side tests all k bits against the bitmap as a
-    constant-folded array literal — pure codegen, no Python, no join —
-    discarding the vast majority of non-matching rows BEFORE the shuffle;
-    (3) the surviving sliver exact-semi-joins the key set (removing the
-    ~4e-6 false positives), so the result is bit-identical to the plain
-    semi-join the oracle runs. Why it matters at 100 TB: when the
-    filtered dim is too big to broadcast, a shuffle semi-join moves the
-    FULL fact table; the bloom moves only matching rows (~20% here) for
-    64 KiB of ship cost. The final join is left unhinted: at fixture
-    scale Spark broadcasts it, above the threshold it shuffles the
-    already-prefiltered sliver — both correct.
+    data); (2) the fact side tests all k bits against the bitmap shipped
+    as a 1-ROW BROADCAST (element_at into UnsafeArrayData, O(1) per
+    probe — NOT an array literal: F.lit(list) compiles to CreateArray
+    with 8192 literal children that codegen re-materializes per row, a
+    measured ~3 s regression at sf0.1), discarding the vast majority of
+    non-matching rows BEFORE the shuffle; (3) the surviving sliver
+    exact-semi-joins the key set (removing the ~4e-6 false positives),
+    so the result is bit-identical to the plain semi-join the oracle
+    runs. Why it matters at 100 TB: when the filtered dim is too big to
+    broadcast, a shuffle semi-join moves the FULL fact table; the bloom
+    moves only matching rows (~20% here) for 64 KiB of ship cost. The
+    final join is left unhinted: at fixture scale Spark broadcasts it,
+    above the threshold it shuffles the already-prefiltered sliver —
+    both correct.
     Parity: reference has no bloom surface; this extends E7/E9's shuffle-
     economy story (SURVEY §2) the way AQE extends static planning."""
     keys = (
@@ -1946,48 +1949,11 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    m, nwords = BLOOM_BITS, BLOOM_BITS >> 6
-    words = {}
-    pos_cols = [
-        F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(s)), F.lit(m)).alias(
-            f"p{i}"
-        )
-        for i, s in enumerate(BLOOM_SEEDS)
-    ]
-    bitmap_rows = (
-        keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
-        .selectExpr(
-            "CAST(pos DIV 64 AS INT) AS word",
-            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT)) AS mask",
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
-        .collect()  # bounded: <= nwords rows (64 KiB), never key-count-sized
-    )
-    for r in bitmap_rows:
-        words[r["word"]] = r["bits"]
-    bitmap = [words.get(i, 0) for i in range(nwords)]
-
+    bitmap = bloom_build_bitmap(keys, "o_orderkey")
     fact = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
-    # ship the bitmap as a 1-row broadcast, NOT F.lit(list): a list
-    # literal compiles to CreateArray with 8192 child literals that
-    # codegen re-materializes PER ROW (measured ~3s of the 4.8s warm
-    # runtime at sf0.1); the broadcast row is built once and element_at
-    # reads the UnsafeArrayData in O(1)
-    bm_df = spark.createDataFrame([(bitmap,)], "_bm array<bigint>")
-    probe = fact.crossJoin(F.broadcast(bm_df))
-    for i, s in enumerate(BLOOM_SEEDS):
-        probe = probe.withColumn(
-            f"_p{i}", F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(s)), F.lit(m))
-        )
-    test = " AND ".join(
-        f"(element_at(_bm, CAST(_p{i} DIV 64 AS INT) + 1)"
-        f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT))) <> 0"
-        for i in range(len(BLOOM_SEEDS))
-    )
-    pre = probe.filter(F.expr(test)).select(
+    pre = bloom_prefilter(fact, "l_orderkey", bitmap).select(
         "l_orderkey", "l_returnflag", "l_extendedprice"
     )
     return (
@@ -1997,4 +1963,52 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_lines"),
             dsum("l_extendedprice", "sum_price"),
         )
+    )
+
+
+def bloom_build_bitmap(keys: DataFrame, keycol: str) -> list[int]:
+    """Aggregate a key frame into the BLOOM_BITS bitmap: k positions per
+    key (xxhash64 with BLOOM_SEEDS), folded to (word, mask) and bit_or'd.
+    The collect is bounded at BLOOM_BITS/64 rows (64 KiB) regardless of
+    key count. Shared by the registered query and its FP-budget pytest
+    so the test exercises the real build, not a private copy."""
+    m, nwords = BLOOM_BITS, BLOOM_BITS >> 6
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(keycol), F.lit(s)), F.lit(m)).alias(f"p{i}")
+        for i, s in enumerate(BLOOM_SEEDS)
+    ]
+    words = {
+        r["word"]: r["bits"]
+        for r in keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .selectExpr(
+            "CAST(pos DIV 64 AS INT) AS word",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT)) AS mask",
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()  # bounded: <= nwords rows (64 KiB), never key-count-sized
+    }
+    return [words.get(i, 0) for i in range(nwords)]
+
+
+def bloom_prefilter(df: DataFrame, keycol: str, bitmap: list[int]) -> DataFrame:
+    """Rows of ``df`` whose ``keycol`` passes every bloom bit — membership
+    test against the bitmap shipped as a 1-row broadcast (see the query
+    docstring for why not a literal). May pass false positives (rate set
+    by BLOOM_BITS/BLOOM_SEEDS); never drops a true member."""
+    m = BLOOM_BITS
+    spark = df.sparkSession
+    bm_df = spark.createDataFrame([(bitmap,)], "_bm array<bigint>")
+    probe = df.crossJoin(F.broadcast(bm_df))
+    for i, s in enumerate(BLOOM_SEEDS):
+        probe = probe.withColumn(
+            f"_p{i}", F.pmod(F.xxhash64(F.col(keycol), F.lit(s)), F.lit(m))
+        )
+    test = " AND ".join(
+        f"(element_at(_bm, CAST(_p{i} DIV 64 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT))) <> 0"
+        for i in range(len(BLOOM_SEEDS))
+    )
+    return probe.filter(F.expr(test)).drop(
+        "_bm", *[f"_p{i}" for i in range(len(BLOOM_SEEDS))]
     )

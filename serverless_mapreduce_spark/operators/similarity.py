@@ -163,6 +163,31 @@ _SQL_BUCKET = f"""
 """
 
 
+def _lsh_bucketed_anchors(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """Shared scaffold for the single-table LSH probes (ann_lsh_topk,
+    contrastive_hard_negatives): bucket the corpus ONCE (persisted — the
+    anchor side is derived from the same frame, and without the persist
+    both the broadcast build and the probe side would re-run the scan +
+    Arrow bucket pass), then carve out the anchor set (vec_id % QUERY_MOD
+    == 0) with its columns renamed q_*. Returns (bucketed corpus,
+    anchors). ``extra_cols`` keeps additional corpus columns (e.g.
+    label) on the anchor side as q_<col>."""
+    raw = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
+    emb = persist_tracked(
+        raw.withColumn("bucket", lsh_bucket(F.col("embedding"), embedding_dim(raw)))
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        *[F.col(c).alias(f"q_{c}") for c in extra_cols],
+    )
+    return emb, q
+
+
+
 @query(
     "ann_lsh_topk",
     oracle=f"""
@@ -189,18 +214,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: score only same-LSH-bucket vectors. The join key
     is the bucket id → the corpus shuffles once on bucket (or is stored
     pre-bucketed), each query touches ~N/2^P vectors instead of N."""
-    raw = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
-    # Bucket the corpus ONCE (persisted): the query side below is derived
-    # from this same frame, and without the persist both the broadcast
-    # build and the probe side would re-run the scan + Arrow bucket pass.
-    emb = persist_tracked(
-        raw.withColumn("bucket", lsh_bucket(F.col("embedding"), embedding_dim(raw)))
-    )
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
-    )
+    emb, q = _lsh_bucketed_anchors(spark, sf_dir)
     scored = (
         F.broadcast(q)
         .join(emb, F.col("bucket") == F.col("q_bucket"), "inner")
@@ -1007,18 +1021,7 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     upgrade path. Exactness: same md5-derived hyperplanes and rounded
     cosine as the whole ANN family (identical arithmetic both engines);
     ties broken by neg_id."""
-    raw = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
-    emb = persist_tracked(
-        raw.withColumn(
-            "bucket", lsh_bucket(F.col("embedding"), embedding_dim(raw))
-        )
-    )
-    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("label").alias("q_label"),
-        F.col("bucket").alias("q_bucket"),
-    )
+    emb, q = _lsh_bucketed_anchors(spark, sf_dir, extra_cols=("label",))
     scored = (
         F.broadcast(q)
         .join(

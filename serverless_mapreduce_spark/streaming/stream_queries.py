@@ -807,10 +807,13 @@ def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     two bigints per user — constant memory per key at any scale — and
     the bounded availableNow drain converges to the batch recurrence,
     which the oracle replays as a per-user recursive CTE (same
-    ``(e + x) // 2`` arithmetic, same (ts, event_id) order, so every
-    intermediate is an exact integer in both engines)."""
+    truncating ``(e + x) // 2`` arithmetic — DuckDB ``//`` truncates
+    toward zero, matched by _tdiv2 — same (ts, event_id) order, so
+    every intermediate is an exact integer in both engines)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from serverless_mapreduce_spark.operators.analytics import _tdiv2
 
     def update_ewma(key, pdfs, state: GroupState):
         n, ewma = state.get if state.exists else (0, None)
@@ -818,7 +821,7 @@ def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = batch.sort_values(["ts", "event_id"])
         for v in (batch["value"] * 100).round().astype("int64"):
             v = int(v)
-            ewma = v if ewma is None else (ewma + v) // 2
+            ewma = v if ewma is None else _tdiv2(ewma + v)
             n += 1
         state.update((n, ewma))
         yield pd.DataFrame(

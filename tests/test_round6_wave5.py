@@ -71,7 +71,10 @@ def test_sssp_rounds_match_dijkstra(spark):
 # --- EWMA recurrence ---------------------------------------------------------
 
 def test_ewma_matches_hand_recurrence(spark, sf_dir):
-    from serverless_mapreduce_spark.operators.analytics import ewma_user_spend
+    from serverless_mapreduce_spark.operators.analytics import (
+        _tdiv2,
+        ewma_user_spend,
+    )
 
     out = ewma_user_spend(spark, sf_dir).collect()
     series = {}
@@ -84,19 +87,37 @@ def test_ewma_matches_hand_recurrence(spark, sf_dir):
             prev = (
                 r["spend_cents"]
                 if prev is None
-                else (prev + r["spend_cents"]) // 2
+                else _tdiv2(prev + r["spend_cents"])
             )
             assert r["ewma_cents"] == prev
+
+
+def test_tdiv2_matches_duckdb_intdiv_on_negatives():
+    """The recurrence's division must have DuckDB ``//`` semantics
+    (truncation toward zero) for EVERY sign, not just the non-negative
+    fixture — Python's floor ``//`` differs on odd negatives."""
+    import duckdb
+
+    con = duckdb.connect()
+    from serverless_mapreduce_spark.operators.analytics import _tdiv2
+
+    for s in (-7, -6, -1, 0, 1, 6, 7, -12345, 98765):
+        expected = con.execute(
+            f"SELECT CAST({s} AS BIGINT) // 2"
+        ).fetchone()[0]
+        assert _tdiv2(s) == expected, s
 
 
 # --- bloom prefilter ---------------------------------------------------------
 
 def test_bloom_prefilter_is_superset_and_selective(spark, sf_dir):
     """The bitmap test must pass EVERY true key (no false negatives —
-    bloom's defining guarantee) while rejecting most non-members."""
+    bloom's defining guarantee) while rejecting most non-members.
+    Drives the REAL shared helpers (bloom_build_bitmap/bloom_prefilter),
+    the same code path the registered query composes."""
     from serverless_mapreduce_spark.operators.relational import (
-        BLOOM_BITS,
-        BLOOM_SEEDS,
+        bloom_build_bitmap,
+        bloom_prefilter,
     )
     from serverless_mapreduce_spark.catalog import table
 
@@ -105,39 +126,10 @@ def test_bloom_prefilter_is_superset_and_selective(spark, sf_dir):
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    m, nwords = BLOOM_BITS, BLOOM_BITS >> 6
-    pos_cols = [
-        F.pmod(F.xxhash64(F.col("o_orderkey"), F.lit(s)), F.lit(m)).alias(
-            f"p{i}"
-        )
-        for i, s in enumerate(BLOOM_SEEDS)
-    ]
-    words = {
-        r["word"]: r["bits"]
-        for r in keys.select(F.explode(F.array(*pos_cols)).alias("pos"))
-        .selectExpr(
-            "CAST(pos DIV 64 AS INT) AS word",
-            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT)) AS mask",
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
-        .collect()
-    }
-    bitmap = [words.get(i, 0) for i in range(nwords)]
+    bitmap = bloom_build_bitmap(keys, "o_orderkey")
 
     fact = table(spark, sf_dir, "lineitem").select("l_orderkey")
-    probe = fact.withColumn("_bm", F.lit(bitmap))
-    for i, s in enumerate(BLOOM_SEEDS):
-        probe = probe.withColumn(
-            f"_p{i}",
-            F.pmod(F.xxhash64(F.col("l_orderkey"), F.lit(s)), F.lit(m)),
-        )
-    test = " AND ".join(
-        f"(element_at(_bm, CAST(_p{i} DIV 64 AS INT) + 1)"
-        f" & shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p{i}, 64) AS INT))) <> 0"
-        for i in range(len(BLOOM_SEEDS))
-    )
-    passed = probe.filter(F.expr(test)).select("l_orderkey")
+    passed = bloom_prefilter(fact, "l_orderkey", bitmap).select("l_orderkey")
     true_match = fact.join(keys, fact.l_orderkey == keys.o_orderkey, "left_semi")
     # no false negatives: every true match survives the prefilter
     assert true_match.exceptAll(passed).count() == 0
@@ -214,51 +206,60 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
 
 # --- TWAP --------------------------------------------------------------------
 
-def test_twap_hand_example(spark):
+def _with_fake_events(module, spark, rows):
+    """Run ``fn`` with the module's ``table`` swapped for a crafted
+    events frame (the pattern test_attribution_window_and_channel uses
+    so the REAL operator body is exercised, not a test-local copy)."""
     import pandas as pd
 
-    from serverless_mapreduce_spark.operators import analytics as A
-
-    # value 10.00 held 3 us, then 20.00 held 1 us -> twap = 12.50
-    rows = [
-        (1, 100, "2024-01-01 00:00:00.000000", 10.0),
-        (2, 100, "2024-01-01 00:00:00.000003", 20.0),
-        (3, 100, "2024-01-01 00:00:00.000004", 99.0),  # terminal, weight 0
-    ]
-    df = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
-    ).select(
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    df = spark.createDataFrame(pdf).select(
         "event_id",
         "user_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "event_type",
         "value",
     )
-    df.createOrReplaceTempView("_twap_case")
-    from serverless_mapreduce_spark.catalog import epoch_us
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = df.select(
-        "user_id",
-        (F.col("value").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("vc"),
-        epoch_us(F.col("ts")).alias("t"),
-        F.lead(epoch_us(F.col("ts"))).over(w).alias("tn"),
-    )
-    agg = (
-        seq.filter(F.col("tn").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.sum(F.col("vc") * (F.col("tn") - F.col("t"))).alias("swc"),
-            F.sum(F.col("tn") - F.col("t")).alias("sd"),
-        )
-        .collect()[0]
-    )
+    def fake_table(spark_, sf_dir_, name):
+        assert name == "events"
+        return df
+
+    return fake_table
+
+
+def test_twap_hand_example(spark):
+    """Drives the REAL time_weighted_avg_user on a crafted series:
+    value 10.00 held 3 us then 20.00 held 1 us -> twap 12.50; plus a
+    degenerate user whose events share one timestamp (zero total hold)
+    who must be absent from the output, not a NaN row."""
+    import serverless_mapreduce_spark.operators.analytics as A
+
+    rows = [
+        (1, 100, "2024-01-01 00:00:00.000000", "view", 10.0),
+        (2, 100, "2024-01-01 00:00:00.000003", "view", 20.0),
+        (3, 100, "2024-01-01 00:00:00.000004", "view", 99.0),  # terminal
+        # user 200: both events at the same instant -> held_us = 0
+        (4, 200, "2024-01-01 00:00:00.000000", "view", 5.0),
+        (5, 200, "2024-01-01 00:00:00.000000", "view", 7.0),
+    ]
+    fake = _with_fake_events(A, spark, rows)
+    saved = A.table
+    A.table = fake
+    try:
+        out = {
+            r["user_id"]: r
+            for r in A.time_weighted_avg_user(spark, "unused").collect()
+        }
+    finally:
+        A.table = saved
     # (1000c*3 + 2000c*1) / 4us = 1250c -> 12500 milli-dollars
-    assert agg["swc"] == 1000 * 3 + 2000 * 1
-    assert agg["sd"] == 4
-    assert (agg["swc"] * 10) // agg["sd"] == 12500
+    assert out[100]["n_intervals"] == 2
+    assert out[100]["held_us"] == 4
+    assert out[100]["twap_milli"] == 12500
+    assert 200 not in out  # zero-hold user dropped, no NaN divergence
 
 
 # --- seasonal residuals ------------------------------------------------------
@@ -294,11 +295,7 @@ def test_seasonal_outliers_compare_within_hour(spark, sf_dir):
 # --- last-touch attribution --------------------------------------------------
 
 def test_attribution_window_and_channel(spark):
-    import pandas as pd
-
-    from serverless_mapreduce_spark.operators.analytics import (
-        attribution_last_touch,
-    )
+    import serverless_mapreduce_spark.operators.analytics as A
 
     rows = [
         # user 1: click then purchase 1h later -> click-attributed
@@ -309,35 +306,13 @@ def test_attribution_window_and_channel(spark):
         # user 2: purchase with no prior click -> direct
         (4, 2, "2024-01-01 00:00:00", "purchase", 1.0),
     ]
-    pdf = pd.DataFrame(
-        rows, columns=["event_id", "user_id", "ts", "event_type", "value"]
-    )
-    df = spark.createDataFrame(pdf).select(
-        "event_id",
-        "user_id",
-        F.col("ts").cast("timestamp_ntz").alias("ts"),
-        "event_type",
-        "value",
-    )
-    import serverless_mapreduce_spark.catalog as catalog
-
-    orig = catalog.table
-
-    def fake_table(spark_, sf_dir_, name):
-        assert name == "events"
-        return df
-
-    # drive the query body against the crafted frame
-    import serverless_mapreduce_spark.operators.analytics as A
-
+    fake = _with_fake_events(A, spark, rows)
     saved = A.table
-    A.table = fake_table
+    A.table = fake
     try:
         got = {
             (r["user_id"], r["channel"]): r["n_purchases"]
-            for r in attribution_last_touch(
-                spark, "unused"
-            ).collect()
+            for r in A.attribution_last_touch(spark, "unused").collect()
         }
     finally:
         A.table = saved
