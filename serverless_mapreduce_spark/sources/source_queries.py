@@ -20,6 +20,7 @@ from pyspark.sql.types import StructType
 
 from serverless_mapreduce_spark.catalog import table
 from serverless_mapreduce_spark.registry import query
+from serverless_mapreduce_spark.session import utc_session
 from serverless_mapreduce_spark.sources.csv_ddl import read_csv
 from serverless_mapreduce_spark.sources.sinks import read_output, write_output
 
@@ -408,3 +409,72 @@ def sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt="orc", num_partitions=2,
     )
     return read_output(spark, path, fmt="orc")
+
+
+# --- dynamic partition overwrite: the idempotent backfill --------------------
+
+#: The day whose partition gets backfilled (re-written with corrected
+#: values) while every other day's partition must survive untouched.
+BACKFILL_DAY = "2024-01-03"
+
+
+@query(
+    "sink_overwrite_partition_dynamic",
+    priority=150,
+    oracle=f"""
+    WITH corrected AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             CASE WHEN strftime(ts, '%Y-%m-%d') = '{BACKFILL_DAY}'
+                  THEN CAST(CAST(value AS DECIMAL(18,2)) * 2 AS DOUBLE)
+                  ELSE value END AS value
+      FROM events
+    )
+    SELECT day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM corrected GROUP BY day, event_type
+    """,
+)
+def sink_overwrite_partition_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDEMPOTENT PARTITION BACKFILL via DYNAMIC partition overwrite —
+    the daily-pipeline repair primitive: a bug is found in one day's
+    data, the pipeline re-runs FOR THAT DAY ONLY, and the write replaces
+    exactly the partitions present in the incoming frame (here:
+    BACKFILL_DAY, values corrected 2x) while every other day's files
+    are untouched. ``partitionOverwriteMode=dynamic`` is what makes the
+    re-run idempotent-by-partition; STATIC mode (the default) would
+    truncate the WHOLE table first — the classic footgun this operator
+    pins. Plan/IO: the backfill writes |one day| of data regardless of
+    table size, and the final read-back aggregates with partition
+    pruning intact. At 100 TB this is the nightly operational pattern
+    for every partitioned fact table (with the same semantics as Hive's
+    INSERT OVERWRITE ... PARTITION and Iceberg's dynamic overwrite).
+    The oracle models the post-backfill state declaratively. The write
+    path proves the mode on a real directory tree: day partitions
+    written, one re-written, others' files never rewritten."""
+    spark = utc_session(spark)
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    base = _scratch(sf_dir, "sink_dyn_overwrite")
+    # initial full load, hive-layout partitioned by day
+    ev.write.mode("overwrite").partitionBy("day").parquet(base)
+    # the corrected re-run for ONE day, written with dynamic overwrite:
+    # only the day=BACKFILL_DAY directory is replaced
+    corrected = ev.filter(F.col("day") == BACKFILL_DAY).withColumn(
+        "value",
+        (F.col("value").cast("decimal(18,2)") * 2).cast("double"),
+    )
+    (
+        corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(base)
+    )
+    back = spark.read.parquet(base)
+    return back.groupBy("day", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

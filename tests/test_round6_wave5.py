@@ -317,3 +317,39 @@ def test_attribution_window_and_channel(spark):
     finally:
         A.table = saved
     assert got == {(1, "click"): 1, (1, "direct"): 1, (2, "direct"): 1}
+
+
+# --- dynamic partition overwrite ---------------------------------------------
+
+def test_dynamic_overwrite_rewrites_only_backfilled_partition(spark, sf_dir):
+    """After the backfill, the BACKFILL_DAY directory must be strictly
+    newer than every other day partition (only it was re-written); and
+    more than one day partition must exist (static mode would have
+    truncated the rest)."""
+    import glob
+    import os
+
+    from serverless_mapreduce_spark.sources.source_queries import (
+        BACKFILL_DAY,
+        _scratch,
+        sink_overwrite_partition_dynamic,
+    )
+
+    sink_overwrite_partition_dynamic(spark, sf_dir).collect()
+    base = _scratch(sf_dir, "sink_dyn_overwrite")
+    days = sorted(
+        d for d in os.listdir(base) if d.startswith("day=")
+    )
+    assert len(days) > 1, "static overwrite truncated the other partitions"
+    assert f"day={BACKFILL_DAY}" in days
+
+    def newest(day):
+        files = glob.glob(os.path.join(base, f"day={day}", "*.parquet"))
+        assert files
+        return max(os.path.getmtime(f) for f in files)
+
+    backfilled = newest(BACKFILL_DAY)
+    others = [
+        newest(d.split("=", 1)[1]) for d in days if d != f"day={BACKFILL_DAY}"
+    ]
+    assert all(backfilled > m for m in others)
