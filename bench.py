@@ -202,6 +202,7 @@ HEADLINE = (
     "eval_minhash_jaccard_error",
     "contrastive_hard_negatives",
     "k_anonymity_audit",
+    "sink_overwrite_partition_dynamic",
 )
 
 

@@ -32,6 +32,7 @@ SIDE_EFFECTING = {
     "join_bucketed_colocated",
     "ann_ivf_kmeans_topk",
     "kv_jdbc_roundtrip",
+    "sink_overwrite_partition_dynamic",
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY where the broadcast side is a
