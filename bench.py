@@ -203,6 +203,7 @@ HEADLINE = (
     "contrastive_hard_negatives",
     "k_anonymity_audit",
     "sink_overwrite_partition_dynamic",
+    "graph_ppr_seeded",
 )
 
 

@@ -956,3 +956,106 @@ def _sym_weighted(pairs: DataFrame) -> DataFrame:
     return pairs.select(
         a.alias("src"), b.alias("dst"), w.alias("w")
     ).unionByName(pairs.select(b.alias("src"), a.alias("dst"), w.alias("w")))
+
+
+# --- personalized pagerank ---------------------------------------------------
+
+#: Seed selector for personalized PageRank: parts with id % PPR_SEED_MOD
+#: == 0 form the restart set (a deterministic stand-in for "the user's
+#: purchase history" / "the query's entity set").
+PPR_SEED_MOD = 50
+PPR_ITERS = 5
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized PageRank, arithmetic-identical to the
+    DataFrame loop: per round, the teleport table (seeds only) FULL OUTER
+    joins the damped contribution sums, and rank = COALESCE(tele, 0) +
+    COALESCE(cr, 0) — the same expression shape the Spark select uses,
+    so the reached-node set AND the doubles match exactly (see module
+    docstring for why damped double arithmetic hash-matches at 9 dp)."""
+    cte = [
+        EDGES_SQL,
+        f"seeds AS (SELECT src AS node FROM deg WHERE src % {PPR_SEED_MOD} = 0)",
+        "ns AS (SELECT COUNT(*) AS n FROM seeds)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM ns) AS rank FROM seeds)",
+    ]
+    for i in range(1, PPR_ITERS + 1):
+        cte.append(
+            f"""r{i} AS (
+      SELECT COALESCE(t.node, c.node) AS node,
+             COALESCE(t.tele, 0.0) + COALESCE(c.cr, 0.0) AS rank
+      FROM (SELECT node, 0.15 / (SELECT n FROM ns) AS tele FROM seeds) t
+      FULL OUTER JOIN (
+        SELECT s.dst AS node, {PAGERANK_DAMP} * SUM(r.rank / d.d) AS cr
+        FROM sym s
+        JOIN r{i - 1} r ON r.node = s.src
+        JOIN deg d ON d.src = s.src
+        GROUP BY s.dst
+      ) c ON t.node = c.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"\n    SELECT node AS partkey, ROUND(rank, 9) AS ppr FROM r{PPR_ITERS}"
+    )
+
+
+@query("graph_ppr_seeded", priority=150, oracle=_ppr_oracle())
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PAGERANK: restart mass goes only to a SEED SET (parts
+    with id % 50 == 0 — the 'user's history' in a recommender), so rank
+    measures proximity TO THE SEEDS, not global centrality — the classic
+    related-items / who-to-follow primitive (Pinterest's Pixie runs
+    exactly this on a board-pin graph). Structurally the sixth iterative
+    shape: like PageRank the graph side is fixed, but the rank FRONTIER
+    IS SPARSE — r0 lives only on seeds and spreads one hop per round, so
+    early iterations touch a fraction of the graph and the rank table
+    stays small until convergence radius covers the component. Per
+    round: damped contribution sums (same size-gated broadcast/
+    shuffle_hash rank join and persisted degree-annotated adjacency as
+    graph_pagerank — the big side NEVER re-shuffles) FULL-OUTER-merged
+    with the constant seed teleport; absent-side zeros via COALESCE,
+    keeping the reached set exact in both engines. At 100 TB the
+    production trick is Monte-Carlo walk sampling (Pixie) — the
+    join-agg form here is the exact-oracle-checkable reference both
+    approximate. Each generation localCheckpoint'ed (lineage doubling;
+    see graph_pagerank)."""
+    sym = _sym(_edges(spark, sf_dir))
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    adj = persist_tracked(sym.join(deg, "src"))
+    seeds = deg.filter(F.col("src") % PPR_SEED_MOD == 0).select(
+        F.col("src").alias("node")
+    )
+    ns = seeds.count()  # scalar, seed-set-sized count job
+    n_nodes = deg.count()
+    use_broadcast = n_nodes <= BROADCAST_NODE_LIMIT
+    tele = seeds.select("node", F.lit(0.15 / ns).alias("tele"))
+    ranks = seeds.select(
+        "node", F.lit(1.0 / ns).alias("rank")
+    ).localCheckpoint()
+    for _ in range(PPR_ITERS):
+        r = F.broadcast(ranks) if use_broadcast else ranks.hint("shuffle_hash")
+        contrib = adj.join(r, adj.src == r.node).select(
+            F.col("dst"), (F.col("rank") / F.col("d")).alias("c")
+        )
+        cr = (
+            contrib.groupBy("dst")
+            .agg((F.lit(PAGERANK_DAMP) * F.sum("c")).alias("cr"))
+            .select(F.col("dst").alias("node"), "cr")
+        )
+        ranks = (
+            tele.join(cr, "node", "full_outer")
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("tele"), F.lit(0.0))
+                    + F.coalesce(F.col("cr"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("node").alias("partkey"), F.round("rank", 9).alias("ppr")
+    )
