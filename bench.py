@@ -204,6 +204,8 @@ HEADLINE = (
     "k_anonymity_audit",
     "sink_overwrite_partition_dynamic",
     "graph_ppr_seeded",
+    "concurrent_orders_daily",
+    "attribution_linear_touch",
 )
 
 

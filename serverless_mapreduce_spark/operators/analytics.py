@@ -3249,3 +3249,75 @@ def concurrent_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("bigint").alias("delta"),
         F.sum("d").over(w).cast("bigint").alias("open_orders"),
     )
+
+
+# --- linear multi-touch attribution ------------------------------------------
+
+@query(
+    "attribution_linear_touch",
+    priority=150,
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS t,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN CAST({ATTRIB_WINDOW_HOURS} AS BIGINT)
+                             * 3600 * 1000000
+                             PRECEDING AND CURRENT ROW
+             )
+             - CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+               AS n_touches
+      FROM events
+    )
+    SELECT user_id, event_id AS purchase_id,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CASE WHEN n_touches > 0
+                THEN CAST(1000000 // n_touches AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS credit_per_touch_micro
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR (multi-touch) ATTRIBUTION — the fairness upgrade over
+    attribution_last_touch: every click in the 24h lookback shares the
+    purchase's credit equally. The touch count is a RANGE-frame window
+    (RANGE 24h PRECEDING in epoch micros, minus the row itself when the
+    purchase... is never a click — the self-term subtraction keeps the
+    expression identical for both event types and both engines) — so
+    like last-touch this is ONE user-keyed window pass, not a
+    purchases×clicks range join whose candidate set is quadratic in
+    per-user activity. The RANGE frame is the load-bearing feature:
+    a ROWS frame counts positions, RANGE counts the actual 24h of
+    event-time regardless of how many events landed in it. Per-touch
+    credit is FLOOR(1e6 / n) micro-credits — integer division,
+    identical both engines (ROUND-tie lesson); zero-touch purchases
+    ('direct') carry 0. Tie-safe WITHOUT a tiebreak column (RANGE frames
+    allow exactly one ORDER BY expression in both engines): a RANGE
+    frame includes ALL peers of the boundary instant, so the count is
+    order-independent under timestamp ties by construction; the frame
+    bound is exact integer micros."""
+    spark = utc_session(spark)
+    t = epoch_us(F.col("ts"))
+    is_click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t)
+        .rangeBetween(-ATTRIB_WINDOW_HOURS * 3600 * 1000000, 0)
+    )
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.sum(is_click).over(w) - is_click).alias("n_touches"),
+    )
+    n = F.col("n_touches")
+    return seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        n.cast("bigint").alias("n_touches"),
+        F.when(n > 0, (F.lit(1000000) / n).cast("bigint"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("credit_per_touch_micro"),
+    )
