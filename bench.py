@@ -206,6 +206,7 @@ HEADLINE = (
     "graph_ppr_seeded",
     "concurrent_orders_daily",
     "attribution_linear_touch",
+    "funnel_time_to_convert",
 )
 
 
