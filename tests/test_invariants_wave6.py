@@ -1,0 +1,95 @@
+"""Cross-operator invariants for the wave-5/6 additions — properties two
+independently-implemented operators must agree on, which catch semantic
+drift that each operator's own oracle (being its twin) cannot."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_sssp_dominates_bfs_hops(spark, sf_dir):
+    """Weighted distance >= hop count on every node (all weights >= 1),
+    and both algorithms reach exactly the same node set — the weighted
+    and unweighted relaxations agree on reachability."""
+    from serverless_mapreduce_spark.operators.graph import (
+        graph_bfs_hops,
+        graph_sssp_weighted,
+    )
+
+    hops = {
+        r["node"]: r["hops"] for r in graph_bfs_hops(spark, sf_dir).collect()
+    }
+    dist = {
+        r["node"]: r["dist"]
+        for r in graph_sssp_weighted(spark, sf_dir).collect()
+    }
+    assert set(hops) == set(dist)
+    assert all(dist[n] >= hops[n] for n in hops)
+
+
+def test_ppr_mass_conserved(spark, sf_dir):
+    """Personalized PageRank conserves probability mass: with no
+    dangling nodes (every node has degree >= 1 by construction) each
+    round maps total mass T -> 0.15 + 0.85*T, and T0 = 1, so total
+    stays 1 to rounding."""
+    from serverless_mapreduce_spark.operators.graph import graph_ppr_seeded
+
+    total = (
+        graph_ppr_seeded(spark, sf_dir).agg(F.sum("ppr")).collect()[0][0]
+    )
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_linear_and_last_touch_agree_on_attribution(spark, sf_dir):
+    """A purchase has n_touches > 0 under linear attribution IFF
+    last-touch attributes it to 'click' — both reduce to 'was there a
+    click in the 24h lookback', derived via two different window
+    mechanisms (running MAX timestamp vs RANGE-frame count)."""
+    from serverless_mapreduce_spark.operators.analytics import (
+        attribution_last_touch,
+        attribution_linear_touch,
+    )
+
+    linear = attribution_linear_touch(spark, sf_dir)
+    n_linear_touched = linear.filter(F.col("n_touches") > 0).count()
+    last = attribution_last_touch(spark, sf_dir)
+    n_last_click = (
+        last.filter(F.col("channel") == "click")
+        .agg(F.sum("n_purchases"))
+        .collect()[0][0]
+        or 0
+    )
+    assert n_linear_touched == n_last_click
+
+
+def test_concurrent_orders_curve_is_valid(spark, sf_dir):
+    """The open-orders curve never dips negative and returns to zero
+    after the last close (every +1 has its -1)."""
+    from serverless_mapreduce_spark.operators.analytics import (
+        concurrent_orders_daily,
+    )
+
+    rows = sorted(
+        concurrent_orders_daily(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    assert all(r["open_orders"] >= 0 for r in rows)
+    assert rows[-1]["open_orders"] == 0
+    assert sum(r["delta"] for r in rows) == 0
+
+
+def test_funnel_ttc_quantiles_monotone(spark, sf_dir):
+    from serverless_mapreduce_spark.operators.analytics import (
+        funnel_time_to_convert,
+    )
+
+    q = {
+        r["pct"]: r["delta_us"]
+        for r in funnel_time_to_convert(spark, sf_dir).collect()
+    }
+    pcts = sorted(q)
+    assert all(
+        q[pcts[i]] <= q[pcts[i + 1]] for i in range(len(pcts) - 1)
+    )
+    assert all(v > 0 for v in q.values())
