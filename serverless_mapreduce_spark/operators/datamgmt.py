@@ -517,3 +517,93 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (F.col("n_rows") < K_ANON).alias("violates_k"),
     )
+
+
+# --- change data feed: diff two snapshot versions ----------------------------
+
+#: Keys deleted in the v1 snapshot (alongside merge_upsert_orders' update
+#: and insert batches) so the change feed exercises all three ops.
+CDC_DELETE_MOD = 13
+
+
+@query(
+    "cdc_diff_snapshots",
+    priority=150,
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    v1 AS (
+      SELECT k, 'U' AS st, cents + 500 AS cents
+      FROM base WHERE k % {UPSERT_UPDATE_MOD} = 0 AND k % {CDC_DELETE_MOD} <> 0
+      UNION ALL
+      SELECT -(k + 1), 'N', cents FROM base WHERE k % {UPSERT_INSERT_MOD} = 0
+      UNION ALL
+      SELECT k, st, cents FROM base
+      WHERE k % {UPSERT_UPDATE_MOD} <> 0 AND k % {CDC_DELETE_MOD} <> 0
+    )
+    SELECT COALESCE(b.k, n.k) AS o_orderkey,
+           CASE WHEN b.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           b.st AS before_status, b.cents AS before_cents,
+           n.st AS after_status, n.cents AS after_cents
+    FROM base b FULL OUTER JOIN v1 n ON b.k = n.k
+    WHERE b.k IS NULL OR n.k IS NULL
+       OR b.st <> n.st OR b.cents <> n.cents
+    """,
+)
+def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED by SNAPSHOT DIFF — Delta Lake's CDF/"table_changes"
+    semantics derived from two versions when the writer didn't record
+    per-row change metadata: v0 is the orders snapshot, v1 applies
+    merge_upsert_orders' update/insert batches plus a delete batch, and
+    the feed is the keyed FULL OUTER diff emitting (op, before, after)
+    for every inserted / updated / deleted key — unchanged rows produce
+    NOTHING, which is what makes the feed consumable incrementally
+    downstream (reprocess |changes|, not |table|). Plan: one co-keyed
+    full-outer join (both sides hash to the same key layout) + a
+    row-local change predicate; at 100 TB both snapshots are bucketed
+    by key and the join is exchange-free. Exactness: integer cents and
+    status strings only; op classification is NULL-pattern matching —
+    identical in both engines."""
+    base = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    k = F.col("k")
+    updates = base.filter(
+        (k % UPSERT_UPDATE_MOD == 0) & (k % CDC_DELETE_MOD != 0)
+    ).select("k", F.lit("U").alias("st"), (F.col("cents") + 500).alias("cents"))
+    inserts = base.filter(k % UPSERT_INSERT_MOD == 0).select(
+        (-(k + 1)).alias("k"), F.lit("N").alias("st"), "cents"
+    )
+    carried = base.filter(
+        (k % UPSERT_UPDATE_MOD != 0) & (k % CDC_DELETE_MOD != 0)
+    )
+    v1 = updates.unionByName(inserts).unionByName(carried)
+    b = base.alias("b")
+    n = v1.alias("n")
+    joined = b.join(n, F.col("b.k") == F.col("n.k"), "full_outer")
+    changed = joined.filter(
+        F.col("b.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("b.st") != F.col("n.st"))
+        | (F.col("b.cents") != F.col("n.cents"))
+    )
+    return changed.select(
+        F.coalesce(F.col("b.k"), F.col("n.k")).alias("o_orderkey"),
+        F.when(F.col("b.k").isNull(), "insert")
+        .when(F.col("n.k").isNull(), "delete")
+        .otherwise("update")
+        .alias("op"),
+        F.col("b.st").alias("before_status"),
+        F.col("b.cents").alias("before_cents"),
+        F.col("n.st").alias("after_status"),
+        F.col("n.cents").alias("after_cents"),
+    )
