@@ -207,6 +207,8 @@ HEADLINE = (
     "concurrent_orders_daily",
     "attribution_linear_touch",
     "funnel_time_to_convert",
+    "cdc_diff_snapshots",
+    "eval_sample_accelerated_agg",
 )
 
 

@@ -3406,3 +3406,86 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(FUNNEL_TTC_PCTS)}, {stack}) as (pct, k, delta_us)"
         )
     )
+
+
+# --- sampling-accelerated aggregation eval -----------------------------------
+
+AQP_SAMPLE_MOD = 10  #: 1-in-10 deterministic row sample
+
+
+@query(
+    "eval_sample_accelerated_agg",
+    priority=150,
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(concat('0x', substr(md5(
+               CAST(l_orderkey AS VARCHAR) || ':' ||
+               CAST(l_linenumber AS VARCHAR) || ':aqp'), 1, 8)) AS BIGINT)
+               % {AQP_SAMPLE_MOD} = 0 AS in_sample
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           SUM(cents) AS exact_cents,
+           SUM(CASE WHEN in_sample THEN cents ELSE 0 END)
+             * {AQP_SAMPLE_MOD} AS est_cents,
+           CAST(FLOOR(CAST(abs(
+                  SUM(CASE WHEN in_sample THEN cents ELSE 0 END)
+                    * {AQP_SAMPLE_MOD} - SUM(cents)
+                ) AS DOUBLE) * 1000000 / CAST(SUM(cents) AS DOUBLE))
+                AS BIGINT) AS rel_err_micro
+    FROM rows_ GROUP BY l_returnflag
+    """,
+)
+def eval_sample_accelerated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE QUERY PROCESSING eval (BlinkDB-style): answer the
+    revenue-by-returnflag aggregate from a DETERMINISTIC 1-in-10 row
+    sample scaled by 10, next to the exact answer, and report the
+    relative error — the measurement that decides whether a dashboard
+    can run on the sample at 1/10th the scan cost. The sample predicate
+    is md5 over the row's natural key (salted ':aqp'), so the sample is
+    REPRODUCIBLE and co-computable: here both answers ride ONE scan and
+    one aggregation (a conditional sum — the sample costs one extra
+    column, which is how you audit an AQP layer); in production the
+    sample lives as its own 10x-smaller table and the exact side is
+    skipped. Exactness: integer cents, integer scale-up, FLOOR of one
+    IEEE divide for the error (ROUND-tie lesson); the md5-threshold
+    sampling is the same auditable-membership mechanism as
+    weighted_sample_events and label_rebalance."""
+    li = table(spark, sf_dir, "lineitem")
+    rowkey = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+        F.lit(":aqp"),
+    )
+    in_sample = (
+        F.conv(F.substring(F.md5(rowkey), 1, 8), 16, 10).cast("bigint")
+        % AQP_SAMPLE_MOD
+        == 0
+    )
+    rows_ = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        in_sample.alias("in_sample"),
+    )
+    exact = F.sum("cents")
+    est = (
+        F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0))
+        * AQP_SAMPLE_MOD
+    )
+    return rows_.groupBy("l_returnflag").agg(
+        exact.alias("exact_cents"),
+        est.alias("est_cents"),
+        F.floor(
+            F.abs(est - exact).cast("double")
+            * 1000000
+            / exact.cast("double")
+        )
+        .cast("bigint")
+        .alias("rel_err_micro"),
+    )
