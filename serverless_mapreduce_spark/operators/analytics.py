@@ -3233,13 +3233,25 @@ def concurrent_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d_close"),
         )
     )
+    # one explode, not a 2-branch union: union'ing two selects of `spans`
+    # makes Catalyst execute the lineitem⋈orders span build TWICE (one
+    # copy per branch — observed as two BroadcastHashJoins in the plan);
+    # exploding a 2-element array emits both delta rows from ONE pass
     deltas = (
-        spans.select(F.col("d_open").alias("day"), F.lit(1).alias("delta"))
-        .unionByName(
-            spans.select(
-                F.col("d_close").alias("day"), F.lit(-1).alias("delta")
-            )
+        spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("d_open").alias("day"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.col("d_close").alias("day"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.day", "e.delta")
         .groupBy("day")
         .agg(F.sum("delta").alias("d"))
     )
