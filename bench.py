@@ -209,6 +209,7 @@ HEADLINE = (
     "funnel_time_to_convert",
     "cdc_diff_snapshots",
     "eval_sample_accelerated_agg",
+    "session_path_topk",
 )
 
 

@@ -3501,3 +3501,108 @@ def eval_sample_accelerated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rel_err_micro"),
     )
+
+
+# --- session path mining -----------------------------------------------------
+
+PATH_TOPK = 10
+
+
+@query(
+    "session_path_topk",
+    priority=150,
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '{SESSION_GAP_HOURS} hours'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    tri AS (
+      SELECT event_type || '>' ||
+             lead(event_type, 1) OVER w2 || '>' ||
+             lead(event_type, 2) OVER w2 AS path
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+    ),
+    counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tri WHERE path IS NOT NULL GROUP BY path
+    )
+    SELECT path, n, rnk FROM (
+      SELECT path, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk
+      FROM counted
+    ) WHERE rnk <= {PATH_TOPK}
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION PATH MINING: the top-10 three-step event-type paths users
+    take WITHIN a session — the aggregate behind Sankey/user-flow
+    views ('view>click>purchase vs view>click>error'). Pipeline: the
+    sessionize lag-flag-cumsum (same SESSION_GAP_HOURS boundary rule as
+    sessionize_events, so paths never span sessions), then each
+    session's ordered event sequence yields its trigrams via two LEADs
+    over the session-keyed window — NO self-join, no explode of
+    collected arrays (collect_list would build per-session arrays just
+    to re-explode them; the windows stay streaming-friendly and reuse
+    ONE user-keyed exchange for flagging, numbering, and trigram
+    derivation alike) — and one path-keyed count + global top-k
+    finishes it. At 100 TB the per-path count is the only global
+    exchange and its key space is |event_types|^3 — tiny. Exactness:
+    counts and strings only; sequence order pinned by (ts, event_id) in
+    both engines; top-k tie-broken by path string."""
+    spark = utc_session(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_s = SESSION_GAP_HOURS * 3600
+    new_s = F.when(
+        prev.isNull()
+        | (F.timestamp_diff("SECOND", prev, F.col("ts")) >= gap_s),
+        1,
+    ).otherwise(0)
+    sess = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("new_s", new_s)
+        .withColumn(
+            "session_id",
+            F.sum("new_s")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+    )
+    w2 = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    tri = sess.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w2),
+            F.lead("event_type", 2).over(w2),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w2).alias("_third"),
+    )
+    counted = (
+        tri.filter(F.col("_third").isNotNull())
+        .groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= PATH_TOPK)
+        .select("path", "n", "rnk")
+    )
