@@ -3111,15 +3111,15 @@ ATTRIB_WINDOW_HOURS = 24
     oracle=f"""
     WITH seq AS (
       SELECT user_id, event_id, ts, event_type,
-             MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-             ) AS last_click_ts
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_click_us
       FROM events
     )
     SELECT user_id,
-           CASE WHEN last_click_ts IS NOT NULL
-                 AND epoch_us(ts) - epoch_us(last_click_ts)
+           CASE WHEN last_click_us IS NOT NULL
+                 AND epoch_us(ts) - last_click_us
                      <= CAST({ATTRIB_WINDOW_HOURS} AS BIGINT) * 3600 * 1000000
                 THEN 'click' ELSE 'direct' END AS channel,
            CAST(COUNT(*) AS BIGINT) AS n_purchases
@@ -3130,36 +3130,42 @@ ATTRIB_WINDOW_HOURS = 24
 )
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAST-TOUCH ATTRIBUTION: each purchase credits the user's most
-    recent click within a 24h lookback, else counts as 'direct' —
-    the event-sequence join every growth pipeline runs. NOT a join at
-    all in this plan: a purchase needs the latest PRECEDING click, which
-    is one running MAX(CASE WHEN click THEN ts END) over the user's
-    timeline (rows 1 PRECEDING excludes self), so the whole query is a
-    single user-keyed exchange + window pass + small aggregate — versus
-    the naive purchases⋈clicks range self-join whose candidate set is
-    quadratic in per-user activity. Same exchange-reuse family as
-    sessionize_events/TWAP. Tie-safe (ts, event_id ordering both
-    engines); window compare in exact epoch micros; no floats
-    anywhere."""
+    recent click STRICTLY BEFORE it (by timestamp) within a 24h
+    lookback, else counts as 'direct' — the event-sequence join every
+    growth pipeline runs. NOT a join at all in this plan: a purchase
+    needs the latest preceding click, which is one running
+    MAX(CASE WHEN click THEN epoch END) over a RANGE frame ending at
+    1 PRECEDING — epoch micros are integers, so the frame is exactly
+    't_click <= t_purchase - 1', i.e. strictly earlier TIMESTAMPS.
+    The RANGE frame (not ROWS) is the tie-correctness choice: a ROWS
+    frame would include a same-instant click or not depending on the
+    tiebreak order, while the strictly-before rule is the same one
+    attribution_linear_touch's frame uses — the two operators provably
+    agree on which purchases are click-attributed
+    (tests/test_invariants_wave6.py), which a same-instant-counts rule
+    would break. One user-keyed exchange + window pass + small
+    aggregate versus the naive purchases⋈clicks range self-join; exact
+    integer micros; no floats anywhere."""
     spark = utc_session(spark)
+    t = epoch_us(F.col("ts"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .orderBy(t)
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     seq = table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        "ts",
+        t.alias("t_us"),
         "event_type",
         F.max(
-            F.when(F.col("event_type") == "click", F.col("ts"))
-        ).over(w).alias("last_click_ts"),
+            F.when(F.col("event_type") == "click", t)
+        ).over(w).alias("last_click_us"),
     )
     within = (
-        F.col("last_click_ts").isNotNull()
+        F.col("last_click_us").isNotNull()
         & (
-            epoch_us(F.col("ts")) - epoch_us(F.col("last_click_ts"))
+            F.col("t_us") - F.col("last_click_us")
             <= F.lit(ATTRIB_WINDOW_HOURS * 3600 * 1000000)
         )
     )
@@ -3272,14 +3278,12 @@ def concurrent_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
       SELECT user_id, event_id, event_type,
              epoch_us(ts) AS t,
-             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+             COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts)
                RANGE BETWEEN CAST({ATTRIB_WINDOW_HOURS} AS BIGINT)
                              * 3600 * 1000000
-                             PRECEDING AND CURRENT ROW
-             )
-             - CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
-               AS n_touches
+                             PRECEDING AND 1 PRECEDING
+             ), 0) AS n_touches
       FROM events
     )
     SELECT user_id, event_id AS purchase_id,
@@ -3294,14 +3298,16 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LINEAR (multi-touch) ATTRIBUTION — the fairness upgrade over
     attribution_last_touch: every click in the 24h lookback shares the
     purchase's credit equally. The touch count is a RANGE-frame window
-    (RANGE 24h PRECEDING in epoch micros, minus the row itself when the
-    purchase... is never a click — the self-term subtraction keeps the
-    expression identical for both event types and both engines) — so
-    like last-touch this is ONE user-keyed window pass, not a
-    purchases×clicks range join whose candidate set is quadratic in
-    per-user activity. The RANGE frame is the load-bearing feature:
-    a ROWS frame counts positions, RANGE counts the actual 24h of
-    event-time regardless of how many events landed in it. Per-touch
+    over epoch micros, frame [t-24h, t-1] — integer micros make
+    '1 PRECEDING' exactly 'strictly earlier timestamp', the same
+    strictly-before rule attribution_last_touch applies, so the two
+    operators provably agree on which purchases are click-attributed
+    even under same-instant ties (tests/test_invariants_wave6.py).
+    ONE user-keyed window pass, not a purchases×clicks range join
+    whose candidate set is quadratic in per-user activity. The RANGE
+    frame is the load-bearing feature: a ROWS frame counts positions
+    (and would make tie handling order-dependent), RANGE counts the
+    actual 24h of event-time. Per-touch
     credit is FLOOR(1e6 / n) micro-credits — integer division,
     identical both engines (ROUND-tie lesson); zero-touch purchases
     ('direct') carry 0. Tie-safe WITHOUT a tiebreak column (RANGE frames
@@ -3315,13 +3321,13 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         Window.partitionBy("user_id")
         .orderBy(t)
-        .rangeBetween(-ATTRIB_WINDOW_HOURS * 3600 * 1000000, 0)
+        .rangeBetween(-ATTRIB_WINDOW_HOURS * 3600 * 1000000, -1)
     )
     seq = table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         "event_type",
-        (F.sum(is_click).over(w) - is_click).alias("n_touches"),
+        F.coalesce(F.sum(is_click).over(w), F.lit(0)).alias("n_touches"),
     )
     n = F.col("n_touches")
     return seq.filter(F.col("event_type") == "purchase").select(
@@ -3398,6 +3404,11 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "tc")
         .agg((F.min("tp") - F.col("tc")).alias("delta_us"))
         .select("user_id", "delta_us")
+        # checkpoint BEFORE the count: the scalar n and the value-counts
+        # frame below otherwise each execute the full scan+join+agg
+        # pipeline from scratch (review finding) — unlike
+        # exact_global_quantiles, whose count is a bare table scan
+        .localCheckpoint(eager=True)
     )
     n = conv.count()  # 1-row scalar: number of converting users
     vc = conv.groupBy("delta_us").agg(
@@ -3586,17 +3597,21 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = Window.partitionBy("user_id", "session_id").orderBy(
         "ts", "event_id"
     )
+    # F.concat, NOT concat_ws: concat propagates NULL (matching the
+    # oracle's ||), so a too-short tail or a NULL event_type yields a
+    # NULL path and is dropped — concat_ws would silently SKIP the null
+    # and emit a malformed 2-part path the oracle never sees
     tri = sess.select(
-        F.concat_ws(
-            ">",
+        F.concat(
             F.col("event_type"),
+            F.lit(">"),
             F.lead("event_type", 1).over(w2),
+            F.lit(">"),
             F.lead("event_type", 2).over(w2),
-        ).alias("path"),
-        F.lead("event_type", 2).over(w2).alias("_third"),
+        ).alias("path")
     )
     counted = (
-        tri.filter(F.col("_third").isNotNull())
+        tri.filter(F.col("path").isNotNull())
         .groupBy("path")
         .agg(F.count("*").cast("bigint").alias("n"))
     )

@@ -47,21 +47,72 @@ UPSERT_UPDATE_MOD = 7
 UPSERT_INSERT_MOD = 11
 
 
+#: Shared change-batch derivation — ONE definition of the synthetic
+#: update/insert batches, consumed by merge_upsert_orders (which applies
+#: them) AND cdc_diff_snapshots (whose docstring claims it diffs exactly
+#: these batches; sharing the builder makes that claim structural).
+#: ``excl_mod`` additionally excludes keys from the update batch
+#: (the CDC delete set must not also be updated).
+_SQL_ORDERS_BASE = """
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+"""
+
+
+def _sql_update_batch(extra_pred: str = "") -> str:
+    return (
+        f"SELECT o_orderkey, 'U' AS o_orderstatus, cents + 500 AS cents "
+        f"FROM base WHERE o_orderkey % {UPSERT_UPDATE_MOD} = 0{extra_pred}"
+    )
+
+
+def _sql_insert_batch() -> str:
+    return (
+        f"SELECT -(o_orderkey + 1), 'N', cents "
+        f"FROM base WHERE o_orderkey % {UPSERT_INSERT_MOD} = 0"
+    )
+
+
+def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
+def _update_batch(base: DataFrame, excl_mod: int | None = None) -> DataFrame:
+    k = F.col("o_orderkey")
+    b = base.filter(k % UPSERT_UPDATE_MOD == 0)
+    if excl_mod is not None:
+        b = b.filter(k % excl_mod != 0)
+    return b.select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("cents") + 500).alias("cents"),
+    )
+
+
+def _insert_batch(base: DataFrame) -> DataFrame:
+    return base.filter(F.col("o_orderkey") % UPSERT_INSERT_MOD == 0).select(
+        (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "cents",
+    )
+
+
 @query(
     "merge_upsert_orders",
     priority=50,
     oracle=f"""
-    WITH base AS (
-      SELECT o_orderkey, o_orderstatus,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      FROM orders
-    ),
+    WITH base AS ({_SQL_ORDERS_BASE}),
     changes AS (
-      SELECT o_orderkey, 'U' AS o_orderstatus, cents + 500 AS cents
-      FROM base WHERE o_orderkey % {UPSERT_UPDATE_MOD} = 0
+      {_sql_update_batch()}
       UNION ALL
-      SELECT -(o_orderkey + 1), 'N', cents
-      FROM base WHERE o_orderkey % {UPSERT_INSERT_MOD} = 0
+      {_sql_insert_batch()}
     )
     SELECT o_orderkey, o_orderstatus, cents FROM changes
     UNION ALL
@@ -80,23 +131,9 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of snapshot+changes, no join (the oracle's NOT EXISTS anti-join
     is the naive two-pass form). Prices move as integer cents so updated
     values are exact in both engines."""
-    base = table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_orderstatus",
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("cents"),
-    )
-    updates = base.filter(F.col("o_orderkey") % UPSERT_UPDATE_MOD == 0).select(
-        "o_orderkey",
-        F.lit("U").alias("o_orderstatus"),
-        (F.col("cents") + 500).alias("cents"),
-    )
-    inserts = base.filter(F.col("o_orderkey") % UPSERT_INSERT_MOD == 0).select(
-        (-(F.col("o_orderkey") + 1)).alias("o_orderkey"),
-        F.lit("N").alias("o_orderstatus"),
-        "cents",
-    )
+    base = _orders_base(spark, sf_dir)
+    updates = _update_batch(base)
+    inserts = _insert_batch(base)
     tagged = base.withColumn("version", F.lit(0)).unionByName(
         updates.unionByName(inserts).withColumn("version", F.lit(1))
     )
@@ -530,29 +567,25 @@ CDC_DELETE_MOD = 13
     "cdc_diff_snapshots",
     priority=150,
     oracle=f"""
-    WITH base AS (
-      SELECT o_orderkey AS k, o_orderstatus AS st,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-      FROM orders
-    ),
+    WITH base AS ({_SQL_ORDERS_BASE}),
     v1 AS (
-      SELECT k, 'U' AS st, cents + 500 AS cents
-      FROM base WHERE k % {UPSERT_UPDATE_MOD} = 0 AND k % {CDC_DELETE_MOD} <> 0
+      {_sql_update_batch(f" AND o_orderkey % {CDC_DELETE_MOD} <> 0")}
       UNION ALL
-      SELECT -(k + 1), 'N', cents FROM base WHERE k % {UPSERT_INSERT_MOD} = 0
+      {_sql_insert_batch()}
       UNION ALL
-      SELECT k, st, cents FROM base
-      WHERE k % {UPSERT_UPDATE_MOD} <> 0 AND k % {CDC_DELETE_MOD} <> 0
+      SELECT o_orderkey, o_orderstatus, cents FROM base
+      WHERE o_orderkey % {UPSERT_UPDATE_MOD} <> 0
+        AND o_orderkey % {CDC_DELETE_MOD} <> 0
     )
-    SELECT COALESCE(b.k, n.k) AS o_orderkey,
-           CASE WHEN b.k IS NULL THEN 'insert'
-                WHEN n.k IS NULL THEN 'delete'
+    SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
                 ELSE 'update' END AS op,
-           b.st AS before_status, b.cents AS before_cents,
-           n.st AS after_status, n.cents AS after_cents
-    FROM base b FULL OUTER JOIN v1 n ON b.k = n.k
-    WHERE b.k IS NULL OR n.k IS NULL
-       OR b.st <> n.st OR b.cents <> n.cents
+           b.o_orderstatus AS before_status, b.cents AS before_cents,
+           n.o_orderstatus AS after_status, n.cents AS after_cents
+    FROM base b FULL OUTER JOIN v1 n ON b.o_orderkey = n.o_orderkey
+    WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR b.o_orderstatus <> n.o_orderstatus OR b.cents <> n.cents
     """,
 )
 def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -569,41 +602,35 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     by key and the join is exchange-free. Exactness: integer cents and
     status strings only; op classification is NULL-pattern matching —
     identical in both engines."""
-    base = table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("st"),
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("cents"),
-    )
-    k = F.col("k")
-    updates = base.filter(
-        (k % UPSERT_UPDATE_MOD == 0) & (k % CDC_DELETE_MOD != 0)
-    ).select("k", F.lit("U").alias("st"), (F.col("cents") + 500).alias("cents"))
-    inserts = base.filter(k % UPSERT_INSERT_MOD == 0).select(
-        (-(k + 1)).alias("k"), F.lit("N").alias("st"), "cents"
-    )
+    base = _orders_base(spark, sf_dir)
+    k = F.col("o_orderkey")
+    updates = _update_batch(base, excl_mod=CDC_DELETE_MOD)
+    inserts = _insert_batch(base)
     carried = base.filter(
         (k % UPSERT_UPDATE_MOD != 0) & (k % CDC_DELETE_MOD != 0)
     )
     v1 = updates.unionByName(inserts).unionByName(carried)
     b = base.alias("b")
     n = v1.alias("n")
-    joined = b.join(n, F.col("b.k") == F.col("n.k"), "full_outer")
+    joined = b.join(
+        n, F.col("b.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
     changed = joined.filter(
-        F.col("b.k").isNull()
-        | F.col("n.k").isNull()
-        | (F.col("b.st") != F.col("n.st"))
+        F.col("b.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("b.o_orderstatus") != F.col("n.o_orderstatus"))
         | (F.col("b.cents") != F.col("n.cents"))
     )
     return changed.select(
-        F.coalesce(F.col("b.k"), F.col("n.k")).alias("o_orderkey"),
-        F.when(F.col("b.k").isNull(), "insert")
-        .when(F.col("n.k").isNull(), "delete")
+        F.coalesce(F.col("b.o_orderkey"), F.col("n.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("b.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
         .otherwise("update")
         .alias("op"),
-        F.col("b.st").alias("before_status"),
+        F.col("b.o_orderstatus").alias("before_status"),
         F.col("b.cents").alias("before_cents"),
-        F.col("n.st").alias("after_status"),
+        F.col("n.o_orderstatus").alias("after_status"),
         F.col("n.cents").alias("after_cents"),
     )

@@ -56,6 +56,13 @@ from serverless_mapreduce_spark.registry import query
 
 PAGERANK_ITERS = 5
 PAGERANK_DAMP = 0.85
+#: Teleport mass. Kept as its own literal (NOT computed as
+#: 1 - PAGERANK_DAMP: that float is 0.15000000000000002 and would change
+#: every oracle double); the assert pins the pair so editing one without
+#: the other fails at import, not as a silent mass leak
+#: (tests/test_invariants_wave6.py asserts conservation end-to-end).
+PAGERANK_TELEPORT = 0.15
+assert abs(PAGERANK_TELEPORT + PAGERANK_DAMP - 1.0) < 1e-12
 
 #: Node-table rows above which the iterative algorithms stop BROADCASTING
 #: node-sized state (ranks / labels) into the edge join and fall back to a
@@ -336,7 +343,7 @@ def _pagerank_oracle() -> str:
         cte.append(
             f"""r{i} AS (
       SELECT s.dst AS node,
-             0.15 / (SELECT n FROM n)
+             {PAGERANK_TELEPORT} / (SELECT n FROM n)
                + {PAGERANK_DAMP} * SUM(r.rank / d.d) AS rank
       FROM sym s
       JOIN r{i - 1} r ON r.node = s.src
@@ -392,9 +399,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = (
             contrib.groupBy("dst")
             .agg(
-                (F.lit(0.15 / n) + F.lit(PAGERANK_DAMP) * F.sum("c")).alias(
-                    "rank"
-                )
+                (
+                    F.lit(PAGERANK_TELEPORT / n)
+                    + F.lit(PAGERANK_DAMP) * F.sum("c")
+                ).alias("rank")
             )
             .select(F.col("dst").alias("node"), "rank")
             # every generation: a lazily-chained generation re-executes
@@ -985,7 +993,8 @@ def _ppr_oracle() -> str:
             f"""r{i} AS (
       SELECT COALESCE(t.node, c.node) AS node,
              COALESCE(t.tele, 0.0) + COALESCE(c.cr, 0.0) AS rank
-      FROM (SELECT node, 0.15 / (SELECT n FROM ns) AS tele FROM seeds) t
+      FROM (SELECT node, {PAGERANK_TELEPORT} / (SELECT n FROM ns) AS tele
+            FROM seeds) t
       FULL OUTER JOIN (
         SELECT s.dst AS node, {PAGERANK_DAMP} * SUM(r.rank / d.d) AS cr
         FROM sym s
@@ -1025,13 +1034,22 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = _sym(_edges(spark, sf_dir))
     deg = sym.groupBy("src").agg(F.count("*").alias("d"))
     adj = persist_tracked(sym.join(deg, "src"))
-    seeds = deg.filter(F.col("src") % PPR_SEED_MOD == 0).select(
-        F.col("src").alias("node")
+    # checkpoint the SEED-SIZED tables once: without it every round's
+    # materialization re-derives tele from the unpersisted degree
+    # aggregation — 5 redundant edge-table scans just to rebuild a tiny
+    # constant table (review finding; graph_pagerank folds its teleport
+    # into a scalar so it never had the issue)
+    seeds = (
+        deg.filter(F.col("src") % PPR_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .localCheckpoint(eager=True)
     )
-    ns = seeds.count()  # scalar, seed-set-sized count job
+    ns = seeds.count()  # scalar over the checkpointed seed table
     n_nodes = deg.count()
     use_broadcast = n_nodes <= BROADCAST_NODE_LIMIT
-    tele = seeds.select("node", F.lit(0.15 / ns).alias("tele"))
+    tele = seeds.select(
+        "node", F.lit(PAGERANK_TELEPORT / ns).alias("tele")
+    ).localCheckpoint(eager=True)
     ranks = seeds.select(
         "node", F.lit(1.0 / ns).alias("rank")
     ).localCheckpoint()

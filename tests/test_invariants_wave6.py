@@ -62,6 +62,38 @@ def test_linear_and_last_touch_agree_on_attribution(spark, sf_dir):
     assert n_linear_touched == n_last_click
 
 
+def test_attribution_tie_same_instant_click_is_not_a_touch(spark):
+    """A click at the purchase's EXACT timestamp precedes nothing — both
+    operators must agree it is not a touch (the strictly-before rule;
+    this is the tie case the fixture happens never to produce, pinned
+    here on a crafted frame so the invariant isn't data luck)."""
+    import serverless_mapreduce_spark.operators.analytics as A
+    from tests.test_round6_wave5 import _with_fake_events
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "click", 1.0),  # same instant
+        (2, 1, "2024-01-01 00:00:00", "purchase", 1.0),
+        (3, 2, "2024-01-01 00:00:00", "click", 1.0),
+        (4, 2, "2024-01-01 00:00:01", "purchase", 1.0),  # 1s later: touch
+    ]
+    fake = _with_fake_events(A, spark, rows)
+    saved = A.table
+    A.table = fake
+    try:
+        last = {
+            (r["user_id"], r["channel"]): r["n_purchases"]
+            for r in A.attribution_last_touch(spark, "unused").collect()
+        }
+        linear = {
+            r["user_id"]: r["n_touches"]
+            for r in A.attribution_linear_touch(spark, "unused").collect()
+        }
+    finally:
+        A.table = saved
+    assert last == {(1, "direct"): 1, (2, "click"): 1}
+    assert linear == {1: 0, 2: 1}
+
+
 def test_concurrent_orders_curve_is_valid(spark, sf_dir):
     """The open-orders curve never dips negative and returns to zero
     after the last close (every +1 has its -1)."""
