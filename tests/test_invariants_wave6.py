@@ -125,3 +125,32 @@ def test_funnel_ttc_quantiles_monotone(spark, sf_dir):
         q[pcts[i]] <= q[pcts[i + 1]] for i in range(len(pcts) - 1)
     )
     assert all(v > 0 for v in q.values())
+
+
+def test_time_ops_are_session_tz_invariant(spark, sf_dir):
+    """Every ts-dependent wave-5/6 operator pins its own UTC clone
+    (utc_session), so results must be identical no matter how hostile
+    the caller session's timezone is — the property that makes the
+    driver's vanilla-session hash comparison portable."""
+    from serverless_mapreduce_spark.registry import all_queries
+
+    qs = all_queries()
+    names = (
+        "seasonal_residual_outliers",
+        "attribution_last_touch",
+        "session_path_topk",
+        "time_weighted_avg_user",
+        "ewma_user_spend",
+        "concurrent_orders_daily",
+        "funnel_time_to_convert",
+    )
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.session.timeZone", "Pacific/Chatham")
+    for name in names:
+        cols_rows = lambda df: sorted(
+            tuple(str(r[c]) for c in sorted(df.columns))
+            for r in df.collect()
+        )
+        a = cols_rows(qs[name](spark, sf_dir))
+        b = cols_rows(qs[name](hostile, sf_dir))
+        assert a == b, f"{name}: result depends on caller session TZ"
