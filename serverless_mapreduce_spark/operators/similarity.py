@@ -1046,3 +1046,113 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= HARD_NEG_K)
         .select("q_id", "q_label", "neg_id", "neg_label", "cos_sim", "rnk")
     )
+
+
+# --- matryoshka truncation eval ----------------------------------------------
+
+#: Truncated prefix length for the MRL eval (fixture embeddings are
+#: 64-dim; asserted at runtime). A Matryoshka-trained embedding packs
+#: coarse semantics into the prefix, so retrieval on emb[:32] should
+#: hold most of the full-dim recall at half the storage/compute.
+MRL_DIMS = 32
+
+
+@query(
+    "eval_matryoshka_truncation",
+    priority=150,
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % {QUERY_MOD} = 0
+    ), full_scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_cosine_sql('q.q_emb', 'e.embedding')} AS cs
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), full_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY ROUND(cs, 6) DESC, vec_id) AS rnk
+        FROM full_scored
+      ) WHERE rnk <= {TOP_K}
+    ), trunc_scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_cosine_sql(f'q.q_emb[1:{MRL_DIMS}]', f'e.embedding[1:{MRL_DIMS}]')} AS cs
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), trunc_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY ROUND(cs, 6) DESC, vec_id) AS rnk
+        FROM trunc_scored
+      ) WHERE rnk <= {TOP_K}
+    ), hits AS (
+      SELECT f.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM full_top f JOIN trunc_top t
+        ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+      GROUP BY f.q_id
+    )
+    SELECT q.q_id, COALESCE(h.n_hits, 0) AS n_hits
+    FROM (SELECT DISTINCT q_id FROM full_top) q
+    LEFT JOIN hits h USING (q_id)
+    """,
+)
+def eval_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (MRL) TRUNCATION EVAL: per query, recall@5 of
+    retrieval on the embedding's FIRST 32 DIMS against full-dim
+    retrieval — the measurement behind the modern 'store the prefix,
+    search at half the cost' embedding deployment (Kusupati et al.,
+    Matryoshka Representation Learning): if prefix recall holds, the
+    index shrinks 2x with no re-embedding. Same dual-retrieval shape as
+    ann_recall_at_k_eval (which evals the LSH index instead): both
+    retrievals are broadcast-query bruteforce scans — the scan is one
+    pass each and the truncated side's arithmetic is genuinely halved
+    (the Arrow cosine sees only the sliced arrays). Exactness: the same
+    rounded-cosine ranking contract as the whole ANN family (rank on
+    ROUND(cs, 6) with vec_id tiebreak, identical in both engines);
+    output is the integer hit count out of TOP_K."""
+    raw = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
+    dim = embedding_dim(raw)
+    assert dim >= MRL_DIMS, f"embedding dim {dim} < MRL_DIMS {MRL_DIMS}"
+    emb = persist_tracked(raw.select("vec_id", "embedding"))
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+
+    def top(emb_expr_q, emb_expr_e, label):
+        scored = (
+            F.broadcast(q)
+            .join(emb, F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(cosine(emb_expr_q, emb_expr_e), 6).alias("cs"),
+            )
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cs"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("q_id", "vec_id")
+        )
+
+    full_top = top(F.col("q_emb"), F.col("embedding"), "full")
+    trunc_top = top(
+        F.slice(F.col("q_emb"), 1, MRL_DIMS),
+        F.slice(F.col("embedding"), 1, MRL_DIMS),
+        "trunc",
+    )
+    hits = (
+        full_top.alias("f")
+        .join(
+            trunc_top.alias("t"),
+            (F.col("t.q_id") == F.col("f.q_id"))
+            & (F.col("t.vec_id") == F.col("f.vec_id")),
+        )
+        .groupBy(F.col("f.q_id").alias("q_id"))
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    qs = full_top.select("q_id").distinct()
+    return qs.join(hits, "q_id", "left").select(
+        "q_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")
+    )
