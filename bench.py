@@ -211,6 +211,8 @@ HEADLINE = (
     "eval_sample_accelerated_agg",
     "session_path_topk",
     "graph_link_prediction",
+    "eval_matryoshka_truncation",
+    "dedup_rate_by_source",
 )
 
 

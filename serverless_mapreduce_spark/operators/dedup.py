@@ -1801,3 +1801,49 @@ def eval_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_micro"),
     )
+
+
+# --- per-source dedup-rate report --------------------------------------------
+
+@query(
+    "dedup_rate_by_source",
+    priority=150,
+    oracle=r"""
+    WITH keyed AS (
+      SELECT source,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_key
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT content_key) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT content_key) AS BIGINT) AS n_dups,
+           CAST(FLOOR(CAST(COUNT(*) - COUNT(DISTINCT content_key) AS DOUBLE)
+                * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+             AS dup_rate_micro
+    FROM keyed GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAWL-HEALTH REPORT: exact-duplicate rate PER SOURCE — the
+    monitoring view over the dedup_exact content key (same normalized
+    md5, ONE definition) that catches a misbehaving feed (a source
+    whose dup rate jumps is re-crawling itself) before it poisons the
+    training mix. One aggregation: count + distinct-count per source —
+    Spark plans the distinct as a two-phase partial aggregate, so the
+    shuffle carries (source, key) pairs once, and at 100 TB the same
+    report runs as a rollup over the already-materialized key table the
+    dedup stage produces anyway. Exactness: integer counts; the rate is
+    FLOOR micro-units of one IEEE divide (ROUND-tie lesson)."""
+    keyed = table(spark, sf_dir, "documents").select(
+        "source", F.md5(_norm()).alias("content_key")
+    )
+    n, u = F.count("*"), F.countDistinct("content_key")
+    return keyed.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        u.cast("bigint").alias("n_unique"),
+        (n - u).cast("bigint").alias("n_dups"),
+        F.floor((n - u).cast("double") * 1000000 / n.cast("double"))
+        .cast("bigint")
+        .alias("dup_rate_micro"),
+    )
