@@ -213,6 +213,7 @@ HEADLINE = (
     "graph_link_prediction",
     "eval_matryoshka_truncation",
     "dedup_rate_by_source",
+    "graph_random_walks",
 )
 
 

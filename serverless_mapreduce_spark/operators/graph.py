@@ -1197,3 +1197,114 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= LINKPRED_TOPK)
         .select("u", "v", "cn", "deg_u", "deg_v", "jaccard_micro", "rnk")
     )
+
+
+# --- deterministic random walks (DeepWalk/node2vec corpus step) --------------
+
+WALK_STEPS = 4
+WALK_SEED_MOD = 50
+
+
+def _walks_oracle() -> str:
+    """Unrolled walk steps; the per-step neighbor pick is
+    md5(walk_id:step) % degree over the id-ordered adjacency — exact
+    integer arithmetic both engines."""
+    cte = [
+        EDGES_SQL.strip().rstrip(),
+        """adj AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
+      FROM sym
+    )""",
+        f"""w0 AS (
+      SELECT src AS walk_id, 0 AS step, src AS node FROM deg
+      WHERE src % {WALK_SEED_MOD} = 0
+    )""",
+    ]
+    for t in range(1, WALK_STEPS + 1):
+        cte.append(
+            f"""w{t} AS (
+      SELECT w.walk_id, {t} AS step, a.dst AS node
+      FROM w{t - 1} w
+      JOIN deg d ON d.src = w.node
+      JOIN adj a ON a.src = w.node
+       AND a.rk = CAST(concat('0x', substr(md5(
+             CAST(w.walk_id AS VARCHAR) || ':' || CAST({t} AS VARCHAR)),
+             1, 8)) AS BIGINT) % d.d
+    )"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM w{t}" for t in range(WALK_STEPS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"\n    SELECT walk_id, CAST(step AS INT) AS step, node FROM ({unions})"
+    )
+
+
+@query("graph_random_walks", priority=150, oracle=_walks_oracle())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC RANDOM WALKS from the seed parts — the corpus-
+    generation step of DeepWalk/node2vec (walks become 'sentences', a
+    skip-gram model turns them into graph embeddings): one walk per
+    seed, WALK_STEPS steps, each step hopping to the neighbor at index
+    md5(walk_id:step) % degree of the CURRENT node's id-ordered
+    adjacency. Derandomized the repo's standard way (md5 like every
+    sampling op), so the oracle replays the identical walks as unrolled
+    CTEs and the run is auditable/replayable — the property a training
+    pipeline wants from its walk corpus anyway. Plan: the id-ranked
+    adjacency builds once (one window over the persisted sym frame,
+    same exchange as the degree table), then each step is one keyed
+    join of the frontier against (deg ⋈ adj) on (node, picked rank) —
+    frontier-sized, never edge-sized; 100 TB runs walk batches the
+    same way with the adjacency bucketed by src. Exactness: pure
+    integer id/rank arithmetic; output is the (walk_id, step, node)
+    path table both engines derive identically."""
+    from pyspark.sql import Window
+
+    sym = persist_tracked(_sym(_edges(spark, sf_dir)))
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    wadj = Window.partitionBy("src").orderBy("dst")
+    adj = persist_tracked(
+        sym.withColumn("rk", F.row_number().over(wadj) - 1).join(deg, "src")
+    )
+    walks = (
+        deg.filter(F.col("src") % WALK_SEED_MOD == 0)
+        .select(
+            F.col("src").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("src").alias("node"),
+        )
+    )
+    out = walks
+    for t in range(1, WALK_STEPS + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("walk_id").cast("string"),
+                            F.lit(":"),
+                            F.lit(str(t)),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("d")
+        )
+        walks = (
+            walks.join(adj, walks.node == adj.src)
+            .filter(F.col("rk") == pick)
+            .select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.col("dst").alias("node"),
+            )
+        )
+        out = out.unionByName(walks)
+    return out.select("walk_id", F.col("step").cast("int").alias("step"), "node")
