@@ -214,6 +214,7 @@ HEADLINE = (
     "eval_matryoshka_truncation",
     "dedup_rate_by_source",
     "graph_random_walks",
+    "graph_skipgram_pairs",
 )
 
 

@@ -1206,9 +1206,11 @@ WALK_SEED_MOD = 50
 
 
 def _walks_oracle() -> str:
-    """Unrolled walk steps; the per-step neighbor pick is
-    md5(walk_id:step) % degree over the id-ordered adjacency — exact
-    integer arithmetic both engines."""
+    """CTE chain ending in `walks` (walk_id, step, node) — the unrolled
+    deterministic walk corpus, shared by the graph_random_walks oracle
+    and the skip-gram pair oracle built on it. Per-step neighbor pick
+    is md5(walk_id:step) % degree over the id-ordered adjacency —
+    exact integer arithmetic both engines."""
     cte = [
         EDGES_SQL.strip().rstrip(),
         """adj AS (
@@ -1236,14 +1238,16 @@ def _walks_oracle() -> str:
     unions = " UNION ALL ".join(
         f"SELECT * FROM w{t}" for t in range(WALK_STEPS + 1)
     )
-    return (
-        "WITH "
-        + ",\n    ".join(cte)
-        + f"\n    SELECT walk_id, CAST(step AS INT) AS step, node FROM ({unions})"
-    )
+    cte.append(f"walks AS (SELECT walk_id, step, node FROM ({unions}))")
+    return ",\n    ".join(cte)
 
 
-@query("graph_random_walks", priority=150, oracle=_walks_oracle())
+@query(
+    "graph_random_walks",
+    priority=150,
+    oracle=f"WITH {_walks_oracle()} "
+    "SELECT walk_id, CAST(step AS INT) AS step, node FROM walks",
+)
 def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DETERMINISTIC RANDOM WALKS from the seed parts — the corpus-
     generation step of DeepWalk/node2vec (walks become 'sentences', a
@@ -1261,6 +1265,13 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way with the adjacency bucketed by src. Exactness: pure
     integer id/rank arithmetic; output is the (walk_id, step, node)
     path table both engines derive identically."""
+    return _walk_table(spark, sf_dir)
+
+
+def _walk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic (walk_id, step, node) corpus — ONE Spark-side
+    derivation shared by graph_random_walks and graph_skipgram_pairs,
+    mirroring the shared `walks` oracle CTE chain."""
     from pyspark.sql import Window
 
     sym = persist_tracked(_sym(_edges(spark, sf_dir)))
@@ -1308,3 +1319,55 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(walks)
     return out.select("walk_id", F.col("step").cast("int").alias("step"), "node")
+
+
+# --- skip-gram pairs from the walk corpus ------------------------------------
+
+SKIPGRAM_WINDOW = 2
+
+
+@query(
+    "graph_skipgram_pairs",
+    priority=150,
+    oracle=f"""
+    WITH {{walks}}
+    SELECT a.node AS center, b.node AS context,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM walks a JOIN walks b
+      ON a.walk_id = b.walk_id
+     AND a.step <> b.step
+     AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+    GROUP BY a.node, b.node
+    """.format(walks=_walks_oracle()),
+)
+def graph_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKIP-GRAM TRAINING PAIRS from the walk corpus — the stage between
+    graph_random_walks and the embedding trainer (DeepWalk treats each
+    walk as a sentence; every (center, context) pair within a ±2-step
+    window is one positive example): self-join the walk table on
+    walk_id with |Δstep| <= 2, count per directed pair. The join is
+    keyed on walk_id and each walk is WALK_STEPS+1 rows, so pair
+    fanout per walk is a CONSTANT (≤ (L+1)·2w) — the same
+    bounded-fanout contract as the basket cap, by construction rather
+    than by truncation. Shares the exact deterministic walk derivation
+    with graph_random_walks (one Spark builder, one oracle CTE chain —
+    the md5 pick can never drift between the corpus and its pairs).
+    Exactness: integer ids/steps/counts only."""
+    walks = _walk_table(spark, sf_dir)
+    a, b = walks.alias("a"), walks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walk_id") == F.col("b.walk_id"))
+            & (F.col("a.step") != F.col("b.step"))
+            & (
+                F.abs(F.col("a.step") - F.col("b.step"))
+                <= SKIPGRAM_WINDOW
+            ),
+        )
+        .groupBy(
+            F.col("a.node").alias("center"),
+            F.col("b.node").alias("context"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
