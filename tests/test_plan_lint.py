@@ -43,9 +43,10 @@ SIDE_EFFECTING = {
 BNLJ_ALLOWED = {
     "ann_topk_bruteforce",
     "ann_ivf_topk",
-    # embeds the bruteforce baseline as its ground truth — the BNLJ is
-    # that sub-plan's deliberate query-set × corpus cross
+    # embed the bruteforce baseline as ground truth — the BNLJ is that
+    # sub-plan's deliberate query-set × corpus cross
     "ann_recall_at_k_eval",
+    "eval_matryoshka_truncation",
     # the 64 KiB bloom bitmap ships as a 1-row broadcast crossed into the
     # probe side (constant × corpus — the runtime-filter shape); the
     # wave-5 plan-shape test additionally asserts the LeftSemi that
