@@ -1268,18 +1268,46 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _walk_table(spark, sf_dir)
 
 
+def _ranked_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The id-RANKED, degree-annotated adjacency (src, dst, rk, d) as a
+    MATERIALIZED bucketed table — same maintained-artifact contract as
+    _edges/_pair_counts: the walk family reads it several times per
+    session (two registered queries x WALK_STEPS joins each), and at
+    100 TB a walk batch amortizes one adjacency build exactly like
+    this. Bucketed by src so every per-step frontier join starts
+    co-located."""
+    import shutil
+
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+
+    name = f"graph_rankedadj_{sf_tag(sf_dir)}"
+    with _EDGE_BUILD_LOCK:
+        if not spark.catalog.tableExists(name):
+            from pyspark.sql import Window
+
+            loc = os.path.join(scratch("graph"), name)
+            shutil.rmtree(loc, ignore_errors=True)
+            sym = _sym(_edges(spark, sf_dir))
+            deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+            wadj = Window.partitionBy("src").orderBy("dst")
+            (
+                sym.withColumn("rk", F.row_number().over(wadj) - 1)
+                .join(deg, "src")
+                .write.bucketBy(EDGE_BUCKETS, "src")
+                .sortBy("src")
+                .option("path", loc)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    return spark.table(name)
+
+
 def _walk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic (walk_id, step, node) corpus — ONE Spark-side
     derivation shared by graph_random_walks and graph_skipgram_pairs,
     mirroring the shared `walks` oracle CTE chain."""
-    from pyspark.sql import Window
-
-    sym = persist_tracked(_sym(_edges(spark, sf_dir)))
-    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
-    wadj = Window.partitionBy("src").orderBy("dst")
-    adj = persist_tracked(
-        sym.withColumn("rk", F.row_number().over(wadj) - 1).join(deg, "src")
-    )
+    adj = _ranked_adj(spark, sf_dir)
+    deg = adj.select("src", "d").distinct()
     walks = (
         deg.filter(F.col("src") % WALK_SEED_MOD == 0)
         .select(
