@@ -215,6 +215,7 @@ HEADLINE = (
     "dedup_rate_by_source",
     "graph_random_walks",
     "graph_skipgram_pairs",
+    "multimodal_augment_flip",
 )
 
 

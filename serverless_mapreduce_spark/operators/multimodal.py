@@ -857,3 +857,113 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ham") <= PHASH_HAM_MAX)
         .select("doc_a", "doc_b", F.col("ham").cast("bigint").alias("hamming"))
     )
+
+
+# --- augmentation: horizontal flip -------------------------------------------
+
+def flip_bmp_weighted_checksum(payload: bytes) -> dict[str, Any]:
+    """Parse a 24-bit BMP (same error contract as decode_bmp), flip it
+    HORIZONTALLY (reverse pixel order within each row, bytes within a
+    pixel kept in order), and return the POSITION-WEIGHTED checksum
+    sum((i+1) * byte_i) over the flipped raw pixel bytes (stride
+    padding excluded). Weighted, because a plain byte sum is invariant
+    under any permutation — it would 'verify' a flip that did nothing."""
+    import struct
+
+    if len(payload) < BMP_HEADER:
+        raise ValueError(f"truncated BMP header ({len(payload)} bytes)")
+    magic, _, _, _, data_off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _, width, height, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp}")
+    n_rows = abs(height)
+    row_raw = width * 3
+    stride = (row_raw + 3) // 4 * 4
+    wsum, i = 0, 0
+    for r in range(n_rows):
+        off = data_off + r * stride
+        row = payload[off : off + row_raw]
+        for c in range(width - 1, -1, -1):
+            px = row[c * 3 : c * 3 + 3]
+            for b in px:
+                i += 1
+                wsum += i * b
+    return {"width": width, "height": n_rows, "flip_wsum": wsum}
+
+
+@query(
+    "multimodal_augment_flip",
+    priority=150,
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, text, length(text) AS len,
+             CAST(doc_id % {BMP_WIDTH_MOD} + 1 AS INT) AS w,
+             CAST(ceil(length(text) / ((doc_id % {BMP_WIDTH_MOD} + 1) * 3.0)) AS INT) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ), bytes_ AS (
+      SELECT doc_id, w, h, len, text,
+             unnest(range(0, CAST(h AS BIGINT) * w * 3)) AS i
+      FROM img
+    ), px AS (
+      SELECT doc_id, w, h, len, text,
+             -- output byte i (1-based weight); source byte = same row,
+             -- mirrored column, same byte-within-pixel
+             i + 1 AS wpos,
+             (i // (w * 3)) * (w * 3)
+               + (w - 1 - ((i % (w * 3)) // 3)) * 3
+               + (i % 3) AS src
+      FROM bytes_
+    ), summed AS (
+      SELECT doc_id, w AS width, h AS height,
+             SUM(wpos * CASE WHEN src < len
+                   THEN unicode(substring(text, CAST(src AS INT) + 1, 1))
+                   ELSE 0 END) AS flip_wsum
+      FROM px GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, width, height, CAST(flip_wsum AS BIGINT) AS flip_wsum
+    FROM summed
+    """,
+)
+def multimodal_augment_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE AUGMENTATION through the REAL container path: horizontal
+    flip of every BMP (the canonical cheap augmentation a vision
+    training pipeline applies at ingest), verified by a POSITION-
+    WEIGHTED checksum — a plain pixel sum is permutation-invariant and
+    would pass even if the flip were a no-op; the weighted sum pins the
+    exact output byte ORDER. Same plumbing contract as decode/resize:
+    pre-filter to even doc_ids BEFORE the Arrow pass (Catalyst cannot
+    push filters through MapInPandasExec), one mapInPandas over the
+    encoded blobs, genuine struct parse + per-row pixel reversal. The
+    oracle replays the flip arithmetically from the synthesis formula
+    (output position -> mirrored source byte of the text payload) —
+    integer positions and code points only. At 100 TB augmentation
+    rides the same batched decode pass as feature extraction — one scan,
+    k augmented outputs."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    blobs = media_blob_table(spark, sf_dir, docs)
+
+    def gen(batches: Iterable["pd.DataFrame"]):
+        for pdf in batches:
+            rows = [
+                {"doc_id": int(d), **flip_bmp_weighted_checksum(bytes(b))}
+                for d, b in zip(pdf["doc_id"], pdf["blob"])
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "width": pd.Series(dtype="int32"),
+                        "height": pd.Series(dtype="int32"),
+                        "flip_wsum": pd.Series(dtype="int64"),
+                    }
+                )
+
+    return blobs.mapInPandas(
+        gen, "doc_id bigint, width int, height int, flip_wsum bigint"
+    )
