@@ -216,6 +216,7 @@ HEADLINE = (
     "graph_random_walks",
     "graph_skipgram_pairs",
     "multimodal_augment_flip",
+    "multimodal_audio_downsample",
 )
 
 

@@ -967,3 +967,104 @@ def multimodal_augment_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(
         gen, "doc_id bigint, width int, height int, flip_wsum bigint"
     )
+
+
+# --- augmentation: audio downsample ------------------------------------------
+
+DOWNSAMPLE_FACTOR = 2
+
+
+def downsample_wav_weighted_checksum(payload: bytes) -> dict[str, Any]:
+    """Parse a PCM WAV (decode_wav's error contract), DECIMATE by
+    DOWNSAMPLE_FACTOR (keep every 2nd sample — the naive-but-honest
+    resample for synthetic byte audio; a production pipeline low-pass
+    filters first), and return the position-weighted checksum
+    sum((j+1) * sample_j) over the decimated sequence plus the halved
+    rate — weighted for the same no-op-detection reason as the flip."""
+    import struct
+
+    if len(payload) < WAV_HEADER:
+        raise ValueError(f"truncated WAV header ({len(payload)} bytes)")
+    riff, _, wave = struct.unpack_from("<4sI4s", payload, 0)
+    if riff != b"RIFF" or wave != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt, _, audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+        "<4sIHHIIHH", payload, 12
+    )
+    if fmt != b"fmt " or audio_fmt != 1 or channels != 1 or bits != 8:
+        raise ValueError("unsupported WAV layout")
+    data, n = struct.unpack_from("<4sI", payload, 36)
+    if data != b"data":
+        raise ValueError("missing data chunk")
+    samples = payload[WAV_HEADER : WAV_HEADER + n]
+    dec = samples[::DOWNSAMPLE_FACTOR]
+    wsum = sum((j + 1) * b for j, b in enumerate(dec))
+    return {
+        "out_rate": rate // DOWNSAMPLE_FACTOR,
+        "n_out_samples": len(dec),
+        "ds_wsum": wsum,
+    }
+
+
+@query(
+    "multimodal_audio_downsample",
+    priority=150,
+    oracle=f"""
+    WITH wav AS (
+      SELECT doc_id, text, length(text) AS len,
+             CAST((8000 + doc_id % {WAV_RATE_MOD} * 1000)
+                  // {DOWNSAMPLE_FACTOR} AS BIGINT) AS out_rate,
+             CAST((length(text) + {DOWNSAMPLE_FACTOR} - 1)
+                  // {DOWNSAMPLE_FACTOR} AS BIGINT) AS n_out_samples
+      FROM documents WHERE doc_id % 2 = 1
+    ), smp AS (
+      SELECT doc_id, out_rate, n_out_samples, len, text,
+             unnest(range(0, n_out_samples)) AS j
+      FROM wav
+    )
+    SELECT doc_id, out_rate, n_out_samples,
+           CAST(SUM((j + 1) * unicode(substring(
+                  text, CAST(j * {DOWNSAMPLE_FACTOR} AS INT) + 1, 1)))
+                AS BIGINT) AS ds_wsum
+    FROM smp
+    GROUP BY doc_id, out_rate, n_out_samples
+    """,
+)
+def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO AUGMENTATION twin of the image flip: decimate every WAV by
+    2x through the REAL container path (struct parse, sample slice) and
+    emit the halved rate + position-weighted checksum of the decimated
+    sequence — pinning both WHICH samples survive (the even ones) and
+    their ORDER. Same plumbing contract as the whole multimodal family:
+    pre-filter to odd doc_ids before the Arrow pass, one mapInPandas
+    over encoded blobs. The oracle replays the decimation from the
+    synthesis formula (sample j of the output = text byte 2j) in pure
+    integer arithmetic. At 100 TB resample/normalize/trim all ride the
+    same batched decode pass."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    blobs = media_blob_table(spark, sf_dir, docs)
+
+    def gen(batches: Iterable["pd.DataFrame"]):
+        for pdf in batches:
+            rows = [
+                {"doc_id": int(d), **downsample_wav_weighted_checksum(bytes(b))}
+                for d, b in zip(pdf["doc_id"], pdf["blob"])
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "out_rate": pd.Series(dtype="int64"),
+                        "n_out_samples": pd.Series(dtype="int64"),
+                        "ds_wsum": pd.Series(dtype="int64"),
+                    }
+                )
+
+    return blobs.mapInPandas(
+        gen,
+        "doc_id bigint, out_rate bigint, n_out_samples bigint, ds_wsum bigint",
+    )
