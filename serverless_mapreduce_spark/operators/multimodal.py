@@ -881,6 +881,8 @@ def flip_bmp_weighted_checksum(payload: bytes) -> dict[str, Any]:
     n_rows = abs(height)
     row_raw = width * 3
     stride = (row_raw + 3) // 4 * 4
+    if n_rows and len(payload) < data_off + (n_rows - 1) * stride + row_raw:
+        raise ValueError("truncated BMP pixel data")
     wsum, i = 0, 0
     for r in range(n_rows):
         off = data_off + r * stride
@@ -924,6 +926,9 @@ def flip_bmp_weighted_checksum(payload: bytes) -> dict[str, Any]:
     )
     SELECT doc_id, width, height, CAST(flip_wsum AS BIGINT) AS flip_wsum
     FROM summed
+    UNION ALL
+    SELECT doc_id, w AS width, 0 AS height, CAST(0 AS BIGINT) AS flip_wsum
+    FROM img WHERE h = 0
     """,
 )
 def multimodal_augment_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,6 +1001,8 @@ def downsample_wav_weighted_checksum(payload: bytes) -> dict[str, Any]:
     data, n = struct.unpack_from("<4sI", payload, 36)
     if data != b"data":
         raise ValueError("missing data chunk")
+    if len(payload) < WAV_HEADER + n:
+        raise ValueError("truncated WAV sample data")
     samples = payload[WAV_HEADER : WAV_HEADER + n]
     dec = samples[::DOWNSAMPLE_FACTOR]
     wsum = sum((j + 1) * b for j, b in enumerate(dec))
@@ -1028,6 +1035,9 @@ def downsample_wav_weighted_checksum(payload: bytes) -> dict[str, Any]:
                 AS BIGINT) AS ds_wsum
     FROM smp
     GROUP BY doc_id, out_rate, n_out_samples
+    UNION ALL
+    SELECT doc_id, out_rate, n_out_samples, CAST(0 AS BIGINT) AS ds_wsum
+    FROM wav WHERE n_out_samples = 0
     """,
 )
 def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1117,7 +1117,7 @@ def eval_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
 
-    def top(emb_expr_q, emb_expr_e, label):
+    def top(emb_expr_q, emb_expr_e):
         scored = (
             F.broadcast(q)
             .join(emb, F.col("vec_id") != F.col("q_id"))
@@ -1136,11 +1136,10 @@ def eval_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", "vec_id")
         )
 
-    full_top = top(F.col("q_emb"), F.col("embedding"), "full")
+    full_top = top(F.col("q_emb"), F.col("embedding"))
     trunc_top = top(
         F.slice(F.col("q_emb"), 1, MRL_DIMS),
         F.slice(F.col("embedding"), 1, MRL_DIMS),
-        "trunc",
     )
     hits = (
         full_top.alias("f")

@@ -175,3 +175,51 @@ def test_phash_groups_identical_images(spark):
     # doc 2 and 64: same text AND same width (2 % 31 + 1 == 64 % 31 + 1 == 3)
     assert by_canon.get(2) == 2
     assert by_canon.get(4) == 1
+
+
+def test_flip_checksum_rejects_truncated_pixels():
+    import pytest
+
+    from serverless_mapreduce_spark.operators.multimodal import (
+        encode_bmp,
+        flip_bmp_weighted_checksum,
+    )
+
+    blob = encode_bmp(b"x" * 30, 3)
+    ok = flip_bmp_weighted_checksum(blob)
+    assert ok["flip_wsum"] > 0
+    with pytest.raises(ValueError):
+        flip_bmp_weighted_checksum(blob[:-4])
+
+
+def test_downsample_checksum_rejects_truncated_samples():
+    import pytest
+
+    from serverless_mapreduce_spark.operators.multimodal import (
+        downsample_wav_weighted_checksum,
+        encode_wav,
+    )
+
+    blob = encode_wav(b"abcdef", 8000)
+    out = downsample_wav_weighted_checksum(blob)
+    # decimated samples: a, c, e -> weights 1,2,3
+    assert out["n_out_samples"] == 3
+    assert out["ds_wsum"] == 1 * ord("a") + 2 * ord("c") + 3 * ord("e")
+    assert out["out_rate"] == 4000
+    with pytest.raises(ValueError):
+        downsample_wav_weighted_checksum(blob[:-2])
+
+
+def test_flip_weighted_checksum_detects_flip():
+    """The weighted checksum must DIFFER between original and flipped
+    byte order for an asymmetric image (the whole point of weighting)."""
+    from serverless_mapreduce_spark.operators.multimodal import (
+        encode_bmp,
+        flip_bmp_weighted_checksum,
+    )
+
+    payload = bytes(range(1, 19))  # 18 bytes -> 3px wide, 2 rows
+    blob = encode_bmp(payload, 3)
+    out = flip_bmp_weighted_checksum(blob)
+    ident_wsum = sum((i + 1) * b for i, b in enumerate(payload))
+    assert out["flip_wsum"] != ident_wsum
