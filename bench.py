@@ -217,6 +217,7 @@ HEADLINE = (
     "graph_skipgram_pairs",
     "multimodal_augment_flip",
     "multimodal_audio_downsample",
+    "graph_skipgram_negatives",
 )
 
 

@@ -1405,3 +1405,116 @@ def graph_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
     )
+
+
+# --- negative sampling for the skip-gram pairs -------------------------------
+
+NEG_PER_PAIR = 2
+
+
+@query(
+    "graph_skipgram_negatives",
+    priority=150,
+    oracle=f"""
+    WITH {{walks}},
+    pairs AS (
+      SELECT DISTINCT a.node AS center, b.node AS context
+      FROM walks a JOIN walks b
+        ON a.walk_id = b.walk_id
+       AND a.step <> b.step
+       AND abs(a.step - b.step) <= {SKIPGRAM_WINDOW}
+    ),
+    nodes AS (
+      SELECT src AS node,
+             ROW_NUMBER() OVER (ORDER BY src) - 1 AS rk,
+             COUNT(*) OVER () AS n_nodes
+      FROM deg
+    ),
+    draws AS (
+      SELECT p.center, p.context, k.k,
+             CAST(concat('0x', substr(md5(
+               CAST(p.center AS VARCHAR) || ':' ||
+               CAST(p.context AS VARCHAR) || ':' ||
+               CAST(k.k AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+      FROM pairs p, (SELECT unnest(range(0, {NEG_PER_PAIR})) AS k) k
+    )
+    SELECT d.center, d.context, CAST(d.k AS INT) AS k,
+           n.node AS neg_id
+    FROM draws d
+    JOIN nodes n ON n.rk = d.u % n.n_nodes
+    """.format(walks=_walks_oracle()),
+)
+def graph_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE SAMPLING for the skip-gram pairs — the third stage of
+    the DeepWalk training-data pipeline (walks → positive pairs →
+    K negatives per pair, the contrastive denominator of the skip-gram
+    objective): each (center, context) pair draws NEG_PER_PAIR nodes by
+    md5(center:context:k) % |V| against the ID-RANKED node table —
+    uniform draws (word2vec's unigram^0.75 needs a pow() the exactness
+    contract forbids; uniform is the documented simplification, and the
+    alias-table refinement changes only the rank lookup). Deterministic
+    and replayable like every sampling op in the repo. Plan: the draw
+    table is pairs x K rows joined to the node-rank table on the
+    computed rank — a keyed equi-join, no skew (md5 spreads ranks
+    uniformly); the node-rank window rides the same tiny degree table
+    every graph op derives. Exactness: integer md5 arithmetic and ranks
+    only; a draw may collide with the true context (standard skip-gram
+    practice leaves it — probability 1/|V| — and both engines draw
+    identically)."""
+    from pyspark.sql import Window
+
+    walks = _walk_table(spark, sf_dir)
+    a, b = walks.alias("a"), walks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.walk_id") == F.col("b.walk_id"))
+            & (F.col("a.step") != F.col("b.step"))
+            & (
+                F.abs(F.col("a.step") - F.col("b.step"))
+                <= SKIPGRAM_WINDOW
+            ),
+        )
+        .select(
+            F.col("a.node").alias("center"),
+            F.col("b.node").alias("context"),
+        )
+        .distinct()
+    )
+    adj = _ranked_adj(spark, sf_dir)
+    deg = adj.select("src").distinct()
+    wn = Window.orderBy("src")
+    nodes = deg.select(
+        F.col("src").alias("node"),
+        (F.row_number().over(wn) - 1).alias("node_rk"),
+    )
+    n_nodes = nodes.count()  # scalar: |V|
+    draws = pairs.crossJoin(
+        spark.range(NEG_PER_PAIR).select(F.col("id").cast("int").alias("k"))
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("center").cast("string"),
+                        F.lit(":"),
+                        F.col("context").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    return (
+        draws.join(
+            F.broadcast(nodes),
+            F.col("node_rk") == F.col("u") % F.lit(n_nodes),
+        )
+        .select("center", "context", "k", F.col("node").alias("neg_id"))
+    )
