@@ -1489,8 +1489,12 @@ def graph_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(wn) - 1).alias("node_rk"),
     )
     n_nodes = nodes.count()  # scalar: |V|
-    draws = pairs.crossJoin(
-        spark.range(NEG_PER_PAIR).select(F.col("id").cast("int").alias("k"))
+    # constant K-way fanout by explode, not a crossJoin against a K-row
+    # frame (which compiles to a BroadcastNestedLoopJoin the plan lint
+    # rightly forbids)
+    draws = pairs.withColumn(
+        "k",
+        F.explode(F.array(*[F.lit(k) for k in range(NEG_PER_PAIR)])),
     ).withColumn(
         "u",
         F.conv(
