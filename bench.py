@@ -218,6 +218,7 @@ HEADLINE = (
     "multimodal_augment_flip",
     "multimodal_audio_downsample",
     "graph_skipgram_negatives",
+    "graph_metrics_summary",
 )
 
 

@@ -1522,3 +1522,123 @@ def graph_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("center", "context", "k", F.col("node").alias("neg_id"))
     )
+
+
+# --- one-row graph-science metrics summary -----------------------------------
+
+@query(
+    "graph_metrics_summary",
+    priority=150,
+    oracle=f"""
+    WITH {EDGES_SQL},
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS t
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wed AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS w FROM deg
+    ),
+    dd AS (
+      SELECT CAST(du.d AS BIGINT) AS x, CAST(dv.d AS BIGINT) AS y
+      FROM sym s JOIN deg du ON du.src = s.src
+                 JOIN deg dv ON dv.src = s.dst
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM dd
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+      (SELECT t FROM tri) AS n_triangles,
+      (SELECT w FROM wed) AS n_wedges,
+      CAST(FLOOR(CAST(3 * (SELECT t FROM tri) AS DOUBLE) * 1000000
+           / CAST((SELECT w FROM wed) AS DOUBLE)) AS BIGINT)
+        AS clustering_micro,
+      (SELECT CAST(FLOOR(1000000.0 *
+              (n * sxy - sx * sy) /
+              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+            AS BIGINT) FROM mom) AS assortativity_micro
+    """,
+)
+def graph_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-ROW GRAPH-SCIENCE PROFILE of the co-purchase graph: global
+    clustering coefficient (3·triangles / wedges — how cliquish the
+    graph is, the number that separates social-like from random graphs)
+    and DEGREE ASSORTATIVITY (Pearson correlation of endpoint degrees
+    over the directed edge list, Newman 2002 — do hubs attach to hubs?).
+    Both reuse machinery already certified elsewhere: the oriented
+    3-way triangle join (graph_triangles), the degree table, and the
+    one-pass exact-decimal-moments correlation mechanism
+    (corr_matrix_lineitem — identical expression shape, so the IEEE
+    doubles match bitwise and FLOOR micro-units are tie-safe; sqrt is
+    IEEE-exact). Degrees are integers so every moment is an exact sum;
+    wedge count comes from the degree table (Σ C(d,2)), never an
+    enumerated wedge set. At 100 TB this is the nightly one-row
+    health/drift row a graph pipeline logs — everything aggregates to
+    scalars, nothing node-sized leaves the executors."""
+    sym = persist_tracked(_sym(_edges(spark, sf_dir)))
+    edges = _edges(spark, sf_dir)
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .count()
+    )
+    wedges = (
+        deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
+        .collect()[0][0]
+    )
+    n_nodes = deg.count()
+    n_edges = edges.count()
+
+    du = deg.select(F.col("src").alias("_u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("src").alias("_v"), F.col("d").alias("y"))
+    dd = (
+        sym.join(du, sym.src == F.col("_u"))
+        .join(dv, sym.dst == F.col("_v"))
+        .select(F.col("x").cast("bigint").alias("x"),
+                F.col("y").cast("bigint").alias("y"))
+    )
+    mom = dd.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    out = mom.select(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(tri).cast("bigint").alias("n_triangles"),
+        F.lit(wedges).cast("bigint").alias("n_wedges"),
+        F.floor(
+            F.lit(float(3 * tri)) * 1000000 / F.lit(float(wedges))
+        )
+        .cast("bigint")
+        .alias("clustering_micro"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        )
+        .cast("bigint")
+        .alias("assortativity_micro"),
+    )
+    return out
