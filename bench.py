@@ -219,6 +219,7 @@ HEADLINE = (
     "multimodal_audio_downsample",
     "graph_skipgram_negatives",
     "graph_metrics_summary",
+    "supplier_concentration_hhi",
 )
 
 

@@ -3621,3 +3621,73 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PATH_TOPK)
         .select("path", "n", "rnk")
     )
+
+
+# --- supplier concentration (Herfindahl index) -------------------------------
+
+HHI_MIN_SUPPLIERS = 2
+
+
+@query(
+    "supplier_concentration_hhi",
+    priority=150,
+    oracle=f"""
+    WITH vol AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS q
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    part AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             SUM(q) AS tot,
+             SUM(q * q) AS sq
+      FROM vol GROUP BY l_partkey
+    )
+    SELECT l_partkey, n_suppliers,
+           CAST(FLOOR(CAST(sq AS DOUBLE) * 1000000
+                / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))) AS BIGINT)
+             AS hhi_micro
+    FROM part WHERE n_suppliers >= {HHI_MIN_SUPPLIERS}
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPPLY-CONCENTRATION risk per part: the HERFINDAHL-HIRSCHMAN
+    index of supplier volume shares, HHI = Σ share_s² — 1.0 means a
+    single-source part (supply-chain risk), 1/n means perfectly spread
+    — the standard concentration metric (antitrust, procurement risk)
+    computed for every multi-supplier part. Algebra does the scaling
+    work: HHI = Σ(q_s/T)² = Σq_s² / T², so ONE two-level aggregation
+    (part+supplier volumes, then per-part Σq and Σq²) suffices — no
+    per-row share division, no window. Both levels are partkey-keyed,
+    so the second aggregate reuses the first's exchange. Exactness:
+    centiquantity volumes are exact BIGINTs (fixture Σq² < 2^50);
+    the output is FLOOR micro-units of sq/(tot·tot) with
+    CHARACTER-IDENTICAL double arithmetic both engines (ROUND-tie
+    lesson)."""
+    vol = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    part = vol.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("q").alias("tot"),
+        F.sum(F.col("q") * F.col("q")).alias("sq"),
+    )
+    return part.filter(F.col("n_suppliers") >= HHI_MIN_SUPPLIERS).select(
+        "l_partkey",
+        "n_suppliers",
+        F.floor(
+            F.col("sq").cast("double")
+            * 1000000
+            / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+        )
+        .cast("bigint")
+        .alias("hhi_micro"),
+    )
