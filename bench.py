@@ -220,6 +220,7 @@ HEADLINE = (
     "graph_skipgram_negatives",
     "graph_metrics_summary",
     "supplier_concentration_hhi",
+    "eval_embedding_label_margin",
 )
 
 

@@ -1155,3 +1155,87 @@ def eval_matryoshka_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qs.join(hits, "q_id", "left").select(
         "q_id", F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits")
     )
+
+
+# --- embedding label-margin eval ---------------------------------------------
+
+@query(
+    "eval_embedding_label_margin",
+    priority=150,
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, label, {_SQL_BUCKET} AS bucket FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label, bucket
+      FROM bucketed WHERE vec_id % {QUERY_MOD} = 0
+    ), scored AS (
+      SELECT q.q_id, q.q_label, e.label AS e_label,
+             ROUND({_cosine_sql('q.q_emb', 'e.embedding')}, 6) AS cs
+      FROM q JOIN bucketed e
+        ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+    ), agg AS (
+      SELECT q_id, q_label,
+             MAX(CASE WHEN e_label = q_label THEN cs END) AS best_pos,
+             MAX(CASE WHEN e_label <> q_label THEN cs END) AS best_neg
+      FROM scored GROUP BY q_id, q_label
+    )
+    SELECT q_id, q_label, best_pos, best_neg,
+           CAST(FLOOR((best_pos - best_neg) * 1000000) AS BIGINT)
+             AS margin_micro
+    FROM agg
+    WHERE best_pos IS NOT NULL AND best_neg IS NOT NULL
+    """,
+)
+def eval_embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPRESENTATION-QUALITY EVAL: per anchor, the margin between its
+    best SAME-label and best DIFFERENT-label cosine among its LSH
+    bucket-mates — the one-number-per-anchor version of 'are classes
+    separated in embedding space?' (positive margin = nearest relevant
+    beats nearest confusable; the distribution of margins is what a
+    contrastive fine-tune moves). Shares the bucketed-anchor scaffold
+    with ann_lsh_topk/contrastive_hard_negatives — one bucket-keyed
+    probe join, both maxes in ONE conditional aggregation (no second
+    join), anchors lacking either side dropped identically in both
+    engines via NULL filtering. Exactness: the margin subtracts two
+    ROUNDED 6-dp cosines — each a multiple of 1e-6, so the difference
+    is an EXACT multiple of 1e-6 in IEEE doubles this close to zero...
+    but FLOOR of (x*1e6) on a value that IS an integer-in-spirit can
+    straddle the representation error, so both engines compute the
+    identical (best_pos - best_neg) * 1000000 expression on identical
+    doubles — bit-equal inputs, bit-equal floor."""
+    emb, q = _lsh_bucketed_anchors(spark, sf_dir, extra_cols=("label",))
+    scored = (
+        F.broadcast(q)
+        .join(
+            emb,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            "q_label",
+            F.col("label").alias("e_label"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cs"
+            ),
+        )
+    )
+    agg = scored.groupBy("q_id", "q_label").agg(
+        F.max(
+            F.when(F.col("e_label") == F.col("q_label"), F.col("cs"))
+        ).alias("best_pos"),
+        F.max(
+            F.when(F.col("e_label") != F.col("q_label"), F.col("cs"))
+        ).alias("best_neg"),
+    )
+    return agg.filter(
+        F.col("best_pos").isNotNull() & F.col("best_neg").isNotNull()
+    ).select(
+        "q_id",
+        "q_label",
+        "best_pos",
+        "best_neg",
+        F.floor((F.col("best_pos") - F.col("best_neg")) * 1000000)
+        .cast("bigint")
+        .alias("margin_micro"),
+    )
