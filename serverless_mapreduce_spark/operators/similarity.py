@@ -1196,13 +1196,14 @@ def eval_embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ann_lsh_topk/contrastive_hard_negatives — one bucket-keyed
     probe join, both maxes in ONE conditional aggregation (no second
     join), anchors lacking either side dropped identically in both
-    engines via NULL filtering. Exactness: the margin subtracts two
-    ROUNDED 6-dp cosines — each a multiple of 1e-6, so the difference
-    is an EXACT multiple of 1e-6 in IEEE doubles this close to zero...
-    but FLOOR of (x*1e6) on a value that IS an integer-in-spirit can
-    straddle the representation error, so both engines compute the
-    identical (best_pos - best_neg) * 1000000 expression on identical
-    doubles — bit-equal inputs, bit-equal floor."""
+    engines via NULL filtering. Exactness: best_pos/best_neg are the
+    family's ROUNDED 6-dp cosines — bit-identical doubles in both
+    engines — and the margin applies the character-identical
+    FLOOR((best_pos - best_neg) * 1000000) expression to them:
+    bit-equal inputs through identical correctly-rounded ops give a
+    bit-equal floor (the subtraction result sits within 1 ulp of a
+    1e-6 multiple, which is exactly why the expression must match
+    character-for-character rather than be algebraically rearranged)."""
     emb, q = _lsh_bucketed_anchors(spark, sf_dir, extra_cols=("label",))
     scored = (
         F.broadcast(q)
