@@ -3668,6 +3668,13 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson)."""
     vol = (
         table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        # one explicit partkey exchange serves BOTH aggregation levels:
+        # hash(l_partkey) clusters every (partkey, suppkey) group AND
+        # every partkey group, so neither groupBy adds its own shuffle
+        # (without this, level 1 hashes on (pk, sk) and level 2 re-hashes
+        # on pk — two exchanges of the same data)
+        .repartition(F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)") * 100)

@@ -61,3 +61,21 @@ def test_funnel_ttc_no_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "funnel_time_to_convert")
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hhi_reuses_partkey_exchange(spark, sf_dir):
+    # two-level aggregation both keyed by l_partkey: one exchange total,
+    # no window, no join
+    plan = _plan(spark, sf_dir, "supplier_concentration_hhi")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    exchanges = sum(1 for ln in plan.splitlines() if "- Exchange" in ln)
+    assert exchanges == 1
+
+
+def test_label_margin_single_probe_join(spark, sf_dir):
+    # one bucket-keyed broadcast probe join; both maxes ride one
+    # conditional aggregation — no second join for the negative side
+    plan = _plan(spark, sf_dir, "eval_embedding_label_margin")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
