@@ -218,7 +218,9 @@ HEADLINE = (
     "multimodal_augment_flip",
     "multimodal_audio_downsample",
     "graph_skipgram_negatives",
-    "graph_metrics_summary",
+    # graph_metrics_summary is NOT benched: its dominant cost is the same
+    # 3-way triangle join the graph_triangles line already tracks, and
+    # benching it would double-count that regression signal.
     "supplier_concentration_hhi",
     "eval_embedding_label_margin",
 )
