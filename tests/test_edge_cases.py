@@ -382,3 +382,52 @@ def test_bucket_search_matches_linear_scan(spark):
     for v in vals:
         expect = 0 if v is None else sum(1 for b in bounds if v > b)
         assert got[v] == expect, (v, got[v], expect)
+
+
+# --- augmentation ops on an empty-text document ---------------------------------
+
+def test_augment_ops_agree_with_oracle_on_empty_text(
+    spark, tmp_path_factory
+):
+    """An empty-text document yields a zero-height BMP / zero-sample WAV;
+    Spark emits the zero row and the oracle's UNION ALL zero-branch must
+    produce the identical row (the review-fix branch that is latent on
+    the fixture, exercised here on a crafted corpus)."""
+    import pandas as pd
+
+    from serverless_mapreduce_spark import registry
+    from serverless_mapreduce_spark.operators.multimodal import (
+        multimodal_audio_downsample,
+        multimodal_augment_flip,
+    )
+
+    d = tmp_path_factory.mktemp("emptydocs")
+    pd.DataFrame(
+        {
+            "doc_id": [2, 4, 3, 5],
+            "text": ["", "abcdefgh" * 5, "", "xyz" * 20],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0, 40, 0, 60],
+        }
+    ).to_parquet(d / "documents.parquet")
+    sf = str(d)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    for fn, name in (
+        (multimodal_augment_flip, "multimodal_augment_flip"),
+        (multimodal_audio_downsample, "multimodal_audio_downsample"),
+    ):
+        got = sorted(tuple(r) for r in fn(spark, sf).collect())
+        exp = sorted(
+            tuple(r) for r in con.execute(registry.all_oracles()[name]).fetchall()
+        )
+        assert got == exp, name
+        # the empty doc is PRESENT with zeroed metrics, not dropped
+        ids = {t[0] for t in got}
+        assert (2 in ids) if name.endswith("flip") else (3 in ids)
