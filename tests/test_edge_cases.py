@@ -431,3 +431,78 @@ def test_augment_ops_agree_with_oracle_on_empty_text(
         # the empty doc is PRESENT with zeroed metrics, not dropped
         ids = {t[0] for t in got}
         assert (2 in ids) if name.endswith("flip") else (3 in ids)
+
+
+def test_time_ops_agree_with_oracle_on_degenerate_events(
+    spark, tmp_path_factory
+):
+    """Crafted events with (a) a user whose events all share one
+    timestamp (zero total hold — the DuckDB NaN-crash case TWAP's
+    sd > 0 guard fixed) and (b) a same-instant click+purchase tie (the
+    strictly-before attribution rule): Spark and the DuckDB oracle must
+    agree on the full result for all three operators."""
+    import duckdb
+    import pandas as pd
+
+    from serverless_mapreduce_spark import registry
+    from serverless_mapreduce_spark.operators.analytics import (
+        attribution_last_touch,
+        attribution_linear_touch,
+        time_weighted_avg_user,
+    )
+
+    d = tmp_path_factory.mktemp("degenevents")
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 00:00:00",  # u1 click (tie with purchase)
+            "2024-01-01 00:00:00",  # u1 purchase same instant -> direct
+            "2024-01-01 05:00:00",  # u1 purchase 5h later -> click
+            "2024-01-02 00:00:00",  # u2: all same instant (zero hold)
+            "2024-01-02 00:00:00",
+            "2024-01-03 00:00:00",  # u3 normal series
+            "2024-01-03 01:00:00",
+        ]
+    )
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6, 7],
+            "ts": ts,
+            "user_id": [1, 1, 1, 2, 2, 3, 3],
+            "event_type": [
+                "click",
+                "purchase",
+                "purchase",
+                "view",
+                "view",
+                "view",
+                "view",
+            ],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+        }
+    ).to_parquet(d / "events.parquet")
+    sf = str(d)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    for fn, name in (
+        (time_weighted_avg_user, "time_weighted_avg_user"),
+        (attribution_last_touch, "attribution_last_touch"),
+        (attribution_linear_touch, "attribution_linear_touch"),
+    ):
+        got = sorted(tuple(str(c) for c in r) for r in fn(spark, sf).collect())
+        exp = sorted(
+            tuple(str(c) for c in r)
+            for r in con.execute(registry.all_oracles()[name]).fetchall()
+        )
+        assert got == exp, name
+    # semantic spot checks: zero-hold user absent from TWAP; the tied
+    # purchase is 'direct' in last-touch
+    twap_users = {
+        r["user_id"] for r in time_weighted_avg_user(spark, sf).collect()
+    }
+    assert 2 not in twap_users and 3 in twap_users
+    last = {
+        (r["user_id"], r["channel"]): r["n_purchases"]
+        for r in attribution_last_touch(spark, sf).collect()
+    }
+    assert last == {(1, "direct"): 1, (1, "click"): 1}
