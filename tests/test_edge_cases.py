@@ -506,3 +506,108 @@ def test_time_ops_agree_with_oracle_on_degenerate_events(
         for r in attribution_last_touch(spark, sf).collect()
     }
     assert last == {(1, "direct"): 1, (1, "click"): 1}
+
+
+def test_ewma_agrees_with_oracle_on_negative_spend(spark, tmp_path_factory):
+    """Refund days (negative totalprice) hit the Python-floors-vs-
+    DuckDB-truncates divergence the _tdiv2 fix closed: both engines must
+    produce identical EWMA series on a corpus with negative cents."""
+    import duckdb
+    import pandas as pd
+
+    from serverless_mapreduce_spark import registry
+    from serverless_mapreduce_spark.operators.analytics import ewma_user_spend
+
+    d = tmp_path_factory.mktemp("refundorders")
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4, 5],
+            "o_custkey": [10, 10, 10, 11, 11],
+            "o_orderstatus": ["F"] * 5,
+            # day2 is a net refund; odd cents force the floor/trunc split
+            "o_totalprice": [100.37, -55.11, 20.01, -10.03, -70.99],
+            # micros, not pandas' default nanos: only events.ts gets the
+            # nanos normalization (catalog._to_ntz); orders must match the
+            # fixture's TIMESTAMP(MICROS) encoding
+            "o_orderdate": pd.to_datetime(
+                [
+                    "2024-01-01",
+                    "2024-01-02",
+                    "2024-01-03",
+                    "2024-01-01",
+                    "2024-01-02",
+                ]
+            ).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT"] * 5,
+        }
+    ).to_parquet(d / "orders.parquet")
+    sf = str(d)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    got = sorted(
+        tuple(str(c) for c in r)
+        for r in ewma_user_spend(spark, sf).collect()
+    )
+    exp = sorted(
+        tuple(str(c) for c in r)
+        for r in con.execute(
+            registry.all_oracles()["ewma_user_spend"]
+        ).fetchall()
+    )
+    assert got == exp
+    # the running value actually goes negative (the case under test)
+    assert any(int(t[3]) < 0 for t in got)
+
+
+def test_session_path_agrees_with_oracle_on_null_event_type(
+    spark, tmp_path_factory
+):
+    """A NULL event_type must void the trigrams it touches in BOTH
+    engines (the concat_ws null-skip bug emitted malformed 2-part paths
+    the '||' oracle never saw — fixed to null-propagating concat)."""
+    import duckdb
+    import pandas as pd
+
+    from serverless_mapreduce_spark import registry
+    from serverless_mapreduce_spark.operators.analytics import (
+        session_path_topk,
+    )
+
+    d = tmp_path_factory.mktemp("nulltype")
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6, 7],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:%02d:00" % m for m in range(7)]
+            ),
+            "user_id": [1] * 7,
+            "event_type": [
+                "view",
+                None,
+                "click",
+                "view",
+                "click",
+                "purchase",
+                "view",
+            ],
+            "value": [1.0] * 7,
+        }
+    ).to_parquet(d / "events.parquet")
+    sf = str(d)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    got = sorted(
+        tuple(str(c) for c in r)
+        for r in session_path_topk(spark, sf).collect()
+    )
+    exp = sorted(
+        tuple(str(c) for c in r)
+        for r in con.execute(
+            registry.all_oracles()["session_path_topk"]
+        ).fetchall()
+    )
+    assert got == exp
+    # no malformed 2-part path ever appears
+    assert all(t[0].count(">") == 2 for t in got)
