@@ -223,6 +223,7 @@ HEADLINE = (
     # benching it would double-count that regression signal.
     "supplier_concentration_hhi",
     "eval_embedding_label_margin",
+    "stream_kv_jdbc_sink",
 )
 
 

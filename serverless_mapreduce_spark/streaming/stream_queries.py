@@ -843,3 +843,83 @@ def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_stream_to_memory(out, mode="update")
+
+
+# --- streaming -> external KV sink (the reference's output handler, live) -----
+
+@query(
+    "stream_kv_jdbc_sink",
+    priority=150,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_kv_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM → EXTERNAL KV STORE: drain the event stream into the
+    genuine JDBC connector (embedded Derby — the DynamoDB-output-handler
+    analog, sources/jdbc_kv.py) via ``foreachBatch``, then verify by
+    aggregating a PARTITIONED READ-BACK from the store — the streaming
+    mode of the reference's reducer→DynamoDB output path
+    (output_handler_dynamodb.py:100-112), which the batch
+    kv_jdbc_roundtrip already covers one-shot. Exactly-once for this
+    bounded drain: batch 0 writes mode=overwrite (a re-run truncates and
+    reloads — idempotent), later batches append; a production restart
+    story pairs the batchId with a transactional sink exactly as
+    foreachBatch documents. The oracle is the batch aggregate over the
+    source — what the store must contain iff no row was lost or
+    duplicated."""
+    from serverless_mapreduce_spark.sources.jdbc_kv import (
+        KV_COLUMNS,
+        _jdbc_url,
+        _props,
+        read_events_kv,
+    )
+    from serverless_mapreduce_spark.paths import scratch
+
+    jvm = spark.sparkContext._jvm  # type: ignore[attr-defined]
+    jvm.System.setProperty("derby.system.home", scratch("jdbc"))
+    url = _jdbc_url(sf_dir).replace("/kv_", "/kvstream_")
+
+    # fresh checkpoint per run: batch 0's idempotent OVERWRITE then always
+    # re-fires, so the store state is a pure function of the source — a
+    # stale checkpoint from an earlier session would otherwise skip the
+    # drain entirely and silently depend on the old table contents
+    import shutil
+
+    ckpt = os.path.join(
+        scratch("jdbc"),
+        f"ckpt_kvstream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    ss = stateful_session(spark)
+    ev = events_stream(ss, sf_dir).select(*KV_COLUMNS)
+
+    def write_batch(batch_df, batch_id: int):
+        (
+            batch_df.coalesce(4)
+            .write.mode("overwrite" if batch_id == 0 else "append")
+            .options(**_props())
+            .option("createTableColumnTypes", "event_type VARCHAR(64)")
+            .jdbc(url, "events_kv")
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    back = read_events_kv(spark, url)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -33,6 +33,7 @@ SIDE_EFFECTING = {
     "ann_ivf_kmeans_topk",
     "kv_jdbc_roundtrip",
     "sink_overwrite_partition_dynamic",
+    "stream_kv_jdbc_sink",
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY where the broadcast side is a
