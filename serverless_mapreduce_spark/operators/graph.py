@@ -1481,14 +1481,21 @@ def graph_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from serverless_mapreduce_spark.functions.prefix import prefix_sums
+
     adj = _ranked_adj(spark, sf_dir)
     deg = adj.select("src").distinct()
-    wn = Window.orderBy("src")
-    nodes = deg.select(
+    n_nodes = deg.count()  # scalar: |V| (no window job)
+    # GLOBAL contiguous rank via the range-partitioned prefix primitive —
+    # NOT Window.orderBy() with no partition key, which funnels all of
+    # |V| through one task (the sort_by_value lesson); cum count of ones
+    # in src order IS the 1-based rank
+    nodes = prefix_sums(
+        deg.select("src", F.lit(1).alias("one")), "src", ["one"]
+    ).select(
         F.col("src").alias("node"),
-        (F.row_number().over(wn) - 1).alias("node_rk"),
+        (F.col("cum_one") - 1).alias("node_rk"),
     )
-    n_nodes = nodes.count()  # scalar: |V|
     # constant K-way fanout by explode, not a crossJoin against a K-row
     # frame (which compiles to a BroadcastNestedLoopJoin the plan lint
     # rightly forbids)
@@ -1515,11 +1522,12 @@ def graph_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("bigint"),
     )
+    # node-table broadcast behind the same size gate as every iterative
+    # op in this file; above it, a plain keyed shuffle join (md5 spreads
+    # the rank key uniformly — no skew)
+    n = F.broadcast(nodes) if n_nodes <= BROADCAST_NODE_LIMIT else nodes
     return (
-        draws.join(
-            F.broadcast(nodes),
-            F.col("node_rk") == F.col("u") % F.lit(n_nodes),
-        )
+        draws.join(n, F.col("node_rk") == F.col("u") % F.lit(n_nodes))
         .select("center", "context", "k", F.col("node").alias("neg_id"))
     )
 
@@ -1558,13 +1566,15 @@ def graph_skipgram_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
       (SELECT t FROM tri) AS n_triangles,
       (SELECT w FROM wed) AS n_wedges,
-      CAST(FLOOR(CAST(3 * (SELECT t FROM tri) AS DOUBLE) * 1000000
-           / CAST((SELECT w FROM wed) AS DOUBLE)) AS BIGINT)
-        AS clustering_micro,
-      (SELECT CAST(FLOOR(1000000.0 *
+      CASE WHEN (SELECT w FROM wed) > 0 THEN
+        CAST(FLOOR(CAST(3 * (SELECT t FROM tri) AS DOUBLE) * 1000000
+             / CAST((SELECT w FROM wed) AS DOUBLE)) AS BIGINT)
+      END AS clustering_micro,
+      (SELECT CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(FLOOR(1000000.0 *
               (n * sxy - sx * sy) /
               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
-            AS BIGINT) FROM mom) AS assortativity_micro
+            AS BIGINT) END FROM mom) AS assortativity_micro
     """,
 )
 def graph_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1600,6 +1610,7 @@ def graph_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges = (
         deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint"))
         .collect()[0][0]
+        or 0  # SUM over zero rows is NULL (edgeless corpus)
     )
     n_nodes = deg.count()
     n_edges = edges.count()
@@ -1625,20 +1636,32 @@ def graph_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("bigint").alias("n_edges"),
         F.lit(tri).cast("bigint").alias("n_triangles"),
         F.lit(wedges).cast("bigint").alias("n_wedges"),
-        F.floor(
-            F.lit(float(3 * tri)) * 1000000 / F.lit(float(wedges))
-        )
-        .cast("bigint")
-        .alias("clustering_micro"),
-        F.floor(
-            F.lit(1000000.0)
-            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (
-                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-            )
-        )
-        .cast("bigint")
-        .alias("assortativity_micro"),
+        # 0/0 guards on BOTH sides (the TWAP NaN lesson: DuckDB's
+        # CAST(FLOOR(NaN)) raises while Spark nulls): a wedge-free graph
+        # has no clustering coefficient, a degree-regular graph has no
+        # assortativity — NULL in both engines
+        (
+            F.floor(
+                F.lit(float(3 * tri)) * 1000000 / F.lit(float(wedges))
+            ).cast("bigint")
+            if wedges > 0
+            else F.lit(None).cast("bigint")
+        ).alias("clustering_micro"),
+        F.when(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+            F.floor(
+                F.lit(1000000.0)
+                * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(
+                        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                    )
+                    * F.sqrt(
+                        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                    )
+                )
+            ).cast("bigint"),
+        ).alias("assortativity_micro"),
     )
     return out

@@ -890,10 +890,9 @@ def stream_kv_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drain entirely and silently depend on the old table contents
     import shutil
 
-    ckpt = os.path.join(
-        scratch("jdbc"),
-        f"ckpt_kvstream_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    from serverless_mapreduce_spark.paths import sf_tag
+
+    ckpt = os.path.join(scratch("jdbc"), f"ckpt_kvstream_{sf_tag(sf_dir)}")
     shutil.rmtree(ckpt, ignore_errors=True)
 
     ss = stateful_session(spark)

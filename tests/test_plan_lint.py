@@ -34,6 +34,10 @@ SIDE_EFFECTING = {
     "kv_jdbc_roundtrip",
     "sink_overwrite_partition_dynamic",
     "stream_kv_jdbc_sink",
+    # construction executes the triangle join + degree scalars driver-side
+    # (one-row profile); its heavy sub-plan is the SAME oriented 3-way
+    # join graph_triangles keeps under lint coverage
+    "graph_metrics_summary",
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY where the broadcast side is a
