@@ -281,10 +281,19 @@ def main() -> None:
     # a maintained bucketed artifact (operators/graph.py:_edges), so the
     # first graph query should measure its algorithm, not the table build —
     # and one noop read warms the scan of the written buckets too.
-    from serverless_mapreduce_spark.operators.graph import _edges, _pair_counts
+    from serverless_mapreduce_spark.operators.graph import (
+        _edges,
+        _pair_counts,
+        _ranked_adj,
+    )
 
     _edges(spark, sf_dir).write.format("noop").mode("overwrite").save()
     _pair_counts(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # The walk family's ranked adjacency is the third maintained artifact —
+    # warming it here pins round-over-round graph numbers to the plans, not
+    # to which query pays the one-time build + cold bucket scan (r6 verdict
+    # handoff item: graph first-touch cost drifted bench totals by ~2.5 s).
+    _ranked_adj(spark, sf_dir).write.format("noop").mode("overwrite").save()
     # The first Python-DataSource read in a session spins up the planner +
     # reader worker pool (~9s on local[32]) — session-fixed like the pandas
     # pool above; a tiny read through the connector warms it. Prefer the

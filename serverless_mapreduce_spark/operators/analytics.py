@@ -2789,7 +2789,7 @@ def ewma_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_intervals
       FROM seq WHERE tn IS NOT NULL GROUP BY user_id
     )
-    SELECT user_id, n_intervals, sd AS held_us,
+    SELECT user_id, n_intervals, CAST(sd AS BIGINT) AS held_us,
            CAST(FLOOR(CAST(swc AS DOUBLE) * 10.0 / CAST(sd AS DOUBLE))
                 AS BIGINT) AS twap_milli
     FROM agg WHERE sd > 0
@@ -3451,9 +3451,9 @@ AQP_SAMPLE_MOD = 10  #: 1-in-10 deterministic row sample
       FROM lineitem
     )
     SELECT l_returnflag,
-           SUM(cents) AS exact_cents,
-           SUM(CASE WHEN in_sample THEN cents ELSE 0 END)
-             * {AQP_SAMPLE_MOD} AS est_cents,
+           CAST(SUM(cents) AS BIGINT) AS exact_cents,
+           CAST(SUM(CASE WHEN in_sample THEN cents ELSE 0 END)
+             * {AQP_SAMPLE_MOD} AS BIGINT) AS est_cents,
            CAST(FLOOR(CAST(abs(
                   SUM(CASE WHEN in_sample THEN cents ELSE 0 END)
                     * {AQP_SAMPLE_MOD} - SUM(cents)

@@ -43,13 +43,70 @@ def _norm_rows(cols, rows):
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+def _check_oracle_dtypes(spark_df, rel) -> None:
+    """Fail any oracle whose column dtype would diverge from Spark's in the
+    driver's PANDAS comparison path even though ``fetchall()`` values agree.
+
+    The driver hashes ``relation.df()`` where DuckDB HUGEINT (the silent
+    result type of ``SUM(BIGINT)``) becomes float64 while Spark emits int64 —
+    rows/schema match but the value hash does not (CORRECTNESS_r06:
+    time_weighted_avg_user, eval_sample_accelerated_agg). ``fetchall()``
+    returns Python ints for HUGEINT, which is why the old preflight was
+    blind to the class. Also reject plain integer-vs-float disagreements in
+    either direction for the same reason.
+    """
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    INT_DUCK = {
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    }
+    FLOAT_DUCK = {"FLOAT", "DOUBLE"}
+    spark_types = {
+        f.name.lower(): f.dataType for f in spark_df.schema.fields
+    }
+    problems = []
+    for col, dtype in zip(rel.columns, rel.types):
+        duck_t = str(dtype).upper()
+        sp_t = spark_types.get(col.lower())
+        if sp_t is None:
+            continue  # column-name mismatch is reported separately
+        sp_int = isinstance(sp_t, (ByteType, ShortType, IntegerType, LongType))
+        sp_float = isinstance(sp_t, (FloatType, DoubleType))
+        if duck_t in ("HUGEINT", "UHUGEINT"):
+            problems.append(
+                f"{col}: DuckDB {duck_t} becomes float64 in the driver's "
+                f"pandas path (Spark side is {sp_t.simpleString()}) — "
+                f"CAST the oracle column AS BIGINT"
+            )
+        elif duck_t in FLOAT_DUCK and sp_int:
+            problems.append(
+                f"{col}: DuckDB {duck_t} vs Spark {sp_t.simpleString()} — "
+                f"dtype-divergent under the driver's hash"
+            )
+        elif duck_t in INT_DUCK and sp_float:
+            problems.append(
+                f"{col}: DuckDB {duck_t} vs Spark {sp_t.simpleString()} — "
+                f"dtype-divergent under the driver's hash"
+            )
+    assert not problems, "oracle dtype hazard: " + "; ".join(problems)
+
+
 def assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> int:
     """Order-insensitive exact comparison of a Spark result vs DuckDB SQL.
     Returns the row count."""
     con = duck_con(sf_dir)
-    expected = con.execute(oracle)
-    exp_cols = [d[0] for d in expected.description]
-    exp_rows = expected.fetchall()
+    rel = con.sql(oracle)
+    _check_oracle_dtypes(spark_df, rel)
+    exp_cols = list(rel.columns)
+    exp_rows = rel.fetchall()
 
     got_cols = spark_df.columns
     # PySpark's collect() renders TimestampType (an INSTANT) as a naive
