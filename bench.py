@@ -319,17 +319,46 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # The driver records only the LAST 2000 chars of stdout and parses the
+    # final line as JSON: with 179 headline queries the full per-query map
+    # is ~6 KB, so the metric line was truncated and BENCH_r05/r06 recorded
+    # `parsed: null` despite rc=0 (r6 verdict). Emit the COMPLETE result to
+    # BENCH_LOCAL.json (committed, judge-readable) and keep the stdout line
+    # under the tail budget: total + as many per-query entries (in HEADLINE
+    # priority order, 2 dp) as fit.
+    full = {
+        "metric": "bench_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
+
+    compact = {
+        "metric": "bench_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "BENCH_LOCAL.json",
+    }
+    budget = 1700  # < driver tail (2000) with headroom for the newline
+    for name in HEADLINE:
+        if name not in timings:
+            continue
+        trial = dict(compact["queries"])
+        trial[name] = round(timings[name], 2)
+        candidate = {**compact, "queries": trial}
+        if len(json.dumps(candidate, separators=(",", ":"))) > budget:
+            break
+        compact["queries"] = trial
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
