@@ -224,6 +224,9 @@ HEADLINE = (
     "supplier_concentration_hhi",
     "eval_embedding_label_margin",
     "stream_kv_jdbc_sink",
+    # round-7 additions
+    "dsir_importance_weights",
+    "source_temperature_sample",
 )
 
 
@@ -294,6 +297,12 @@ def main() -> None:
     # to which query pays the one-time build + cold bucket scan (r6 verdict
     # handoff item: graph first-touch cost drifted bench totals by ~2.5 s).
     _ranked_adj(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Same for the checkpointed walk corpus itself (DeepWalk materializes
+    # walks once per embedding run): build it here so each walk-family
+    # line measures its algorithm, not the shared WALK_STEPS join chain.
+    from serverless_mapreduce_spark.operators.graph import _walk_table
+
+    _walk_table(spark, sf_dir)
     # The first Python-DataSource read in a session spins up the planner +
     # reader worker pool (~9s on local[32]) — session-fixed like the pandas
     # pool above; a tiny read through the connector warms it. Prefer the

@@ -1302,10 +1302,27 @@ def _ranked_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+#: session-lifetime memo for the checkpointed walk corpus, keyed by
+#: (applicationId, sf_dir): every walk-family query used to re-derive the
+#: WALK_STEPS chained joins AND pay a fresh localCheckpoint (~2-3 s at
+#: sf0.1) — but the table is deterministic and tiny (seeds × (L+1) rows),
+#: so like _edges/_ranked_adj it is a maintained artifact, built once per
+#: session. Deliberately NOT release_cached()-scoped: the checkpoint frees
+#: with the SparkContext.
+_WALK_MEMO: dict = {}
+
+
 def _walk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic (walk_id, step, node) corpus — ONE Spark-side
     derivation shared by graph_random_walks and graph_skipgram_pairs,
-    mirroring the shared `walks` oracle CTE chain."""
+    mirroring the shared `walks` oracle CTE chain. Memoized per
+    (application, sf): the first caller materializes the checkpoint, the
+    rest of the walk family reuses it."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    with _EDGE_BUILD_LOCK:
+        cached = _WALK_MEMO.get(memo_key)
+        if cached is not None:
+            return cached
     adj = _ranked_adj(spark, sf_dir)
     deg = adj.select("src", "d").distinct()
     walks = (
@@ -1350,9 +1367,12 @@ def _walk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage is WALK_STEPS chained joins — without this, the skip-gram
     # SELF-join re-executes the whole chain once per side (measured
     # 6.3 s -> 2.9 s warm at sf0.1)
-    return out.select(
+    result = out.select(
         "walk_id", F.col("step").cast("int").alias("step"), "node"
     ).localCheckpoint(eager=True)
+    with _EDGE_BUILD_LOCK:
+        _WALK_MEMO[memo_key] = result
+    return result
 
 
 # --- skip-gram pairs from the walk corpus ------------------------------------

@@ -1477,3 +1477,92 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.join(neg, "neg_i").select(
         "doc_id", F.col("k").cast("bigint").alias("k"), "neg_doc_id"
     )
+
+
+# --- temperature-scaled source sampling weights -------------------------------
+
+TEMP_SAMPLE_SCALE = 1_000_000  #: micro fixed-point for the sqrt weights
+
+
+@query(
+    "source_temperature_sample",
+    priority=150,
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)
+                             / CAST((SELECT CAST(SUM(n_docs) AS BIGINT)
+                                     FROM s) AS DOUBLE))
+                        * {TEMP_SAMPLE_SCALE}) AS BIGINT) AS w_micro
+      FROM s
+    )
+    SELECT source, n_docs, w_micro,
+           (w_micro * {TEMP_SAMPLE_SCALE})
+             // (SELECT CAST(SUM(w_micro) AS BIGINT) FROM w) AS samp_ppm,
+           (w_micro * (SELECT CAST(SUM(n_docs) AS BIGINT) FROM s) * 1000)
+             // (SELECT CAST(SUM(w_micro) AS BIGINT) FROM w)
+             AS expected_docs_milli
+    FROM w
+    """,
+)
+def source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED multi-source sampling (the p^alpha upweighting
+    multilingual/multi-source pretraining uses so low-resource slices are
+    not drowned out — exponent alpha=0.5, i.e. sqrt): per-source share
+    p_s = n_s/N, unnormalized weight sqrt(p_s), normalized sampling
+    probability, and the expected document count a resampled epoch draws
+    from each source. Companion to source_mixture_weights (the alpha=0
+    uniform flattening); this is the smooth interpolation production
+    mixes actually ship.
+
+    Exactness: alpha is deliberately 1/2 because IEEE-754 REQUIRES sqrt
+    (like +,-,*,/) to be correctly rounded, so ``sqrt(n/N)`` is
+    bit-identical on both engines when the arithmetic form is kept
+    identical — unlike ``pow(p, 0.7)``/``exp/ln``, which are
+    libm-dependent (this module's tf-idf ln-avoidance argument). The
+    double weight is then floored ONCE into integer micro fixed-point;
+    shares and expected counts are pure integer products with truncating
+    integer division (positive operands: Spark DIV and DuckDB // agree).
+    sqrt of a rational is either irrational (no tie possible at the FLOOR
+    boundary beyond the shared 1-ulp-exact value) or exactly
+    representable (perfect-square ratio -> identical bits), so the floor
+    can never disagree. Overflow: w_micro <= 1e6, so the expected-count
+    numerator stays under 2^63 up to N ~ 9e9 documents; promote to
+    DECIMAL(38,0) beyond that.
+
+    Plan: one aggregation over a 1-column projection (map-side partials,
+    #sources rows survive) persisted once; every total re-aggregates the
+    tiny persisted table via scalar subqueries (SubqueryExec), never a
+    second corpus pass. At 100 TB this is a metadata-sized computation
+    after the single scan."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+    from serverless_mapreduce_spark.catalog import unique_view
+
+    s = persist_tracked(
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    src_view = unique_view(s, "temp_sample_sources")
+    return spark.sql(
+        f"""
+        WITH w AS (
+          SELECT source, n_docs,
+                 CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)
+                                 / CAST((SELECT SUM(n_docs)
+                                         FROM {src_view}) AS DOUBLE))
+                            * {TEMP_SAMPLE_SCALE}) AS BIGINT) AS w_micro
+          FROM {src_view}
+        )
+        SELECT source, n_docs, w_micro,
+               (w_micro * {TEMP_SAMPLE_SCALE})
+                 DIV (SELECT SUM(w_micro) FROM w) AS samp_ppm,
+               (w_micro * (SELECT SUM(n_docs) FROM {src_view}) * 1000)
+                 DIV (SELECT SUM(w_micro) FROM w) AS expected_docs_milli
+        FROM w
+        """
+    )

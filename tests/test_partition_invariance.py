@@ -34,6 +34,11 @@ CASES = (
     "seasonal_residual_outliers",
     "ewma_user_spend",
     "time_weighted_avg_user",
+    # round-7 mechanisms: integer ppm likelihood-ratio sums from
+    # truncating integer division (dsir), FLOOR-quantized
+    # correctly-rounded sqrt feeding integer-only shares (temperature)
+    "dsir_importance_weights",
+    "source_temperature_sample",
 )
 
 
