@@ -342,9 +342,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Only the canonical benchmark scale may write the committed artifact;
+    # dev-scale smoke runs go to a scale-suffixed (gitignored) file so a
+    # quick sf0.001 iteration can never clobber the judge-readable record.
+    fname = (
+        "BENCH_LOCAL.json"
+        if abs(sf - 0.1) < 1e-12
+        else f"BENCH_LOCAL.sf{sf}.json"
+    )
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-        "w",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), fname), "w"
     ) as f:
         json.dump(full, f, indent=1)
 
@@ -355,7 +362,7 @@ def main() -> None:
         "queries": {},
         "sf": sf,
         "n_queries": len(timings),
-        "detail": "BENCH_LOCAL.json",
+        "detail": fname,
     }
     budget = 1700  # < driver tail (2000) with headroom for the newline
     for name in HEADLINE:

@@ -1317,12 +1317,21 @@ def _walk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation shared by graph_random_walks and graph_skipgram_pairs,
     mirroring the shared `walks` oracle CTE chain. Memoized per
     (application, sf): the first caller materializes the checkpoint, the
-    rest of the walk family reuses it."""
+    rest of the walk family reuses it. The (re-entrant) build lock is
+    held across the whole derivation — same discipline as
+    _edges/_ranked_adj — so concurrent walk-family queries cannot
+    duplicate the chain build + checkpoint."""
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     with _EDGE_BUILD_LOCK:
         cached = _WALK_MEMO.get(memo_key)
         if cached is not None:
             return cached
+        result = _build_walk_table(spark, sf_dir)
+        _WALK_MEMO[memo_key] = result
+        return result
+
+
+def _build_walk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = _ranked_adj(spark, sf_dir)
     deg = adj.select("src", "d").distinct()
     walks = (
@@ -1367,12 +1376,9 @@ def _walk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage is WALK_STEPS chained joins — without this, the skip-gram
     # SELF-join re-executes the whole chain once per side (measured
     # 6.3 s -> 2.9 s warm at sf0.1)
-    result = out.select(
+    return out.select(
         "walk_id", F.col("step").cast("int").alias("step"), "node"
     ).localCheckpoint(eager=True)
-    with _EDGE_BUILD_LOCK:
-        _WALK_MEMO[memo_key] = result
-    return result
 
 
 # --- skip-gram pairs from the walk corpus ------------------------------------

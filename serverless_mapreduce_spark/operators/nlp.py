@@ -1190,9 +1190,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: ONE corpus scan explodes into the persisted
     (doc, is_target, bucket) stream feeding both aggregations (the
     persist stops Catalyst re-running the scan+explode for each branch);
-    the model is exactly {DSIR_BUCKETS} rows — its totals ride an
-    unpartitioned window over those {DSIR_BUCKETS} rows, and the scored
-    join broadcasts the model to the per-(doc,bucket) counts. Shuffles:
+    the model is exactly DSIR_BUCKETS (1024) rows — its totals ride an
+    unpartitioned window over those rows, and the scored join broadcasts
+    the model to the per-(doc,bucket) counts. Shuffles:
     the two hash aggregations and nothing else; no Python, no Cartesian,
     no driver collect. Reference parity: the reference has no data-
     selection operator at all (its only text op is the delimiter word

@@ -44,6 +44,15 @@ def test_cast_sum_bigint_oracle_passes(spark):
     assert assert_matches_oracle(df, oracle, SF) == 1
 
 
+def test_uncast_decimal_oracle_fails_preflight(spark):
+    """DECIMAL output shares the HUGEINT hazard (float64 in the driver's
+    pandas path vs Spark's int64 / object-Decimal) — rejected outright."""
+    df = _one_row(spark, "42", "s", "bigint")
+    oracle = "SELECT CAST(SUM(x) AS DECIMAL(18,2)) * 1 AS s FROM (SELECT 42 AS x)"
+    with pytest.raises(AssertionError, match="DECIMAL"):
+        assert_matches_oracle(df, oracle, SF)
+
+
 def test_float_oracle_vs_integer_spark_fails():
     """DuckDB DOUBLE against a Spark integer column diverges in the pandas
     path (float64 vs int64) — must be rejected regardless of values."""
