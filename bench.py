@@ -224,9 +224,12 @@ HEADLINE = (
     "supplier_concentration_hhi",
     "eval_embedding_label_margin",
     "stream_kv_jdbc_sink",
-    # round-7 additions
+    # round-7 additions. dsir_select_topk is NOT benched: it re-runs the
+    # same scoring derivation the dsir_importance_weights line already
+    # tracks (double-count rationale, as graph_metrics_summary).
     "dsir_importance_weights",
     "source_temperature_sample",
+    "lexical_diversity_gini",
 )
 
 

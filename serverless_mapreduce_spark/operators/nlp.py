@@ -1108,29 +1108,29 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DSIR_BUCKETS = 1024        #: hashed feature buckets (fixed-size model)
 DSIR_SCALE = 1_000_000     #: ppm fixed-point scale for likelihood ratios
+DSIR_TOP_PER_SOURCE = 5    #: documents kept per source by the selection stage
 
-
-@query(
-    "dsir_importance_weights",
-    priority=150,
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, lang = 'en' AS is_t,
+#: Shared oracle CTE chain: tokenize -> unigram+bigram features -> hashed
+#: buckets -> two-sided model counts -> integer ppm likelihood ratios ->
+#: per-document scores (source carried through for the selection stage).
+_DSIR_CTES = f"""
+    toks AS (
+      SELECT doc_id, source, lang = 'en' AS is_t,
              list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
                          t -> t <> '') AS ts
       FROM documents
     ),
     ngs AS (
-      SELECT doc_id, is_t, ng FROM (
-        SELECT doc_id, is_t, unnest(ts) AS ng FROM toks
+      SELECT doc_id, source, is_t, ng FROM (
+        SELECT doc_id, source, is_t, unnest(ts) AS ng FROM toks
         UNION ALL
-        SELECT doc_id, is_t, u.p[1] || ' ' || u.p[2] AS ng
+        SELECT doc_id, source, is_t, u.p[1] || ' ' || u.p[2] AS ng
         FROM toks, UNNEST(list_zip(ts, ts[2:])) AS u(p)
         WHERE u.p[2] IS NOT NULL AND u.p[2] <> ''
       )
     ),
     bk AS (
-      SELECT doc_id, is_t,
+      SELECT doc_id, source, is_t,
              CAST(concat('0x', substr(md5(ng), 1, 8)) AS BIGINT)
                % {DSIR_BUCKETS} AS b
       FROM ngs
@@ -1152,52 +1152,27 @@ DSIR_SCALE = 1_000_000     #: ppm fixed-point scale for likelihood ratios
       FROM model
     ),
     docb AS (
-      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS nb
-      FROM bk WHERE NOT is_t GROUP BY doc_id, b
+      SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM bk WHERE NOT is_t GROUP BY doc_id, source, b
+    ),
+    scores AS (
+      SELECT doc_id, source,
+             CAST(SUM(nb) AS BIGINT) AS n_ngrams,
+             CAST(SUM(nb * ratio_ppm) AS BIGINT) AS sum_ratio_ppm,
+             CAST(SUM(nb * ratio_ppm) AS BIGINT)
+               // CAST(SUM(nb) AS BIGINT) AS mean_ratio_ppm
+      FROM docb JOIN lr USING (b)
+      GROUP BY doc_id, source
     )
-    SELECT doc_id,
-           CAST(SUM(nb) AS BIGINT) AS n_ngrams,
-           CAST(SUM(nb * ratio_ppm) AS BIGINT) AS sum_ratio_ppm,
-           CAST(SUM(nb * ratio_ppm) AS BIGINT)
-             // CAST(SUM(nb) AS BIGINT) AS mean_ratio_ppm
-    FROM docb JOIN lr USING (b)
-    GROUP BY doc_id
-    """,
-)
-def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style importance weights for data selection (Xie et al. 2023,
-    "Data Selection for Language Models via Importance Resampling"): fit
-    two hashed bag-of-ngrams models — target = the ``lang='en'`` slice,
-    raw = everything else — and score every raw document by how
-    target-like its unigram+bigram features are. Production use: rank the
-    100 TB crawl by these weights and resample the target-distribution
-    slice for pretraining.
+"""
 
-    Deliberate deviation from the paper's log-likelihood form, same
-    exactness argument as this module's tf-idf (module docstring): per
-    bucket the smoothed likelihood ratio ``(ct+1)(CR+B) / ((cr+1)(CT+B))``
-    is kept as an INTEGER ppm fixed-point value via truncating integer
-    division (both engines truncate positives identically), and the
-    per-document score is the count-weighted integer SUM of ratios
-    (arithmetic mean of likelihood ratios instead of the geometric mean
-    ``exp(mean log r)`` — order-equivalent for the sharply-separated mixes
-    this gate exists to rank, and bit-exact under any partitioning,
-    whereas ``ln`` is libm-dependent). Intermediate products stay under
-    2^63 for the test scales (ct ≤ 1e6, model total ≤ 1e7, scale 1e6 →
-    < 1e19 only beyond sf≈3; promote to DECIMAL(38,0) intermediates for a
-    full-crawl run).
 
-    Plan shape at 100 TB: ONE corpus scan explodes into the persisted
-    (doc, is_target, bucket) stream feeding both aggregations (the
-    persist stops Catalyst re-running the scan+explode for each branch);
-    the model is exactly DSIR_BUCKETS (1024) rows — its totals ride an
-    unpartitioned window over those rows, and the scored join broadcasts
-    the model to the per-(doc,bucket) counts. Shuffles:
-    the two hash aggregations and nothing else; no Python, no Cartesian,
-    no driver collect. Reference parity: the reference has no data-
-    selection operator at all (its only text op is the delimiter word
-    count, word_count_map.py:1-17) — this extends the workload family the
-    LLM-pipeline brief mandates."""
+def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-raw-document DSIR scores (doc_id, source, n_ngrams,
+    sum_ratio_ppm, mean_ratio_ppm) — the Spark twin of the shared
+    ``_DSIR_CTES`` chain; both registered dsir queries are projections of
+    this one derivation. See dsir_importance_weights for the full design
+    and exactness argument."""
     from serverless_mapreduce_spark.caching import persist_tracked
 
     docs = table(spark, sf_dir, "documents")
@@ -1207,6 +1182,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.select(
         "doc_id",
+        "source",
         (F.col("lang") == F.lit("en")).alias("is_t"),
         ts.alias("ts"),
     )
@@ -1223,9 +1199,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda x: x.isNotNull(),
     )
     bk = persist_tracked(
-        base.select("doc_id", "is_t", F.explode(F.concat(uni, bi)).alias("ng"))
-        .select(
+        base.select(
+            "doc_id", "source", "is_t", F.explode(F.concat(uni, bi)).alias("ng")
+        ).select(
             "doc_id",
+            "source",
             "is_t",
             (
                 F.conv(F.substring(F.md5(F.col("ng")), 1, 8), 16, 10).cast(
@@ -1253,12 +1231,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docb = (
         bk.filter(~F.col("is_t"))
-        .groupBy("doc_id", "b")
+        .groupBy("doc_id", "source", "b")
         .agg(F.count("*").cast("long").alias("nb"))
     )
     return (
         docb.join(F.broadcast(lr), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "source")
         .agg(
             F.sum("nb").cast("long").alias("n_ngrams"),
             F.sum(F.col("nb") * F.col("ratio_ppm"))
@@ -1267,8 +1245,97 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .selectExpr(
             "doc_id",
+            "source",
             "n_ngrams",
             "sum_ratio_ppm",
             "sum_ratio_ppm DIV n_ngrams AS mean_ratio_ppm",
         )
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    priority=150,
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_ngrams, sum_ratio_ppm, mean_ratio_ppm FROM scores
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): fit
+    two hashed bag-of-ngrams models — target = the ``lang='en'`` slice,
+    raw = everything else — and score every raw document by how
+    target-like its unigram+bigram features are. Production use: rank the
+    100 TB crawl by these weights and resample the target-distribution
+    slice for pretraining.
+
+    Deliberate deviation from the paper's log-likelihood form, same
+    exactness argument as this module's tf-idf (module docstring): per
+    bucket the smoothed likelihood ratio ``(ct+1)(CR+B) / ((cr+1)(CT+B))``
+    is kept as an INTEGER ppm fixed-point value via truncating integer
+    division (both engines truncate positives identically), and the
+    per-document score is the count-weighted integer SUM of ratios
+    (arithmetic mean of likelihood ratios instead of the geometric mean
+    ``exp(mean log r)`` — order-equivalent for the sharply-separated mixes
+    this gate exists to rank, and bit-exact under any partitioning,
+    whereas ``ln`` is libm-dependent). Intermediate products stay under
+    2^63 for the test scales (ct <= 1e6, model total <= 1e7, scale 1e6 ->
+    < 1e19 only beyond sf~3; promote to DECIMAL(38,0) intermediates for a
+    full-crawl run).
+
+    Plan shape at 100 TB: ONE corpus scan explodes into the persisted
+    (doc, source, is_target, bucket) stream feeding both aggregations
+    (the persist stops Catalyst re-running the scan+explode per branch);
+    the model is exactly DSIR_BUCKETS (1024) rows — its totals ride an
+    unpartitioned window over those rows, and the scored join broadcasts
+    the model to the per-(doc,bucket) counts. Shuffles: the two hash
+    aggregations and nothing else; no Python, no Cartesian, no driver
+    collect. Reference parity: the reference has no data-selection
+    operator at all (its only text op is the delimiter word count,
+    word_count_map.py:1-17) — this extends the workload family the
+    LLM-pipeline brief mandates."""
+    return _dsir_scores(spark, sf_dir).drop("source")
+
+
+@query(
+    "dsir_select_topk",
+    priority=150,
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT source, doc_id, mean_ratio_ppm, rnk FROM (
+      SELECT source, doc_id, mean_ratio_ppm,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY mean_ratio_ppm DESC, doc_id) AS BIGINT) AS rnk
+      FROM scores
+    ) WHERE rnk <= {DSIR_TOP_PER_SOURCE}
+    """,
+)
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION stage downstream of dsir_importance_weights: keep the
+    top-{k} most target-like raw documents PER SOURCE (per-source quotas
+    keep one dominant crawl from monopolizing the selected set — the
+    stratified form of the paper's global importance resample). Shares
+    the scoring derivation with dsir_importance_weights (one Spark
+    builder, one oracle CTE chain — the two stages can never drift), then
+    ranks within source by (mean_ratio_ppm DESC, doc_id) — the integer
+    score plus unique-id tiebreak makes the window deterministic on both
+    engines. The rank shuffle is keyed by source over the already
+    per-document-aggregated scores (corpus-sized input, tiny per-group
+    state); at 100 TB the quota window is the same per-key top-k shape as
+    topk_orders_per_customer, with the skew bounded by the per-source
+    score table, not raw documents."""
+    w = Window.partitionBy("source").orderBy(
+        F.desc("mean_ratio_ppm"), F.asc("doc_id")
+    )
+    return (
+        _dsir_scores(spark, sf_dir)
+        .select(
+            "source",
+            "doc_id",
+            "mean_ratio_ppm",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= DSIR_TOP_PER_SOURCE)
     )

@@ -1566,3 +1566,83 @@ def source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w
         """
     )
+
+
+# --- lexical diversity: Simpson index + type-token ratio per source -----------
+
+
+@query(
+    "lexical_diversity_gini",
+    priority=150,
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z]+'), t -> t <> ''))
+               AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           (CAST(COUNT(*) AS BIGINT) * 1000000)
+             // CAST(SUM(n) AS BIGINT) AS ttr_ppm,
+           ((CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT)
+             - CAST(SUM(n * n) AS BIGINT)) * 1000000)
+             // (CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT))
+             AS gini_simpson_ppm
+    FROM tf GROUP BY source
+    """,
+)
+def lexical_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL DIVERSITY per source: distinct token types, total tokens,
+    type-token ratio, and the Gini-Simpson diversity index
+    ``1 - sum(p_i^2)`` — the repetitiveness signal corpus-quality audits
+    track next to the gopher gate (a boilerplate-heavy crawl slice shows
+    high volume with LOW diversity). Gini-Simpson is chosen over Shannon
+    entropy deliberately: it is a RATIONAL function of the token counts
+    (``(N^2 - sum n_i^2) / N^2``), so the whole statistic stays in exact
+    integer arithmetic (ppm fixed point, truncating division — both
+    engines agree on positives) with no libm ``ln`` anywhere — the
+    module-standard exactness argument. Overflow: N^2 * 1e6 needs N under
+    ~3e6 tokens per source at BIGINT; promote to DECIMAL(38,0) for a
+    full-crawl run.
+
+    Plan: tokenize/explode (narrow), hash-aggregate (source, token) with
+    map-side partials, then re-aggregate the type table by source —
+    two shuffles total, both on aggregated rows; no Python, no window
+    over raw tokens, no driver collect. At 100 TB the (source, token)
+    aggregate is vocabulary-sized per source, not corpus-sized."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("distinct_tokens"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("_d2"),
+        )
+        .selectExpr(
+            "source",
+            "distinct_tokens",
+            "total_tokens",
+            "(distinct_tokens * 1000000) DIV total_tokens AS ttr_ppm",
+            "((total_tokens * total_tokens - _d2) * 1000000)"
+            " DIV (total_tokens * total_tokens) AS gini_simpson_ppm",
+        )
+    )
