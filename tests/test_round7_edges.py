@@ -1,0 +1,189 @@
+"""Round-7 edge coverage: dual-engine agreement for the DSIR family,
+temperature sampling, and lexical diversity on crafted degenerate corpora
+(empty target slice, token-less documents, single-source skew), plus
+property pins for the integer-exactness mechanisms the round introduced
+(truncating division on positives, FLOOR-quantized correctly-rounded sqrt).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from serverless_mapreduce_spark import registry
+from serverless_mapreduce_spark.operators.nlp import (
+    dsir_importance_weights,
+    dsir_select_topk,
+)
+from serverless_mapreduce_spark.operators.text import (
+    lexical_diversity_gini,
+    source_temperature_sample,
+)
+
+
+def _docs_dir(tmp_path_factory, name, rows):
+    d = tmp_path_factory.mktemp(name)
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def _oracle_rows(sf_dir: str, name: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return sorted(tuple(map(str, r)) for r in con.execute(
+        registry.all_oracles()[name]
+    ).fetchall())
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def _agree(spark, sf_dir, fn, name):
+    got = fn(spark, sf_dir)
+    # column-order normalize both sides the same way the harness does
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    rel = con.sql(registry.all_oracles()[name])
+    order = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+    exp = sorted(
+        tuple(str(r[i]) for i in order) for r in rel.fetchall()
+    )
+    cols = sorted(got.columns)
+    act = sorted(tuple(str(r[c]) for c in cols) for r in got.collect())
+    assert act == exp, f"{name}: spark={act[:3]} oracle={exp[:3]}"
+    return act
+
+
+@pytest.fixture(scope="module")
+def no_target_dir(tmp_path_factory):
+    """No en documents at all: the DSIR target model is EMPTY and every
+    bucket ratio collapses to the +1-smoothed prior."""
+    return _docs_dir(
+        tmp_path_factory,
+        "dsir_notarget",
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["hola mundo bueno", "bon jour monde", "guten tag welt"],
+            "lang": ["es", "fr", "de"],
+            "source": ["s1", "s1", "s2"],
+        },
+    )
+
+
+@pytest.fixture(scope="module")
+def tokenless_dir(tmp_path_factory):
+    """Raw docs with no [a-z] tokens must drop out of the scored set on
+    BOTH engines (no zero-division, no phantom rows)."""
+    return _docs_dir(
+        tmp_path_factory,
+        "dsir_tokenless",
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["the quick fox", "12345 !!!", "", "palabra uno dos"],
+            "lang": ["en", "es", "fr", "es"],
+            "source": ["s1", "s2", "s2", "s3"],
+        },
+    )
+
+
+def test_dsir_empty_target_slice(spark, no_target_dir):
+    rows = _agree(spark, no_target_dir, dsir_importance_weights,
+                  "dsir_importance_weights")
+    assert len(rows) == 3  # every raw doc still scored
+
+
+def test_dsir_tokenless_docs_drop_out(spark, tokenless_dir):
+    got = dsir_importance_weights(spark, tokenless_dir)
+    ids = {r.doc_id for r in got.collect()}
+    assert ids == {4}, ids  # only the tokenized raw doc survives
+    _agree(spark, tokenless_dir, dsir_importance_weights,
+           "dsir_importance_weights")
+
+
+def test_dsir_topk_quota_respected(spark, tokenless_dir):
+    rows = _agree(spark, tokenless_dir, dsir_select_topk, "dsir_select_topk")
+    assert len(rows) == 1
+
+
+def test_temperature_single_source(spark, tmp_path_factory):
+    """One source owns the corpus: p=1, sqrt(1)=1 exactly — the FLOOR
+    boundary case that is exact-representable on both engines — and the
+    normalized share must be the full 1e6 ppm."""
+    d = _docs_dir(
+        tmp_path_factory,
+        "temp_single",
+        {
+            "doc_id": [1, 2],
+            "text": ["a b", "c d"],
+            "lang": ["en", "en"],
+            "source": ["only", "only"],
+        },
+    )
+    rows = _agree(spark, d, source_temperature_sample,
+                  "source_temperature_sample")
+    (row,) = rows
+    # sorted column order: expected_docs_milli, n_docs, samp_ppm, source, w_micro
+    assert row[2] == "1000000" and row[4] == "1000000"
+
+
+def test_gini_single_token_source(spark, tmp_path_factory):
+    """A source whose corpus is one token repeated: diversity exactly 0;
+    a uniform two-token source: 1 - 2*(1/2)^2 = 0.5 exactly."""
+    d = _docs_dir(
+        tmp_path_factory,
+        "gini_edge",
+        {
+            "doc_id": [1, 2],
+            "text": ["spam spam spam spam", "alpha beta"],
+            "lang": ["en", "en"],
+            "source": ["loop", "flat"],
+        },
+    )
+    rows = _agree(spark, d, lexical_diversity_gini, "lexical_diversity_gini")
+    by_src = {r[2]: r for r in rows}
+    # sorted columns: distinct_tokens, gini_simpson_ppm, source, total_tokens, ttr_ppm
+    assert by_src["loop"][1] == "0"
+    assert by_src["flat"][1] == "500000"
+
+
+@given(
+    a=st.integers(min_value=0, max_value=10**15),
+    b=st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=200, deadline=None)
+def test_truncating_div_equals_floor_on_positives(a, b):
+    """The round's integer contract: for non-negative operands Spark DIV,
+    DuckDB // and math.floor of the exact quotient all agree — the reason
+    the dsir/temperature/gini pipelines may use integer division freely."""
+    con = duckdb.connect()
+    duck = con.execute(f"SELECT {a} // {b}").fetchone()[0]
+    assert duck == a // b == math.floor(a / b) if a < 2**52 else duck == a // b
+
+
+@given(n=st.integers(min_value=1, max_value=10**9),
+       total=st.integers(min_value=1, max_value=10**9))
+@settings(max_examples=200, deadline=None)
+def test_sqrt_micro_quantization_cross_engine(n, total):
+    """FLOOR(sqrt(n/N)*1e6) computed by DuckDB equals the same expression
+    in python/libm for arbitrary count pairs — sqrt is IEEE
+    correctly-rounded, so the quantized weight can never disagree."""
+    if n > total:
+        n, total = total, n
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT CAST(FLOOR(sqrt(CAST({n} AS DOUBLE) / CAST({total} AS DOUBLE))"
+        f" * 1000000) AS BIGINT)"
+    ).fetchone()[0]
+    py = math.floor(math.sqrt(n / total) * 1_000_000)
+    assert duck == py
