@@ -1167,12 +1167,41 @@ _DSIR_CTES = f"""
 """
 
 
+#: Session-lifetime memo for the materialized DSIR score table, keyed by
+#: (applicationId, shuffle-partition setting, sf_dir): both dsir queries
+#: are projections of one derivation, and a driver pass running both
+#: should pay the scan+explode+hash+aggregate chain ONCE — the graph
+#: family's maintained-artifact pattern. The shuffle-partition key keeps
+#: the partition-invariance test meaningful (each partitioning derives
+#: its own copy rather than reusing the other's checkpoint). The table is
+#: per-raw-document-small (thousands of rows at test scales), so holding
+#: the checkpoint for the session is free.
+_DSIR_MEMO: dict = {}
+_DSIR_LOCK = __import__("threading").RLock()
+
+
 def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-raw-document DSIR scores (doc_id, source, n_ngrams,
     sum_ratio_ppm, mean_ratio_ppm) — the Spark twin of the shared
     ``_DSIR_CTES`` chain; both registered dsir queries are projections of
-    this one derivation. See dsir_importance_weights for the full design
-    and exactness argument."""
+    this one derivation, memoized per session like the graph artifacts.
+    See dsir_importance_weights for the full design and exactness
+    argument."""
+    memo_key = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.shuffle.partitions", ""),
+        sf_dir,
+    )
+    with _DSIR_LOCK:
+        cached = _DSIR_MEMO.get(memo_key)
+        if cached is not None:
+            return cached
+        result = _build_dsir_scores(spark, sf_dir).localCheckpoint(eager=True)
+        _DSIR_MEMO[memo_key] = result
+        return result
+
+
+def _build_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_mapreduce_spark.caching import persist_tracked
 
     docs = table(spark, sf_dir, "documents")
@@ -1314,7 +1343,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SELECTION stage downstream of dsir_importance_weights: keep the
-    top-{k} most target-like raw documents PER SOURCE (per-source quotas
+    DSIR_TOP_PER_SOURCE (5) most target-like raw documents PER SOURCE (quotas
     keep one dominant crawl from monopolizing the selected set — the
     stratified form of the paper's global importance resample). Shares
     the scoring derivation with dsir_importance_weights (one Spark

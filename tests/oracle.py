@@ -24,9 +24,17 @@ TABLES = (
 
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register every fixture table present in ``sf_dir`` as a view.
+    DuckDB binds views eagerly, so skip files that do not exist — crafted
+    edge-case corpora (a lone documents.parquet) can then reuse the same
+    dtype-checking comparison as the full fixture dirs."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

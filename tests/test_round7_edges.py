@@ -15,6 +15,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from oracle import assert_matches_oracle
 from serverless_mapreduce_spark import registry
 from serverless_mapreduce_spark.operators.nlp import (
     dsir_importance_weights,
@@ -32,37 +33,15 @@ def _docs_dir(tmp_path_factory, name, rows):
     return str(d)
 
 
-def _oracle_rows(sf_dir: str, name: str):
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
-    )
-    return sorted(tuple(map(str, r)) for r in con.execute(
-        registry.all_oracles()[name]
-    ).fetchall())
-
-
-def _spark_rows(df):
-    cols = sorted(df.columns)
-    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
-
-
 def _agree(spark, sf_dir, fn, name):
+    """Driver-faithful parity on a crafted corpus: the SHARED comparator
+    (including its HUGEINT/DECIMAL/int-float dtype gate — a local
+    str()-compare would be blind to the CORRECTNESS_r06 failure class).
+    Returns the sorted row tuples for content assertions."""
     got = fn(spark, sf_dir)
-    # column-order normalize both sides the same way the harness does
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
-    )
-    rel = con.sql(registry.all_oracles()[name])
-    order = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
-    exp = sorted(
-        tuple(str(r[i]) for i in order) for r in rel.fetchall()
-    )
+    assert_matches_oracle(got, registry.all_oracles()[name], sf_dir)
     cols = sorted(got.columns)
-    act = sorted(tuple(str(r[c]) for c in cols) for r in got.collect())
-    assert act == exp, f"{name}: spark={act[:3]} oracle={exp[:3]}"
-    return act
+    return sorted(tuple(str(r[c]) for c in cols) for r in got.collect())
 
 
 @pytest.fixture(scope="module")
@@ -163,12 +142,29 @@ def test_gini_single_token_source(spark, tmp_path_factory):
 )
 @settings(max_examples=200, deadline=None)
 def test_truncating_div_equals_floor_on_positives(a, b):
-    """The round's integer contract: for non-negative operands Spark DIV,
-    DuckDB // and math.floor of the exact quotient all agree — the reason
-    the dsir/temperature/gini pipelines may use integer division freely."""
+    """DuckDB '//' equals Python floor-division for non-negative operands
+    (the oracle half of the round's integer-division contract; the Spark
+    DIV half is pinned by test_spark_div_matches_floor_grid below)."""
     con = duckdb.connect()
     duck = con.execute(f"SELECT {a} // {b}").fetchone()[0]
     assert duck == a // b == math.floor(a / b) if a < 2**52 else duck == a // b
+
+
+def test_spark_div_matches_floor_grid(spark):
+    """The Spark leg: `a DIV b` equals Python floor-division across a
+    grid that covers the pipelines' ranges and the double-precision cliff
+    (2^52), including b=1 and a=0 edges — completing the three-engine
+    contract the dsir/temperature/gini integer arithmetic relies on."""
+    cases = [
+        (0, 1), (1, 1), (7, 3), (10**6, 7), (10**12, 999983),
+        (2**52 - 1, 3), (2**52 + 1, 3), (10**15, 10**9),
+        (999999999999999, 1), (123456789012345, 987654321),
+    ]
+    df = spark.createDataFrame(cases, "a long, b long").selectExpr(
+        "a", "b", "a DIV b AS d"
+    )
+    for r in df.collect():
+        assert r.d == r.a // r.b, (r.a, r.b, r.d)
 
 
 @given(n=st.integers(min_value=1, max_value=10**9),
