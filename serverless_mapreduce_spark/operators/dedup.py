@@ -1847,3 +1847,113 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup_rate_micro"),
     )
+
+
+# --- cross-source contamination matrix ----------------------------------------
+
+SRC_OVERLAP_CAP = 10  #: drop shingles present in more sources (boilerplate)
+
+
+@query(
+    "source_overlap_matrix",
+    priority=150,
+    oracle=f"""
+    WITH sp AS (
+      SELECT DISTINCT source, u.s AS s
+      FROM documents, UNNEST({_SQL_SHINGLES}) AS u(s)
+    ),
+    capped AS (
+      SELECT source, s FROM (
+        SELECT source, s, COUNT(*) OVER (PARTITION BY s) AS nsrc FROM sp
+      ) WHERE nsrc <= {SRC_OVERLAP_CAP}
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM capped GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_shingles
+      FROM capped a JOIN capped b
+        ON a.s = b.s AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, shared_shingles,
+           (shared_shingles * 1000000)
+             // (sa.n + sb.n - shared_shingles) AS jaccard_ppm
+    FROM pairs
+    JOIN sizes sa ON pairs.src_a = sa.source
+    JOIN sizes sb ON pairs.src_b = sb.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE CONTAMINATION MATRIX: pairwise shingle-set Jaccard
+    between every pair of sources — the inter-shard duplication report
+    curated-corpus releases publish (which crawl slices are near-copies
+    of each other decides dedup ORDER and mixture double-counting at
+    100 TB). Rides the dedup family's shingle derivation
+    (shingle_rows / _SQL_SHINGLES — one tokenizer, both engines).
+
+    Scale shape: the (source, shingle) presence table is deduplicated,
+    then shingles present in more than SRC_OVERLAP_CAP sources are
+    DROPPED before the pair expansion — boilerplate appears everywhere
+    and would both dominate the join (hot-key) and inflate every
+    Jaccard; the cap bounds per-shingle pair fanout at C(cap,2), the
+    same load-shedding contract as PHASH_BUCKET_CAP/BASKET_CAP, and is
+    mirrored exactly in the oracle (all shares are computed on the
+    capped shingle universe, stated in the docs rather than silently).
+    One shingle-keyed exchange feeds the presence-count window, the
+    self-join, and the per-source sizes; the final size join broadcasts
+    the #sources-row table. Integer counts and truncating ppm division
+    only — module exactness contract."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    sp = (
+        shingle_rows(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "s")
+        .distinct()
+    )
+    capped = persist_tracked(
+        sp.withColumn(
+            "nsrc", F.count("*").over(Window.partitionBy("s"))
+        )
+        .filter(F.col("nsrc") <= SRC_OVERLAP_CAP)
+        .select("source", "s")
+    )
+    sizes = capped.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_shingles"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("n", "na")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("n", "nb")),
+            "src_b",
+        )
+        .selectExpr(
+            "src_a",
+            "src_b",
+            "shared_shingles",
+            "(shared_shingles * 1000000)"
+            " DIV (na + nb - shared_shingles) AS jaccard_ppm",
+        )
+    )
