@@ -1909,10 +1909,16 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
+    # Exchange-reuse: repartition by s ONCE — hash(s) satisfies the
+    # clustering required by the (source, s) distinct (subset rule), the
+    # presence-count window over s, AND both sides of the s-keyed
+    # self-join below, so the whole chain rides a single shuffle of the
+    # presence table (the hash(pk)-before-(pk,sk)-groupBy trick).
     sp = (
         shingle_rows(docs)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "s")
+        .repartition("s")
         .distinct()
     )
     capped = persist_tracked(
