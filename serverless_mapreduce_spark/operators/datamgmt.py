@@ -634,3 +634,59 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n.o_orderstatus").alias("after_status"),
         F.col("n.cents").alias("after_cents"),
     )
+
+
+# --- deterministic epoch shuffle ----------------------------------------------
+
+EPOCH_SHUFFLE_SEED = 7  #: epoch number; changing it reshuffles reproducibly
+
+
+@query(
+    "epoch_shuffle_order",
+    priority=150,
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5(concat('{EPOCH_SHUFFLE_SEED}:',
+                                 CAST(doc_id AS VARCHAR)))
+                      || ':' || CAST(doc_id AS VARCHAR)) - 1
+                AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC EPOCH SHUFFLE: assign every document its position in
+    a seeded pseudo-random global order — the reproducible data-order
+    contract training runs need (same seed -> same byte order on any
+    cluster, resumable mid-epoch by position; next epoch = next seed).
+    The permutation key is ``md5(seed:doc_id)`` with the doc_id appended
+    so keys are UNIQUE even under an md5 collision (the prefix
+    primitive's requirement); identical string arithmetic runs on both
+    engines.
+
+    Scale shape: a global ROW_NUMBER with no partition key would funnel
+    the corpus through ONE task; this rides the range-partitioned
+    two-pass prefix primitive instead (functions/prefix.py — the
+    sort_by_value machinery: range partition on the key, per-range
+    running counts, P-row driver round trip for the offsets). Cost is
+    two narrow passes regardless of corpus size — the 100 TB epoch
+    shuffle is exactly this plan."""
+    from serverless_mapreduce_spark.functions.prefix import prefix_sums
+
+    keyed = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.md5(
+                F.concat(
+                    F.lit(f"{EPOCH_SHUFFLE_SEED}:"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        ).alias("k"),
+        F.lit(1).alias("one"),
+    )
+    return prefix_sums(keyed, "k", ["one"]).select(
+        "doc_id", (F.col("cum_one") - 1).cast("bigint").alias("shuffle_pos")
+    )
