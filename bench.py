@@ -230,6 +230,8 @@ HEADLINE = (
     "dsir_importance_weights",
     "source_temperature_sample",
     "lexical_diversity_gini",
+    "source_overlap_matrix",
+    "epoch_shuffle_order",
 )
 
 

@@ -716,6 +716,73 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- tokenizer fertility: BPE tokens per word, by language --------------------
+
+
+def _fertility_oracle() -> str:
+    """The encode oracle nested as a subquery-CTE, joined to per-doc
+    whitespace word counts and aggregated per language."""
+    return f"""
+    WITH enc AS ({_encode_oracle()}),
+    wc AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(
+               string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+               w -> w <> '')) AS BIGINT) AS n_words
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           (CAST(SUM(n_tokens) AS BIGINT) * 1000)
+             // CAST(SUM(n_words) AS BIGINT) AS fertility_milli
+    FROM enc JOIN wc USING (doc_id)
+    GROUP BY lang
+    HAVING CAST(SUM(n_words) AS BIGINT) > 0
+    """
+
+
+@query("bpe_fertility_by_lang", priority=150, oracle=_fertility_oracle())
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY by language: BPE tokens emitted per whitespace
+    word — THE efficiency number tokenizer teams track per language
+    (fertility ~1 means the vocab fits the language; >>1 means the mix
+    pays multiples of its token budget there, the signal that drives
+    vocab rebalancing before a 100 TB tokenization run). Rides the full
+    train-then-apply BPE chain (bpe_encode_docs — merges learned on the
+    Zipf-compressed distinct-word table, applied as fused codegen
+    replaces), then one join to per-doc word counts and a per-lang
+    integer aggregation: tokens and words are exact BIGINTs, fertility is
+    milli fixed-point truncating division (module exactness contract).
+    The HAVING guard mirrors on both engines so a letterless language
+    slice can neither divide by zero nor emit a phantom row."""
+    enc = bpe_encode_docs(spark, sf_dir)
+    words = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda w: w != ""
+            )
+        ).cast("long").alias("n_words"),
+    )
+    return (
+        enc.join(words, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+        .filter(F.col("total_words") > 0)
+        .selectExpr(
+            "lang",
+            "total_tokens",
+            "total_words",
+            "(total_tokens * 1000) DIV total_words AS fertility_milli",
+        )
+    )
+
+
 # --- held-out LM familiarity scoring -------------------------------------------
 
 LM_TRAIN_PCT = 80   #: md5 bucket cut — same key as train_val_test_split
