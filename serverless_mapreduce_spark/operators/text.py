@@ -1646,3 +1646,135 @@ def lexical_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (total_tokens * total_tokens) AS gini_simpson_ppm",
         )
     )
+
+
+# --- split leakage audit: cross-split near-duplicates --------------------------
+
+
+def _split_leakage_oracle() -> str:
+    from serverless_mapreduce_spark.operators.dedup import _SQL_PAIR_CTES
+
+    return f"""
+    WITH {_SQL_PAIR_CTES},
+    assign AS (
+      SELECT doc_id,
+             CASE
+               WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+               WHEN b < {SPLIT_VAL_PCT} THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b
+        FROM documents
+      )
+    ),
+    crossed AS (
+      SELECT p.doc_a, p.doc_b, a.split AS sa, b.split AS sb
+      FROM pairs p
+      JOIN assign a ON p.doc_a = a.doc_id
+      JOIN assign b ON p.doc_b = b.doc_id
+      WHERE a.split <> b.split
+    ),
+    contam AS (
+      SELECT DISTINCT doc_id, split FROM (
+        SELECT doc_a AS doc_id, sa AS split FROM crossed
+        UNION ALL
+        SELECT doc_b AS doc_id, sb AS split FROM crossed
+      )
+    ),
+    split_counts AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM assign GROUP BY split
+    )
+    SELECT split_counts.split, n_docs,
+           COALESCE(c.n, 0) AS n_cross_split_dups,
+           n_docs - COALESCE(c.n, 0) AS n_clean
+    FROM split_counts LEFT JOIN (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n
+      FROM contam GROUP BY split
+    ) c ON split_counts.split = c.split
+    """
+
+
+@query("split_leakage_audit", priority=150, oracle=_split_leakage_oracle())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT LEAKAGE AUDIT: how many documents in each train/val/test
+    split have a NEAR-DUPLICATE in a different split — the eval-integrity
+    number (a test doc whose near-copy sits in train invalidates the
+    benchmark; production drops the train-side twin before training).
+    Composes the two existing primitives verbatim: the deterministic
+    md5-bucket split (train_val_test_split) and the banded MinHash+LSH
+    verified pair table (dedup_minhash_lsh) — one builder and one oracle
+    CTE chain each, so the audit can never drift from the ops it audits.
+
+    Plan shape: the pair table is sub-quadratic by construction (band
+    join); split assignment is a pure row expression joined onto the
+    (small) pair set; BOTH endpoints of each cross-split pair are emitted
+    by exploding a 2-struct array — NOT by unioning two selects of the
+    expensive pair frame, which would make Catalyst execute the whole
+    minhash chain twice (the round-6 ledger trap). Counts are exact
+    BIGINTs; rows = 3 splits."""
+    from serverless_mapreduce_spark.operators.dedup import dedup_minhash_lsh
+
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    assign = table(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    crossed = (
+        pairs.join(
+            assign.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    contam = (
+        crossed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc_id"),
+                        F.col("sa").alias("split"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc_id"),
+                        F.col("sb").alias("split"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_id", "e.split")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return (
+        assign.groupBy("split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(contam, "split", "left")
+        .selectExpr(
+            "split",
+            "n_docs",
+            "COALESCE(n, 0) AS n_cross_split_dups",
+            "n_docs - COALESCE(n, 0) AS n_clean",
+        )
+    )
