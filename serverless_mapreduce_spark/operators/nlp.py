@@ -721,7 +721,7 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fertility_oracle() -> str:
     """The encode oracle nested as a subquery-CTE, joined to per-doc
-    whitespace word counts and aggregated per language."""
+    letter-run word counts and aggregated per language."""
     return f"""
     WITH enc AS ({_encode_oracle()}),
     wc AS (
@@ -744,8 +744,11 @@ def _fertility_oracle() -> str:
 
 @query("bpe_fertility_by_lang", priority=150, oracle=_fertility_oracle())
 def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TOKENIZER FERTILITY by language: BPE tokens emitted per whitespace
-    word — THE efficiency number tokenizer teams track per language
+    """TOKENIZER FERTILITY by language: BPE tokens emitted per word,
+    where a word is a LOWERCASE LETTER RUN (split on [^a-z]+ — the same
+    tokenizer the whole BPE chain trains on, so numerator and
+    denominator see the identical word universe; digit/punctuation
+    tokens are outside the trained vocab and excluded from both) — THE efficiency number tokenizer teams track per language
     (fertility ~1 means the vocab fits the language; >>1 means the mix
     pays multiples of its token budget there, the signal that drives
     vocab rebalancing before a 100 TB tokenization run). Rides the full

@@ -350,6 +350,39 @@ def heavy_hitters_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 90
 
+#: SQL fragment assigning each doc_id its deterministic split — the ONE
+#: definition shared by train_val_test_split and split_leakage_audit (the
+#: audit must never drift from the split it audits).
+_SQL_SPLIT_ASSIGN = f"""
+      SELECT doc_id,
+             CASE
+               WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
+               WHEN b < {SPLIT_VAL_PCT} THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b
+        FROM documents
+      )
+"""
+
+
+def _split_col():
+    """The Spark twin of _SQL_SPLIT_ASSIGN's CASE: md5-bucket split
+    column expression over doc_id."""
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        F.when(b < SPLIT_TRAIN_PCT, "train")
+        .when(b < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
 
 @query(
     "train_val_test_split",
@@ -386,16 +419,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(split, lang) audit aggregation shown here is one shuffle. At
     100 TB the same expression becomes the partition column of the output
     write (``partitionBy('split')``) — no extra pass."""
-    b = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
-    split = (
-        F.when(b < SPLIT_TRAIN_PCT, "train")
-        .when(b < SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
+    split = _split_col()
     return (
         table(spark, sf_dir, "documents")
         .select(split.alias("split"), "lang", F.length("text").alias("n_chars"))
@@ -1656,20 +1680,7 @@ def _split_leakage_oracle() -> str:
 
     return f"""
     WITH {_SQL_PAIR_CTES},
-    assign AS (
-      SELECT doc_id,
-             CASE
-               WHEN b < {SPLIT_TRAIN_PCT} THEN 'train'
-               WHEN b < {SPLIT_VAL_PCT} THEN 'val'
-               ELSE 'test'
-             END AS split
-      FROM (
-        SELECT doc_id,
-               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                    AS BIGINT) % 100 AS b
-        FROM documents
-      )
-    ),
+    assign AS ({_SQL_SPLIT_ASSIGN}),
     crossed AS (
       SELECT p.doc_a, p.doc_b, a.split AS sa, b.split AS sb
       FROM pairs p
@@ -1718,18 +1729,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs; rows = 3 splits."""
     from serverless_mapreduce_spark.operators.dedup import dedup_minhash_lsh
 
-    b = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
-    split = (
-        F.when(b < SPLIT_TRAIN_PCT, "train")
-        .when(b < SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
     assign = table(spark, sf_dir, "documents").select(
-        "doc_id", split.alias("split")
+        "doc_id", _split_col().alias("split")
     )
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     crossed = (
