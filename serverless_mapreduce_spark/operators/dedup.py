@@ -1963,3 +1963,44 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (na + nb - shared_shingles) AS jaccard_ppm",
         )
     )
+
+
+# --- cluster-size histogram: how duplication mass is distributed --------------
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    priority=150,
+    oracle=f"""
+    WITH RECURSIVE {_SQL_COMP_CTES}
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+    FROM (
+      SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY canonical_id
+    )
+    GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-SIZE HISTOGRAM over the near-dup components: how many
+    clusters exist at each size and how many documents dedup REMOVES per
+    size bucket (size−1 per cluster) — the report that tells a corpus
+    team whether duplication mass sits in a few huge boilerplate
+    clusters (fix extraction) or a long tail of pairs (LSH is doing its
+    job). Pure composition: rides dedup_cluster's hash-to-min component
+    labels (one Spark builder, one recursive oracle CTE chain), then two
+    tiny aggregations over the component table — cardinality is
+    #clustered-docs then #distinct-sizes, both vanishing next to the
+    pair join that feeds them. Integer counts only."""
+    comp = dedup_cluster(spark, sf_dir)
+    sizes = comp.groupBy("canonical_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.count("*") * (F.col("cluster_size") - 1))
+        .cast("bigint")
+        .alias("n_removable"),
+    )

@@ -1438,3 +1438,96 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= DSIR_TOP_PER_SOURCE)
     )
+
+
+# --- typo-variant mining: edit-distance-1 vocabulary pairs --------------------
+
+TYPO_MIN_LEN = 5  #: only words this long join the neighborhood (noise gate)
+
+
+@query(
+    "vocab_typo_pairs",
+    priority=150,
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}')) AS w
+        FROM documents
+      ) WHERE length(w) >= {TYPO_MIN_LEN}
+    ),
+    vars AS (
+      SELECT w, w AS v FROM words
+      UNION ALL
+      SELECT w, substr(w, 1, CAST(i AS INT) - 1)
+                || substr(w, CAST(i AS INT) + 1) AS v
+      FROM words, UNNEST(range(1, length(w) + 1)) AS t(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.w AS word_a, b.w AS word_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.w < b.w
+    )
+    SELECT word_a, word_b,
+           CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(word_a, word_b) <= 1
+    """,
+)
+def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPO/SPELLING-VARIANT MINING: every vocabulary pair within edit
+    distance 1, found by FastSS/SymSpell DELETION-NEIGHBORHOOD blocking —
+    the normalization pass query/log pipelines run to merge near-identical
+    tokens before counting. Each word emits itself plus its |w| one-char
+    deletions; two words within one edit ALWAYS share a neighborhood
+    entry (substitution → same-position deletions collide; insert/delete
+    → one side's deletion equals the other word), so the equi-join on the
+    variant finds every true pair, and the exact ``levenshtein`` filter
+    kills the distance-2 collisions the blocking admits (e.g. abc/bdc
+    share 'bc'). Sub-quadratic by construction: |vocab|·(avg_len+1)
+    variant rows, joined on near-unique variant keys — never an N² word
+    cross — the same block-then-verify contract as the minhash/simhash
+    family. Both engines ship the SAME built-in levenshtein, so the
+    verified distance is an exact integer on each side.
+
+    Plan: tokenize→distinct (vocab-sized), variant expansion is a
+    codegen'd transform over sequence(1, len) exploded from the PERSISTED
+    vocab frame (both join sides + the HOF-array explode reuse one
+    materialization), one variant-keyed shuffle, distinct, then the
+    scalar verify. At 100 TB the vocab table is Zipf-bounded — millions
+    of rows, not corpus-sized — exactly where SymSpell-style indexes are
+    built in production."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("w")
+        )
+        .filter(F.length("w") >= TYPO_MIN_LEN)
+        .distinct()
+    )
+    vars_ = persist_tracked(
+        words.select(
+            "w",
+            F.explode(
+                F.concat(
+                    F.array(F.col("w")),
+                    F.expr(
+                        "transform(sequence(1, length(w)),"
+                        " i -> concat(substring(w, 1, i - 1),"
+                        "             substring(w, i + 1, length(w))))"
+                    ),
+                )
+            ).alias("v"),
+        )
+    )
+    a, b = vars_.alias("a"), vars_.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.w") < F.col("b.w")))
+        .select(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
+        .distinct()
+    )
+    return cand.select(
+        "word_a",
+        "word_b",
+        F.levenshtein("word_a", "word_b").cast("bigint").alias("dist"),
+    ).filter(F.col("dist") <= 1)
