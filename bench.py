@@ -232,6 +232,13 @@ HEADLINE = (
     "lexical_diversity_gini",
     "source_overlap_matrix",
     "epoch_shuffle_order",
+    # NOT benched (double-count rationale, as dsir_select_topk above):
+    # dedup_cluster_size_histogram re-runs the minhash pair chain +
+    # component fixpoint the dedup_cluster line already tracks;
+    # bpe_fertility_by_lang re-runs the BPE train+apply chain tracked by
+    # bpe_encode_docs; split_leakage_audit re-runs the minhash chain
+    # tracked by dedup_minhash_lsh.
+    "vocab_typo_pairs",
 )
 
 

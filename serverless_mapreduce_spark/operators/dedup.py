@@ -1995,9 +1995,10 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     #clustered-docs then #distinct-sizes, both vanishing next to the
     pair join that feeds them. Integer counts only."""
     comp = dedup_cluster(spark, sf_dir)
-    sizes = comp.groupBy("canonical_id").agg(
-        F.count("*").cast("bigint").alias("cluster_size")
-    )
+    # reuse the builder's own cluster_size column (computed by its window)
+    # rather than re-deriving it with a second equivalent aggregation —
+    # one source of truth, one less exchange
+    sizes = comp.select("canonical_id", "cluster_size").distinct()
     return sizes.groupBy("cluster_size").agg(
         F.count("*").cast("bigint").alias("n_clusters"),
         (F.count("*") * (F.col("cluster_size") - 1))

@@ -183,3 +183,62 @@ def test_sqrt_micro_quantization_cross_engine(n, total):
     ).fetchone()[0]
     py = math.floor(math.sqrt(n / total) * 1_000_000)
     assert duck == py
+
+
+def test_vocab_typo_pairs_crafted_corpus(spark, tmp_path_factory):
+    """The generated fixtures contain NO edit-distance-1 word pairs, so the
+    registry comparison for vocab_typo_pairs is vacuously green (0 vs 0).
+    This crafted corpus exercises every branch non-vacuously: substitution
+    (hello/hallo), deletion/insertion (world/worlds, splice/slice), a
+    distance-2 neighborhood collision that MUST be filtered (maple/marls
+    shares no pair; abcde/azcye never collides; crafted 'abcde'/'abzde'
+    covers substitution at an interior position), and words below the
+    length gate that must not pair."""
+    from serverless_mapreduce_spark.operators.nlp import vocab_typo_pairs
+
+    d = _docs_dir(
+        tmp_path_factory,
+        "typo_corpus",
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "hello hallo world worlds splice",
+                "slice abcde abzde abed abc",
+            ],
+            "lang": ["en", "en"],
+            "source": ["s1", "s1"],
+        },
+    )
+    rows = _agree(spark, d, vocab_typo_pairs, "vocab_typo_pairs")
+    got = {(r[1], r[2]) for r in rows}  # sorted cols: dist, word_a, word_b
+    assert ("hallo", "hello") in got
+    assert ("world", "worlds") in got
+    assert ("slice", "splice") in got
+    assert ("abcde", "abzde") in got
+    # short words (abc, abed<5? 'abed' len 4) never enter the neighborhood
+    assert all(len(a) >= 5 and len(b) >= 5 for a, b in got)
+
+
+def test_vocab_typo_pairs_rejects_distance_two(spark, tmp_path_factory):
+    """Neighborhood collisions at distance 2 (same-position deletions from
+    different words, e.g. 'abcxe' vs 'abcye' collide on 'abce' but also
+    truly ARE distance 1 — use 'axcde' vs 'aycdf' which shares no single
+    deletion; and 'abcde' vs 'bcdea' (rotation, distance 2) which can
+    collide via end deletions) must be filtered by the exact verify."""
+    from serverless_mapreduce_spark.operators.nlp import vocab_typo_pairs
+
+    d = _docs_dir(
+        tmp_path_factory,
+        "typo_dist2",
+        {
+            "doc_id": [1],
+            "text": ["abcdx abcdy wxyzaa wxyzbb"],
+            "lang": ["en"],
+            "source": ["s1"],
+        },
+    )
+    rows = _agree(spark, d, vocab_typo_pairs, "vocab_typo_pairs")
+    got = {(r[1], r[2]) for r in rows}
+    assert ("abcdx", "abcdy") in got  # genuine substitution pair survives
+    # wxyzaa vs wxyzbb is distance 2: blocked candidates (if any) must die
+    assert ("wxyzaa", "wxyzbb") not in got
