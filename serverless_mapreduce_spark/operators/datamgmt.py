@@ -690,3 +690,95 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_sums(keyed, "k", ["one"]).select(
         "doc_id", (F.col("cum_one") - 1).cast("bigint").alias("shuffle_pos")
     )
+
+
+# --- Benford leading-digit audit ----------------------------------------------
+
+#: Benford expected leading-digit frequencies as EXACT ppm constants
+#: (round(log10(1+1/d)*1e6); they sum to exactly 1_000_000) — embedded as
+#: integers so neither engine evaluates libm log10 at query time.
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_case_sql() -> str:
+    return (
+        "CASE lead_digit "
+        + " ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items())
+        + " END"
+    )
+
+
+@query(
+    "benford_digit_audit",
+    priority=150,
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS c
+      FROM lineitem
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS lead_digit
+      FROM cents WHERE c > 0
+    ),
+    counts AS (
+      SELECT lead_digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM digits GROUP BY lead_digit
+    )
+    SELECT lead_digit, n,
+           (n * 1000000)
+             // (SELECT CAST(SUM(n) AS BIGINT) FROM counts) AS observed_ppm,
+           CAST({_benford_case_sql()} AS BIGINT) AS expected_ppm,
+           abs((n * 1000000)
+               // (SELECT CAST(SUM(n) AS BIGINT) FROM counts)
+               - {_benford_case_sql()}) AS dev_ppm
+    FROM counts
+    """,
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW AUDIT over line-item amounts: observed vs expected
+    leading-digit frequency and the per-digit deviation — the
+    fabricated-data / ETL-corruption screen financial data-quality
+    suites run (a synthesized or truncated amount column drifts from
+    the log-uniform digit curve long before summary stats notice).
+
+    Exactness: the leading digit is a pure STRING op on the exact
+    integer cents (never float log10 of the value); Benford's expected
+    frequencies are embedded as integer ppm constants that sum to
+    exactly 1e6 (computed once offline — no libm on either engine);
+    shares are truncating integer division (module contract). Plan: one
+    scan projecting a single column, one 9-group aggregation with
+    map-side partials, then scalar subqueries over the persisted 9-row
+    table — metadata-sized after the scan at any corpus size."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+    from serverless_mapreduce_spark.catalog import unique_view
+
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    counts = persist_tracked(
+        table(spark, sf_dir, "lineitem")
+        .select(cents.alias("c"))
+        .filter(F.col("c") > 0)
+        .select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("lead_digit")
+        )
+        .groupBy("lead_digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    v = unique_view(counts, "benford_counts")
+    return spark.sql(
+        f"""
+        SELECT lead_digit, n,
+               (n * 1000000) DIV (SELECT SUM(n) FROM {v}) AS observed_ppm,
+               CAST({_benford_case_sql()} AS BIGINT) AS expected_ppm,
+               abs((n * 1000000) DIV (SELECT SUM(n) FROM {v})
+                   - {_benford_case_sql()}) AS dev_ppm
+        FROM {v}
+        """
+    )
