@@ -239,6 +239,7 @@ HEADLINE = (
     # bpe_encode_docs; split_leakage_audit re-runs the minhash chain
     # tracked by dedup_minhash_lsh.
     "vocab_typo_pairs",
+    "benford_digit_audit",
 )
 
 
