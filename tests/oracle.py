@@ -93,8 +93,8 @@ def _check_oracle_dtypes(spark_df, rel) -> None:
             # while a Spark integer arrives as int64 and a Spark decimal as
             # dtype=object (decimal.Decimal) — either way the driver's hash
             # diverges with equal values. Repo convention is to CAST final
-            # decimal aggregates to DOUBLE or BIGINT; as of round 7 zero of
-            # the 230 registered oracles emit DECIMAL/HUGEINT output.
+            # decimal aggregates to DOUBLE or BIGINT; none of the
+            # registered oracles emit DECIMAL/HUGEINT output.
             problems.append(
                 f"{col}: DuckDB {duck_t} becomes float64 in the driver's "
                 f"pandas path (Spark side is {sp_t.simpleString()}) — "
