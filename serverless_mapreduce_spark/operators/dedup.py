@@ -46,6 +46,14 @@ COSINE_THRESH = 0.35   # embedding near-dup cutoff (max pair cos on the corpus â
 MINHASH_PRIME = 4294967311  # smallest prime > 2^32
 
 
+#: The ONE oracle-side definition of the exact-dedup content key; its
+#: Spark twin is ``F.md5(_norm())``. Shared by dedup_exact,
+#: dedup_rate_by_source, and text.filter_cascade_audit so the "is this
+#: doc an exact duplicate" rule cannot drift between the dedup family
+#: and the pipeline audits built on it.
+SQL_CONTENT_KEY = r"md5(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
 def _norm(col: str = "text") -> Column:
     return F.regexp_replace(F.lower(F.col(col)), r"\s+", " ")
 
@@ -117,8 +125,8 @@ _SQL_SHINGLES = f"""
 
 @query(
     "dedup_exact", priority=200,
-    oracle="""
-    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_key,
+    oracle=f"""
+    SELECT {SQL_CONTENT_KEY} AS content_key,
            MIN(doc_id) AS keeper_doc_id,
            COUNT(*) AS n_copies
     FROM documents
@@ -1803,15 +1811,214 @@ def eval_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LSH operating-point tuning: bands Ã— rows sweep ---------------------------
+
+BAND_EVAL_ROWS = (1, 2, 4, 8, 16)  #: rows-per-band configs (bands = 16/r)
+BAND_EVAL_CAP = 32   #: drop hotter (config, band, hash) buckets (load-shed)
+
+
+@query(
+    "minhash_band_eval",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_BAND_CTES},
+    cfgs AS (SELECT unnest({list(BAND_EVAL_ROWS)}) AS r),
+    eb AS (
+      SELECT s.doc_id, c.r, CAST(b.band_idx AS INT) AS band_idx,
+             md5(array_to_string(list_transform(
+                   sig[CAST(b.band_idx AS INT) * c.r + 1 :
+                       CAST(b.band_idx AS INT) * c.r + c.r],
+                   x -> CAST(x AS VARCHAR)), ',')) AS band_hash
+      FROM sigs s, cfgs c,
+           UNNEST(range(0, {NUM_HASHES} // c.r)) AS b(band_idx)
+    ),
+    capped AS (
+      SELECT doc_id, r, band_idx, band_hash FROM (
+        SELECT eb.*,
+               COUNT(*) OVER (PARTITION BY r, band_idx, band_hash) AS bsz
+        FROM eb
+      ) WHERE bsz <= {BAND_EVAL_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.r, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.r = b.r AND a.band_idx = b.band_idx
+       AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    pooled AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+    truth AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pooled p
+      JOIN sigs sa ON sa.doc_id = p.doc_a
+      JOIN sigs sb ON sb.doc_id = p.doc_b
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+            >= {JACCARD_THRESH}
+    ),
+    stats AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM cand GROUP BY r
+    ),
+    tstats AS (
+      SELECT c.r, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM cand c JOIN truth t USING (doc_a, doc_b) GROUP BY c.r
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM truth)
+    SELECT CAST({NUM_HASHES} // cfgs.r AS BIGINT) AS bands,
+           CAST(cfgs.r AS BIGINT) AS rows_per_band,
+           COALESCE(s.n_candidates, 0) AS n_candidates,
+           COALESCE(t.n_true, 0) AS n_true,
+           CASE WHEN COALESCE(s.n_candidates, 0) = 0 THEN 0
+                ELSE (COALESCE(t.n_true, 0) * 1000000) // s.n_candidates
+           END AS precision_ppm,
+           CASE WHEN tot.n = 0 THEN 0
+                ELSE (COALESCE(t.n_true, 0) * 1000000) // tot.n
+           END AS recall_ppm
+    FROM cfgs
+    LEFT JOIN stats s ON s.r = cfgs.r
+    LEFT JOIN tstats t ON t.r = cfgs.r
+    CROSS JOIN tot
+    """,
+)
+def minhash_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH OPERATING-POINT SWEEP: candidate count, true-pair count,
+    precision, and pooled recall for every (bands Ã— rows-per-band)
+    factorization of the {NUM_HASHES}-hash minhash signature â€” the
+    empirical S-curve a dedup team reads before committing a banding to a
+    100 TB run (more rows per band â†’ higher precision / lower recall;
+    the shipped NUM_BANDSÃ—2 default is one point on this curve, and this
+    query is the evidence it is the right one for the corpus at hand).
+
+    Methodology: ground truth over a web-scale corpus cannot be all-pairs
+    Jaccard, so recall is POOLED (TREC-style): the truth set is every
+    candidate pair surfaced by ANY config whose exact shingle Jaccard
+    clears JACCARD_THRESH, and each config's recall is measured against
+    that pool. Exact Jaccard is computed ONCE per distinct pooled pair,
+    not per config. Hot (config, band, hash) buckets wider than
+    BAND_EVAL_CAP are dropped before the pair join â€” the same mirrored
+    load-shedding contract as SRC_OVERLAP_CAP (rows=1 buckets key on a
+    SINGLE minhash value, which any popular shingle makes corpus-hot;
+    the cap bounds every bucket's fanout at C(cap,2)).
+
+    Scale shape: one Arrow pass builds signatures (minhash_signatures â€”
+    shared builder, also the oracle's sigs CTE); the banded explode is
+    {sum(NUM_HASHES // r for r in BAND_EVAL_ROWS)} rows per doc; the
+    candidate self-join shuffles on (r, band_idx, band_hash); the truth
+    join is pooled-pair-sized. Two bounded scalar collects (the pooled
+    truth total) parameterize the recall column. Configs with zero
+    candidates still emit a row (guarded integer division) so the sweep
+    is always {len(BAND_EVAL_ROWS)} rows."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = persist_tracked(minhash_signatures(docs))
+    cfgs_arr = F.array(*[F.lit(int(r)) for r in BAND_EVAL_ROWS])
+    eb = (
+        sigs.select("doc_id", "sig", F.explode(cfgs_arr).alias("r"))
+        .select(
+            "doc_id",
+            "r",
+            F.explode(
+                F.expr(f"sequence(0, {NUM_HASHES} DIV r - 1)")
+            ).alias("band_idx"),
+            "sig",
+        )
+        .select(
+            "doc_id",
+            "r",
+            "band_idx",
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(
+                            "sig",
+                            F.col("band_idx") * F.col("r") + 1,
+                            F.col("r"),
+                        ),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash"),
+        )
+    )
+    from pyspark.sql import Window
+
+    capped = persist_tracked(
+        eb.withColumn(
+            "bsz",
+            F.count("*").over(
+                Window.partitionBy("r", "band_idx", "band_hash")
+            ),
+        )
+        .filter(F.col("bsz") <= BAND_EVAL_CAP)
+        .select("doc_id", "r", "band_idx", "band_hash")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = persist_tracked(
+        a.join(
+            b,
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.r").alias("r"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pooled = cand.select("doc_a", "doc_b").distinct()
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    truth = persist_tracked(
+        pooled.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESH)
+        .select("doc_a", "doc_b")
+    )
+    pool_total = truth.count()  # bounded scalar: pooled truth-set size
+    cfgs = spark.range(1).select(F.explode(cfgs_arr).alias("r"))
+    stats = cand.groupBy("r").agg(F.count("*").alias("n_candidates"))
+    tstats = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .groupBy("r")
+        .agg(F.count("*").alias("n_true"))
+    )
+    return (
+        cfgs.join(F.broadcast(stats), "r", "left")
+        .join(F.broadcast(tstats), "r", "left")
+        .selectExpr(
+            f"CAST({NUM_HASHES} DIV r AS BIGINT) AS bands",
+            "CAST(r AS BIGINT) AS rows_per_band",
+            "CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates",
+            "CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true",
+            "CAST(CASE WHEN COALESCE(n_candidates, 0) = 0 THEN 0"
+            "     ELSE (COALESCE(n_true, 0) * 1000000) DIV n_candidates"
+            " END AS BIGINT) AS precision_ppm",
+            f"CAST(CASE WHEN {pool_total} = 0 THEN 0"
+            f"     ELSE (COALESCE(n_true, 0) * 1000000) DIV {pool_total}"
+            " END AS BIGINT) AS recall_ppm",
+        )
+    )
+
+
 # --- per-source dedup-rate report --------------------------------------------
 
 @query(
     "dedup_rate_by_source",
     priority=150,
-    oracle=r"""
+    oracle=f"""
     WITH keyed AS (
       SELECT source,
-             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_key
+             {SQL_CONTENT_KEY} AS content_key
       FROM documents
     )
     SELECT source,

@@ -791,10 +791,12 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_TRAIN_PCT = 80   #: md5 bucket cut — same key as train_val_test_split
 
 
-@query(
-    "trigram_lm_score",
-    oracle=f"""
-    WITH b AS (
+#: Shared oracle CTE chain for the held-out trigram-LM scoring —
+#: ``lm_scores`` (doc_id, n_tri, n_oov, sum_freq) is the final CTE, used
+#: by trigram_lm_score and by the CCNet-style perplexity_prune_buckets so
+#: the pruning stage can never drift from the scorer it buckets.
+_LM_SCORE_CTES = f"""
+    b AS (
       SELECT doc_id, text,
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                   AS BIGINT) % 100 AS b
@@ -816,16 +818,26 @@ LM_TRAIN_PCT = 80   #: md5 bucket cut — same key as train_val_test_split
     v AS (
       SELECT doc_id, w1, w2, w3, COUNT(*) AS c FROM tris
       WHERE b >= {LM_TRAIN_PCT} GROUP BY doc_id, w1, w2, w3
+    ),
+    lm_scores AS (
+      SELECT v.doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tri,
+             CAST(SUM(CASE WHEN tc.n IS NULL THEN c ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             CAST(SUM(c * COALESCE(tc.n, 0)) AS BIGINT) AS sum_freq
+      FROM v LEFT JOIN tc USING (w1, w2, w3)
+      GROUP BY v.doc_id
     )
-    SELECT v.doc_id,
-           CAST(SUM(c) AS BIGINT) AS n_tri,
-           CAST(SUM(CASE WHEN tc.n IS NULL THEN c ELSE 0 END) AS BIGINT)
-             AS n_oov,
-           CAST(SUM(c * COALESCE(tc.n, 0)) AS BIGINT) AS sum_freq,
-           ROUND(CAST(SUM(c * COALESCE(tc.n, 0)) AS DOUBLE) / SUM(c), 6)
-             AS familiarity
-    FROM v LEFT JOIN tc USING (w1, w2, w3)
-    GROUP BY v.doc_id
+"""
+
+
+@query(
+    "trigram_lm_score",
+    oracle=f"""
+    WITH {_LM_SCORE_CTES}
+    SELECT doc_id, n_tri, n_oov, sum_freq,
+           ROUND(CAST(sum_freq AS DOUBLE) / n_tri, 6) AS familiarity
+    FROM lm_scores
     """,
 )
 def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,6 +915,106 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sum_freq.cast("double") / F.sum("c"), 6
             ).alias("familiarity"),
         )
+    )
+
+
+# --- CCNet-style perplexity pruning buckets ------------------------------------
+
+PPL_BUCKETS = 3   #: head / middle / tail, per the CCNet recipe
+
+
+@query(
+    "perplexity_prune_buckets",
+    priority=150,
+    oracle=f"""
+    WITH {_LM_SCORE_CTES},
+    sc AS (
+      SELECT doc_id, n_tri, (sum_freq * 1000) // n_tri AS mfreq_milli
+      FROM lm_scores
+    ),
+    r AS (
+      SELECT doc_id, n_tri, mfreq_milli,
+             ROW_NUMBER() OVER (ORDER BY mfreq_milli DESC, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM sc
+    )
+    SELECT CAST(((rn - 1) * {PPL_BUCKETS}) // n + 1 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tri) AS BIGINT) AS total_tri,
+           CAST(MIN(mfreq_milli) AS BIGINT) AS min_mfreq_milli,
+           CAST(MAX(mfreq_milli) AS BIGINT) AS max_mfreq_milli
+    FROM r GROUP BY 1
+    """,
+)
+def perplexity_prune_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-STYLE PERPLEXITY PRUNING (Wenzek et al. 2020): rank the
+    held-out documents by LM familiarity and cut the ranking into
+    {PPL_BUCKETS} equal rank-thirds — head (most target-like), middle,
+    tail — reporting per-bucket document counts, trigram mass, and the
+    familiarity range. Production pipelines keep head+middle and drop or
+    down-weight the tail; the bucket boundaries published with a corpus
+    release are exactly these ranges. Rides trigram_lm_score (one Spark
+    builder, one oracle CTE chain — the pruning stage cannot drift from
+    the scorer), ranking by the integer milli mean train-frequency
+    ``sum_freq·1000 DIV n_tri`` with doc_id tiebreak so the total order
+    is engine- and partitioning-independent.
+
+    Scale shape: a global rank-third is NTILE, and NTILE plans as a
+    single-partition window — the textbook scale smell (functions/
+    prefix.py). Instead the rank decomposes like sort_by_value: a
+    (mfreq_milli → count) VALUE HISTOGRAM (type-table-sized: bounded by
+    distinct milli scores, not documents) yields exclusive offsets via a
+    histogram-sized running-sum window; each document's global rank is
+    then offset + its row_number WITHIN its value group (parallel across
+    values; a hot value bounds one group, same dup-value caveat
+    sort_by_value documents). The bucket id ``((rank-1)·K) DIV n`` is
+    NTILE's exact arithmetic form, mirrored literally in the oracle so no
+    NTILE-semantics equivalence is assumed. One bounded scalar collect
+    (the total count) parameterizes the bucket formula; the final
+    aggregate is {PPL_BUCKETS} rows."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    sc = persist_tracked(
+        trigram_lm_score(spark, sf_dir).selectExpr(
+            "doc_id", "n_tri", "(sum_freq * 1000) DIV n_tri AS mfreq_milli"
+        )
+    )
+    hist = sc.groupBy("mfreq_milli").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("mfreq_milli")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = hist.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).select("mfreq_milli", "offset")
+    n_total = sc.count()  # bounded scalar: one count over the scored table
+    if n_total == 0:
+        return sc.selectExpr(
+            "CAST(NULL AS BIGINT) AS bucket",
+            "CAST(NULL AS BIGINT) AS n_docs",
+            "CAST(NULL AS BIGINT) AS total_tri",
+            "CAST(NULL AS BIGINT) AS min_mfreq_milli",
+            "CAST(NULL AS BIGINT) AS max_mfreq_milli",
+        ).limit(0)
+    ranked = (
+        sc.join(F.broadcast(offs), "mfreq_milli")
+        .withColumn(
+            "local_rn",
+            F.row_number().over(
+                Window.partitionBy("mfreq_milli").orderBy("doc_id")
+            ),
+        )
+        .selectExpr(
+            "n_tri",
+            "mfreq_milli",
+            f"CAST(((offset + local_rn - 1) * {PPL_BUCKETS}) DIV {n_total}"
+            " + 1 AS BIGINT) AS bucket",
+        )
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tri").cast("bigint").alias("total_tri"),
+        F.min("mfreq_milli").cast("bigint").alias("min_mfreq_milli"),
+        F.max("mfreq_milli").cast("bigint").alias("max_mfreq_milli"),
     )
 
 

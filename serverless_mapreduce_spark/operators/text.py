@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.operators.dedup import SQL_CONTENT_KEY
 from serverless_mapreduce_spark.registry import query
 
 # The reference's tokenizer delimiters (word_count_map.py:12).
@@ -165,9 +166,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- extension: language ID (marker-word heuristic) ----------------------------
 
-@query(
-    "lang_id", priority=200,
-    oracle="""
+#: lang_id's oracle as a named chain — reused by filter_cascade_audit so
+#: the cascade's language stage is the registered classifier, verbatim.
+_LANG_ID_ORACLE = """
     WITH t AS (
       SELECT doc_id, lang,
              list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
@@ -180,8 +181,10 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE 'unknown'
            END AS predicted_lang
     FROM t
-    """,
-)
+    """
+
+
+@query("lang_id", priority=200, oracle=_LANG_ID_ORACLE)
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/marker-word language heuristic: classify 'en' when ≥10% of
     tokens are high-frequency English function words. (The fixture corpus is
@@ -611,10 +614,10 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 REPETITION_MAX_SHARE = 0.2  #: docs above this top-bigram share are flagged
 
 
-@query(
-    "repetition_filter",
-    priority=50,
-    oracle=f"""
+#: repetition_filter's oracle as a named string — reused by
+#: filter_cascade_audit so the cascade's repetition stage is the
+#: registered filter, verbatim.
+_REPETITION_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
       FROM documents
@@ -643,8 +646,10 @@ REPETITION_MAX_SHARE = 0.2  #: docs above this top-bigram share are flagged
            CAST(top_cnt AS DOUBLE) / n_bigrams > {REPETITION_MAX_SHARE}
              AS flagged
     FROM per_doc
-    """,
-)
+    """
+
+
+@query("repetition_filter", priority=50, oracle=_REPETITION_ORACLE)
 def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REPETITION FILTER (Gopher-rule style): the share of a document's
     most frequent bigram — boilerplate, keyword-stuffed, and
@@ -1315,9 +1320,10 @@ GOPHER_MIN_STOPWORDS = 2
 GOPHER_DUP_PCT = 50          #: > 50% duplicate words → repetition flag
 
 
-@query(
-    "gopher_quality_gate",
-    oracle=f"""
+#: gopher_quality_gate's oracle as a named string — reused by
+#: filter_cascade_audit so the cascade's gopher stage is the registered
+#: gate, verbatim.
+_GOPHER_ORACLE = f"""
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
@@ -1345,8 +1351,10 @@ GOPHER_DUP_PCT = 50          #: > 50% duplicate words → repetition flag
                      THEN 16 ELSE 0 END AS BIGINT) AS reasons,
            CAST(n AS BIGINT) AS n_words
     FROM m
-    """,
-)
+    """
+
+
+@query("gopher_quality_gate", oracle=_GOPHER_ORACLE)
 def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GOPHER-RULES QUALITY GATE — the composite document filter (Rae et
     al. 2021 §A1.1, reused by MassiveText/RefinedWeb/Dolma): five
@@ -1400,6 +1408,92 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         reasons.cast("bigint").alias("reasons"),
         n.cast("bigint").alias("n_words"),
+    )
+
+
+# --- filter-cascade survival audit ---------------------------------------------
+
+@query(
+    "filter_cascade_audit",
+    priority=150,
+    oracle=f"""
+    WITH g AS ({_GOPHER_ORACLE}),
+    r AS ({_REPETITION_ORACLE}),
+    l AS ({_LANG_ID_ORACLE}),
+    k AS (
+      SELECT doc_id, source,
+             doc_id <> MIN(doc_id) OVER (PARTITION BY {SQL_CONTENT_KEY})
+               AS is_dup
+      FROM documents
+    )
+    SELECT k.source,
+           CASE WHEN l.predicted_lang <> 'en' THEN 'lang'
+                WHEN g.reasons <> 0 THEN 'gopher'
+                WHEN COALESCE(r.flagged, false) THEN 'repetition'
+                WHEN k.is_dup THEN 'exact_dup'
+                ELSE 'kept' END AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(g.n_words) AS BIGINT) AS n_words
+    FROM k
+    JOIN g USING (doc_id)
+    JOIN l USING (doc_id)
+    LEFT JOIN r USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def filter_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-CASCADE SURVIVAL AUDIT: per (source, first-failing-stage)
+    document and word counts for the standard pretraining filter chain —
+    language ID → gopher rules → repetition filter → exact dedup → kept.
+    This is the funnel dashboard every corpus release publishes (RefinedWeb
+    Table 2, Dolma §4): it tells the curation team WHERE each source loses
+    its mass, which decides both filter ORDER (cheapest-killer first) and
+    whether a source is worth crawling at all.
+
+    No-drift construction: every stage IS the registered operator —
+    Spark-side the cascade joins the actual builders (lang_id,
+    gopher_quality_gate, repetition_filter, dedup_exact's keeper rule via
+    its content key), oracle-side it CTE-wraps their registered oracle
+    strings verbatim (_LANG_ID_ORACLE/_GOPHER_ORACLE/_REPETITION_ORACLE/
+    SQL_CONTENT_KEY) — so a threshold change in any gate flows into the
+    audit on both engines by construction. First-failure attribution is a
+    single CASE evaluated in cascade order; repetition_filter only emits
+    docs with ≥2 tokens, so its flag left-joins with a false default
+    (short docs are gopher's kill anyway).
+
+    Scale shape: the gates are scan-fused per-row expressions (zero
+    shuffles); the cascade adds the dedup key exchange (md5-keyed,
+    skew-free) plus doc_id-keyed joins of per-doc flag frames, and the
+    final aggregate is #sources × 5 rows. Everything upstream is
+    corpus-sized exactly once — no stage re-scans documents."""
+    from serverless_mapreduce_spark.operators.dedup import _norm, dedup_exact
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(_norm()).alias("content_key")
+    )
+    lang = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    gopher = gopher_quality_gate(spark, sf_dir).select(
+        "doc_id", "reasons", "n_words"
+    )
+    rep = repetition_filter(spark, sf_dir).select("doc_id", "flagged")
+    keepers = dedup_exact(spark, sf_dir).select("content_key", "keeper_doc_id")
+    stage = (
+        F.when(F.col("predicted_lang") != "en", "lang")
+        .when(F.col("reasons") != 0, "gopher")
+        .when(F.coalesce(F.col("flagged"), F.lit(False)), "repetition")
+        .when(F.col("doc_id") != F.col("keeper_doc_id"), "exact_dup")
+        .otherwise("kept")
+    )
+    return (
+        docs.join(lang, "doc_id")
+        .join(gopher, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(keepers, "content_key")
+        .groupBy("source", stage.alias("stage"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+        )
     )
 
 
@@ -1587,6 +1681,99 @@ def source_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  DIV (SELECT SUM(w_micro) FROM w) AS samp_ppm,
                (w_micro * (SELECT SUM(n_docs) FROM {src_view}) * 1000)
                  DIV (SELECT SUM(w_micro) FROM w) AS expected_docs_milli
+        FROM w
+        """
+    )
+
+
+# --- token-budget training recipe ---------------------------------------------
+
+TOKEN_BUDGET = 10_000_000  #: tokens the planned training mix may consume
+
+
+@query(
+    "token_budget_mixture_plan",
+    priority=150,
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> ''))) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+      HAVING CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                      w -> w <> ''))) AS BIGINT) > 0
+    ),
+    w AS (
+      SELECT source, avail_tokens,
+             CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)
+                             / CAST((SELECT CAST(SUM(avail_tokens) AS BIGINT)
+                                     FROM s) AS DOUBLE))
+                        * {TEMP_SAMPLE_SCALE}) AS BIGINT) AS w_micro
+      FROM s
+    )
+    SELECT source, avail_tokens, w_micro,
+           ({TOKEN_BUDGET} * w_micro)
+             // (SELECT CAST(SUM(w_micro) AS BIGINT) FROM w) AS target_tokens,
+           ((({TOKEN_BUDGET} * w_micro)
+              // (SELECT CAST(SUM(w_micro) AS BIGINT) FROM w)) * 1000)
+             // avail_tokens AS epochs_milli
+    FROM w
+    """,
+)
+def token_budget_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET TRAINING RECIPE: given a fixed token budget for a
+    training run, split it across sources by temperature-scaled token
+    mass (alpha = 1/2, the source_temperature_sample upweighting applied
+    to TOKENS instead of document counts — budget planning is a token
+    question) and report, per source: available tokens, the sqrt weight,
+    the target token allocation, and ``epochs_milli`` — how many times
+    the source must be repeated to fill its allocation (1000 = exactly
+    one epoch; >1000 is the up-sampling repeat factor low-resource
+    slices get, the number data-mixture papers publish as "epochs over
+    the source"). This is the planning artifact a 100 TB run derives
+    BEFORE launching tokenization — companion to source_mixture_weights
+    (alpha=0) and source_temperature_sample (alpha=1/2 over docs).
+
+    Exactness: the same correctly-rounded-sqrt + FLOOR-once argument as
+    source_temperature_sample (IEEE sqrt is exact in both engines;
+    everything after the one floor is integer products and truncating
+    division on positives). Overflow envelope: TOKEN_BUDGET·w_micro ≤
+    budget·1e6 stays under 2^63 for budgets to ~9e12 tokens — past that
+    promote the products to DECIMAL(38,0), the source_temperature_sample
+    contract. The HAVING guard drops token-less sources identically on
+    both engines (no zero division in epochs_milli).
+
+    Plan: one aggregation over a 2-column projection (map-side partials,
+    #sources rows survive); every total is a scalar subquery over the
+    tiny persisted table — metadata-sized after the single corpus
+    scan."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+    from serverless_mapreduce_spark.catalog import unique_view
+
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    s = persist_tracked(
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(toks)).cast("bigint").alias("avail_tokens"))
+        .filter(F.col("avail_tokens") > 0)
+    )
+    src_view = unique_view(s, "token_budget_sources")
+    return spark.sql(
+        f"""
+        WITH w AS (
+          SELECT source, avail_tokens,
+                 CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)
+                                 / CAST((SELECT SUM(avail_tokens)
+                                         FROM {src_view}) AS DOUBLE))
+                            * {TEMP_SAMPLE_SCALE}) AS BIGINT) AS w_micro
+          FROM {src_view}
+        )
+        SELECT source, avail_tokens, w_micro,
+               ({TOKEN_BUDGET} * w_micro)
+                 DIV (SELECT SUM(w_micro) FROM w) AS target_tokens,
+               ((({TOKEN_BUDGET} * w_micro)
+                  DIV (SELECT SUM(w_micro) FROM w)) * 1000)
+                 DIV avail_tokens AS epochs_milli
         FROM w
         """
     )

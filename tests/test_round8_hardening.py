@@ -273,6 +273,195 @@ def test_src_overlap_cap_fires_and_matches_oracle(spark, overlap_corpus):
     assert got[("s0", "s1")] == (1, 250_000)
 
 
+# --- round-8 new operators: crafted corpora for branches sf fixtures miss -----
+
+
+def _docs_dir(tmp_path_factory, name, rows):
+    d = tmp_path_factory.mktemp(name)
+    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def _agree(spark, sf_dir, fn, name):
+    """Driver-faithful parity on a crafted corpus through the SHARED
+    comparator (same helper as test_round7_edges — including the
+    HUGEINT/DECIMAL dtype gate). Returns row dicts for content asserts."""
+    got = fn(spark, sf_dir)
+    assert_matches_oracle(got, registry.all_oracles()[name], sf_dir)
+    return [r.asDict() for r in got.collect()]
+
+
+def test_filter_cascade_all_stages_fire(spark, tmp_path_factory):
+    """At sf0.01 the cascade only ever attributes lang/gopher/kept (no
+    exact duplicates, no repetition flags survive the earlier gates) — the
+    repetition and exact_dup arms are vacuous there. This corpus drives
+    every arm, with dual-engine parity through the shared comparator."""
+    from serverless_mapreduce_spark.operators.text import filter_cascade_audit
+
+    rows = {
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "hola mundo bueno amigo casa perro gato sol luna mar",
+            "the a is",
+            "the cat the cat the cat the cat and dog ran over green hills today",
+            "the quick brown fox jumps over a lazy dog and runs far away today",
+            "the quick brown fox jumps over a lazy dog and runs far away today",
+        ],
+        "lang": ["es", "en", "en", "en", "en"],
+        "source": ["s1", "s1", "s1", "s2", "s2"],
+    }
+    sf_dir = _docs_dir(tmp_path_factory, "cascade_stages", rows)
+    got = _agree(spark, sf_dir, filter_cascade_audit, "filter_cascade_audit")
+    stages = {
+        r["stage"]: r["n_docs"]
+        for r in filter_cascade_audit(spark, sf_dir).collect()
+    }
+    assert stages == {
+        "lang": 1, "gopher": 1, "repetition": 1, "exact_dup": 1, "kept": 1
+    }
+    assert len(got) == 5
+
+
+def test_band_eval_cap_drops_hot_buckets(spark, tmp_path_factory):
+    """40 identical documents exceed BAND_EVAL_CAP in EVERY band bucket
+    of every config, so none of their C(40,2) pairs may surface; the
+    three near-dup docs stay under the cap and must. Parity through the
+    shared comparator proves the oracle mirrors the load-shed exactly."""
+    from serverless_mapreduce_spark.operators.dedup import (
+        BAND_EVAL_CAP,
+        minhash_band_eval,
+    )
+
+    hot = "common boiler plate text repeated across the mirrored crawl"
+    near = "alpha beta gamma delta epsilon zeta eta theta"
+    n_hot = BAND_EVAL_CAP + 8
+    rows = {
+        "doc_id": list(range(1, n_hot + 4)),
+        "text": [hot] * n_hot + [near, near + " iota", near + " kappa"],
+        "lang": ["en"] * (n_hot + 3),
+        "source": ["s1"] * (n_hot + 3),
+    }
+    sf_dir = _docs_dir(tmp_path_factory, "band_eval_cap", rows)
+    _agree(spark, sf_dir, minhash_band_eval, "minhash_band_eval")
+    out = {
+        r["rows_per_band"]: (r["n_candidates"], r["n_true"])
+        for r in minhash_band_eval(spark, sf_dir).collect()
+    }
+    assert set(out) == {1, 2, 4, 8, 16}
+    # candidates can only come from the 3 near-dups: at most C(3,2) pairs
+    assert all(c <= 3 for c, _ in out.values())
+    assert out[1][0] > 0  # 16 single-hash bands surely catch the near-dups
+
+
+def test_band_eval_zero_candidates_guarded(spark, tmp_path_factory):
+    """All-identical corpus: every bucket is hot, every pair load-shed —
+    the sweep must still emit one row per config with guarded zero
+    divisions, identically on both engines."""
+    from serverless_mapreduce_spark.operators.dedup import minhash_band_eval
+
+    rows = {
+        "doc_id": list(range(1, 41)),
+        "text": ["same exact boilerplate page body here"] * 40,
+        "lang": ["en"] * 40,
+        "source": ["s1"] * 40,
+    }
+    sf_dir = _docs_dir(tmp_path_factory, "band_eval_zero", rows)
+    got = _agree(spark, sf_dir, minhash_band_eval, "minhash_band_eval")
+    assert len(got) == 5
+    assert all(
+        r["n_candidates"] == 0 and r["precision_ppm"] == 0
+        for r in minhash_band_eval(spark, sf_dir).collect()
+    )
+
+
+def test_perplexity_buckets_empty_heldout(spark, tmp_path_factory):
+    """A corpus whose every doc_id hashes into the train split leaves the
+    held-out score table EMPTY — the bucketing must return an empty
+    frame with the oracle's exact schema, not divide by zero."""
+    import hashlib
+
+    from serverless_mapreduce_spark.operators.nlp import (
+        LM_TRAIN_PCT,
+        perplexity_prune_buckets,
+    )
+
+    train_ids = [
+        i for i in range(1, 200)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        < LM_TRAIN_PCT
+    ][:4]
+    rows = {
+        "doc_id": train_ids,
+        "text": ["the quick brown fox jumps today"] * len(train_ids),
+        "lang": ["en"] * len(train_ids),
+        "source": ["s1"] * len(train_ids),
+    }
+    sf_dir = _docs_dir(tmp_path_factory, "ppl_empty", rows)
+    got = _agree(spark, sf_dir, perplexity_prune_buckets,
+                 "perplexity_prune_buckets")
+    assert got == []
+
+
+def test_perplexity_buckets_tiny_corpus(spark, tmp_path_factory):
+    """Fewer held-out docs than buckets: the NTILE arithmetic must spread
+    them one-per-bucket from the head, matching the oracle exactly."""
+    import hashlib
+
+    from serverless_mapreduce_spark.operators.nlp import (
+        LM_TRAIN_PCT,
+        perplexity_prune_buckets,
+    )
+
+    ids = list(range(1, 400))
+    train = [
+        i for i in ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        < LM_TRAIN_PCT
+    ][:3]
+    held = [
+        i for i in ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        >= LM_TRAIN_PCT
+    ][:2]
+    rows = {
+        "doc_id": train + held,
+        "text": ["the quick brown fox jumps today"] * (len(train) + len(held)),
+        "lang": ["en"] * (len(train) + len(held)),
+        "source": ["s1"] * (len(train) + len(held)),
+    }
+    sf_dir = _docs_dir(tmp_path_factory, "ppl_tiny", rows)
+    _agree(spark, sf_dir, perplexity_prune_buckets, "perplexity_prune_buckets")
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in perplexity_prune_buckets(spark, sf_dir).collect()
+    }
+    assert got == {1: 1, 2: 1}  # 2 docs over 3 rank-thirds: buckets 1 and 2
+
+
+def test_token_budget_drops_tokenless_source(spark, tmp_path_factory):
+    """A source whose only document has no tokens must vanish from the
+    plan on BOTH engines (the HAVING guard) — no zero division in
+    epochs_milli, no phantom row."""
+    from serverless_mapreduce_spark.operators.text import (
+        token_budget_mixture_plan,
+    )
+
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox", "lazy dog sleeps here", ""],
+        "lang": ["en", "en", "en"],
+        "source": ["s1", "s2", "s3"],
+    }
+    sf_dir = _docs_dir(tmp_path_factory, "budget_tokenless", rows)
+    got = _agree(spark, sf_dir, token_budget_mixture_plan,
+                 "token_budget_mixture_plan")
+    srcs = {
+        r["source"] for r in token_budget_mixture_plan(spark, sf_dir).collect()
+    }
+    assert srcs == {"s1", "s2"}
+    assert len(got) == 2
+
+
 def _uncapped_oracle(sf_dir):
     sql = registry.all_oracles()["source_overlap_matrix"]
     needle = f"nsrc <= {SRC_OVERLAP_CAP}"
