@@ -240,6 +240,16 @@ HEADLINE = (
     # tracked by dedup_minhash_lsh.
     "vocab_typo_pairs",
     "benford_digit_audit",
+    # round-8 additions. NOT benched (double-count rationale, as above):
+    # minhash_band_eval re-runs the shingle→minhash chain the
+    # dedup_minhash_lsh line already tracks; perplexity_prune_buckets
+    # re-runs the trigram-LM chain tracked by lm_score_heldout;
+    # filter_cascade_audit re-runs the quality/gopher/repetition gates
+    # tracked by their own lines.
+    "token_budget_mixture_plan",
+    "semdedup_prune",
+    "length_bucket_batch_plan",
+    "quality_filter_sweep",
 )
 
 

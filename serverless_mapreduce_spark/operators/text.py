@@ -1966,3 +1966,227 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs - COALESCE(n, 0) AS n_clean",
         )
     )
+
+
+# --- dynamic batching: length-bucket plan + padding-waste audit -----------------
+
+PAD_QUANTUM = 16         #: sequence lengths are padded up to a multiple of this
+MAX_SEQ_LEN = 64         #: context window — longer docs are truncated to fit
+MAX_TOKENS_PER_BATCH = 256  #: padded-token budget per training batch
+
+
+@query(
+    "length_bucket_batch_plan",
+    priority=150,
+    oracle=f"""
+    WITH t AS (
+      SELECT len(list_filter(string_split(text, ' '), w -> w <> '')) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT n,
+             LEAST(n, {MAX_SEQ_LEN}) AS eff,
+             ((LEAST(n, {MAX_SEQ_LEN}) + {PAD_QUANTUM - 1})
+               // {PAD_QUANTUM}) * {PAD_QUANTUM} AS bucket_len
+      FROM t WHERE n > 0
+    ),
+    g AS (
+      SELECT bucket_len,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n > {MAX_SEQ_LEN} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_truncated,
+             CAST(SUM(eff) AS BIGINT) AS sum_tokens
+      FROM b GROUP BY bucket_len
+    )
+    SELECT CAST(bucket_len AS BIGINT) AS bucket_len, n_docs, n_truncated,
+           sum_tokens,
+           n_docs * bucket_len - sum_tokens AS pad_tokens,
+           (n_docs + ({MAX_TOKENS_PER_BATCH} // bucket_len) - 1)
+             // ({MAX_TOKENS_PER_BATCH} // bucket_len) AS n_batches,
+           ((n_docs * bucket_len - sum_tokens) * 1000000)
+             // (n_docs * bucket_len) AS waste_ppm
+    FROM g
+    """,
+)
+def length_bucket_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKET BATCHING PLAN: group documents into pad-quantum
+    length buckets (the dynamic-batching strategy every training data
+    loader uses — batching similar lengths together so padding, which is
+    pure wasted FLOPs, stays small) and report per bucket: document
+    count, truncation count, real tokens, pad tokens, the number of
+    batches under a fixed padded-token budget, and the padding-waste
+    fraction in ppm. This is the artifact that decides the bucket edges
+    and batch shapes BEFORE a 100 TB tokenization run — the companion
+    to ``docs_pack_sequences`` (packing amortizes padding away entirely;
+    bucketing is what you do when documents must stay unsplit, e.g. for
+    SFT rows).
+
+    Exactness: token counts are integers; ``eff = LEAST(n, max_len)``,
+    the round-up to the pad quantum, ceil-division for batches, and the
+    ppm waste are all integer products and truncating division on
+    positives (``DIV`` == ``//`` there — the round-7 pinned contract).
+    Zero-token documents are dropped identically on both engines (no
+    zero-width bucket, no zero division).
+
+    Plan: one scan of a 1-column projection, a pure-row bucket
+    expression, one hash aggregate with map-side partials — at most
+    ``MAX_SEQ_LEN / PAD_QUANTUM`` groups survive. Zero joins, zero
+    windows; at 100 TB this is scan-bound, exactly as a planning pass
+    should be."""
+    n = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    return (
+        table(spark, sf_dir, "documents")
+        .select(n.alias("n"))
+        .filter(F.col("n") > 0)
+        .selectExpr(
+            "n",
+            f"LEAST(n, {MAX_SEQ_LEN}) AS eff",
+            f"((LEAST(n, {MAX_SEQ_LEN}) + {PAD_QUANTUM - 1})"
+            f" DIV {PAD_QUANTUM}) * {PAD_QUANTUM} AS bucket_len",
+        )
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n") > MAX_SEQ_LEN).cast("int"))
+            .cast("bigint")
+            .alias("n_truncated"),
+            F.sum("eff").cast("bigint").alias("sum_tokens"),
+        )
+        .selectExpr(
+            "CAST(bucket_len AS BIGINT) AS bucket_len",
+            "n_docs",
+            "n_truncated",
+            "sum_tokens",
+            "n_docs * bucket_len - sum_tokens AS pad_tokens",
+            f"(n_docs + ({MAX_TOKENS_PER_BATCH} DIV bucket_len) - 1)"
+            f" DIV ({MAX_TOKENS_PER_BATCH} DIV bucket_len) AS n_batches",
+            "((n_docs * bucket_len - sum_tokens) * 1000000)"
+            " DIV (n_docs * bucket_len) AS waste_ppm",
+        )
+    )
+
+
+# --- quality-filter calibration: threshold survival sweep -----------------------
+
+SWEEP_STEP_MILLI = 25    #: stopword-share grid step (permille)
+SWEEP_MAX_MILLI = 250    #: sweep stopword thresholds 0 .. 250 permille
+
+
+@query(
+    "quality_filter_sweep",
+    priority=150,
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             (CAST(len(list_filter(toks, w -> list_contains({{sw}}, w)))
+                   AS BIGINT) * 1000)
+               // GREATEST(len(toks), 1) AS score_milli
+      FROM t
+    ),
+    cells AS (
+      SELECT source, score_milli,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM scored GROUP BY source, score_milli
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+      FROM cells GROUP BY source
+    ),
+    surv AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(unnest(range(0,
+                 LEAST((score_milli // {SWEEP_STEP_MILLI})
+                         * {SWEEP_STEP_MILLI}, {SWEEP_MAX_MILLI}) + 1,
+                 {SWEEP_STEP_MILLI})) AS BIGINT) AS thresh_milli
+      FROM cells
+    )
+    SELECT s.thresh_milli, s.source,
+           CAST(SUM(s.n_docs) AS BIGINT) AS n_docs_surviving,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens_surviving,
+           (CAST(SUM(s.n_tokens) AS BIGINT) * 1000000)
+             // MAX(t.tot_tokens) AS surviving_ppm
+    FROM surv s JOIN totals t USING (source)
+    GROUP BY s.thresh_milli, s.source
+    """.replace("{sw}", _SW_SQL),
+)
+def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-FILTER CALIBRATION SWEEP: for every candidate stopword-share
+    threshold on a permille grid, how many documents and tokens of each
+    source survive a ``stopword_share >= threshold`` quality gate, and the
+    surviving token fraction in ppm. This is the curve a curation team
+    reads BEFORE committing a filter threshold to a 100 TB run — the
+    per-threshold twin of ``filter_cascade_audit`` (which audits one fixed
+    chain): it shows where each source's mass falls off and which
+    threshold trades how much volume for how much quality. Uses the same
+    stopword list and tokenization as the registered ``quality_score``
+    (shared ``_STOPWORDS``/``_SW_SQL``), so the sweep calibrates exactly
+    the signal the quality gate measures.
+
+    Exactness: ``score_milli`` is an integer permille (truncating division
+    on non-negatives, GREATEST(n,1) zero-guard — both mirrored); survivor
+    sums and the final ppm are integer arithmetic end to end. Sources
+    whose every doc scores below a threshold drop out of that threshold's
+    rows on both engines (inner join).
+
+    Plan shape: the corpus is scanned ONCE into per-(source, score_milli)
+    cells — a hash aggregate with map-side partials, at most
+    |sources| x 1001 rows survive; each cell then EXPLODES into the <= 11
+    thresholds it satisfies (sequence 0..min(score, max) step 25), so the
+    sweep is a pure equi-aggregate over a metadata-sized table — no
+    theta-join, no nested-loop, nothing rescans the corpus. Per-source
+    totals ride the same persisted cell table as a broadcast equi-join."""
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    scored = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
+            .cast("bigint")
+            .alias("_n_sw"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "(_n_sw * 1000) DIV GREATEST(n_tokens, 1) AS score_milli",
+        )
+    )
+    cells = persist_tracked(
+        scored.groupBy("source", "score_milli").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    totals = cells.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens")
+    )
+    surv = cells.selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        f"explode(sequence(CAST(0 AS BIGINT),"
+        f" LEAST((score_milli DIV {SWEEP_STEP_MILLI})"
+        f" * {SWEEP_STEP_MILLI}, CAST({SWEEP_MAX_MILLI} AS BIGINT)),"
+        f" CAST({SWEEP_STEP_MILLI} AS BIGINT))) AS thresh_milli",
+    )
+    return (
+        surv.join(F.broadcast(totals), "source")
+        .groupBy("thresh_milli", "source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs_surviving"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_surviving"),
+            F.expr(
+                "(CAST(SUM(n_tokens) AS BIGINT) * 1000000)"
+                " DIV MAX(tot_tokens)"
+            ).alias("surviving_ppm"),
+        )
+    )

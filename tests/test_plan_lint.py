@@ -48,6 +48,9 @@ SIDE_EFFECTING = {
 BNLJ_ALLOWED = {
     "ann_topk_bruteforce",
     "ann_ivf_topk",
+    # same IVF centroid assignment (corpus × ~constant sampled-centroid
+    # table); the prune stage itself is an equi-join on the cluster id
+    "semdedup_prune",
     # embed the bruteforce baseline as ground truth — the BNLJ is that
     # sub-plan's deliberate query-set × corpus cross
     "ann_recall_at_k_eval",
