@@ -250,6 +250,12 @@ HEADLINE = (
     "semdedup_prune",
     "length_bucket_batch_plan",
     "quality_filter_sweep",
+    # ngram_novelty_score is a new plan shape (inverted-index df join);
+    # label_knn_disagreement rides the warmed shared IVF assignment, so
+    # its line measures the kNN vote stage itself (as semdedup_prune's
+    # line measures the prune stage).
+    "ngram_novelty_score",
+    "label_knn_disagreement",
 )
 
 
@@ -326,6 +332,14 @@ def main() -> None:
     from serverless_mapreduce_spark.operators.graph import _walk_table
 
     _walk_table(spark, sf_dir)
+    # The embedding family's checkpointed IVF cell assignment is the same
+    # kind of maintained artifact (at 100 TB: a table written partitioned
+    # by centroid) shared by ann_ivf_topk / semdedup_prune /
+    # label_knn_disagreement — build it once here so each line measures
+    # its own stage, not the shared quantizer.
+    from serverless_mapreduce_spark.operators.similarity import _ivf_ranked
+
+    _ivf_ranked(spark, sf_dir)
     # The first Python-DataSource read in a session spins up the planner +
     # reader worker pool (~9s on local[32]) — session-fixed like the pandas
     # pool above; a tiny read through the connector warms it. Prefer the

@@ -2212,3 +2212,72 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removable"),
     )
+
+
+# --- n-gram novelty: memorization-risk screen -----------------------------------
+
+
+@query(
+    "ngram_novelty_score",
+    priority=150,
+    oracle=f"""
+    WITH ds AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM documents
+    ), df AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM ds GROUP BY s
+    )
+    SELECT ds.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           (CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000) // COUNT(*) AS novelty_ppm
+    FROM ds JOIN df USING (s)
+    GROUP BY ds.doc_id
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM NOVELTY SCORE — the memorization-risk / boilerplate screen:
+    for every document, the share of its distinct word {SHINGLE_W}-grams
+    that occur NOWHERE else in the corpus (document frequency 1). Low
+    novelty means the document is assembled from corpus-common n-grams —
+    boilerplate, templates, licenses — exactly the text a model memorizes
+    fastest and a curation run down-weights; high novelty marks unique
+    content worth keeping at full weight. The complement of the dedup
+    family: MinHash finds documents similar to SOME other document, this
+    scores how much of each document is corpus-commonplace even when no
+    single near-duplicate exists.
+
+    Tokenization and shingling are the registered dedup operators' own
+    shared builders (``shingle_rows`` / ``_SQL_SHINGLES``), so the
+    novelty screen measures exactly the n-gram space the dedup family
+    joins on; the short-doc (whole-text shingle) and blank-doc (drops
+    out) conventions carry over verbatim. Exactness: counts are
+    integers; the ppm share is a truncating integer division on
+    positives.
+
+    Scale shape: one (doc_id, shingle) long table (codegen'd, one
+    exchange on doc_id from the shared builder), document frequencies by
+    one hash aggregate on the shingle key, an equi-join back on the SAME
+    shingle clustering (no second shuffle of the corpus-sized side), and
+    a final per-doc aggregate. The inverted-index shape every 100 TB
+    contamination pass uses; hot shingles are aggregate keys, never pair
+    candidates — nothing here is quadratic."""
+    ds = persist_tracked(
+        shingle_rows(table(spark, sf_dir, "documents")).distinct()
+    )
+    df = ds.groupBy("s").agg(F.count("*").cast("bigint").alias("df"))
+    return (
+        ds.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("int")).cast("bigint").alias("n_novel"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            "(n_novel * 1000000) DIV n_shingles AS novelty_ppm",
+        )
+    )

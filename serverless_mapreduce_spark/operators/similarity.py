@@ -492,21 +492,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query. At 100 TB the assigned table is written partitioned by centroid
     so probes become partition-pruned scans. Recall loses only neighbors
     quantized into other cells; raise nprobe for recall like any IVF index."""
-    emb = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
-    cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_cos"), F.asc("c_id")
-    )
-    assigned = persist_tracked(
-        emb.join(F.broadcast(cent))
-        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("c_id").alias("centroid"))
-        # referenced by both the query and corpus sides below
-    )
+    # The memoized checkpointed IVF assignment (shared with semdedup_prune
+    # and label_knn_disagreement — one derivation per session, see
+    # _ivf_ranked below); both the query and corpus sides read it.
+    assigned = _ivf_ranked(spark, sf_dir).select("vec_id", "embedding", "centroid")
     q = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -1248,6 +1237,56 @@ SEMDEDUP_EPS = 0.3   #: prune a vector whose cosine to a kept lower-id member >=
 SEMDEDUP_CAP = 64    #: each vector compares against at most this many lower-id
 #: cluster members — O(N * CAP) pairs corpus-wide, never quadratic in a cluster.
 
+#: session-lifetime memo for the checkpointed IVF cell assignment, keyed by
+#: (applicationId, shuffle-partitions, sf_dir) like graph._WALK_MEMO /
+#: nlp._DSIR_MEMO: semdedup_prune, label_knn_disagreement and ann_ivf_topk
+#: all consume the same deterministic (vec_id, embedding[, label],
+#: centroid, rn) table, so it is a maintained artifact built once per
+#: session — at 100 TB it would be a table written partitioned by
+#: centroid. NOT persist_tracked (per-query release would unpersist a
+#: memoized frame); the localCheckpoint frees with the SparkContext.
+_IVF_MEMO: dict = {}
+_IVF_BUILD_LOCK = __import__("threading").RLock()
+
+
+def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic IVF cell assignment + within-cell vec_id rank —
+    (vec_id, embedding[, label], centroid, rn). The `label` column rides
+    along when the fixture has one (crafted corpora may not). The build
+    lock is held across the whole derivation (check-then-act is racy —
+    the r7 walk-memo lesson)."""
+    memo_key = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.shuffle.partitions", ""),
+        sf_dir,
+    )
+    with _IVF_BUILD_LOCK:
+        cached = _IVF_MEMO.get(memo_key)
+        if cached is not None:
+            return cached
+        emb = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
+        cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.desc("c_cos"), F.asc("c_id")
+        )
+        w_rank = Window.partitionBy("centroid").orderBy("vec_id")
+        cols = ["vec_id", "embedding"] + (
+            ["label"] if "label" in emb.columns else []
+        )
+        result = (
+            emb.join(F.broadcast(cent))
+            .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select(*cols, F.col("c_id").alias("centroid"))
+            .withColumn("rn", F.row_number().over(w_rank))
+            .localCheckpoint()
+        )
+        _IVF_MEMO[memo_key] = result
+        return result
+
 
 @query(
     "semdedup_prune",
@@ -1318,21 +1357,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference has no embedding ops at all — this is
     part of the training-data-pipeline surface the task brief mandates
     beyond reference coverage."""
-    emb = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
-    cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
-    w_rank = Window.partitionBy("centroid").orderBy("vec_id")
-    ranked = persist_tracked(
-        emb.join(F.broadcast(cent))
-        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("c_id").alias("centroid"))
-        .withColumn("rn", F.row_number().over(w_rank))
-        # referenced three times below (lows / probe side / final left join)
-    )
+    ranked = _ivf_ranked(spark, sf_dir)
     lows = ranked.filter(F.col("rn") <= SEMDEDUP_CAP).select(
         F.col("centroid").alias("u_centroid"),
         F.col("vec_id").alias("u_id"),
@@ -1359,5 +1384,132 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_lower_sim",
             f"CAST(CASE WHEN max_lower_sim >= {SEMDEDUP_EPS} THEN 1 ELSE 0 END"
             " AS BIGINT) AS pruned",
+        )
+    )
+
+
+# --- kNN label disagreement: label-error screen ---------------------------------
+
+KNN_K = 5  #: neighbors voting on each vector's label
+
+
+@query(
+    "label_knn_disagreement",
+    priority=150,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ), assigned AS (
+      SELECT vec_id, embedding, label, c_id AS centroid
+      FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cosine_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), ranked AS (
+      SELECT vec_id, embedding, label, centroid,
+             ROW_NUMBER() OVER (PARTITION BY centroid ORDER BY vec_id) AS rn
+      FROM assigned
+    ), knn AS (
+      SELECT vec_id, label, nb_label
+      FROM (
+        SELECT v.vec_id, v.label, u.label AS nb_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND({_cosine_sql('u.embedding', 'v.embedding')}, 6)
+                            DESC, u.vec_id
+               ) AS rnk
+        FROM ranked v
+        JOIN ranked u ON u.centroid = v.centroid
+                     AND u.vec_id <> v.vec_id
+                     AND u.rn <= {SEMDEDUP_CAP}
+      ) WHERE rnk <= {KNN_K}
+    ), votes AS (
+      SELECT vec_id,
+             CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+             CAST(SUM(CASE WHEN nb_label <> label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_disagree
+      FROM knn GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.label,
+           COALESCE(v.n_neighbors, 0) AS n_neighbors,
+           COALESCE(v.n_disagree, 0) AS n_disagree,
+           CAST(CASE WHEN COALESCE(v.n_disagree, 0) * 2
+                          > COALESCE(v.n_neighbors, 0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS suspect
+    FROM assigned a LEFT JOIN votes v ON v.vec_id = a.vec_id
+    """,
+)
+def label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN LABEL DISAGREEMENT — the label-error screen (confident-learning
+    style, Northcutt et al.): for every labeled vector, how many of its
+    {KNN_K} nearest same-cell neighbors carry a DIFFERENT label; a
+    majority of disagreeing neighbors flags the row as a labeling
+    suspect. This is the audit a training run does over a labeled
+    embedding corpus before fitting a classifier — mislabeled rows sit
+    inside another class's neighborhood and surface here without any
+    model in the loop.
+
+    Neighborhoods come from the same deterministic IVF quantizer as
+    ``semdedup_prune``/``ann_ivf_topk`` (oracle-reproducible 'training'),
+    with the same ``SEMDEDUP_CAP`` candidate cap: each vector ranks at
+    most CAP same-cell candidates by 6-decimal-rounded cosine (rounded
+    BEFORE ranking so the top-k cut is tie-deterministic on both
+    engines), keeps the top {KNN_K}, and counts label disagreements —
+    O(N·CAP) scored pairs corpus-wide, never quadratic in a cell.
+    Singleton-cell vectors keep n_neighbors = 0 and are never suspects
+    (LEFT JOIN + COALESCE, mirrored). The majority test is integer
+    (n_disagree·2 > n_neighbors).
+
+    Scale: the per-cell self-join is an equi-join on the cluster id over
+    the cell-partitioned assigned table (same co-location argument as
+    semdedup_prune); the vote is a bounded per-vector aggregate. At
+    100 TB with a real k-means quantizer the plan is unchanged — only
+    the centroid table swaps."""
+    ranked = _ivf_ranked(spark, sf_dir)
+    cands = ranked.filter(F.col("rn") <= SEMDEDUP_CAP).select(
+        F.col("centroid").alias("u_centroid"),
+        F.col("vec_id").alias("u_id"),
+        F.col("embedding").alias("u_emb"),
+        F.col("label").alias("nb_label"),
+    )
+    w_knn = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("u_id"))
+    votes = (
+        ranked.join(
+            cands,
+            (F.col("u_centroid") == F.col("centroid"))
+            & (F.col("u_id") != F.col("vec_id")),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "nb_label",
+            "u_id",
+            F.round(cosine(F.col("u_emb"), F.col("embedding")), 6).alias("cs"),
+        )
+        .withColumn("rnk", F.row_number().over(w_knn))
+        .filter(F.col("rnk") <= KNN_K)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_neighbors"),
+            F.sum((F.col("nb_label") != F.col("label")).cast("int"))
+            .cast("bigint")
+            .alias("n_disagree"),
+        )
+    )
+    return (
+        ranked.join(votes, "vec_id", "left")
+        .selectExpr(
+            "vec_id",
+            "label",
+            "COALESCE(n_neighbors, CAST(0 AS BIGINT)) AS n_neighbors",
+            "COALESCE(n_disagree, CAST(0 AS BIGINT)) AS n_disagree",
+            "CAST(CASE WHEN COALESCE(n_disagree, 0) * 2"
+            " > COALESCE(n_neighbors, 0)"
+            " THEN 1 ELSE 0 END AS BIGINT) AS suspect",
         )
     )

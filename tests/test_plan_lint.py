@@ -49,8 +49,10 @@ BNLJ_ALLOWED = {
     "ann_topk_bruteforce",
     "ann_ivf_topk",
     # same IVF centroid assignment (corpus × ~constant sampled-centroid
-    # table); the prune stage itself is an equi-join on the cluster id
+    # table); the prune/vote stages themselves are equi-joins on the
+    # cluster id
     "semdedup_prune",
+    "label_knn_disagreement",
     # embed the bruteforce baseline as ground truth — the BNLJ is that
     # sub-plan's deliberate query-set × corpus cross
     "ann_recall_at_k_eval",

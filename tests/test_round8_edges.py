@@ -170,3 +170,94 @@ def test_quality_filter_sweep_dropout_and_survival(spark, sweep_docs_dir):
     assert int(zero[0][3]) == 1000000
     assert len(full) == n_thresh  # survives the whole grid
     assert all(int(r[3]) == 1000000 and int(r[0]) == 2 for r in full)
+
+
+# --- label_knn_disagreement: suspect / agreeing / singleton branches --------------
+
+
+@pytest.fixture(scope="module")
+def labeled_cells_dir(tmp_path_factory):
+    """Two cells: cell A (near e0) holds vecs 0..9 all labeled 7 except
+    vec 5 (labeled 3 — the planted label error); cell B is vec 50 alone
+    (a singleton: zero neighbors, never a suspect). vec 50 is the second
+    deterministic centroid (vec_id % 50 == 0)."""
+    rows = []
+    for k in range(10):
+        rows.append((k, [1.0, k * 0.01, 0.0, 0.0], 3 if k == 5 else 7))
+    rows.append((50, [0.0, 0.0, 1.0, 0.0], 7))
+    return _dir_with(
+        tmp_path_factory,
+        "labeled_cells",
+        "embeddings",
+        {
+            "vec_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "embedding": [np.array(r[1], dtype=np.float32) for r in rows],
+            "label": np.array([r[2] for r in rows], dtype=np.int32),
+        },
+    )
+
+
+def test_label_knn_disagreement_branches(spark, labeled_cells_dir):
+    from serverless_mapreduce_spark.operators.similarity import (
+        label_knn_disagreement,
+    )
+
+    rows = _agree(
+        spark, labeled_cells_dir, label_knn_disagreement, "label_knn_disagreement"
+    )
+    # sorted(df.columns) = [label, n_disagree, n_neighbors, suspect, vec_id]
+    by_vec = {int(r[4]): r for r in rows}
+    assert len(by_vec) == 11
+    # the planted error: all 5 of vec 5's neighbors carry label 7
+    assert by_vec[5][:4] == ("3", "5", "5", "1")
+    # a clean member sees vec 5 among its 5 neighbors at most once:
+    # 2*1 > 5 is false, so no clean member is a suspect
+    for k in [0, 1, 2, 3, 4, 6, 7, 8, 9]:
+        assert by_vec[k][3] == "0", k
+        assert int(by_vec[k][2]) == 5
+    # the singleton cell: zero neighbors, zero disagreement, not suspect
+    assert by_vec[50][:4] == ("7", "0", "0", "0")
+
+
+# --- ngram_novelty_score: df counting, short-doc and blank-doc conventions -------
+
+
+@pytest.fixture(scope="module")
+def novelty_docs_dir(tmp_path_factory):
+    """docs 1+2 are identical (every shingle df>=2 → novelty 0); doc 3 is
+    unique (novelty 1e6); doc 4 is shorter than the shingle width (whole
+    text becomes its one — unique — shingle); doc 5 is blank (must be
+    absent); doc 6 shares one of its two shingles with docs 1/2
+    (novelty exactly 500000)."""
+    return _dir_with(
+        tmp_path_factory,
+        "novelty_docs",
+        "documents",
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "alpha beta gamma delta",
+                "alpha beta gamma delta",
+                "epsilon zeta eta",
+                "hi there",
+                "",
+                "alpha beta gamma unique1",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s1"] * 6,
+        },
+    )
+
+
+def test_ngram_novelty_conventions(spark, novelty_docs_dir):
+    from serverless_mapreduce_spark.operators.dedup import ngram_novelty_score
+
+    rows = _agree(spark, novelty_docs_dir, ngram_novelty_score, "ngram_novelty_score")
+    # sorted(df.columns) = [doc_id, n_novel, n_shingles, novelty_ppm]
+    by_doc = {int(r[0]): (int(r[2]), int(r[1]), int(r[3])) for r in rows}
+    assert set(by_doc) == {1, 2, 3, 4, 6}  # blank doc 5 absent
+    assert by_doc[1] == (2, 0, 0)  # both shingles shared with doc 2 (+1 with 6)
+    assert by_doc[2] == (2, 0, 0)
+    assert by_doc[3] == (1, 1, 1000000)  # unique trigram
+    assert by_doc[4] == (1, 1, 1000000)  # short doc: whole text, unique
+    assert by_doc[6] == (2, 1, 500000)  # one shared, one novel
