@@ -256,6 +256,7 @@ HEADLINE = (
     # line measures the prune stage).
     "ngram_novelty_score",
     "label_knn_disagreement",
+    "corpus_datacard",
 )
 
 

@@ -2190,3 +2190,78 @@ def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("surviving_ppm"),
         )
     )
+
+
+# --- corpus data card: one-row corpus summary ------------------------------------
+
+
+@query(
+    "corpus_datacard",
+    priority=150,
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang,
+             len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS n_toks,
+             {SQL_CONTENT_KEY} AS content_key
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_toks = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blank,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT content_key) AS BIGINT) AS n_unique_texts,
+           (CAST(SUM(n_toks) AS BIGINT) * 1000) // COUNT(*)
+             AS mean_tokens_milli
+    FROM t
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS DATA CARD — the one-row summary a dataset release publishes
+    (Gebru et al.'s datasheets): document/blank/token counts, source and
+    language cardinalities, exact-unique text count (normalized-content
+    md5, the dedup family's own SQL_CONTENT_KEY so 'unique' means exactly
+    what dedup_exact enforces), and mean tokens per document in exact
+    permille. n_docs - n_unique_texts is the corpus's exact-duplicate
+    mass, read directly off the card.
+
+    Exactness: counts and the permille mean are integers end to end
+    (truncating division on positives). Tokenization is the shared
+    lowercase-split convention.
+
+    Scale: one scan; the three COUNT(DISTINCT) resolve as expand +
+    hash aggregates — exact, and acceptable for a per-release report
+    (at 100 TB the approximate twin is hll_sketch_rollup's path; a data
+    card wants the exact numbers once, not a sketch). No joins, no
+    windows, no driver-side loops."""
+    from serverless_mapreduce_spark.operators.dedup import _norm
+
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "lang",
+            F.size(toks).cast("bigint").alias("n_toks"),
+            F.md5(_norm("text")).alias("content_key"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_toks") == 0).cast("int")).cast("bigint").alias("n_blank"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("content_key").cast("bigint").alias("n_unique_texts"),
+        )
+        .selectExpr(
+            "n_docs",
+            "n_blank",
+            "n_tokens",
+            "n_sources",
+            "n_langs",
+            "n_unique_texts",
+            "(n_tokens * 1000) DIV n_docs AS mean_tokens_milli",
+        )
+    )
