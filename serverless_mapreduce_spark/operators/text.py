@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_mapreduce_spark.catalog import table
-from serverless_mapreduce_spark.operators.dedup import SQL_CONTENT_KEY
+from serverless_mapreduce_spark.operators.dedup import SQL_CONTENT_KEY, _tokens
 from serverless_mapreduce_spark.registry import query
 
 # The reference's tokenizer delimiters (word_count_map.py:12).
@@ -149,7 +149,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, length gate — the standard cheap pre-filters of a training-data
     pipeline. Ratios rounded to 6dp (single IEEE division; rounding only
     guards repr differences)."""
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    toks = _tokens("text")
     n_tok = F.size(toks)
     sw = F.size(F.filter(toks, lambda w: w.isin(*_STOPWORDS)))
     n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
@@ -191,7 +191,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     a synthetic shared vocabulary, so the heuristic mostly answers per the
     marker density — the point is the distributed shape: pure column
     expressions, no shuffle.)"""
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    toks = _tokens("text")
     en_hits = F.size(F.filter(toks, lambda w: w.isin("the", "a", "is")))
     return table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1376,7 +1376,7 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     familiarity, heavy_hitters_words for vocabulary stats) — composing
     row-local checks into one pass vs keyed aggregations is exactly the
     split a 100 TB pipeline wants."""
-    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    ws = _tokens("text")
     d = table(spark, sf_dir, "documents").select("doc_id", ws.alias("ws"))
     n = F.size("ws")
     chars = F.coalesce(
@@ -1461,11 +1461,19 @@ def filter_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with ≥2 tokens, so its flag left-joins with a false default
     (short docs are gopher's kill anyway).
 
-    Scale shape: the gates are scan-fused per-row expressions (zero
-    shuffles); the cascade adds the dedup key exchange (md5-keyed,
-    skew-free) plus doc_id-keyed joins of per-doc flag frames, and the
-    final aggregate is #sources × 5 rows. Everything upstream is
-    corpus-sized exactly once — no stage re-scans documents."""
+    Scale shape — priced honestly: the no-drift construction joins the
+    REGISTERED operators, so each gate runs its own documents scan (four
+    gate scans + the audit's own projection = 5 scans; repetition_filter
+    additionally pays its (doc_id, bigram) explode-aggregate, and
+    dedup_exact its md5-key exchange), then doc_id-keyed equi-joins of
+    per-doc flag frames and a #sources × 5 final aggregate. At 100 TB
+    an operations team would trade drift-safety for the fused form —
+    lang/gopher flags as expressions inside ONE projection (they are
+    per-row scalar logic), keeping only repetition's and dedup's
+    genuine exchanges — cutting corpus scans 5× at the cost of the
+    audit no longer being the registered gates by construction. This
+    audit deliberately keeps the no-drift contract; the fused variant
+    is a mechanical rewrite when scan cost dominates."""
     from serverless_mapreduce_spark.operators.dedup import _norm, dedup_exact
 
     docs = table(spark, sf_dir, "documents").select(
@@ -1750,7 +1758,7 @@ def token_budget_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_mapreduce_spark.caching import persist_tracked
     from serverless_mapreduce_spark.catalog import unique_view
 
-    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    toks = _tokens("text")
     s = persist_tracked(
         table(spark, sf_dir, "documents")
         .groupBy("source")
@@ -1974,6 +1982,16 @@ PAD_QUANTUM = 16         #: sequence lengths are padded up to a multiple of this
 MAX_SEQ_LEN = 64         #: context window — longer docs are truncated to fit
 MAX_TOKENS_PER_BATCH = 256  #: padded-token budget per training batch
 
+# n_batches below divides by (MAX_TOKENS_PER_BATCH DIV bucket_len). If the
+# context window ever outgrew the batch budget, per-batch capacity would be
+# 0 for the top buckets and x DIV 0 is NULL identically on BOTH engines —
+# the oracle would stay green while the published plan carried NULL batch
+# counts. Fail loudly at import instead (the repo's loud-guard convention).
+assert MAX_SEQ_LEN <= MAX_TOKENS_PER_BATCH, (
+    "length_bucket_batch_plan: every bucket (<= MAX_SEQ_LEN) must fit in "
+    "MAX_TOKENS_PER_BATCH or n_batches silently divides by zero"
+)
+
 
 @query(
     "length_bucket_batch_plan",
@@ -2144,7 +2162,7 @@ def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals ride the same persisted cell table as a broadcast equi-join."""
     from serverless_mapreduce_spark.caching import persist_tracked
 
-    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    toks = _tokens("text")
     scored = (
         table(spark, sf_dir, "documents")
         .select(
@@ -2238,7 +2256,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, no driver-side loops."""
     from serverless_mapreduce_spark.operators.dedup import _norm
 
-    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    toks = _tokens("text")
     return (
         table(spark, sf_dir, "documents")
         .select(

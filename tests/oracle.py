@@ -160,3 +160,34 @@ def assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> int:
         f"spark={[ng[i] for i in mismatches[:3]]} duckdb={[ne[i] for i in mismatches[:3]]}"
     )
     return len(got_rows)
+
+
+# --- shared crafted-corpus test helpers ------------------------------------------
+# ONE definition of "build a tiny parquet fixture" and "compare a query to
+# its registered oracle on it" (r8 review: these were triplicated across
+# test_round7_edges / test_round8_edges / test_round8_hardening with
+# drifting return shapes — a comparator change must land exactly once).
+
+
+def crafted_dir(tmp_path_factory, name, rows, table_name="documents"):
+    """Write one fixture table as parquet under a tmp dir, return the dir."""
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp(name)
+    pd.DataFrame(rows).to_parquet(d / f"{table_name}.parquet")
+    return str(d)
+
+
+def agree_rows(spark, sf_dir, fn, name, as_dicts=False):
+    """Driver-faithful parity on a crafted corpus through the SHARED
+    comparator (including the HUGEINT/DECIMAL/int-float dtype gate).
+    Returns sorted str-tuples over sorted(df.columns) — or row dicts
+    with ``as_dicts=True`` — for content assertions."""
+    from serverless_mapreduce_spark import registry
+
+    got = fn(spark, sf_dir)
+    assert_matches_oracle(got, registry.all_oracles()[name], sf_dir)
+    if as_dicts:
+        return [r.asDict() for r in got.collect()]
+    cols = sorted(got.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in got.collect())

@@ -15,7 +15,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from oracle import assert_matches_oracle
+from oracle import agree_rows, assert_matches_oracle, crafted_dir
 from serverless_mapreduce_spark import registry
 from serverless_mapreduce_spark.operators.nlp import (
     dsir_importance_weights,
@@ -27,21 +27,9 @@ from serverless_mapreduce_spark.operators.text import (
 )
 
 
-def _docs_dir(tmp_path_factory, name, rows):
-    d = tmp_path_factory.mktemp(name)
-    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
-    return str(d)
-
-
-def _agree(spark, sf_dir, fn, name):
-    """Driver-faithful parity on a crafted corpus: the SHARED comparator
-    (including its HUGEINT/DECIMAL/int-float dtype gate — a local
-    str()-compare would be blind to the CORRECTNESS_r06 failure class).
-    Returns the sorted row tuples for content assertions."""
-    got = fn(spark, sf_dir)
-    assert_matches_oracle(got, registry.all_oracles()[name], sf_dir)
-    cols = sorted(got.columns)
-    return sorted(tuple(str(r[c]) for c in cols) for r in got.collect())
+# canonical helpers live in tests/oracle.py (single comparator source)
+_docs_dir = crafted_dir
+_agree = agree_rows
 
 
 @pytest.fixture(scope="module")

@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from oracle import assert_matches_oracle
+from oracle import agree_rows, assert_matches_oracle, crafted_dir
 from serverless_mapreduce_spark import registry
 from serverless_mapreduce_spark.operators.similarity import (
     SEMDEDUP_CAP,
@@ -26,18 +26,12 @@ from serverless_mapreduce_spark.operators.text import (
 )
 
 
+# canonical helpers live in tests/oracle.py (single comparator source)
 def _dir_with(tmp_path_factory, name, table_name, rows):
-    d = tmp_path_factory.mktemp(name)
-    pd.DataFrame(rows).to_parquet(d / f"{table_name}.parquet")
-    return str(d)
+    return crafted_dir(tmp_path_factory, name, rows, table_name=table_name)
 
 
-def _agree(spark, sf_dir, fn, name):
-    """Driver-faithful parity via the shared dtype-gated comparator."""
-    got = fn(spark, sf_dir)
-    assert_matches_oracle(got, registry.all_oracles()[name], sf_dir)
-    cols = sorted(got.columns)
-    return sorted(tuple(str(r[c]) for c in cols) for r in got.collect())
+_agree = agree_rows
 
 
 # --- semdedup_prune: cap branch -------------------------------------------------

@@ -20,7 +20,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from oracle import assert_matches_oracle, duck_con
+from oracle import agree_rows, assert_matches_oracle, crafted_dir, duck_con
 from serverless_mapreduce_spark import registry
 from serverless_mapreduce_spark.operators import nlp
 from serverless_mapreduce_spark.operators.dedup import (
@@ -276,19 +276,12 @@ def test_src_overlap_cap_fires_and_matches_oracle(spark, overlap_corpus):
 # --- round-8 new operators: crafted corpora for branches sf fixtures miss -----
 
 
-def _docs_dir(tmp_path_factory, name, rows):
-    d = tmp_path_factory.mktemp(name)
-    pd.DataFrame(rows).to_parquet(d / "documents.parquet")
-    return str(d)
+# canonical helpers live in tests/oracle.py (single comparator source)
+_docs_dir = crafted_dir
 
 
 def _agree(spark, sf_dir, fn, name):
-    """Driver-faithful parity on a crafted corpus through the SHARED
-    comparator (same helper as test_round7_edges — including the
-    HUGEINT/DECIMAL dtype gate). Returns row dicts for content asserts."""
-    got = fn(spark, sf_dir)
-    assert_matches_oracle(got, registry.all_oracles()[name], sf_dir)
-    return [r.asDict() for r in got.collect()]
+    return agree_rows(spark, sf_dir, fn, name, as_dicts=True)
 
 
 def test_filter_cascade_all_stages_fire(spark, tmp_path_factory):
