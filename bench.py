@@ -257,6 +257,10 @@ HEADLINE = (
     "ngram_novelty_score",
     "label_knn_disagreement",
     "corpus_datacard",
+    # uncertainty_band_sample is NOT benched (double-count rationale, as
+    # dsir_select_topk): it re-runs the classifier inference core the
+    # quality_classifier_score line already tracks.
+    "embedding_cluster_balance",
 )
 
 

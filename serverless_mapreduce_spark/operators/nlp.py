@@ -1704,3 +1704,79 @@ def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word_b",
         F.levenshtein("word_a", "word_b").cast("bigint").alias("dist"),
     ).filter(F.col("dist") <= 1)
+
+
+# --- active learning: uncertainty-band batch selection ----------------------------
+
+UNCERTAIN_K = 10  #: most-uncertain docs selected per source per labeling batch
+
+
+@query(
+    "uncertainty_band_sample",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_QCLS_SUMS},
+    scored AS (
+      SELECT s.doc_id, d.source,
+             CAST(FLOOR(CAST(s.score_sum AS DOUBLE) * 1000 / s.n_words)
+                  AS BIGINT) AS score_micro
+      FROM sums s JOIN documents d USING (doc_id)
+      WHERE s.n_words > 0
+    )
+    SELECT source, doc_id, score_micro,
+           ABS(score_micro) AS uncertainty_micro, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY ABS(score_micro), doc_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {UNCERTAIN_K}
+    """,
+)
+def uncertainty_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVE-LEARNING BATCH SELECTION — uncertainty sampling: per source,
+    the {UNCERTAIN_K} documents whose classifier score sits closest to the
+    decision boundary (|score_micro|, boundary at 0 for the signed
+    milli-weight model). These are the rows a labeling team annotates
+    next: boundary-adjacent examples move a quality classifier most per
+    label (Settles' uncertainty sampling), and per-source quotas keep the
+    batch from collapsing onto one domain. Composes the registered
+    inference core verbatim (``_classifier_sums`` Spark-side,
+    ``_SQL_QCLS_SUMS`` oracle-side — the no-drift construction), so a
+    weight change flows into the batch selection automatically.
+
+    Exactness: score_micro is the registered FLOOR(s·1000/n) contract;
+    uncertainty is integer ABS; rank ties break on doc_id. Zero-word docs
+    carry NULL scores and are excluded on both engines (n_words > 0).
+
+    Scale: inference is the classifier's own narrow map + doc-keyed
+    aggregate; source rides a doc_id equi-join; selection is a per-source
+    top-k window (k = {UNCERTAIN_K}) — the partial-rank shape that never
+    materializes a global sort. At 100 TB: identical plan, with the
+    window's per-source groups bounded by the source partitioning."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = (
+        _classifier_sums(spark, sf_dir)
+        .filter(F.col("n_words") > 0)
+        .join(docs, "doc_id")
+        .select(
+            "source",
+            "doc_id",
+            F.floor(F.col("score_sum").cast("double") * 1000 / F.col("n_words"))
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.abs(F.col("score_micro")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= UNCERTAIN_K)
+        .select(
+            "source",
+            "doc_id",
+            "score_micro",
+            F.abs(F.col("score_micro")).alias("uncertainty_micro"),
+            "rnk",
+        )
+    )

@@ -1513,3 +1513,99 @@ def label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT) AS suspect",
         )
     )
+
+
+# --- cluster balance report: quantizer QA ----------------------------------------
+
+
+@query(
+    "embedding_cluster_balance",
+    priority=150,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ), assigned AS (
+      SELECT vec_id, label, c_id AS centroid
+      FROM (
+        SELECT e.vec_id, e.label, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cosine_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT centroid, label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM assigned GROUP BY centroid, label
+    ), tot AS (
+      SELECT centroid,
+             CAST(SUM(c) AS BIGINT) AS n_vecs,
+             CAST(COUNT(*) AS BIGINT) AS n_labels,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      FROM cells GROUP BY centroid
+    ), maj AS (
+      SELECT centroid, label AS majority_label, c AS maj_c
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY centroid ORDER BY c DESC, label) AS rn
+        FROM cells
+      ) WHERE rn = 1
+    )
+    SELECT t.centroid, t.n_vecs, t.n_labels, m.majority_label,
+           (m.maj_c * 1000000) // t.n_vecs AS majority_ppm,
+           ((t.n_vecs * t.n_vecs - t.sum_c2) * 1000000)
+             // (t.n_vecs * t.n_vecs) AS label_gini_ppm
+    FROM tot t JOIN maj m USING (centroid)
+    """,
+)
+def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZER BALANCE REPORT — per-cell QA of the IVF coarse quantizer:
+    cell population, distinct-label count, majority label with its exact
+    ppm share, and the label Gini-Simpson diversity in exact ppm. This is
+    the audit run BEFORE trusting the cells for anything downstream —
+    skewed cell populations break IVF probe cost (ann_ivf_topk), starve
+    semdedup_prune's cap, and a cell with a dominant label that ISN'T its
+    neighbors' label exposes quantizer/label mismatch before
+    label_knn_disagreement votes on it. At 100 TB this report decides
+    nlist (cells-per-corpus) the way key_skew_profile decides join
+    salting.
+
+    Exactness: all counts integer; majority ties break to the smallest
+    label; Gini-Simpson is rational in counts — (n² - Σc²)·1e6 DIV n²,
+    the lexical_diversity_gini recipe, no libm. Int64 envelope: the
+    numerator n²·1e6 stays under 2^63 while a cell holds ≤ ~3.0e6
+    vectors; a production quantizer sizes nlist so cells hold far less
+    (that is what this report verifies), and past it the intermediates
+    promote to DECIMAL(38,0) on both engines — the DSIR contract.
+
+    Scale: rides the memoized checkpointed ``_ivf_ranked`` artifact; two
+    hash aggregates over the (centroid, label) cell table (metadata-sized
+    — |cells| × |labels|) and a cell-keyed window over the same. Nothing
+    here rescans or reshuffles the corpus."""
+    ranked = _ivf_ranked(spark, sf_dir)
+    cells = persist_tracked(
+        ranked.groupBy("centroid", "label").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+    )
+    tot = cells.groupBy("centroid").agg(
+        F.sum("c").cast("bigint").alias("n_vecs"),
+        F.count("*").cast("bigint").alias("n_labels"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    w_maj = Window.partitionBy("centroid").orderBy(F.desc("c"), F.asc("label"))
+    maj = (
+        cells.withColumn("rn", F.row_number().over(w_maj))
+        .filter(F.col("rn") == 1)
+        .select("centroid", F.col("label").alias("majority_label"), F.col("c").alias("maj_c"))
+    )
+    return tot.join(maj, "centroid").selectExpr(
+        "centroid",
+        "n_vecs",
+        "n_labels",
+        "majority_label",
+        "(maj_c * 1000000) DIV n_vecs AS majority_ppm",
+        "((n_vecs * n_vecs - sum_c2) * 1000000)"
+        " DIV (n_vecs * n_vecs) AS label_gini_ppm",
+    )

@@ -255,3 +255,32 @@ def test_ngram_novelty_conventions(spark, novelty_docs_dir):
     assert by_doc[3] == (1, 1, 1000000)  # unique trigram
     assert by_doc[4] == (1, 1, 1000000)  # short doc: whole text, unique
     assert by_doc[6] == (2, 1, 500000)  # one shared, one novel
+
+
+# --- embedding_cluster_balance: majority tie-break --------------------------------
+
+
+def test_cluster_balance_majority_tie_break(spark, tmp_path_factory):
+    """A cell whose two labels tie on count must report the SMALLEST label
+    as majority on both engines (rank: count DESC, label ASC), with the
+    exact rational Gini: counts {1:2, 2:2} → gini = (16-8)·1e6 // 16."""
+    from serverless_mapreduce_spark.operators.similarity import (
+        embedding_cluster_balance,
+    )
+
+    d = _dir_with(
+        tmp_path_factory,
+        "balance_tie",
+        "embeddings",
+        {
+            "vec_id": np.arange(4, dtype=np.int64),
+            "embedding": [np.array([1.0, 0.0], dtype=np.float32)] * 4,
+            "label": np.array([1, 1, 2, 2], dtype=np.int32),
+        },
+    )
+    rows = _agree(spark, d, embedding_cluster_balance, "embedding_cluster_balance")
+    # sorted(df.columns) = [centroid, label_gini_ppm, majority_label,
+    #                       majority_ppm, n_labels, n_vecs]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r == ("0", "500000", "1", "500000", "2", "4")
