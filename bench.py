@@ -261,6 +261,8 @@ HEADLINE = (
     # dsir_select_topk): it re-runs the classifier inference core the
     # quality_classifier_score line already tracks.
     "embedding_cluster_balance",
+    "graph_lpa_communities",
+    "graph_modularity_report",
 )
 
 
@@ -334,9 +336,13 @@ def main() -> None:
     # Same for the checkpointed walk corpus itself (DeepWalk materializes
     # walks once per embedding run): build it here so each walk-family
     # line measures its algorithm, not the shared WALK_STEPS join chain.
-    from serverless_mapreduce_spark.operators.graph import _walk_table
+    from serverless_mapreduce_spark.operators.graph import _lpa_labels, _walk_table
 
     _walk_table(spark, sf_dir)
+    # The LPA labeling is the fourth maintained graph artifact (communities
+    # are computed once and consumed by sharding/reporting): build it here
+    # so the two community lines measure their own stages.
+    _lpa_labels(spark, sf_dir)
     # The embedding family's checkpointed IVF cell assignment is the same
     # kind of maintained artifact (at 100 TB: a table written partitioned
     # by centroid) shared by ann_ivf_topk / semdedup_prune /

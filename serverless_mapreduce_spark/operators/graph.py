@@ -1714,3 +1714,210 @@ def graph_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("assortativity_micro"),
     )
     return out
+
+
+# --- label-propagation communities + modularity ---------------------------------
+
+LPA_ROUNDS = 3  #: synchronous vote rounds — FIXED, so both engines compute the
+#: identical (possibly unconverged) labeling; determinism never depends on
+#: convergence, unlike the fixpoint-idempotent CC/k-core unrolls.
+
+
+def _lpa_oracle_ctes() -> str:
+    """Synchronous label propagation unrolled: round i+1 gives every node
+    the most frequent label among its neighbors' round-i labels, ties to
+    the smallest label (ROW_NUMBER count DESC, lbl ASC — the same
+    deterministic argmax the Spark loop ranks). MATERIALIZED per round for
+    the k-core inline-explosion reason."""
+    rounds = ["p0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM sym)"]
+    for i in range(LPA_ROUNDS):
+        rounds.append(
+            f"p{i + 1} AS MATERIALIZED ("
+            f" SELECT node, lbl FROM ("
+            f"  SELECT e.src AS node, l.lbl,"
+            f"         ROW_NUMBER() OVER (PARTITION BY e.src"
+            f"           ORDER BY COUNT(*) DESC, l.lbl) AS rn"
+            f"  FROM sym e JOIN p{i} l ON e.dst = l.node"
+            f"  GROUP BY e.src, l.lbl"
+            f" ) WHERE rn = 1)"
+        )
+    return ", ".join(rounds)
+
+
+#: session-lifetime memo for the checkpointed LPA labeling — shared by
+#: graph_lpa_communities and graph_modularity_report (the _WALK_MEMO
+#: discipline: keyed incl. shuffle-partitions, lock held across the build,
+#: NOT persist_tracked so per-query release cannot unpersist it).
+_LPA_MEMO: dict = {}
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, lbl) after LPA_ROUNDS synchronous votes. Each generation is
+    localCheckpoint'ed (the PageRank lineage-truncation finding); the
+    node-sized label table broadcasts under BROADCAST_NODE_LIMIT and runs
+    shuffle_hash above it (the size-gate discipline every iterative graph
+    op here follows)."""
+    from pyspark.sql import Window
+
+    memo_key = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.shuffle.partitions", ""),
+        sf_dir,
+    )
+    with _EDGE_BUILD_LOCK:
+        cached = _LPA_MEMO.get(memo_key)
+        if cached is not None:
+            return cached
+        sym = _sym(_edges(spark, sf_dir))
+        nodes = sym.select("src").distinct()
+        n = nodes.count()  # 1-row scalar job, not a data collect
+        use_broadcast = n <= BROADCAST_NODE_LIMIT
+        labels = nodes.select(
+            F.col("src").alias("node"), F.col("src").alias("lbl")
+        ).localCheckpoint()
+        w = Window.partitionBy("voter").orderBy(F.desc("cnt"), F.asc("lbl"))
+        for _ in range(LPA_ROUNDS):
+            r = F.broadcast(labels) if use_broadcast else labels.hint("shuffle_hash")
+            labels = (
+                sym.join(r, sym.dst == r.node)
+                .select(F.col("src").alias("voter"), "lbl")
+                .groupBy("voter", "lbl")
+                .agg(F.count("*").alias("cnt"))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("voter").alias("node"), "lbl")
+                .localCheckpoint()
+            )
+        _LPA_MEMO[memo_key] = labels
+        return labels
+
+
+@query(
+    "graph_lpa_communities",
+    priority=150,
+    oracle=f"""
+    WITH {EDGES_SQL.strip()}, {_lpa_oracle_ctes()}
+    SELECT node, lbl AS community,
+           CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS comm_size
+    FROM p{LPA_ROUNDS}
+    """,
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-PROPAGATION COMMUNITIES (Raghavan et al.) over the
+    co-purchase graph — the near-linear-time community detector that
+    complements connected components (which only finds disconnected
+    islands; LPA splits a connected graph into dense neighborhoods).
+    {LPA_ROUNDS} synchronous rounds: every node adopts the most frequent
+    label among its neighbors, ties to the smallest label — a
+    deterministic argmax, so the oracle unrolls the identical rounds as
+    CTEs and the result is exact on both engines whether or not the
+    labeling has converged (fixed-round contract, NOT
+    run-to-convergence).
+
+    Scale: per round one equi-join of the symmetric adjacency against the
+    node-sized label table (size-gated broadcast / shuffle_hash, the
+    PageRank discipline), one (node, label) hash aggregate, one
+    node-partitioned argmax window; generations localCheckpoint'ed so the
+    plan stays one-round shallow. The labeling is session-memoized and
+    shared with graph_modularity_report."""
+    from pyspark.sql import Window
+
+    lab = _lpa_labels(spark, sf_dir)
+    w = Window.partitionBy("lbl")
+    return lab.select(
+        "node",
+        F.col("lbl").alias("community"),
+        F.count("*").over(w).cast("bigint").alias("comm_size"),
+    )
+
+
+@query(
+    "graph_modularity_report",
+    priority=150,
+    oracle=f"""
+    WITH {EDGES_SQL.strip()}, {_lpa_oracle_ctes()},
+    lab AS (SELECT node, lbl FROM p{LPA_ROUNDS}),
+    ew AS (
+      SELECT la.lbl AS community, CAST(COUNT(*) AS BIGINT) AS e_within
+      FROM edges e
+      JOIN lab la ON la.node = e.a
+      JOIN lab lb ON lb.node = e.b
+      WHERE la.lbl = lb.lbl
+      GROUP BY la.lbl
+    ),
+    dc AS (
+      SELECT l.lbl AS community,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d.d) AS BIGINT) AS degree_sum
+      FROM lab l JOIN deg d ON d.src = l.node
+      GROUP BY l.lbl
+    ),
+    tot AS (SELECT CAST(SUM(degree_sum) AS BIGINT) AS dd FROM dc)
+    SELECT dc.community, dc.n_nodes, dc.degree_sum,
+           CAST(COALESCE(ew.e_within, 0) AS BIGINT) AS e_within,
+           dc.degree_sum - 2 * COALESCE(ew.e_within, 0) AS e_boundary,
+           (2 * COALESCE(ew.e_within, 0) * t.dd
+              - dc.degree_sum * dc.degree_sum) * 1000000
+             // (t.dd * t.dd) AS q_contrib_ppm
+    FROM dc LEFT JOIN ew USING (community) CROSS JOIN tot t
+    """,
+)
+def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY REPORT of the LPA partition — the partition-quality
+    audit (Newman's Q, per community): node count, degree mass, edges
+    within, boundary edges (derived: d_c - 2·e_within, no extra join),
+    and the exact-integer modularity contribution
+    q_c = (2·e_within·D - d_c²) / D² in ppm where D = Σd_c = 2m. Σ over
+    rows is the partition's Q — the number that says whether the LPA
+    communities are real structure (Q ≫ 0) or noise, BEFORE anything
+    downstream trusts them for sharding or negative-sampling.
+
+    Exactness: pure integer arithmetic; q_contrib can be negative and
+    both engines' integer division truncates toward zero (Spark DIV ==
+    DuckDB // — the pinned round-7 contract extends to negatives for
+    truncation, unlike Python's flooring //). D²·1e6 stays under 2^63
+    while the graph holds ≤ ~1.5e6 edges; past that the intermediates
+    promote to DECIMAL(38,0) on both engines (the DSIR contract — at
+    web scale D is ~1e12 and this is the first thing to switch).
+
+    Scale: rides the memoized LPA labeling and the bucketed edge table;
+    two label equi-joins (node-sized side), two metadata-sized
+    aggregates, and the total degree mass as a window over the
+    #communities-row table — no scalar collect, no corpus reshuffle."""
+    from pyspark.sql import Window
+
+    lab = _lpa_labels(spark, sf_dir)
+    edges = _edges(spark, sf_dir)
+    la = lab.select(F.col("node").alias("a"), F.col("lbl").alias("la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("lbl").alias("lb"))
+    ew = (
+        edges.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("e_within"))
+    )
+    deg = _sym(edges).groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    dc = (
+        deg.join(lab, deg.src == lab.node)
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return (
+        dc.join(ew, "community", "left")
+        .withColumn("e_within", F.coalesce("e_within", F.lit(0)).cast("bigint"))
+        .withColumn("dd", F.sum("degree_sum").over(w_all))
+        .selectExpr(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            "e_within",
+            "degree_sum - 2 * e_within AS e_boundary",
+            "(2 * e_within * dd - degree_sum * degree_sum) * 1000000"
+            " DIV (dd * dd) AS q_contrib_ppm",
+        )
+    )

@@ -284,3 +284,46 @@ def test_cluster_balance_majority_tie_break(spark, tmp_path_factory):
     assert len(rows) == 1
     r = rows[0]
     assert r == ("0", "500000", "1", "500000", "2", "4")
+
+
+# --- graph LPA + modularity: oscillation, empty-within arm, negative q ------------
+
+
+def test_lpa_star_oscillation_and_negative_modularity(spark, tmp_path_factory):
+    """A star graph makes synchronous LPA oscillate (center and leaves swap
+    labels every round) — the fixed-round contract must still agree across
+    engines at exactly LPA_ROUNDS=3: center ends labeled 2, leaves labeled
+    1. Both final communities have ZERO internal edges, exercising the
+    e_within LEFT-JOIN/COALESCE arm, and both take NEGATIVE exact
+    modularity: q = (0 - d_c^2)·1e6 // D^2 = -250000 each (D = 6)."""
+    from serverless_mapreduce_spark.operators.graph import (
+        LPA_ROUNDS,
+        graph_lpa_communities,
+        graph_modularity_report,
+    )
+
+    assert LPA_ROUNDS == 3  # the hand-simulated labels below assume 3 rounds
+    # co-purchase star: orders {1,2}, {1,3}, {1,4} → edges 1-2, 1-3, 1-4
+    d = _dir_with(
+        tmp_path_factory,
+        "lpa_star",
+        "lineitem",
+        {
+            "l_orderkey": [1, 1, 2, 2, 3, 3],
+            "l_partkey": [1, 2, 1, 3, 1, 4],
+        },
+    )
+    rows = _agree(spark, d, graph_lpa_communities, "graph_lpa_communities")
+    # sorted(df.columns) = [comm_size, community, node]
+    got = {int(r[2]): (int(r[1]), int(r[0])) for r in rows}
+    # round 1: center 1 -> min(2,3,4)=2 (vote tie-break), leaves -> 1;
+    # round 2 swaps back; round 3 swaps again — the frozen state:
+    assert got == {1: (2, 1), 2: (1, 3), 3: (1, 3), 4: (1, 3)}
+
+    mrows = _agree(spark, d, graph_modularity_report, "graph_modularity_report")
+    # sorted(df.columns) = [community, degree_sum, e_boundary, e_within,
+    #                       n_nodes, q_contrib_ppm]
+    by_comm = {int(r[0]): r for r in mrows}
+    assert set(by_comm) == {1, 2}
+    assert by_comm[2][1:] == ("3", "3", "0", "1", "-250000")  # the center
+    assert by_comm[1][1:] == ("3", "3", "0", "3", "-250000")  # the leaves
