@@ -39,6 +39,17 @@ CASES = (
     # correctly-rounded sqrt feeding integer-only shares (temperature)
     "dsir_importance_weights",
     "source_temperature_sample",
+    # round-8 mechanisms: rounded-cosine threshold + one-sided cap over
+    # the memoized checkpointed IVF assignment (semdedup — the _IVF_MEMO
+    # shuffle-partitions key keeps this test meaningful, the ADVICE-r7
+    # walk-memo lesson), exploded threshold-grid equi-aggregate (sweep),
+    # inverted-index document frequencies (novelty), fixed-round
+    # oscillation-exact label propagation feeding truncating negative
+    # division (modularity)
+    "semdedup_prune",
+    "quality_filter_sweep",
+    "ngram_novelty_score",
+    "graph_modularity_report",
 )
 
 

@@ -327,3 +327,34 @@ def test_lpa_star_oscillation_and_negative_modularity(spark, tmp_path_factory):
     assert set(by_comm) == {1, 2}
     assert by_comm[2][1:] == ("3", "3", "0", "1", "-250000")  # the center
     assert by_comm[1][1:] == ("3", "3", "0", "3", "-250000")  # the leaves
+
+
+# --- truncating division on NEGATIVES: the modularity contract --------------------
+
+
+def test_trunc_div_negative_parity(spark):
+    """Round 7 pinned Spark ``DIV`` == DuckDB ``//`` on POSITIVES; the
+    modularity report extends the reliance to NEGATIVE numerators (its q
+    contributions). Both must truncate toward zero (unlike Python's
+    flooring ``//``) on an adversarial operand set."""
+    import duckdb
+
+    pairs = [
+        (-7, 2), (7, 2), (-9000000, 36), (-9000001, 36), (-1, 3), (1, 3),
+        (-(10**12) - 1, 7), (10**12 + 1, 7), (-5, 5), (0, 9),
+        (-(2**62), 3), (2**62, 3),
+    ]
+    sdf = spark.createDataFrame(pairs, "a long, b long").selectExpr(
+        "a", "b", "a DIV b AS q"
+    )
+    got = {(r.a, r.b): r.q for r in sdf.collect()}
+    con = duckdb.connect()
+    exp = {
+        (a, b): con.execute(
+            "SELECT CAST(? AS BIGINT) // CAST(? AS BIGINT)", [a, b]
+        ).fetchone()[0]
+        for a, b in pairs
+    }
+    assert got == exp
+    # and both differ from Python's flooring // exactly on inexact negatives
+    assert got[(-7, 2)] == -3 and (-7) // 2 == -4
