@@ -1831,6 +1831,22 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _modularity_int64_guard(dd_total: int) -> None:
+    """Loud int64-envelope guard for the integer-ppm modularity arithmetic
+    (the _dsir_int64_headroom discipline): every BIGINT intermediate the
+    plan computes is bounded by D²·1e6 (|2·e_within·D - d_c²| ≤ D² since
+    e_within ≤ D/2 and d_c ≤ D). Exact Python-int bound — if it passes,
+    neither engine can overflow; past it, Spark (ANSI off) would wrap
+    silently while DuckDB raises."""
+    if dd_total * dd_total * 1_000_000 > (1 << 63) - 1:
+        raise ValueError(
+            "graph_modularity_report integer-ppm arithmetic would overflow "
+            f"int64 at this graph size (D={dd_total}, D^2*1e6 > 2^63-1; "
+            f"~{dd_total // 2} edges). Promote the q_contrib intermediates "
+            "to DECIMAL(38,0) on both engines before running at this scale."
+        )
+
+
 @query(
     "graph_modularity_report",
     priority=150,
@@ -1876,9 +1892,11 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines' integer division truncates toward zero (Spark DIV ==
     DuckDB // — the pinned round-7 contract extends to negatives for
     truncation, unlike Python's flooring //). D²·1e6 stays under 2^63
-    while the graph holds ≤ ~1.5e6 edges; past that the intermediates
-    promote to DECIMAL(38,0) on both engines (the DSIR contract — at
-    web scale D is ~1e12 and this is the first thing to switch).
+    while the graph holds ≤ ~1.5e6 edges; a LOUD in-code guard (the
+    _dsir_int64_headroom discipline — one scalar over the persisted
+    metadata-sized community table) raises past the envelope with the
+    remediation: promote the q intermediates to DECIMAL(38,0) on both
+    engines (at web scale D is ~1e12 and this is the first switch).
 
     Scale: rides the memoized LPA labeling and the bucketed edge table;
     two label equi-joins (node-sized side), two metadata-sized
@@ -1898,7 +1916,7 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("e_within"))
     )
     deg = _sym(edges).groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
-    dc = (
+    dc = persist_tracked(
         deg.join(lab, deg.src == lab.node)
         .groupBy(F.col("lbl").alias("community"))
         .agg(
@@ -1906,6 +1924,10 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d").cast("bigint").alias("degree_sum"),
         )
     )
+    # int64-envelope guard (the _dsir_int64_headroom discipline): the worst
+    # BIGINT intermediate is |2·e_within·D - d_c²|·1e6 ≤ D²·1e6. One scalar
+    # over the persisted #communities-row table — NOT a data collect.
+    _modularity_int64_guard(dc.agg(F.sum("degree_sum")).collect()[0][0] or 0)
     w_all = Window.partitionBy()
     return (
         dc.join(ew, "community", "left")

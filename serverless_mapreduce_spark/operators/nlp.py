@@ -1022,6 +1022,20 @@ def perplexity_prune_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QCLS_BUCKETS = 128   #: feature-hash buckets (fastText-style hashing trick)
 
+#: THE registered score contract — FLOOR(score_sum·1000/n_words) in
+#: micro-units — defined once and consumed by quality_classifier_score and
+#: uncertainty_band_sample on BOTH engines (r8 review: it was inlined at 4
+#: sites; a scale/rounding change must land exactly once or two registered
+#: queries score the same document differently while each stays green
+#: against its own oracle).
+_SQL_SCORE_MICRO = "CAST(FLOOR(CAST({s} AS DOUBLE) * 1000 / {n}) AS BIGINT)"
+
+
+def _score_micro(score_sum, n_words):
+    """Spark twin of _SQL_SCORE_MICRO (floor of the identical IEEE
+    quotient — deterministic across engines where ROUND-to-6 was not)."""
+    return F.floor(score_sum.cast("double") * 1000 / n_words).cast("bigint")
+
 
 @query(
     "quality_classifier_score",
@@ -1048,8 +1062,7 @@ QCLS_BUCKETS = 128   #: feature-hash buckets (fastText-style hashing trick)
     SELECT d.doc_id,
            CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
            CAST(a.s AS BIGINT) AS score_sum,
-           CAST(FLOOR(CAST(a.s AS DOUBLE) * 1000 / a.n_words) AS BIGINT)
-             AS score_micro
+           {_SQL_SCORE_MICRO.format(s='a.s', n='a.n_words')} AS score_micro
     FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
@@ -1079,11 +1092,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_words",
         "score_sum",
-        F.floor(
-            F.col("score_sum").cast("double") * 1000 / F.col("n_words")
-        )
-        .cast("bigint")
-        .alias("score_micro"),
+        _score_micro(F.col("score_sum"), F.col("n_words")).alias("score_micro"),
     )
 
 
@@ -1718,13 +1727,14 @@ UNCERTAIN_K = 10  #: most-uncertain docs selected per source per labeling batch
     WITH {_SQL_QCLS_SUMS},
     scored AS (
       SELECT s.doc_id, d.source,
-             CAST(FLOOR(CAST(s.score_sum AS DOUBLE) * 1000 / s.n_words)
-                  AS BIGINT) AS score_micro
+             {_SQL_SCORE_MICRO.format(s='s.score_sum', n='s.n_words')}
+               AS score_micro
       FROM sums s JOIN documents d USING (doc_id)
       WHERE s.n_words > 0
     )
     SELECT source, doc_id, score_micro,
-           ABS(score_micro) AS uncertainty_micro, rnk
+           ABS(score_micro) AS uncertainty_micro,
+           CAST(rnk AS BIGINT) AS rnk
     FROM (
       SELECT *, ROW_NUMBER() OVER (
                PARTITION BY source ORDER BY ABS(score_micro), doc_id) AS rnk
@@ -1761,9 +1771,9 @@ def uncertainty_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "doc_id",
-            F.floor(F.col("score_sum").cast("double") * 1000 / F.col("n_words"))
-            .cast("bigint")
-            .alias("score_micro"),
+            _score_micro(F.col("score_sum"), F.col("n_words")).alias(
+                "score_micro"
+            ),
         )
     )
     w = Window.partitionBy("source").orderBy(
@@ -1777,6 +1787,6 @@ def uncertainty_band_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "score_micro",
             F.abs(F.col("score_micro")).alias("uncertainty_micro"),
-            "rnk",
+            F.col("rnk").cast("bigint").alias("rnk"),
         )
     )

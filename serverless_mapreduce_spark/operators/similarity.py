@@ -1518,6 +1518,22 @@ def label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- cluster balance report: quantizer QA ----------------------------------------
 
 
+def _gini_int64_guard(max_cell: int) -> None:
+    """Loud int64-envelope guard for the per-cell integer-ppm Gini
+    arithmetic (the _dsir_int64_headroom discipline): the worst BIGINT
+    intermediate is n_vecs²·1e6 for the fullest cell. Exact Python-int
+    bound; past it Spark (ANSI off) wraps silently while DuckDB raises —
+    and the quantizer is badly skewed, which is what the report
+    measures."""
+    if max_cell * max_cell * 1_000_000 > (1 << 63) - 1:
+        raise ValueError(
+            "embedding_cluster_balance integer-ppm arithmetic would "
+            f"overflow int64: fullest cell holds {max_cell} vectors "
+            "(n_vecs^2*1e6 > 2^63-1). Promote the gini intermediates to "
+            "DECIMAL(38,0) on both engines before running at this scale."
+        )
+
+
 @query(
     "embedding_cluster_balance",
     priority=150,
@@ -1575,25 +1591,41 @@ def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     label; Gini-Simpson is rational in counts — (n² - Σc²)·1e6 DIV n²,
     the lexical_diversity_gini recipe, no libm. Int64 envelope: the
     numerator n²·1e6 stays under 2^63 while a cell holds ≤ ~3.0e6
-    vectors; a production quantizer sizes nlist so cells hold far less
-    (that is what this report verifies), and past it the intermediates
-    promote to DECIMAL(38,0) on both engines — the DSIR contract.
+    vectors; a LOUD in-code guard (one scalar over the persisted
+    metadata-sized cell table — the _dsir_int64_headroom discipline)
+    raises past it with the DECIMAL(38,0) remediation, precisely
+    because an over-full cell is the pathology this report exists to
+    flag. Requires a labeled corpus: raises a clear ValueError on a
+    label-less embeddings table instead of silently narrowing the
+    shared artifact's optional-label contract.
 
     Scale: rides the memoized checkpointed ``_ivf_ranked`` artifact; two
     hash aggregates over the (centroid, label) cell table (metadata-sized
     — |cells| × |labels|) and a cell-keyed window over the same. Nothing
     here rescans or reshuffles the corpus."""
     ranked = _ivf_ranked(spark, sf_dir)
+    if "label" not in ranked.columns:
+        raise ValueError(
+            "embedding_cluster_balance needs a labeled embeddings corpus: "
+            "the fixture has no `label` column, so there is no label "
+            "balance to report (the IVF artifact itself carries labels "
+            "only when present)."
+        )
     cells = persist_tracked(
         ranked.groupBy("centroid", "label").agg(
             F.count("*").cast("bigint").alias("c")
         )
     )
-    tot = cells.groupBy("centroid").agg(
-        F.sum("c").cast("bigint").alias("n_vecs"),
-        F.count("*").cast("bigint").alias("n_labels"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    tot = persist_tracked(
+        cells.groupBy("centroid").agg(
+            F.sum("c").cast("bigint").alias("n_vecs"),
+            F.count("*").cast("bigint").alias("n_labels"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+        )
     )
+    # int64-envelope guard: the worst BIGINT intermediate is n_vecs²·1e6
+    # for the fullest cell. One scalar over the persisted cell table.
+    _gini_int64_guard(tot.agg(F.max("n_vecs")).collect()[0][0] or 0)
     w_maj = Window.partitionBy("centroid").orderBy(F.desc("c"), F.asc("label"))
     maj = (
         cells.withColumn("rn", F.row_number().over(w_maj))

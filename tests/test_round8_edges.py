@@ -358,3 +358,23 @@ def test_trunc_div_negative_parity(spark):
     assert got == exp
     # and both differ from Python's flooring // exactly on inexact negatives
     assert got[(-7, 2)] == -3 and (-7) // 2 == -4
+
+
+# --- int64-envelope guards: synthetic bounds past the envelope --------------------
+
+
+def test_int64_guards_fire_past_envelope():
+    """The modularity and gini guards must pass at the documented bounds
+    and raise loudly just past them (the DSIR guard contract: the scale
+    story lives in code). Envelope: x²·1e6 ≤ 2^63-1 ⇔ x ≤ 3_037_000."""
+    from serverless_mapreduce_spark.operators.graph import (
+        _modularity_int64_guard,
+    )
+    from serverless_mapreduce_spark.operators.similarity import _gini_int64_guard
+
+    _modularity_int64_guard(3_037_000)
+    _gini_int64_guard(3_037_000)
+    with pytest.raises(ValueError, match="DECIMAL"):
+        _modularity_int64_guard(3_037_001)
+    with pytest.raises(ValueError, match="DECIMAL"):
+        _gini_int64_guard(3_037_001)
