@@ -263,6 +263,7 @@ HEADLINE = (
     "embedding_cluster_balance",
     "graph_lpa_communities",
     "graph_modularity_report",
+    "export_training_shards",
 )
 
 

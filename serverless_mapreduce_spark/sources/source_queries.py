@@ -478,3 +478,79 @@ def sink_overwrite_partition_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+# --- training-shard export: balanced shards + verified manifest -------------------
+
+N_SHARDS = 8  #: trainer-facing shard count (at 100 TB: thousands; same plan)
+
+
+@query(
+    "export_training_shards",
+    priority=150,
+    oracle=f"""
+    WITH staged AS (
+      SELECT (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % {N_SHARDS}) AS shard_id,
+             CAST(concat('0x', substr(md5(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), 1, 15)) AS BIGINT) AS content_h,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                   w -> w <> '')) AS BIGINT) AS n_toks
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(bit_xor(content_h) AS BIGINT) AS content_checksum
+    FROM staged GROUP BY shard_id
+    """,
+)
+def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SHARD EXPORT — the pipeline's LAST stage: write the corpus
+    as {N_SHARDS} deterministic hash shards (parquet, partitioned by
+    shard_id — the layout a trainer's data loader streams) and return the
+    MANIFEST computed from the files READ BACK: per shard, document count,
+    token count, and an order-independent content checksum (bit_xor of a
+    60-bit md5 prefix over the dedup-normalized text). The oracle computes
+    the same manifest straight from the source table, so a green row
+    proves the shard write+read round-trip lost and duplicated NOTHING —
+    the end-to-end integrity check a 100 TB export job publishes next to
+    its shards. Deterministic md5 shard assignment (not Spark's
+    task-dependent hashpartitioning) means a re-export lands every doc in
+    the same shard — resumable and diffable.
+
+    Exactness: counts are integers; the checksum is XOR (order-free,
+    overflow-free — a SUM checksum would overflow int64 at ~2^31 docs).
+    Scale: one scan + one shuffle on shard_id at write, one read-back
+    scan + metadata-sized aggregate; the written layout is the
+    partition-pruned shape every downstream epoch reader wants.
+
+    Reference parity: output_handler_s3 one-object-per-reducer layout
+    (``output_handler_s3.py:41-53``) generalized to the partitioned
+    training-shard contract."""
+    from serverless_mapreduce_spark.operators.dedup import _norm, _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    h60 = F.conv(F.substring(F.md5(_norm("text")), 1, 15), 16, 10).cast("bigint")
+    staged = docs.select(
+        "doc_id",
+        "text",
+        (h32 % N_SHARDS).alias("shard_id"),
+        h60.alias("content_h"),
+        F.size(_tokens("text")).cast("bigint").alias("n_toks"),
+    )
+    path = _scratch(sf_dir, "export_training_shards")
+    staged.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.withColumn("shard_id", F.col("shard_id").cast("bigint"))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.expr("bit_xor(content_h)").cast("bigint").alias("content_checksum"),
+        )
+    )
