@@ -264,6 +264,7 @@ HEADLINE = (
     "graph_lpa_communities",
     "graph_modularity_report",
     "export_training_shards",
+    "snapshot_vacuum_retention",
 )
 
 

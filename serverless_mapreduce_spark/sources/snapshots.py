@@ -189,6 +189,31 @@ class SnapshotTable:
             raise ValueError("no files added between versions; empty reads need a schema")
         return spark.read.parquet(*files)
 
+    # -- retention --------------------------------------------------------
+
+    def expire_versions(self, keep_latest: int = 2) -> tuple[list[int], list[str]]:
+        """RETENTION VACUUM (Iceberg expire_snapshots / Delta VACUUM): keep
+        the newest ``keep_latest`` versions; delete older manifests and
+        every data file referenced ONLY by expired versions. Files shared
+        with a kept version are never touched — liveness is computed from
+        the kept manifests' union, which is the whole algorithm: a file is
+        garbage iff no live manifest lists it. Returns (expired versions,
+        deleted file paths). Manifests go last so a crash mid-delete can
+        only strand already-unreadable files, never break a live version
+        (the same files-then-pointer ordering commit() uses, reversed)."""
+        if keep_latest < 1:
+            raise ValueError("keep_latest must be >= 1")
+        vs = self.versions()
+        keep = set(vs[-keep_latest:])
+        drop = [v for v in vs if v not in keep]
+        live = {f for v in keep for f in self._files(v)}
+        doomed = sorted({f for v in drop for f in self._files(v)} - live)
+        for f in doomed:
+            os.remove(f)
+        for v in drop:
+            os.remove(self._manifest_path(v))
+        return drop, doomed
+
     def read(
         self,
         spark: SparkSession,
@@ -409,3 +434,69 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+# --- retention vacuum ------------------------------------------------------------
+
+
+@query(
+    "snapshot_vacuum_retention",
+    priority=150,
+    oracle=f"""
+    SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_CUTOFF} 00:00:00'
+    UNION ALL
+    SELECT 3 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    """,
+)
+def snapshot_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION VACUUM — the table-maintenance stage compact_small_files
+    and zorder_cluster_write were missing a sibling for: expire old
+    snapshot versions and physically delete the data files ONLY they
+    reference (Iceberg expire_snapshots / Delta VACUUM semantics).
+    Construction: v1 commits the FULL orders table, v2 OVERWRITES with the
+    pre-cutoff subset (orphaning every v1 file), v3 appends the remainder
+    (restoring the full row set from v2+v3 files). ``expire_versions
+    (keep_latest=2)`` then deletes v1's manifest and its now-orphaned
+    files — and the query aggregates v2 and v3 THROUGH the manifest
+    reader AFTER the vacuum, so a green oracle row proves the vacuum
+    deleted nothing any live version references (v3 must still equal the
+    full source). The file-level accounting (exactly v1's unique files
+    deleted, v1 unreadable afterwards, shared files untouched) is pinned
+    by tests/test_snapshots.py.
+
+    Scale: liveness is a set union over the KEPT manifests — manifest-
+    sized metadata work, no data scan; deletes are per-orphan object
+    calls. At 100 TB this is the nightly job that keeps time-travel
+    storage bounded, and the files-then-manifest delete ordering means a
+    mid-vacuum crash can only strand unreadable bytes, never corrupt a
+    live version."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_vacuum")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    cutoff = F.to_timestamp(F.lit(f"{SNAPSHOT_CUTOFF} 00:00:00"))
+    t.commit(orders, mode="append")  # v1: full table (to be expired)
+    t.commit(orders.filter(F.col("o_orderdate") < cutoff), mode="overwrite")  # v2
+    t.commit(orders.filter(F.col("o_orderdate") >= cutoff), mode="append")  # v3
+    t.expire_versions(keep_latest=2)
+
+    def agg(version: int) -> DataFrame:
+        return t.read(spark, version).agg(
+            F.lit(version).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+
+    return agg(2).unionAll(agg(3))

@@ -35,6 +35,7 @@ SIDE_EFFECTING = {
     "sink_overwrite_partition_dynamic",
     "stream_kv_jdbc_sink",
     "export_training_shards",
+    "snapshot_vacuum_retention",
     # construction executes the triangle join + degree scalars driver-side
     # (one-row profile); its heavy sub-plan is the SAME oriented 3-way
     # join graph_triangles keeps under lint coverage

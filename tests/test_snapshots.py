@@ -86,3 +86,46 @@ def test_incremental_read_plans_only_the_delta(spark, tmp_path):
 
     # no-op range (same version) has no delta
     assert t.incremental_files(2, 2) == []
+
+
+def test_expire_versions_deletes_only_orphans(spark, tmp_path):
+    """Vacuum accounting at the file level: expiring v1 must delete exactly
+    the files no kept manifest references, leave every shared file on
+    disk, make v1 unreadable, and keep v2/v3 byte-identical readable."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df1 = spark.range(10).withColumnRenamed("id", "x")
+    t.commit(df1, mode="append")                       # v1: files A
+    t.commit(spark.range(10, 15).withColumnRenamed("id", "x"), mode="append")
+    # v2 = files A + B — A is SHARED between v1 and v2
+    t.commit(spark.range(15, 20).withColumnRenamed("id", "x"), mode="append")
+    # v3 = A + B + C
+    v1_files = set(t._files(1))
+    v3_files = set(t._files(3))
+    dropped, deleted = t.expire_versions(keep_latest=2)
+    # v1 shares ALL its files with v2/v3 → nothing may be deleted
+    assert dropped == [1] and deleted == []
+    assert all(os.path.exists(f) for f in v3_files)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t._files(1)
+    # now orphan real files: overwrite drops every old file from the live set
+    t.commit(spark.range(100, 103).withColumnRenamed("id", "x"), mode="overwrite")
+    # v4 = files D only; expiring to keep v4+v3... keep_latest=1 keeps v4
+    dropped, deleted = t.expire_versions(keep_latest=1)
+    assert dropped == [2, 3]
+    assert set(deleted) == v3_files  # A+B+C all orphaned by the overwrite
+    assert not any(os.path.exists(f) for f in v3_files)
+    assert sorted(r.x for r in t.read(spark).collect()) == [100, 101, 102]
+    # deleted files must be gone but the table still owns version history
+    assert t.versions() == [4]
+
+
+def test_expire_versions_keep_latest_validation(tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl2"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.expire_versions(keep_latest=0)
