@@ -265,6 +265,7 @@ HEADLINE = (
     "graph_modularity_report",
     "export_training_shards",
     "snapshot_vacuum_retention",
+    "bm25_search_topk",
 )
 
 

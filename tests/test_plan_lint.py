@@ -64,6 +64,9 @@ BNLJ_ALLOWED = {
     # wave-5 plan-shape test additionally asserts the LeftSemi that
     # removes false positives is a real equi-join
     "bloom_prefilter_join",
+    # the 1-row corpus-statistics frame (N, avgdl, per-term df) broadcast-
+    # crossed into the scored side — constant × corpus, the bloom shape
+    "bm25_search_topk",
 }
 
 FORBIDDEN_EVERYWHERE = ("CartesianProduct",)

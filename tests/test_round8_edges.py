@@ -378,3 +378,46 @@ def test_int64_guards_fire_past_envelope():
         _modularity_int64_guard(3_037_001)
     with pytest.raises(ValueError, match="DECIMAL"):
         _gini_int64_guard(3_037_001)
+
+
+# --- bm25_search_topk: idf arms and length normalization --------------------------
+
+
+def test_bm25_idf_arms_and_length_norm(spark, tmp_path_factory):
+    """Pins: the df=0 idf arm ('hash' absent from this corpus — must
+    contribute 0, not divide by zero), rare-term dominance (the one 'dup'
+    doc outranks every 'query' doc through the floor-log2 idf ladder),
+    length normalization (equal tf, shorter doc ranks higher), and that
+    term-less docs never appear."""
+    from serverless_mapreduce_spark.operators.text import bm25_search_topk
+
+    d = _dir_with(
+        tmp_path_factory,
+        "bm25_corpus",
+        "documents",
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+            "text": [
+                "dup alpha beta",
+                "query alpha beta",
+                "query alpha beta gamma delta epsilon",
+                "query query alpha beta gamma delta",
+                "alpha beta",
+                "no terms here",
+                "filler filler filler",
+                "more filler words",
+            ],
+            "lang": ["en"] * 8,
+            "source": ["s1"] * 8,
+        },
+    )
+    rows = _agree(spark, d, bm25_search_topk, "bm25_search_topk")
+    # sorted(df.columns) = [doc_id, rnk, score]
+    by_rank = {int(r[1]): int(r[0]) for r in rows}
+    assert set(by_rank.values()) == {1, 2, 3, 4}  # term-less docs excluded
+    assert by_rank[1] == 1  # rare 'dup' (idf 3000) dominates
+    # equal tf=1 for 'query': shorter doc 2 beats longer doc 3
+    assert by_rank.get(2) is not None
+    r2 = [int(r[1]) for r in rows if int(r[0]) == 2][0]
+    r3 = [int(r[1]) for r in rows if int(r[0]) == 3][0]
+    assert r2 < r3
