@@ -2352,6 +2352,22 @@ def _bm25_oracle() -> str:
     """
 
 
+def _bm25_int64_guard(max_dl: int, a: int) -> None:
+    """Loud int64-envelope guard for the cleared-denominator BM25
+    arithmetic (the _dsir_int64_headroom discipline): the worst BIGINT
+    intermediate is 22·tf·A·1e6 with tf ≤ max_dl. Exact Python-int bound
+    from two corpus scalars; past it Spark wraps silently while DuckDB
+    raises."""
+    worst = 22 * max_dl * a * 1_000_000
+    if worst > (1 << 63) - 1:
+        raise ValueError(
+            "bm25_search_topk integer arithmetic would overflow int64 "
+            f"(max doc length {max_dl}, avgdl_milli {a}: worst intermediate "
+            f"{worst} > 2^63-1). Promote the tf-component intermediates to "
+            "DECIMAL(38,0) on both engines before running at this scale."
+        )
+
+
 @query("bm25_search_topk", priority=150, oracle=_bm25_oracle())
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 RANKED RETRIEVAL (integer-exact variant) — the classic
@@ -2381,7 +2397,12 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _tf(term: str):
         return F.size(F.filter(toks, lambda w: w == term)).cast("bigint")
 
-    t = (
+    from serverless_mapreduce_spark.caching import persist_tracked
+
+    # persisted: the stats job and the scoring pass both read this narrow
+    # (doc_id, dl, tf…) projection — ONE tokenize, materialized, not two
+    # corpus scans (r8 third review).
+    t = persist_tracked(
         table(spark, sf_dir, "documents")
         .select(
             "doc_id",
@@ -2390,6 +2411,12 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dl") > 0)
     )
+    # int64-envelope guard: two corpus scalars off the persisted projection.
+    hd = t.agg(
+        F.max("dl").alias("mdl"), F.sum("dl").alias("sdl"), F.count("*").alias("n")
+    ).collect()[0]
+    if hd["n"]:
+        _bm25_int64_guard(hd["mdl"], hd["sdl"] * 1000 // hd["n"])
     nterms = len(BM25_TERMS)
     stats = t.agg(
         F.count("*").cast("bigint").alias("n"),

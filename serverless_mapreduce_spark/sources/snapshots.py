@@ -208,10 +208,18 @@ class SnapshotTable:
         drop = [v for v in vs if v not in keep]
         live = {f for v in keep for f in self._files(v)}
         doomed = sorted({f for v in drop for f in self._files(v)} - live)
+        # missing_ok deletes make the vacuum IDEMPOTENT: after a crash
+        # between file deletes and manifest deletes, the expired manifests
+        # still list already-removed files — the re-run must finish the
+        # job, not abort on the first FileNotFoundError (r8 third review).
+        import contextlib
+
         for f in doomed:
-            os.remove(f)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(f)
         for v in drop:
-            os.remove(self._manifest_path(v))
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(self._manifest_path(v))
         return drop, doomed
 
     def read(
@@ -227,6 +235,24 @@ class SnapshotTable:
         if not files:
             raise ValueError("pruning removed every file; empty reads need a schema")
         return spark.read.parquet(*files)
+
+
+def _version_cents_agg(
+    t: "SnapshotTable", spark: SparkSession, version: int
+) -> DataFrame:
+    """(version, n_rows, sum_cents) through the manifest reader — THE
+    cents-exactness recipe (decimal-cast → integer cents) shared by
+    snapshot_time_travel and snapshot_vacuum_retention, defined once so
+    the exactness convention cannot drift between them (r8 review)."""
+    return t.read(spark, version).agg(
+        F.lit(version).cast("int").alias("version"),
+        F.count("*").alias("n_rows"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
 
 
 #: Time-travel probe: v1 holds orders strictly before the cutoff, v2 appends
@@ -268,18 +294,9 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit(orders.filter(F.col("o_orderdate") < cutoff), mode="append")
     t.commit(orders.filter(F.col("o_orderdate") >= cutoff), mode="append")
 
-    def agg(version: int) -> DataFrame:
-        return t.read(spark, version).agg(
-            F.lit(version).cast("int").alias("version"),
-            F.count("*").alias("n_rows"),
-            F.sum(
-                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("sum_cents"),
-        )
-
-    return agg(1).unionAll(agg(2))
+    return _version_cents_agg(t, spark, 1).unionAll(
+        _version_cents_agg(t, spark, 2)
+    )
 
 
 # --- manifest-stats file pruning ----------------------------------------------
@@ -488,15 +505,6 @@ def snapshot_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit(orders.filter(F.col("o_orderdate") >= cutoff), mode="append")  # v3
     t.expire_versions(keep_latest=2)
 
-    def agg(version: int) -> DataFrame:
-        return t.read(spark, version).agg(
-            F.lit(version).cast("int").alias("version"),
-            F.count("*").alias("n_rows"),
-            F.sum(
-                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("sum_cents"),
-        )
-
-    return agg(2).unionAll(agg(3))
+    return _version_cents_agg(t, spark, 2).unionAll(
+        _version_cents_agg(t, spark, 3)
+    )

@@ -129,3 +129,20 @@ def test_expire_versions_keep_latest_validation(tmp_path):
 
     with _pytest.raises(ValueError):
         t.expire_versions(keep_latest=0)
+
+
+def test_expire_versions_is_idempotent_after_partial_crash(spark, tmp_path):
+    """Simulate a crash between file deletes and manifest deletes: some
+    doomed files already gone, expired manifests still present. The re-run
+    must finish the vacuum (missing_ok deletes), not abort on
+    FileNotFoundError."""
+    t = SnapshotTable(str(tmp_path / "tbl3"))
+    t.commit(_df(spark, [1, 2, 3]), mode="append")           # v1
+    t.commit(_df(spark, [10, 11]), mode="overwrite")          # v2 orphans v1
+    doomed = set(t._files(1)) - set(t._files(2))
+    assert doomed
+    os.remove(sorted(doomed)[0])  # the "crash": one orphan already deleted
+    dropped, deleted = t.expire_versions(keep_latest=1)
+    assert dropped == [1] and set(deleted) == doomed
+    assert t.versions() == [2]
+    assert sorted(r.x for r in t.read(spark).collect()) == [10, 11]
