@@ -266,6 +266,7 @@ HEADLINE = (
     "export_training_shards",
     "snapshot_vacuum_retention",
     "bm25_search_topk",
+    "ann_maxsim_topk",
 )
 
 

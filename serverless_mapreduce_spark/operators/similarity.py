@@ -1641,3 +1641,83 @@ def embedding_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((n_vecs * n_vecs - sum_c2) * 1000000)"
         " DIV (n_vecs * n_vecs) AS label_gini_ppm",
     )
+
+
+# --- ColBERT-style late interaction: MaxSim top-k ---------------------------------
+
+MAXSIM_GROUP = 4   #: token-vectors per pseudo-document (multi-vector doc repr)
+MAXSIM_K = 10      #: result-list depth
+
+
+@query(
+    "ann_maxsim_topk",
+    priority=150,
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id < {MAXSIM_GROUP}
+    ), t AS (
+      SELECT vec_id // {MAXSIM_GROUP} AS g_id, embedding FROM embeddings
+      WHERE vec_id >= {MAXSIM_GROUP}
+    ), mx AS (
+      SELECT t.g_id, q.q_id,
+             MAX(ROUND({_cosine_sql('q.q_emb', 't.embedding')}, 6)) AS ms
+      FROM t CROSS JOIN q
+      GROUP BY t.g_id, q.q_id
+    ), sc AS (
+      SELECT g_id, ROUND(SUM(ms), 6) AS maxsim FROM mx GROUP BY g_id
+    )
+    SELECT g_id, maxsim, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY maxsim DESC, g_id) AS rnk
+      FROM sc
+    ) WHERE rnk <= {MAXSIM_K}
+    """,
+)
+def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLBERT-STYLE LATE INTERACTION — multi-vector MaxSim retrieval,
+    the modern alternative to single-vector ANN that the similarity
+    family was missing: documents are MULTI-vector (here: consecutive
+    runs of {MAXSIM_GROUP} vec_ids form one pseudo-document's token
+    vectors — the fixture's stand-in for per-token embeddings), the
+    query is one such group, and score(doc) = Σ_q max_t cos(q, t) —
+    each query token matches its best document token (Khattab &
+    Zaharia's MaxSim).
+
+    Exactness: per-pair cosines round to 6 decimals BEFORE the MAX (the
+    ann family contract), the per-query maxima SUM per document (4
+    values; cross-engine addition-order noise is ~1e-16) and round once
+    more; rank ties break on g_id; rnk is BIGINT both engines.
+
+    Plan: the {MAXSIM_GROUP}-row query group broadcasts against the
+    token-vector corpus (constant × corpus — the bruteforce-anchor
+    shape, BNLJ-allowlisted), one (doc, query-token) MAX aggregate with
+    map-side partials, one doc-level SUM, and orderBy+limit =
+    TakeOrderedAndProject for the global top-{MAXSIM_K} (distributed
+    partial top-k, never a single-task rank window). At 100 TB the
+    production shape prepends an IVF/LSH candidate filter exactly as
+    ColBERT serves over a candidate set; the late-interaction scoring
+    stage itself is this plan unchanged."""
+    from pyspark.sql import Window
+
+    emb = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
+    q = emb.filter(F.col("vec_id") < MAXSIM_GROUP).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    t = emb.filter(F.col("vec_id") >= MAXSIM_GROUP).selectExpr(
+        f"vec_id DIV {MAXSIM_GROUP} AS g_id", "embedding"
+    )
+    mx = (
+        t.join(F.broadcast(q))
+        .select(
+            "g_id",
+            "q_id",
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cs"),
+        )
+        .groupBy("g_id", "q_id")
+        .agg(F.max("cs").alias("ms"))
+    )
+    sc = mx.groupBy("g_id").agg(F.round(F.sum("ms"), 6).alias("maxsim"))
+    top = sc.orderBy(F.desc("maxsim"), F.asc("g_id")).limit(MAXSIM_K)
+    w = Window.orderBy(F.desc("maxsim"), F.asc("g_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

@@ -67,6 +67,9 @@ BNLJ_ALLOWED = {
     # the 1-row corpus-statistics frame (N, avgdl, per-term df) broadcast-
     # crossed into the scored side — constant × corpus, the bloom shape
     "bm25_search_topk",
+    # the 4-row query token group broadcast against the token-vector
+    # corpus — the bruteforce-anchor constant × corpus shape
+    "ann_maxsim_topk",
 }
 
 FORBIDDEN_EVERYWHERE = ("CartesianProduct",)
