@@ -267,6 +267,7 @@ HEADLINE = (
     "snapshot_vacuum_retention",
     "bm25_search_topk",
     "ann_maxsim_topk",
+    "ann_pq_adc_topk",
 )
 
 

@@ -1721,3 +1721,135 @@ def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = sc.orderBy(F.desc("maxsim"), F.asc("g_id")).limit(MAXSIM_K)
     w = Window.orderBy(F.desc("maxsim"), F.asc("g_id"))
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+# --- PQ asymmetric distance (ADC) top-k --------------------------------------------
+
+ADC_TOP_K = 5  #: neighbors returned per query through the PQ codes
+
+
+@query(
+    "ann_pq_adc_topk",
+    priority=150,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+      ORDER BY vec_id LIMIT {PQ_CODEBOOK}
+    ),
+    code_scored AS (
+      SELECT e.vec_id, m.m, c.c_id,
+             {_SQL_SUBDIST.format(m_total=PQ_M)} AS d2
+      FROM embeddings e
+      CROSS JOIN (SELECT CAST(unnest(range(0, {PQ_M})) AS INT) AS m) m
+      CROSS JOIN cent c
+    ),
+    codes AS (
+      SELECT vec_id, m, c_id AS code
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2, c_id) AS rn
+        FROM code_scored
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT e.q_id, m.m, c.c_id,
+             {_SQL_SUBDIST.format(m_total=PQ_M)} AS d2
+      FROM (SELECT vec_id AS q_id, embedding FROM embeddings
+            WHERE vec_id % {QUERY_MOD} = 0) e
+      CROSS JOIN (SELECT CAST(unnest(range(0, {PQ_M})) AS INT) AS m) m
+      CROSS JOIN cent c
+    ),
+    adc AS (
+      SELECT l.q_id, k.vec_id, ROUND(SUM(l.d2), 6) AS adist2
+      FROM codes k JOIN lut l ON l.m = k.m AND l.c_id = k.code
+      WHERE k.vec_id <> l.q_id
+      GROUP BY l.q_id, k.vec_id
+    )
+    SELECT q_id, vec_id, adist2, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY adist2, vec_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {ADC_TOP_K}
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC DISTANCE (ADC) TOP-K — how FAISS-style engines
+    actually SERVE over product-quantized corpora: the corpus exists
+    only as {PQ_M}-byte codes (embedding_pq_codes' exact output,
+    consumed by calling the registered builder — no-drift); each query
+    precomputes a ({PQ_M} × {PQ_CODEBOOK}) sub-distance lookup table
+    from its FULL-precision vector, and a candidate's approximate
+    distance is just {PQ_M} table lookups summed — no original corpus
+    vector is ever touched at query time. That asymmetry (exact query,
+    quantized corpus) is the entire memory story of PQ serving: the
+    100 TB corpus shrinks to N·{PQ_M} bytes plus one tiny codebook.
+
+    Plan: codes ride the registered PQ encoder (one Arrow pass); the
+    per-query LUT is computed DISTRIBUTEDLY by the same closure-captured
+    codebook pandas_udf shape (never a corpus-proportional driver
+    collect); scoring is an equi-join of codes against the LUT on
+    (m, code) + a (q, vec) SUM — map-side combinable. The full-corpus
+    candidate set here is deliberate (it makes the oracle exact and
+    anchors recall); production prepends the IVF cell filter
+    (ann_ivf_topk) so candidates ≈ N/C per query, same join unchanged.
+    Exactness: sub-distances agree to ~1e-16 (numpy pairwise vs the
+    oracle's sequential fold); the {PQ_M}-term SUM rounds to 6 decimals
+    before ranking; ties break on vec_id; rnk is BIGINT on both
+    engines."""
+    from pyspark.sql import Window
+
+    codes = embedding_pq_codes(spark, sf_dir).select("vec_id", "m", "code")
+    emb = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
+    cent = (
+        emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+        .select(F.col("vec_id").alias("c_id"), "embedding")
+        .orderBy("c_id")
+        .limit(PQ_CODEBOOK)
+        .collect()
+    )  # bounded: fixed PQ_CODEBOOK rows, never corpus-proportional
+    c_ids = np.asarray([r.c_id for r in cent], dtype=np.int64)
+    c_mat = np.asarray([r.embedding for r in cent], dtype=np.float64)
+    dim = c_mat.shape[1]
+    sub = dim // PQ_M
+
+    @pandas_udf("array<struct<m: int, code: bigint, d2: double>>")
+    def lut(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        av = np.asarray(a.tolist(), dtype=np.float64)  # (batch, dim)
+        out = []
+        for i in range(len(av)):
+            rows = []
+            for m in range(PQ_M):
+                seg = slice(m * sub, (m + 1) * sub)
+                d2 = ((av[i, seg][None, :] - c_mat[:, seg]) ** 2).sum(axis=1)
+                rows += [
+                    {"m": m, "code": int(c_ids[j]), "d2": float(d2[j])}
+                    for j in range(len(c_ids))
+                ]
+            out.append(rows)
+        return pd.Series(out)
+
+    q_lut = (
+        emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.posexplode(lut(F.col("embedding"))).alias("_p", "e"),
+        )
+        .select("q_id", F.col("e.m").alias("m"), F.col("e.code").alias("code"),
+                F.col("e.d2").alias("d2"))
+    )
+    adc = (
+        codes.join(F.broadcast(q_lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adist2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist2"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= ADC_TOP_K)
+        .select("q_id", "vec_id", "adist2", "rnk")
+    )
