@@ -66,3 +66,24 @@ def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two ``array<float>`` columns (double math),
     one numpy pass per Arrow batch for dot and both norms."""
     return _cosine_arrow()(a, b)
+
+
+@lru_cache(maxsize=1)
+def _l2sq_arrow():
+    @pandas_udf("double")
+    def l2sq_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        av = np.asarray(a.tolist(), dtype=np.float64)
+        bv = np.asarray(b.tolist(), dtype=np.float64)
+        d = av - bv
+        return pd.Series(np.einsum("ij,ij->i", d, d))
+
+    return l2sq_udf
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two ``array<float>`` columns — computed as
+    the diff-square-sum directly (NOT |a|²+|b|²-2ab), matching the
+    oracles' sequential squared-difference folds to the usual O(1e-16)."""
+    return _l2sq_arrow()(a, b)

@@ -32,7 +32,7 @@ from pyspark.sql.functions import pandas_udf
 
 from serverless_mapreduce_spark.caching import persist_tracked
 from serverless_mapreduce_spark.catalog import ensure_parallelism, table
-from serverless_mapreduce_spark.functions.vector import cosine
+from serverless_mapreduce_spark.functions.vector import cosine, l2sq
 from serverless_mapreduce_spark.operators.dedup import COSINE_THRESH, _cosine_sql
 from serverless_mapreduce_spark.registry import query
 
@@ -1727,12 +1727,11 @@ def ann_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ADC_TOP_K = 5  #: neighbors returned per query through the PQ codes
 
-
-@query(
-    "ann_pq_adc_topk",
-    priority=150,
-    oracle=f"""
-    WITH cent AS (
+# The ADC derivation as a reusable CTE chain (`adc` is the final CTE):
+# shared by the ann_pq_adc_topk oracle and the recall eval so "what ADC
+# returns" is defined exactly once (the no-drift construction).
+_SQL_ADC_CTES = f"""
+    cent AS (
       SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
       WHERE vec_id % {CENTROID_MOD} = 0
       ORDER BY vec_id LIMIT {PQ_CODEBOOK}
@@ -1766,6 +1765,14 @@ ADC_TOP_K = 5  #: neighbors returned per query through the PQ codes
       WHERE k.vec_id <> l.q_id
       GROUP BY l.q_id, k.vec_id
     )
+"""
+
+
+@query(
+    "ann_pq_adc_topk",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_ADC_CTES}
     SELECT q_id, vec_id, adist2, CAST(rnk AS BIGINT) AS rnk
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
@@ -1852,4 +1859,100 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= ADC_TOP_K)
         .select("q_id", "vec_id", "adist2", "rnk")
+    )
+
+
+@query(
+    "eval_pq_adc_recall",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_ADC_CTES},
+    adc_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY adist2, vec_id) AS rnk
+        FROM adc
+      ) WHERE rnk <= {ADC_TOP_K}
+    ),
+    bf_scored AS (
+      SELECT c.q_id, e.vec_id,
+             ROUND({_SQL_SUBDIST.format(m_total=1)}, 6) AS d2
+      FROM embeddings e
+      CROSS JOIN (SELECT 0 AS m) m
+      CROSS JOIN (SELECT vec_id AS q_id, embedding AS c_emb FROM embeddings
+                  WHERE vec_id % {QUERY_MOD} = 0) c
+      WHERE e.vec_id <> c.q_id
+    ),
+    bf_top AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                     ORDER BY d2, vec_id) AS rnk
+        FROM bf_scored
+      ) WHERE rnk <= {ADC_TOP_K}
+    ),
+    hits AS (
+      SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM bf_top b JOIN adc_top a
+        ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+      GROUP BY b.q_id
+    )
+    SELECT q.q_id, COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) * {1_000_000 // ADC_TOP_K} AS recall_ppm
+    FROM (SELECT DISTINCT q_id FROM bf_top) q
+    LEFT JOIN hits h ON h.q_id = q.q_id
+    """,
+)
+def eval_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC RECALL EVAL — measures what the quantization costs: per
+    query, how many of the EXACT squared-L2 top-{ADC_TOP_K} neighbors
+    the ADC search (ann_pq_adc_topk's own derivation, CTE-shared so the
+    eval cannot drift from the op) recovers, as an exact integer ppm.
+    The family rule made explicit once more: every approximate operator
+    ships with a measured eval (LSH → ann_recall_at_k_eval, MinHash →
+    eval_minhash_jaccard_error, IVF → the recall pytest, Matryoshka →
+    truncation eval, PQ → this).
+
+    The exact baseline is squared-L2 (PQ's own metric — comparing
+    against the cosine bruteforce would conflate metric mismatch with
+    quantization loss), computed by the vectorized l2sq diff-square-sum
+    that matches the oracle's fold. Plan: the ADC chain as registered;
+    the baseline is the broadcast query-set × corpus scan (bruteforce
+    shape, allowlisted); recall is a metadata-sized join of two
+    top-{ADC_TOP_K} sets. Exactness: d2 rounds to 6 before ranking,
+    ties break on vec_id, recall is integer ppm."""
+    from pyspark.sql import Window
+
+    adc_top = ann_pq_adc_topk(spark, sf_dir).select("q_id", "vec_id")
+    emb = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    bf_scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(l2sq(F.col("q_emb"), F.col("embedding")), 6).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    bf_top = (
+        bf_scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ADC_TOP_K)
+        .select("q_id", "vec_id")
+    )
+    hits = bf_top.join(adc_top, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    return (
+        bf_top.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .selectExpr(
+            "q_id",
+            "COALESCE(n_hits, CAST(0 AS BIGINT)) AS n_hits",
+            f"COALESCE(n_hits, CAST(0 AS BIGINT)) * {1_000_000 // ADC_TOP_K}"
+            " AS recall_ppm",
+        )
     )
