@@ -1987,9 +1987,16 @@ MAX_TOKENS_PER_BATCH = 256  #: padded-token budget per training batch
 # 0 for the top buckets and x DIV 0 is NULL identically on BOTH engines —
 # the oracle would stay green while the published plan carried NULL batch
 # counts. Fail loudly at import instead (the repo's loud-guard convention).
-assert MAX_SEQ_LEN <= MAX_TOKENS_PER_BATCH, (
-    "length_bucket_batch_plan: every bucket (<= MAX_SEQ_LEN) must fit in "
-    "MAX_TOKENS_PER_BATCH or n_batches silently divides by zero"
+# The divisor is MAX_TOKENS_PER_BATCH DIV bucket_len where bucket_len is
+# MAX_SEQ_LEN rounded UP to a PAD_QUANTUM multiple — so the guard must hold
+# for the ROUNDED value (MAX_SEQ_LEN=250, budget=250, quantum=16 would pass
+# a raw-value assert yet yield bucket_len=256 → x DIV 0; r8 advice).
+assert (
+    (MAX_SEQ_LEN + PAD_QUANTUM - 1) // PAD_QUANTUM
+) * PAD_QUANTUM <= MAX_TOKENS_PER_BATCH, (
+    "length_bucket_batch_plan: every bucket (MAX_SEQ_LEN rounded up to "
+    "PAD_QUANTUM) must fit in MAX_TOKENS_PER_BATCH or n_batches silently "
+    "divides by zero"
 )
 
 

@@ -217,6 +217,16 @@ class SnapshotTable:
         for f in doomed:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(f)
+        # A commit directory whose every parquet file is now dead still
+        # holds _SUCCESS/.crc sidecars and the directory entry itself —
+        # left behind, the vacuum meant to bound storage accumulates
+        # directory entries forever (r8 advice). A dir is garbage iff no
+        # kept manifest references any file inside it.
+        import shutil
+
+        live_dirs = {os.path.dirname(f) for f in live}
+        for d in sorted({os.path.dirname(f) for f in doomed} - live_dirs):
+            shutil.rmtree(d, ignore_errors=True)
         for v in drop:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(self._manifest_path(v))

@@ -70,6 +70,10 @@ BNLJ_ALLOWED = {
     # the 4-row query token group broadcast against the token-vector
     # corpus — the bruteforce-anchor constant × corpus shape
     "ann_maxsim_topk",
+    # embeds the exact-L2 bruteforce baseline as ground truth (same shape
+    # as ann_recall_at_k_eval): constant query set × corpus; the ADC side
+    # under comparison is pure equi-joins over (m, code)
+    "eval_pq_adc_recall",
 }
 
 FORBIDDEN_EVERYWHERE = ("CartesianProduct",)

@@ -146,3 +146,24 @@ def test_expire_versions_is_idempotent_after_partial_crash(spark, tmp_path):
     assert dropped == [1] and set(deleted) == doomed
     assert t.versions() == [2]
     assert sorted(r.x for r in t.read(spark).collect()) == [10, 11]
+
+
+def test_expire_versions_removes_dead_commit_dirs_and_sidecars(spark, tmp_path):
+    """A fully-orphaned commit directory must disappear entirely — parquet
+    files, _SUCCESS/.crc sidecars, and the directory entry itself — or the
+    retention vacuum accumulates directory entries forever (r8 advice).
+    A commit dir with ANY live file must keep its sidecars untouched."""
+    t = SnapshotTable(str(tmp_path / "tbl4"))
+    t.commit(_df(spark, [1, 2, 3]), mode="append")            # v1: dir A
+    t.commit(_df(spark, [10, 11]), mode="overwrite")           # v2: dir B, orphans A
+    dir_a = {os.path.dirname(f) for f in t._files(1)}
+    dir_b = {os.path.dirname(f) for f in t._files(2)}
+    assert dir_a and dir_a.isdisjoint(dir_b)
+    # sidecars exist before the vacuum (write.parquet emits _SUCCESS)
+    assert any(
+        os.path.exists(os.path.join(d, "_SUCCESS")) for d in dir_a
+    )
+    t.expire_versions(keep_latest=1)
+    assert not any(os.path.exists(d) for d in dir_a)  # dir + sidecars gone
+    assert all(os.path.exists(d) for d in dir_b)      # live dir untouched
+    assert sorted(r.x for r in t.read(spark).collect()) == [10, 11]
