@@ -268,6 +268,10 @@ HEADLINE = (
     "bm25_search_topk",
     "ann_maxsim_topk",
     "ann_pq_adc_topk",
+    # round-9 additions: the persisted-band-index probe (snapshot commit +
+    # manifest-read probe is the new plan shape; the shingle chain itself
+    # is warmed above like the graph artifacts)
+    "dedup_persistent_index",
 )
 
 
@@ -367,6 +371,21 @@ def main() -> None:
     if not os.path.isdir(_warm_sf):
         _warm_sf = sf_dir
     _tkv(spark, _warm_sf).write.format("noop").mode("overwrite").save()
+    # The dedup family's shingle/signature derivations are per-query
+    # (persist_tracked is query-scoped), so whichever shingle consumer ran
+    # FIRST absorbed the mapInPandas md5 warm-up + scan-ordering cost —
+    # BENCH_r08 recorded dedup_decontaminate at 3.4 s where steady state is
+    # ~1.0 s (r8 verdict adjudicated it as first-touch variance). One noop
+    # materialization of each derivation pins every dedup line to its plan.
+    from serverless_mapreduce_spark.catalog import table as _table
+    from serverless_mapreduce_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_rows,
+    )
+
+    _docs = _table(spark, sf_dir, "documents")
+    minhash_signatures(_docs).write.format("noop").mode("overwrite").save()
+    shingle_rows(_docs).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

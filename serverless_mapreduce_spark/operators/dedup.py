@@ -2281,3 +2281,193 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_novel * 1000000) DIV n_shingles AS novelty_ppm",
         )
     )
+
+
+# --- persistent LSH index: maintained across ingest batches ----------------------
+
+#: The two sequential ingest batches, as doc_id % INCR_MOD remainders; the
+#: standing corpus is every other remainder. Batch 2 must see batch 1's
+#: bands because batch 1 was APPENDED to the persisted index in between —
+#: that cross-batch visibility is what makes the persistence load-bearing.
+PERSIST_B1 = 0
+PERSIST_B2 = 5
+
+
+@query(
+    "dedup_persistent_index",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_BAND_CTES},
+    b1 AS (SELECT * FROM bands WHERE doc_id % {INCR_MOD} = {PERSIST_B1}),
+    b2 AS (SELECT * FROM bands WHERE doc_id % {INCR_MOD} = {PERSIST_B2}),
+    idx1 AS (SELECT * FROM bands
+             WHERE doc_id % {INCR_MOD} NOT IN ({PERSIST_B1}, {PERSIST_B2})),
+    idx2 AS (SELECT * FROM idx1 UNION ALL SELECT * FROM b1),
+    cand AS (
+      SELECT DISTINCT 1 AS batch, n.doc_id AS new_id, o.doc_id AS old_id
+      FROM b1 n JOIN idx1 o
+        ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+      UNION ALL
+      SELECT DISTINCT 2 AS batch, n.doc_id AS new_id, o.doc_id AS old_id
+      FROM b2 n JOIN idx2 o
+        ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+    ),
+    verified AS (
+      SELECT c.batch, c.new_id, c.old_id,
+             ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+               AS jaccard
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.new_id
+      JOIN sigs sb ON sb.doc_id = c.old_id
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+            >= {JACCARD_THRESH}
+    ),
+    best AS (
+      SELECT batch, new_id, old_id, jaccard FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY batch, new_id
+                                     ORDER BY jaccard DESC, old_id) AS rn
+        FROM verified
+      ) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT batch, new_id, CAST(COUNT(*) AS BIGINT) AS n_matches FROM verified
+      GROUP BY batch, new_id
+    ),
+    basedocs AS (
+      SELECT 1 AS batch, doc_id FROM documents
+      WHERE doc_id % {INCR_MOD} = {PERSIST_B1}
+      UNION ALL
+      SELECT 2 AS batch, doc_id FROM documents
+      WHERE doc_id % {INCR_MOD} = {PERSIST_B2}
+    )
+    SELECT d.batch, d.doc_id,
+           COALESCE(c.n_matches, 0) AS n_matches,
+           b.old_id AS best_match,
+           b.jaccard AS best_jaccard
+    FROM basedocs d
+    LEFT JOIN counts c ON c.batch = d.batch AND c.new_id = d.doc_id
+    LEFT JOIN best b ON b.batch = d.batch AND b.new_id = d.doc_id
+    """,
+)
+def dedup_persistent_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTENT MinHash band index, maintained across ingest batches —
+    the cross-run production shape ``dedup_incremental_minhash`` stops
+    short of (there, the standing index is rebuilt per run). The band
+    table (doc_id, band_idx, band_hash) lives in a versioned
+    ``SnapshotTable`` (sources/snapshots.py): v1 commits the standing
+    corpus's bands; each ingest batch (1) probes the CURRENT index version
+    through the manifest reader, then (2) APPENDS its own bands as the
+    next version. Batch 2's probe therefore runs against corpus ∪ batch 1
+    — cross-batch matches are only visible THROUGH the persisted index,
+    which is what the oracle's idx2 CTE pins. Verdict rows per incoming
+    doc mirror the incremental operator: collision count + best verified
+    match (highest Jaccard, min doc_id tiebreak), NULLs when genuinely new.
+
+    Scale shape: the index is an append-only parquet table clustered by
+    (band_idx, band_hash) at write time; a probe plans only the manifest's
+    file list (no directory listing at 100 TB), ships the batch's bands as
+    a size-gated broadcast (INCR_BROADCAST_LIMIT, partitioned shuffle_hash
+    above it), and appends O(batch) new band rows — per-run cost is
+    O(batch + collisions) while the index grows monotonically across runs.
+    Retention composes with ``expire_versions``. Reference analog: the
+    reference re-lists and re-reads its whole input prefix every job
+    (``input_handler_s3.py:51-70``) — it has no standing-index story."""
+    import shutil
+
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+    from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = persist_tracked(minhash_signatures(docs))
+    bands = _bands(sigs)
+    rem = F.col("doc_id") % INCR_MOD
+
+    base = scratch(sf_tag(sf_dir), "dedup_band_index")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    standing = bands.filter(~rem.isin(PERSIST_B1, PERSIST_B2))
+    # cluster the stored index on the probe key so file-local band groups
+    # stay tight (the graph-family bucketed-artifact pattern)
+    version = t.commit(standing.repartition("band_idx", "band_hash"), mode="append")
+
+    cands = []
+    for batch_no, r in ((1, PERSIST_B1), (2, PERSIST_B2)):
+        pb = bands.filter(rem == r).select(
+            F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+        )
+        # SIZE-GATED probe broadcast (same gate as dedup_incremental_minhash:
+        # the batch is a corpus fraction, not a constant)
+        n_probe = docs.filter(rem == r).count() * NUM_BANDS
+        probe = (
+            F.broadcast(pb)
+            if n_probe <= INCR_BROADCAST_LIMIT
+            else pb.hint("shuffle_hash")
+        )
+        # resolve the CURRENT version's file list BEFORE appending the batch
+        idx = t.read(spark, version).select(
+            F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
+        )
+        cands.append(
+            probe.join(idx, ["band_idx", "band_hash"])
+            .select(
+                F.lit(batch_no).cast("int").alias("batch"), "new_id", "old_id"
+            )
+            .distinct()
+        )
+        version = t.commit(bands.filter(rem == r), mode="append")  # ← batch bands
+
+    cand = cands[0].unionAll(cands[1])
+    sh = sigs.select("doc_id", "shingles")
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a")),
+            "new_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("old_id"), F.col("shingles").alias("sh_b")),
+            "old_id",
+        )
+        .withColumn(
+            "jaccard_raw",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESH)
+        .select("batch", "new_id", "old_id", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+    verified = persist_tracked(verified)  # consumed by both aggs below
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("batch", "new_id").orderBy(
+        F.desc("jaccard"), F.asc("old_id")
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "batch",
+            F.col("new_id").alias("doc_id"),
+            F.col("old_id").alias("best_match"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    counts = verified.groupBy("batch", "new_id").agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    ).withColumnRenamed("new_id", "doc_id")
+    incoming = docs.filter(rem.isin(PERSIST_B1, PERSIST_B2)).select(
+        F.when(rem == PERSIST_B1, F.lit(1)).otherwise(F.lit(2)).cast("int").alias("batch"),
+        "doc_id",
+    )
+    return (
+        incoming.join(counts, ["batch", "doc_id"], "left")
+        .join(best, ["batch", "doc_id"], "left")
+        .select(
+            "batch",
+            "doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("bigint")).alias("n_matches"),
+            "best_match",
+            "best_jaccard",
+        )
+    )
