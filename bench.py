@@ -243,9 +243,11 @@ HEADLINE = (
     # round-8 additions. NOT benched (double-count rationale, as above):
     # minhash_band_eval re-runs the shingle→minhash chain the
     # dedup_minhash_lsh line already tracks; perplexity_prune_buckets
-    # re-runs the trigram-LM chain tracked by lm_score_heldout;
+    # re-runs the trigram-LM chain tracked by trigram_lm_score;
     # filter_cascade_audit re-runs the quality/gopher/repetition gates
-    # tracked by their own lines.
+    # tracked by their own lines; eval_pq_adc_recall re-runs the ADC
+    # scoring chain tracked by ann_pq_adc_topk plus the bruteforce
+    # baseline tracked by ann_recall_at_k_eval.
     "token_budget_mixture_plan",
     "semdedup_prune",
     "length_bucket_batch_plan",

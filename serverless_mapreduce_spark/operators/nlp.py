@@ -974,10 +974,24 @@ def perplexity_prune_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is {PPL_BUCKETS} rows."""
     from serverless_mapreduce_spark.caching import persist_tracked
 
-    sc = persist_tracked(
-        trigram_lm_score(spark, sf_dir).selectExpr(
-            "doc_id", "n_tri", "(sum_freq * 1000) DIV n_tri AS mfreq_milli"
+    raw = persist_tracked(
+        trigram_lm_score(spark, sf_dir).select("doc_id", "n_tri", "sum_freq")
+    )
+    # int64-envelope guard (the _dsir_int64_headroom discipline): the worst
+    # BIGINT intermediate is sum_freq·1000 for the hottest document — a
+    # long doc whose held-out trigrams are all corpus-hot at a ~1e14-token
+    # corpus wraps Spark silently while DuckDB raises (r9 review). One
+    # scalar over the persisted score table.
+    max_sf = raw.agg(F.max("sum_freq")).collect()[0][0] or 0
+    if max_sf * 1000 > (1 << 63) - 1:
+        raise ValueError(
+            "perplexity_prune_buckets integer-milli arithmetic would "
+            f"overflow int64: hottest document has sum_freq {max_sf} "
+            "(sum_freq*1000 > 2^63-1). Promote the mfreq_milli numerator "
+            "to DECIMAL(38,0) on both engines before running at this scale."
         )
+    sc = raw.selectExpr(
+        "doc_id", "n_tri", "(sum_freq * 1000) DIV n_tri AS mfreq_milli"
     )
     hist = sc.groupBy("mfreq_milli").agg(F.count("*").alias("cnt"))
     w = Window.orderBy(F.desc("mfreq_milli")).rowsBetween(

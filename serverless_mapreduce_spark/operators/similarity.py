@@ -1471,6 +1471,15 @@ def label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB with a real k-means quantizer the plan is unchanged — only
     the centroid table swaps."""
     ranked = _ivf_ranked(spark, sf_dir)
+    # _ivf_ranked's label column is optional (crafted corpora legitimately
+    # omit it) — fail with the documented precondition error, not an
+    # unresolved-column AnalysisException mid-plan (the
+    # embedding_cluster_balance convention; r9 review).
+    if "label" not in ranked.columns:
+        raise ValueError(
+            "label_knn_disagreement requires a labeled embeddings corpus "
+            "(no `label` column in the fixture)"
+        )
     cands = ranked.filter(F.col("rn") <= SEMDEDUP_CAP).select(
         F.col("centroid").alias("u_centroid"),
         F.col("vec_id").alias("u_id"),

@@ -1484,7 +1484,13 @@ def filter_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "reasons", "n_words"
     )
     rep = repetition_filter(spark, sf_dir).select("doc_id", "flagged")
-    keepers = dedup_exact(spark, sf_dir).select("content_key", "keeper_doc_id")
+    # NULL-safe dedup join: a NULL-text doc has content_key NULL on both
+    # engines; the oracle's window (PARTITION BY content_key) groups all
+    # NULLs together, so a plain inner equi-join here would silently drop
+    # those docs from the funnel on the Spark side only (r9 review).
+    keepers = dedup_exact(spark, sf_dir).select(
+        F.col("content_key").alias("keeper_key"), "keeper_doc_id"
+    )
     stage = (
         F.when(F.col("predicted_lang") != "en", "lang")
         .when(F.col("reasons") != 0, "gopher")
@@ -1496,7 +1502,7 @@ def filter_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(lang, "doc_id")
         .join(gopher, "doc_id")
         .join(rep, "doc_id", "left")
-        .join(keepers, "content_key")
+        .join(keepers, F.col("content_key").eqNullSafe(F.col("keeper_key")))
         .groupBy("source", stage.alias("stage"))
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
@@ -2194,6 +2200,19 @@ def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = cells.groupBy("source").agg(
         F.sum("n_tokens").cast("bigint").alias("tot_tokens")
     )
+    # int64-envelope guard (the _dsir_int64_headroom discipline): the worst
+    # BIGINT intermediate is tot_tokens·1e6 for the largest source (the
+    # surviving-sum numerator is bounded by it per source). It grows with
+    # corpus size — a ~1e13-token source wraps Spark silently while DuckDB
+    # raises (r9 review). One scalar over the persisted cell table.
+    max_tot = totals.agg(F.max("tot_tokens")).collect()[0][0] or 0
+    if max_tot * 1_000_000 > (1 << 63) - 1:
+        raise ValueError(
+            "quality_filter_sweep integer-ppm arithmetic would overflow "
+            f"int64: largest source holds {max_tot} tokens "
+            "(tot_tokens*1e6 > 2^63-1). Promote the surviving_ppm numerator "
+            "to DECIMAL(38,0) on both engines before running at this scale."
+        )
     surv = cells.selectExpr(
         "source",
         "n_docs",
@@ -2359,14 +2378,25 @@ def _bm25_oracle() -> str:
     """
 
 
-def _bm25_int64_guard(max_dl: int, a: int) -> None:
+def _bm25_int64_guard(max_dl: int, sdl: int, a: int) -> None:
     """Loud int64-envelope guard for the cleared-denominator BM25
-    arithmetic (the _dsir_int64_headroom discipline): the worst BIGINT
-    intermediate is 22·tf·A·1e6 with tf ≤ max_dl. Exact Python-int bound
-    from two corpus scalars; past it Spark wraps silently while DuckDB
-    raises."""
+    arithmetic (the _dsir_int64_headroom discipline). Two BIGINT
+    intermediates can overflow, and NEITHER dominates the other: the
+    scoring term 22·tf·A·1e6 (tf ≤ max_dl) grows with document length,
+    while the avgdl-milli numerator sdl·1000 grows with corpus size —
+    a short-doc corpus of 1e12 docs wraps sdl·1000 long before any
+    per-doc term (r9 review). Exact Python-int bounds from corpus
+    scalars; past either, Spark wraps silently while DuckDB raises."""
+    imax = (1 << 63) - 1
+    if sdl * 1000 > imax:
+        raise ValueError(
+            "bm25_search_topk avgdl arithmetic would overflow int64 "
+            f"(total corpus tokens {sdl}: sdl*1000 > 2^63-1). Promote the "
+            "avgdl-milli numerator to DECIMAL(38,0) on both engines before "
+            "running at this scale."
+        )
     worst = 22 * max_dl * a * 1_000_000
-    if worst > (1 << 63) - 1:
+    if worst > imax:
         raise ValueError(
             "bm25_search_topk integer arithmetic would overflow int64 "
             f"(max doc length {max_dl}, avgdl_milli {a}: worst intermediate "
@@ -2423,7 +2453,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dl").alias("mdl"), F.sum("dl").alias("sdl"), F.count("*").alias("n")
     ).collect()[0]
     if hd["n"]:
-        _bm25_int64_guard(hd["mdl"], hd["sdl"] * 1000 // hd["n"])
+        _bm25_int64_guard(hd["mdl"], hd["sdl"], hd["sdl"] * 1000 // hd["n"])
     nterms = len(BM25_TERMS)
     stats = t.agg(
         F.count("*").cast("bigint").alias("n"),

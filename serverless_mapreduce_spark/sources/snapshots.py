@@ -200,7 +200,14 @@ class SnapshotTable:
         garbage iff no live manifest lists it. Returns (expired versions,
         deleted file paths). Manifests go last so a crash mid-delete can
         only strand already-unreadable files, never break a live version
-        (the same files-then-pointer ordering commit() uses, reversed)."""
+        (the same files-then-pointer ordering commit() uses, reversed).
+
+        Concurrent readers: a reader of a KEPT version is never affected —
+        its files are exactly the live set this method refuses to touch. A
+        reader that already resolved an EXPIRED version's file list races
+        the deletes and may fail mid-scan; that is the standard retention
+        contract (Delta VACUUM / Iceberg expire_snapshots): retention must
+        exceed the longest-running reader, enforced operationally."""
         if keep_latest < 1:
             raise ValueError("keep_latest must be >= 1")
         vs = self.versions()

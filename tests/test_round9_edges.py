@@ -47,3 +47,44 @@ def test_dedup_persistent_index_cross_batch_match(spark, tmp_path_factory):
     assert by[(2, 15)]["best_match"] == 10
     assert by[(2, 15)]["best_jaccard"] == 1.0
     assert by[(2, 25)]["n_matches"] == 0 and by[(2, 25)]["best_match"] is None
+
+
+def test_filter_cascade_audit_keeps_null_text_docs(spark, tmp_path_factory):
+    """A NULL-text document has content_key NULL on both engines; the
+    oracle's keeper window groups all NULLs together, so the Spark side
+    must use a NULL-SAFE dedup join — a plain inner equi-join silently
+    dropped these docs from the funnel (r9 review). Both NULL-text docs
+    must appear (first-failure 'lang': NULL token stats classify
+    'unknown'), with the min doc_id as their shared exact-dup keeper."""
+    from serverless_mapreduce_spark.operators.text import filter_cascade_audit
+
+    rows = [
+        {"doc_id": 1, "source": "web", "lang": "en", "text": None},
+        {"doc_id": 2, "source": "web", "lang": "en", "text": None},
+        {"doc_id": 3, "source": "web", "lang": "en",
+         "text": "the cat is on the mat and the dog is in the yard"},
+    ]
+    d = crafted_dir(tmp_path_factory, "cascade_null", rows)
+    got = agree_rows(spark, d, filter_cascade_audit, "filter_cascade_audit",
+                     as_dicts=True)
+    total_docs = sum(r["n_docs"] for r in got)
+    assert total_docs == 3, f"NULL-text docs dropped from the funnel: {got}"
+
+
+def test_bm25_guard_catches_avgdl_numerator_overflow():
+    """The avgdl-milli numerator sdl*1000 wraps independently of the
+    per-doc scoring term (short-doc corpora: huge n, small max_dl) — the
+    guard must bound BOTH intermediates (r9 review)."""
+    import pytest
+
+    from serverless_mapreduce_spark.operators.text import _bm25_int64_guard
+
+    imax = (1 << 63) - 1
+    # short-doc shape: per-doc term tiny, corpus total past the envelope
+    with pytest.raises(ValueError, match="avgdl"):
+        _bm25_int64_guard(10, imax // 1000 + 1, 10_000)
+    # the existing per-doc-term branch still trips
+    with pytest.raises(ValueError, match="integer arithmetic"):
+        _bm25_int64_guard(10**6, 10**6, 10**6)
+    # boundary: both intermediates inside the envelope pass
+    _bm25_int64_guard(100, imax // 1000, 10_000)
