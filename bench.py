@@ -272,8 +272,12 @@ HEADLINE = (
     "ann_pq_adc_topk",
     # round-9 additions: the persisted-band-index probe (snapshot commit +
     # manifest-read probe is the new plan shape; the shingle chain itself
-    # is warmed above like the graph artifacts)
+    # is warmed above like the graph artifacts); the retrieval eval rides
+    # the warmed IVF assignment so its line measures the probe-join +
+    # ranking stage; the datacard diff is the manifest-incremental merge.
     "dedup_persistent_index",
+    "eval_retrieval_mrr",
+    "corpus_version_diff",
 )
 
 

@@ -1965,3 +1965,145 @@ def eval_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS recall_ppm",
         )
     )
+
+
+# --- retrieval-quality eval: MRR / precision@k over the IVF serving path ---------
+
+MRR_QUERY_MOD = 25  #: vec_id % MOD == MRR_QUERY_REM → held-out probe query
+MRR_QUERY_REM = 7   #: remainder ≠ 0 so probes are never IVF centroids
+MRR_K = 10          #: ranking depth for reciprocal-rank / precision@k
+
+
+@query(
+    "eval_retrieval_mrr",
+    priority=150,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ), assigned AS (
+      SELECT vec_id, embedding, label, c_id AS centroid
+      FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cosine_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), ranked AS (
+      SELECT vec_id, embedding, label, centroid,
+             ROW_NUMBER() OVER (PARTITION BY centroid ORDER BY vec_id) AS rn
+      FROM assigned
+    ), hits AS (
+      SELECT vec_id, label, nb_label, rnk
+      FROM (
+        SELECT v.vec_id, v.label, u.label AS nb_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND({_cosine_sql('u.embedding', 'v.embedding')}, 6)
+                            DESC, u.vec_id
+               ) AS rnk
+        FROM (SELECT * FROM ranked
+              WHERE vec_id % {MRR_QUERY_MOD} = {MRR_QUERY_REM}) v
+        JOIN ranked u ON u.centroid = v.centroid
+                     AND u.vec_id <> v.vec_id
+                     AND u.rn <= {SEMDEDUP_CAP}
+      ) WHERE rnk <= {MRR_K}
+    ), metrics AS (
+      SELECT vec_id,
+             CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+             CAST(SUM(CASE WHEN nb_label = label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_relevant,
+             CAST(MIN(CASE WHEN nb_label = label THEN rnk END)
+                  AS BIGINT) AS first_rel_rank
+      FROM hits GROUP BY vec_id
+    )
+    SELECT q.vec_id, q.label,
+           COALESCE(m.n_retrieved, 0) AS n_retrieved,
+           COALESCE(m.n_relevant, 0) AS n_relevant,
+           m.first_rel_rank,
+           COALESCE(1000000 // m.first_rel_rank, 0) AS rr_ppm
+    FROM (SELECT vec_id, label FROM embeddings
+          WHERE vec_id % {MRR_QUERY_MOD} = {MRR_QUERY_REM}) q
+    LEFT JOIN metrics m ON m.vec_id = q.vec_id
+    """,
+)
+def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL-QUALITY EVAL — reciprocal rank + precision@{MRR_K} of the
+    IVF serving path against label ground truth, closing the eval loop the
+    ANN family was missing: ann_recall_at_k_eval scores the INDEX (does
+    IVF find the exact-cosine neighbors?), while this scores the
+    END-TO-END RETRIEVAL (does what it returns carry the right labels?) —
+    the metric a retrieval/RAG team actually tracks when tuning the
+    quantizer, cap, and k together. A held-out probe set (vec_id %
+    {MRR_QUERY_MOD} == {MRR_QUERY_REM}, disjoint from the centroid set by
+    remainder) retrieves its top-{MRR_K} same-cell candidates ranked by
+    6-decimal-rounded cosine (rounded BEFORE ranking — tie-deterministic
+    on both engines, the label_knn_disagreement discipline); a hit is a
+    same-label neighbor. Per probe: retrieved/relevant counts, the first
+    relevant rank, and its reciprocal in exact integer ppm (1e6 DIV rank —
+    no floating division anywhere). Corpus MRR is the mean of rr_ppm over
+    probes; emitting per-probe rows keeps the hard queries visible (the
+    rows a dashboard drills into) and the driver hash exact.
+
+    Scale shape: rides the shared memoized ``_ivf_ranked`` artifact (the
+    partition-by-centroid table at 100 TB); the candidate join is an
+    equi-join on the cluster id with the same SEMDEDUP_CAP bound as its
+    siblings — O(probes·CAP) scored pairs, never corpus-quadratic.
+    Probes landing in singleton cells retrieve nothing and score 0 (LEFT
+    JOIN + COALESCE, mirrored)."""
+    ranked = _ivf_ranked(spark, sf_dir)
+    if "label" not in ranked.columns:
+        raise ValueError(
+            "eval_retrieval_mrr requires a labeled embeddings corpus "
+            "(no `label` column in the fixture)"
+        )
+    probes = ranked.filter(
+        F.col("vec_id") % MRR_QUERY_MOD == MRR_QUERY_REM
+    ).select(
+        F.col("centroid").alias("v_centroid"),
+        F.col("vec_id").alias("v_id"),
+        F.col("embedding").alias("v_emb"),
+        F.col("label").alias("v_label"),
+    )
+    cands = ranked.filter(F.col("rn") <= SEMDEDUP_CAP).select(
+        F.col("centroid").alias("v_centroid"),
+        F.col("vec_id").alias("u_id"),
+        F.col("embedding").alias("u_emb"),
+        F.col("label").alias("nb_label"),
+    )
+    w = Window.partitionBy("v_id").orderBy(F.desc("cs"), F.asc("u_id"))
+    hits = (
+        probes.join(cands, "v_centroid")
+        .filter(F.col("u_id") != F.col("v_id"))
+        .withColumn("cs", F.round(cosine(F.col("u_emb"), F.col("v_emb")), 6))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= MRR_K)
+        .select("v_id", "v_label", "nb_label", "rnk")
+    )
+    metrics = hits.groupBy("v_id").agg(
+        F.count("*").cast("bigint").alias("n_retrieved"),
+        F.sum((F.col("nb_label") == F.col("v_label")).cast("int"))
+        .cast("bigint")
+        .alias("n_relevant"),
+        F.min(
+            F.when(F.col("nb_label") == F.col("v_label"), F.col("rnk"))
+        )
+        .cast("bigint")
+        .alias("first_rel_rank"),
+    )
+    q = ranked.filter(
+        F.col("vec_id") % MRR_QUERY_MOD == MRR_QUERY_REM
+    ).select("vec_id", "label")
+    return (
+        q.join(metrics.withColumnRenamed("v_id", "vec_id"), "vec_id", "left")
+        .selectExpr(
+            "vec_id",
+            "label",
+            "COALESCE(n_retrieved, CAST(0 AS BIGINT)) AS n_retrieved",
+            "COALESCE(n_relevant, CAST(0 AS BIGINT)) AS n_relevant",
+            "first_rel_rank",
+            "COALESCE(1000000 DIV first_rel_rank, CAST(0 AS BIGINT)) AS rr_ppm",
+        )
+    )

@@ -88,3 +88,30 @@ def test_bm25_guard_catches_avgdl_numerator_overflow():
         _bm25_int64_guard(10**6, 10**6, 10**6)
     # boundary: both intermediates inside the envelope pass
     _bm25_int64_guard(100, imax // 1000, 10_000)
+
+
+def test_corpus_version_diff_new_source_in_delta(spark, tmp_path_factory):
+    """The FULL OUTER merge's new-source arm never fires on the synthetic
+    fixtures (every source spans both versions) — pin it on a crafted
+    corpus where source 'fresh' exists ONLY in the ingest delta
+    (doc_id % DIFF_MOD == 0) and 'legacy' only in v1."""
+    from serverless_mapreduce_spark.sources.snapshots import corpus_version_diff
+
+    rows = [
+        {"doc_id": 1, "source": "legacy", "text": "one two three"},
+        {"doc_id": 2, "source": "legacy", "text": "four five"},
+        {"doc_id": 10, "source": "fresh", "text": "six seven eight nine"},
+        {"doc_id": 20, "source": "fresh", "text": "ten"},
+        {"doc_id": 3, "source": "both", "text": "a b"},
+        {"doc_id": 30, "source": "both", "text": "c"},
+    ]
+    d = crafted_dir(tmp_path_factory, "versiondiff", rows)
+    got = agree_rows(spark, d, corpus_version_diff, "corpus_version_diff",
+                     as_dicts=True)
+    by = {r["source"]: r for r in got}
+    assert by["fresh"]["n_docs_v1"] == 0 and by["fresh"]["n_docs_added"] == 2
+    assert by["fresh"]["n_tokens_v2"] == 5
+    assert by["legacy"]["n_docs_added"] == 0 and by["legacy"]["n_docs_v2"] == 2
+    assert by["both"] == {"source": "both", "n_docs_v1": 1, "n_tokens_v1": 2,
+                          "n_docs_added": 1, "n_tokens_added": 1,
+                          "n_docs_v2": 2, "n_tokens_v2": 3}
