@@ -278,6 +278,12 @@ HEADLINE = (
     "dedup_persistent_index",
     "eval_retrieval_mrr",
     "corpus_version_diff",
+    # contrastive_crop_pairs is the UDF-free map-only crop stage (slice/
+    # hash built-ins — a new codegen-path shape); semantic_pack_order
+    # rides the warmed IVF assignment, so its line measures the join +
+    # partitioned running-sum packing stage.
+    "contrastive_crop_pairs",
+    "semantic_pack_order",
 )
 
 

@@ -2107,3 +2107,100 @@ def eval_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COALESCE(1000000 DIV first_rel_rank, CAST(0 AS BIGINT)) AS rr_ppm",
         )
     )
+
+
+# --- in-context pretraining: semantic sequence packing ---------------------------
+
+PACK_BUDGET = 512  #: tokens per packed training sequence
+
+
+@query(
+    "semantic_pack_order",
+    priority=150,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ), assigned AS (
+      SELECT vec_id, c_id AS centroid
+      FROM (
+        SELECT e.vec_id, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cosine_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), j AS (
+      SELECT a.centroid, d.doc_id, d.n_tokens
+      FROM assigned a JOIN d ON d.doc_id = a.vec_id
+    ), c AS (
+      SELECT centroid, doc_id, n_tokens,
+             COALESCE(CAST(SUM(n_tokens) OVER (
+               PARTITION BY centroid ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               CAST(0 AS BIGINT)) AS cum_before
+      FROM j
+    )
+    SELECT centroid, doc_id, n_tokens,
+           cum_before // {PACK_BUDGET} AS pack_id,
+           cum_before % {PACK_BUDGET} AS pack_offset
+    FROM c
+    """,
+)
+def semantic_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC SEQUENCE PACKING — the in-context-pretraining data layout
+    (Shi et al. 2023, "In-Context Pretraining"): instead of packing random
+    documents into a training sequence, pack TOPICALLY RELATED ones, so
+    the model's context window sees coherent cross-document evidence.
+    Topic = the deterministic IVF cell of the document's embedding (the
+    same quantizer the ANN/semdedup family serves from); within a cell,
+    documents are laid out in vec_id order and cut into {PACK_BUDGET}-token
+    sequences by running token count — per document: its cell, its pack
+    (sequence) id within the cell, and its token offset in that pack. The
+    trainer's loader materializes sequences by grouping on (centroid,
+    pack_id) and concatenating in offset order. docs_pack_sequences is the
+    topic-agnostic sibling (greedy by length alone); this one trades a
+    join against the embedding table for semantic coherence.
+
+    Scale shape: one equi-join (documents ⋈ cell assignment on the shared
+    key) and one PARTITIONED running-sum window (per centroid — never a
+    single-partition global window); both sides are the maintained
+    artifacts (the IVF table, the tokenized projection). Exactness: the
+    running sum, DIV, and %% are end-to-end integer; the ROWS frame with
+    a unique ORDER BY key (doc_id) is tie-free on both engines."""
+    ranked = _ivf_ranked(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    j = ranked.select(F.col("vec_id").alias("doc_id"), "centroid").join(
+        d, "doc_id"
+    )
+    w = (
+        Window.partitionBy("centroid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        j.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")),
+        )
+        .selectExpr(
+            "centroid",
+            "doc_id",
+            "n_tokens",
+            f"cum_before DIV {PACK_BUDGET} AS pack_id",
+            f"cum_before % {PACK_BUDGET} AS pack_offset",
+        )
+    )

@@ -2483,3 +2483,95 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_K)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+# --- self-supervised positive-pair generation (independent cropping) -------------
+
+CROP_MIN_TOKENS = 8  #: docs shorter than this yield no pair (crop too thin)
+
+
+@query(
+    "contrastive_crop_pairs",
+    priority=150,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, toks,
+             CAST(len(toks) AS BIGINT) AS n,
+             GREATEST(CAST(2 AS BIGINT), CAST(len(toks) AS BIGINT) // 4)
+               AS crop_len
+      FROM t WHERE len(toks) >= {CROP_MIN_TOKENS}
+    ), placed AS (
+      SELECT doc_id, toks, n, crop_len,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % (n - crop_len + 1) + 1 AS a_start,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+                  AS BIGINT) % (n - crop_len + 1) + 1 AS p_start
+      FROM base
+    )
+    SELECT doc_id, n AS n_tokens, crop_len, a_start, p_start,
+           array_to_string(toks[a_start : a_start + crop_len - 1], ' ')
+             AS anchor,
+           array_to_string(toks[p_start : p_start + crop_len - 1], ' ')
+             AS positive,
+           CAST(len(list_intersect(toks[a_start : a_start + crop_len - 1],
+                                   toks[p_start : p_start + crop_len - 1]))
+                AS BIGINT) AS overlap_distinct
+    FROM placed
+    """,
+)
+def contrastive_crop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-SUPERVISED POSITIVE-PAIR GENERATION by independent cropping
+    (Contriever, Izacard et al. 2022; also the SimCSE-style augmentation a
+    retriever pretraining run feeds its contrastive loss): every document
+    of ≥ {CROP_MIN_TOKENS} tokens yields two independently-placed token
+    spans of length max(2, n/4) — the anchor/positive pair — plus the
+    distinct-token overlap the loss analysis wants (high-overlap pairs are
+    easy positives; zero-overlap pairs are the hard ones worth tracking).
+    Completes the contrastive data family: contrastive_hard_negatives
+    mines the negatives, this generates the positives.
+
+    Determinism (the epoch_shuffle_order discipline): crop placements are
+    md5(doc_id)-derived — two 32-bit hash halves mod the valid start range
+    — so a re-run (or the oracle) places every crop identically; no RNG,
+    no task-order dependence. Pure per-row projection: one corpus scan,
+    zero shuffles, fully codegen-able (split/slice/hash built-ins — the
+    UDF-free hot path). At 100 TB this is a map-only stage that chains
+    onto the tokenizer scan of whatever job runs next."""
+    toks = _tokens("text")
+    base = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks").cast("bigint"))
+        .filter(F.col("n") >= CROP_MIN_TOKENS)
+        .withColumn(
+            "crop_len", F.greatest(F.lit(2).cast("bigint"), F.expr("n DIV 4"))
+        )
+    )
+    h1 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    h2 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10
+    ).cast("bigint")
+    span = F.col("n") - F.col("crop_len") + 1
+    placed = base.withColumn("a_start", h1 % span + 1).withColumn(
+        "p_start", h2 % span + 1
+    )
+    a_crop = F.slice("toks", F.col("a_start").cast("int"), F.col("crop_len").cast("int"))
+    p_crop = F.slice("toks", F.col("p_start").cast("int"), F.col("crop_len").cast("int"))
+    return placed.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "crop_len",
+        "a_start",
+        "p_start",
+        F.array_join(a_crop, " ").alias("anchor"),
+        F.array_join(p_crop, " ").alias("positive"),
+        F.size(F.array_intersect(a_crop, p_crop))
+        .cast("bigint")
+        .alias("overlap_distinct"),
+    )
