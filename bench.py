@@ -9,6 +9,21 @@ analog of "job wall time" on a cluster. Output (last stdout line):
 
     {"metric": "bench_total_sec", "value": N, "unit": "sec",
      "queries": {"tpch_q1": s, ...}, "sf": 0.1}
+
+MEASUREMENT RULES (learned rounds 8-9; the committed BENCH_LOCAL.json is
+the round-over-round anchor, so it must be a STEADY-STATE record):
+
+- **Never commit a hot-host run.** Same-tree runs on this host swing ±25 %
+  (r8: 218.6 s vs 254.8 s minutes apart; the r9 driver artifact was +35 %
+  pure contention after a 9-minute pytest). Run the bench only after a
+  cool-down — no pytest suite or other bench in the same session — and if a
+  line looks regressed, re-run before believing it (per-query best-of-2 is
+  the adjudication method VERDICT r9 used).
+- **Warm-up methodology (round 9+):** the pre-timing noop materializations
+  of minhash_signatures/shingle_rows below shift the mapInPandas
+  first-touch cost OUT of whichever dedup line runs first. Dedup timings
+  from rounds ≤8 include that first-touch cost in one arbitrary line;
+  cross-round dedup comparisons must use round-9+ records only (ADVICE r9).
 """
 
 from __future__ import annotations

@@ -2168,6 +2168,16 @@ def semantic_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     topic-agnostic sibling (greedy by length alone); this one trades a
     join against the embedding table for semantic coherence.
 
+    LOADER CONTRACT (ADVICE r9): pack_id is where the document STARTS
+    (cum_before DIV PACK_BUDGET), so a document straddling a pack boundary
+    spills past PACK_BUDGET within its start pack — the loader must RE-CUT
+    at PACK_BUDGET-token boundaries, carrying the overflow into pack_id+1
+    (the spill length is pack_offset + n_tokens - PACK_BUDGET when
+    positive, computable per row without re-summing). For loaders that
+    want no boundary arithmetic at all, ``semantic_pack_spans`` emits the
+    split/carry layout pre-computed: one row per (document, pack) span
+    with exact in-document token ranges.
+
     Scale shape: one equi-join (documents ⋈ cell assignment on the shared
     key) and one PARTITIONED running-sum window (per centroid — never a
     single-partition global window); both sides are the maintained

@@ -167,3 +167,97 @@ def test_expire_versions_removes_dead_commit_dirs_and_sidecars(spark, tmp_path):
     assert not any(os.path.exists(d) for d in dir_a)  # dir + sidecars gone
     assert all(os.path.exists(d) for d in dir_b)      # live dir untouched
     assert sorted(r.x for r in t.read(spark).collect()) == [10, 11]
+
+
+def test_compact_small_files_accounting(spark, tmp_path):
+    """Compaction must: shrink the file count, keep reads row-identical,
+    leave the pre-compaction version readable, skip already-large files,
+    and let the retention vacuum reclaim exactly the small originals."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    t.commit(df.filter("k < 500").repartition(8))     # v1: 8 small files
+    t.commit(df.filter("k >= 500").repartition(8))    # v2: +8 small files
+    pre_files = t._files(2)
+    assert len(pre_files) == 16
+    pre_rows = sorted(r.k for r in t.read(spark, 2).collect())
+
+    v3 = t.compact_small_files(
+        spark, target_bytes=1 << 30, cluster_by=("k",), stats_cols=("k",)
+    )
+    assert v3 == 3
+    post_files = t._files(3)
+    assert len(post_files) < len(pre_files)
+    assert set(post_files).isdisjoint(pre_files)  # manifest swap, no reuse
+    # bit-identical logical content
+    assert sorted(r.k for r in t.read(spark, 3).collect()) == pre_rows
+    # pre-compaction version untouched and still readable
+    assert t._files(2) == pre_files
+    assert sorted(r.k for r in t.read(spark, 2).collect()) == pre_rows
+    # compacted layout carries fresh stats → a box probe prunes (range-
+    # clustered on k, so at most a couple of files can intersect the box)
+    kept, total = t.plan_files(3, where=("k", 0, 10))
+    assert kept and len(kept) < max(2, total)
+    # vacuum reclaims the small originals once v1/v2 expire
+    dropped, deleted = t.expire_versions(keep_latest=1)
+    assert dropped == [1, 2] and set(deleted) == set(pre_files)
+    assert not any(os.path.exists(f) for f in pre_files)
+    assert sorted(r.k for r in t.read(spark).collect()) == pre_rows
+
+
+def test_compact_skips_large_files_and_noops(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    t.commit(df.coalesce(1))                 # one "large" file (below)
+    t.commit(df.repartition(4))              # four small files
+    big = t._files(1)[0]
+    # threshold set between the sizes: only the 4 repartitioned files are
+    # "small" (they're each ~1/4 the rows of the big one)
+    thresh = os.path.getsize(big)
+    v3 = t.compact_small_files(spark, small_bytes=thresh, target_bytes=1 << 30)
+    assert v3 == 3
+    assert big in t._files(3)                # untouched large file kept
+    assert len(t._files(3)) < len(t._files(2))
+    # fewer than two small files -> no-op, no new version
+    v_same = t.compact_small_files(spark, small_bytes=1)
+    assert v_same == 3 and t.latest_version() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.compact_small_files(spark, version=1)   # head-only maintenance
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Append with an extra column evolves the table schema additively:
+    the latest read surfaces the new column (NULL for pre-evolution
+    files), old-version reads keep the old shape, incremental reads use
+    the target version's schema, and type changes are refused."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1, 2, 3]))                               # v1
+    t.commit(
+        spark.createDataFrame([(10, "a"), (11, "b")], "x bigint, tag string")
+    )                                                             # v2
+    v2 = t.read(spark, 2)
+    assert v2.columns == ["x", "tag"]
+    got = {r.x: r.tag for r in v2.collect()}
+    assert got == {1: None, 2: None, 3: None, 10: "a", 11: "b"}
+    # old version: old shape, unchanged
+    assert t.read(spark, 1).columns == ["x"]
+    # incremental read under the evolved target schema
+    inc = t.read_incremental(spark, 1, 2)
+    assert inc.columns == ["x", "tag"]
+    # new-schema-only append keeps working; dropping a column is additive
+    # too (the missing column stays, NULL for the new files)
+    t.commit(spark.createDataFrame([("c",)], "tag string"))       # v3
+    v3 = t.read(spark, 3)
+    assert v3.columns == ["x", "tag"]
+    assert [r.tag for r in v3.filter("x IS NULL").collect()] == ["c"]
+    # type change is corruption, not evolution
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema evolution"):
+        t.commit(spark.createDataFrame([(1.5,)], "x double"))
+    # compaction preserves the evolved schema and the NULL backfill
+    v4 = t.compact_small_files(spark, target_bytes=1 << 30)
+    assert v4 == 4
+    rows = {r.x: r.tag for r in t.read(spark, 4).collect()}
+    assert rows == {1: None, 2: None, 3: None, 10: "a", 11: "b", None: "c"}
