@@ -2214,3 +2214,149 @@ def semantic_pack_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cum_before % {PACK_BUDGET} AS pack_offset",
         )
     )
+
+
+# --- persistent IVF serving index: maintained across ingest batches --------------
+
+#: Ingest batches as vec_id % ANN_INCR_MOD remainders. Neither remainder can
+#: contain a centroid (multiples of CENTROID_MOD are ≡ 0 mod 10), so the
+#: codebook is fully owned by the standing corpus and stays FROZEN across
+#: batches — the production IVF contract (re-training the quantizer would
+#: invalidate every stored assignment).
+ANN_INCR_MOD = 10
+ANN_B1 = 3
+ANN_B2 = 7
+ANN_SERVE_K = 5  #: neighbors returned per probe
+
+
+@query(
+    "ann_persistent_ivf",
+    priority=150,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ), a AS (
+      SELECT vec_id, embedding, c_id AS centroid
+      FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cosine_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    idx1 AS (SELECT * FROM a WHERE vec_id % {ANN_INCR_MOD} NOT IN ({ANN_B1}, {ANN_B2})),
+    b1   AS (SELECT * FROM a WHERE vec_id % {ANN_INCR_MOD} = {ANN_B1}),
+    b2   AS (SELECT * FROM a WHERE vec_id % {ANN_INCR_MOD} = {ANN_B2}),
+    idx2 AS (SELECT * FROM idx1 UNION ALL SELECT * FROM b1),
+    hits AS (
+      SELECT 1 AS batch, v.vec_id AS q_id, u.vec_id AS nb_id,
+             ROUND({_cosine_sql('u.embedding', 'v.embedding')}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_cosine_sql('u.embedding', 'v.embedding')}, 6)
+                          DESC, u.vec_id
+             ) AS rnk
+      FROM b1 v JOIN idx1 u ON u.centroid = v.centroid
+      UNION ALL
+      SELECT 2 AS batch, v.vec_id AS q_id, u.vec_id AS nb_id,
+             ROUND({_cosine_sql('u.embedding', 'v.embedding')}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND({_cosine_sql('u.embedding', 'v.embedding')}, 6)
+                          DESC, u.vec_id
+             ) AS rnk
+      FROM b2 v JOIN idx2 u ON u.centroid = v.centroid
+    )
+    SELECT batch, q_id, nb_id, cos_sim, rnk
+    FROM hits WHERE rnk <= {ANN_SERVE_K}
+    """,
+)
+def ann_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTENT IVF SERVING INDEX, maintained across ingest batches —
+    the similarity-family twin of ``dedup_persistent_index`` (VERDICT r9
+    next-round item 4). The cell-assignment table (vec_id, centroid,
+    embedding) lives in a versioned ``SnapshotTable``: v1 commits the
+    standing corpus's assignments clustered by centroid; each ingest batch
+    (1) assigns its vectors against the FROZEN codebook, (2) retrieves its
+    top-{ANN_SERVE_K} same-cell neighbors from the CURRENT index version
+    through the manifest reader, then (3) appends its own assignments as
+    the next version. Batch 2 therefore retrieves batch-1 vectors ONLY
+    because batch 1 was persisted in between — the oracle's idx2 CTE pins
+    exactly that visibility (the dedup idx2 pattern), and the crafted test
+    in tests/test_round10_edges.py pins it on a corpus where the
+    cross-batch neighbor is the UNIQUE near-duplicate.
+
+    Scale shape: the index is append-only parquet clustered by centroid at
+    write (at 100 TB: partitioned-by-cell files, so a probe's cell is a
+    contiguous file subset); probes never rescan the corpus — one
+    equi-join on centroid against the manifest's file list, O(probes ×
+    cell-size) scored pairs (the inherent IVF serving cost, bounded by the
+    codebook size), per-probe ranking windows. Retrieval ranks by
+    6-decimal-rounded cosine with vec_id tiebreak (tie-deterministic both
+    engines); assignment argmax uses the raw cosine (the `_ivf_ranked`
+    convention). Retention composes with ``expire_versions``; small-file
+    accumulation across many batches composes with
+    ``compact_small_files`` (row-identical manifest swap)."""
+    import shutil
+
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+    from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
+
+    emb = table(spark, sf_dir, "embeddings")
+    rem = F.col("vec_id") % ANN_INCR_MOD
+    cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+
+    def assign(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(cent))
+            .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
+            .withColumn("arn", F.row_number().over(w_assign))
+            .filter(F.col("arn") == 1)
+            .select("vec_id", "embedding", F.col("c_id").alias("centroid"))
+        )
+
+    base = scratch(sf_tag(sf_dir), "ann_ivf_index")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    version = t.commit(
+        assign(emb.filter(~rem.isin(ANN_B1, ANN_B2))).repartition("centroid")
+    )
+
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nb_id"))
+    hits = []
+    for batch_no, r in ((1, ANN_B1), (2, ANN_B2)):
+        probes = assign(emb.filter(rem == r)).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            "centroid",
+        )
+        idx = t.read(spark, version).select(
+            F.col("vec_id").alias("nb_id"),
+            F.col("embedding").alias("nb_emb"),
+            "centroid",
+        )
+        hits.append(
+            probes.join(idx, "centroid")
+            .withColumn(
+                "cos_sim", F.round(cosine(F.col("nb_emb"), F.col("q_emb")), 6)
+            )
+            .withColumn("rnk", F.row_number().over(w_rank))
+            .filter(F.col("rnk") <= ANN_SERVE_K)
+            .select(
+                F.lit(batch_no).cast("int").alias("batch"),
+                "q_id",
+                "nb_id",
+                "cos_sim",
+                "rnk",
+            )
+        )
+        version = t.commit(
+            assign(emb.filter(rem == r)).repartition("centroid")
+        )
+    return hits[0].unionAll(hits[1])

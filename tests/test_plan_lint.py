@@ -74,6 +74,10 @@ BNLJ_ALLOWED = {
     # as ann_recall_at_k_eval): constant query set × corpus; the ADC side
     # under comparison is pure equi-joins over (m, code)
     "eval_pq_adc_recall",
+    # the semdedup_prune IVF-assignment shape twice over (standing corpus
+    # and probe batches each × the ~constant frozen-codebook broadcast);
+    # the index probe itself is an equi-join on the centroid
+    "ann_persistent_ivf",
 }
 
 FORBIDDEN_EVERYWHERE = ("CartesianProduct",)
