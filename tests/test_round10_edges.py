@@ -46,3 +46,59 @@ def test_ann_persistent_ivf_cross_batch_neighbor(spark, tmp_path_factory):
     # (0.8) is the runner-up
     assert by[(2, 7, 1)]["nb_id"] == 13 and by[(2, 7, 1)]["cos_sim"] >= 0.999999
     assert by[(2, 7, 2)]["nb_id"] == 0 and by[(2, 7, 2)]["cos_sim"] == 0.8
+
+
+def _two_table_dir(tmp_path_factory, name, docs, embs):
+    """Crafted fixture with BOTH documents and embeddings (the pack ops
+    join them on doc_id = vec_id)."""
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp(name)
+    pd.DataFrame(docs).to_parquet(d / "documents.parquet")
+    pd.DataFrame(embs).to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+def test_semantic_pack_spans_split_carry(spark, tmp_path_factory):
+    """A 1200-token document must split across packs 0/1/2 (512+512+176)
+    and the next document must START mid-pack-2 at offset 176 — the
+    split/carry layout the loader consumes without re-cutting. Every pack
+    except the cell's last must be exactly PACK_BUDGET tokens full."""
+    from serverless_mapreduce_spark.operators.similarity import (
+        PACK_BUDGET,
+        semantic_pack_spans,
+    )
+
+    assert PACK_BUDGET == 512  # the expectations below are written for 512
+    docs = [
+        {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(1200))},
+        {"doc_id": 2, "text": " ".join(f"x{i}" for i in range(100))},
+        {"doc_id": 3, "text": ""},  # zero tokens -> no span
+    ]
+    embs = [
+        {"vec_id": 0, "embedding": [1.0, 0.0]},   # the only centroid
+        {"vec_id": 1, "embedding": [1.0, 0.0]},
+        {"vec_id": 2, "embedding": [0.9, 0.1]},
+        {"vec_id": 3, "embedding": [0.8, 0.2]},
+    ]
+    d = _two_table_dir(tmp_path_factory, "packspans", docs, embs)
+    got = agree_rows(spark, d, semantic_pack_spans, "semantic_pack_spans",
+                     as_dicts=True)
+    rows = {(r["doc_id"], r["pack_id"]):
+            (r["pack_offset"], r["tok_start"], r["tok_end"], r["span_len"])
+            for r in got}
+    assert rows == {
+        (1, 0): (0, 0, 512, 512),
+        (1, 1): (0, 512, 1024, 512),
+        (1, 2): (0, 1024, 1200, 176),
+        (2, 2): (176, 0, 100, 100),
+    }
+    # invariant: non-terminal packs are exactly full
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for r in got:
+        fill[(r["centroid"], r["pack_id"])] += r["span_len"]
+    last = max(p for _, p in fill)
+    for (c, p), tot in fill.items():
+        assert tot == 512 or p == last
