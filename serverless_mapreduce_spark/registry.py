@@ -163,6 +163,7 @@ def _ensure_loaded() -> None:
     )
     from serverless_mapreduce_spark.streaming import (  # noqa: F401
         file_sink,
+        snapshot_sink,
         stream_queries,
         upsert_sink,
     )

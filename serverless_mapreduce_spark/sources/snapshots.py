@@ -181,7 +181,12 @@ class SnapshotTable:
         return entries
 
     def _publish(
-        self, entries: list[dict], mode: str, schema, parent: int | None
+        self,
+        entries: list[dict],
+        mode: str,
+        schema,
+        parent: int | None,
+        extra: dict | None = None,
     ) -> int:
         """Atomically publish a new manifest over ``entries`` (write-temp +
         rename, the files-then-pointer ordering in the class docstring)."""
@@ -189,11 +194,68 @@ class SnapshotTable:
         body = {"version": version, "mode": mode, "files": entries}
         if schema is not None:
             body["schema"] = json.dumps(schema.jsonValue())
+        if extra:
+            body.update(extra)
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
         with open(tmp, "w") as fh:
             json.dump(body, fh)
         os.rename(tmp, self._manifest_path(version))
         return version
+
+    # -- streaming ingest (exactly-once per micro-batch) -------------------
+
+    def committed_stream_batches(self, stream_id: str) -> set[int]:
+        """Micro-batch ids already committed by ``stream_id`` — read from
+        the manifests themselves, so the dedup survives ANY crash that the
+        manifest survives (the Delta ``txnAppId``/``txnVersion`` idempotent-
+        writer pattern: the transaction log is the source of truth, never a
+        side file that could desync from it)."""
+        out: set[int] = set()
+        for v in self.versions():
+            with open(self._manifest_path(v)) as fh:
+                raw = json.load(fh)
+            if raw.get("stream_id") == stream_id and "stream_batch_id" in raw:
+                out.add(raw["stream_batch_id"])
+        return out
+
+    def commit_stream_batch(
+        self,
+        df: DataFrame,
+        stream_id: str,
+        batch_id: int,
+        stats_cols: tuple[str, ...] = (),
+    ) -> int | None:
+        """Append one micro-batch EXACTLY ONCE: foreachBatch delivers
+        at-least-once (a batch whose commit landed but whose checkpoint
+        offset write crashed is redelivered on restart), so the commit
+        must be idempotent on (stream_id, batch_id). A replayed batch is
+        recognized from the manifest history and skipped — no files
+        written, no version published; returns None for the skip, else
+        the new version. The check-then-write is single-writer-safe (one
+        streaming query owns a sink); multi-writer would CAS the manifest
+        pointer like every other commit path.
+
+        Retention interaction: the ledger lives in the manifests, so
+        ``expire_versions`` must keep at least the streaming checkpoint's
+        replay horizon (the same operational contract Delta documents for
+        txnVersion retention) — expiring a version whose batch id could
+        still be redelivered re-opens the duplicate window. Pinned by
+        tests/test_snapshot_sink.py's maintenance-composition test."""
+        if batch_id in self.committed_stream_batches(stream_id):
+            return None
+        entries = self._write_data(df, stats_cols)
+        parent = self.latest_version()
+        schema = df.schema
+        if parent is not None:
+            entries = self._entries(parent) + entries
+            schema = _merge_schemas(self._schema(parent), df.schema)
+        return self._publish(
+            entries,
+            "append",
+            schema,
+            parent,
+            extra={"stream_id": stream_id, "stream_batch_id": batch_id},
+        )
 
     # -- read -------------------------------------------------------------
 

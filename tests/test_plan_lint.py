@@ -34,6 +34,7 @@ SIDE_EFFECTING = {
     "kv_jdbc_roundtrip",
     "sink_overwrite_partition_dynamic",
     "stream_kv_jdbc_sink",
+    "stream_snapshot_ingest",
     "export_training_shards",
     "snapshot_vacuum_retention",
     # construction executes the triangle join + degree scalars driver-side
