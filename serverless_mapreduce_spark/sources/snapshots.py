@@ -202,6 +202,109 @@ class SnapshotTable:
         os.rename(tmp, self._manifest_path(version))
         return version
 
+    # -- row-level changes (copy-on-write) --------------------------------
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        *,
+        prune: tuple[str, float, float] | None = None,
+        stats_cols: tuple[str, ...] = (),
+    ) -> int:
+        """COPY-ON-WRITE DELETE (Delta DELETE / Iceberg copy-on-write
+        row delete): publish a version in which rows matching
+        ``condition`` are gone, rewriting ONLY the files that can contain
+        them. ``prune`` is the manifest-stats box of the predicate: files
+        whose recorded [min, max] cannot intersect it are carried into the
+        new manifest UNTOUCHED (same path, same bytes — pinned by
+        tests/test_snapshots.py), which is what makes a targeted purge
+        (GDPR erasure, a dedup keep-list, a bad-ingest rollback) O(affected
+        files) instead of O(table) at 100 TB. Files without stats for the
+        prune column are conservatively rewritten. The old version still
+        shows the deleted rows (time travel) until retention expires it —
+        real erasure compliance = delete_where + expire_versions, which is
+        exactly how Delta/Iceberg document it."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        entries = self._entries(version)
+        if prune is not None:
+            col, lo, hi = prune
+            cand, kept = [], []
+            for e in entries:
+                rng = e.get("stats", {}).get(col)
+                (cand if rng is None or (rng[0] <= hi and rng[1] >= lo) else kept).append(e)
+        else:
+            cand, kept = entries, []
+        if not cand:
+            return version
+        survivors = (
+            self._reader(spark, version)
+            .parquet(*[e["path"] for e in cand])
+            .filter(f"NOT ({condition})")
+        )
+        new_entries = self._write_data(survivors, stats_cols)
+        return self._publish(
+            kept + new_entries, "delete", self._schema(version), version
+        )
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_cols: tuple[str, ...],
+        stats_cols: tuple[str, ...] = (),
+    ) -> int:
+        """COPY-ON-WRITE MERGE (Delta MERGE INTO / upsert): rows of
+        ``updates`` REPLACE table rows with the same key; unmatched update
+        rows are inserts. Shape: (1) find the files that contain a
+        matching key — one left-semi equi-join of the table against the
+        BROADCAST update batch, grouped to file granularity via
+        ``input_file_name`` (the collect is file-count-sized, manifest
+        metadata, never row-proportional); (2) rewrite only those files
+        with matched rows anti-joined out; (3) write the update batch
+        itself; (4) publish untouched files + rewrites + updates as one
+        atomic version. Cost is O(affected files + batch) — the merge the
+        reference cannot express at all (its sinks clobber whole objects,
+        ``output_handler_s3.py:41-53``). Update batches are ingest-sized
+        by contract (a table-sized batch should be an overwrite commit
+        instead), hence the unconditional broadcast of the key set."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        entries = self._entries(version)
+        keys = list(key_cols)
+        key_df = updates.select(*keys)
+        src = self._reader(spark, version).parquet(*[e["path"] for e in entries])
+        affected_rows = (
+            src.withColumn("_file", F.input_file_name())
+            .join(F.broadcast(key_df), keys, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        from urllib.parse import unquote, urlparse
+
+        affected = {unquote(urlparse(r["_file"]).path) for r in affected_rows}
+        kept = [e for e in entries if os.path.abspath(e["path"]) not in affected]
+        rewrite = [e for e in entries if os.path.abspath(e["path"]) in affected]
+        new_entries: list[dict] = []
+        if rewrite:
+            survivors = (
+                self._reader(spark, version)
+                .parquet(*[e["path"] for e in rewrite])
+                .join(F.broadcast(key_df), keys, "left_anti")
+            )
+            new_entries += self._write_data(survivors, stats_cols)
+        schema = _merge_schemas(self._schema(version), updates.schema)
+        up = updates
+        for f in schema.fields:  # align update batch to the evolved shape
+            if f.name not in updates.columns:
+                up = up.withColumn(f.name, F.lit(None).cast(f.dataType))
+        new_entries += self._write_data(up.select([f.name for f in schema.fields]), stats_cols)
+        return self._publish(kept + new_entries, "merge", schema, version)
+
     # -- streaming ingest (exactly-once per micro-batch) -------------------
 
     def committed_stream_batches(self, stream_id: str) -> set[int]:
@@ -1010,4 +1113,141 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         v2row.unionAll(by_band(t.read(spark, 3), "v3"))
         .unionAll(by_band(t.read_incremental(spark, 1, 3), "incr"))
+    )
+
+
+# --- copy-on-write row-level delete ------------------------------------------
+
+DEL_LO = 300  #: the purged o_custkey box (a GDPR-style erasure set)
+DEL_HI = 400
+
+
+@query(
+    "snapshot_delete_where",
+    priority=150,
+    oracle=f"""
+    SELECT 'pre_delete' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    UNION ALL
+    SELECT 'post_delete' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE NOT (o_custkey BETWEEN {DEL_LO} AND {DEL_HI})
+    """,
+)
+def snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE ROW DELETE: commit orders range-clustered on
+    o_custkey with manifest stats, then erase the {DEL_LO}..{DEL_HI}
+    custkey box — the GDPR-erasure / bad-ingest-purge operation. The
+    delete rewrites ONLY the files whose stats intersect the box (the
+    range clustering makes that a small minority — tests/test_snapshots.py
+    pins that the other files survive with IDENTICAL paths, i.e. zero
+    bytes rewritten for them) and publishes an atomic new version; the
+    pre-delete version remains time-travel readable until retention
+    expires it, which is the documented compliance pipeline
+    (delete_where → expire_versions). The query aggregates both versions
+    through the manifest reader: the pre row proves the old snapshot is
+    intact, the post row proves exactly the box vanished."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_delete")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    t.commit(
+        orders.repartitionByRange(8, "o_custkey"), stats_cols=("o_custkey",)
+    )
+    post = t.delete_where(
+        spark,
+        f"o_custkey BETWEEN {DEL_LO} AND {DEL_HI}",
+        prune=("o_custkey", DEL_LO, DEL_HI),
+        stats_cols=("o_custkey",),
+    )  # at tiny SFs the box may prune every file (nothing to delete) and
+    # the version is unchanged — the oracle agrees, since no row matches
+
+    def agg(df: DataFrame, probe: str) -> DataFrame:
+        return df.agg(
+            F.lit(probe).alias("probe"),
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+
+    return agg(t.read(spark, 1), "pre_delete").unionAll(
+        agg(t.read(spark, post), "post_delete")
+    )
+
+
+# --- copy-on-write merge (upsert) --------------------------------------------
+
+UPSERT_MOD = 97   #: o_orderkey % UPSERT_MOD == 0 → row is UPDATED in place
+INSERT_MOD = 89   #: o_orderkey % INSERT_MOD == 0 → cloned as a NEW key
+INSERT_OFFSET = 100_000_000  #: far above any fixture orderkey
+
+
+@query(
+    "snapshot_merge_upsert",
+    priority=150,
+    oracle=f"""
+    WITH merged AS (
+      SELECT CASE WHEN o_orderkey % {UPSERT_MOD} = 0 THEN 'X-UPSERT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+      UNION ALL
+      SELECT 'NEW' AS o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % {INSERT_MOD} = 0
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY o_orderpriority
+    """,
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE MERGE / UPSERT: v1 commits orders; the update batch
+    REWRITES every o_orderkey ≡ 0 (mod {UPSERT_MOD}) row with priority
+    'X-UPSERT' (same key — an in-place update) and INSERTS a clone of
+    every mod-{INSERT_MOD} row under a fresh key (+{INSERT_OFFSET}) with
+    priority 'NEW'. ``merge_upsert`` locates the files holding matched
+    keys (one broadcast left-semi join, file-granular), rewrites only
+    those with the matched rows anti-joined out, appends the batch, and
+    publishes atomically. The per-priority aggregate over the merged
+    table is fully integer (counts + decimal cents): a lost update leaves
+    mass in the original priority bucket, a double-apply doubles
+    'X-UPSERT', a lost insert empties 'NEW' — every failure mode moves
+    the values off the oracle."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_merge")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    t.commit(orders.repartition(8))
+    updates = (
+        orders.filter(F.col("o_orderkey") % UPSERT_MOD == 0)
+        .withColumn("o_orderpriority", F.lit("X-UPSERT"))
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % INSERT_MOD == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + INSERT_OFFSET)
+            .withColumn("o_orderpriority", F.lit("NEW"))
+        )
+    )
+    t.merge_upsert(spark, updates, ("o_orderkey",))
+    return (
+        t.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
     )

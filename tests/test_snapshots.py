@@ -261,3 +261,53 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert v4 == 4
     rows = {r.x: r.tag for r in t.read(spark, 4).collect()}
     assert rows == {1: None, 2: None, 3: None, 10: "a", 11: "b", None: "c"}
+
+
+def test_delete_where_rewrites_only_intersecting_files(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    t.commit(df.repartitionByRange(10, "k"), stats_cols=("k",))
+    pre = t._files(1)
+    v2 = t.delete_where(
+        spark, "k BETWEEN 150 AND 250", prune=("k", 150, 250), stats_cols=("k",)
+    )
+    assert v2 == 2
+    post = set(t._files(2))
+    survivors_untouched = post & set(pre)
+    # range-clustered: at most ~3 of 10 files intersect the box; the rest
+    # must be carried over byte-identical (same path, never rewritten)
+    assert len(survivors_untouched) >= 7
+    got = sorted(r.k for r in t.read(spark, 2).collect())
+    assert got == [k for k in range(1000) if not (150 <= k <= 250)]
+    # time travel: the purge is invisible in v1 until retention runs
+    assert t.read(spark, 1).count() == 1000
+    # a second identical delete finds nothing new but still rewrites the
+    # candidate files (no silent no-op semantics for deletes)
+    assert sorted(r.k for r in t.read(spark, t.delete_where(
+        spark, "k BETWEEN 150 AND 250", prune=("k", 150, 250))).collect()) == got
+
+
+def test_merge_upsert_file_accounting_and_evolution(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame([(k, k * 10) for k in range(100)], "k BIGINT, v BIGINT")
+    t.commit(df.repartitionByRange(4, "k"))
+    pre = t._files(1)
+    assert len(pre) == 4
+    # updates touch only keys 0..9 → exactly one of the four range files
+    ups = spark.createDataFrame(
+        [(5, 555, "u"), (7, 777, "u"), (200, 2000, "i")],
+        "k BIGINT, v BIGINT, tag STRING",   # tag = NEW column (evolution)
+    )
+    v2 = t.merge_upsert(spark, ups, ("k",))
+    assert v2 == 2
+    post = set(t._files(2))
+    # three untouched range files carried over; the hit file replaced
+    assert len(post & set(pre)) == 3
+    rows = {r.k: (r.v, r.tag) for r in t.read(spark, 2).collect()}
+    assert rows[5] == (555, "u") and rows[7] == (777, "u")     # updated
+    assert rows[200] == (2000, "i")                            # inserted
+    assert rows[6] == (60, None) and rows[99] == (990, None)   # untouched
+    assert len(rows) == 101
+    # old version unchanged, old shape
+    assert t.read(spark, 1).columns == ["k", "v"]
+    assert t.read(spark, 1).count() == 100
