@@ -2471,3 +2471,80 @@ def dedup_persistent_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_jaccard",
         )
     )
+
+
+# --- apply the keep-list: copy-on-write purge of a snapshot corpus ---------------
+
+
+@query(
+    "dedup_purge_rewrite",
+    priority=150,
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, {SQL_CONTENT_KEY} AS ck FROM documents
+    ), keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, MIN(doc_id) OVER (PARTITION BY ck) AS keeper FROM keyed
+      ) WHERE doc_id = keeper
+    )
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(d.doc_id) AS BIGINT) AS xor_doc_id
+    FROM documents d JOIN keep ON keep.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_purge_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY THE KEEP-LIST — the curation step every dedup decision
+    operator here stops short of: physically rewrite the corpus so the
+    losers are GONE. The documents table is committed to a
+    ``SnapshotTable``; the exact-dedup rule (min doc_id per normalized
+    content key, the ``dedup_exact`` convention, NULL-safe via a window
+    instead of an equi-join — the r9 cascade lesson) produces the loser
+    id set; ``delete_keys`` then rewrites ONLY the files containing a
+    loser (copy-on-write, broadcast key set) and publishes the purged
+    version, which the query reads back and checksums per source
+    (bit_xor of surviving doc_ids — order-free, overflow-free, the
+    export_training_shards convention). The pre-purge version remains
+    time-travel readable until retention; purge + ``expire_versions`` is
+    the full erasure pipeline.
+
+    The synthetic fixture has NO exact duplicates below sf0.1 (the purge
+    legitimately no-ops and the version is unchanged — the oracle
+    agrees); the rewrite mechanics are pinned non-vacuously by a crafted
+    dual-engine corpus in tests/test_round10_edges.py and fire for real
+    at sf0.1 (8 duplicate content keys).
+
+    Scale: decision cost is the dedup groupBy (one digest-keyed
+    shuffle); apply cost is O(files containing losers + loser set),
+    never O(corpus) — at 100 TB with a clustered layout the losers'
+    files are a thin slice, and everything else carries over
+    path-identical."""
+    import shutil
+
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+    from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
+
+    base = scratch(sf_tag(sf_dir), "dedup_purge")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    docs = table(spark, sf_dir, "documents")
+    t.commit(docs.repartition(8))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ck")
+    losers = (
+        docs.select("doc_id", F.md5(_norm()).alias("ck"))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    purged = t.delete_keys(spark, losers, ("doc_id",))
+    return (
+        t.read(spark, purged)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("xor_doc_id"),
+        )
+    )

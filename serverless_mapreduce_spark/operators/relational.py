@@ -940,6 +940,59 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q6_FROM, Q6_TO = "1997-01-01", "1998-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY = 24
+
+
+@query(
+    "tpch_q6",
+    priority=150,
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_FROM} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q6_TO} 00:00:00'
+      AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+      AND l_quantity < {Q6_QTY}
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) — the one query of the suite
+    that was still unregistered: a pure predicate scan + single-row SUM,
+    no join, no shuffle beyond the final 1-row aggregate. The discount
+    product accumulates in exact DECIMAL and converts to double once
+    (order-independent, hash-exact — the registry contract). Scale story:
+    this is THE predicate-pushdown showcase — all four filters reach the
+    parquet scan (date + discount + quantity in PushedFilters), row
+    groups outside the ship-date year never decompress, and the
+    map-side partial sum makes the exchange one row per task.
+    Reference analog: the per-record filter+accumulate map functions of
+    the user jobs (``src/python/user_job_3/map.py``) — same shape, here
+    fully declarative. ``sql_tpch_q6`` is the spark.sql-surface twin;
+    this is the DataFrame-API member the rest of the tpch_q* family has."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_TO).cast("timestamp"))
+            & (F.col("l_discount") >= Q6_DISC_LO)
+            & (F.col("l_discount") <= Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 Q14_FROM, Q14_TO = "1997-09-01", "1997-10-01"
 
 

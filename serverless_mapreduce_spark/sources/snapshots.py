@@ -273,9 +273,33 @@ class SnapshotTable:
         version = self.latest_version()
         if version is None:
             raise ValueError("snapshot table has no committed version")
-        entries = self._entries(version)
         keys = list(key_cols)
-        key_df = updates.select(*keys)
+        kept, new_entries = self._rewrite_minus_keys(
+            spark, version, updates.select(*keys), keys, stats_cols
+        )
+        schema = _merge_schemas(self._schema(version), updates.schema)
+        up = updates
+        for f in schema.fields:  # align update batch to the evolved shape
+            if f.name not in updates.columns:
+                up = up.withColumn(f.name, F.lit(None).cast(f.dataType))
+        new_entries += self._write_data(up.select([f.name for f in schema.fields]), stats_cols)
+        return self._publish(kept + new_entries, "merge", schema, version)
+
+    def _rewrite_minus_keys(
+        self,
+        spark: SparkSession,
+        version: int,
+        key_df: DataFrame,
+        keys: list[str],
+        stats_cols: tuple[str, ...],
+    ) -> tuple[list[dict], list[dict]]:
+        """Shared copy-on-write core of :meth:`merge_upsert` and
+        :meth:`delete_keys`: locate the files containing any key of the
+        BROADCAST ``key_df`` (one left-semi join grouped to file
+        granularity — the collect is file-count-sized), rewrite only those
+        with matched rows anti-joined out. Returns (untouched entries,
+        rewritten entries)."""
+        entries = self._entries(version)
         src = self._reader(spark, version).parquet(*[e["path"] for e in entries])
         affected_rows = (
             src.withColumn("_file", F.input_file_name())
@@ -296,14 +320,39 @@ class SnapshotTable:
                 .parquet(*[e["path"] for e in rewrite])
                 .join(F.broadcast(key_df), keys, "left_anti")
             )
-            new_entries += self._write_data(survivors, stats_cols)
-        schema = _merge_schemas(self._schema(version), updates.schema)
-        up = updates
-        for f in schema.fields:  # align update batch to the evolved shape
-            if f.name not in updates.columns:
-                up = up.withColumn(f.name, F.lit(None).cast(f.dataType))
-        new_entries += self._write_data(up.select([f.name for f in schema.fields]), stats_cols)
-        return self._publish(kept + new_entries, "merge", schema, version)
+            new_entries = self._write_data(survivors, stats_cols)
+        return kept, new_entries
+
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        key_df: DataFrame,
+        key_cols: tuple[str, ...],
+        stats_cols: tuple[str, ...] = (),
+    ) -> int:
+        """COPY-ON-WRITE KEYED DELETE: remove every row whose key appears
+        in ``key_df`` — the "apply the keep-list" half of a curation run
+        (a dedup pass emits loser doc_ids; this rewrites only the files
+        that contain one). Same file-accounting contract as
+        :meth:`delete_where` (untouched files carry over path-identical)
+        but driven by a key SET instead of a predicate, so it composes
+        with any upstream decision operator. Key batches are
+        decision-output-sized by contract, hence the broadcast; a
+        table-sized loser set means the keep-list is the smaller side —
+        write THAT as an overwrite commit instead. Returns the version
+        (unchanged when no file contains a doomed key)."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        keys = list(key_cols)
+        kept, new_entries = self._rewrite_minus_keys(
+            spark, version, key_df.select(*keys), keys, stats_cols
+        )
+        if len(kept) == len(self._entries(version)):
+            return version
+        return self._publish(
+            kept + new_entries, "delete", self._schema(version), version
+        )
 
     # -- streaming ingest (exactly-once per micro-batch) -------------------
 

@@ -102,3 +102,28 @@ def test_semantic_pack_spans_split_carry(spark, tmp_path_factory):
     last = max(p for _, p in fill)
     for (c, p), tot in fill.items():
         assert tot == 512 or p == last
+
+
+def test_dedup_purge_rewrite_removes_losers(spark, tmp_path_factory):
+    """Crafted corpus with real exact duplicates (the synthetic fixture
+    has none below sf0.1): the purge must keep exactly the min-doc_id
+    copy of each content group — including the NULL-text group (the
+    NULL-safe-window lesson) — and drop the rest, dual-engine verified."""
+    from serverless_mapreduce_spark.operators.dedup import dedup_purge_rewrite
+
+    rows = [
+        {"doc_id": 1, "source": "web", "text": "alpha bravo charlie"},
+        {"doc_id": 2, "source": "web", "text": "alpha  bravo   charlie"},  # ws-dup of 1
+        {"doc_id": 3, "source": "web", "text": "unique one"},
+        {"doc_id": 4, "source": "book", "text": "ALPHA BRAVO CHARLIE"},    # case-dup of 1
+        {"doc_id": 5, "source": "book", "text": None},
+        {"doc_id": 6, "source": "book", "text": None},                     # NULL-dup of 5
+        {"doc_id": 7, "source": "book", "text": "unique two"},
+    ]
+    d = crafted_dir(tmp_path_factory, "purge", rows)
+    got = agree_rows(spark, d, dedup_purge_rewrite, "dedup_purge_rewrite",
+                     as_dicts=True)
+    by = {r["source"]: r for r in got}
+    # survivors: web {1, 3}; book {5, 7} (4 lost to 1 cross-source, 6 to 5)
+    assert by["web"]["n_docs"] == 2 and by["web"]["xor_doc_id"] == 1 ^ 3
+    assert by["book"]["n_docs"] == 2 and by["book"]["xor_doc_id"] == 5 ^ 7
