@@ -299,6 +299,26 @@ HEADLINE = (
     # partitioned running-sum packing stage.
     "contrastive_crop_pairs",
     "semantic_pack_order",
+    # round-10 additions — the table-maintenance/serving family: compaction
+    # (small-file rewrite + manifest swap), additive schema evolution
+    # (metadata-only commit + NULL-backfill read), copy-on-write delete and
+    # merge (stats-pruned / key-located partial rewrites), the keep-list
+    # purge, exactly-once streaming ingest (two stream drains + replay),
+    # the persistent IVF probe (snapshot commits + manifest-read probes),
+    # and the split/carry packing + nDCG eval riding the warmed IVF
+    # assignment. tpch_q6 is the pushdown-showcase scan.
+    "snapshot_compaction",
+    "snapshot_schema_evolution",
+    "snapshot_delete_where",
+    "snapshot_merge_upsert",
+    "dedup_purge_rewrite",
+    "stream_snapshot_ingest",
+    "ann_persistent_ivf",
+    "semantic_pack_spans",
+    "eval_retrieval_ndcg",
+    "tpch_q6",
+    # manifest-bloom point lookup: metadata-only file skipping + thin scan
+    "snapshot_point_lookup_bloom",
 )
 
 

@@ -41,6 +41,31 @@ from serverless_mapreduce_spark.paths import scratch, sf_tag
 from serverless_mapreduce_spark.registry import query
 
 
+#: Per-file Bloom filter parameters (manifest point-lookup skipping). With
+#: m = 16384 bits and k = 3 hashes, a 2,000-row file sits near 8 % fill per
+#: hash → ~2e-3 false-positive rate; at 100 TB the same numbers hold per
+#: FILE (files are bounded by target_bytes), not per table.
+BLOOM_M = 16384
+BLOOM_K = 3
+
+
+def _bloom_positions_sql(col: str, i: int) -> str:
+    """Bit position of hash ``i`` for ``col`` — crc32 over the utf-8 of
+    "<value>:<i>", identical in Spark (``crc32``) and Python
+    (``zlib.crc32``), so the PLANNER can re-derive probe positions without
+    an engine. NULLs hash to no position (a NULL key never point-looks-up)."""
+    return f"crc32(cast(concat(cast({col} AS STRING), ':{i}') AS BINARY)) % {BLOOM_M}"
+
+
+def _bloom_probe_positions(value) -> list[int]:
+    """The Python twin of :func:`_bloom_positions_sql` for planning time."""
+    import zlib
+
+    return [
+        zlib.crc32(f"{value}:{i}".encode()) % BLOOM_M for i in range(BLOOM_K)
+    ]
+
+
 def _merge_schemas(parent, incoming):
     """ADD-COLUMN schema evolution (Iceberg union-by-name, additive only):
     the merged schema is the parent's fields in order, plus incoming fields
@@ -121,7 +146,11 @@ class SnapshotTable:
     # -- write ------------------------------------------------------------
 
     def commit(
-        self, df: DataFrame, mode: str = "append", stats_cols: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
     ) -> int:
         """Write ``df``'s rows as new immutable files, publish version N+1.
 
@@ -139,7 +168,7 @@ class SnapshotTable:
         from the parquet footers they just wrote)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
-        entries = self._write_data(df, stats_cols)
+        entries = self._write_data(df, stats_cols, bloom_cols)
         parent = self.latest_version()
         schema = df.schema
         if mode == "append" and parent is not None:
@@ -147,9 +176,15 @@ class SnapshotTable:
             schema = _merge_schemas(self._schema(parent), df.schema)
         return self._publish(entries, mode, schema, parent)
 
-    def _write_data(self, df: DataFrame, stats_cols: tuple[str, ...]) -> list[dict]:
+    def _write_data(
+        self,
+        df: DataFrame,
+        stats_cols: tuple[str, ...],
+        bloom_cols: tuple[str, ...] = (),
+    ) -> list[dict]:
         """Write ``df`` as immutable parquet under a fresh uuid commit dir;
-        return manifest entries (with per-file min/max when asked)."""
+        return manifest entries (with per-file min/max and/or per-file
+        Bloom bitmaps when asked)."""
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, commit_id)
         df.write.mode("error").parquet(out_dir)
@@ -160,8 +195,6 @@ class SnapshotTable:
         )
         entries: list[dict] = [{"path": f} for f in new_files]
         if stats_cols:
-            from pyspark.sql import functions as F
-
             aggs = []
             for c in stats_cols:
                 aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
@@ -178,6 +211,29 @@ class SnapshotTable:
                     ent["stats"] = {
                         c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
                     }
+        for c in bloom_cols:
+            # one executor-side pass per bloom column: k bit positions per
+            # row (crc32, codegen), distinct per file, collected as the
+            # per-file set-bit list — the same O(files) driver footprint as
+            # min/max stats (a bitmap is ≤ BLOOM_M ints, bounded per file)
+            pos = F.explode(
+                F.array(
+                    *[F.expr(_bloom_positions_sql(c, i)) for i in range(BLOOM_K)]
+                )
+            ).alias("p")
+            rows = (
+                df.sparkSession.read.parquet(out_dir)
+                .filter(F.col(c).isNotNull())
+                .select(F.input_file_name().alias("f"), pos)
+                .groupBy("f")
+                .agg(F.collect_set("p").alias("bits"))
+                .collect()
+            )
+            by_base = {os.path.basename(r["f"]): sorted(r["bits"]) for r in rows}
+            for ent in entries:
+                bits = by_base.get(os.path.basename(ent["path"]))
+                if bits is not None:
+                    ent.setdefault("bloom", {})[c] = bits
         return entries
 
     def _publish(
@@ -434,6 +490,38 @@ class SnapshotTable:
         for e in entries:
             rng = e.get("stats", {}).get(col)
             if rng is None or (rng[0] <= hi and rng[1] >= lo):
+                kept.append(e["path"])
+        return kept, len(entries)
+
+    def plan_files_keys(
+        self, col: str, keys: list, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """POINT-LOOKUP FILE SKIPPING via per-file Bloom bitmaps — the
+        high-cardinality complement of min/max stats (``plan_files``): a
+        scattered key set defeats range pruning (every file's [min, max]
+        spans it), but a membership bitmap doesn't care about order. A
+        file survives iff, for SOME key, ALL {BLOOM_K} of that key's bit
+        positions are set in the file's bitmap (no false negatives, ~2e-3
+        false positives at the chosen m/k — a false positive costs one
+        wasted scan, never a wrong row, because callers still apply the
+        row filter). Files committed without a bloom for ``col`` are
+        conservatively kept. The decision is one manifest read + pure
+        Python hashing — no engine, no task, the Iceberg
+        bloom-filter-metadata mechanism in minimal form."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        probes = [_bloom_probe_positions(k) for k in keys]
+        entries = self._entries(version)
+        kept = []
+        for e in entries:
+            bits = e.get("bloom", {}).get(col)
+            if bits is None:
+                kept.append(e["path"])
+                continue
+            bs = set(bits)
+            if any(all(p in bs for p in pos) for pos in probes):
                 kept.append(e["path"])
         return kept, len(entries)
 
@@ -1299,4 +1387,52 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sum_cents"),
         )
+    )
+
+
+# --- Bloom-bitmap point-lookup file skipping ----------------------------------
+
+LOOKUP_KEYS = (7, 123, 456, 777, 1111)  #: the probed doc_ids
+
+
+@query(
+    "snapshot_point_lookup_bloom",
+    priority=150,
+    oracle=f"""
+    SELECT doc_id, source, md5(text) AS content_md5
+    FROM documents WHERE doc_id IN {LOOKUP_KEYS}
+    """,
+)
+def snapshot_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-BITMAP POINT LOOKUP: commit the documents corpus hash-
+    scattered across 16 files with a per-file Bloom bitmap on doc_id in
+    the manifest, then serve an IN-list lookup by planning ONLY the files
+    whose bitmaps can contain a probed key. This is the pruning mode
+    min/max stats cannot provide: a scattered key set intersects every
+    file's [min, max] range, so ``plan_files`` would keep all 16 — the
+    bitmap keeps ~|keys| of them (tests/test_snapshots.py pins the
+    planned-subset accounting and the no-false-negative contract). The
+    row filter still applies to the survivors (false positives cost a
+    wasted scan, never a wrong row), so the oracle equality holds no
+    matter how the bitmap performs.
+
+    Scale: at 100 TB a doc_id lookup against range stats scans the whole
+    table; against manifest blooms it scans O(keys) files after a pure-
+    metadata decision (one JSON read + k·|keys| crc32s in the planner —
+    no task launched). Iceberg/Delta ship the same mechanism as parquet
+    bloom metadata; keeping it in the manifest keeps the decision
+    footer-free."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_bloom")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    docs = table(spark, sf_dir, "documents")
+    t.commit(docs.repartition(16, "doc_id"), bloom_cols=("doc_id",))
+    files, _total = t.plan_files_keys("doc_id", list(LOOKUP_KEYS))
+    return (
+        t._reader(spark, t.latest_version())
+        .parquet(*files)
+        .filter(F.col("doc_id").isin(*LOOKUP_KEYS))
+        .select("doc_id", "source", F.md5("text").alias("content_md5"))
     )

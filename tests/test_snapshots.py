@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from serverless_mapreduce_spark.paths import scratch
 from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
 
@@ -311,3 +313,46 @@ def test_merge_upsert_file_accounting_and_evolution(spark, tmp_path):
     # old version unchanged, old shape
     assert t.read(spark, 1).columns == ["k", "v"]
     assert t.read(spark, 1).count() == 100
+
+
+def test_bloom_point_lookup_plans_subset_without_false_negatives(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    t.commit(df.repartition(16, "k"), bloom_cols=("k",))
+    keys = [5, 999, 1500]
+    files, total = t.plan_files_keys("k", keys)
+    assert total == 16
+    # each key lives in exactly one file; blooms may add rare false
+    # positives but must never exceed a handful of files
+    assert 1 <= len(files) <= 6
+    got = sorted(
+        r.k
+        for r in t._reader(spark, 1).parquet(*files)
+        .filter(F.col("k").isin(keys)).collect()
+    )
+    assert got == sorted(keys)  # no false negatives, ever
+    # absent keys may plan 0 files (the fastest possible lookup)
+    none_files, _ = t.plan_files_keys("k", [10**12])
+    assert len(none_files) <= 1
+    # files committed WITHOUT a bloom are conservatively kept
+    t.commit(spark.range(5000, 5100).withColumnRenamed("id", "k").coalesce(1))
+    files2, total2 = t.plan_files_keys("k", keys)
+    assert total2 == 17 and len(files2) == len(files) + 1
+
+
+def test_bloom_spark_python_hash_parity(spark):
+    """The planner re-derives bit positions in Python (zlib.crc32); the
+    bitmap was built by Spark's crc32. One mismatched position would
+    silently break the no-false-negative guarantee, so pin equality."""
+    from serverless_mapreduce_spark.sources.snapshots import (
+        BLOOM_K,
+        _bloom_positions_sql,
+        _bloom_probe_positions,
+    )
+
+    vals = [0, 7, 123456789, -5]
+    rows = spark.createDataFrame([(v,) for v in vals], "k BIGINT").selectExpr(
+        "k", *[f"{_bloom_positions_sql('k', i)} AS p{i}" for i in range(BLOOM_K)]
+    ).collect()
+    for r in rows:
+        assert [r[f"p{i}"] for i in range(BLOOM_K)] == _bloom_probe_positions(r["k"])
