@@ -319,6 +319,10 @@ HEADLINE = (
     "tpch_q6",
     # manifest-bloom point lookup: metadata-only file skipping + thin scan
     "snapshot_point_lookup_bloom",
+    # delta-cost index-stat refresh and the streaming dedup front door
+    # (two checkpointed drains + per-batch index probe/commit)
+    "search_index_incremental",
+    "stream_dedup_ingest",
 )
 
 

@@ -128,3 +128,174 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_versions", F.lit(t.latest_version()).cast("int"))
     )
+
+
+# --- streaming ingest with inline LSH dedup ----------------------------------
+
+
+def _dedup_ingest_oracle() -> str:
+    from serverless_mapreduce_spark.operators.dedup import (
+        _SQL_BAND_CTES,
+        INCR_MOD,
+        PERSIST_B1,
+        PERSIST_B2,
+    )
+
+    return f"""
+    WITH {_SQL_BAND_CTES},
+    idx1 AS (SELECT * FROM bands
+             WHERE doc_id % {INCR_MOD} NOT IN ({PERSIST_B1}, {PERSIST_B2})),
+    b1 AS (SELECT * FROM bands WHERE doc_id % {INCR_MOD} = {PERSIST_B1}),
+    b2 AS (SELECT * FROM bands WHERE doc_id % {INCR_MOD} = {PERSIST_B2}),
+    drop1 AS (
+      SELECT DISTINCT n.doc_id FROM b1 n JOIN idx1 o
+        ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+    ),
+    surv1 AS (
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN drop1 x ON x.doc_id = d.doc_id
+      WHERE d.doc_id % {INCR_MOD} = {PERSIST_B1} AND x.doc_id IS NULL
+    ),
+    idx2 AS (
+      SELECT * FROM idx1
+      UNION ALL SELECT b.* FROM b1 b JOIN surv1 s ON s.doc_id = b.doc_id
+    ),
+    drop2 AS (
+      SELECT DISTINCT n.doc_id FROM b2 n JOIN idx2 o
+        ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+    ),
+    surv2 AS (
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN drop2 x ON x.doc_id = d.doc_id
+      WHERE d.doc_id % {INCR_MOD} = {PERSIST_B2} AND x.doc_id IS NULL
+    ),
+    final AS (
+      SELECT doc_id, source FROM documents
+      WHERE doc_id % {INCR_MOD} NOT IN ({PERSIST_B1}, {PERSIST_B2})
+      UNION ALL SELECT d.doc_id, d.source FROM documents d
+                JOIN surv1 s ON s.doc_id = d.doc_id
+      UNION ALL SELECT d.doc_id, d.source FROM documents d
+                JOIN surv2 s ON s.doc_id = d.doc_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(doc_id) AS BIGINT) AS xor_doc_id
+    FROM final GROUP BY source
+    """
+
+
+DOCS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+@query("stream_dedup_ingest", priority=150, oracle=_dedup_ingest_oracle())
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INGEST WITH INLINE LSH DEDUP — the production front door
+    this round's pieces compose into: each micro-batch (1) bands its
+    documents (the dedup family's shared MinHash builders, batch-scoped),
+    (2) probes the CURRENT persistent band index through the manifest
+    reader, (3) drops every doc with a band collision against the index
+    (aggressive LSH mode — ``dedup_persistent_index`` demonstrates the
+    jaccard-verified variant of the same probe; the verify join composes
+    here unchanged), (4) commits the SURVIVORS to the corpus table and
+    their bands to the index table, both exactly-once via the manifest
+    batch ledger. Batch 2's duplicates-of-batch-1 are therefore dropped
+    ONLY because batch 1's bands were persisted in between — the oracle's
+    idx2 CTE pins the cross-batch visibility, and the whole flow is
+    driven by a real checkpointed stream (two drains over one checkpoint,
+    so delivery/replay semantics are the tested foreachBatch path, not a
+    batch simulation).
+
+    Two tables commit per batch (corpus, index), each idempotent on
+    (stream_id, batch_id); a crash between them redelivers the batch —
+    the corpus skip + index commit then CONVERGES (documented
+    single-table-atomicity contract). Blank docs band to nothing and
+    always survive (both engines, the shared blank-shingle convention).
+
+    Scale: per batch cost is O(batch bands + collisions) against a
+    clustered append-only index — the dedup_persistent_index shape now
+    attached to a live stream; corpus and index grow monotonically,
+    compaction/retention run between batches (test_snapshot_sink.py)."""
+    import glob
+    import os
+
+    from serverless_mapreduce_spark.catalog import table
+    from serverless_mapreduce_spark.operators.dedup import (
+        INCR_MOD,
+        PERSIST_B1,
+        PERSIST_B2,
+        _bands,
+        minhash_signatures,
+    )
+
+    base = scratch(sf_tag(sf_dir), "stream_dedup")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    corpus_dir, index_dir = os.path.join(base, "corpus"), os.path.join(base, "index")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+    corpus_t, index_t = SnapshotTable(corpus_dir), SnapshotTable(index_dir)
+    sid = "dedup_ingest"
+
+    docs = table(spark, sf_dir, "documents")
+    rem = F.col("doc_id") % INCR_MOD
+    standing = docs.filter(~rem.isin(PERSIST_B1, PERSIST_B2))
+    corpus_t.commit(standing)
+    index_t.commit(
+        _bands(minhash_signatures(standing)).repartition("band_idx", "band_hash")
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bands_b = _bands(minhash_signatures(batch_df)).select(
+            "doc_id", "band_idx", "band_hash"
+        )
+        idx = index_t.read(batch_df.sparkSession).select(
+            "band_idx", "band_hash"
+        )
+        dup_ids = (
+            F.broadcast(bands_b)
+            .join(idx, ["band_idx", "band_hash"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        survivors = batch_df.join(dup_ids, "doc_id", "left_anti")
+        corpus_t.commit_stream_batch(survivors, sid, batch_id)
+        index_t.commit_stream_batch(
+            _bands(minhash_signatures(survivors)).repartition(
+                "band_idx", "band_hash"
+            ),
+            sid,
+            batch_id,
+        )
+
+    def drain() -> None:
+        (
+            spark.readStream.schema(DOCS_DDL)
+            .parquet(src)
+            .writeStream.foreachBatch(ingest_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    def add_file(df: DataFrame, name: str) -> None:
+        tmp = os.path.join(src, f"_tmp_{name}")
+        df.select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    add_file(docs.filter(rem == PERSIST_B1), "batch1")
+    drain()                                    # micro-batch 0: batch 1 docs
+    add_file(docs.filter(rem == PERSIST_B2), "batch2")
+    drain()                                    # micro-batch 1: batch 2 docs
+
+    return (
+        corpus_t.read(spark)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("xor_doc_id"),
+        )
+    )

@@ -35,6 +35,7 @@ SIDE_EFFECTING = {
     "sink_overwrite_partition_dynamic",
     "stream_kv_jdbc_sink",
     "stream_snapshot_ingest",
+    "stream_dedup_ingest",
     "export_training_shards",
     "snapshot_vacuum_retention",
     # construction executes the triangle join + degree scalars driver-side
