@@ -2331,7 +2331,11 @@ def ann_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nb_id"))
     hits = []
     for batch_no, r in ((1, ANN_B1), (2, ANN_B2)):
-        probes = assign(emb.filter(rem == r)).select(
+        # one assignment per batch, persisted: the commit below and the
+        # probe join both consume it, and re-building it would re-run the
+        # codebook broadcast join + ranking window twice (r10 review)
+        ab = persist_tracked(assign(emb.filter(rem == r)))
+        probes = ab.select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             "centroid",
@@ -2356,9 +2360,7 @@ def ann_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rnk",
             )
         )
-        version = t.commit(
-            assign(emb.filter(rem == r)).repartition("centroid")
-        )
+        version = t.commit(ab.repartition("centroid"))
     return hits[0].unionAll(hits[1])
 
 

@@ -212,6 +212,31 @@ class SnapshotTable:
                         c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
                     }
         for c in bloom_cols:
+            # Hash parity contract: the bitmap is built from Spark's
+            # cast-to-STRING rendering, probed with Python str(value) —
+            # those renderings only agree for integer and plain string
+            # keys (doubles: "1.0E-7" vs "1e-07"; booleans: "true" vs
+            # "True"), and a mismatch is a FALSE NEGATIVE, i.e. wrong
+            # results, not a wasted scan. Refuse anything else loudly
+            # (r10 review).
+            from pyspark.sql.types import (
+                ByteType,
+                IntegerType,
+                LongType,
+                ShortType,
+                StringType,
+            )
+
+            dt = df.schema[c].dataType
+            if not isinstance(
+                dt, (ByteType, ShortType, IntegerType, LongType, StringType)
+            ):
+                raise ValueError(
+                    f"bloom_cols supports integer and string columns only; "
+                    f"{c!r} is {dt.simpleString()} (its Spark/Python string "
+                    "renderings diverge, which would break the "
+                    "no-false-negative guarantee)"
+                )
             # one executor-side pass per bloom column: k bit positions per
             # row (crc32, codegen), distinct per file, collected as the
             # per-file set-bit list — the same O(files) driver footprint as
@@ -231,9 +256,13 @@ class SnapshotTable:
             )
             by_base = {os.path.basename(r["f"]): sorted(r["bits"]) for r in rows}
             for ent in entries:
-                bits = by_base.get(os.path.basename(ent["path"]))
-                if bits is not None:
-                    ent.setdefault("bloom", {})[c] = bits
+                # a file absent from the aggregate has ZERO non-NULL keys:
+                # record an EMPTY bitmap so lookups always skip it, instead
+                # of leaving it bloom-less (= conservatively scanned
+                # forever, r10 review)
+                ent.setdefault("bloom", {})[c] = by_base.get(
+                    os.path.basename(ent["path"]), []
+                )
         return entries
 
     def _publish(
@@ -267,6 +296,7 @@ class SnapshotTable:
         *,
         prune: tuple[str, float, float] | None = None,
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
     ) -> int:
         """COPY-ON-WRITE DELETE (Delta DELETE / Iceberg copy-on-write
         row delete): publish a version in which rows matching
@@ -295,12 +325,17 @@ class SnapshotTable:
             cand, kept = entries, []
         if not cand:
             return version
+        # DELETE semantics are "remove rows where the condition is TRUE";
+        # a row where it evaluates NULL (NULL key) is NOT matched and must
+        # SURVIVE. A bare NOT(condition) filter would drop those rows too
+        # (NOT NULL is NULL under three-valued logic) — an unrequested
+        # erasure Delta/Iceberg DELETE would never perform (r10 review).
         survivors = (
             self._reader(spark, version)
             .parquet(*[e["path"] for e in cand])
-            .filter(f"NOT ({condition})")
+            .filter(f"NOT coalesce(({condition}), false)")
         )
-        new_entries = self._write_data(survivors, stats_cols)
+        new_entries = self._write_data(survivors, stats_cols, bloom_cols)
         return self._publish(
             kept + new_entries, "delete", self._schema(version), version
         )
@@ -311,6 +346,7 @@ class SnapshotTable:
         updates: DataFrame,
         key_cols: tuple[str, ...],
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
     ) -> int:
         """COPY-ON-WRITE MERGE (Delta MERGE INTO / upsert): rows of
         ``updates`` REPLACE table rows with the same key; unmatched update
@@ -331,14 +367,16 @@ class SnapshotTable:
             raise ValueError("snapshot table has no committed version")
         keys = list(key_cols)
         kept, new_entries = self._rewrite_minus_keys(
-            spark, version, updates.select(*keys), keys, stats_cols
+            spark, version, updates.select(*keys), keys, stats_cols, bloom_cols
         )
         schema = _merge_schemas(self._schema(version), updates.schema)
         up = updates
         for f in schema.fields:  # align update batch to the evolved shape
             if f.name not in updates.columns:
                 up = up.withColumn(f.name, F.lit(None).cast(f.dataType))
-        new_entries += self._write_data(up.select([f.name for f in schema.fields]), stats_cols)
+        new_entries += self._write_data(
+            up.select([f.name for f in schema.fields]), stats_cols, bloom_cols
+        )
         return self._publish(kept + new_entries, "merge", schema, version)
 
     def _rewrite_minus_keys(
@@ -348,6 +386,7 @@ class SnapshotTable:
         key_df: DataFrame,
         keys: list[str],
         stats_cols: tuple[str, ...],
+        bloom_cols: tuple[str, ...] = (),
     ) -> tuple[list[dict], list[dict]]:
         """Shared copy-on-write core of :meth:`merge_upsert` and
         :meth:`delete_keys`: locate the files containing any key of the
@@ -376,7 +415,7 @@ class SnapshotTable:
                 .parquet(*[e["path"] for e in rewrite])
                 .join(F.broadcast(key_df), keys, "left_anti")
             )
-            new_entries = self._write_data(survivors, stats_cols)
+            new_entries = self._write_data(survivors, stats_cols, bloom_cols)
         return kept, new_entries
 
     def delete_keys(
@@ -385,6 +424,7 @@ class SnapshotTable:
         key_df: DataFrame,
         key_cols: tuple[str, ...],
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
     ) -> int:
         """COPY-ON-WRITE KEYED DELETE: remove every row whose key appears
         in ``key_df`` — the "apply the keep-list" half of a curation run
@@ -402,7 +442,7 @@ class SnapshotTable:
             raise ValueError("snapshot table has no committed version")
         keys = list(key_cols)
         kept, new_entries = self._rewrite_minus_keys(
-            spark, version, key_df.select(*keys), keys, stats_cols
+            spark, version, key_df.select(*keys), keys, stats_cols, bloom_cols
         )
         if len(kept) == len(self._entries(version)):
             return version
@@ -640,6 +680,7 @@ class SnapshotTable:
         target_bytes: int = 128 << 20,
         cluster_by: tuple[str, ...] = (),
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
         version: int | None = None,
     ) -> int:
         """SMALL-FILE COMPACTION (Iceberg rewrite_data_files / Delta
@@ -691,27 +732,40 @@ class SnapshotTable:
         else:
             # no shuffle: merge the small read partitions down in place
             df = df.coalesce(n_out)
-        new_entries = self._write_data(df, stats_cols)
+        new_entries = self._write_data(df, stats_cols, bloom_cols)
         return self._publish(
             kept + new_entries, "compact", self._schema(version), version
         )
 
 
+def _cents(col: str = "o_totalprice"):
+    """THE decimal-cents exactness recipe (decimal(18,2) → integer cents),
+    defined ONCE: the r8 review created _version_cents_agg so the
+    convention could not drift, and the r10 review found five fresh inline
+    copies of the same expression in this file — every cents consumer now
+    routes through here."""
+    return (F.col(col).cast("decimal(18,2)") * 100).cast("bigint")
+
+
+def _probe_cents_agg(df: DataFrame, probe: str) -> DataFrame:
+    """(probe, n_rows, sum_cents) — the labeled one-row aggregate shared
+    by the compaction/delete (and future maintenance) queries."""
+    return df.agg(
+        F.lit(probe).alias("probe"),
+        F.count("*").alias("n_rows"),
+        F.sum(_cents()).cast("bigint").alias("sum_cents"),
+    )
+
+
 def _version_cents_agg(
     t: "SnapshotTable", spark: SparkSession, version: int
 ) -> DataFrame:
-    """(version, n_rows, sum_cents) through the manifest reader — THE
-    cents-exactness recipe (decimal-cast → integer cents) shared by
-    snapshot_time_travel and snapshot_vacuum_retention, defined once so
-    the exactness convention cannot drift between them (r8 review)."""
+    """(version, n_rows, sum_cents) through the manifest reader — shared
+    by snapshot_time_travel and snapshot_vacuum_retention (r8 review)."""
     return t.read(spark, version).agg(
         F.lit(version).cast("int").alias("version"),
         F.count("*").alias("n_rows"),
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("sum_cents"),
+        F.sum(_cents()).cast("bigint").alias("sum_cents"),
     )
 
 
@@ -1117,24 +1171,13 @@ def snapshot_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats_cols=("o_custkey",),
     )
 
-    def agg(df: DataFrame, probe: str) -> DataFrame:
-        return df.agg(
-            F.lit(probe).alias("probe"),
-            F.count("*").alias("n_rows"),
-            F.sum(
-                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("sum_cents"),
-        )
-
     pruned = t.read(spark, post, where=("o_custkey", PRUNE_LO, PRUNE_HI)).filter(
         (F.col("o_custkey") >= PRUNE_LO) & (F.col("o_custkey") <= PRUNE_HI)
     )
     return (
-        agg(t.read(spark, pre), "pre_compact")
-        .unionAll(agg(t.read(spark, post), "post_compact"))
-        .unionAll(agg(pruned, "post_compact_pruned"))
+        _probe_cents_agg(t.read(spark, pre), "pre_compact")
+        .unionAll(_probe_cents_agg(t.read(spark, post), "post_compact"))
+        .unionAll(_probe_cents_agg(pruned, "post_compact_pruned"))
     )
 
 
@@ -1229,7 +1272,7 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "band" in v2df.columns:
         raise AssertionError("pre-evolution version must keep the old schema")
 
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    cents = _cents()
 
     def by_band(df: DataFrame, probe: str) -> DataFrame:
         return (
@@ -1304,19 +1347,8 @@ def snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # at tiny SFs the box may prune every file (nothing to delete) and
     # the version is unchanged — the oracle agrees, since no row matches
 
-    def agg(df: DataFrame, probe: str) -> DataFrame:
-        return df.agg(
-            F.lit(probe).alias("probe"),
-            F.count("*").alias("n_rows"),
-            F.sum(
-                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("sum_cents"),
-        )
-
-    return agg(t.read(spark, 1), "pre_delete").unionAll(
-        agg(t.read(spark, post), "post_delete")
+    return _probe_cents_agg(t.read(spark, 1), "pre_delete").unionAll(
+        _probe_cents_agg(t.read(spark, post), "post_delete")
     )
 
 
@@ -1381,11 +1413,7 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.sum(
-                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("sum_cents"),
+            F.sum(_cents()).cast("bigint").alias("sum_cents"),
         )
     )
 

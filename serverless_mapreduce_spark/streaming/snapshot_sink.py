@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from serverless_mapreduce_spark.paths import scratch, sf_tag
 from serverless_mapreduce_spark.registry import query
-from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
+from serverless_mapreduce_spark.sources.snapshots import SnapshotTable, _cents
 from serverless_mapreduce_spark.streaming.stream_queries import events_stream
 
 
@@ -120,11 +120,7 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.sum(
-                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("sum_cents"),
+            F.sum(_cents("value")).cast("bigint").alias("sum_cents"),
         )
         .withColumn("n_versions", F.lit(t.latest_version()).cast("int"))
     )
@@ -243,27 +239,44 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bands_b = _bands(minhash_signatures(batch_df)).select(
-            "doc_id", "band_idx", "band_hash"
+        # bands_b feeds three consumers (dup probe, survivor filter, index
+        # commit): persist once per batch or the mapInPandas signature
+        # pass re-runs per action — the dedup family's dominant cost on
+        # this hot path (r10 review).
+        bands_b = (
+            _bands(minhash_signatures(batch_df))
+            .select("doc_id", "band_idx", "band_hash")
+            .persist()
         )
-        idx = index_t.read(batch_df.sparkSession).select(
-            "band_idx", "band_hash"
-        )
-        dup_ids = (
-            F.broadcast(bands_b)
-            .join(idx, ["band_idx", "band_hash"], "left_semi")
-            .select("doc_id")
-            .distinct()
-        )
-        survivors = batch_df.join(dup_ids, "doc_id", "left_anti")
-        corpus_t.commit_stream_batch(survivors, sid, batch_id)
-        index_t.commit_stream_batch(
-            _bands(minhash_signatures(survivors)).repartition(
+        try:
+            idx = index_t.read(batch_df.sparkSession).select(
                 "band_idx", "band_hash"
-            ),
-            sid,
-            batch_id,
-        )
+            )
+            # INNER join with the batch bands as the broadcast BUILD side:
+            # a left_semi with a broadcast hint on its LEFT cannot be
+            # honored (semi only builds right), so Spark would broadcast
+            # the monotonically GROWING index instead — inverted exactly
+            # backwards at scale (r10 review, verified via explain).
+            # inner + distinct doc_id ≡ the intended semi.
+            dup_ids = (
+                F.broadcast(bands_b)
+                .join(idx, ["band_idx", "band_hash"])
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = batch_df.join(dup_ids, "doc_id", "left_anti")
+            corpus_t.commit_stream_batch(survivors, sid, batch_id)
+            # survivors' bands ≡ bands_b minus the dropped ids — reuse the
+            # persisted frame instead of re-running MinHash over survivors
+            index_t.commit_stream_batch(
+                bands_b.join(dup_ids, "doc_id", "left_anti").repartition(
+                    "band_idx", "band_hash"
+                ),
+                sid,
+                batch_id,
+            )
+        finally:
+            bands_b.unpersist()
 
     def drain() -> None:
         (

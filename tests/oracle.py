@@ -170,11 +170,17 @@ def assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> int:
 
 
 def crafted_dir(tmp_path_factory, name, rows, table_name="documents"):
-    """Write one fixture table as parquet under a tmp dir, return the dir."""
+    """Write crafted fixture table(s) as parquet under a tmp dir, return
+    the dir. ``rows`` is either a list of row dicts for ``table_name`` or
+    a dict of {table_name: rows} for multi-table fixtures (the pack/ANN
+    ops join documents to embeddings — r10 review folded the private
+    two-table helper back in here)."""
     import pandas as pd
 
     d = tmp_path_factory.mktemp(name)
-    pd.DataFrame(rows).to_parquet(d / f"{table_name}.parquet")
+    tables = rows if isinstance(rows, dict) else {table_name: rows}
+    for tname, trows in tables.items():
+        pd.DataFrame(trows).to_parquet(d / f"{tname}.parquet")
     return str(d)
 
 

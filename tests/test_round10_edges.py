@@ -48,17 +48,6 @@ def test_ann_persistent_ivf_cross_batch_neighbor(spark, tmp_path_factory):
     assert by[(2, 7, 2)]["nb_id"] == 0 and by[(2, 7, 2)]["cos_sim"] == 0.8
 
 
-def _two_table_dir(tmp_path_factory, name, docs, embs):
-    """Crafted fixture with BOTH documents and embeddings (the pack ops
-    join them on doc_id = vec_id)."""
-    import pandas as pd
-
-    d = tmp_path_factory.mktemp(name)
-    pd.DataFrame(docs).to_parquet(d / "documents.parquet")
-    pd.DataFrame(embs).to_parquet(d / "embeddings.parquet")
-    return str(d)
-
-
 def test_semantic_pack_spans_split_carry(spark, tmp_path_factory):
     """A 1200-token document must split across packs 0/1/2 (512+512+176)
     and the next document must START mid-pack-2 at offset 176 — the
@@ -81,7 +70,9 @@ def test_semantic_pack_spans_split_carry(spark, tmp_path_factory):
         {"vec_id": 2, "embedding": [0.9, 0.1]},
         {"vec_id": 3, "embedding": [0.8, 0.2]},
     ]
-    d = _two_table_dir(tmp_path_factory, "packspans", docs, embs)
+    d = crafted_dir(
+        tmp_path_factory, "packspans", {"documents": docs, "embeddings": embs}
+    )
     got = agree_rows(spark, d, semantic_pack_spans, "semantic_pack_spans",
                      as_dicts=True)
     rows = {(r["doc_id"], r["pack_id"]):

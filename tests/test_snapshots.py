@@ -356,3 +356,57 @@ def test_bloom_spark_python_hash_parity(spark):
     ).collect()
     for r in rows:
         assert [r[f"p{i}"] for i in range(BLOOM_K)] == _bloom_probe_positions(r["k"])
+
+
+def test_delete_where_null_condition_rows_survive(spark, tmp_path):
+    """DELETE removes rows where the condition is TRUE; a NULL-key row
+    evaluates the condition to NULL and must SURVIVE the rewrite (plain
+    NOT(cond) would silently erase it — r10 review)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame([(1,), (250,), (None,)], "k BIGINT").coalesce(1)
+    )
+    v2 = t.delete_where(spark, "k BETWEEN 100 AND 300")
+    got = sorted(
+        (r.k if r.k is not None else -1) for r in t.read(spark, v2).collect()
+    )
+    assert got == [-1, 1]  # 250 deleted; NULL row survives
+
+
+def test_bloom_type_validation_and_maintenance_preservation(spark, tmp_path):
+    """Non-integer/string bloom columns are refused loudly (Spark/Python
+    string renderings diverge → false negatives); compaction can carry
+    blooms forward via its bloom_cols parameter (r10 review)."""
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    bad = spark.createDataFrame([(1.5,)], "x DOUBLE")
+    with _pytest.raises(ValueError, match="bloom_cols"):
+        t.commit(bad, bloom_cols=("x",))
+
+    df = spark.range(0, 400).withColumnRenamed("id", "k")
+    t.commit(df.filter("k < 200").repartition(4), bloom_cols=("k",))
+    t.commit(df.filter("k >= 200").repartition(4), bloom_cols=("k",))
+    v3 = t.compact_small_files(spark, target_bytes=1 << 30, bloom_cols=("k",))
+    assert all("bloom" in e for e in t._entries(v3))  # carried through
+    files, total = t.plan_files_keys("k", [7], version=v3)
+    assert total < 8 and files  # compacted, present key found
+    got = t._reader(spark, v3).parquet(*files).filter("k = 7").collect()
+    assert [r.k for r in got] == [7]
+    # pruning power survives the rewrite: an absent key plans ~no files
+    none_files, _ = t.plan_files_keys("k", [10**12], version=v3)
+    assert len(none_files) < total
+
+
+def test_bloom_empty_file_gets_empty_bitmap(spark, tmp_path):
+    """A file whose bloom column is entirely NULL records an EMPTY bitmap
+    (always skipped) instead of no bitmap (scanned forever — r10 review)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame([(None, 1)], "k BIGINT, v BIGINT").coalesce(1),
+        bloom_cols=("k",),
+    )
+    ent = t._entries(1)[0]
+    assert ent["bloom"]["k"] == []
+    files, total = t.plan_files_keys("k", [123])
+    assert total == 1 and files == []
