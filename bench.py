@@ -323,6 +323,10 @@ HEADLINE = (
     # (two checkpointed drains + per-batch index probe/commit)
     "search_index_incremental",
     "stream_dedup_ingest",
+    # metadata-only restore + the per-cell drift aggregate on the warmed
+    # IVF assignment
+    "snapshot_rollback",
+    "ann_index_drift_report",
 )
 
 

@@ -2651,3 +2651,82 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST(0 AS BIGINT) END AS ndcg_ppm",
         )
     )
+
+
+# --- quantizer drift: per-cell growth after ingest batches -----------------------
+
+
+@query(
+    "ann_index_drift_report",
+    priority=150,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ), a AS (
+      SELECT vec_id, c_id AS centroid
+      FROM (
+        SELECT e.vec_id, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cosine_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    )
+    SELECT centroid,
+           CAST(SUM(CASE WHEN vec_id % {ANN_INCR_MOD}
+                         NOT IN ({ANN_B1}, {ANN_B2}) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_base,
+           CAST(COUNT(*) AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN vec_id % {ANN_INCR_MOD}
+                         IN ({ANN_B1}, {ANN_B2}) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_added,
+           CASE WHEN SUM(CASE WHEN vec_id % {ANN_INCR_MOD}
+                              NOT IN ({ANN_B1}, {ANN_B2}) THEN 1 ELSE 0 END) > 0
+                THEN CAST((CAST(SUM(CASE WHEN vec_id % {ANN_INCR_MOD}
+                                    IN ({ANN_B1}, {ANN_B2}) THEN 1 ELSE 0 END)
+                           AS BIGINT) * 1000000)
+                     // SUM(CASE WHEN vec_id % {ANN_INCR_MOD}
+                                 NOT IN ({ANN_B1}, {ANN_B2}) THEN 1 ELSE 0 END)
+                     AS BIGINT)
+           END AS growth_ppm
+    FROM a GROUP BY centroid
+    """,
+)
+def ann_index_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZER DRIFT REPORT — the operational companion of
+    ``ann_persistent_ivf``: a frozen codebook serves ingest after ingest,
+    and the question an index operator actually asks is "which cells are
+    outgrowing their training distribution" — the trigger for re-training
+    the quantizer (and re-clustering the table) before probe cost and
+    recall degrade. Per centroid: standing-corpus population (n_base),
+    population after the two ingest batches (n_after), the batch
+    additions, and integer-ppm relative growth (NULL for cells the
+    standing corpus never populated — a new-territory signal, not a
+    ratio). One pass over the shared memoized ``_ivf_ranked`` assignment
+    — no second assignment join; at 100 TB this is a metadata-cheap
+    aggregate over the maintained cell-partitioned table, the thing you
+    chart per ingest cycle.
+
+    Exactness: pure integer counts; the growth ratio is a truncating
+    integer division on positives, guarded for empty base cells."""
+    ranked = _ivf_ranked(spark, sf_dir)
+    rem = F.col("vec_id") % ANN_INCR_MOD
+    is_batch = rem.isin(ANN_B1, ANN_B2).cast("int")
+    return (
+        ranked.groupBy("centroid")
+        .agg(
+            F.sum(1 - is_batch).cast("bigint").alias("n_base"),
+            F.count("*").cast("bigint").alias("n_after"),
+            F.sum(is_batch).cast("bigint").alias("n_added"),
+        )
+        .selectExpr(
+            "centroid",
+            "n_base",
+            "n_after",
+            "n_added",
+            "CASE WHEN n_base > 0 THEN (n_added * 1000000) DIV n_base END"
+            " AS growth_ppm",
+        )
+    )

@@ -450,6 +450,57 @@ class SnapshotTable:
             kept + new_entries, "delete", self._schema(version), version
         )
 
+    # -- rollback / restore ------------------------------------------------
+
+    def restore_version(self, version: int) -> int:
+        """Publish a NEW head whose file list (and schema) is ``version``'s
+        — Delta RESTORE semantics: rolling back is rolling FORWARD to the
+        old state, metadata-only (the restored version REFERENCES the old
+        files, no byte is rewritten), and the bad head stays in history
+        for time-travel post-mortems until retention expires it. Because
+        the restored manifest lists the old files, those files are LIVE
+        again: a later vacuum keeping only the restored head deletes
+        exactly the bad commits' additions and never the restored data
+        (liveness is the kept-manifest union, unchanged)."""
+        entries = self._entries(version)  # raises for unknown versions
+        return self._publish(
+            entries, "restore", self._schema(version), self.latest_version()
+        )
+
+    # -- failed-commit debris ---------------------------------------------
+
+    def cleanup_orphans(self) -> list[str]:
+        """Delete data files referenced by NO manifest — the debris of a
+        writer that crashed after writing files but before publishing
+        (the class docstring's "half-finished commit is invisible"
+        guarantee makes them unreachable, but storage still pays for
+        them). Iceberg's remove_orphan_files. Safe by the same argument
+        as the vacuum: liveness is the union over ALL manifests (not just
+        kept ones — an expired-but-present manifest still pins its
+        files), computed from metadata only. Production adds an age
+        threshold so an IN-FLIGHT commit's files are not swept between
+        write and publish; the sandbox has no wall clock to fake, so the
+        single-writer tests call it only at rest (documented contract)."""
+        live = {
+            os.path.abspath(f) for v in self.versions() for f in self._files(v)
+        }
+        doomed: list[str] = []
+        for commit_dir in sorted(os.listdir(self.data_dir)):
+            d = os.path.join(self.data_dir, commit_dir)
+            if not os.path.isdir(d):
+                continue
+            files = {
+                os.path.abspath(os.path.join(d, f))
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+            if files and files.isdisjoint(live):
+                doomed.extend(sorted(files))
+                import shutil as _shutil
+
+                _shutil.rmtree(d, ignore_errors=True)
+        return doomed
+
     # -- streaming ingest (exactly-once per micro-batch) -------------------
 
     def committed_stream_batches(self, stream_id: str) -> set[int]:
@@ -1539,4 +1590,59 @@ def search_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cf").cast("bigint").alias("cf"),
         )
         .filter(F.col("df") >= INDEX_MIN_DF)
+    )
+
+
+# --- rollback / restore -------------------------------------------------------
+
+
+@query(
+    "snapshot_rollback",
+    priority=150,
+    oracle=f"""
+    SELECT 'bad_head' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_totalprice FROM orders
+      UNION ALL
+      SELECT o_totalprice * 2 FROM orders WHERE o_orderkey % 10 = 3
+    )
+    UNION ALL
+    SELECT 'restored' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    """,
+)
+def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK / RESTORE (Delta RESTORE, Iceberg rollback_to_snapshot):
+    undo a bad ingest by publishing a NEW version whose file list is a
+    previous version's — metadata-only, zero bytes rewritten, and the bad
+    version stays in history for the post-mortem (roll FORWARD to the old
+    state, never rewrite history — the immutable-manifest discipline).
+    Construction: v1 commits orders; v2 appends a corrupted batch
+    (doubled totalprice clones of the mod-10≡3 rows); ``restore_version
+    (1)`` publishes v3 ≡ v1. The query aggregates the BAD head and the
+    RESTORED head through the manifest reader — the bad row proves the
+    corruption was really committed (not silently skipped), the restored
+    row proves v3 matches the clean source exactly.
+    tests/test_snapshots.py pins the metadata-only property (v3's file
+    list IS v1's, same paths) and that a later vacuum keeping only v3
+    deletes exactly the bad batch's files."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_rollback")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    t.commit(orders)                                               # v1: clean
+    bad = orders.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t.commit(bad, mode="append")                                   # v2: corrupt
+    restored = t.restore_version(1)
+
+    return _probe_cents_agg(t.read(spark, 2), "bad_head").unionAll(
+        _probe_cents_agg(t.read(spark, restored), "restored")
     )

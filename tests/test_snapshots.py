@@ -410,3 +410,38 @@ def test_bloom_empty_file_gets_empty_bitmap(spark, tmp_path):
     assert ent["bloom"]["k"] == []
     files, total = t.plan_files_keys("k", [123])
     assert total == 1 and files == []
+
+
+def test_restore_version_is_metadata_only_and_vacuumable(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1, 2, 3]))                      # v1: clean
+    t.commit(_df(spark, [99, 98]))                       # v2: bad batch
+    v3 = t.restore_version(1)
+    assert v3 == 3
+    # metadata-only: v3's file list IS v1's (same paths, nothing rewritten)
+    assert t._files(3) == t._files(1)
+    assert sorted(r.x for r in t.read(spark).collect()) == [1, 2, 3]
+    # bad head stays readable for the post-mortem
+    assert sorted(r.x for r in t.read(spark, 2).collect()) == [1, 2, 3, 98, 99]
+    bad_files = set(t._files(2)) - set(t._files(1))
+    # vacuum keeping only the restored head deletes exactly the bad batch
+    dropped, deleted = t.expire_versions(keep_latest=1)
+    assert dropped == [1, 2] and set(deleted) == bad_files
+    assert sorted(r.x for r in t.read(spark).collect()) == [1, 2, 3]
+
+
+def test_cleanup_orphans_removes_only_unreferenced_dirs(spark, tmp_path):
+    import glob as _glob
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, [1, 2]))
+    # a crashed writer: files written, manifest never published
+    stray = os.path.join(t.data_dir, "deadbeef0000")
+    _df(spark, [7, 8]).coalesce(1).write.parquet(stray)
+    assert _glob.glob(os.path.join(stray, "*.parquet"))
+    doomed = t.cleanup_orphans()
+    assert doomed and all("deadbeef0000" in f for f in doomed)
+    assert not os.path.exists(stray)
+    # live data untouched; a second pass finds nothing
+    assert sorted(r.x for r in t.read(spark).collect()) == [1, 2]
+    assert t.cleanup_orphans() == []
