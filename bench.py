@@ -327,6 +327,8 @@ HEADLINE = (
     # IVF assignment
     "snapshot_rollback",
     "ann_index_drift_report",
+    # full-outer CDC audit across the copy-on-write merge
+    "snapshot_changes_between",
 )
 
 

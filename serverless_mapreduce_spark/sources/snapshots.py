@@ -1646,3 +1646,86 @@ def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_cents_agg(t.read(spark, 2), "bad_head").unionAll(
         _probe_cents_agg(t.read(spark, restored), "restored")
     )
+
+
+# --- row-level change feed between versions -----------------------------------
+
+
+@query(
+    "snapshot_changes_between",
+    priority=150,
+    oracle=f"""
+    WITH changes AS (
+      SELECT 'update' AS op, o_orderkey,
+             'X-UPSERT' AS new_priority, o_orderpriority AS old_priority
+      FROM orders WHERE o_orderkey % {UPSERT_MOD} = 0
+      UNION ALL
+      SELECT 'insert' AS op, o_orderkey + {INSERT_OFFSET} AS o_orderkey,
+             'NEW' AS new_priority, CAST(NULL AS VARCHAR) AS old_priority
+      FROM orders WHERE o_orderkey % {INSERT_MOD} = 0
+    )
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_key
+    FROM changes GROUP BY op
+    """,
+)
+def snapshot_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL CHANGE FEED ACROSS A MERGE — the CDC view
+    ``read_incremental`` cannot give for non-append commits (its docstring
+    says so: file-level diffs conservatively resurface rewrites). After
+    the ``snapshot_merge_upsert`` construction (v1 = orders, v2 = merge of
+    mod-{UPSERT_MOD} re-prioritized updates + mod-{INSERT_MOD} keyed
+    inserts), the feed is derived the way Delta computes CDF for
+    merge-on-read consumers: FULL OUTER join of the two versions on the
+    key, classifying each key as insert (v2 only), delete (v1 only —
+    none here, merge never deletes), or update (both sides, any tracked
+    column differing). Emitted as per-op counts + bit_xor key checksums —
+    a dropped update lands in no bucket, a spuriously-rewritten row
+    lands in 'update' and breaks the xor.
+
+    Scale: the join is key-partitioned (one shuffle per side over the two
+    manifests' file lists); at 100 TB a production feed would be logged
+    at WRITE time (merge_upsert knows its matched keys), and this
+    derivation is the audit that the log is COMPLETE — the identity the
+    oracle checks."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_cdc_merge")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    t.commit(orders.repartition(8))
+    updates = (
+        orders.filter(F.col("o_orderkey") % UPSERT_MOD == 0)
+        .withColumn("o_orderpriority", F.lit("X-UPSERT"))
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % INSERT_MOD == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + INSERT_OFFSET)
+            .withColumn("o_orderpriority", F.lit("NEW"))
+        )
+    )
+    t.merge_upsert(spark, updates, ("o_orderkey",))
+
+    v1 = t.read(spark, 1).select(
+        "o_orderkey", F.col("o_orderpriority").alias("old_priority")
+    )
+    v2 = t.read(spark, 2).select(
+        "o_orderkey", F.col("o_orderpriority").alias("new_priority")
+    )
+    feed = (
+        v1.join(v2, "o_orderkey", "full_outer")
+        .withColumn(
+            "op",
+            F.when(F.col("old_priority").isNull(), F.lit("insert"))
+            .when(F.col("new_priority").isNull(), F.lit("delete"))
+            .when(
+                ~F.col("new_priority").eqNullSafe(F.col("old_priority")),
+                F.lit("update"),
+            ),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+    return feed.groupBy("op").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.expr("CAST(bit_xor(o_orderkey) AS BIGINT)").alias("xor_key"),
+    )
