@@ -24,6 +24,13 @@ the round-over-round anchor, so it must be a STEADY-STATE record):
   first-touch cost OUT of whichever dedup line runs first. Dedup timings
   from rounds ≤8 include that first-touch cost in one arbitrary line;
   cross-round dedup comparisons must use round-9+ records only (ADVICE r9).
+- **Cold page cache is not steady state either (round 10):** after a long
+  idle cool-down the fixture parquet drops out of the OS page cache and a
+  run measures disk reads — r10 observed 442 s cold vs 284 s on the
+  immediate re-run, a UNIFORM ~+1.4 s/line inflation (not a code
+  regression; diagnosed by the flat per-query delta). Steady state =
+  quiet host AND warm cache: run the bench twice back-to-back and commit
+  the second (or best-of-2 per line when adjudicating).
 """
 
 from __future__ import annotations
