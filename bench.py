@@ -336,6 +336,8 @@ HEADLINE = (
     "ann_index_drift_report",
     # full-outer CDC audit across the copy-on-write merge
     "snapshot_changes_between",
+    # streaming materialized view: per-batch monoid merge + keyed upsert
+    "stream_agg_materialized",
 )
 
 

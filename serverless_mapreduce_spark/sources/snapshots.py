@@ -151,6 +151,7 @@ class SnapshotTable:
         mode: str = "append",
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
+        extra: dict | None = None,
     ) -> int:
         """Write ``df``'s rows as new immutable files, publish version N+1.
 
@@ -174,7 +175,7 @@ class SnapshotTable:
         if mode == "append" and parent is not None:
             entries = self._entries(parent) + entries
             schema = _merge_schemas(self._schema(parent), df.schema)
-        return self._publish(entries, mode, schema, parent)
+        return self._publish(entries, mode, schema, parent, extra)
 
     def _write_data(
         self,
@@ -347,6 +348,7 @@ class SnapshotTable:
         key_cols: tuple[str, ...],
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
+        extra: dict | None = None,
     ) -> int:
         """COPY-ON-WRITE MERGE (Delta MERGE INTO / upsert): rows of
         ``updates`` REPLACE table rows with the same key; unmatched update
@@ -377,7 +379,7 @@ class SnapshotTable:
         new_entries += self._write_data(
             up.select([f.name for f in schema.fields]), stats_cols, bloom_cols
         )
-        return self._publish(kept + new_entries, "merge", schema, version)
+        return self._publish(kept + new_entries, "merge", schema, version, extra)
 
     def _rewrite_minus_keys(
         self,

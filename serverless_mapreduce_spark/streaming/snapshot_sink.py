@@ -312,3 +312,116 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("xor_doc_id"),
         )
     )
+
+
+# --- streaming materialized view: per-batch merge into a keyed agg table ---------
+
+
+@query(
+    "stream_agg_materialized",
+    priority=150,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_agg_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATERIALIZED VIEW ON THE TABLE FORMAT: a per-event-type
+    running aggregate maintained as a KEYED SNAPSHOT TABLE, refreshed by
+    merge-upsert from each micro-batch — the exactly-once, queryable-at-
+    every-version alternative to holding the aggregate in operator state
+    (``stream_upsert_latest``'s state lives in the checkpoint; this
+    one's lives in versioned, time-travelable, vacuumable parquet that
+    ANY reader can serve between batches). Per batch: aggregate the
+    batch's rows (delta-sized), read the stored totals, monoid-merge
+    (count/cents are commutative), and ``merge_upsert`` the merged rows
+    back — only the files holding touched keys rewrite. The batch ledger
+    rides the merge manifest (same extra-field mechanism as
+    commit_stream_batch), so a redelivered batch is skipped and the
+    double-apply failure mode — the classic streaming-upsert bug —
+    would double sum_cents against the oracle.
+
+    The events source drains over one checkpoint in two separate runs
+    (file 2 arrives between them), so the refresh provably works from a
+    PARTIAL stored state, not a single full-input batch."""
+    import glob
+    import os
+
+    from serverless_mapreduce_spark.catalog import table
+
+    base = scratch(sf_tag(sf_dir), "stream_agg_mv")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+    t = SnapshotTable(os.path.join(base, "mv"))
+    sid = "agg_mv"
+
+    def agg_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(_cents("value")).cast("bigint").alias("sum_cents"),
+        )
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in t.committed_stream_batches(sid):
+            return  # redelivery: the stored totals already include it
+        delta = agg_of(batch_df)
+        if t.latest_version() is None:
+            merged = delta
+        else:
+            stored = t.read(batch_df.sparkSession)
+            merged = (
+                stored.unionByName(delta)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").cast("bigint").alias("n_events"),
+                    F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+                )
+            )
+        # upsert only the keys this batch touched; the ledger entry rides
+        # the merge manifest itself (the `extra` field published WITH the
+        # commit — never an after-the-fact edit of an immutable manifest)
+        touched = merged.join(
+            delta.select("event_type"), "event_type", "left_semi"
+        )
+        ledger = {"stream_id": sid, "stream_batch_id": batch_id}
+        if t.latest_version() is None:
+            t.commit(touched, extra=ledger)
+        else:
+            t.merge_upsert(
+                batch_df.sparkSession, touched, ("event_type",), extra=ledger
+            )
+
+    def add_file(df: DataFrame, name: str) -> None:
+        tmp = os.path.join(src, f"_tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    half = F.col("event_id") % 2
+
+    def drain() -> None:
+        (
+            spark.readStream.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+            .parquet(src)
+            .writeStream.foreachBatch(refresh)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    add_file(ev.filter(half == 0), "half0")
+    drain()
+    add_file(ev.filter(half == 1), "half1")
+    drain()
+    # crash-replay of batch 0: must be skipped, or sum_cents doubles
+    refresh(ev.filter(half == 0), 0)
+
+    return t.read(spark).select("event_type", "n_events", "sum_cents")

@@ -36,6 +36,7 @@ SIDE_EFFECTING = {
     "stream_kv_jdbc_sink",
     "stream_snapshot_ingest",
     "stream_dedup_ingest",
+    "stream_agg_materialized",
     "export_training_shards",
     "snapshot_vacuum_retention",
     # construction executes the triangle join + degree scalars driver-side
