@@ -338,6 +338,8 @@ HEADLINE = (
     "snapshot_changes_between",
     # streaming materialized view: per-batch monoid merge + keyed upsert
     "stream_agg_materialized",
+    # loader shard index over the span layout (one keyed aggregate)
+    "pack_manifest_export",
 )
 
 

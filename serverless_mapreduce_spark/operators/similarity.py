@@ -2730,3 +2730,93 @@ def ann_index_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS growth_ppm",
         )
     )
+
+
+# --- pack manifest: the loader's shard index over the span layout ----------------
+
+
+@query(
+    "pack_manifest_export",
+    priority=150,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ), assigned AS (
+      SELECT vec_id, c_id AS centroid
+      FROM (
+        SELECT e.vec_id, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cosine_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), j AS (
+      SELECT a.centroid, d.doc_id, d.n_tokens
+      FROM assigned a JOIN d ON d.doc_id = a.vec_id
+      WHERE d.n_tokens > 0
+    ), c AS (
+      SELECT centroid, doc_id, n_tokens,
+             COALESCE(CAST(SUM(n_tokens) OVER (
+               PARTITION BY centroid ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               CAST(0 AS BIGINT)) AS cum_before
+      FROM j
+    ), spans AS (
+      SELECT centroid, doc_id, p.pack_id,
+             LEAST(n_tokens, (p.pack_id + 1) * {PACK_BUDGET} - cum_before)
+             - GREATEST(CAST(0 AS BIGINT),
+                        p.pack_id * {PACK_BUDGET} - cum_before) AS span_len
+      FROM c, UNNEST(range(cum_before // {PACK_BUDGET},
+                           (cum_before + n_tokens - 1) // {PACK_BUDGET} + 1))
+               AS p(pack_id)
+    )
+    SELECT centroid, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_len) AS BIGINT) AS pack_tokens,
+           CAST(bit_xor(doc_id) AS BIGINT) AS xor_doc_id,
+           CAST(CASE WHEN SUM(span_len) = {PACK_BUDGET} THEN 1 ELSE 0 END
+                AS BIGINT) AS is_full
+    FROM spans GROUP BY centroid, pack_id
+    """,
+)
+def pack_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACK MANIFEST — the shard index a trainer's data loader reads
+    BEFORE touching a byte of text: one row per (centroid, pack_id) with
+    its span count, exact token fill, an order-free xor checksum of the
+    contributing documents, and the is-full flag (every pack is exactly
+    {PACK_BUDGET} tokens except each cell's terminal one — the
+    ``semantic_pack_spans`` invariant, here materialized as data the
+    loader can assert against, the export_training_shards read-back
+    discipline applied to the packing layout). Workers claim whole packs
+    by (centroid, pack_id) ranges; the manifest tells them byte budgets
+    and lets a resumed run verify it rebuilt the same layout (checksum
+    equality) without re-tokenizing.
+
+    Scale shape: the spans derivation (shared with semantic_pack_spans:
+    equi-join onto the maintained IVF artifact + per-centroid window +
+    output-proportional explode) followed by ONE aggregate keyed by
+    (centroid, pack_id) — partial-aggregated map-side, no second shuffle
+    of the corpus. All-integer output, hash-exact."""
+    # the module symbol is the UNregistered function (the @query decorator
+    # returns fn unchanged), so this composes without touching the
+    # registry's release_cached wrapper
+    spans = semantic_pack_spans(spark, sf_dir)
+    return (
+        spans.groupBy("centroid", "pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum("span_len").cast("bigint").alias("pack_tokens"),
+            F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("xor_doc_id"),
+        )
+        .withColumn(
+            "is_full",
+            (F.col("pack_tokens") == PACK_BUDGET).cast("bigint"),
+        )
+    )
