@@ -340,6 +340,8 @@ HEADLINE = (
     "stream_agg_materialized",
     # loader shard index over the span layout (one keyed aggregate)
     "pack_manifest_export",
+    # the IVF tuning curve: per-query recall at nprobe 1/2/4 vs bruteforce
+    "eval_ann_nprobe_sweep",
 )
 
 

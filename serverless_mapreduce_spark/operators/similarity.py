@@ -2820,3 +2820,138 @@ def pack_manifest_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pack_tokens") == PACK_BUDGET).cast("bigint"),
         )
     )
+
+
+# --- nprobe sensitivity sweep ----------------------------------------------------
+
+NPROBE_SWEEP = (1, 2, 4)  #: probed-cell counts per query
+
+
+@query(
+    "eval_ann_nprobe_sweep",
+    priority=150,
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ), q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % {QUERY_MOD} = 0
+    ), qc AS (
+      SELECT q_id, q_emb, c_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY {_cosine_sql('q_emb', 'c_emb')} DESC, c_id
+             ) AS crank
+      FROM q CROSS JOIN cent
+    ), assigned AS (
+      SELECT vec_id, embedding, c_id AS centroid
+      FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cosine_sql('e.embedding', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probes AS (SELECT * FROM (VALUES (1), (2), (4)) v(nprobe)),
+    ivf AS (
+      SELECT nprobe, q_id, vec_id FROM (
+        SELECT p.nprobe, qc.q_id, a.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.nprobe, qc.q_id
+                 ORDER BY ROUND({_cosine_sql('a.embedding', 'qc.q_emb')}, 6)
+                            DESC, a.vec_id
+               ) AS rnk
+        FROM probes p
+        JOIN qc ON qc.crank <= p.nprobe
+        JOIN assigned a ON a.centroid = qc.c_id AND a.vec_id <> qc.q_id
+      ) WHERE rnk <= {TOP_K}
+    ), bf AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY ROUND({_cosine_sql('q.q_emb', 'e.embedding')}, 6)
+                            DESC, e.vec_id
+               ) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+      ) WHERE rnk <= {TOP_K}
+    ), hits AS (
+      SELECT i.nprobe, i.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ivf i JOIN bf b ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+      GROUP BY i.nprobe, i.q_id
+    )
+    SELECT p.nprobe, q.q_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CAST((COALESCE(h.n_hits, 0) * 1000000) // {TOP_K} AS BIGINT)
+             AS recall_ppm
+    FROM probes p CROSS JOIN (SELECT q_id FROM q) q
+    LEFT JOIN hits h ON h.nprobe = p.nprobe AND h.q_id = q.q_id
+    """,
+)
+def eval_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NPROBE SENSITIVITY SWEEP — the tuning curve every IVF deployment
+    charts before picking its latency/recall point: per query and per
+    nprobe ∈ {NPROBE_SWEEP}, retrieve top-{TOP_K} from the nprobe
+    nearest cells and score recall against the exact bruteforce truth
+    (integer ppm). nprobe=1 is ann_ivf_topk's operating point; the sweep
+    quantifies exactly what the second and fourth probed cells buy —
+    "measure, don't guess" applied to the index's main knob. Emitted
+    per-query so the hard queries (boundary vectors whose true
+    neighbors live across cell lines) stay visible; the corpus curve is
+    the mean over q_id.
+
+    Scale shape: candidates are equi-joins on the cell id (probes ×
+    queries × cell occupancy — nprobe-bounded, never corpus-quadratic);
+    the cell ranks come from a queries × codebook broadcast cross (the
+    allowlisted ~constant-side shape); the bruteforce truth is the
+    allowlisted constant-query-set × corpus baseline every eval in this
+    family embeds. Ranking ties break on the rounded score then vec_id
+    (engine-invariant)."""
+    emb = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
+    ranked = _ivf_ranked(spark, sf_dir).select("vec_id", "embedding", "centroid")
+    cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    w_c = Window.partitionBy("q_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+    qc = (
+        q.join(F.broadcast(cent))
+        .withColumn("c_cos", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("crank", F.row_number().over(w_c))
+        .filter(F.col("crank") <= max(NPROBE_SWEEP))
+        .select("q_id", "q_emb", "c_id", "crank")
+    )
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in NPROBE_SWEEP])).alias("nprobe")
+    )
+    w_r = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.desc("cs"), F.asc("vec_id")
+    )
+    ivf = (
+        F.broadcast(probes)
+        .join(qc, qc.crank <= F.col("nprobe"))
+        .join(ranked, ranked.centroid == qc.c_id)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cs", F.round(cosine(F.col("embedding"), F.col("q_emb")), 6))
+        .withColumn("rnk", F.row_number().over(w_r))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("nprobe", "q_id", "vec_id")
+    )
+    bf = ann_topk_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        ivf.join(bf, ["q_id", "vec_id"])
+        .groupBy("nprobe", "q_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    grid = F.broadcast(probes).join(q.select("q_id"))
+    return grid.join(hits, ["nprobe", "q_id"], "left").selectExpr(
+        "nprobe",
+        "q_id",
+        "COALESCE(n_hits, CAST(0 AS BIGINT)) AS n_hits",
+        f"CAST((COALESCE(n_hits, CAST(0 AS BIGINT)) * 1000000) DIV {TOP_K}"
+        " AS BIGINT) AS recall_ppm",
+    )

@@ -81,6 +81,11 @@ BNLJ_ALLOWED = {
     # and probe batches each × the ~constant frozen-codebook broadcast);
     # the index probe itself is an equi-join on the centroid
     "ann_persistent_ivf",
+    # three deliberate ~constant-side crosses: the 3-row nprobe frame ×
+    # the query set (range join on crank), queries × codebook for cell
+    # ranks, and the embedded bruteforce truth (ann_recall_at_k_eval
+    # shape); the candidate retrieval itself is an equi-join on the cell
+    "eval_ann_nprobe_sweep",
 }
 
 FORBIDDEN_EVERYWHERE = ("CartesianProduct",)
