@@ -169,17 +169,20 @@ def assert_matches_oracle(spark_df, oracle: str, sf_dir: str) -> int:
 # drifting return shapes — a comparator change must land exactly once).
 
 
-def crafted_dir(tmp_path_factory, name, rows, table_name="documents"):
+def crafted_dir(tmp_path_factory, name, rows=None, table_name="documents",
+                tables=None):
     """Write crafted fixture table(s) as parquet under a tmp dir, return
-    the dir. ``rows`` is either a list of row dicts for ``table_name`` or
-    a dict of {table_name: rows} for multi-table fixtures (the pack/ANN
+    the dir. ``rows`` (row dicts OR a column-oriented dict — anything
+    pd.DataFrame accepts) populates ``table_name``; pass ``tables=``
+    ({name: rows, ...}) instead for multi-table fixtures (the pack/ANN
     ops join documents to embeddings — r10 review folded the private
-    two-table helper back in here)."""
+    two-table helper back in here; the r10 full-suite run then caught
+    that sniffing dict-shaped ``rows`` misfires on the r7/r8
+    column-oriented fixtures, hence the EXPLICIT parameter)."""
     import pandas as pd
 
     d = tmp_path_factory.mktemp(name)
-    tables = rows if isinstance(rows, dict) else {table_name: rows}
-    for tname, trows in tables.items():
+    for tname, trows in (tables if tables is not None else {table_name: rows}).items():
         pd.DataFrame(trows).to_parquet(d / f"{tname}.parquet")
     return str(d)
 

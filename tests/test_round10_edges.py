@@ -71,7 +71,8 @@ def test_semantic_pack_spans_split_carry(spark, tmp_path_factory):
         {"vec_id": 3, "embedding": [0.8, 0.2]},
     ]
     d = crafted_dir(
-        tmp_path_factory, "packspans", {"documents": docs, "embeddings": embs}
+        tmp_path_factory, "packspans",
+        tables={"documents": docs, "embeddings": embs},
     )
     got = agree_rows(spark, d, semantic_pack_spans, "semantic_pack_spans",
                      as_dicts=True)
