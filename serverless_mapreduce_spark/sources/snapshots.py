@@ -66,6 +66,12 @@ def _bloom_probe_positions(value) -> list[int]:
     ]
 
 
+class CommitConflict(RuntimeError):
+    """A concurrent writer published the version this commit targeted.
+    Appends auto-retry (see ``commit``); read-modify-write callers must
+    re-run their derivation against the new head."""
+
+
 def _merge_schemas(parent, incoming):
     """ADD-COLUMN schema evolution (Iceberg union-by-name, additive only):
     the merged schema is the parent's fields in order, plus incoming fields
@@ -169,13 +175,23 @@ class SnapshotTable:
         from the parquet footers they just wrote)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
-        entries = self._write_data(df, stats_cols, bloom_cols)
-        parent = self.latest_version()
-        schema = df.schema
-        if mode == "append" and parent is not None:
-            entries = self._entries(parent) + entries
-            schema = _merge_schemas(self._schema(parent), df.schema)
-        return self._publish(entries, mode, schema, parent, extra)
+        written = self._write_data(df, stats_cols, bloom_cols)
+        # CAS retry loop: data files are already durable and never
+        # conflict (uuid dirs); only the manifest pointer races. An
+        # append re-derives mechanically against the new head (parent's
+        # list + OUR files, schema re-merge) — the safe-to-retry half of
+        # optimistic concurrency; read-modify-write paths instead raise.
+        for _ in range(64):
+            parent = self.latest_version()
+            entries, schema = written, df.schema
+            if mode == "append" and parent is not None:
+                entries = self._entries(parent) + written
+                schema = _merge_schemas(self._schema(parent), df.schema)
+            try:
+                return self._publish(entries, mode, schema, parent, extra)
+            except CommitConflict:
+                continue
+        raise CommitConflict("64 consecutive manifest races; giving up")
 
     def _write_data(
         self,
@@ -274,8 +290,18 @@ class SnapshotTable:
         parent: int | None,
         extra: dict | None = None,
     ) -> int:
-        """Atomically publish a new manifest over ``entries`` (write-temp +
-        rename, the files-then-pointer ordering in the class docstring)."""
+        """Atomically publish a new manifest over ``entries`` — write-temp
+        then CREATE-EXCLUSIVE link into place (files-then-pointer, class
+        docstring). The link is the COMPARE-AND-SWAP real formats do on
+        the manifest pointer: ``os.link`` fails with FileExistsError when
+        another writer already published this version number, so a lost
+        race raises :class:`CommitConflict` instead of silently
+        OVERWRITING the winner's manifest (``os.rename`` replaces on
+        POSIX — the pre-r10 behavior really could drop a concurrent
+        writer's commit). ``commit`` retries appends mechanically; the
+        read-modify-write paths (merge/delete/compact/restore/stream)
+        surface the conflict to the caller, who must re-derive against
+        the new head — standard optimistic concurrency."""
         version = (parent or 0) + 1
         body = {"version": version, "mode": mode, "files": entries}
         if schema is not None:
@@ -285,7 +311,14 @@ class SnapshotTable:
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
         with open(tmp, "w") as fh:
             json.dump(body, fh)
-        os.rename(tmp, self._manifest_path(version))
+        try:
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} was published by a concurrent writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return version
 
     # -- row-level changes (copy-on-write) --------------------------------
