@@ -342,6 +342,8 @@ HEADLINE = (
     "pack_manifest_export",
     # the IVF tuning curve: per-query recall at nprobe 1/2/4 vs bruteforce
     "eval_ann_nprobe_sweep",
+    # hash-derived T5 span masks: codegen-only projection + explode
+    "span_corruption_layout",
 )
 
 

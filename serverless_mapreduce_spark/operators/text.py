@@ -2575,3 +2575,104 @@ def contrastive_crop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_distinct"),
     )
+
+
+# --- span corruption (T5/UL2) mask layout ----------------------------------------
+
+SPANC_NOISE_PCT = 15   #: target corrupted-token share (T5 default)
+SPANC_MIN_TOKENS = 20  #: below this a doc gets no span (n_spans = 0)
+
+_SQL_SPANC_NTOK = (
+    "CAST(len(list_filter(string_split(lower(text), ' '), w -> w <> ''))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "span_corruption_layout",
+    priority=150,
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_SPANC_NTOK} AS n_tokens FROM documents
+    ), sized AS (
+      SELECT doc_id, n_tokens,
+             (n_tokens * {SPANC_NOISE_PCT}) // 100 // 3 AS n_spans
+      FROM d WHERE n_tokens >= {SPANC_MIN_TOKENS}
+    ), spans AS (
+      SELECT doc_id, n_tokens, n_spans,
+             n_tokens // n_spans AS seg_len, k.mask_id
+      FROM sized, UNNEST(range(0, n_spans)) AS k(mask_id)
+    ), derived AS (
+      SELECT doc_id, mask_id, seg_len,
+             2 + CAST(concat('0x', substr(md5(
+                   CAST(doc_id AS VARCHAR) || ':' || CAST(mask_id AS VARCHAR)
+                   || ':len'), 1, 8)) AS BIGINT) % 3 AS span_len,
+             CAST(concat('0x', substr(md5(
+                   CAST(doc_id AS VARCHAR) || ':' || CAST(mask_id AS VARCHAR)
+                   ), 1, 8)) AS BIGINT) AS h
+      FROM spans
+    )
+    SELECT doc_id, mask_id,
+           mask_id * seg_len + (h % (seg_len - span_len + 1)) AS span_start,
+           span_len
+    FROM derived
+    """,
+)
+def span_corruption_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-CORRUPTION MASK LAYOUT (T5 / UL2 denoising objective): for
+    each document, the deterministic set of token spans a pretraining
+    run would replace with sentinel tokens — ~{SPANC_NOISE_PCT} % of
+    tokens corrupted in mean-length-3 spans, the T5 defaults. The real
+    sampler draws spans at random per epoch; a DATA-pipeline layout must
+    be reproducible and engine-checkable, so spans here are hash-derived
+    (the split-assignment md5 idiom): the doc is cut into n_spans equal
+    segments and each segment k hosts one span of length 2 + H(doc,k,
+    'len') % 3 at offset H(doc, k) % (seg_len − span_len + 1) — spans
+    can NEVER overlap (segment confinement), lengths average 3, and the
+    layout is a pure function of doc_id, replayable across epochs and
+    engines (per-epoch variation = salt the hash input with the epoch
+    number; the plan is unchanged). Documents under {SPANC_MIN_TOKENS}
+    tokens host no span and drop out on both engines.
+
+    Shape: one narrow projection + an output-proportional sequence
+    explode — zero shuffles, zero UDFs, whole-stage codegen end to end
+    (the contrastive_crop_pairs discipline applied to the denoising
+    objective). All arithmetic is integer on positives (DIV == //);
+    md5-prefix ints are the shared split idiom."""
+    from serverless_mapreduce_spark.operators.dedup import _tokens
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    sized = d.filter(F.col("n_tokens") >= SPANC_MIN_TOKENS).selectExpr(
+        "doc_id",
+        "n_tokens",
+        f"(n_tokens * {SPANC_NOISE_PCT}) DIV 100 DIV 3 AS n_spans",
+    )
+    h8 = (
+        lambda expr: F.conv(F.substring(F.md5(F.expr(expr)), 1, 8), 16, 10)
+        .cast("bigint")
+    )
+    return (
+        sized.selectExpr(
+            "doc_id",
+            "n_tokens DIV n_spans AS seg_len",
+            "explode(sequence(CAST(0 AS BIGINT), n_spans - 1)) AS mask_id",
+        )
+        .withColumn(
+            "span_len",
+            F.lit(2)
+            + h8("concat(CAST(doc_id AS STRING), ':', CAST(mask_id AS STRING), ':len')")
+            % 3,
+        )
+        .withColumn(
+            "h",
+            h8("concat(CAST(doc_id AS STRING), ':', CAST(mask_id AS STRING))"),
+        )
+        .selectExpr(
+            "doc_id",
+            "mask_id",
+            "mask_id * seg_len + (h % (seg_len - span_len + 1)) AS span_start",
+            "span_len",
+        )
+    )

@@ -119,3 +119,40 @@ def test_dedup_purge_rewrite_removes_losers(spark, tmp_path_factory):
     # survivors: web {1, 3}; book {5, 7} (4 lost to 1 cross-source, 6 to 5)
     assert by["web"]["n_docs"] == 2 and by["web"]["xor_doc_id"] == 1 ^ 3
     assert by["book"]["n_docs"] == 2 and by["book"]["xor_doc_id"] == 5 ^ 7
+
+
+def test_span_corruption_invariants(spark, sf_dir):
+    """The layout's structural promises: spans confined to their segment
+    (hence never overlapping), in-bounds, lengths in 2..4, and corpus
+    corruption density near the 15 % target (the segment construction
+    biases slightly low — floor twice — so assert a band, not a point)."""
+    from serverless_mapreduce_spark.operators.dedup import _tokens
+    from serverless_mapreduce_spark.operators.text import (
+        SPANC_MIN_TOKENS,
+        span_corruption_layout,
+    )
+    from serverless_mapreduce_spark.catalog import table as _table
+    from pyspark.sql import functions as F
+
+    spans = span_corruption_layout(spark, sf_dir).collect()
+    ntok = {
+        r.doc_id: r.n
+        for r in _table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(_tokens("text")).alias("n"))
+        .collect()
+    }
+    assert spans
+    by_doc = {}
+    for r in spans:
+        assert 2 <= r.span_len <= 4
+        assert 0 <= r.span_start and r.span_start + r.span_len <= ntok[r.doc_id]
+        by_doc.setdefault(r.doc_id, []).append((r.mask_id, r.span_start, r.span_len))
+    corrupted = total = 0
+    for doc_id, ss in by_doc.items():
+        assert ntok[doc_id] >= SPANC_MIN_TOKENS
+        ss.sort()
+        for (_, s1, l1), (_, s2, _) in zip(ss, ss[1:]):
+            assert s1 + l1 <= s2  # non-overlap, ordered by segment
+        corrupted += sum(l for _, _, l in ss)
+        total += ntok[doc_id]
+    assert 0.08 <= corrupted / total <= 0.18
