@@ -344,6 +344,8 @@ HEADLINE = (
     "eval_ann_nprobe_sweep",
     # hash-derived T5 span masks: codegen-only projection + explode
     "span_corruption_layout",
+    # write-audit-publish: staged commit + audited atomic branch swap
+    "snapshot_write_audit_publish",
 )
 
 

@@ -485,6 +485,28 @@ class SnapshotTable:
             kept + new_entries, "delete", self._schema(version), version
         )
 
+    # -- named refs: branches (mutable) ------------------------------------
+
+    def set_branch(self, name: str, version: int) -> None:
+        """Point the mutable named ref ``name`` at ``version`` (Iceberg
+        branch semantics — tags would be the immutable flavor). The ref
+        is a tiny JSON swapped atomically (write-temp + os.replace):
+        readers resolving the branch see the old or the new version,
+        never a torn ref — which is the whole write-audit-publish
+        mechanism: stage commits freely, audit them, then PUBLISH by
+        moving the branch pointer; branch readers are isolated from
+        staged data until that one atomic swap."""
+        if version not in self.versions():
+            raise ValueError(f"cannot point branch at unknown version {version}")
+        tmp = os.path.join(self.manifest_dir, f".tmp-ref-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"branch": name, "version": version}, fh)
+        os.replace(tmp, os.path.join(self.manifest_dir, f"branch-{name}.json"))
+
+    def resolve_branch(self, name: str) -> int:
+        with open(os.path.join(self.manifest_dir, f"branch-{name}.json")) as fh:
+            return json.load(fh)["version"]
+
     # -- rollback / restore ------------------------------------------------
 
     def restore_version(self, version: int) -> int:
@@ -1764,3 +1786,69 @@ def snapshot_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.expr("CAST(bit_xor(o_orderkey) AS BIGINT)").alias("xor_key"),
     )
+
+
+# --- write-audit-publish ------------------------------------------------------
+
+
+@query(
+    "snapshot_write_audit_publish",
+    priority=150,
+    oracle=f"""
+    SELECT 'before_publish' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '{EVOLVE_CUT2} 00:00:00'
+    UNION ALL
+    SELECT 'after_publish' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    """,
+)
+def snapshot_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (the Iceberg WAP pattern, Netflix's original
+    table-format workflow): production readers follow the ``main``
+    BRANCH, never the head — so an ingest can COMMIT freely (v2 stages
+    the new batch as a real, durable, time-travelable version), run its
+    audits against the staged version, and only then PUBLISH by moving
+    the branch pointer in one atomic ref swap. A failed audit simply
+    never moves the pointer (the staged version ages out via retention) —
+    no rollback, no partial states, and bad data is never visible to a
+    single branch reader. The query reads THROUGH the branch at both
+    stages: the before row proves staged data is invisible pre-publish,
+    the after row proves the swap exposed exactly the audited version.
+    The audit here is real and load-bearing: staged row count and
+    NULL-key check, raised on failure (so a green driver row certifies
+    the audit ran and passed)."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_wap")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    cut = F.to_timestamp(F.lit(f"{EVOLVE_CUT2} 00:00:00"))
+    v1 = t.commit(orders.filter(F.col("o_orderdate") < cut))
+    t.set_branch("main", v1)
+
+    # WRITE: stage the new batch as a real version (branch still at v1)
+    v2 = t.commit(orders.filter(F.col("o_orderdate") >= cut), mode="append")
+    before = _probe_cents_agg(
+        t.read(spark, t.resolve_branch("main")), "before_publish"
+    )
+
+    # AUDIT the staged version before anyone can see it
+    staged = t.read(spark, v2)
+    checks = staged.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_orderkey").isNull().cast("int")).alias("null_keys"),
+    ).collect()[0]
+    if checks["null_keys"] != 0 or checks["n"] == 0:
+        raise AssertionError("WAP audit failed; branch NOT moved")
+
+    # PUBLISH: one atomic ref swap
+    t.set_branch("main", v2)
+    after = _probe_cents_agg(
+        t.read(spark, t.resolve_branch("main")), "after_publish"
+    )
+    return before.unionAll(after)

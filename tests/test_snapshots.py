@@ -493,3 +493,21 @@ def test_publish_conflict_raises_when_version_already_claimed(spark, tmp_path):
         t._publish(t._entries(1), "restore", None, parent=1)  # targets v2
     assert open(t._manifest_path(2)).read() == before  # winner untouched
     assert t.versions() == [1, 2]  # no tmp debris counted as a version
+
+
+def test_branch_refs_isolate_and_publish_atomically(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v1 = t.commit(_df(spark, [1, 2]))
+    t.set_branch("main", v1)
+    v2 = t.commit(_df(spark, [3]))        # staged: branch readers blind
+    assert t.resolve_branch("main") == v1
+    assert t.read(spark, t.resolve_branch("main")).count() == 2
+    t.set_branch("main", v2)              # publish
+    assert sorted(r.x for r in t.read(spark, t.resolve_branch("main")).collect()) == [1, 2, 3]
+    # a branch cannot point at a version that doesn't exist
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.set_branch("main", 99)
+    # refs are not manifests: version listing is unaffected
+    assert t.versions() == [1, 2]
