@@ -507,6 +507,36 @@ class SnapshotTable:
         with open(os.path.join(self.manifest_dir, f"branch-{name}.json")) as fh:
             return json.load(fh)["version"]
 
+    # -- named refs: tags (immutable) --------------------------------------
+
+    def set_tag(self, name: str, version: int) -> None:
+        """Create the IMMUTABLE named ref ``name`` at ``version`` — the
+        Iceberg tag: a release label ("train-corpus-2026-08") that can
+        never silently move, so a training run pinned to a tag is
+        reproducible by construction. Creation uses the same
+        create-exclusive CAS as manifests: re-tagging an existing name
+        raises CommitConflict instead of repointing (that is what
+        branches are for). Retention note: a production vacuum treats
+        tagged versions as permanently live; here ``expire_versions`` is
+        version-count-based, so operators keep tagged versions inside
+        the keep window (documented contract, same as the streaming
+        replay horizon)."""
+        if version not in self.versions():
+            raise ValueError(f"cannot tag unknown version {version}")
+        tmp = os.path.join(self.manifest_dir, f".tmp-tag-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"tag": name, "version": version}, fh)
+        try:
+            os.link(tmp, os.path.join(self.manifest_dir, f"tag-{name}.json"))
+        except FileExistsError:
+            raise CommitConflict(f"tag {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+
+    def resolve_tag(self, name: str) -> int:
+        with open(os.path.join(self.manifest_dir, f"tag-{name}.json")) as fh:
+            return json.load(fh)["version"]
+
     # -- rollback / restore ------------------------------------------------
 
     def restore_version(self, version: int) -> int:

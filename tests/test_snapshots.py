@@ -511,3 +511,24 @@ def test_branch_refs_isolate_and_publish_atomically(spark, tmp_path):
         t.set_branch("main", 99)
     # refs are not manifests: version listing is unaffected
     assert t.versions() == [1, 2]
+
+
+def test_tags_are_immutable_pinned_refs(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v1 = t.commit(_df(spark, [1, 2]))
+    t.set_tag("release-1", v1)
+    t.commit(_df(spark, [3]))
+    # the tag stays pinned through later commits
+    assert t.resolve_tag("release-1") == v1
+    assert t.read(spark, t.resolve_tag("release-1")).count() == 2
+    # immutable: re-tagging raises instead of silently repointing
+    with _pytest.raises(CommitConflict):
+        t.set_tag("release-1", 2)
+    assert t.resolve_tag("release-1") == v1
+    with _pytest.raises(ValueError):
+        t.set_tag("release-2", 99)
+    # refs never pollute the version listing
+    assert t.versions() == [1, 2]
