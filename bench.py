@@ -346,6 +346,7 @@ HEADLINE = (
     "span_corruption_layout",
     # write-audit-publish: staged commit + audited atomic branch swap
     "snapshot_write_audit_publish",
+    "snapshot_delete_vector",
 )
 
 

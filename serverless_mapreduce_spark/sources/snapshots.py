@@ -179,17 +179,40 @@ class SnapshotTable:
     def _entries(self, version: int) -> list[dict]:
         """Manifest file entries, normalized to ``{"path": ..., "stats":
         {col: [min, max]}?}``, flattened across segments (legacy inline
-        ``files`` manifests normalize the same way)."""
+        ``files`` manifests normalize the same way). Each entry is
+        annotated with its segment's sequence number as ``"_seq"`` (the
+        version that INTRODUCED the segment — merge-on-read deletes apply
+        only to data entries with a LOWER seq, the Iceberg sequence-number
+        rule that stops an old delete from erasing a later re-insert of
+        the same key). The annotation is derived, never serialized:
+        residual segments are written from :meth:`_seg_entries`."""
         body = self._manifest_body(version)
         if "segments" in body:
+            seqs = body.get("seqs", {})
             out: list[dict] = []
             for ref in body["segments"]:
-                out.extend(self._seg_entries(ref))
+                seq = seqs.get(ref, version)
+                for e in self._seg_entries(ref):
+                    # an explicit per-entry "seq" (stamped when a residual
+                    # fold moved the entry into a newer segment) wins over
+                    # the segment's seq — the entry's VISIBILITY age is the
+                    # commit that wrote its file, not the fold
+                    e["_seq"] = e.get("seq", seq)
+                    out.append(e)
             return out
         raw = body["files"]
         return [e if isinstance(e, dict) else {"path": e} for e in raw]
 
+    def _data_entries(self, version: int) -> list[dict]:
+        return [e for e in self._entries(version) if e.get("kind") != "delete"]
+
+    def _delete_entries(self, version: int) -> list[dict]:
+        return [e for e in self._entries(version) if e.get("kind") == "delete"]
+
     def _files(self, version: int) -> list[str]:
+        """ALL paths the version references — data AND delete files, since
+        both must stay live for the version to be readable (retention /
+        orphan liveness is computed from this)."""
         return [e["path"] for e in self._entries(version)]
 
     def _parent_segments(self, parent: int) -> list[str]:
@@ -413,6 +436,23 @@ class SnapshotTable:
         retention policy."""
         version = (parent or 0) + 1
         body = {"version": version, "mode": mode, "segments": segments}
+        # sequence numbers: a carried ref keeps the seq of the version that
+        # introduced it; a new ref gets THIS version. Merge-on-read deletes
+        # apply only across a seq gap (delete seq > data seq), so later
+        # appends/merges can re-insert a deleted key without the old delete
+        # erasing it (Iceberg's sequence-number rule). Refs carried from a
+        # pre-seq manifest default to the parent's version — necessarily
+        # older than any delete published after this code existed.
+        parent_seqs: dict[str, int] = {}
+        parent_refs: set[str] = set()
+        if parent is not None:
+            pbody = self._manifest_body(parent)
+            parent_refs = set(pbody.get("segments") or [])
+            parent_seqs = pbody.get("seqs", {})
+        body["seqs"] = {
+            ref: parent_seqs.get(ref, parent if ref in parent_refs else version)
+            for ref in segments
+        }
         if schema is not None:
             body["schema"] = json.dumps(schema.jsonValue())
         if extra:
@@ -454,14 +494,25 @@ class SnapshotTable:
         one fresh residual segment alongside ``new_entries``. Manifest
         bytes written are O(touched segments + batch), the same accounting
         the data files get (untouched files carry over path-identical)."""
+        pseqs = self._manifest_body(parent).get("seqs", {})
         carried: list[str] = []
         residual: list[dict] = []
         for ref in self._parent_segments(parent):
             ents = self._seg_entries(ref)
             if all(e["path"] in kept_paths for e in ents):
                 carried.append(ref)
-            else:
-                residual.extend(e for e in ents if e["path"] in kept_paths)
+                continue
+            seq = pseqs.get(ref, parent)
+            for e in ents:
+                if e["path"] not in kept_paths:
+                    continue
+                # folding a surviving entry into the residual segment must
+                # not bump its sequence number — an untouched file that
+                # escaped its merge-on-read delete this way would silently
+                # resurrect deleted rows (caught by
+                # tests/test_mor_deletes.py)
+                e["seq"] = e.get("seq", seq)
+                residual.append(e)
         segments = list(carried)
         if residual or new_entries or not carried:
             segments.append(self._write_segment(residual + new_entries))
@@ -494,7 +545,7 @@ class SnapshotTable:
         version = self.latest_version()
         if version is None:
             raise ValueError("snapshot table has no committed version")
-        entries = self._entries(version)
+        entries = self._data_entries(version)
         if prune is not None:
             col, lo, hi = prune
             cand, kept = [], []
@@ -510,18 +561,18 @@ class SnapshotTable:
         # SURVIVE. A bare NOT(condition) filter would drop those rows too
         # (NOT NULL is NULL under three-valued logic) — an unrequested
         # erasure Delta/Iceberg DELETE would never perform (r10 review).
-        survivors = (
-            self._reader(spark, version)
-            .parquet(*[e["path"] for e in cand])
-            .filter(f"NOT coalesce(({condition}), false)")
+        # MOR deletes are applied to the rewrite read: the rewritten files
+        # get a NEW sequence number, so a row resurrected here would
+        # permanently escape its delete file.
+        survivors = self._read_with_deletes(spark, version, cand).filter(
+            f"NOT coalesce(({condition}), false)"
         )
         new_entries = self._write_data(survivors, stats_cols, bloom_cols)
+        kept_paths = {e["path"] for e in kept} | {
+            e["path"] for e in self._delete_entries(version)
+        }
         return self._publish_cow(
-            version,
-            {e["path"] for e in kept},
-            new_entries,
-            "delete",
-            self._schema(version),
+            version, kept_paths, new_entries, "delete", self._schema(version)
         )
 
     def merge_upsert(
@@ -600,7 +651,7 @@ class SnapshotTable:
         the matched rows (duplicate keys, no error). An affected URI that
         maps to no manifest entry therefore raises instead of being
         treated as untouched (r10 advice)."""
-        entries = self._entries(version)
+        entries = self._data_entries(version)
         src = self._reader(spark, version).parquet(*[e["path"] for e in entries])
         affected_rows = (
             src.withColumn("_file", F.input_file_name())
@@ -615,7 +666,7 @@ class SnapshotTable:
             os.path.realpath(unquote(urlparse(r["_file"]).path))
             for r in affected_rows
         }
-        by_real = {os.path.realpath(e["path"]): e["path"] for e in entries}
+        by_real = {os.path.realpath(e["path"]): e for e in entries}
         unknown = affected - set(by_real)
         if unknown:
             raise RuntimeError(
@@ -623,13 +674,16 @@ class SnapshotTable:
                 f"bug would silently skip the rewrite): {sorted(unknown)[:3]}"
             )
         rewrite = [by_real[p] for p in affected]
-        kept_paths = {e["path"] for e in entries} - set(rewrite)
+        rewrite_paths = {e["path"] for e in rewrite}
+        kept_paths = (
+            {e["path"] for e in entries} - rewrite_paths
+        ) | {e["path"] for e in self._delete_entries(version)}
         new_entries: list[dict] = []
         if rewrite:
-            survivors = (
-                self._reader(spark, version)
-                .parquet(*rewrite)
-                .join(F.broadcast(key_df), keys, "left_anti")
+            # MOR deletes apply to the rewrite read (rewritten files get a
+            # new sequence number — see delete_where)
+            survivors = self._read_with_deletes(spark, version, rewrite).join(
+                F.broadcast(key_df), keys, "left_anti"
             )
             new_entries = self._write_data(survivors, stats_cols, bloom_cols)
         return kept_paths, new_entries
@@ -665,6 +719,78 @@ class SnapshotTable:
         return self._publish_cow(
             version, kept_paths, new_entries, "delete", self._schema(version)
         )
+
+    # -- merge-on-read deletes (delete-key files) ---------------------------
+
+    def delete_keys_mor(
+        self, spark: SparkSession, key_df: DataFrame, key_cols: tuple[str, ...]
+    ) -> int:
+        """MERGE-ON-READ KEYED DELETE (Iceberg equality-delete files /
+        Delta deletion vectors): publish a version in which rows matching
+        ``key_df``'s keys are gone WITHOUT rewriting a single data file —
+        the delete commits as a small KEY FILE plus one manifest segment,
+        and readers apply it as a broadcast anti-join. This is the right
+        shape for the purge copy-on-write can't do cheaply: a scattered
+        key set (a dedup keep-list over uniformly-hashed doc_ids) defeats
+        min/max pruning, so :meth:`delete_keys` would rewrite nearly every
+        file — O(table) write cost for an O(keys) decision. Here the
+        commit cost is O(keys); the read pays one broadcast anti-join
+        until :meth:`compact_small_files` materializes the delete away.
+
+        Sequence-number visibility (the Iceberg rule): the delete applies
+        only to data files with a LOWER sequence number, so a LATER append
+        or merge can re-insert a deleted key without this delete silently
+        erasing it. Time travel is unaffected — the pre-delete version
+        still shows the rows until retention expires it."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        keys = list(key_cols)
+        written = self._write_data(key_df.select(*keys).distinct(), ())
+        for e in written:
+            e["kind"] = "delete"
+            e["keys"] = keys
+        seg = self._write_segment(written)
+        segments = self._parent_segments(version) + [seg]
+        return self._publish_list(
+            segments, "delete-mor", self._schema(version), version
+        )
+
+    def _read_with_deletes(
+        self, spark: SparkSession, version: int, data_entries: list[dict]
+    ) -> DataFrame:
+        """Read ``data_entries`` under ``version``'s schema with every
+        APPLICABLE merge-on-read delete anti-joined out. Data files are
+        grouped by which deletes apply (delete seq > data seq), so the
+        plan is one scan + one broadcast anti-join per delete commit per
+        group — groups are bounded by the number of MOR-delete commits
+        since the last compaction, not by data volume."""
+        dels = self._delete_entries(version)
+        reader = self._reader(spark, version)
+        if not dels:
+            return reader.parquet(*[e["path"] for e in data_entries])
+        from collections import defaultdict
+
+        groups: dict[tuple, list[str]] = defaultdict(list)
+        for e in data_entries:
+            appl = tuple(
+                sorted(
+                    d["path"] for d in dels if d["_seq"] > e.get("_seq", 0)
+                )
+            )
+            groups[appl].append(e["path"])
+        dmap = {d["path"]: d for d in dels}
+        parts = []
+        for appl, files in groups.items():
+            df = reader.parquet(*files)
+            for dp in appl:
+                kdf = spark.read.parquet(dp)
+                df = df.join(F.broadcast(kdf), list(dmap[dp]["keys"]), "left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- named refs: branches (mutable) ------------------------------------
 
@@ -890,16 +1016,24 @@ class SnapshotTable:
             version = self.latest_version()
         if version is None:
             raise ValueError("snapshot table has no committed version")
-        entries = self._entries(version)
+        entries = self._data_entries(version)
+        return [
+            e["path"] for e in self._prune_entries(entries, where)
+        ], len(entries)
+
+    @staticmethod
+    def _prune_entries(
+        entries: list[dict], where: tuple[str, float, float] | None
+    ) -> list[dict]:
         if where is None:
-            return [e["path"] for e in entries], len(entries)
+            return entries
         col, lo, hi = where
         kept = []
         for e in entries:
             rng = e.get("stats", {}).get(col)
             if rng is None or (rng[0] <= hi and rng[1] >= lo):
-                kept.append(e["path"])
-        return kept, len(entries)
+                kept.append(e)
+        return kept
 
     def plan_files_keys(
         self, col: str, keys: list, version: int | None = None
@@ -920,7 +1054,7 @@ class SnapshotTable:
             version = self.latest_version()
         if version is None:
             raise ValueError("snapshot table has no committed version")
-        entries = self._entries(version)
+        entries = self._data_entries(version)
         kept = []
         probe_cache: dict[tuple[int, int], list[list[int]]] = {}
         for e in entries:
@@ -971,11 +1105,19 @@ class SnapshotTable:
         """Rows added between two versions (see :meth:`incremental_files`),
         read under ``to_version``'s schema — a delta that predates a later
         add-column still surfaces the evolved shape (missing columns NULL),
-        so incremental consumers see one stable schema per target version."""
-        files = self.incremental_files(from_version, to_version)
-        if not files:
+        so incremental consumers see one stable schema per target version.
+        Merge-on-read delete files never surface as delta ROWS; they are
+        applied to the delta data files they cover, so the consumer sees
+        the rows as ``to_version`` would serve them."""
+        base = set(self._files(from_version))
+        ents = [
+            e
+            for e in self._data_entries(to_version)
+            if e["path"] not in base
+        ]
+        if not ents:
             raise ValueError("no files added between versions; empty reads need a schema")
-        return self._reader(spark, to_version).parquet(*files)
+        return self._read_with_deletes(spark, to_version, ents)
 
     # -- retention --------------------------------------------------------
 
@@ -1058,13 +1200,17 @@ class SnapshotTable:
     ) -> DataFrame:
         """Read a version; ``where`` prunes files via manifest stats. File
         pruning is RANGE-granular, not row-exact — callers still apply the
-        row filter (same contract as parquet row-group stats)."""
+        row filter (same contract as parquet row-group stats). Versions
+        carrying merge-on-read delete files serve reads with the deletes
+        anti-joined out (:meth:`_read_with_deletes`)."""
         if version is None:
             version = self.latest_version()
-        files, _ = self.plan_files(version, where)
-        if not files:
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        ents = self._prune_entries(self._data_entries(version), where)
+        if not ents:
             raise ValueError("pruning removed every file; empty reads need a schema")
-        return self._reader(spark, version).parquet(*files)
+        return self._read_with_deletes(spark, version, ents)
 
     # -- maintenance: small-file compaction -------------------------------
 
@@ -1114,21 +1260,35 @@ class SnapshotTable:
             # compacting a historical version would republish stale data as
             # the newest state; maintenance always targets the head
             raise ValueError("compaction must target the latest version")
-        entries = self._entries(version)
+        entries = self._data_entries(version)
         small = [e for e in entries if os.path.getsize(e["path"]) < small_bytes]
         if len(small) < 2:
             return version
         small_paths = {e["path"] for e in small}
-        kept_paths = {e["path"] for e in entries} - small_paths
+        kept_data = [e for e in entries if e["path"] not in small_paths]
         total = sum(os.path.getsize(e["path"]) for e in small)
         n_out = max(1, -(-total // target_bytes))
-        df = self._reader(spark, version).parquet(*[e["path"] for e in small])
+        # MOR deletes are MATERIALIZED into the rewrite (the compacted
+        # files carry a new sequence number, past the deletes they
+        # absorbed); a delete entry survives only while some untouched
+        # data file still predates it — otherwise it is dangling and the
+        # compaction drops it (Iceberg rewrite_position_deletes folded
+        # into the data rewrite).
+        df = self._read_with_deletes(spark, version, small)
         if cluster_by:
             df = df.repartitionByRange(n_out, *cluster_by)
         else:
             # no shuffle: merge the small read partitions down in place
             df = df.coalesce(n_out)
         new_entries = self._write_data(df, stats_cols, bloom_cols)
+        live_deletes = [
+            d
+            for d in self._delete_entries(version)
+            if any(e.get("_seq", 0) < d["_seq"] for e in kept_data)
+        ]
+        kept_paths = {e["path"] for e in kept_data} | {
+            d["path"] for d in live_deletes
+        }
         return self._publish_cow(
             version, kept_paths, new_entries, "compact", self._schema(version)
         )
@@ -2074,6 +2234,73 @@ def snapshot_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.expr("CAST(bit_xor(o_orderkey) AS BIGINT)").alias("xor_key"),
     )
+
+
+# --- merge-on-read delete (delete-key files) -----------------------------------
+
+MOR_MOD = 17  #: doc_id % MOR_MOD == 0 → the purged key set (hash-scattered)
+
+_SQL_MOR_SURVIVORS = f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(doc_id) AS BIGINT) AS xor_doc_id
+    FROM documents WHERE doc_id % {MOR_MOD} <> 0 GROUP BY source
+"""
+
+
+@query(
+    "snapshot_delete_vector",
+    priority=150,
+    oracle=f"""
+    SELECT 'mor_read' AS probe, * FROM ({_SQL_MOR_SURVIVORS})
+    UNION ALL
+    SELECT 'post_compact' AS probe, * FROM ({_SQL_MOR_SURVIVORS})
+    """,
+)
+def snapshot_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ KEYED DELETE (delete-key files): commit the documents
+    corpus hash-SCATTERED across 16 files, then purge a scattered key set
+    (doc_id ≡ 0 mod {MOR_MOD} — a dedup keep-list shape: uniform over the
+    hash space, so every file's [min, max] spans it and copy-on-write
+    would rewrite nearly the whole table). ``delete_keys_mor`` instead
+    commits an O(keys) delete file; the 'mor_read' row aggregates the
+    table THROUGH the manifest reader with the delete anti-joined in at
+    read time — the oracle is the copy-on-write semantics, so a green
+    hash proves MOR read ≡ COW result. ``compact_small_files`` then
+    MATERIALIZES the delete into rewritten files and drops the dangling
+    delete entry (asserted in-query: a leftover delete entry after full
+    rewrite would silently tax every future read); 'post_compact' proves
+    the materialized table serves the identical rows.
+
+    Scale: the purge decision is O(keys) metadata + one broadcast
+    anti-join per read until the next routine compaction absorbs it —
+    versus O(table) rewrite for COW on scattered keys. Sequence numbers
+    keep later appends safe from old deletes (pinned in
+    tests/test_mor_deletes.py along with the change-feed interaction)."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_mor")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    t.commit(docs.repartition(16, "doc_id"))
+    keys = docs.filter(F.col("doc_id") % MOR_MOD == 0).select("doc_id")
+    v2 = t.delete_keys_mor(spark, keys, ("doc_id",))
+
+    def agg(df: DataFrame, probe: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("xor_doc_id"),
+        ).select(F.lit(probe).alias("probe"), "source", "n_docs", "xor_doc_id")
+
+    mor = agg(t.read(spark, v2), "mor_read")
+    v3 = t.compact_small_files(spark, target_bytes=1 << 30)
+    if t._delete_entries(v3):
+        raise AssertionError(
+            "compaction rewrote every data file; the delete entry is "
+            "dangling and must be dropped"
+        )
+    post = agg(t.read(spark, v3), "post_compact")
+    return mor.unionAll(post)
 
 
 # --- write-audit-publish ------------------------------------------------------
