@@ -347,6 +347,7 @@ HEADLINE = (
     # write-audit-publish: staged commit + audited atomic branch swap
     "snapshot_write_audit_publish",
     "snapshot_delete_vector",
+    "snapshot_partitioned_read",
 )
 
 

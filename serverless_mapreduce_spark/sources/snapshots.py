@@ -263,6 +263,7 @@ class SnapshotTable:
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
         extra: dict | None = None,
+        partition_by: tuple[str, ...] = (),
     ) -> int:
         """Write ``df``'s rows as new immutable files, publish version N+1.
 
@@ -277,10 +278,21 @@ class SnapshotTable:
         stats pass is one aggregation over the just-written files grouped
         by ``input_file_name`` (driver memory O(files·cols) — exactly what
         a manifest is; production formats lift the same numbers straight
-        from the parquet footers they just wrote)."""
+        from the parquet footers they just wrote).
+
+        ``partition_by`` declares a PARTITION SPEC (Iceberg partition
+        fields / hive-style layout): the batch is written value-clustered
+        on the given columns and each file's partition VALUES are recorded
+        in its manifest entry, so ``plan_files(partition_eq=...)`` skips
+        non-matching partitions with zero scanned files — the
+        directory-sharded layout the reference's shuffle writes by hand
+        (``map_shuffle_handler.py:181-187``), lifted into table metadata.
+        The partition columns stay IN the data files (readers never
+        reconstruct them from paths), so partition pruning composes with
+        stats/bloom pruning and with every read path unchanged."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
-        written = self._write_data(df, stats_cols, bloom_cols)
+        written = self._write_data(df, stats_cols, bloom_cols, partition_by)
         seg = self._write_segment(written)
         # CAS retry loop: data files are already durable and never
         # conflict (uuid dirs); only the manifest pointer races. An
@@ -304,19 +316,59 @@ class SnapshotTable:
         df: DataFrame,
         stats_cols: tuple[str, ...],
         bloom_cols: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
     ) -> list[dict]:
         """Write ``df`` as immutable parquet under a fresh uuid commit dir;
-        return manifest entries (with per-file min/max and/or per-file
-        Bloom bitmaps when asked)."""
+        return manifest entries (with per-file min/max, per-file Bloom
+        bitmaps, and/or per-file partition values when asked).
+
+        Partitioned writes go through ``partitionBy`` on DUPLICATED
+        ``_p_<col>`` columns: Spark's hive layout drops the partition
+        column from the data files and encodes it in directory names,
+        which would force readers to reconstruct values from paths (and
+        break multi-commit reads, whose files span many base dirs).
+        Duplicating keeps the real column in every file — the directories
+        exist only to value-cluster the write, and the manifest entry,
+        parsed from them once at commit time, is what pruning reads."""
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, commit_id)
-        df.write.mode("error").parquet(out_dir)
-        new_files = sorted(
-            os.path.join(out_dir, f)
-            for f in os.listdir(out_dir)
-            if f.endswith(".parquet")
-        )
+        if partition_by:
+            pdf = df
+            for c in partition_by:
+                pdf = pdf.withColumn(f"_p_{c}", F.col(c))
+            pdf.write.mode("error").partitionBy(
+                *[f"_p_{c}" for c in partition_by]
+            ).parquet(out_dir)
+            new_files = sorted(
+                os.path.join(root, f)
+                for root, _dirs, fs in os.walk(out_dir)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        else:
+            df.write.mode("error").parquet(out_dir)
+            new_files = sorted(
+                os.path.join(out_dir, f)
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            )
         entries: list[dict] = [{"path": f} for f in new_files]
+        if partition_by:
+            from urllib.parse import unquote
+
+            for ent in entries:
+                values: dict[str, str | None] = {}
+                for comp in os.path.relpath(ent["path"], out_dir).split(os.sep):
+                    if "=" not in comp:
+                        continue
+                    name, _, raw = comp.partition("=")
+                    if not name.startswith("_p_"):
+                        continue
+                    val = unquote(raw)
+                    values[name[3:]] = (
+                        None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                    )
+                ent["partitions"] = values
         if stats_cols:
             aggs = []
             for c in stats_cols:
@@ -1005,35 +1057,54 @@ class SnapshotTable:
         self,
         version: int | None = None,
         where: tuple[str, float, float] | None = None,
+        partition_eq: dict[str, str | None] | None = None,
     ) -> tuple[list[str], int]:
         """(files to scan, total files in the version). ``where = (col, lo,
         hi)`` drops every file whose recorded [min, max] for ``col`` cannot
-        intersect the box; files committed without stats for ``col`` are
-        conservatively kept. This decision costs one small JSON read — no
-        file is opened, no task launched — which is the entire point at
-        100 TB: the fastest scan is the file never planned."""
+        intersect the box; ``partition_eq = {col: value}`` drops every file
+        whose recorded partition VALUE differs (values compare as the
+        hive-rendered strings ``commit(partition_by=...)`` recorded; None
+        matches the NULL partition). Files committed without stats /
+        partition values for a queried column are conservatively kept.
+        This decision costs one small JSON read — no file is opened, no
+        task launched — which is the entire point at 100 TB: the fastest
+        scan is the file never planned."""
         if version is None:
             version = self.latest_version()
         if version is None:
             raise ValueError("snapshot table has no committed version")
         entries = self._data_entries(version)
         return [
-            e["path"] for e in self._prune_entries(entries, where)
+            e["path"]
+            for e in self._prune_entries(entries, where, partition_eq)
         ], len(entries)
 
     @staticmethod
     def _prune_entries(
-        entries: list[dict], where: tuple[str, float, float] | None
+        entries: list[dict],
+        where: tuple[str, float, float] | None,
+        partition_eq: dict[str, str | None] | None = None,
     ) -> list[dict]:
+        kept = entries
+        if partition_eq:
+            nxt = []
+            for e in kept:
+                parts = e.get("partitions", {})
+                if all(
+                    col not in parts or parts[col] == val
+                    for col, val in partition_eq.items()
+                ):
+                    nxt.append(e)
+            kept = nxt
         if where is None:
-            return entries
+            return kept
         col, lo, hi = where
-        kept = []
-        for e in entries:
+        nxt = []
+        for e in kept:
             rng = e.get("stats", {}).get(col)
             if rng is None or (rng[0] <= hi and rng[1] >= lo):
-                kept.append(e)
-        return kept
+                nxt.append(e)
+        return nxt
 
     def plan_files_keys(
         self, col: str, keys: list, version: int | None = None
@@ -1197,9 +1268,11 @@ class SnapshotTable:
         spark: SparkSession,
         version: int | None = None,
         where: tuple[str, float, float] | None = None,
+        partition_eq: dict[str, str | None] | None = None,
     ) -> DataFrame:
-        """Read a version; ``where`` prunes files via manifest stats. File
-        pruning is RANGE-granular, not row-exact — callers still apply the
+        """Read a version; ``where`` prunes files via manifest stats,
+        ``partition_eq`` via recorded partition values. File pruning is
+        RANGE/PARTITION-granular, not row-exact — callers still apply the
         row filter (same contract as parquet row-group stats). Versions
         carrying merge-on-read delete files serve reads with the deletes
         anti-joined out (:meth:`_read_with_deletes`)."""
@@ -1207,7 +1280,9 @@ class SnapshotTable:
             version = self.latest_version()
         if version is None:
             raise ValueError("snapshot table has no committed version")
-        ents = self._prune_entries(self._data_entries(version), where)
+        ents = self._prune_entries(
+            self._data_entries(version), where, partition_eq
+        )
         if not ents:
             raise ValueError("pruning removed every file; empty reads need a schema")
         return self._read_with_deletes(spark, version, ents)
@@ -2233,6 +2308,71 @@ def snapshot_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.groupBy("op").agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.expr("CAST(bit_xor(o_orderkey) AS BIGINT)").alias("xor_key"),
+    )
+
+
+# --- partition-spec pruned read -------------------------------------------------
+
+PART_VALUE = "1-URGENT"  #: the probed o_orderpriority partition
+
+
+@query(
+    "snapshot_partitioned_read",
+    priority=150,
+    oracle=f"""
+    SELECT 'part' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderpriority = '{PART_VALUE}'
+    UNION ALL
+    SELECT 'full' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    """,
+)
+def snapshot_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC PRUNED READ: commit orders under a partition spec
+    (``partition_by=("o_orderpriority",)`` — per-file partition VALUES
+    recorded in the manifest), then serve a single-priority probe by
+    planning ONLY that partition's files. Unlike min/max stats (a range
+    approximation) partition pruning is VALUE-EXACT: the in-query audit
+    raises if any planned file carries a different recorded value, so a
+    green row certifies that non-matching partitions contributed ZERO
+    scanned files (the file-count accounting is additionally pinned by
+    tests/test_partition_spec.py). The 'full' probe proves the
+    partitioned write is lossless. This is the table-format lift of the
+    reference's hand-built directory-sharded shuffle layout
+    (``map_shuffle_handler.py:181-187``) and of layout.py's plain-sink
+    hive pruning — here the values live in table METADATA, so pruning
+    needs no directory listing and composes with snapshot versioning,
+    stats and bloom skipping on the same entries.
+
+    Scale: a priority-sliced consumer at 100 TB reads ~1/5th of the
+    files after a pure-metadata decision; the write clusters by value so
+    per-file stats on other columns stay tight within each partition."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_part")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    t.commit(orders, partition_by=("o_orderpriority",))
+    files, total = t.plan_files(partition_eq={"o_orderpriority": PART_VALUE})
+    if not files or len(files) >= total:
+        raise AssertionError("partition pruning must plan a strict subset")
+    planned = {e["path"]: e for e in t._data_entries(1)}
+    if any(
+        planned[f]["partitions"]["o_orderpriority"] != PART_VALUE
+        for f in files
+    ):
+        raise AssertionError("a non-matching partition file was planned")
+
+    part = t.read(
+        spark, partition_eq={"o_orderpriority": PART_VALUE}
+    ).filter(F.col("o_orderpriority") == PART_VALUE)
+    return _probe_cents_agg(part, "part").unionAll(
+        _probe_cents_agg(t.read(spark), "full")
     )
 
 

@@ -1,0 +1,124 @@
+"""Partition spec in SnapshotTable (round 11): per-file partition values
+recorded at commit, value-exact pruning with zero scanned files for
+non-matching partitions, NULL partitions, hive-escaped values, and
+composition with stats pruning, COW carry-over, and appends."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
+
+
+def _df(spark, rows, ddl="k BIGINT, grp STRING"):
+    return spark.createDataFrame(rows, ddl)
+
+
+def test_partition_values_recorded_and_pruned_exactly(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    rows = [(k, "ab"[k % 2]) for k in range(20)]
+    t.commit(_df(spark, rows), partition_by=("grp",))
+    ents = t._data_entries(1)
+    assert all(e["partitions"].keys() == {"grp"} for e in ents)
+    files_a, total = t.plan_files(partition_eq={"grp": "a"})
+    # value-exact: EVERY kept file is the probed partition, every other
+    # partition contributes zero files
+    by_path = {e["path"]: e["partitions"]["grp"] for e in ents}
+    assert files_a and all(by_path[f] == "a" for f in files_a)
+    assert len(files_a) + len(t.plan_files(partition_eq={"grp": "b"})[0]) == total
+    got = sorted(
+        r.k for r in t.read(spark, partition_eq={"grp": "a"}).collect()
+    )
+    assert got == [k for k in range(20) if k % 2 == 0]
+    # the partition column is IN the data files, not reconstructed
+    assert t.read(spark).columns == ["k", "grp"]
+
+
+def test_partition_null_and_escaped_values(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    rows = [(1, "x y"), (2, None), (3, "a=b")]  # space, NULL, '=' in value
+    t.commit(_df(spark, rows), partition_by=("grp",))
+    vals = {e["partitions"]["grp"] for e in t._data_entries(1)}
+    assert vals == {"x y", None, "a=b"}
+    for want, ks in (("x y", [1]), (None, [2]), ("a=b", [3])):
+        got = sorted(
+            r.k for r in t.read(spark, partition_eq={"grp": want}).collect()
+        )
+        assert got == ks
+
+
+def test_partition_pruning_composes_with_stats(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    rows = [(k, "ab"[k % 2]) for k in range(1000)]
+    df = _df(spark, rows).repartitionByRange(4, "k")
+    t.commit(df, partition_by=("grp",), stats_cols=("k",))
+    # 4 range buckets x 2 partitions = 8 files; combined pruning keeps the
+    # intersection
+    files, total = t.plan_files(
+        where=("k", 0, 100), partition_eq={"grp": "a"}
+    )
+    assert total == 8 and 1 <= len(files) <= 2
+    got = sorted(
+        r.k
+        for r in t.read(
+            spark, where=("k", 0, 100), partition_eq={"grp": "a"}
+        )
+        .filter("k <= 100")
+        .collect()
+    )
+    assert got == [k for k in range(101) if k % 2 == 0]
+
+
+def test_unpartitioned_files_are_conservatively_kept(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, [(1, "a")]).coalesce(1))  # no partition spec
+    t.commit(_df(spark, [(2, "b")]), partition_by=("grp",))
+    files, total = t.plan_files(partition_eq={"grp": "b"})
+    # the spec-less file cannot be excluded; the 'a' partition file can
+    assert total == 2 and len(files) == 2
+    got = sorted(
+        r.k
+        for r in t.read(spark, partition_eq={"grp": "b"})
+        .filter("grp = 'b'")
+        .collect()
+    )
+    assert got == [2]
+
+
+def test_partition_values_survive_cow_carry(spark, tmp_path):
+    """A delete that rewrites one partition's file must carry the other
+    partitions' entries — with their recorded values — by reference."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    rows = [(k, "ab"[k % 2]) for k in range(10)]
+    t.commit(_df(spark, rows), partition_by=("grp",))
+    v2 = t.delete_keys_mor(
+        spark, spark.createDataFrame([(0,)], "k BIGINT"), ("k",)
+    )
+    v3 = t.compact_small_files(spark, target_bytes=1 << 30)
+    # compaction rewrote everything: values gone (conservative), reads right
+    got = sorted(r.k for r in t.read(spark, v3).collect())
+    assert got == list(range(1, 10))
+    # but a keyed COW delete touching only partition 'a' carries 'b' values
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    t2.commit(_df(spark, rows), partition_by=("grp",))
+    t2.delete_keys(spark, spark.createDataFrame([(2,)], "k BIGINT"), ("k",))
+    vals = {
+        e["partitions"]["grp"]
+        for e in t2._data_entries(t2.latest_version())
+        if "partitions" in e
+    }
+    assert "b" in vals  # untouched partition kept its recorded value
+    files_b, _ = t2.plan_files(partition_eq={"grp": "b"})
+    assert files_b
+    assert v2  # silence lint: versions used above
+
+
+def test_partitioned_append_extends_partitions(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, [(1, "a")]), partition_by=("grp",))
+    t.commit(_df(spark, [(2, "c")]), partition_by=("grp",))
+    files_c, total = t.plan_files(partition_eq={"grp": "c"})
+    assert total == 2 and len(files_c) == 1
+    assert [
+        r.k for r in t.read(spark, partition_eq={"grp": "c"}).collect()
+    ] == [2]
