@@ -1051,6 +1051,39 @@ class SnapshotTable:
             extra={"stream_id": stream_id, "stream_batch_id": batch_id},
         )
 
+    def commit_onto(
+        self,
+        base_version: int | None,
+        df: DataFrame,
+        stats_cols: tuple[str, ...] = (),
+        extra: dict | None = None,
+    ) -> int:
+        """Append ``df`` ONTO ``base_version``'s file set, regardless of
+        what the table head is: the published version references the
+        base's segments plus one new segment — any versions after the
+        base (e.g. a crashed multi-table transaction's staged append)
+        are simply NOT referenced and die as orphans. This is the
+        staging primitive :class:`MultiTableCatalog` needs for replay:
+        re-staging a batch after a crash must branch from the last
+        PUBLISHED state, not stack onto its own orphaned first attempt
+        (which would double the batch). Base refs are a subset of the
+        head's refs in the staging pattern, so carried sequence numbers
+        are preserved by ``_publish_list``'s parent lookup."""
+        written = self._write_data(df, stats_cols)
+        seg = self._write_segment(written)
+        for _ in range(64):
+            parent = self.latest_version()
+            if base_version is None:
+                segments, schema = [seg], df.schema
+            else:
+                segments = self._parent_segments(base_version) + [seg]
+                schema = _merge_schemas(self._schema(base_version), df.schema)
+            try:
+                return self._publish_list(segments, "append", schema, parent, extra)
+            except CommitConflict:
+                continue
+        raise CommitConflict("64 consecutive manifest races; giving up")
+
     # -- read -------------------------------------------------------------
 
     def plan_files(
@@ -1367,6 +1400,97 @@ class SnapshotTable:
         return self._publish_cow(
             version, kept_paths, new_entries, "compact", self._schema(version)
         )
+
+
+class MultiTableCatalog:
+    """ATOMIC MULTI-TABLE COMMITS (VERDICT r10 item 4): a tiny transaction
+    log OVER SnapshotTables. Each transaction is one JSON published with
+    the same create-exclusive CAS as table manifests, recording the
+    VISIBLE version of every participating table plus the streaming batch
+    ledger — so a micro-batch that must land in N tables (the dedup
+    ingest's corpus + band index) becomes: stage a normal commit in each
+    table (invisible to catalog readers, exactly like write-audit-publish
+    staging), then publish ONE catalog entry naming all the staged
+    versions. Readers that resolve versions through the catalog see batch
+    N in every table or in none — there is no window where the corpus has
+    a batch the index lacks, because visibility IS the single catalog
+    file (crash-injection pytest: tests/test_multitable_txn.py).
+
+    Crash analysis: before the catalog publish, any staged table commits
+    are unreferenced siblings — the replay re-stages from the last
+    PUBLISHED base (``SnapshotTable.commit_onto``), so the orphans never
+    double data; after the publish, the catalog ledger skips the replay.
+    This is Iceberg's multi-table-transaction proposal in minimal form
+    (catalog-level atomicity over per-table optimistic commits)."""
+
+    def __init__(self, base_dir: str):
+        self.txn_dir = os.path.join(base_dir, "_txns")
+        os.makedirs(self.txn_dir, exist_ok=True)
+
+    def _txn_path(self, n: int) -> str:
+        return os.path.join(self.txn_dir, f"txn-{n}.json")
+
+    def txns(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.txn_dir):
+            if name.startswith("txn-") and name.endswith(".json"):
+                out.append(int(name[4:-5]))
+        return sorted(out)
+
+    def _head(self) -> dict:
+        ts = self.txns()
+        if not ts:
+            return {"tables": {}, "ledger": {}}
+        with open(self._txn_path(ts[-1])) as fh:
+            return json.load(fh)
+
+    def visible(self, table_name: str) -> int | None:
+        """The version of ``table_name`` the last published transaction
+        made visible (None before the first publish). Catalog readers
+        must pass this to ``SnapshotTable.read`` — the table HEAD may be
+        ahead by staged-but-unpublished commits."""
+        return self._head()["tables"].get(table_name)
+
+    def batch_committed(self, stream_id: str, batch_id: int) -> bool:
+        """Catalog-level exactly-once: the ledger lives in the
+        transaction log, so it is atomic WITH the visibility switch —
+        a batch is marked committed in the same CAS that exposes it."""
+        return batch_id <= self._head()["ledger"].get(stream_id, -1)
+
+    def publish(
+        self,
+        tables: dict[str, int],
+        stream_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> int:
+        """Atomically make ``tables``' staged versions visible (merged
+        over the previous head's map, so untouched tables keep their
+        versions) and advance the stream ledger. Lost CAS races raise
+        :class:`CommitConflict` — the single-writer streaming sink never
+        races itself; a concurrent admin publish must re-derive."""
+        head = self._head()
+        n = (self.txns()[-1] if self.txns() else 0) + 1
+        ledger = dict(head["ledger"])
+        if stream_id is not None and batch_id is not None:
+            if ledger.get(stream_id, -1) < batch_id:
+                ledger[stream_id] = batch_id
+        body = {
+            "txn": n,
+            "tables": {**head["tables"], **tables},
+            "ledger": ledger,
+        }
+        tmp = os.path.join(self.txn_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
+        with open(tmp, "w") as fh:
+            json.dump(body, fh)
+        try:
+            os.link(tmp, self._txn_path(n))
+        except FileExistsError:
+            raise CommitConflict(
+                f"txn {n} was published by a concurrent writer"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return n
 
 
 def _cents(col: str = "o_totalprice"):

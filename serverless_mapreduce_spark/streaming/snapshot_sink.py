@@ -200,11 +200,15 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     so delivery/replay semantics are the tested foreachBatch path, not a
     batch simulation).
 
-    Two tables commit per batch (corpus, index), each idempotent on
-    (stream_id, batch_id); a crash between them redelivers the batch —
-    the corpus skip + index commit then CONVERGES (documented
-    single-table-atomicity contract). Blank docs band to nothing and
-    always survive (both engines, the shared blank-shingle convention).
+    Two tables land per batch (corpus, index) as ONE TRANSACTION: each
+    stages a normal SnapshotTable commit (invisible to catalog readers),
+    then a single ``MultiTableCatalog.publish`` CAS makes both visible
+    and advances the batch ledger atomically — batch N is in both tables
+    or in neither, with no crash window between them (VERDICT r10 item 4;
+    crash-injection pytest: tests/test_multitable_txn.py). The probe
+    reads the index THROUGH the catalog, so a half-landed batch could
+    never contribute bands either. Blank docs band to nothing and always
+    survive (both engines, the shared blank-shingle convention).
 
     Scale: per batch cost is O(batch bands + collisions) against a
     clustered append-only index — the dedup_persistent_index shape now
@@ -222,23 +226,29 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
+    from serverless_mapreduce_spark.sources.snapshots import MultiTableCatalog
+
     base = scratch(sf_tag(sf_dir), "stream_dedup")
     src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
     corpus_dir, index_dir = os.path.join(base, "corpus"), os.path.join(base, "index")
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(src)
     corpus_t, index_t = SnapshotTable(corpus_dir), SnapshotTable(index_dir)
+    cat = MultiTableCatalog(base)
     sid = "dedup_ingest"
 
     docs = table(spark, sf_dir, "documents")
     rem = F.col("doc_id") % INCR_MOD
     standing = docs.filter(~rem.isin(PERSIST_B1, PERSIST_B2))
-    corpus_t.commit(standing)
-    index_t.commit(
+    v_corp = corpus_t.commit(standing)
+    v_idx = index_t.commit(
         _bands(minhash_signatures(standing)).repartition("band_idx", "band_hash")
     )
+    cat.publish({"corpus": v_corp, "index": v_idx})
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if cat.batch_committed(sid, batch_id):
+            return  # redelivery after a published transaction
         # bands_b feeds three consumers (dup probe, survivor filter, index
         # commit): persist once per batch or the mapInPandas signature
         # pass re-runs per action — the dedup family's dominant cost on
@@ -249,9 +259,12 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         try:
-            idx = index_t.read(batch_df.sparkSession).select(
-                "band_idx", "band_hash"
-            )
+            # the probe reads the index THROUGH the catalog: staged
+            # versions from a crashed transaction must not dedup against
+            # bands whose corpus rows were never published
+            idx = index_t.read(
+                batch_df.sparkSession, cat.visible("index")
+            ).select("band_idx", "band_hash")
             # INNER join with the batch bands as the broadcast BUILD side:
             # a left_semi with a broadcast hint on its LEFT cannot be
             # honored (semi only builds right), so Spark would broadcast
@@ -265,16 +278,20 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct()
             )
             survivors = batch_df.join(dup_ids, "doc_id", "left_anti")
-            corpus_t.commit_stream_batch(survivors, sid, batch_id)
+            # stage both tables from the last PUBLISHED base, then flip
+            # visibility + ledger in ONE catalog CAS (atomic multi-table
+            # commit; a crash between the stages leaves only orphan
+            # versions, never a half-visible batch)
+            vc = corpus_t.commit_onto(cat.visible("corpus"), survivors)
             # survivors' bands ≡ bands_b minus the dropped ids — reuse the
             # persisted frame instead of re-running MinHash over survivors
-            index_t.commit_stream_batch(
+            vi = index_t.commit_onto(
+                cat.visible("index"),
                 bands_b.join(dup_ids, "doc_id", "left_anti").repartition(
                     "band_idx", "band_hash"
                 ),
-                sid,
-                batch_id,
             )
+            cat.publish({"corpus": vc, "index": vi}, sid, batch_id)
         finally:
             bands_b.unpersist()
 
@@ -305,7 +322,7 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain()                                    # micro-batch 1: batch 2 docs
 
     return (
-        corpus_t.read(spark)
+        corpus_t.read(spark, cat.visible("corpus"))
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
