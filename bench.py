@@ -348,6 +348,8 @@ HEADLINE = (
     "snapshot_write_audit_publish",
     "snapshot_delete_vector",
     "snapshot_partitioned_read",
+    "ann_persistent_ivfpq",
+    "eval_ann_nprobe_sweep_pq",
 )
 
 

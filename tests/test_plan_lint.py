@@ -86,6 +86,14 @@ BNLJ_ALLOWED = {
     # ranks, and the embedded bruteforce truth (ann_recall_at_k_eval
     # shape); the candidate retrieval itself is an equi-join on the cell
     "eval_ann_nprobe_sweep",
+    # the ann_persistent_ivf coarse-assignment shape (corpus × ~constant
+    # centroid broadcast); the ADC probe itself is pure equi-joins on
+    # (m, code, centroid) against the code index
+    "ann_persistent_ivfpq",
+    # eval_ann_nprobe_sweep's allowed crosses, scored over codes: nprobe
+    # frame × queries (crank range join), queries × codebook, embedded
+    # bruteforce truth; candidates + ADC are equi-joins throughout
+    "eval_ann_nprobe_sweep_pq",
 }
 
 FORBIDDEN_EVERYWHERE = ("CartesianProduct",)
