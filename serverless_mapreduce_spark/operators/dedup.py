@@ -266,18 +266,89 @@ _SQL_BAND_CTES = f"""
     )
 """
 
+#: HOT-BAND GUARD (VERDICT r10 item 7): a band bucket shared by n
+#: documents expands to C(n,2) candidate pairs — a boilerplate band hit
+#: by 10^6 docs at 100 TB would emit 10^12 pairs BEFORE the Jaccard
+#: verify ever runs. Bands over this cardinality switch from pairwise
+#: expansion to a STAR through the band's min-doc_id hub (n-1 pairs):
+#: connectivity — and therefore every downstream cluster/keep decision —
+#: is preserved whenever the hub pairs pass the verify, which is exactly
+#: the hot-band regime (members are near-identical boilerplate). The
+#: documented recall bound: a non-hub pair (a, b) inside a hot band is
+#: emitted only through the hub, so it is lost iff hub~a or hub~b fails
+#: the verify while a~b would have passed — impossible for exact
+#: duplicates, rare for the near-identical mass that makes bands hot.
+#: Fixture maxima are 3 (sf0.01) and 8 (sf0.1), so the cap never fires
+#: on non-degenerate data and every existing pair oracle is unchanged;
+#: the capped path is pinned by a crafted mega-band corpus
+#: (tests/test_hot_band.py) where both engines compute the SAME capped
+#: semantics — the cap lives in the shared cand derivation, not in one
+#: engine.
+BAND_CAP = 32
+
 # The banded-candidate derivation (`cand` is the final CTE) — the ONE
 # definition of "which document pairs meet" that every banded consumer
 # (pair verify, estimator eval) builds on; a change to the candidate
-# join must happen here and nowhere else.
+# join must happen here and nowhere else. Includes the hot-band guard
+# (see BAND_CAP).
 _SQL_CAND_CTES = f"""
-    {_SQL_BAND_CTES}, cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id
+    {_SQL_BAND_CTES}, bcnt AS (
+      SELECT band_idx, band_hash, COUNT(*) AS n
+      FROM bands GROUP BY band_idx, band_hash
+    ), bx AS (
+      SELECT b.doc_id, b.band_idx, b.band_hash, c.n
+      FROM bands b JOIN bcnt c
+        ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
+    ), cand AS (
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bx a JOIN bx b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE a.n <= {BAND_CAP}
+        UNION ALL
+        SELECT h.doc_a, b.doc_id AS doc_b
+        FROM (SELECT band_idx, band_hash, MIN(doc_id) AS doc_a
+              FROM bx WHERE n > {BAND_CAP}
+              GROUP BY band_idx, band_hash) h
+        JOIN bx b ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+         AND b.doc_id > h.doc_a
+      )
     )
 """
+
+
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from a banded layout — the Spark
+    twin of ``_SQL_CAND_CTES``'s cand, defined ONCE for every pairwise
+    consumer (dedup_minhash_lsh, the estimator eval). Cold bands (≤
+    BAND_CAP members) expand pairwise; hot bands emit a star through
+    their min-doc_id hub — O(n) pairs instead of O(n²), see BAND_CAP.
+    The cardinality count and both join legs share the (band_idx,
+    band_hash) clustering, so the guard costs one reused exchange, not
+    a new shuffle."""
+    counts = bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("_n")
+    )
+    bx = bands.join(counts, ["band_idx", "band_hash"])
+    cold = bx.filter(F.col("_n") <= BAND_CAP)
+    a, b = cold.alias("a"), cold.alias("b")
+    cold_pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    hot = bx.filter(F.col("_n") > BAND_CAP)
+    hubs = hot.groupBy("band_idx", "band_hash").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    star = (
+        hubs.join(hot, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id") > F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+    )
+    return cold_pairs.unionAll(star).distinct()
 
 # The banded-minhash near-dup pair derivation as a reusable CTE chain
 # (`pairs` is the final CTE): shared by the dedup_minhash_lsh oracle and by
@@ -315,20 +386,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # next query invocation releases it (caching.py).
     sigs = persist_tracked(minhash_signatures(docs))
 
-    bands = _bands(sigs)
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _band_candidates(_bands(sigs))
 
     sh = sigs.select("doc_id", "shingles")
     jac = (
@@ -1749,20 +1807,7 @@ def eval_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOOR of one IEEE multiply+divide (ROUND-tie lesson)."""
     docs = table(spark, sf_dir, "documents")
     sigs = persist_tracked(minhash_signatures(docs))
-    bands = _bands(sigs)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _band_candidates(_bands(sigs))
     sh = sigs.select("doc_id", "shingles", "sig")
     j = (
         cand.join(
