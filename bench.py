@@ -350,6 +350,8 @@ HEADLINE = (
     "snapshot_partitioned_read",
     "ann_persistent_ivfpq",
     "eval_ann_nprobe_sweep_pq",
+    "chat_pack_role_masks",
+    "dpo_pair_dedup",
 )
 
 

@@ -1,0 +1,363 @@
+"""Post-training (SFT / preference) data operators — VERDICT r10 item 8.
+
+The pretraining pipeline (dedup, packing, span corruption, quality
+filters) is deep; post-training data had nothing. Two operators close
+that:
+
+- ``chat_pack_role_masks``: role-aware sequence packing for SFT —
+  conversations pack into fixed-budget sequences with one span row per
+  (conversation, turn, pack) carrying the LOSS MASK (assistant turns
+  train, user turns don't), reusing ``semantic_pack_spans``'s integer
+  split/carry machinery with the turn grid layered on top.
+- ``dpo_pair_dedup``: joint near-dedup of preference examples — banded
+  on the PROMPT (the shared MinHash/LSH machinery, hot-band guard
+  included), verified jointly on all three legs (prompt shingles,
+  chosen tokens, rejected tokens), the standard hygiene pass before DPO
+  training (a duplicated prompt with conflicting preferences is label
+  noise; a fully duplicated example is wasted compute).
+
+The fixtures ship no conversations table, so both operators DERIVE the
+post-training shapes deterministically from ``documents`` (turn grid
+over the token stream; prompt/chosen/rejected as token-range slices) —
+the derivation is integer arithmetic reproduced identically in the
+DuckDB oracles, and crafted-corpus pytests (tests/test_posttraining.py)
+pin the edges the synthetic corpus can't exercise.
+
+Reference analog: none — the reference has no training-data surface;
+these extend the LLM-pipeline brief the same way the dedup/packing
+families do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_mapreduce_spark.caching import persist_tracked
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.operators.dedup import (
+    _SQL_SHINGLES,
+    _SQL_SIG,
+    _SQL_TOKS,
+    BAND_CAP,
+    JACCARD_THRESH,
+    NUM_BANDS,
+    _band_candidates,
+    _bands,
+    _tokens,
+    minhash_signatures,
+)
+from serverless_mapreduce_spark.registry import query
+
+CHAT_TURN_LEN = 16    #: tokens per synthesized turn (alternating roles)
+CHAT_PACK_BUDGET = 128  #: pack budget for the SFT loader sequences
+
+
+@query(
+    "chat_pack_role_masks",
+    priority=150,
+    oracle=f"""
+    WITH conv AS (
+      SELECT doc_id AS conv_id, source,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n
+      FROM documents
+      WHERE len({_SQL_TOKS}) > 0
+    ), c AS (
+      SELECT conv_id, source, n,
+             COALESCE(CAST(SUM(n) OVER (
+               PARTITION BY source ORDER BY conv_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               CAST(0 AS BIGINT)) AS cum_before
+      FROM conv
+    ), turns AS (
+      SELECT source, conv_id, n, cum_before,
+             CAST(t.turn_idx AS BIGINT) AS turn_idx,
+             CASE WHEN t.turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END
+               AS role,
+             cum_before + t.turn_idx * {CHAT_TURN_LEN} AS abs_s,
+             cum_before + LEAST(n, (t.turn_idx + 1) * {CHAT_TURN_LEN}) AS abs_e
+      FROM c, UNNEST(range(0, (n - 1) // {CHAT_TURN_LEN} + 1)) AS t(turn_idx)
+    ), spans AS (
+      SELECT source, conv_id, turn_idx, role, cum_before, abs_s, abs_e,
+             p.pack_id
+      FROM turns,
+           UNNEST(range(abs_s // {CHAT_PACK_BUDGET},
+                        (abs_e - 1) // {CHAT_PACK_BUDGET} + 1)) AS p(pack_id)
+    )
+    SELECT source, conv_id, turn_idx, role, pack_id,
+           GREATEST(abs_s, pack_id * {CHAT_PACK_BUDGET})
+             - pack_id * {CHAT_PACK_BUDGET} AS pack_offset,
+           GREATEST(abs_s, pack_id * {CHAT_PACK_BUDGET}) - cum_before
+             AS tok_start,
+           LEAST(abs_e, (pack_id + 1) * {CHAT_PACK_BUDGET}) - cum_before
+             AS tok_end,
+           LEAST(abs_e, (pack_id + 1) * {CHAT_PACK_BUDGET})
+             - GREATEST(abs_s, pack_id * {CHAT_PACK_BUDGET}) AS span_len,
+           CAST(turn_idx % 2 AS BIGINT) AS loss_mask
+    FROM spans
+    """,
+)
+def chat_pack_role_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLE-AWARE SFT PACKING: conversations (synthesized as a
+    {CHAT_TURN_LEN}-token turn grid over each document's token stream,
+    roles alternating user/assistant) pack into {CHAT_PACK_BUDGET}-token
+    loader sequences with one row per (conversation, turn, pack) span.
+    Each row carries where the span lands (pack_id, pack_offset), which
+    conversation-token slice fills it ([tok_start, tok_end)), and the
+    LOSS MASK — assistant turns train (mask 1), user turns are context
+    only (mask 0) — so the loader materializes both the input sequence
+    and its per-token loss mask by slicing each conversation once, no
+    boundary arithmetic at train time. A turn straddling a pack boundary
+    splits into one masked span per pack (split/carry), so every
+    non-terminal pack is exactly budget-full; masks never bleed across
+    the split (pinned by the crafted test).
+
+    Exactness: the running sum, DIV, GREATEST/LEAST, and both explodes
+    are end-to-end integer on positives; ``F.sequence`` lower bounds are
+    guaranteed ≤ upper by the n > 0 guard and te > ts (the r6
+    descending-sequence trap). DuckDB ``unnest(range(...))`` is the
+    twin.
+
+    Scale shape: one per-source ROWS window for the conversation
+    offsets, then two output-proportional Generates (turn count =
+    ceil(n/turn_len); each pack-boundary crossing adds exactly one
+    row) — no join at all, the same shape as semantic_pack_spans with
+    the turn grid layered in."""
+    L, B = CHAT_TURN_LEN, CHAT_PACK_BUDGET
+    conv = (
+        table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("conv_id"),
+            "source",
+            F.size(_tokens("text")).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        conv.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n").over(w), F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "turn_idx",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.expr(f"(n - 1) DIV {L}"))
+            ),
+        )
+        .withColumn("abs_s", F.expr(f"cum_before + turn_idx * {L}"))
+        .withColumn(
+            "abs_e", F.expr(f"cum_before + LEAST(n, (turn_idx + 1) * {L})")
+        )
+        .withColumn(
+            "pack_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"abs_s DIV {B}"), F.expr(f"(abs_e - 1) DIV {B}")
+                )
+            ),
+        )
+        .selectExpr(
+            "source",
+            "conv_id",
+            "turn_idx",
+            "CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END"
+            " AS role",
+            "pack_id",
+            f"GREATEST(abs_s, pack_id * {B}) - pack_id * {B} AS pack_offset",
+            f"GREATEST(abs_s, pack_id * {B}) - cum_before AS tok_start",
+            f"LEAST(abs_e, (pack_id + 1) * {B}) - cum_before AS tok_end",
+            f"LEAST(abs_e, (pack_id + 1) * {B})"
+            f" - GREATEST(abs_s, pack_id * {B}) AS span_len",
+            "CAST(turn_idx % 2 AS BIGINT) AS loss_mask",
+        )
+    )
+
+
+#: Preference-example derivation: an example's PROMPT is the first 60 %
+#: of the document's tokens; the remainder splits evenly into the CHOSEN
+#: and REJECTED responses. Examples need ≥ DPO_MIN_TOKENS tokens so every
+#: leg is non-empty.
+DPO_MIN_TOKENS = 10
+
+_SQL_DPO_EX = f"""
+    ex AS (
+      SELECT doc_id, {_SQL_TOKS} AS tk,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n,
+             CAST((len({_SQL_TOKS}) * 3) // 5 AS BIGINT) AS sp,
+             CAST((len({_SQL_TOKS}) * 3) // 5
+                  + (len({_SQL_TOKS}) - (len({_SQL_TOKS}) * 3) // 5) // 2
+                  AS BIGINT) AS mid
+      FROM documents
+      WHERE len({_SQL_TOKS}) >= {DPO_MIN_TOKENS}
+    ), legs AS (
+      SELECT doc_id,
+             array_to_string(tk[1:sp], ' ') AS text,
+             list_distinct(tk[sp+1:mid]) AS chosen,
+             list_distinct(tk[mid+1:n]) AS rejected
+      FROM ex
+    )
+"""
+
+
+def _dpo_oracle() -> str:
+    jac = (
+        "ROUND(CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+        " / len(list_distinct(list_concat({a}, {b}))), 6)"
+    )
+    raw = (
+        "CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+        " / len(list_distinct(list_concat({a}, {b})))"
+    )
+    return f"""
+    WITH {_SQL_DPO_EX},
+    pb AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM legs),
+    ps AS (SELECT doc_id, shingles,
+                  {_SQL_SIG.format(sh='shingles')} AS sig FROM pb),
+    bands AS (
+      SELECT doc_id, b.band_idx,
+             md5(CAST(sig[b.band_idx * 2 + 1] AS VARCHAR) || ','
+                 || CAST(sig[b.band_idx * 2 + 2] AS VARCHAR)) AS band_hash
+      FROM ps, (SELECT unnest(range(0, {NUM_BANDS})) AS band_idx) b
+    ), bcnt AS (
+      SELECT band_idx, band_hash, COUNT(*) AS bn
+      FROM bands GROUP BY band_idx, band_hash
+    ), bx AS (
+      SELECT b.doc_id, b.band_idx, b.band_hash, c.bn
+      FROM bands b JOIN bcnt c
+        ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
+    ), cand AS (
+      SELECT DISTINCT ex_a, ex_b FROM (
+        SELECT a.doc_id AS ex_a, b.doc_id AS ex_b
+        FROM bx a JOIN bx b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        WHERE a.bn <= {BAND_CAP}
+        UNION ALL
+        SELECT h.ex_a, b.doc_id AS ex_b
+        FROM (SELECT band_idx, band_hash, MIN(doc_id) AS ex_a
+              FROM bx WHERE bn > {BAND_CAP}
+              GROUP BY band_idx, band_hash) h
+        JOIN bx b ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
+         AND b.doc_id > h.ex_a
+      )
+    )
+    SELECT c.ex_a, c.ex_b,
+           {jac.format(a='sa.shingles', b='sb.shingles')} AS prompt_jaccard,
+           {jac.format(a='la.chosen', b='lb.chosen')} AS chosen_jaccard,
+           {jac.format(a='la.rejected', b='lb.rejected')} AS rejected_jaccard
+    FROM cand c
+    JOIN ps sa ON sa.doc_id = c.ex_a
+    JOIN ps sb ON sb.doc_id = c.ex_b
+    JOIN legs la ON la.doc_id = c.ex_a
+    JOIN legs lb ON lb.doc_id = c.ex_b
+    WHERE {raw.format(a='sa.shingles', b='sb.shingles')} >= {JACCARD_THRESH}
+      AND {raw.format(a='la.chosen', b='lb.chosen')} >= {JACCARD_THRESH}
+      AND {raw.format(a='la.rejected', b='lb.rejected')} >= {JACCARD_THRESH}
+    """
+
+
+@query("dpo_pair_dedup", priority=150, oracle=_dpo_oracle())
+def dpo_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOINT PREFERENCE-PAIR NEAR-DEDUP, banded on the prompt: two DPO
+    examples are duplicates when the PROMPTS are near-dups (shingle
+    Jaccard via the shared MinHash/LSH machinery — banding, hot-band
+    guard and all) AND both response legs match too (chosen-token and
+    rejected-token Jaccard) — the joint criterion, because a repeated
+    prompt with DIFFERENT preferences is conflicting supervision to
+    surface, not a duplicate to silently drop, while a fully repeated
+    example is wasted gradient mass. Banding only the prompt is the
+    scale decision: candidates are found by prompt-band collisions
+    (sub-quadratic, skew-guarded), and the response legs are verified
+    only on those candidates.
+
+    Examples derive deterministically from documents (prompt = first
+    60 % of tokens; the remainder halves into chosen/rejected — see
+    _SQL_DPO_EX), identically in both engines; crafted corpora pin the
+    prompt-same/response-different rejection edge the synthetic corpus
+    barely exercises.
+
+    Scale shape: dedup_minhash_lsh's exact plan over the prompt leg
+    (one Arrow signature pass, banded self-join with the BAND_CAP star
+    guard, candidate-only verify joins); the two response verifies ride
+    the same candidate join — no new shuffle class."""
+    docs = table(spark, sf_dir, "documents")
+    tk = _tokens("text")
+    ex = (
+        docs.select("doc_id", tk.alias("tk"))
+        .withColumn("n", F.size("tk").cast("bigint"))
+        .filter(F.col("n") >= DPO_MIN_TOKENS)
+        .withColumn("sp", F.expr("(n * 3) DIV 5"))
+        .withColumn("mid", F.expr("sp + (n - sp) DIV 2"))
+    )
+    legs = persist_tracked(
+        ex.select(
+            "doc_id",
+            F.array_join(F.slice("tk", 1, F.col("sp")), " ").alias("text"),
+            F.array_distinct(
+                F.slice("tk", F.col("sp") + 1, F.col("mid") - F.col("sp"))
+            ).alias("chosen"),
+            F.array_distinct(
+                F.slice("tk", F.col("mid") + 1, F.col("n") - F.col("mid"))
+            ).alias("rejected"),
+        )
+    )
+    sigs = persist_tracked(
+        minhash_signatures(legs.select("doc_id", "text"))
+    )
+    cand = _band_candidates(_bands(sigs)).selectExpr(
+        "doc_a AS ex_a", "doc_b AS ex_b"
+    )
+
+    def jac(a: str, b: str):
+        return F.size(F.array_intersect(a, b)).cast("double") / F.size(
+            F.array_distinct(F.concat(a, b))
+        )
+
+    sh = sigs.select("doc_id", "shingles")
+    rl = legs.select("doc_id", "chosen", "rejected")
+    out = (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "ex_a").withColumnRenamed(
+                "shingles", "sh_a"
+            ),
+            "ex_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "ex_b").withColumnRenamed(
+                "shingles", "sh_b"
+            ),
+            "ex_b",
+        )
+        .join(
+            rl.withColumnRenamed("doc_id", "ex_a")
+            .withColumnRenamed("chosen", "ch_a")
+            .withColumnRenamed("rejected", "rj_a"),
+            "ex_a",
+        )
+        .join(
+            rl.withColumnRenamed("doc_id", "ex_b")
+            .withColumnRenamed("chosen", "ch_b")
+            .withColumnRenamed("rejected", "rj_b"),
+            "ex_b",
+        )
+        .withColumn("pj", jac("sh_a", "sh_b"))
+        .withColumn("cj", jac("ch_a", "ch_b"))
+        .withColumn("rj", jac("rj_a", "rj_b"))
+        .filter(
+            (F.col("pj") >= JACCARD_THRESH)
+            & (F.col("cj") >= JACCARD_THRESH)
+            & (F.col("rj") >= JACCARD_THRESH)
+        )
+    )
+    return out.select(
+        "ex_a",
+        "ex_b",
+        F.round("pj", 6).alias("prompt_jaccard"),
+        F.round("cj", 6).alias("chosen_jaccard"),
+        F.round("rj", 6).alias("rejected_jaccard"),
+    )

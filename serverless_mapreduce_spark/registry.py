@@ -147,6 +147,7 @@ def _ensure_loaded() -> None:
         graph,
         multimodal,
         nlp,
+        posttraining,
         relational,
         similarity,
         text,
