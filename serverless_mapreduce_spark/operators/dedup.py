@@ -286,35 +286,48 @@ _SQL_BAND_CTES = f"""
 #: engine.
 BAND_CAP = 32
 
-# The banded-candidate derivation (`cand` is the final CTE) — the ONE
-# definition of "which document pairs meet" that every banded consumer
-# (pair verify, estimator eval) builds on; a change to the candidate
-# join must happen here and nowhere else. Includes the hot-band guard
-# (see BAND_CAP).
-_SQL_CAND_CTES = f"""
-    {_SQL_BAND_CTES}, bcnt AS (
-      SELECT band_idx, band_hash, COUNT(*) AS n
-      FROM bands GROUP BY band_idx, band_hash
+def sql_cand_from_bands(
+    bands: str = "bands", out_a: str = "doc_a", out_b: str = "doc_b"
+) -> str:
+    """The capped banded-candidate derivation (bcnt/bx/cand CTE fragment)
+    over an arbitrary ``(doc_id, band_idx, band_hash)`` CTE — so consumers
+    banding something OTHER than documents.text (the DPO prompt leg)
+    reuse the ONE definition instead of re-implementing the hot-band
+    guard inline (r11 review). Appended after a WITH chain that already
+    defines ``bands``."""
+    return f"""bcnt AS (
+      SELECT band_idx, band_hash, COUNT(*) AS _bn
+      FROM {bands} GROUP BY band_idx, band_hash
     ), bx AS (
-      SELECT b.doc_id, b.band_idx, b.band_hash, c.n
-      FROM bands b JOIN bcnt c
+      SELECT b.doc_id, b.band_idx, b.band_hash, c._bn
+      FROM {bands} b JOIN bcnt c
         ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
     ), cand AS (
-      SELECT DISTINCT doc_a, doc_b FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      SELECT DISTINCT {out_a}, {out_b} FROM (
+        SELECT a.doc_id AS {out_a}, b.doc_id AS {out_b}
         FROM bx a JOIN bx b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-        WHERE a.n <= {BAND_CAP}
+        WHERE a._bn <= {BAND_CAP}
         UNION ALL
-        SELECT h.doc_a, b.doc_id AS doc_b
-        FROM (SELECT band_idx, band_hash, MIN(doc_id) AS doc_a
-              FROM bx WHERE n > {BAND_CAP}
+        SELECT h.{out_a}, b.doc_id AS {out_b}
+        FROM (SELECT band_idx, band_hash, MIN(doc_id) AS {out_a}
+              FROM bx WHERE _bn > {BAND_CAP}
               GROUP BY band_idx, band_hash) h
         JOIN bx b ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
-         AND b.doc_id > h.doc_a
+         AND b.doc_id > h.{out_a}
       )
-    )
+    )"""
+
+
+# The banded-candidate derivation (`cand` is the final CTE) — the ONE
+# definition of "which document pairs meet" that every banded consumer
+# (pair verify, estimator eval, the DPO prompt leg via
+# sql_cand_from_bands) builds on; a change to the candidate join must
+# happen here and nowhere else. Includes the hot-band guard (see
+# BAND_CAP).
+_SQL_CAND_CTES = f"""
+    {_SQL_BAND_CTES}, {sql_cand_from_bands()}
 """
 
 

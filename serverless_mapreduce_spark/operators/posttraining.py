@@ -39,13 +39,13 @@ from serverless_mapreduce_spark.operators.dedup import (
     _SQL_SHINGLES,
     _SQL_SIG,
     _SQL_TOKS,
-    BAND_CAP,
     JACCARD_THRESH,
     NUM_BANDS,
     _band_candidates,
     _bands,
     _tokens,
     minhash_signatures,
+    sql_cand_from_bands,
 )
 from serverless_mapreduce_spark.registry import query
 
@@ -223,29 +223,7 @@ def _dpo_oracle() -> str:
              md5(CAST(sig[b.band_idx * 2 + 1] AS VARCHAR) || ','
                  || CAST(sig[b.band_idx * 2 + 2] AS VARCHAR)) AS band_hash
       FROM ps, (SELECT unnest(range(0, {NUM_BANDS})) AS band_idx) b
-    ), bcnt AS (
-      SELECT band_idx, band_hash, COUNT(*) AS bn
-      FROM bands GROUP BY band_idx, band_hash
-    ), bx AS (
-      SELECT b.doc_id, b.band_idx, b.band_hash, c.bn
-      FROM bands b JOIN bcnt c
-        ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
-    ), cand AS (
-      SELECT DISTINCT ex_a, ex_b FROM (
-        SELECT a.doc_id AS ex_a, b.doc_id AS ex_b
-        FROM bx a JOIN bx b
-          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id
-        WHERE a.bn <= {BAND_CAP}
-        UNION ALL
-        SELECT h.ex_a, b.doc_id AS ex_b
-        FROM (SELECT band_idx, band_hash, MIN(doc_id) AS ex_a
-              FROM bx WHERE bn > {BAND_CAP}
-              GROUP BY band_idx, band_hash) h
-        JOIN bx b ON b.band_idx = h.band_idx AND b.band_hash = h.band_hash
-         AND b.doc_id > h.ex_a
-      )
-    )
+    ), {sql_cand_from_bands(out_a="ex_a", out_b="ex_b")}
     SELECT c.ex_a, c.ex_b,
            {jac.format(a='sa.shingles', b='sb.shingles')} AS prompt_jaccard,
            {jac.format(a='la.chosen', b='lb.chosen')} AS chosen_jaccard,

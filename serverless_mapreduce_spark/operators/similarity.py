@@ -1777,6 +1777,79 @@ _SQL_ADC_CTES = f"""
 """
 
 
+def _pq_codebook(emb: DataFrame):
+    """The fixed PQ codebook as driver-side numpy: (c_ids, c_mat), an
+    ordered-LIMIT collect of the deterministic sample — bounded at
+    PQ_CODEBOOK rows, never corpus-proportional. Defined ONCE for every
+    PQ consumer (encoder, ADC LUT, the IVF-PQ index and its sweep)."""
+    rows = (
+        emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+        .select(F.col("vec_id").alias("c_id"), "embedding")
+        .orderBy("c_id")
+        .limit(PQ_CODEBOOK)
+        .collect()
+    )
+    c_ids = np.asarray([r.c_id for r in rows], dtype=np.int64)
+    c_mat = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    return c_ids, c_mat
+
+
+def _pq_encode_udf(c_ids, c_mat, m_total: int):
+    """Arrow encoder factory: vector → [(m, code)] sub-codes by squared-L2
+    argmin against the closure-captured codebook (one (batch × C)
+    distance matrix per sub-space; argmin's first-index tie rule matches
+    the oracles' ORDER BY d2, c_id because c_ids is ascending). ONE
+    definition for every m_total — the r11 review found three inline
+    copies whose sub-distance math could silently drift."""
+    sub = c_mat.shape[1] // m_total
+
+    @pandas_udf("array<struct<m: int, code: bigint>>")
+    def encode(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        av = np.asarray(a.tolist(), dtype=np.float64)
+        codes = np.empty((len(av), m_total), dtype=np.int64)
+        for m in range(m_total):
+            seg = slice(m * sub, (m + 1) * sub)
+            d2 = ((av[:, None, seg] - c_mat[None, :, seg]) ** 2).sum(axis=2)
+            codes[:, m] = c_ids[d2.argmin(axis=1)]
+        return pd.Series(
+            [
+                [{"m": m, "code": int(codes[i, m])} for m in range(m_total)]
+                for i in range(len(av))
+            ]
+        )
+
+    return encode
+
+
+def _pq_lut_udf(c_ids, c_mat, m_total: int):
+    """Arrow LUT factory: full-precision query vector → the per-(m, code)
+    sub-distance table ADC scoring joins against. Same single-definition
+    rationale as :func:`_pq_encode_udf`."""
+    sub = c_mat.shape[1] // m_total
+
+    @pandas_udf("array<struct<m: int, code: bigint, d2: double>>")
+    def lut(a: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=object))
+        av = np.asarray(a.tolist(), dtype=np.float64)
+        out = []
+        for i in range(len(av)):
+            rows = []
+            for m in range(m_total):
+                seg = slice(m * sub, (m + 1) * sub)
+                d2 = ((av[i, seg][None, :] - c_mat[:, seg]) ** 2).sum(axis=1)
+                rows += [
+                    {"m": m, "code": int(c_ids[j]), "d2": float(d2[j])}
+                    for j in range(len(c_ids))
+                ]
+            out.append(rows)
+        return pd.Series(out)
+
+    return lut
+
+
 @query(
     "ann_pq_adc_topk",
     priority=150,
@@ -1818,36 +1891,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes = embedding_pq_codes(spark, sf_dir).select("vec_id", "m", "code")
     emb = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
-    cent = (
-        emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
-        .select(F.col("vec_id").alias("c_id"), "embedding")
-        .orderBy("c_id")
-        .limit(PQ_CODEBOOK)
-        .collect()
-    )  # bounded: fixed PQ_CODEBOOK rows, never corpus-proportional
-    c_ids = np.asarray([r.c_id for r in cent], dtype=np.int64)
-    c_mat = np.asarray([r.embedding for r in cent], dtype=np.float64)
-    dim = c_mat.shape[1]
-    sub = dim // PQ_M
-
-    @pandas_udf("array<struct<m: int, code: bigint, d2: double>>")
-    def lut(a: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series(np.empty(0, dtype=object))
-        av = np.asarray(a.tolist(), dtype=np.float64)  # (batch, dim)
-        out = []
-        for i in range(len(av)):
-            rows = []
-            for m in range(PQ_M):
-                seg = slice(m * sub, (m + 1) * sub)
-                d2 = ((av[i, seg][None, :] - c_mat[:, seg]) ** 2).sum(axis=1)
-                rows += [
-                    {"m": m, "code": int(c_ids[j]), "d2": float(d2[j])}
-                    for j in range(len(c_ids))
-                ]
-            out.append(rows)
-        return pd.Series(out)
-
+    lut = _pq_lut_udf(*_pq_codebook(emb), PQ_M)
     q_lut = (
         emb.filter(F.col("vec_id") % QUERY_MOD == 0)
         .select(
@@ -3088,51 +3132,17 @@ def ann_persistent_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = ensure_parallelism(spark, table(spark, sf_dir, "embeddings"), "vec_id")
     rem = F.col("vec_id") % ANN_INCR_MOD
-    cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    # coarse assignment rides the memoized _ivf_ranked artifact (same
+    # centroid sample, same cosine-DESC/c_id tie rule — the nprobe sweeps
+    # already pin the equivalence against the oracle's assigned CTE)
+    # instead of re-running the corpus × codebook cross per call (r11
+    # review)
+    assigned = _ivf_ranked(spark, sf_dir).select(
+        "vec_id", "embedding", "centroid"
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
-    assigned = persist_tracked(
-        emb.join(F.broadcast(cent))
-        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-        .withColumn("arn", F.row_number().over(w_assign))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", F.col("c_id").alias("centroid"))
-    )
-    # the PQ codebook for encoding and for the query-side LUTs (fixed-size
-    # ordered-LIMIT collect, the embedding_pq_codes convention)
-    crows = (
-        emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
-        .select(F.col("vec_id").alias("c_id"), "embedding")
-        .orderBy("c_id")
-        .limit(PQ_CODEBOOK)
-        .collect()
-    )
-    c_ids = np.asarray([r.c_id for r in crows], dtype=np.int64)
-    c_mat = np.asarray([r.embedding for r in crows], dtype=np.float64)
-    sub = c_mat.shape[1] // IVFPQ_M
-
-    @pandas_udf("array<struct<m: int, code: bigint>>")
-    def encode(a: pd.Series) -> pd.Series:
-        # the embedding_pq_codes argmin, at the serving index's finer
-        # IVFPQ_M (one (batch x C) distance matrix per sub-space, no
-        # shuffle, no corpus-proportional driver state)
-        if len(a) == 0:
-            return pd.Series(np.empty(0, dtype=object))
-        av = np.asarray(a.tolist(), dtype=np.float64)
-        out = []
-        codes = np.empty((len(av), IVFPQ_M), dtype=np.int64)
-        for m in range(IVFPQ_M):
-            seg = slice(m * sub, (m + 1) * sub)
-            d2 = (
-                (av[:, None, seg] - c_mat[None, :, seg]) ** 2
-            ).sum(axis=2)
-            codes[:, m] = c_ids[d2.argmin(axis=1)]  # first = min c_id
-        for i in range(len(av)):
-            out.append(
-                [{"m": m, "code": int(codes[i, m])} for m in range(IVFPQ_M)]
-            )
-        return pd.Series(out)
+    c_ids, c_mat = _pq_codebook(emb)
+    encode = _pq_encode_udf(c_ids, c_mat, IVFPQ_M)
+    lut = _pq_lut_udf(c_ids, c_mat, IVFPQ_M)
 
     # one persisted (vec_id, centroid, m, code) frame feeds all three
     # commits
@@ -3148,24 +3158,6 @@ def ann_persistent_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mc.code").alias("code"),
         )
     )
-
-    @pandas_udf("array<struct<m: int, code: bigint, d2: double>>")
-    def lut(a: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series(np.empty(0, dtype=object))
-        av = np.asarray(a.tolist(), dtype=np.float64)
-        out = []
-        for i in range(len(av)):
-            rows = []
-            for m in range(IVFPQ_M):
-                seg = slice(m * sub, (m + 1) * sub)
-                d2 = ((av[i, seg][None, :] - c_mat[:, seg]) ** 2).sum(axis=1)
-                rows += [
-                    {"m": m, "code": int(c_ids[j]), "d2": float(d2[j])}
-                    for j in range(len(c_ids))
-                ]
-            out.append(rows)
-        return pd.Series(out)
 
     base = scratch(sf_tag(sf_dir), "ann_ivfpq_index")
     shutil.rmtree(base, ignore_errors=True)
@@ -3334,51 +3326,9 @@ def eval_ann_nprobe_sweep_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
-    crows = (
-        emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
-        .select(F.col("vec_id").alias("c_id"), "embedding")
-        .orderBy("c_id")
-        .limit(PQ_CODEBOOK)
-        .collect()
-    )  # bounded: fixed PQ_CODEBOOK rows
-    c_ids = np.asarray([r.c_id for r in crows], dtype=np.int64)
-    c_mat = np.asarray([r.embedding for r in crows], dtype=np.float64)
-    sub = c_mat.shape[1] // IVFPQ_M
-
-    @pandas_udf("array<struct<m: int, code: bigint>>")
-    def encode(a: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series(np.empty(0, dtype=object))
-        av = np.asarray(a.tolist(), dtype=np.float64)
-        codes = np.empty((len(av), IVFPQ_M), dtype=np.int64)
-        for m in range(IVFPQ_M):
-            seg = slice(m * sub, (m + 1) * sub)
-            d2 = ((av[:, None, seg] - c_mat[None, :, seg]) ** 2).sum(axis=2)
-            codes[:, m] = c_ids[d2.argmin(axis=1)]
-        return pd.Series(
-            [
-                [{"m": m, "code": int(codes[i, m])} for m in range(IVFPQ_M)]
-                for i in range(len(av))
-            ]
-        )
-
-    @pandas_udf("array<struct<m: int, code: bigint, d2: double>>")
-    def lut(a: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series(np.empty(0, dtype=object))
-        av = np.asarray(a.tolist(), dtype=np.float64)
-        out = []
-        for i in range(len(av)):
-            rows = []
-            for m in range(IVFPQ_M):
-                seg = slice(m * sub, (m + 1) * sub)
-                d2 = ((av[i, seg][None, :] - c_mat[:, seg]) ** 2).sum(axis=1)
-                rows += [
-                    {"m": m, "code": int(c_ids[j]), "d2": float(d2[j])}
-                    for j in range(len(c_ids))
-                ]
-            out.append(rows)
-        return pd.Series(out)
+    c_ids, c_mat = _pq_codebook(emb)
+    encode = _pq_encode_udf(c_ids, c_mat, IVFPQ_M)
+    lut = _pq_lut_udf(c_ids, c_mat, IVFPQ_M)
 
     icodes = ranked.select(
         "vec_id", "centroid", F.explode(encode(F.col("embedding"))).alias("mc")

@@ -369,6 +369,21 @@ class SnapshotTable:
                         None if val == "__HIVE_DEFAULT_PARTITION__" else val
                     )
                 ent["partitions"] = values
+        # Per-file aggregates are matched back to manifest entries by FULL
+        # normalized path, never basename: Spark's dynamic-partition writer
+        # reuses one task's basename across partition directories
+        # (_p_g=a/part-00003-...c000.parquet and _p_g=b/part-00003-...),
+        # so a basename key would assign one file's min/max or bitmap to
+        # another — a silent wrong-prune, i.e. missing rows (r11 review).
+        def _by_path(rows) -> dict:
+            from urllib.parse import unquote, urlparse
+
+            return {
+                os.path.realpath(unquote(urlparse(r["f"]).path)): r
+                for r in rows
+            }
+
+        real_of = {e["path"]: os.path.realpath(e["path"]) for e in entries}
         if stats_cols:
             aggs = []
             for c in stats_cols:
@@ -379,9 +394,9 @@ class SnapshotTable:
                 .agg(*aggs)
                 .collect()
             )
-            by_base = {os.path.basename(r["f"]): r for r in rows}
+            by_path = _by_path(rows)
             for ent in entries:
-                r = by_base.get(os.path.basename(ent["path"]))
+                r = by_path.get(real_of[ent["path"]])
                 if r is not None:
                     ent["stats"] = {
                         c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
@@ -429,7 +444,7 @@ class SnapshotTable:
                 .agg(F.collect_set("p").alias("bits"))
                 .collect()
             )
-            by_base = {os.path.basename(r["f"]): sorted(r["bits"]) for r in rows}
+            by_path = _by_path(rows)
             for ent in entries:
                 # a file absent from the aggregate has ZERO non-NULL keys:
                 # record an EMPTY bitmap so lookups always skip it, instead
@@ -437,10 +452,11 @@ class SnapshotTable:
                 # forever, r10 review). m/k are PERSISTED with the bitmap
                 # so the planner always probes with the parameters the
                 # bitmap was built under (r10 advice).
+                r = by_path.get(real_of[ent["path"]])
                 ent.setdefault("bloom", {})[c] = {
                     "m": BLOOM_M,
                     "k": BLOOM_K,
-                    "bits": by_base.get(os.path.basename(ent["path"]), []),
+                    "bits": sorted(r["bits"]) if r is not None else [],
                 }
         return entries
 
@@ -468,6 +484,7 @@ class SnapshotTable:
         schema,
         parent: int | None,
         extra: dict | None = None,
+        seq_source: int | None = None,
     ) -> int:
         """Atomically publish a new manifest referencing ``segments`` —
         write-temp then CREATE-EXCLUSIVE link into place (files-then-
@@ -493,16 +510,26 @@ class SnapshotTable:
         # apply only across a seq gap (delete seq > data seq), so later
         # appends/merges can re-insert a deleted key without the old delete
         # erasing it (Iceberg's sequence-number rule). Refs carried from a
-        # pre-seq manifest default to the parent's version — necessarily
+        # pre-seq manifest default to the source's version — necessarily
         # older than any delete published after this code existed.
-        parent_seqs: dict[str, int] = {}
-        parent_refs: set[str] = set()
-        if parent is not None:
-            pbody = self._manifest_body(parent)
-            parent_refs = set(pbody.get("segments") or [])
-            parent_seqs = pbody.get("seqs", {})
+        # ``seq_source`` names the version whose seq map the carried refs
+        # come from — the PARENT for the linear commit paths, but the
+        # RESTORED / BASE version for restore_version and commit_onto,
+        # whose refs may be absent from the head (r11 review: defaulting
+        # those to the new version disarmed every MOR delete over them,
+        # silently resurrecting deleted rows after a restore).
+        if seq_source is None:
+            seq_source = parent
+        src_seqs: dict[str, int] = {}
+        src_refs: set[str] = set()
+        if seq_source is not None:
+            sbody = self._manifest_body(seq_source)
+            src_refs = set(sbody.get("segments") or [])
+            src_seqs = sbody.get("seqs", {})
         body["seqs"] = {
-            ref: parent_seqs.get(ref, parent if ref in parent_refs else version)
+            ref: src_seqs.get(
+                ref, seq_source if ref in src_refs else version
+            )
             for ref in segments
         }
         if schema is not None:
@@ -910,7 +937,11 @@ class SnapshotTable:
         (liveness is the kept-manifest union, unchanged)."""
         refs = self._parent_segments(version)  # raises for unknown versions
         return self._publish_list(
-            refs, "restore", self._schema(version), self.latest_version()
+            refs,
+            "restore",
+            self._schema(version),
+            self.latest_version(),
+            seq_source=version,  # MOR deletes keep applying post-restore
         )
 
     # -- failed-commit debris ---------------------------------------------
@@ -951,7 +982,10 @@ class SnapshotTable:
             }
             if not files or not files.isdisjoint(live):
                 continue
-            newest = max(os.path.getmtime(f) for f in sorted(files))
+            try:
+                newest = max(os.path.getmtime(f) for f in sorted(files))
+            except FileNotFoundError:
+                continue  # a concurrent sweep already removed this dir
             if now - newest < grace_seconds:
                 continue  # possibly an in-flight commit: leave it alone
             doomed.extend(sorted(files))
@@ -1007,8 +1041,16 @@ class SnapshotTable:
         head = self.latest_version()
         if head is None:
             return False
-        if batch_id <= self._ledger(head).get(stream_id, -1):
-            return True
+        ledger = self._ledger(head)
+        if stream_id in ledger:
+            # the head's ledger is authoritative for streams it knows:
+            # every commit folds the max batch id forward, so a known
+            # stream never needs the O(versions) manifest scan on the hot
+            # per-batch path (r11 review)
+            return batch_id <= ledger[stream_id]
+        # unknown stream: either its first batch ever, or a legacy table
+        # whose old per-manifest records predate the carried ledger —
+        # one full scan settles it
         return batch_id in self.committed_stream_batches(stream_id)
 
     def commit_stream_batch(
@@ -1079,7 +1121,14 @@ class SnapshotTable:
                 segments = self._parent_segments(base_version) + [seg]
                 schema = _merge_schemas(self._schema(base_version), df.schema)
             try:
-                return self._publish_list(segments, "append", schema, parent, extra)
+                return self._publish_list(
+                    segments,
+                    "append",
+                    schema,
+                    parent,
+                    extra,
+                    seq_source=base_version,  # base refs keep their seqs
+                )
             except CommitConflict:
                 continue
         raise CommitConflict("64 consecutive manifest races; giving up")
@@ -1120,12 +1169,20 @@ class SnapshotTable:
     ) -> list[dict]:
         kept = entries
         if partition_eq:
+            # manifest partition values are hive-rendered STRINGS (or None
+            # for the NULL partition); coerce the probe the same way so an
+            # integer probe of an integer partition column matches instead
+            # of silently pruning every file (r11 review)
+            probe = {
+                col: (None if val is None else str(val))
+                for col, val in partition_eq.items()
+            }
             nxt = []
             for e in kept:
                 parts = e.get("partitions", {})
                 if all(
                     col not in parts or parts[col] == val
-                    for col, val in partition_eq.items()
+                    for col, val in probe.items()
                 ):
                     nxt.append(e)
             kept = nxt
@@ -1199,9 +1256,16 @@ class SnapshotTable:
         ``compact`` commit likewise surfaces its rewritten files — row-
         identical but physically new; incremental consumers that must not
         re-see compacted rows should diff between non-maintenance versions,
-        which is why production CDC logs row-level deltas, not files.)"""
+        which is why production CDC logs row-level deltas, not files.)
+        Merge-on-read delete-KEY files are metadata, not data: they never
+        appear here (a consumer scanning the delta would otherwise ingest
+        the purged keys as rows — r11 review)."""
         base = set(self._files(from_version))
-        return [f for f in self._files(to_version) if f not in base]
+        return [
+            e["path"]
+            for e in self._data_entries(to_version)
+            if e["path"] not in base
+        ]
 
     def read_incremental(
         self, spark: SparkSession, from_version: int, to_version: int
@@ -1225,7 +1289,9 @@ class SnapshotTable:
 
     # -- retention --------------------------------------------------------
 
-    def expire_versions(self, keep_latest: int = 2) -> tuple[list[int], list[str]]:
+    def expire_versions(
+        self, keep_latest: int = 2, pin: tuple[int, ...] = ()
+    ) -> tuple[list[int], list[str]]:
         """RETENTION VACUUM (Iceberg expire_snapshots / Delta VACUUM): keep
         the newest ``keep_latest`` versions; delete older manifests and
         every data file referenced ONLY by expired versions. Files shared
@@ -1241,11 +1307,19 @@ class SnapshotTable:
         reader that already resolved an EXPIRED version's file list races
         the deletes and may fail mid-scan; that is the standard retention
         contract (Delta VACUUM / Iceberg expire_snapshots): retention must
-        exceed the longest-running reader, enforced operationally."""
+        exceed the longest-running reader, enforced operationally.
+
+        ``pin`` lists versions that must survive regardless of
+        ``keep_latest`` — pass every :class:`MultiTableCatalog`-visible
+        version when the table participates in catalog transactions:
+        staged-but-unpublished orphan heads count toward the newest-N
+        window, so without the pin a crashed transaction could crowd the
+        PUBLISHED version out of retention and break every catalog reader
+        (r11 review)."""
         if keep_latest < 1:
             raise ValueError("keep_latest must be >= 1")
         vs = self.versions()
-        keep = set(vs[-keep_latest:])
+        keep = set(vs[-keep_latest:]) | {v for v in pin if v in vs}
         drop = [v for v in vs if v not in keep]
         live = {f for v in keep for f in self._files(v)}
         doomed = sorted({f for v in drop for f in self._files(v)} - live)

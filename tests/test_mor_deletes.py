@@ -144,3 +144,34 @@ def test_mor_plan_files_exclude_delete_files(spark, tmp_path):
     assert not del_paths & set(files)
     # ...but retention liveness still pins it (in _files)
     assert del_paths <= set(t._files(v2))
+
+
+def test_restore_after_cow_keeps_mor_deletes_applied(spark, tmp_path):
+    """r11 review: a COW rewrite folds the original data segment into a
+    residual; restoring the MOR version afterwards must carry the
+    RESTORED version's sequence numbers, or the delete stops applying
+    and restore resurrects the purged rows."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(k, k) for k in range(10)]).coalesce(1))     # v1
+    v2 = t.delete_keys_mor(spark, _keys(spark, [4, 5]), ("k",))       # v2
+    expected = [k for k in range(10) if k not in (4, 5)]
+    assert sorted(r.k for r in t.read(spark, v2).collect()) == expected
+    # v3: a COW delete rewrites the data file (residual fold, new seq)
+    v3 = t.delete_where(spark, "k >= 9")
+    assert sorted(r.k for r in t.read(spark, v3).collect()) == [
+        k for k in expected if k < 9
+    ]
+    # restore to the MOR version: the deletes must still apply
+    v4 = t.restore_version(v2)
+    assert sorted(r.k for r in t.read(spark, v4).collect()) == expected
+
+
+def test_incremental_files_never_lists_delete_files(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 1)]))
+    v2 = t.delete_keys_mor(spark, _keys(spark, [1]), ("k",))
+    assert t.incremental_files(1, v2) == []
+    del_paths = {e["path"] for e in t._delete_entries(v2)}
+    v3 = t.commit(_kv(spark, [(2, 2)]))
+    inc = set(t.incremental_files(1, v3))
+    assert inc and not (inc & del_paths)

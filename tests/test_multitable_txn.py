@@ -104,3 +104,20 @@ def test_commit_onto_branches_from_base_not_head(spark, tmp_path):
 
     assert not any(os.path.exists(f) for f in orphan_only)
     assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_expire_versions_pin_protects_catalog_visible_version(spark, tmp_path):
+    """r11 review: staged orphan heads count toward keep_latest, so
+    retention without the pin can delete the catalog-visible version's
+    manifest and break every catalog reader."""
+    cat = MultiTableCatalog(str(tmp_path))
+    a = SnapshotTable(str(tmp_path / "a"))
+    v1 = a.commit(_batch(spark, [(1, 1)]))
+    cat.publish({"a": v1})
+    # two crashed staged attempts above the published version
+    a.commit_onto(v1, _batch(spark, [(2, 2)]))
+    a.commit_onto(v1, _batch(spark, [(2, 2)]))
+    assert cat.visible("a") == v1 and a.latest_version() == 3
+    # without the pin, keep_latest=2 would expire v1 (the visible one!)
+    a.expire_versions(keep_latest=2, pin=(cat.visible("a"),))
+    assert sorted(r.k for r in a.read(spark, cat.visible("a")).collect()) == [1]

@@ -122,3 +122,45 @@ def test_partitioned_append_extends_partitions(spark, tmp_path):
     assert [
         r.k for r in t.read(spark, partition_eq={"grp": "c"}).collect()
     ] == [2]
+
+
+def test_partitioned_stats_keyed_by_full_path_not_basename(spark, tmp_path):
+    """One task writing two partition values emits the SAME basename under
+    both partition directories; stats/blooms keyed by basename would
+    assign one file's min/max to the other — a silent wrong-prune (r11
+    review). coalesce(1) forces exactly that layout."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    rows = [(k, "a") for k in range(0, 100)] + [
+        (k, "b") for k in range(1000, 1100)
+    ]
+    df = _df(spark, rows, "k BIGINT, grp STRING").coalesce(1)
+    t.commit(df, partition_by=("grp",), stats_cols=("k",), bloom_cols=("k",))
+    ents = t._data_entries(1)
+    assert len(ents) == 2
+    by_grp = {e["partitions"]["grp"]: e for e in ents}
+    assert by_grp["a"]["stats"]["k"] == [0, 99]
+    assert by_grp["b"]["stats"]["k"] == [1000, 1099]
+    # a box over the low range must plan ONLY partition a's file
+    files, total = t.plan_files(where=("k", 0, 50))
+    assert total == 2 and files == [by_grp["a"]["path"]]
+    got = sorted(r.k for r in t.read(spark, where=("k", 0, 50)).filter("k <= 50").collect())
+    assert got == list(range(51))
+    # blooms likewise: a key in partition b must plan b's file
+    files_b, _ = t.plan_files_keys("k", [1050])
+    assert by_grp["b"]["path"] in files_b
+    got = t._reader(spark, 1).parquet(*files_b).filter("k = 1050").collect()
+    assert [r.k for r in got] == [1050]
+
+
+def test_partition_eq_coerces_probe_values(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame([(1, 5), (2, 7)], "k BIGINT, part BIGINT"),
+        partition_by=("part",),
+    )
+    # integer probe of an integer partition column must match the
+    # hive-rendered string values (r11 review)
+    got = [r.k for r in t.read(spark, partition_eq={"part": 5}).collect()]
+    assert got == [1]
+    files, total = t.plan_files(partition_eq={"part": 7})
+    assert total == 2 and len(files) == 1
