@@ -352,6 +352,7 @@ HEADLINE = (
     "eval_ann_nprobe_sweep_pq",
     "chat_pack_role_masks",
     "dpo_pair_dedup",
+    "sft_trainable_mass_report",
 )
 
 

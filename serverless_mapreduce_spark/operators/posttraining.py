@@ -53,11 +53,11 @@ CHAT_TURN_LEN = 16    #: tokens per synthesized turn (alternating roles)
 CHAT_PACK_BUDGET = 128  #: pack budget for the SFT loader sequences
 
 
-@query(
-    "chat_pack_role_masks",
-    priority=150,
-    oracle=f"""
-    WITH conv AS (
+#: The turn-grid → split/carry span derivation as ONE CTE chain
+#: (``chat_spans`` is the final CTE) — shared by the packing oracle and
+#: the trainable-mass datacard so "what a span is" is defined once.
+_SQL_CHAT_SPANS = f"""
+    conv AS (
       SELECT doc_id AS conv_id, source,
              CAST(len({_SQL_TOKS}) AS BIGINT) AS n
       FROM documents
@@ -77,13 +77,24 @@ CHAT_PACK_BUDGET = 128  #: pack budget for the SFT loader sequences
              cum_before + t.turn_idx * {CHAT_TURN_LEN} AS abs_s,
              cum_before + LEAST(n, (t.turn_idx + 1) * {CHAT_TURN_LEN}) AS abs_e
       FROM c, UNNEST(range(0, (n - 1) // {CHAT_TURN_LEN} + 1)) AS t(turn_idx)
-    ), spans AS (
+    ), chat_spans AS (
       SELECT source, conv_id, turn_idx, role, cum_before, abs_s, abs_e,
-             p.pack_id
+             p.pack_id,
+             LEAST(abs_e, (p.pack_id + 1) * {CHAT_PACK_BUDGET})
+               - GREATEST(abs_s, p.pack_id * {CHAT_PACK_BUDGET}) AS span_len,
+             CAST(turn_idx % 2 AS BIGINT) AS loss_mask
       FROM turns,
            UNNEST(range(abs_s // {CHAT_PACK_BUDGET},
                         (abs_e - 1) // {CHAT_PACK_BUDGET} + 1)) AS p(pack_id)
     )
+"""
+
+
+@query(
+    "chat_pack_role_masks",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_CHAT_SPANS}
     SELECT source, conv_id, turn_idx, role, pack_id,
            GREATEST(abs_s, pack_id * {CHAT_PACK_BUDGET})
              - pack_id * {CHAT_PACK_BUDGET} AS pack_offset,
@@ -91,10 +102,9 @@ CHAT_PACK_BUDGET = 128  #: pack budget for the SFT loader sequences
              AS tok_start,
            LEAST(abs_e, (pack_id + 1) * {CHAT_PACK_BUDGET}) - cum_before
              AS tok_end,
-           LEAST(abs_e, (pack_id + 1) * {CHAT_PACK_BUDGET})
-             - GREATEST(abs_s, pack_id * {CHAT_PACK_BUDGET}) AS span_len,
-           CAST(turn_idx % 2 AS BIGINT) AS loss_mask
-    FROM spans
+           span_len,
+           loss_mask
+    FROM chat_spans
     """,
 )
 def chat_pack_role_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,4 +348,52 @@ def dpo_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pj", 6).alias("prompt_jaccard"),
         F.round("cj", 6).alias("chosen_jaccard"),
         F.round("rj", 6).alias("rejected_jaccard"),
+    )
+
+
+@query(
+    "sft_trainable_mass_report",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_CHAT_SPANS}
+    SELECT source,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(SUM(span_len) AS BIGINT) AS n_tokens,
+           CAST(SUM(span_len * loss_mask) AS BIGINT) AS trainable_tokens,
+           CAST((SUM(span_len * loss_mask) * 1000000) // SUM(span_len)
+                AS BIGINT) AS trainable_ppm
+    FROM chat_spans GROUP BY source
+    """,
+)
+def sft_trainable_mass_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT DATACARD — TRAINABLE MASS PER SOURCE: the number every SFT run
+    budgets by is not raw tokens but MASKED-IN tokens (assistant spans,
+    loss_mask = 1); this rolls the role-aware packing layout up to per-
+    source conversations, packs, total tokens, trainable tokens, and the
+    trainable fraction (integer ppm — SUM·1e6 DIV SUM, the registry's
+    libm-free ratio recipe). A packing bug shows up here before a
+    training run does: mask bleed across a split inflates
+    trainable_ppm, a lost span deflates n_tokens against the corpus
+    datacard, and a pack-budget error moves n_packs. Consumes the SAME
+    span derivation as chat_pack_role_masks (one shared CTE chain /
+    builder call), so the report and the loader can never disagree
+    about what a span is.
+
+    Scale: an aggregate over the packing layout's output — one
+    per-source shuffle on top of the no-join span derivation; at 100 TB
+    this is the post-packing audit every curation release publishes
+    alongside the pack manifest."""
+    spans = chat_pack_role_masks(spark, sf_dir)
+    return spans.groupBy("source").agg(
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+        F.sum("span_len").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("span_len") * F.col("loss_mask"))
+        .cast("bigint")
+        .alias("trainable_tokens"),
+        F.expr(
+            "CAST((SUM(span_len * loss_mask) * 1000000) DIV SUM(span_len)"
+            " AS BIGINT)"
+        ).alias("trainable_ppm"),
     )

@@ -1405,6 +1405,7 @@ class SnapshotTable:
         cluster_by: tuple[str, ...] = (),
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
         version: int | None = None,
     ) -> int:
         """SMALL-FILE COMPACTION (Iceberg rewrite_data_files / Delta
@@ -1457,12 +1458,20 @@ class SnapshotTable:
         # compaction drops it (Iceberg rewrite_position_deletes folded
         # into the data rewrite).
         df = self._read_with_deletes(spark, version, small)
-        if cluster_by:
+        if partition_by:
+            # keep the table's partition spec through maintenance: the
+            # rewrite re-clusters by partition value and records fresh
+            # per-file partition values, so partition_eq pruning keeps
+            # working on the compacted layout (without this, rewritten
+            # files lose their values and are conservatively always
+            # scanned)
+            df = df.repartition(*partition_by)
+        elif cluster_by:
             df = df.repartitionByRange(n_out, *cluster_by)
         else:
             # no shuffle: merge the small read partitions down in place
             df = df.coalesce(n_out)
-        new_entries = self._write_data(df, stats_cols, bloom_cols)
+        new_entries = self._write_data(df, stats_cols, bloom_cols, partition_by)
         live_deletes = [
             d
             for d in self._delete_entries(version)

@@ -164,3 +164,32 @@ def test_partition_eq_coerces_probe_values(spark, tmp_path):
     assert got == [1]
     files, total = t.plan_files(partition_eq={"part": 7})
     assert total == 2 and len(files) == 1
+
+
+def test_compaction_preserves_partition_spec(spark, tmp_path):
+    """compact_small_files(partition_by=...) re-clusters the rewrite by
+    partition value and records fresh per-file values, so partition_eq
+    pruning keeps working on the compacted layout (r11: the spec-less
+    rewrite was conservatively always scanned)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    rows_a = [(k, "a") for k in range(50)]
+    rows_b = [(k, "b") for k in range(100, 150)]
+    t.commit(_df(spark, rows_a), partition_by=("grp",))
+    t.commit(_df(spark, rows_b), partition_by=("grp",))
+    t.commit(_df(spark, [(999, "a")]), partition_by=("grp",))
+    pre_rows = sorted(r.k for r in t.read(spark).collect())
+    v = t.compact_small_files(
+        spark, target_bytes=1 << 30, partition_by=("grp",)
+    )
+    ents = t._data_entries(v)
+    assert all("partitions" in e and "grp" in e["partitions"] for e in ents)
+    assert sorted(r.k for r in t.read(spark, v).collect()) == pre_rows
+    files_b, total = t.plan_files(v, partition_eq={"grp": "b"})
+    assert files_b and len(files_b) < total
+    got = sorted(
+        r.k
+        for r in t.read(spark, v, partition_eq={"grp": "b"})
+        .filter("grp = 'b'")
+        .collect()
+    )
+    assert got == [k for k, _ in rows_b]
