@@ -353,6 +353,7 @@ HEADLINE = (
     "chat_pack_role_masks",
     "dpo_pair_dedup",
     "sft_trainable_mass_report",
+    "ann_ivfpq_rerank_topk",
 )
 
 

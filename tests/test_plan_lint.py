@@ -94,6 +94,10 @@ BNLJ_ALLOWED = {
     # frame × queries (crank range join), queries × codebook, embedded
     # bruteforce truth; candidates + ADC are equi-joins throughout
     "eval_ann_nprobe_sweep_pq",
+    # the _ivf_ranked coarse-assignment cross (corpus × ~constant
+    # centroid broadcast); shortlist ADC and the exact re-rank are
+    # equi-joins on (q_cent)/(m, code)/(vec_id) throughout
+    "ann_ivfpq_rerank_topk",
 }
 
 FORBIDDEN_EVERYWHERE = ("CartesianProduct",)
