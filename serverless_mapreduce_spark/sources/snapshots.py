@@ -944,6 +944,36 @@ class SnapshotTable:
             seq_source=version,  # MOR deletes keep applying post-restore
         )
 
+    def rewrite_manifests(self) -> int:
+        """MANIFEST COMPACTION (Iceberg rewrite_manifests): fold the
+        head's segment list into ONE segment and publish a metadata-only
+        version over the SAME data files. The manifest-list layering
+        makes appends O(batch), but the ref list itself grows by one per
+        commit — after 10^5 streaming batches every subsequent manifest
+        carries 10^5 refs and every read opens 10^5 segment files. This
+        is the maintenance op that resets that: refs drop to 1, reads
+        are unchanged (data paths identical), and merge-on-read
+        visibility is preserved because each folded entry keeps its
+        original sequence number as a per-entry stamp (the same
+        mechanism residual folds use). Composes with expire_versions,
+        which GCs the old segments once the pre-rewrite versions age
+        out."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        entries = []
+        for e in self._entries(version):
+            e["seq"] = e.pop("_seq")
+            entries.append(e)
+        seg = self._write_segment(entries)
+        return self._publish_list(
+            [seg],
+            "rewrite-manifests",
+            self._schema(version),
+            version,
+            seq_source=version,
+        )
+
     # -- failed-commit debris ---------------------------------------------
 
     def cleanup_orphans(self, grace_seconds: float = 3600.0) -> list[str]:

@@ -186,3 +186,46 @@ def test_legacy_inline_manifest_still_reads_and_appends(spark, tmp_path):
     v2 = t.commit(_df(spark, [3]))
     assert t._segment_refs(v2) is not None
     assert sorted(r.x for r in t.read(spark, v2).collect()) == [1, 2, 3]
+
+
+def test_rewrite_manifests_folds_refs_and_preserves_mor(spark, tmp_path):
+    """Manifest compaction: after many appends the ref list folds to one
+    segment, reads stay identical over the SAME data files
+    (metadata-only), merge-on-read deletes keep applying (per-entry seq
+    stamps), and appends continue from the folded list."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(8):
+        t.commit(_df(spark, [i]).coalesce(1))
+    t.delete_keys_mor(
+        spark, spark.createDataFrame([(3,)], "x bigint"), ("x",)
+    )
+    t.commit(_df(spark, [3]).coalesce(1))  # re-insert AFTER the delete
+    head = t.latest_version()
+    assert len(t._segment_refs(head)) == 10
+    pre_files = t._files(head)
+    pre_rows = sorted(r.x for r in t.read(spark, head).collect())
+    assert pre_rows == [0, 1, 2, 3, 4, 5, 6, 7]  # old 3 deleted, new kept
+
+    v = t.rewrite_manifests()
+    assert len(t._segment_refs(v)) == 1
+    assert t._files(v) == pre_files  # metadata-only: same data paths
+    assert sorted(r.x for r in t.read(spark, v).collect()) == pre_rows
+    # MOR visibility preserved through the fold: the delete still hides
+    # the ORIGINAL row 3 but not the re-insert
+    dels = t._delete_entries(v)
+    assert len(dels) == 1
+    # subsequent appends extend the folded list
+    v2 = t.commit(_df(spark, [99]))
+    assert len(t._segment_refs(v2)) == 2
+    assert sorted(r.x for r in t.read(spark, v2).collect()) == pre_rows + [99]
+    # manifest bytes reset: the folded head is smaller than the
+    # 10-ref pre-fold manifest plus segments it replaced
+    import os
+    assert os.path.getsize(t._manifest_path(v)) < os.path.getsize(
+        t._manifest_path(head)
+    ) + 200
+    # retention GCs the pre-fold segments once their versions expire
+    old_refs = set(t._segment_refs(head))
+    t.expire_versions(keep_latest=2)
+    assert not any(os.path.exists(t._seg_path(r)) for r in old_refs)
+    assert sorted(r.x for r in t.read(spark).collect()) == pre_rows + [99]
