@@ -1089,6 +1089,7 @@ class SnapshotTable:
         stream_id: str,
         batch_id: int,
         stats_cols: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
     ) -> int | None:
         """Append one micro-batch EXACTLY ONCE: foreachBatch delivers
         at-least-once (a batch whose commit landed but whose checkpoint
@@ -1108,7 +1109,7 @@ class SnapshotTable:
         skipped. Pinned by tests/test_snapshot_sink.py."""
         if self.stream_batch_committed(stream_id, batch_id):
             return None
-        written = self._write_data(df, stats_cols)
+        written = self._write_data(df, stats_cols, partition_by=partition_by)
         seg = self._write_segment(written)
         parent = self.latest_version()
         segments, schema = [seg], df.schema

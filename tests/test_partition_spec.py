@@ -193,3 +193,26 @@ def test_compaction_preserves_partition_spec(spark, tmp_path):
         .collect()
     )
     assert got == [k for k, _ in rows_b]
+
+
+def test_streaming_commits_into_partitioned_table(spark, tmp_path):
+    """Exactly-once streaming ingest composes with the partition spec:
+    each micro-batch records per-file partition values, so a
+    partition-sliced consumer prunes streamed data the same as batch
+    commits — and the batch ledger still dedups replays."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    b0 = _df(spark, [(1, "a"), (2, "b")])
+    b1 = _df(spark, [(3, "a"), (4, "c")])
+    assert t.commit_stream_batch(b0, "s", 0, partition_by=("grp",)) == 1
+    assert t.commit_stream_batch(b1, "s", 1, partition_by=("grp",)) == 2
+    # replay skipped
+    assert t.commit_stream_batch(b0, "s", 0, partition_by=("grp",)) is None
+    files_a, total = t.plan_files(partition_eq={"grp": "a"})
+    assert len(files_a) == 2 and len(files_a) < total
+    got = sorted(
+        r.k
+        for r in t.read(spark, partition_eq={"grp": "a"})
+        .filter("grp = 'a'")
+        .collect()
+    )
+    assert got == [1, 3]
