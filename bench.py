@@ -354,6 +354,7 @@ HEADLINE = (
     "dpo_pair_dedup",
     "sft_trainable_mass_report",
     "ann_ivfpq_rerank_topk",
+    "snapshot_manifest_rewrite",
 )
 
 

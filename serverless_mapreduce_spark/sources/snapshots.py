@@ -2745,3 +2745,81 @@ def snapshot_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.read(spark, t.resolve_branch("main")), "after_publish"
     )
     return before.unionAll(after)
+
+
+# --- manifest compaction (metadata-only identity) -------------------------------
+
+
+@query(
+    "snapshot_manifest_rewrite",
+    priority=150,
+    oracle=f"""
+    SELECT 'pre_fold' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    UNION ALL
+    SELECT 'post_fold' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    UNION ALL
+    SELECT 'post_fold_pruned' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_custkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+    """,
+)
+def snapshot_manifest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST COMPACTION, end to end: ingest orders as EIGHT stats-
+    bearing append batches (the manifest-list layering makes each append
+    O(batch) metadata, but the head's ref list grows by one per commit —
+    after 10^5 streaming batches every read opens 10^5 segment files),
+    then ``rewrite_manifests`` folds the refs into ONE segment behind a
+    METADATA-ONLY version: same data files, zero bytes of data rewritten.
+    The query aggregates the table before (v8) and after (v9) the fold
+    through the manifest reader — identical rows prove the fold is a
+    logical no-op — and then serves a stats-pruned box probe from the
+    FOLDED manifest, proving per-file min/max survive the fold (the
+    in-query audits pin refs==1, path identity, and a strict pruned
+    subset; sequence preservation under merge-on-read deletes is pinned
+    by tests/test_manifest_list.py). Compaction folds FILES,
+    rewrite_manifests folds METADATA — together they bound both axes of
+    table growth; retention GCs the old segments.
+
+    Scale: the fold reads and writes only manifest JSON (O(files)
+    metadata, no task launched); at 100 TB this is the nightly metadata
+    maintenance that keeps planning O(1) file opens per read."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_mrewrite")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    rem = F.col("o_orderkey") % 8
+    for i in range(8):
+        t.commit(
+            orders.filter(rem == i).repartitionByRange(2, "o_custkey"),
+            stats_cols=("o_custkey",),
+        )
+    pre_v = t.latest_version()
+    pre_files = t._files(pre_v)
+    if len(t._segment_refs(pre_v)) != 8:
+        raise AssertionError("expected one segment ref per append")
+    post_v = t.rewrite_manifests()
+    if len(t._segment_refs(post_v)) != 1:
+        raise AssertionError("fold must leave exactly one segment ref")
+    if t._files(post_v) != pre_files:
+        raise AssertionError("fold must be metadata-only (same data files)")
+    files, total = t.plan_files(post_v, where=("o_custkey", PRUNE_LO, PRUNE_HI))
+    if not files or len(files) >= total:
+        raise AssertionError("per-file stats must survive the fold")
+
+    pruned = t.read(
+        spark, post_v, where=("o_custkey", PRUNE_LO, PRUNE_HI)
+    ).filter((F.col("o_custkey") >= PRUNE_LO) & (F.col("o_custkey") <= PRUNE_HI))
+    return (
+        _probe_cents_agg(t.read(spark, pre_v), "pre_fold")
+        .unionAll(_probe_cents_agg(t.read(spark, post_v), "post_fold"))
+        .unionAll(_probe_cents_agg(pruned, "post_fold_pruned"))
+    )
