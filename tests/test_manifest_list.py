@@ -43,10 +43,13 @@ def test_append_manifest_bytes_are_o_batch_not_o_table(spark, tmp_path):
         seg_sizes.append(os.path.getsize(t._seg_path(new_seg)))
     # segment bytes are batch-sized: constant across appends
     assert max(seg_sizes) - min(seg_sizes) < 200
-    # manifest bytes: v12 vs v2 differ only by ~10 segment refs, while one
-    # inline bloom entry alone is >1 KB — the O(table) term is gone
+    # manifest bytes: v12 vs v2 differ only by ~10 segment refs plus their
+    # BOUNDED pruning summaries (r12: per-segment partition/stats
+    # envelopes, value sets capped at SUMMARY_PARTITION_CAP), while one
+    # inline bloom entry alone is >1 KB — the per-append growth is O(1),
+    # the O(table) term is gone
     growth = _manifest_size(t, 12) - _manifest_size(t, 2)
-    assert growth < 10 * 60
+    assert growth < 10 * 250
     assert _manifest_size(t, 12) < seg_sizes[0]
     # reads over the layered manifests are identical to the flat ones
     assert t.read(spark).count() == 1200

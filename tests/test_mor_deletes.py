@@ -138,7 +138,13 @@ def test_mor_plan_files_exclude_delete_files(spark, tmp_path):
     df = spark.range(0, 100).withColumnRenamed("id", "k")
     t.commit(df.repartitionByRange(4, "k"), stats_cols=("k",))
     v2 = t.delete_keys_mor(spark, _keys(spark, [50]), ("k",))
-    files, total = t.plan_files(v2, where=("k", 0, 10))
+    # r12: a raw file plan over a version carrying MOR deletes RAISES by
+    # default — a direct scan would silently resurrect deleted rows
+    import pytest
+
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t.plan_files(v2, where=("k", 0, 10))
+    files, total = t.plan_files(v2, where=("k", 0, 10), ignore_deletes=True)
     assert total == 4  # the delete file is metadata, never planned
     del_paths = {e["path"] for e in t._delete_entries(v2)}
     assert not del_paths & set(files)
