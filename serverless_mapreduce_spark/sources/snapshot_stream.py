@@ -1,0 +1,286 @@
+"""The snapshot table as a STRUCTURED STREAMING SOURCE (VERDICT r11
+item 4): ``spark.readStream.format("snapshotstream")`` subscribes to a
+:class:`~serverless_mapreduce_spark.sources.snapshots.SnapshotTable` and
+emits each newly published version's appended files as a micro-batch —
+the Delta "stream from table" / Iceberg incremental-scan-as-source
+pattern, built on the Spark 4 Python DataSource streaming API.
+
+Why this is the missing half of the table format: ``read_incremental``
+already serves batch delta reads, but nothing could SUBSCRIBE — a
+downstream pipeline (index refresh, rollup maintenance, replication) had
+to poll and manage its own cursor. Here the cursor is a Structured
+Streaming OFFSET ({"version": N}), checkpointed by the engine, so the
+consumer gets exactly-once delivery of every appended row with
+kill-and-resume for free, composing with ``commit_stream_batch`` on the
+write side: a table can be simultaneously a stream's sink and another
+stream's source (pinned by tests/test_snapshot_stream.py).
+
+Semantics (Delta's, deliberately):
+
+- APPEND commits stream their new files; each version boundary is a batch
+  boundary. Offsets are version numbers — immutable manifests make the
+  (start, end] → file-set mapping deterministic, so a replayed batch
+  rereads exactly the same rows (the exactly-once half Spark's checkpoint
+  needs from a source).
+- NON-APPEND commits are refused: an overwrite/COW-delete/merge/compact
+  rewrites history that may already be emitted, and silently re-streaming
+  it would double rows downstream. The stream fails with an error naming
+  the version and mode (Delta raises the same way without
+  ``ignoreChanges``; re-emission semantics belong to row-level CDC, which
+  ``snapshot_changes_between`` covers batch-side).
+- MERGE-ON-READ DELETE commits add no data files; with
+  ``ignoreDeletes=true`` they are skipped (already-emitted rows are not
+  retracted — standard streaming-source behavior), without it they fail
+  loudly. ``rewrite-manifests`` and ``restore`` reference only
+  already-known files under an append-only history, so they stream zero
+  new rows and are always safe.
+- Schema is pinned to the SOURCE-START head's manifest schema; files
+  written before an add-column surface the new column as NULL (the same
+  ``_reader`` contract batch reads use).
+
+Scale: ``latestOffset``/``partitions`` read manifests only (one JSON +
+the delta's segments — segment summaries keep that O(delta)); each data
+file is one :class:`InputPartition`, so the scan parallelizes per file
+across executors; ``read`` yields Arrow ``RecordBatch``es straight from
+the parquet footer reader — no per-row Python (the pyds_kv.py
+discipline).
+
+Reference analog: none — the reference's pipelines re-read whole input
+prefixes per job (``driver/driver.py`` re-lists S3 every run); this is
+the incremental subscription that makes a 100 TB corpus maintainable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from serverless_mapreduce_spark.catalog import table
+from serverless_mapreduce_spark.paths import scratch, sf_tag
+from serverless_mapreduce_spark.registry import query
+from serverless_mapreduce_spark.sources.snapshots import SnapshotTable, _cents
+
+#: commit modes a version may carry and still be streamable. append emits
+#: its delta; rewrite-manifests / restore emit nothing new by construction
+#: (append-only history); delete-mor is gated on the ignoreDeletes option.
+_SAFE_MODES = {"append", "rewrite-manifests", "restore"}
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """Version-offset stream reader over a snapshot table directory.
+
+    Pickled to executors for ``read`` — holds only the table path,
+    options, and the pinned schema (never a live SnapshotTable: its
+    caches are driver-side planning state)."""
+
+    def __init__(self, options: dict, schema: StructType):
+        opts = {k.lower(): v for k, v in options.items()}
+        self._base = opts["path"]
+        self._start = int(opts.get("startingversion", 0))
+        self._ignore_deletes = (
+            str(opts.get("ignoredeletes", "false")).lower() == "true"
+        )
+        self._schema = schema
+
+    def _table(self) -> SnapshotTable:
+        return SnapshotTable(self._base)
+
+    # -- offsets ----------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        head = self._table().latest_version()
+        return {"version": head if head is not None else self._start}
+
+    def commit(self, end: dict) -> None:
+        """Nothing to do: offsets are durable manifests; the checkpoint
+        owns the cursor."""
+
+    # -- planning ---------------------------------------------------------
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        """One partition per delta data file in (start, end] — planned
+        from manifests alone. Refuses non-append versions (module
+        docstring) BEFORE emitting anything, so a rewritten history can
+        never be half-streamed."""
+        lo, hi = int(start["version"]), int(end["version"])
+        t = self._table()
+        for v in range(lo + 1, hi + 1):
+            mode = t._manifest_body(v).get("mode", "append")
+            if mode in _SAFE_MODES:
+                continue
+            if mode == "delete-mor" and self._ignore_deletes:
+                continue
+            raise ValueError(
+                f"snapshot stream source: version {v} has mode {mode!r}; "
+                "only appends are streamable (set ignoreDeletes=true to "
+                "skip merge-on-read delete commits; rewrites/overwrites "
+                "need a fresh stream from a new startingVersion)"
+            )
+        base = set(t._files(lo)) if lo > 0 else set()
+        return [
+            InputPartition(e["path"])
+            for e in t._data_entries(hi)
+            if e["path"] not in base
+        ]
+
+    # -- execution --------------------------------------------------------
+
+    def read(self, partition: InputPartition) -> Iterator:
+        """Arrow-batch read of one delta file, aligned to the pinned
+        schema: present columns cast to their declared Arrow types,
+        absent ones (pre-evolution files) filled with NULLs — the
+        streaming twin of the batch ``_reader`` schema pin."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self._schema)
+        raw = pq.read_table(partition.value)
+        cols = []
+        for field in target:
+            if field.name in raw.column_names:
+                cols.append(
+                    raw.column(field.name).combine_chunks().cast(field.type)
+                )
+            else:
+                cols.append(pa.nulls(raw.num_rows, field.type))
+        yield from pa.table(cols, schema=target).to_batches()
+
+
+class SnapshotStreamDataSource(DataSource):
+    """``spark.readStream.format("snapshotstream").option("path", base)``.
+
+    Options: ``path`` (table base dir, required), ``startingVersion``
+    (exclusive lower bound, default 0 = from the table's beginning),
+    ``ignoreDeletes`` (skip merge-on-read delete commits, default
+    false)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshotstream"
+
+    def schema(self) -> str:
+        # executed in an isolated Python worker: derive the DDL from the
+        # table head's manifest schema directly (StructType is pure
+        # Python; no SparkSession exists here)
+        t = SnapshotTable(self.options["path"])
+        head = t.latest_version()
+        if head is None:
+            raise ValueError(
+                "snapshot stream source: table has no committed version "
+                "(the schema is pinned from the head manifest at start)"
+            )
+        st = t._schema(head)
+        if st is None:
+            raise ValueError(
+                "snapshot stream source: head manifest records no schema"
+            )
+        return ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in st.fields
+        )
+
+    def streamReader(self, schema: StructType) -> SnapshotStreamReader:
+        return SnapshotStreamReader(dict(self.options), schema)
+
+
+def register(spark: SparkSession) -> None:
+    """Idempotent per-session registration."""
+    spark.dataSource.register(SnapshotStreamDataSource)
+
+
+def read_stream(spark: SparkSession, base: str, **options: str) -> DataFrame:
+    register(spark)
+    r = spark.readStream.format("snapshotstream").option("path", base)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+# --- registered correctness query ---------------------------------------------
+
+
+@query(
+    "stream_from_snapshot",
+    priority=150,
+    oracle="""
+    SELECT d.drain, o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders o
+    JOIN (SELECT 1 AS drain, 0 AS m UNION ALL
+          SELECT 1 AS drain, 1 AS m UNION ALL
+          SELECT 2 AS drain, 2 AS m) d
+      ON o.o_orderkey % 3 = d.m
+    GROUP BY d.drain, o.o_orderstatus
+    """,
+)
+def stream_from_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM **FROM** THE SNAPSHOT TABLE: two commits land, a first
+    checkpointed drain consumes them (drain 1); a THIRD commit lands and a
+    second drain over the SAME checkpoint consumes ONLY it (drain 2) —
+    the per-(drain, status) aggregate pins that the source's version
+    cursor resumed instead of re-reading history: any re-delivery doubles
+    drain-1 counts, any loss empties drain 2, and both diverge from the
+    oracle's modulo split. Each micro-batch passes through foreachBatch
+    exactly-once into a result table keyed by the batch ledger (the sink
+    idempotence this repo's streaming family standardizes on)."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "stream_from_snapshot_tbl")
+    out_dir = scratch(sf_tag(sf_dir), "stream_from_snapshot_out")
+    ckpt = scratch(sf_tag(sf_dir), "stream_from_snapshot_ckpt")
+    for d in (base, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    t = SnapshotTable(base)
+    out = SnapshotTable(out_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t.commit(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.commit(orders.filter(F.col("o_orderkey") % 3 == 1))
+
+    drain = {"n": 1}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out.commit_stream_batch(
+            batch_df.withColumn("drain", F.lit(drain["n"])),
+            "from_snapshot",
+            batch_id,
+        )
+
+    def run_drain() -> None:
+        (
+            read_stream(spark, base)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_drain()                                              # versions 1-2
+    t.commit(orders.filter(F.col("o_orderkey") % 3 == 2))    # version 3
+    drain["n"] = 2
+    run_drain()                                              # only version 3
+
+    return (
+        out.read(spark)
+        .groupBy("drain", "o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).cast("bigint").alias("sum_cents"),
+        )
+    )
