@@ -3010,6 +3010,22 @@ def eval_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: in-cell ranking, at the same 16-entry codebook (4 bits/sub-code, so
 #: a vector serves from 8 packed bytes instead of 512 raw — the ~64x
 #: figure real engines quote). Real embeddings compress far better.
+#:
+#: RESIDUAL ENCODING — MEASURED AND REJECTED (r12, VERDICT r11 item 5):
+#: standard IVF-PQ (Jégou et al.) encodes v − coarse_centroid, which
+#: helps when coarse clustering removes most variance. On these fixtures
+#: it does the opposite, measured per-cell top-5 ADC recall vs the exact
+#: in-cell ranking (numpy prototype, same codebook scheme/tiebreaks):
+#: raw sampled codebook 0.64 (sf0.01) / 0.33 (sf0.1); residual against
+#: the same sampled codebook 0.08 / —; residual with a 20-iteration
+#: per-subspace k-means codebook 0.32 / 0.25 — still BELOW raw, because
+#: random unit vectors under ~10-40 coarse cells leave residual variance
+#: ≈ raw variance while residuals collapse toward the origin, where a
+#: 16-entry codebook stops discriminating. Few-iteration Lloyd
+#: refinement of the RAW codebook (the oracle-expressible variant) also
+#: loses at the correctness SF (0.64 → 0.52-0.60 at 1-3 iters). The
+#: production answer to quantization loss on this corpus is the two-tier
+#: exact re-rank (ann_ivfpq_rerank_topk: 0.39 → 0.87), which ships.
 IVFPQ_M = 16
 
 #: Codebook identity recorded in every index commit's manifest: probing

@@ -2175,18 +2175,25 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregation the reference would run (its jobs always re-list and
     re-read the full input prefix, ``input_handler_s3.py``). The merge is
     a groupBy over (groups x 2 partial rows) — group-cardinality-sized,
-    never data-sized; the stored aggregate would be the snapshot table's
-    own next version in a production loop (the streaming twin is
-    ``stream_upsert_latest``)."""
+    never data-sized.
+
+    Visibility (r12, VERDICT r11 item 6): the stored view is its own
+    SnapshotTable and BOTH tables resolve through a
+    :class:`MultiTableCatalog` — the refreshed view and the base-version
+    cursor it consumed flip visible in ONE catalog CAS, so no reader can
+    pair a new view with an old cursor (the torn-visibility class the
+    catalog kills for stream_dedup_ingest; a crash between the view
+    commit and the catalog publish leaves readers on the old CONSISTENT
+    pair, pinned by tests/test_multitable_txn.py)."""
     import shutil
 
     base = scratch(sf_tag(sf_dir), "snapshot_incr_agg")
     shutil.rmtree(base, ignore_errors=True)
-    t = SnapshotTable(base)
+    t = SnapshotTable(os.path.join(base, "orders"))
+    view = SnapshotTable(os.path.join(base, "view"))
+    cat = MultiTableCatalog(base)
     orders = table(spark, sf_dir, "orders")
     cutoff = F.to_timestamp(F.lit(f"{SNAPSHOT_CUTOFF} 00:00:00"))
-    t.commit(orders.filter(F.col("o_orderdate") < cutoff), mode="append")
-    t.commit(orders.filter(F.col("o_orderdate") >= cutoff), mode="append")
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(
@@ -2196,16 +2203,29 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_cents"),
         )
 
-    stored = partial(t.read(spark, 1))            # the v1 materialized view
-    delta = partial(t.read_incremental(spark, 1, 2))  # ingest-sized refresh
-    return (
-        stored.unionAll(delta)
+    # initial build: base v1 + its view, visible through ONE txn
+    v1 = t.commit(orders.filter(F.col("o_orderdate") < cutoff))
+    w1 = view.commit(partial(t.read(spark, v1)), mode="overwrite")
+    cat.publish({"orders": v1, "view": w1})
+    # ingest lands; the view is now STALE but consistently so (catalog
+    # still pairs it with the v1 cursor it was computed from)
+    v2 = t.commit(orders.filter(F.col("o_orderdate") >= cutoff))
+    # refresh from the CATALOG-visible state: cursor and stored view come
+    # from the same txn by construction
+    seen, wvis = cat.visible("orders"), cat.visible("view")
+    delta = partial(t.read_incremental(spark, seen, v2))
+    merged = (
+        view.read(spark, wvis)
+        .unionAll(delta)
         .groupBy("o_orderpriority")
         .agg(
             F.sum("n_orders").cast("bigint").alias("n_orders"),
             F.sum("sum_cents").cast("bigint").alias("sum_cents"),
         )
     )
+    w2 = view.commit(merged, mode="overwrite")
+    cat.publish({"orders": v2, "view": w2})
+    return view.read(spark, cat.visible("view"))
 
 
 # --- retention vacuum ------------------------------------------------------------
@@ -2750,18 +2770,26 @@ def search_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``input_handler_s3.py:51-70``) as incremental_agg_maintenance, here
     applied to the retrieval stack. Tokenization is the dedup family's
     shared convention (``dedup._tokens`` / its SQL twin), so these stats
-    describe exactly the token space bm25_search_topk scores in."""
+    describe exactly the token space bm25_search_topk scores in.
+
+    Visibility (r12, VERDICT r11 item 6): the stored stats live in their
+    own SnapshotTable (UNFILTERED — thresholding partials before the
+    merge is the classic monoid-maintenance bug, so the df filter applies
+    only at serve time) and flip visible with the consumed corpus-version
+    cursor in ONE :class:`MultiTableCatalog` txn — a ranker can never
+    score with stats from one corpus version against a cursor from
+    another."""
     import shutil
 
     from serverless_mapreduce_spark.operators.dedup import _tokens
 
     base = scratch(sf_tag(sf_dir), "search_index_incr")
     shutil.rmtree(base, ignore_errors=True)
-    t = SnapshotTable(base)
+    t = SnapshotTable(os.path.join(base, "corpus"))
+    idx = SnapshotTable(os.path.join(base, "stats"))
+    cat = MultiTableCatalog(base)
     docs = table(spark, sf_dir, "documents")
     rem = F.col("doc_id") % DIFF_MOD
-    t.commit(docs.filter(rem != 0), mode="append")   # v1: standing corpus
-    t.commit(docs.filter(rem == 0), mode="append")   # v2: + ingest delta
 
     def stats(df: DataFrame) -> DataFrame:
         tk = df.select("doc_id", F.explode(_tokens("text")).alias("token"))
@@ -2770,16 +2798,25 @@ def search_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("cf"),
         )
 
-    stored = stats(t.read(spark, 1))                      # the v1 index stats
-    delta = stats(t.read_incremental(spark, 1, 2))        # ingest-sized refresh
-    return (
-        stored.unionAll(delta)
+    v1 = t.commit(docs.filter(rem != 0))             # v1: standing corpus
+    w1 = idx.commit(stats(t.read(spark, v1)), mode="overwrite")
+    cat.publish({"corpus": v1, "stats": w1})
+    v2 = t.commit(docs.filter(rem == 0))             # v2: + ingest delta
+    seen, wvis = cat.visible("corpus"), cat.visible("stats")
+    delta = stats(t.read_incremental(spark, seen, v2))  # ingest-sized refresh
+    merged = (
+        idx.read(spark, wvis)
+        .unionAll(delta)
         .groupBy("token")
         .agg(
             F.sum("df").cast("bigint").alias("df"),
             F.sum("cf").cast("bigint").alias("cf"),
         )
-        .filter(F.col("df") >= INDEX_MIN_DF)
+    )
+    w2 = idx.commit(merged, mode="overwrite")
+    cat.publish({"corpus": v2, "stats": w2})
+    return idx.read(spark, cat.visible("stats")).filter(
+        F.col("df") >= INDEX_MIN_DF
     )
 
 

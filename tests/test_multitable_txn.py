@@ -121,3 +121,79 @@ def test_expire_versions_pin_protects_catalog_visible_version(spark, tmp_path):
     # without the pin, keep_latest=2 would expire v1 (the visible one!)
     a.expire_versions(keep_latest=2, pin=(cat.visible("a"),))
     assert sorted(r.k for r in a.read(spark, cat.visible("a")).collect()) == [1]
+
+
+# --- catalog-guarded materialized-view refresh (r12, VERDICT r11 item 6) ----
+
+
+def _refresh_view(spark, cat, base_t, view_t, crash_before_publish=False):
+    """The incremental_agg_maintenance refresh shape: merge the stored
+    view with the delta since the catalog-visible cursor, stage the new
+    view, (maybe crash), publish cursor+view in one txn."""
+    from pyspark.sql import functions as F
+
+    seen, wvis = cat.visible("base"), cat.visible("view")
+    head = base_t.latest_version()
+    if head == seen:
+        return False  # nothing new
+    delta = (
+        base_t.read_incremental(spark, seen, head)
+        .groupBy("k")
+        .agg(F.sum("v").cast("bigint").alias("s"))
+    )
+    merged = (
+        view_t.read(spark, wvis)
+        .unionAll(delta)
+        .groupBy("k")
+        .agg(F.sum("s").cast("bigint").alias("s"))
+    )
+    w = view_t.commit(merged, mode="overwrite")
+    if crash_before_publish:
+        raise RuntimeError("injected crash before the catalog publish")
+    cat.publish({"base": head, "view": w})
+    return True
+
+
+def test_view_refresh_crash_leaves_consistent_pair_and_replays_once(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    base_t = SnapshotTable(str(tmp_path / "base"))
+    view_t = SnapshotTable(str(tmp_path / "view"))
+    cat = MultiTableCatalog(str(tmp_path / "cat"))
+    v1 = base_t.commit(_batch(spark, [(1, 10), (2, 20)]))
+    w1 = view_t.commit(
+        base_t.read(spark, v1).groupBy("k").agg(
+            F.sum("v").cast("bigint").alias("s")
+        ),
+        mode="overwrite",
+    )
+    cat.publish({"base": v1, "view": w1})
+    base_t.commit(_batch(spark, [(1, 5), (3, 7)]))
+
+    # crash AFTER staging the refreshed view, BEFORE the catalog publish
+    try:
+        _refresh_view(spark, cat, base_t, view_t, crash_before_publish=True)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    # catalog readers still see the OLD consistent pair: the view matches
+    # a full recompute at the visible cursor, not the staged head
+    assert cat.visible("base") == v1 and cat.visible("view") == w1
+    got = {
+        (r.k, r.s)
+        for r in view_t.read(spark, cat.visible("view")).collect()
+    }
+    assert got == {(1, 10), (2, 20)}
+
+    # replay re-derives from the catalog-visible state and converges:
+    # exactly the full-recompute answer, no doubled delta
+    assert _refresh_view(spark, cat, base_t, view_t)
+    got2 = {
+        (r.k, r.s)
+        for r in view_t.read(spark, cat.visible("view")).collect()
+    }
+    assert got2 == {(1, 15), (2, 20), (3, 7)}
+    # idempotent when nothing new landed
+    assert not _refresh_view(spark, cat, base_t, view_t)
