@@ -397,3 +397,106 @@ def sft_trainable_mass_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("trainable_ppm"),
     )
+
+
+#: Length-bucket width (characters of chosen+rejected combined) for the
+#: DPO length-bias report — coarse on purpose: the report is a per-source
+#: curve over a handful of buckets, not a histogram.
+DPO_LEN_BUCKET = 256
+
+
+@query(
+    "dpo_length_bias_report",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_DPO_EX},
+    lens AS (
+      SELECT e.doc_id, d.source,
+             CAST(length(COALESCE(array_to_string(e.tk[e.sp+1:e.mid], ' '),
+                                  '')) AS BIGINT) AS ch,
+             CAST(length(COALESCE(array_to_string(e.tk[e.mid+1:e.n], ' '),
+                                  '')) AS BIGINT) AS rj
+      FROM ex e JOIN documents d ON d.doc_id = e.doc_id
+    )
+    SELECT source,
+           (ch + rj) // {DPO_LEN_BUCKET} AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ch) AS BIGINT) AS sum_chosen_chars,
+           CAST(SUM(rj) AS BIGINT) AS sum_rejected_chars,
+           CAST((SUM(CASE WHEN ch > rj THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS chosen_longer_ppm,
+           CAST(((SUM(ch) - SUM(rj)) * 1000000) // COUNT(*) AS BIGINT)
+             AS len_delta_ppm
+    FROM lens
+    GROUP BY source, (ch + rj) // {DPO_LEN_BUCKET}
+    """,
+)
+def dpo_length_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO LENGTH-BIAS DATACARD (VERDICT r11 item 7): DPO's best-known
+    artifact is length bias — the policy learns "longer is better"
+    whenever the chosen leg is systematically longer, so training teams
+    gate preference sets on exactly this report: per (source, combined-
+    length bucket), how often the chosen response is the LONGER one
+    (``chosen_longer_ppm`` — a healthy set sits near 500000; a skewed
+    bucket near 10^6 predicts a verbose policy) and the mean chosen-vs-
+    rejected character delta (``len_delta_ppm`` = (Σch − Σrj)·10⁶ DIV n,
+    sign-safe truncating division — both engines truncate toward zero,
+    pinned in tests/test_round8_edges.py). Lengths are CHARACTERS of the
+    space-joined legs, the loader's own rendering, so the report measures
+    what the reward margin actually sees.
+
+    Shares ``_SQL_DPO_EX`` — the ONE preference-example derivation —
+    with dpo_pair_dedup, the same one-CTE-chain discipline the SFT
+    datacard uses with the span CTE: the hygiene pass and the bias gate
+    can never disagree about what an example is. Crafted equal-length
+    and skewed-length corpora pin both report edges
+    (tests/test_posttraining.py).
+
+    Scale: a two-key aggregate over the example derivation — zero joins
+    beyond the doc_id → source lookup, no shuffle beyond the groupBy; at
+    100 TB this is a datacard line item, not a job."""
+    docs = table(spark, sf_dir, "documents")
+    tk = _tokens("text")
+    ex = (
+        docs.select("doc_id", "source", tk.alias("tk"))
+        .withColumn("n", F.size("tk").cast("bigint"))
+        .filter(F.col("n") >= DPO_MIN_TOKENS)
+        .withColumn("sp", F.expr("(n * 3) DIV 5"))
+        .withColumn("mid", F.expr("sp + (n - sp) DIV 2"))
+    )
+    lens = ex.select(
+        "source",
+        F.length(
+            F.array_join(
+                F.slice("tk", F.col("sp") + 1, F.col("mid") - F.col("sp")), " "
+            )
+        )
+        .cast("bigint")
+        .alias("ch"),
+        F.length(
+            F.array_join(
+                F.slice("tk", F.col("mid") + 1, F.col("n") - F.col("mid")), " "
+            )
+        )
+        .cast("bigint")
+        .alias("rj"),
+    )
+    return (
+        lens.withColumn(
+            "len_bucket", F.expr(f"(ch + rj) DIV {DPO_LEN_BUCKET}")
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("ch").cast("bigint").alias("sum_chosen_chars"),
+            F.sum("rj").cast("bigint").alias("sum_rejected_chars"),
+            F.expr(
+                "CAST((SUM(CASE WHEN ch > rj THEN 1 ELSE 0 END) * 1000000)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("chosen_longer_ppm"),
+            F.expr(
+                "CAST(((SUM(ch) - SUM(rj)) * 1000000) DIV COUNT(*)"
+                " AS BIGINT)"
+            ).alias("len_delta_ppm"),
+        )
+    )

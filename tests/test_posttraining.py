@@ -89,3 +89,46 @@ def test_dpo_dedup_requires_all_three_legs(spark, tmp_path_factory):
         r["chosen_jaccard"],
         r["rejected_jaccard"],
     ) == (1.0, 1.0, 1.0)
+
+
+def test_dpo_length_bias_report_pins(spark, tmp_path_factory):
+    """Crafted length edges: equal-length legs report zero bias; a
+    chosen-always-longer corpus reports 10^6 ppm with a positive delta;
+    combined length places rows in the right bucket (r12 op)."""
+    from serverless_mapreduce_spark.operators.posttraining import (
+        DPO_LEN_BUCKET,
+        dpo_length_bias_report,
+    )
+
+    # n=20 tokens -> sp=12, mid=16: chosen = tokens[12:16], rejected =
+    # tokens[16:20] (0-based). All tokens 2 chars -> equal legs.
+    eq_tokens = [f"a{i % 10}" for i in range(20)]
+    # skewed: chosen tokens 10 chars, rejected tokens 2 chars
+    sk_tokens = [f"b{i % 10}" for i in range(12)]
+    sk_tokens += [f"cccccccc{i}" for i in range(4)]   # chosen leg, 9-10 chars
+    sk_tokens += [f"d{i}" for i in range(4)]          # rejected leg, 2 chars
+    # big: every token 40 chars -> ch+rj = 4*41-1 + 4*41-1 = 327 chars
+    # combined ~> bucket 1 at DPO_LEN_BUCKET=256
+    big_tokens = ["e" * 39 + str(i % 10) for i in range(20)]
+    docs = [
+        {"doc_id": 1, "text": " ".join(eq_tokens), "lang": "en", "source": "eq"},
+        {"doc_id": 2, "text": " ".join(sk_tokens), "lang": "en", "source": "sk"},
+        {"doc_id": 3, "text": " ".join(big_tokens), "lang": "en", "source": "big"},
+    ]
+    d = crafted_dir(tmp_path_factory, "dpolen", docs)
+    got = agree_rows(
+        spark, d, dpo_length_bias_report, "dpo_length_bias_report",
+        as_dicts=True,
+    )
+    by = {r["source"]: r for r in got}
+    assert by["eq"]["chosen_longer_ppm"] == 0
+    assert by["eq"]["len_delta_ppm"] == 0
+    assert by["eq"]["len_bucket"] == 0
+    assert by["sk"]["chosen_longer_ppm"] == 1_000_000
+    assert by["sk"]["len_delta_ppm"] > 0
+    # chosen leg: 'cccccccc0'..'cccccccc3' = 4*9+3 = 39 chars; rejected:
+    # 'd0'..'d3' = 4*2+3 = 11 chars
+    assert by["sk"]["sum_chosen_chars"] == 39
+    assert by["sk"]["sum_rejected_chars"] == 11
+    assert by["sk"]["len_delta_ppm"] == (39 - 11) * 1_000_000
+    assert by["big"]["len_bucket"] == (163 + 163) // DPO_LEN_BUCKET == 1
