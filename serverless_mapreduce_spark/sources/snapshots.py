@@ -3232,3 +3232,107 @@ def snapshot_manifest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_probe_cents_agg(t.read(spark, post_v), "post_fold"))
         .unionAll(_probe_cents_agg(pruned, "post_fold_pruned"))
     )
+
+
+# --- segment-summary pruned planning (r12) ---------------------------------------
+
+SEG_PART_VALUE = "3-MEDIUM"  #: the probed o_orderpriority partition
+SEG_BATCHES = 3              #: append batches (o_orderkey % SEG_BATCHES)
+
+
+@query(
+    "snapshot_segment_pruning",
+    priority=150,
+    oracle=f"""
+    SELECT 'part' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderpriority = '{SEG_PART_VALUE}'
+    UNION ALL
+    SELECT 'full' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    UNION ALL
+    SELECT 'segments' AS probe,
+           (SELECT CAST(COUNT(DISTINCT o_orderkey % {SEG_BATCHES}) AS BIGINT)
+            FROM orders WHERE o_orderpriority = '{SEG_PART_VALUE}') AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT o_orderkey % {SEG_BATCHES}, o_orderpriority
+               FROM orders)) AS sum_cents
+    """,
+)
+def snapshot_segment_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-SUMMARY PRUNED PLANNING (r12, VERDICT r11 item 1 made
+    driver-visible): {SEG_BATCHES} append batches commit under a
+    partition spec — partition-ALIGNED, one manifest segment per
+    (batch, priority) — and a single-priority probe is then planned by
+    the manifest's carried segment summaries alone: segments whose
+    summary excludes the value are never OPENED, not merely filtered.
+    The query counts actual segment opens through a counting reader and
+    publishes the accounting as oracle-checked VALUES: the 'segments'
+    row's n_rows is the number of segments opened (= the batches that
+    contain the probed priority, which the oracle derives from the data)
+    and its sum_cents is the total segment count (= distinct
+    (batch, priority) combinations). The 'part'/'full' rows prove the
+    pruned read is value-exact and the aligned write lossless.
+
+    This is the metadata level ABOVE snapshot_partitioned_read's
+    per-file pruning: there the planner discarded non-matching FILES
+    after parsing every entry; here it skips whole manifest segments
+    unopened — at 10^6 files across 10^3 partition-aligned segments a
+    probe's planning cost is the matching segments' metadata, not the
+    table's (the Iceberg manifest-list skip, reproduced end-to-end)."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_segprune")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    for b in range(SEG_BATCHES):
+        t.commit(
+            orders.filter(F.col("o_orderkey") % SEG_BATCHES == b),
+            partition_by=("o_orderpriority",),
+        )
+
+    class _CountingTable(SnapshotTable):
+        def __init__(self, base_dir: str):
+            super().__init__(base_dir)
+            self.opened: set[str] = set()
+
+        def _seg_entries(self, ref: str):
+            self.opened.add(ref)
+            return super()._seg_entries(ref)
+
+    ct = _CountingTable(base)  # fresh instance: cold segment cache
+    head = ct.latest_version()
+    files, total = ct.plan_files(
+        head, partition_eq={"o_orderpriority": SEG_PART_VALUE}
+    )
+    n_opened = len(ct.opened)
+    n_segments = len(ct._segment_refs(head))
+    if not files or len(files) >= total:
+        raise AssertionError("partition pruning must plan a strict subset")
+    if n_opened >= n_segments:
+        raise AssertionError(
+            "summary pruning must SKIP segments, not open-and-filter them"
+        )
+    by_path = {e["path"]: e for e in t._data_entries(head)}
+    if any(
+        by_path[f]["partitions"]["o_orderpriority"] != SEG_PART_VALUE
+        for f in files
+    ):
+        raise AssertionError("a non-matching partition file was planned")
+
+    part = t.read(
+        spark, head, partition_eq={"o_orderpriority": SEG_PART_VALUE}
+    ).filter(F.col("o_orderpriority") == SEG_PART_VALUE)
+    seg_row = spark.createDataFrame(
+        [("segments", n_opened, n_segments)],
+        "probe string, n_rows bigint, sum_cents bigint",
+    )
+    return (
+        _probe_cents_agg(part, "part")
+        .unionAll(_probe_cents_agg(t.read(spark, head), "full"))
+        .unionAll(seg_row)
+    )
