@@ -355,6 +355,13 @@ HEADLINE = (
     "sft_trainable_mass_report",
     "ann_ivfpq_rerank_topk",
     "snapshot_manifest_rewrite",
+    # round 12: segment-summary planning, snapshot-as-stream-source
+    # (two checkpointed drains through the Python DataSource), the DPO
+    # length-bias datacard, and the catalog-guarded view refresh
+    "snapshot_segment_pruning",
+    "stream_from_snapshot",
+    "dpo_length_bias_report",
+    "snapshot_hidden_partitioning",
 )
 
 

@@ -218,6 +218,15 @@ class SnapshotTable:
             rng = s.get("stats", {}).get(col)
             if rng is not None and (rng[0] > hi or rng[1] < lo):
                 return True
+            # hidden partitioning at segment granularity: skip when EVERY
+            # recorded transform value of the segment misses the box
+            parts = s.get("partitions", {})
+            for key, tlo, thi in SnapshotTable._transform_keys(col, lo, hi):
+                vals = parts.get(key)
+                if vals is not None and all(
+                    v is not None and not (tlo <= v <= thi) for v in vals
+                ):
+                    return True
         return False
 
     def _seg_summary(self, ref: str) -> dict:
@@ -500,6 +509,44 @@ class SnapshotTable:
                 continue
         raise CommitConflict("64 consecutive manifest races; giving up")
 
+    @staticmethod
+    def _partition_field(spec: str):
+        """Parse one partition-spec field into (manifest key, sanitized
+        write column, transform Column). HIDDEN PARTITIONING (Iceberg
+        partition transforms): ``"month(ts_col)"`` / ``"day(ts_col)"``
+        cluster and record the TRANSFORMED value ("1996-02" /
+        "1996-02-14") while readers keep filtering on the raw column —
+        the planner derives the covering transform range from a raw
+        predicate (:meth:`_prune_entries`), so callers never know the
+        spec (the Iceberg fix for Hive's filter-on-the-partition-column
+        contract). A bare column name is the identity transform."""
+        import re
+
+        m = re.fullmatch(r"(month|day)\((\w+)\)", spec)
+        if m is None:
+            return spec, f"_p_{spec}", F.col(spec)
+        kind, col = m.group(1), m.group(2)
+        fmt = "yyyy-MM" if kind == "month" else "yyyy-MM-dd"
+        return spec, f"_p_{kind}_{col}", F.date_format(col, fmt)
+
+    #: raw-predicate pruning rules for transformed partition values: a
+    #: ``where=(col, lo, hi)`` box with STRING bounds prunes a file whose
+    #: recorded month/day value falls outside the bounds' value prefixes
+    #: (lexicographic compare is date order for zero-padded yyyy-MM[-dd])
+    _TRANSFORM_PREFIX = {"month": 7, "day": 10}
+
+    @classmethod
+    def _transform_keys(cls, col: str, lo, hi):
+        """[(manifest key, transformed lo, transformed hi)] applicable to
+        a raw box on ``col`` — empty unless the bounds are strings (dates
+        render as their ISO prefixes; numeric boxes have no transform)."""
+        if not (isinstance(lo, str) and isinstance(hi, str)):
+            return []
+        return [
+            (f"{kind}({col})", lo[:n], hi[:n])
+            for kind, n in cls._TRANSFORM_PREFIX.items()
+        ]
+
     def _write_batch_segments(
         self, entries: list[dict], partition_by: tuple[str, ...]
     ) -> list[str]:
@@ -546,12 +593,14 @@ class SnapshotTable:
         parsed from them once at commit time, is what pruning reads."""
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, commit_id)
+        fields = [self._partition_field(c) for c in partition_by]
+        key_of = {wcol: key for key, wcol, _ in fields}
         if partition_by:
             pdf = df
-            for c in partition_by:
-                pdf = pdf.withColumn(f"_p_{c}", F.col(c))
+            for _key, wcol, expr in fields:
+                pdf = pdf.withColumn(wcol, expr)
             pdf.write.mode("error").partitionBy(
-                *[f"_p_{c}" for c in partition_by]
+                *[wcol for _key, wcol, _ in fields]
             ).parquet(out_dir)
             new_files = sorted(
                 os.path.join(root, f)
@@ -576,10 +625,10 @@ class SnapshotTable:
                     if "=" not in comp:
                         continue
                     name, _, raw = comp.partition("=")
-                    if not name.startswith("_p_"):
+                    if name not in key_of:
                         continue
                     val = unquote(raw)
-                    values[name[3:]] = (
+                    values[key_of[name]] = (
                         None if val == "__HIVE_DEFAULT_PARTITION__" else val
                     )
                 ent["partitions"] = values
@@ -1548,8 +1597,21 @@ class SnapshotTable:
         if where is None:
             return kept
         col, lo, hi = where
+        tkeys = SnapshotTable._transform_keys(col, lo, hi)
         nxt = []
         for e in kept:
+            parts = e.get("partitions", {})
+            # hidden partitioning: a raw box on ``col`` prunes files whose
+            # recorded month(col)/day(col) value lies outside the bounds'
+            # transform — the caller filters on the raw column and never
+            # sees the spec (Iceberg partition-transform semantics)
+            if any(
+                key in parts
+                and parts[key] is not None
+                and not (tlo <= parts[key] <= thi)
+                for key, tlo, thi in tkeys
+            ):
+                continue
             rng = e.get("stats", {}).get(col)
             if rng is None or (rng[0] <= hi and rng[1] >= lo):
                 nxt.append(e)
@@ -1829,12 +1891,15 @@ class SnapshotTable:
         df = self._read_with_deletes(spark, version, small)
         if partition_by:
             # keep the table's partition spec through maintenance: the
-            # rewrite re-clusters by partition value and records fresh
+            # rewrite re-clusters by partition value (transform specs
+            # cluster by their TRANSFORMED expression) and records fresh
             # per-file partition values, so partition_eq pruning keeps
             # working on the compacted layout (without this, rewritten
             # files lose their values and are conservatively always
             # scanned)
-            df = df.repartition(*partition_by)
+            df = df.repartition(
+                *[self._partition_field(c)[2] for c in partition_by]
+            )
         elif cluster_by:
             df = df.repartitionByRange(n_out, *cluster_by)
         else:
@@ -3335,4 +3400,94 @@ def snapshot_segment_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         _probe_cents_agg(part, "part")
         .unionAll(_probe_cents_agg(t.read(spark, head), "full"))
         .unionAll(seg_row)
+    )
+
+
+# --- hidden (transform) partitioning (r12) ---------------------------------------
+
+HIDDEN_LO = "1996-02-01"  #: raw-predicate date box (orders span 1995-01..2001-08)
+HIDDEN_HI = "1996-07-31"
+
+
+@query(
+    "snapshot_hidden_partitioning",
+    priority=150,
+    oracle=f"""
+    SELECT 'box' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{HIDDEN_LO} 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-08-01 00:00:00'
+    UNION ALL
+    SELECT 'full' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    UNION ALL
+    SELECT 'months' AS probe,
+           (SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                        AS BIGINT)
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{HIDDEN_LO} 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-08-01 00:00:00') AS n_rows,
+           (SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                        AS BIGINT) FROM orders) AS sum_cents
+    """,
+)
+def snapshot_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING (Iceberg partition transforms, r12): the table
+    commits under ``partition_by=("month(o_orderdate)",)`` — files
+    cluster by, and the manifest records, the TRANSFORMED month value —
+    and the reader then issues a plain RAW-column date box
+    (``where=("o_orderdate", lo, hi)``): the planner derives the covering
+    month range from the predicate and prunes files (and, via segment
+    summaries, whole unopened segments) without the caller ever naming
+    the spec. This is Iceberg's fix for the Hive contract that made
+    every query author re-spell the partitioning scheme (and silently
+    full-scan on a typo): the spec lives in table metadata, predicates
+    stay on data columns, and the spec can evolve without breaking a
+    single reader.
+
+    Oracle-checked accounting: the 'months' row carries the DISTINCT
+    month count of the planned files (derived by the oracle from the
+    probed date range) against the table's total month count — pruning
+    is month-exact, not merely a subset. 'box'/'full' prove the pruned
+    read is value-exact and the transformed write lossless.
+
+    Scale: a date-sliced consumer at 100 TB plans 6 months of files out
+    of 80 from manifest metadata alone; clustering by month also keeps
+    every other column's per-file stats tight within the month (the
+    layout.py observation, lifted into the table format)."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_hidden")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    t.commit(orders, partition_by=("month(o_orderdate)",))
+
+    files, total = t.plan_files(where=("o_orderdate", HIDDEN_LO, HIDDEN_HI))
+    if not files or len(files) >= total:
+        raise AssertionError("hidden partitioning must plan a strict subset")
+    by_path = {e["path"]: e for e in t._data_entries(1)}
+    months = {by_path[f]["partitions"]["month(o_orderdate)"] for f in files}
+    if not all(HIDDEN_LO[:7] <= m <= HIDDEN_HI[:7] for m in months):
+        raise AssertionError("a file outside the covering months was planned")
+    all_months = {
+        e["partitions"]["month(o_orderdate)"] for e in by_path.values()
+    }
+
+    box = t.read(spark, where=("o_orderdate", HIDDEN_LO, HIDDEN_HI)).filter(
+        (F.col("o_orderdate") >= F.lit(f"{HIDDEN_LO} 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1996-08-01 00:00:00"))
+    )
+    months_row = spark.createDataFrame(
+        [("months", len(months), len(all_months))],
+        "probe string, n_rows bigint, sum_cents bigint",
+    )
+    return (
+        _probe_cents_agg(box, "box")
+        .unionAll(_probe_cents_agg(t.read(spark), "full"))
+        .unionAll(months_row)
     )

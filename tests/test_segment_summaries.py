@@ -253,3 +253,60 @@ def test_catalog_expire_txns_bounds_the_log(tmp_path):
     assert cat.batch_committed("s", 29) and not cat.batch_committed("s", 30)
     cat.publish({"corpus": 31})
     assert cat.visible("corpus") == 31
+
+
+def test_hidden_partition_transforms(spark, tmp_path, monkeypatch):
+    """month(col) partition transforms: files cluster and record the
+    TRANSFORMED value, a raw-column date box prunes files AND whole
+    segments, values stay in the data files, and transform-spec
+    compaction preserves the layout."""
+    rows = [
+        (i, f"199{6 + i % 2}-0{1 + i % 3}-15 00:00:00") for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, d string").selectExpr(
+        "k", "CAST(d AS TIMESTAMP) AS d"
+    )
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(df, partition_by=("month(d)",))
+    ents = t._data_entries(1)
+    keys = {k for e in ents for k in e["partitions"]}
+    assert keys == {"month(d)"}
+    vals = {e["partitions"]["month(d)"] for e in ents}
+    assert vals == {
+        "1996-01", "1996-02", "1996-03", "1997-01", "1997-02", "1997-03"
+    }
+    # raw-column box prunes to the covering months, unopened segments
+    fresh = SnapshotTable(t.base)
+    calls = _spy_opens(monkeypatch)
+    files, total = fresh.plan_files(where=("d", "1996-02-01", "1996-03-31"))
+    by_path = {e["path"]: e for e in ents}
+    want = {
+        e["path"]
+        for e in ents
+        if e["partitions"]["month(d)"] in ("1996-02", "1996-03")
+    }
+    assert set(files) == want and total == len(ents)
+    assert len(set(calls)) == 2  # one aligned segment per covered month
+    # rows are value-exact and the raw column survives in the files
+    got = sorted(
+        r.k
+        for r in t.read(spark, where=("d", "1996-02-01", "1996-03-31"))
+        .filter("d >= '1996-02-01' AND d < '1996-04-01'")
+        .collect()
+    )
+    truth = sorted(
+        r.k
+        for r in df.filter("d >= '1996-02-01' AND d < '1996-04-01'").collect()
+    )
+    assert got == truth and got
+    # partition_eq on the transformed key still works
+    f2, _ = t.plan_files(partition_eq={"month(d)": "1997-01"})
+    assert f2 and all(
+        by_path[f]["partitions"]["month(d)"] == "1997-01" for f in f2
+    )
+    # compaction under the transform spec keeps recorded values
+    v = t.compact_small_files(spark, partition_by=("month(d)",))
+    ents2 = t._data_entries(v)
+    assert {e["partitions"]["month(d)"] for e in ents2} == vals
+    f3, tot3 = t.plan_files(v, where=("d", "1997-02-01", "1997-02-28"))
+    assert f3 and len(f3) < tot3
