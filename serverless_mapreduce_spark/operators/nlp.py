@@ -206,10 +206,10 @@ _PIVOT_SUM_SQL = " + ".join(
 )
 
 
-@query(
-    "keyword_search_topk",
-    priority=0,
-    oracle=f"""
+#: keyword_search_topk's oracle as a module constant so the hybrid-fusion
+#: op (text.hybrid_search_rrf) can embed the SAME ranking derivation —
+#: fusion and ranker can never disagree about a rank.
+KEYWORD_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}')) AS term
       FROM documents
@@ -235,8 +235,10 @@ _PIVOT_SUM_SQL = " + ".join(
     FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
           FROM scored)
     WHERE rnk <= {SEARCH_TOP_K}
-    """,
-)
+    """
+
+
+@query("keyword_search_topk", priority=0, oracle=KEYWORD_ORACLE)
 def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KEYWORD RETRIEVAL: score documents against a fixed term query by
     summed tf-idf and return the top-{SEARCH_TOP_K}.

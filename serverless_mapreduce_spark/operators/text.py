@@ -2676,3 +2676,100 @@ def span_corruption_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "span_len",
         )
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion (r12) ----------------------------
+
+RRF_K = 60          #: the canonical RRF damping constant (Cormack et al. 2009)
+RRF_SCALE = 10**9   #: integer contribution = RRF_SCALE DIV (RRF_K + rank)
+RRF_TOP_K = 10
+
+
+def _rrf_oracle() -> str:
+    from serverless_mapreduce_spark.operators.nlp import KEYWORD_ORACLE
+
+    return f"""
+    WITH bm AS ({_bm25_oracle()}),
+    kw AS ({KEYWORD_ORACLE}),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, kw.doc_id) AS doc_id,
+             COALESCE({RRF_SCALE} // ({RRF_K} + bm.rnk), 0)
+               + COALESCE({RRF_SCALE} // ({RRF_K} + kw.rnk), 0) AS rrf_score,
+             CASE WHEN bm.rnk IS NOT NULL THEN 1 ELSE 0 END AS in_bm25,
+             CASE WHEN kw.rnk IS NOT NULL THEN 1 ELSE 0 END AS in_keyword
+      FROM bm FULL OUTER JOIN kw ON kw.doc_id = bm.doc_id
+    )
+    SELECT doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+           CAST(in_bm25 AS BIGINT) AS in_bm25,
+           CAST(in_keyword AS BIGINT) AS in_keyword,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                      AS rnk
+          FROM fused)
+    WHERE rnk <= {RRF_TOP_K}
+    """
+
+
+@query("hybrid_search_rrf", priority=150, oracle=_rrf_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL FUSION — RECIPROCAL RANK FUSION (Cormack et al.
+    2009), the list-merging step every production RAG stack runs between
+    its retrievers and its reranker: two rankings over the same corpus
+    (the BM25 ranker and the tf-idf keyword ranker — at serving scale,
+    typically a lexical and a dense list) fuse by summed reciprocal
+    ranks, score = Σ_r 1/(k + rank_r) with k={RRF_K}. RRF is the
+    standard choice precisely because it is SCORE-SCALE-FREE: BM25
+    log-idf points and cosine similarities are incomparable, ranks are
+    not — no per-list normalization, no tuned weights. Contributions are
+    exact integers ({RRF_SCALE} DIV (k + rank) — truncating division,
+    identical in both engines), so the fused ordering is deterministic;
+    membership flags surface which retriever(s) found each survivor.
+
+    Both input rankings are the REGISTERED queries' own derivations (the
+    keyword oracle is shared by module constant; the Spark side calls
+    the registered builders), so the fusion can never drift from what
+    each ranker actually returns.
+
+    Scale: the fused frame is (top-k₁ + top-k₂) rows per query — serving
+    cost is a result-list merge, never corpus-touching; a 1000-query
+    eval batch fuses as one groupBy over ≤ 30k rows."""
+    from serverless_mapreduce_spark.operators.nlp import keyword_search_topk
+
+    bm = bm25_search_topk(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("bm_rnk")
+    )
+    kw = keyword_search_topk(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("kw_rnk")
+    )
+    fused = (
+        bm.join(kw, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(
+                F.expr(f"{RRF_SCALE} DIV ({RRF_K} + bm_rnk)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{RRF_SCALE} DIV ({RRF_K} + kw_rnk)"), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "in_bm25",
+            F.when(F.col("bm_rnk").isNotNull(), 1).otherwise(0).cast("bigint"),
+        )
+        .withColumn(
+            "in_keyword",
+            F.when(F.col("kw_rnk").isNotNull(), 1).otherwise(0).cast("bigint"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= RRF_TOP_K)
+        .select(
+            "doc_id",
+            F.col("rrf_score").cast("bigint").alias("rrf_score"),
+            "in_bm25",
+            "in_keyword",
+            "rnk",
+        )
+    )
