@@ -91,11 +91,38 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._schema = schema
 
     def _table(self) -> SnapshotTable:
-        return SnapshotTable(self._base)
+        # one instance per reader so the immutable-segment cache amortizes
+        # across micro-batches; dropped from the pickle (executors only
+        # run read(), which plans nothing)
+        t = getattr(self, "_tbl", None)
+        if t is None:
+            t = self._tbl = SnapshotTable(self._base)
+        return t
+
+    def __getstate__(self) -> dict:
+        state = dict(self.__dict__)
+        state.pop("_tbl", None)
+        return state
 
     # -- offsets ----------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        # validate the cursor BEFORE the engine plans a batch: a
+        # startingVersion beyond the head or already retention-expired
+        # would otherwise surface as a bare FileNotFoundError from a
+        # manifest read mid-stream (r12 review)
+        t = self._table()
+        head = t.latest_version()
+        if self._start > 0 and (
+            head is None
+            or self._start > head
+            or self._start not in t.versions()
+        ):
+            raise ValueError(
+                f"snapshot stream source: startingVersion={self._start} is "
+                f"not a live version of {self._base!r} (head: {head}; it "
+                "may exceed the head or have been retention-expired)"
+            )
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
@@ -115,9 +142,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         never be half-streamed."""
         lo, hi = int(start["version"]), int(end["version"])
         t = self._table()
+        appends_only = True  # rewrite/restore re-reference old files
         for v in range(lo + 1, hi + 1):
             mode = t._manifest_body(v).get("mode", "append")
             if mode in _SAFE_MODES:
+                if mode != "append":
+                    appends_only = False
                 continue
             if mode == "delete-mor" and self._ignore_deletes:
                 continue
@@ -127,6 +157,31 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "skip merge-on-read delete commits; rewrites/overwrites "
                 "need a fresh stream from a new startingVersion)"
             )
+        if lo > 0 and appends_only and t._segment_refs(lo) is not None:
+            # fast path (r12 review: planning must be O(delta), not
+            # O(table)): with only appends/MOR-deletes in range, the delta
+            # is exactly the segments hi references that lo doesn't —
+            # immutable refs make the diff a set operation over two
+            # manifest JSONs, and summaries let delete-only new segments
+            # skip unopened. A rewrite/restore in range re-references old
+            # files under NEW refs, so only then fall back to a path diff.
+            hi_body = t._manifest_body(hi)
+            lo_refs = set(t._segment_refs(lo) or ())
+            summaries = hi_body.get("summaries", {})
+            out = []
+            for ref in hi_body.get("segments") or ():
+                if ref in lo_refs:
+                    continue
+                s = summaries.get(ref)
+                if s is not None and s.get("n_data", 1) == 0:
+                    continue
+                out.extend(
+                    InputPartition(e["path"])
+                    for e in t._seg_entries(ref)
+                    if e.get("kind") != "delete"
+                )
+            if hi_body.get("segments") is not None:
+                return out
         base = set(t._files(lo)) if lo > 0 else set()
         return [
             InputPartition(e["path"])

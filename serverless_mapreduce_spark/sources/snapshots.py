@@ -915,7 +915,16 @@ class SnapshotTable:
             cand, kept = [], []
             for e in entries:
                 rng = e.get("stats", {}).get(col)
-                (cand if rng is None or (rng[0] <= hi and rng[1] >= lo) else kept).append(e)
+                usable = (
+                    rng is not None
+                    and rng[0] is not None
+                    and rng[1] is not None
+                )
+                (
+                    cand
+                    if not usable or (rng[0] <= hi and rng[1] >= lo)
+                    else kept
+                ).append(e)
         else:
             cand, kept = entries, []
         if not cand:
@@ -1200,12 +1209,20 @@ class SnapshotTable:
             )
             groups[appl].append(e["path"])
         dmap = {d["path"]: d for d in dels}
+        # The gate sums rows over the COMMIT's whole key set, not per key
+        # file: one delete_keys_mor call writes its keys as many shuffle
+        # files, every one of which joins into the same plan — a 100M-key
+        # purge split into sub-limit files would otherwise broadcast in
+        # full (r12 review). Files sharing a seq are one delete commit.
+        seq_rows: dict[int, int] = defaultdict(int)
+        for d in dels:
+            seq_rows[d["_seq"]] += self._entry_rows(d)
         parts = []
         for appl, files in groups.items():
             df = reader.parquet(*files)
             for dp in appl:
                 kdf = spark.read.parquet(dp)
-                if self._entry_rows(dmap[dp]) <= self.MOR_BROADCAST_ROW_LIMIT:
+                if seq_rows[dmap[dp]["_seq"]] <= self.MOR_BROADCAST_ROW_LIMIT:
                     kdf = F.broadcast(kdf)
                 df = df.join(kdf, list(dmap[dp]["keys"]), "left_anti")
             parts.append(df)
@@ -1613,7 +1630,17 @@ class SnapshotTable:
             ):
                 continue
             rng = e.get("stats", {}).get(col)
-            if rng is None or (rng[0] <= hi and rng[1] >= lo):
+            # a [None, None] range is a file whose column is entirely NULL
+            # (F.min/F.max of no non-NULL values): its rows can never
+            # match a range predicate, but keep it CONSERVATIVELY rather
+            # than crash on the None compare (r12 review) — the caller's
+            # row filter drops the NULLs, same as an unrecorded column
+            if (
+                rng is None
+                or rng[0] is None
+                or rng[1] is None
+                or (rng[0] <= hi and rng[1] >= lo)
+            ):
                 nxt.append(e)
         return nxt
 
@@ -1716,8 +1743,8 @@ class SnapshotTable:
             for e in self._data_entries(to_version)
             if e["path"] not in base
         ]
-        if not ents:
-            raise ValueError("no files added between versions; empty reads need a schema")
+        # an empty delta (no files added) is a schema-true empty frame,
+        # not an error — incremental consumers poll across no-op windows
         return self._read_with_deletes(spark, to_version, ents)
 
     # -- retention --------------------------------------------------------
@@ -1821,8 +1848,9 @@ class SnapshotTable:
         if version is None:
             raise ValueError("snapshot table has no committed version")
         ents = self._pruned_data_entries(version, where, partition_eq)
-        if not ents:
-            raise ValueError("pruning removed every file; empty reads need a schema")
+        # pruning may legitimately eliminate every file (segment summaries
+        # make that cheap to hit): serve a schema-true empty frame —
+        # _read_with_deletes raises only for pre-schema legacy manifests
         return self._read_with_deletes(spark, version, ents)
 
     # -- maintenance: small-file compaction -------------------------------

@@ -120,14 +120,14 @@ def test_change_feed_classifies_mor_deletes(spark, tmp_path):
 
 
 def test_incremental_read_never_surfaces_delete_files(spark, tmp_path):
-    import pytest
-
     t = SnapshotTable(str(tmp_path / "tbl"))
     t.commit(_kv(spark, [(1, 1), (2, 2)]))
     v2 = t.delete_keys_mor(spark, _keys(spark, [1]), ("k",))
-    # the only "file added" is the delete file — no delta ROWS exist
-    with pytest.raises(ValueError, match="no files added"):
-        t.read_incremental(spark, 1, v2)
+    # the only "file added" is the delete file — no delta ROWS exist, and
+    # (r12) the empty delta is a schema-true empty frame, not an error
+    inc0 = t.read_incremental(spark, 1, v2)
+    assert inc0.count() == 0
+    assert [f.name for f in inc0.schema.fields] == ["k", "v"]
     v3 = t.commit(_kv(spark, [(9, 9)]))
     inc = t.read_incremental(spark, 1, v3)
     assert [(r.k, r.v) for r in inc.collect()] == [(9, 9)]

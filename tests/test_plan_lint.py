@@ -70,6 +70,11 @@ BNLJ_ALLOWED = {
     # the 1-row corpus-statistics frame (N, avgdl, per-term df) broadcast-
     # crossed into the scored side — constant × corpus, the bloom shape
     "bm25_search_topk",
+    # inherits bm25_search_topk's allowed 1-row-statistics cross through
+    # the embedded ranker sub-plan; the fusion itself is one full-outer
+    # EQUI-join of two ≤top-k result lists (result-list-sized, never
+    # corpus-touching)
+    "hybrid_search_rrf",
     # the 4-row query token group broadcast against the token-vector
     # corpus — the bruteforce-anchor constant × corpus shape
     "ann_maxsim_topk",

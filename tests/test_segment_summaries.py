@@ -310,3 +310,73 @@ def test_hidden_partition_transforms(spark, tmp_path, monkeypatch):
     assert {e["partitions"]["month(d)"] for e in ents2} == vals
     f3, tot3 = t.plan_files(v, where=("d", "1997-02-01", "1997-02-28"))
     assert f3 and len(f3) < tot3
+
+
+def test_all_null_stats_file_survives_range_plan(spark, tmp_path):
+    """r12 review: a file whose stats column is entirely NULL records
+    [None, None] bounds; range planning must keep it conservatively (its
+    NULL rows can't match anyway), never TypeError on the None compare —
+    in plan_files, read, and delete_where's candidate split alike."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint"),
+        stats_cols=("v",),
+    )
+    t.commit(
+        spark.createDataFrame(
+            [(3, None), (4, None)], "k bigint, v bigint"
+        ),
+        stats_cols=("v",),
+    )
+    files, total = t.plan_files(where=("v", 15, 25))
+    assert total == len(t._data_entries(2)) and files
+    got = sorted(
+        r.k
+        for r in t.read(spark, where=("v", 15, 25))
+        .filter("v >= 15 AND v <= 25")
+        .collect()
+    )
+    assert got == [2]
+    v = t.delete_where(spark, "v = 20", prune=("v", 20, 20))
+    assert sorted(r.k for r in t.read(spark, v).collect()) == [1, 3, 4]
+
+
+def test_mor_gate_sums_rows_across_a_commits_delete_files(
+    spark, tmp_path, monkeypatch
+):
+    """r12 review: one purge commit written as several sub-limit key
+    files must not broadcast — the gate sums the COMMIT's rows."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 300).withColumnRenamed("id", "k").coalesce(1))
+    # AQE would coalesce the distinct'd key set back to one file; disable
+    # it so the purge commit genuinely spans several sub-limit key files
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        t.delete_keys_mor(
+            spark,
+            spark.range(0, 100).withColumnRenamed("id", "k").repartition(4),
+            ("k",),
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    dels = t._delete_entries(t.latest_version())
+    assert len(dels) > 1  # the purge really spans several key files
+    assert all(e["rows"] < 100 for e in dels)
+    monkeypatch.setattr(SnapshotTable, "MOR_BROADCAST_ROW_LIMIT", 99)
+    plan = t.read(spark)._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" not in plan
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(100, 300))
+
+
+def test_public_reads_serve_schema_true_empty_frames(spark, tmp_path):
+    """r12 review: read() with an all-pruned plan and read_incremental()
+    across a no-op window return EMPTY frames under the recorded schema —
+    composing callers never see a ValueError."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_gkv(spark, [("a", 1)]), partition_by=("g",))
+    out = t.read(spark, partition_eq={"g": "zzz"})
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["g", "k"]
+    v2 = t.rewrite_manifests()  # metadata-only: no files added
+    inc = t.read_incremental(spark, 1, v2)
+    assert inc.count() == 0 and [f.name for f in inc.schema.fields] == ["g", "k"]

@@ -142,3 +142,45 @@ def test_sink_source_composition_on_one_table(spark, tmp_path):
     t.commit_stream_batch(_df(spark, 20, 25), "ingest", 2)
     _drain_to(spark, base, str(tmp_path / "ckpt"), rows)
     assert sorted(k for k, _ in rows) == list(range(25))
+
+
+def test_starting_version_validated_at_stream_definition(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_df(spark, 0, 3))
+    rows: list = []
+    with pytest.raises(StreamingQueryException, match="startingVersion"):
+        _drain_to(spark, base, str(tmp_path / "c1"), rows, startingVersion="7")
+    assert not rows
+
+
+def test_partitions_plan_is_o_delta_on_append_history(
+    spark, tmp_path, monkeypatch
+):
+    """r12 review: with an append-only range, the planner diffs the two
+    manifests' ref lists and opens ONLY the delta's segments — never the
+    standing table's. Drives the reader class in-process (the engine runs
+    it in a separate data-source worker where a spy can't see)."""
+    from serverless_mapreduce_spark.sources import snapshots as snapmod
+    from serverless_mapreduce_spark.sources.snapshot_stream import (
+        SnapshotStreamReader,
+    )
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    for i in range(7):
+        t.commit(_df(spark, i * 10, i * 10 + 10))
+    want = set(t._files(7)) - set(t._files(6))
+    calls: list = []
+    orig = snapmod.SnapshotTable._seg_entries
+
+    def spy(self, ref):
+        calls.append(ref)
+        return orig(self, ref)
+
+    monkeypatch.setattr(snapmod.SnapshotTable, "_seg_entries", spy)
+    reader = SnapshotStreamReader({"path": base}, t._schema(7))
+    parts = reader.partitions({"version": 6}, {"version": 7})
+    assert {p.value for p in parts} == want and want
+    # only the ONE new segment was opened to plan the delta
+    assert len(set(calls)) == 1
