@@ -362,6 +362,9 @@ HEADLINE = (
     "stream_from_snapshot",
     "dpo_length_bias_report",
     "snapshot_hidden_partitioning",
+    # lexical hybrid fusion (result-list merge) + atomic partition backfill
+    "hybrid_search_rrf",
+    "snapshot_replace_partition",
 )
 
 

@@ -1110,6 +1110,80 @@ class SnapshotTable:
             version, kept_paths, new_entries, "delete", self._schema(version)
         )
 
+    def replace_where(
+        self,
+        spark: SparkSession,
+        partition_eq: dict[str, str | None],
+        df: DataFrame,
+        stats_cols: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
+    ) -> int:
+        """ATOMIC PARTITION OVERWRITE (Delta ``replaceWhere`` / Spark
+        dynamic partition overwrite, lifted into the table format): one
+        published version in which the rows of EXACTLY the matching
+        partitions are ``df``'s rows — the idempotent-backfill primitive
+        (re-running a day's corrected pipeline replaces that day, touches
+        nothing else, and is a no-op to re-apply). Untouched partitions
+        carry over path-identical (and segment-identical under the
+        aligned layout); time travel keeps the pre-backfill rows.
+
+        Two loud exactness guards, both Delta's:
+
+        - every data entry must RECORD the probed columns — a file
+          without partition values might hold both in- and out-partition
+          rows, and replacing around it would leave stale rows behind
+          (read-side pruning may keep such files conservatively; a
+          REPLACE must refuse);
+        - ``df`` must contain ONLY rows belonging to the target
+          partition (one ingest-sized count) — silently widening the
+          replacement is how a backfill eats a neighbor's data.
+        """
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        probe = {
+            col: (None if val is None else str(val))
+            for col, val in partition_eq.items()
+        }
+        kept, dropped = [], []
+        for e in self._data_entries(version):
+            parts = e.get("partitions", {})
+            missing = [c for c in probe if c not in parts]
+            if missing:
+                raise ValueError(
+                    f"replace_where requires every data file to record "
+                    f"partition values for {sorted(probe)}; "
+                    f"{e['path']!r} lacks {missing} (commit the table "
+                    "with partition_by= on those columns first)"
+                )
+            (kept if any(parts[c] != v for c, v in probe.items()) else dropped).append(e)
+        stray = df
+        for col, val in partition_eq.items():
+            cond = (
+                F.col(col).isNull()
+                if val is None
+                else F.col(col).cast("string") == F.lit(val)
+            )
+            stray = stray.filter(~F.coalesce(cond, F.lit(False)))
+        n_stray = stray.count()
+        if n_stray:
+            raise ValueError(
+                f"replace_where batch contains {n_stray} rows outside "
+                f"the target partition {partition_eq!r}; refusing to "
+                "widen the replacement"
+            )
+        new_entries = self._write_data(
+            df,
+            stats_cols,
+            partition_by=partition_by or tuple(partition_eq),
+        )
+        kept_paths = {e["path"] for e in kept} | {
+            e["path"] for e in self._delete_entries(version)
+        }
+        return self._publish_cow(
+            version, kept_paths, new_entries, "replace", self._schema(version)
+        )
+
     # -- merge-on-read deletes (delete-key files) ---------------------------
 
     def delete_keys_mor(
@@ -3518,4 +3592,82 @@ def snapshot_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         _probe_cents_agg(box, "box")
         .unionAll(_probe_cents_agg(t.read(spark), "full"))
         .unionAll(months_row)
+    )
+
+
+# --- atomic partition backfill (replaceWhere, r12) --------------------------------
+
+BACKFILL_PART = "2-HIGH"  #: the corrected o_orderpriority partition
+
+
+@query(
+    "snapshot_replace_partition",
+    priority=150,
+    oracle=f"""
+    SELECT 'target' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice * 2 AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderpriority = '{BACKFILL_PART}'
+    UNION ALL
+    SELECT 'full_after' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(CASE WHEN o_orderpriority = '{BACKFILL_PART}'
+                                   THEN o_totalprice * 2
+                                   ELSE o_totalprice END
+                         AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders
+    UNION ALL
+    SELECT 'v1_full' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    """,
+)
+def snapshot_replace_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC PARTITION BACKFILL (Delta replaceWhere, r12): the
+    '{BACKFILL_PART}' partition is re-published with corrected rows
+    (prices doubled — the 2x is IEEE-exact in both engines, so the cents
+    recipe stays bit-identical) in ONE version: the 'target' probe shows
+    only corrected values, 'full_after' shows corrected + untouched
+    blended, and 'v1_full' time-travels to the pre-backfill table —
+    proving the replace touched exactly one partition and history
+    survived. The in-query audit additionally pins the file accounting:
+    every non-target file carries over PATH-IDENTICAL (zero rewrite
+    amplification), which is what makes a daily backfill O(day), not
+    O(table), at 100 TB. Both loud guards (unrecorded partition values;
+    stray out-of-partition rows) are pytest-pinned."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_replace")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders")
+    t.commit(orders, partition_by=("o_orderpriority",))
+    pre = {
+        e["path"]
+        for e in t._data_entries(1)
+        if e["partitions"]["o_orderpriority"] != BACKFILL_PART
+    }
+    corrected = orders.filter(
+        F.col("o_orderpriority") == BACKFILL_PART
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    v2 = t.replace_where(
+        spark, {"o_orderpriority": BACKFILL_PART}, corrected
+    )
+    post = {
+        e["path"]
+        for e in t._data_entries(v2)
+        if e["partitions"]["o_orderpriority"] != BACKFILL_PART
+    }
+    if pre != post:
+        raise AssertionError(
+            "replace_where rewrote files outside the target partition"
+        )
+    target = t.read(
+        spark, v2, partition_eq={"o_orderpriority": BACKFILL_PART}
+    ).filter(F.col("o_orderpriority") == BACKFILL_PART)
+    return (
+        _probe_cents_agg(target, "target")
+        .unionAll(_probe_cents_agg(t.read(spark, v2), "full_after"))
+        .unionAll(_probe_cents_agg(t.read(spark, 1), "v1_full"))
     )

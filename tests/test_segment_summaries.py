@@ -380,3 +380,44 @@ def test_public_reads_serve_schema_true_empty_frames(spark, tmp_path):
     v2 = t.rewrite_manifests()  # metadata-only: no files added
     inc = t.read_incremental(spark, 1, v2)
     assert inc.count() == 0 and [f.name for f in inc.schema.fields] == ["g", "k"]
+
+
+def test_replace_where_guards_and_accounting(spark, tmp_path):
+    """replaceWhere (r12): exact partition replacement, path-identical
+    carry of untouched partitions, and both loud guards — unrecorded
+    partition values and stray out-of-partition batch rows."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        _gkv(spark, [("a", 1), ("a", 2), ("b", 3)]), partition_by=("g",)
+    )
+    keep = {
+        e["path"]
+        for e in t._data_entries(1)
+        if e["partitions"]["g"] != "a"
+    }
+    v2 = t.replace_where(
+        spark, {"g": "a"}, _gkv(spark, [("a", 100), ("a", 200)])
+    )
+    got = sorted((r.g, r.k) for r in t.read(spark, v2).collect())
+    assert got == [("a", 100), ("a", 200), ("b", 3)]
+    # time travel intact, untouched partition path-identical
+    assert sorted(r.k for r in t.read(spark, 1).collect()) == [1, 2, 3]
+    post = {
+        e["path"]
+        for e in t._data_entries(v2)
+        if e["partitions"]["g"] != "a"
+    }
+    assert post == keep
+    # guard 1: a stray out-of-partition row refuses the whole batch
+    with pytest.raises(ValueError, match="outside the target partition"):
+        t.replace_where(spark, {"g": "a"}, _gkv(spark, [("a", 1), ("b", 9)]))
+    # guard 2: files without recorded values can't be replaced around
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    t2.commit(_gkv(spark, [("a", 1)]))  # no partition spec
+    with pytest.raises(ValueError, match="record partition values"):
+        t2.replace_where(spark, {"g": "a"}, _gkv(spark, [("a", 5)]))
+    # idempotent backfill: re-applying replaces with identical rows
+    v3 = t.replace_where(
+        spark, {"g": "a"}, _gkv(spark, [("a", 100), ("a", 200)])
+    )
+    assert sorted((r.g, r.k) for r in t.read(spark, v3).collect()) == got
