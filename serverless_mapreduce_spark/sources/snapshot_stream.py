@@ -339,3 +339,100 @@ def stream_from_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents("o_totalprice")).cast("bigint").alias("sum_cents"),
         )
     )
+
+
+# --- bronze -> silver: streamed rollup maintenance (r12 capstone) --------------
+
+
+@query(
+    "stream_snapshot_rollup",
+    priority=150,
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def stream_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRONZE → SILVER, END TO END (the medallion loop every lakehouse
+    runs, composed from this repo's own pieces): a bronze SnapshotTable
+    receives raw appends; a checkpointed stream SUBSCRIBES to it through
+    the snapshotstream source; each micro-batch folds its delta into a
+    per-priority revenue rollup kept in a silver SnapshotTable; and the
+    refreshed rollup + the stream cursor flip visible in ONE
+    MultiTableCatalog transaction per batch — so silver readers can
+    never pair a rollup with the wrong amount of bronze. The stream is
+    drained, bronze receives MORE data, and a second drain over the SAME
+    checkpoint folds only the delta; a batch REDELIVERED out-of-band is
+    skipped by the catalog ledger. Every failure mode is value-visible:
+    a re-read doubles counts, a lost delta loses a batch's orders, a
+    replayed merge double-folds — the oracle is the full recompute, and
+    partial ⊕ partial ≡ full only if exactly-once held throughout.
+
+    Scale: each refresh reads one micro-batch + the group-cardinality-
+    sized rollup; bronze planning is the ref-diff O(delta) path; the
+    rollup overwrite is group-sized. At 100 TB this loop is the
+    difference between 'the dashboard re-aggregates the lake' and 'the
+    dashboard reads a table maintained at ingest cost'."""
+    import shutil
+
+    from serverless_mapreduce_spark.sources.snapshots import (
+        MultiTableCatalog,
+        _cents,
+    )
+
+    root = scratch(sf_tag(sf_dir), "stream_rollup")
+    shutil.rmtree(root, ignore_errors=True)
+    bronze = SnapshotTable(f"{root}/bronze")
+    silver = SnapshotTable(f"{root}/silver")
+    cat = MultiTableCatalog(root)
+    sid = "rollup"
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    bronze.commit(orders.filter(F.col("o_orderkey") % 3 == 0))
+    bronze.commit(orders.filter(F.col("o_orderkey") % 3 == 1))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).cast("bigint").alias("sum_cents"),
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if cat.batch_committed(sid, batch_id):
+            return  # redelivery: the ledger is atomic with visibility
+        wvis = cat.visible("silver")
+        merged = partial(batch_df)
+        if wvis is not None:
+            merged = (
+                silver.read(spark, wvis)
+                .unionAll(merged)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.sum("n_orders").cast("bigint").alias("n_orders"),
+                    F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+                )
+            )
+        w = silver.commit(merged, mode="overwrite")
+        cat.publish({"silver": w}, sid, batch_id)
+
+    def drain() -> None:
+        (
+            read_stream(spark, bronze.base)
+            .writeStream.foreachBatch(fold)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()                                                  # versions 1-2
+    # out-of-band redelivery of batch 0 must be a no-op (catalog ledger)
+    fold(bronze.read(spark, 1), 0)
+    bronze.commit(orders.filter(F.col("o_orderkey") % 3 == 2))  # delta
+    drain()                                                  # folds only it
+    return silver.read(spark, cat.visible("silver"))
