@@ -88,6 +88,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._ignore_deletes = (
             str(opts.get("ignoredeletes", "false")).lower() == "true"
         )
+        # admission control (Delta's maxFilesPerTrigger analog at version
+        # granularity): cap how many table versions one micro-batch may
+        # cover, so a stream catching up on a long backlog folds it in
+        # bounded batches instead of one table-sized batch. 0 = unbounded.
+        self._max_versions = int(opts.get("maxversionspertrigger", 0))
+        if self._max_versions < 0:
+            raise ValueError("maxVersionsPerTrigger must be >= 0")
         self._schema = schema
 
     def _table(self) -> SnapshotTable:
@@ -123,15 +130,29 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 f"not a live version of {self._base!r} (head: {head}; it "
                 "may exceed the head or have been retention-expired)"
             )
+        self._cursor = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         head = self._table().latest_version()
-        return {"version": head if head is not None else self._start}
+        if head is None:
+            return {"version": self._start}
+        cursor = getattr(self, "_cursor", None)
+        if self._max_versions and cursor is not None:
+            # admission control: bound the batch to max_versions beyond
+            # the last planned/committed cursor. The cursor is learned
+            # from initialOffset (fresh streams — the backfill-from-start
+            # case this exists for) and from partitions()/commit();
+            # the first trigger after a RESTART has no cursor yet and is
+            # uncapped (the engine does not expose the checkpointed
+            # offset to latestOffset in this API).
+            return {"version": min(head, cursor + self._max_versions)}
+        return {"version": head}
 
     def commit(self, end: dict) -> None:
-        """Nothing to do: offsets are durable manifests; the checkpoint
-        owns the cursor."""
+        """Offsets are durable manifests and the engine checkpoint owns
+        the cursor; we only remember it for admission control."""
+        self._cursor = int(end["version"])
 
     # -- planning ---------------------------------------------------------
 
@@ -141,6 +162,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         docstring) BEFORE emitting anything, so a rewritten history can
         never be half-streamed."""
         lo, hi = int(start["version"]), int(end["version"])
+        self._cursor = max(getattr(self, "_cursor", lo) or lo, hi)
         t = self._table()
         appends_only = True  # rewrite/restore re-reference old files
         for v in range(lo + 1, hi + 1):
@@ -219,7 +241,13 @@ class SnapshotStreamDataSource(DataSource):
     Options: ``path`` (table base dir, required), ``startingVersion``
     (exclusive lower bound, default 0 = from the table's beginning),
     ``ignoreDeletes`` (skip merge-on-read delete commits, default
-    false)."""
+    false), ``maxVersionsPerTrigger`` (admission control: cap versions
+    per micro-batch so a from-the-start backfill folds a long history in
+    bounded batches under PROCESSING-TIME triggers; 0 = unbounded.
+    Caveats, both engine-side: availableNow captures one end offset for
+    the whole run and ignores per-trigger caps, and the first trigger
+    after a RESTART is uncapped — the engine hides the checkpointed
+    offset from latestOffset)."""
 
     @classmethod
     def name(cls) -> str:

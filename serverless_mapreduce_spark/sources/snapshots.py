@@ -1749,7 +1749,7 @@ class SnapshotTable:
                 "plan would resurrect deleted rows — use read(), or pass "
                 "ignore_deletes=True and apply _delete_entries yourself"
             )
-        entries = self._data_entries(version)
+        entries = self._keyed_data_entries(version, col, keys)
         kept = []
         probe_cache: dict[tuple[int, int], list[list[int]]] = {}
         for e in entries:
@@ -1774,7 +1774,40 @@ class SnapshotTable:
             bs = set(bits)
             if any(all(p in bs for p in pos) for pos in probes):
                 kept.append(e["path"])
-        return kept, len(entries)
+        return kept, self._count_data_entries(version)
+
+    def _keyed_data_entries(self, version: int, col: str, keys: list) -> list[dict]:
+        """Data entries for a point lookup, with whole segments skipped
+        when the manifest summary's [min, max] envelope for ``col``
+        excludes EVERY probe key — the range complement of the per-entry
+        bloom check: on a range-clustered key column a point lookup never
+        opens the non-covering segments at all. Type mismatches and
+        missing envelopes conservatively open the segment."""
+        body = self._manifest_body(version)
+        refs = body.get("segments")
+        if refs is None:
+            return self._data_entries(version)
+        summaries = body.get("summaries", {})
+        out: list[dict] = []
+        for ref in refs:
+            s = summaries.get(ref)
+            if s is not None:
+                if s.get("n_data", 1) == 0:
+                    continue
+                rng = s.get("stats", {}).get(col)
+                if rng is not None and rng[0] is not None and rng[1] is not None:
+                    try:
+                        if all(
+                            k is not None and (k < rng[0] or k > rng[1])
+                            for k in keys
+                        ):
+                            continue
+                    except TypeError:
+                        pass  # incomparable probe/stat types: open it
+            out.extend(
+                e for e in self._seg_entries(ref) if e.get("kind") != "delete"
+            )
+        return out
 
     def incremental_files(self, from_version: int, to_version: int) -> list[str]:
         """Data files present in ``to_version`` but not in ``from_version`` —

@@ -421,3 +421,25 @@ def test_replace_where_guards_and_accounting(spark, tmp_path):
         spark, {"g": "a"}, _gkv(spark, [("a", 100), ("a", 200)])
     )
     assert sorted((r.g, r.k) for r in t.read(spark, v3).collect()) == got
+
+
+def test_point_lookup_skips_segments_by_stats_envelope(
+    spark, tmp_path, monkeypatch
+):
+    """plan_files_keys (r12): on a range-clustered key column, a point
+    lookup skips whole segments whose summary envelope excludes every
+    probe key — the bloom check then runs only over covering segments."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(4):  # disjoint k ranges, one segment per commit
+        df = spark.range(i * 100, (i + 1) * 100).withColumnRenamed("id", "k")
+        t.commit(df.coalesce(1), stats_cols=("k",), bloom_cols=("k",))
+    fresh = SnapshotTable(t.base)
+    calls = _spy_opens(monkeypatch)
+    files, total = fresh.plan_files_keys("k", [155, 167])
+    assert len(set(calls)) == 1  # only the [100, 200) segment opened
+    assert total == 4 and len(files) == 1
+    got = sorted(
+        r.k
+        for r in spark.read.parquet(*files).filter("k IN (155, 167)").collect()
+    )
+    assert got == [155, 167]

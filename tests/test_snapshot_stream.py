@@ -184,3 +184,43 @@ def test_partitions_plan_is_o_delta_on_append_history(
     assert {p.value for p in parts} == want and want
     # only the ONE new segment was opened to plan the delta
     assert len(set(calls)) == 1
+
+
+def test_max_versions_per_trigger_bounds_backfill_batches(spark, tmp_path):
+    """Admission control (in-process — availableNow captures ONE end
+    offset for the whole run, so only processing-time triggers see the
+    per-trigger cap): a from-the-start catch-up over a 5-version history
+    with maxVersionsPerTrigger=2 advances the offset 2 versions per
+    trigger, each batch planning at most 2 versions' files, and reaches
+    the head in ceil(5/2)=3 steps."""
+    from serverless_mapreduce_spark.sources.snapshot_stream import (
+        SnapshotStreamReader,
+    )
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    for i in range(5):
+        t.commit(_df(spark, i * 10, i * 10 + 10))
+    reader = SnapshotStreamReader(
+        {"path": base, "maxVersionsPerTrigger": "2"}, t._schema(5)
+    )
+    cur = reader.initialOffset()
+    assert cur == {"version": 0}
+    seen: list[int] = []
+    steps = 0
+    while True:
+        end = reader.latestOffset()
+        if end == cur:
+            break
+        assert end["version"] - cur["version"] <= 2
+        parts = reader.partitions(cur, end)
+        assert len(parts) <= 2 * len(t._files(1))
+        reader.commit(end)
+        seen.append(end["version"])
+        cur = end
+        steps += 1
+    assert seen == [2, 4, 5] and steps == 3
+    # uncapped reader reaches the head in one step
+    r2 = SnapshotStreamReader({"path": base}, t._schema(5))
+    r2.initialOffset()
+    assert r2.latestOffset() == {"version": 5}
