@@ -365,6 +365,7 @@ HEADLINE = (
     # lexical hybrid fusion (result-list merge) + atomic partition backfill
     "hybrid_search_rrf",
     "snapshot_replace_partition",
+    "sft_pack_fill_report",
     # bronze -> silver medallion: snapshotstream source feeding a
     # catalog-atomic rollup (two checkpointed drains + a redelivery probe)
     "stream_snapshot_rollup",

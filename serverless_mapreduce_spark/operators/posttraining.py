@@ -500,3 +500,49 @@ def dpo_length_bias_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("len_delta_ppm"),
         )
     )
+
+
+@query(
+    "sft_pack_fill_report",
+    priority=150,
+    oracle=f"""
+    WITH {_SQL_CHAT_SPANS}
+    SELECT source,
+           CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(SUM(span_len) AS BIGINT) AS filled_tokens,
+           CAST(COUNT(DISTINCT pack_id) * {CHAT_PACK_BUDGET} AS BIGINT)
+             AS capacity_tokens,
+           CAST((SUM(span_len) * 1000000)
+                // (COUNT(DISTINCT pack_id) * {CHAT_PACK_BUDGET})
+                AS BIGINT) AS fill_ppm
+    FROM chat_spans GROUP BY source
+    """,
+)
+def sft_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT PACK-FILL DATACARD — PADDING WASTE PER SOURCE: a loader pads
+    every {CHAT_PACK_BUDGET}-token sequence to the budget, so the cost of
+    a curation release is its pack CAPACITY, not its token count; the
+    gap (1 − fill_ppm) is pure padding compute. Contiguous split/carry
+    packing wastes only each source's final partial pack, so fill_ppm
+    here is near 10^6 — the number to compare against a
+    one-conversation-per-sequence baseline (fill = mean_len/budget, the
+    usual 2-5x padding tax) when justifying packed loaders. Rides the
+    SAME span CTE as the loader and the trainable-mass datacard (one
+    derivation, three artifacts — they can never disagree); integer ppm
+    via the registry's truncating-DIV recipe.
+
+    Scale: one keyed aggregate over the no-join span layout — a
+    datacard line item at any corpus size."""
+    spans = chat_pack_role_masks(spark, sf_dir)
+    return spans.groupBy("source").agg(
+        F.countDistinct("pack_id").cast("bigint").alias("n_packs"),
+        F.sum("span_len").cast("bigint").alias("filled_tokens"),
+        (F.countDistinct("pack_id") * CHAT_PACK_BUDGET)
+        .cast("bigint")
+        .alias("capacity_tokens"),
+        F.expr(
+            f"CAST((SUM(span_len) * 1000000)"
+            f" DIV (COUNT(DISTINCT pack_id) * {CHAT_PACK_BUDGET})"
+            " AS BIGINT)"
+        ).alias("fill_ppm"),
+    )

@@ -443,3 +443,31 @@ def test_point_lookup_skips_segments_by_stats_envelope(
         for r in spark.read.parquet(*files).filter("k IN (155, 167)").collect()
     )
     assert got == [155, 167]
+
+
+def test_day_transform_partitioning(spark, tmp_path):
+    """day(col) — the finer hidden-partition transform: values record as
+    yyyy-MM-dd and a raw date box prunes day-exactly."""
+    rows = [(i, f"1996-03-{10 + i % 3:02d} 12:00:00") for i in range(9)]
+    df = spark.createDataFrame(rows, "k bigint, d string").selectExpr(
+        "k", "CAST(d AS TIMESTAMP) AS d"
+    )
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(df, partition_by=("day(d)",))
+    ents = t._data_entries(1)
+    assert {e["partitions"]["day(d)"] for e in ents} == {
+        "1996-03-10", "1996-03-11", "1996-03-12"
+    }
+    files, total = t.plan_files(where=("d", "1996-03-11", "1996-03-11"))
+    by_path = {e["path"]: e for e in ents}
+    assert files and len(files) < total
+    assert all(
+        by_path[f]["partitions"]["day(d)"] == "1996-03-11" for f in files
+    )
+    got = sorted(
+        r.k
+        for r in t.read(spark, where=("d", "1996-03-11", "1996-03-11"))
+        .filter("d >= '1996-03-11' AND d < '1996-03-12'")
+        .collect()
+    )
+    assert got == [1, 4, 7]
