@@ -165,8 +165,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._cursor = max(getattr(self, "_cursor", lo) or lo, hi)
         t = self._table()
         appends_only = True  # rewrite/restore re-reference old files
+        hi_body: dict = {}
         for v in range(lo + 1, hi + 1):
-            mode = t._manifest_body(v).get("mode", "append")
+            body = t._manifest_body(v)
+            if v == hi:
+                hi_body = body  # reuse below: no re-read per plan
+            mode = body.get("mode", "append")
             if mode in _SAFE_MODES:
                 if mode != "append":
                     appends_only = False
@@ -179,7 +183,8 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 "skip merge-on-read delete commits; rewrites/overwrites "
                 "need a fresh stream from a new startingVersion)"
             )
-        if lo > 0 and appends_only and t._segment_refs(lo) is not None:
+        lo_refs_raw = t._segment_refs(lo) if lo > 0 else None
+        if lo > 0 and appends_only and lo_refs_raw is not None:
             # fast path (r12 review: planning must be O(delta), not
             # O(table)): with only appends/MOR-deletes in range, the delta
             # is exactly the segments hi references that lo doesn't —
@@ -187,8 +192,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # manifest JSONs, and summaries let delete-only new segments
             # skip unopened. A rewrite/restore in range re-references old
             # files under NEW refs, so only then fall back to a path diff.
-            hi_body = t._manifest_body(hi)
-            lo_refs = set(t._segment_refs(lo) or ())
+            lo_refs = set(lo_refs_raw)
             summaries = hi_body.get("summaries", {})
             out = []
             for ref in hi_body.get("segments") or ():
@@ -406,10 +410,7 @@ def stream_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboard reads a table maintained at ingest cost'."""
     import shutil
 
-    from serverless_mapreduce_spark.sources.snapshots import (
-        MultiTableCatalog,
-        _cents,
-    )
+    from serverless_mapreduce_spark.sources.snapshots import MultiTableCatalog
 
     root = scratch(sf_tag(sf_dir), "stream_rollup")
     shutil.rmtree(root, ignore_errors=True)

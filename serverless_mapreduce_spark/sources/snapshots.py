@@ -1157,14 +1157,24 @@ class SnapshotTable:
                     "with partition_by= on those columns first)"
                 )
             (kept if any(parts[c] != v for c, v in probe.items()) else dropped).append(e)
-        stray = df
-        for col, val in partition_eq.items():
-            cond = (
-                F.col(col).isNull()
+        # a row is a STRAY iff it fails ANY of the partition equalities —
+        # NOT(c1 AND c2), never (NOT c1 AND NOT c2): sequential per-column
+        # filters would let a mixed-partition row (right a, wrong b) slip
+        # the guard and be silently written outside the target (r12 second
+        # review). Each equality evaluates the partition TRANSFORM
+        # expression (month(d)/day(d) render exactly the hive value the
+        # manifest records), so replace_where works on hidden-partitioned
+        # tables too.
+        in_target = None
+        for key, val in probe.items():
+            expr = self._partition_field(key)[2]
+            c = (
+                expr.isNull()
                 if val is None
-                else F.col(col).cast("string") == F.lit(val)
+                else expr.cast("string") == F.lit(val)
             )
-            stray = stray.filter(~F.coalesce(cond, F.lit(False)))
+            in_target = c if in_target is None else in_target & c
+        stray = df.filter(~F.coalesce(in_target, F.lit(False)))
         n_stray = stray.count()
         if n_stray:
             raise ValueError(

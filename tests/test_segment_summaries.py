@@ -471,3 +471,47 @@ def test_day_transform_partitioning(spark, tmp_path):
         .collect()
     )
     assert got == [1, 4, 7]
+
+
+def test_replace_where_multi_column_stray_guard(spark, tmp_path):
+    """r12 second review: a MIXED-partition row (right a, wrong b) must
+    trip the stray guard — NOT(c1 AND c2), never (NOT c1 AND NOT c2)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [("1", "2", 10), ("1", "9", 20)], "a string, b string, k bigint"
+    )
+    t.commit(df, partition_by=("a", "b"))
+    mixed = spark.createDataFrame(
+        [("1", "2", 11), ("1", "9", 99)], "a string, b string, k bigint"
+    )
+    with pytest.raises(ValueError, match="outside the target partition"):
+        t.replace_where(spark, {"a": "1", "b": "2"}, mixed)
+    # the clean batch replaces exactly (a=1, b=2)
+    ok = spark.createDataFrame([("1", "2", 11)], "a string, b string, k bigint")
+    v = t.replace_where(spark, {"a": "1", "b": "2"}, ok)
+    got = sorted((r.a, r.b, r.k) for r in t.read(spark, v).collect())
+    assert got == [("1", "2", 11), ("1", "9", 20)]
+
+
+def test_replace_where_on_transform_partitioned_table(spark, tmp_path):
+    """r12 second review: replace_where evaluates the partition TRANSFORM
+    against the raw column, so a day()-partitioned table backfills one
+    day atomically with the stray guard intact."""
+    df = spark.createDataFrame(
+        [(1, "1996-03-10 08:00:00"), (2, "1996-03-11 09:00:00")],
+        "k bigint, d string",
+    ).selectExpr("k", "CAST(d AS TIMESTAMP) AS d")
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(df, partition_by=("day(d)",))
+    fix = spark.createDataFrame(
+        [(22, "1996-03-11 10:00:00")], "k bigint, d string"
+    ).selectExpr("k", "CAST(d AS TIMESTAMP) AS d")
+    v = t.replace_where(spark, {"day(d)": "1996-03-11"}, fix)
+    got = sorted(r.k for r in t.read(spark, v).collect())
+    assert got == [1, 22]
+    # a batch whose rows belong to a DIFFERENT day is refused
+    stray = spark.createDataFrame(
+        [(33, "1996-03-12 10:00:00")], "k bigint, d string"
+    ).selectExpr("k", "CAST(d AS TIMESTAMP) AS d")
+    with pytest.raises(ValueError, match="outside the target partition"):
+        t.replace_where(spark, {"day(d)": "1996-03-11"}, stray)
