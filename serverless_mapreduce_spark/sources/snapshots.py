@@ -819,6 +819,12 @@ class SnapshotTable:
         }
         if schema is not None:
             body["schema"] = json.dumps(schema.jsonValue())
+        # commit wall-clock for timestamp time travel (Delta timestampAsOf
+        # / Iceberg snapshot timestamps): ~20 bytes of metadata per
+        # manifest, resolved by resolve_as_of
+        import time as _time
+
+        body["ts"] = _time.time()
         if extra:
             body.update(extra)
         ledger = self._ledger(parent)
@@ -1368,6 +1374,27 @@ class SnapshotTable:
             return json.load(fh)["version"]
 
     # -- rollback / restore ------------------------------------------------
+
+    def resolve_as_of(self, ts: float) -> int:
+        """TIMESTAMP TIME TRAVEL (Delta ``timestampAsOf``): the newest
+        version whose commit wall-clock is ≤ ``ts`` — "the table as the
+        pipeline saw it at 09:00" without anyone recording version
+        numbers. Commit timestamps ride the manifests (one float each);
+        versions predating timestamp tracking resolve as arbitrarily old
+        (always eligible), matching their unknown-age semantics. Raises
+        when ``ts`` predates the first commit — there was no table to
+        read then, and silently serving the oldest version would be a
+        wrong answer, not a convenience."""
+        best = None
+        for v in self.versions():
+            committed = self._manifest_body(v).get("ts")
+            if committed is None or committed <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version committed at or before timestamp {ts}"
+            )
+        return best
 
     def restore_version(self, version: int) -> int:
         """Publish a NEW head whose file list (and schema) is ``version``'s

@@ -515,3 +515,27 @@ def test_replace_where_on_transform_partitioned_table(spark, tmp_path):
     ).selectExpr("k", "CAST(d AS TIMESTAMP) AS d")
     with pytest.raises(ValueError, match="outside the target partition"):
         t.replace_where(spark, {"day(d)": "1996-03-11"}, stray)
+
+
+def test_resolve_as_of_timestamp_time_travel(spark, tmp_path):
+    import time
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t0 = time.time()
+    t.commit(_gkv(spark, [("a", 1)]))
+    mid = time.time()
+    time.sleep(0.02)
+    t.commit(_gkv(spark, [("a", 2)]))
+    assert t.resolve_as_of(mid) == 1
+    assert t.resolve_as_of(time.time()) == 2
+    assert t.read(spark, t.resolve_as_of(mid)).count() == 1
+    with pytest.raises(ValueError, match="no version committed"):
+        t.resolve_as_of(t0 - 10)
+    # legacy manifests without a ts resolve as arbitrarily old
+    body = t._manifest_body(1)
+    body.pop("ts")
+    import json as _json
+
+    with open(t._manifest_path(1), "w") as fh:
+        _json.dump(body, fh)
+    assert t.resolve_as_of(t0 - 10) == 1
