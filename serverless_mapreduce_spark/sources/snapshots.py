@@ -632,16 +632,6 @@ class SnapshotTable:
                         None if val == "__HIVE_DEFAULT_PARTITION__" else val
                     )
                 ent["partitions"] = values
-        # Per-entry ROW COUNTS, lifted straight from the parquet footers
-        # just written (pure metadata reads, no Spark job — exactly where
-        # production formats take them from). Two consumers: segment-level
-        # summaries (planning skips whole segments whose counts say
-        # "empty"/"delete-only") and the merge-on-read broadcast gate
-        # (_read_with_deletes must NOT broadcast a table-fraction key set).
-        import pyarrow.parquet as _pq
-
-        for ent in entries:
-            ent["rows"] = _pq.ParquetFile(ent["path"]).metadata.num_rows
         # Per-file aggregates are matched back to manifest entries by FULL
         # normalized path, never basename: Spark's dynamic-partition writer
         # reuses one task's basename across partition directories
@@ -657,8 +647,17 @@ class SnapshotTable:
             }
 
         real_of = {e["path"]: os.path.realpath(e["path"]) for e in entries}
-        if stats_cols:
-            aggs = []
+        if entries:
+            # Per-entry ROW COUNTS and per-file min/max stats, lifted in
+            # ONE distributed pass over the files just written — never by
+            # opening parquet footers serially on the driver (O(files)
+            # driver round-trips per commit is exactly the unbounded-
+            # driver-work shape this repo bans on an object store; r12
+            # advice). Row counts feed segment summaries (planning skips
+            # empty/delete-only segments) and the merge-on-read broadcast
+            # gate (_read_with_deletes must NOT broadcast a table-fraction
+            # key set); the collect is file-count-sized manifest metadata.
+            aggs = [F.count(F.lit(1)).alias("_rows")]
             for c in stats_cols:
                 aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
             rows = (
@@ -670,7 +669,10 @@ class SnapshotTable:
             by_path = _by_path(rows)
             for ent in entries:
                 r = by_path.get(real_of[ent["path"]])
-                if r is not None:
+                # a file absent from the aggregate holds zero rows (the
+                # scan plans no split over it)
+                ent["rows"] = int(r["_rows"]) if r is not None else 0
+                if stats_cols and r is not None:
                     ent["stats"] = {
                         c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
                     }
@@ -821,10 +823,18 @@ class SnapshotTable:
             body["schema"] = json.dumps(schema.jsonValue())
         # commit wall-clock for timestamp time travel (Delta timestampAsOf
         # / Iceberg snapshot timestamps): ~20 bytes of metadata per
-        # manifest, resolved by resolve_as_of
+        # manifest, resolved by resolve_as_of. Clamped to the parent's ts
+        # so history stays monotonic even across writers with skewed or
+        # stepped-back clocks — resolve_as_of's early-exit scan depends
+        # on it (r12 advice)
         import time as _time
 
-        body["ts"] = _time.time()
+        ts_now = _time.time()
+        if parent is not None:
+            parent_ts = self._manifest_body(parent).get("ts")
+            if parent_ts is not None and parent_ts > ts_now:
+                ts_now = parent_ts
+        body["ts"] = ts_now
         if extra:
             body.update(extra)
         ledger = self._ledger(parent)
@@ -1144,6 +1154,15 @@ class SnapshotTable:
           partition (one ingest-sized count) — silently widening the
           replacement is how a backfill eats a neighbor's data.
         """
+        if not partition_eq:
+            # an empty probe would classify EVERY data file as dropped
+            # (any() over no equalities is False) and then fail opaquely
+            # building the stray guard — a whole-table replace is an
+            # overwrite commit, not a replace_where (r12 advice)
+            raise ValueError(
+                "replace_where requires at least one partition equality; "
+                "use commit(mode='overwrite') to replace the whole table"
+            )
         version = self.latest_version()
         if version is None:
             raise ValueError("snapshot table has no committed version")
@@ -1380,16 +1399,25 @@ class SnapshotTable:
         version whose commit wall-clock is ≤ ``ts`` — "the table as the
         pipeline saw it at 09:00" without anyone recording version
         numbers. Commit timestamps ride the manifests (one float each);
-        versions predating timestamp tracking resolve as arbitrarily old
-        (always eligible), matching their unknown-age semantics. Raises
+        timestamps are clamped monotonic at publish, so CAS retries
+        across writers with skewed clocks cannot reorder history.
+        Versions predating timestamp tracking are treated as arbitrarily
+        old — but only while the scan has not yet passed a version KNOWN
+        to be newer than ``ts``: a ts-less version published AFTER a
+        too-new commit (mixed-writer upgrade window) must not resolve as
+        eligible, or the caller would be served a state newer than the
+        requested point (r12 advice). Raises
         when ``ts`` predates the first commit — there was no table to
         read then, and silently serving the oldest version would be a
         wrong answer, not a convenience."""
         best = None
         for v in self.versions():
             committed = self._manifest_body(v).get("ts")
-            if committed is None or committed <= ts:
-                best = v
+            if committed is not None and committed > ts:
+                # version order is commit order and publish clamps ts
+                # monotonic: every later version is at least this new
+                break
+            best = v
         if best is None:
             raise ValueError(
                 f"no version committed at or before timestamp {ts}"
