@@ -21,19 +21,39 @@ Semantics (Delta's, deliberately):
   boundary. Offsets are version numbers — immutable manifests make the
   (start, end] → file-set mapping deterministic, so a replayed batch
   rereads exactly the same rows (the exactly-once half Spark's checkpoint
-  needs from a source).
-- NON-APPEND commits are refused: an overwrite/COW-delete/merge/compact
-  rewrites history that may already be emitted, and silently re-streaming
-  it would double rows downstream. The stream fails with an error naming
-  the version and mode (Delta raises the same way without
-  ``ignoreChanges``; re-emission semantics belong to row-level CDC, which
-  ``snapshot_changes_between`` covers batch-side).
+  needs from a source). Planning is a PER-VERSION ref diff (each append's
+  new segments hold exactly its new files), so a maintenance commit
+  between two appends can never smear into their deltas.
+- ``data_change=false`` maintenance commits (small-file compaction,
+  manifest rewrites) are SKIPPED: their files are physically new but
+  row-identical, so there is nothing to stream — Delta streams skip
+  dataChange=false OPTIMIZE commits the same way. Routine compaction is
+  therefore never stream-fatal (r12 verdict item 1), and an append the
+  compaction folded away still streams from its ORIGINAL files (which
+  compaction never deletes — only retention does).
+- Data-CHANGING non-append commits are refused: an overwrite/COW-delete/
+  merge/replace rewrites history that may already be emitted, and
+  silently re-streaming it would double rows downstream. The stream
+  fails with an error naming the version and mode (Delta raises the same
+  way without ``ignoreChanges``). ``skipChangeCommits=true`` (Delta's
+  option of the same name) instead skips them without emitting — for
+  consumers that only want the append flow and accept missing the
+  rewrites.
 - MERGE-ON-READ DELETE commits add no data files; with
   ``ignoreDeletes=true`` they are skipped (already-emitted rows are not
   retracted — standard streaming-source behavior), without it they fail
   loudly. ``rewrite-manifests`` and ``restore`` reference only
   already-known files under an append-only history, so they stream zero
   new rows and are always safe.
+- ``readChangeFeed=true`` turns the stream into a ROW-LEVEL CHANGE FEED
+  (Delta CDF's streaming half, composing with the batch
+  ``snapshot_changes_between``): appends emit their rows with
+  ``_change_type='insert'``, merge-on-read delete commits emit their
+  delete-KEY files as ``_change_type='delete'`` rows (key columns set,
+  all others NULL — the equality-delete shape), so a downstream
+  incremental consumer can MAINTAIN its derived state through purges
+  instead of refusing. Copy-on-write rewrites still refuse (their
+  row-level delta is not derivable from file sets).
 - Schema is pinned to the SOURCE-START head's manifest schema; files
   written before an add-column surface the new column as NULL (the same
   ``_reader`` contract batch reads use).
@@ -68,10 +88,16 @@ from serverless_mapreduce_spark.paths import scratch, sf_tag
 from serverless_mapreduce_spark.registry import query
 from serverless_mapreduce_spark.sources.snapshots import SnapshotTable, _cents
 
-#: commit modes a version may carry and still be streamable. append emits
-#: its delta; rewrite-manifests / restore emit nothing new by construction
-#: (append-only history); delete-mor is gated on the ignoreDeletes option.
-_SAFE_MODES = {"append", "rewrite-manifests", "restore"}
+#: commit modes that stream ZERO new rows by construction regardless of
+#: flags: rewrite-manifests / restore reference only already-known files
+#: under an append-only history. append emits its delta; delete-mor is
+#: gated on ignoreDeletes/readChangeFeed; everything else on the
+#: data_change flag / skipChangeCommits.
+_ZERO_ROW_MODES = {"rewrite-manifests", "restore"}
+
+#: the change-feed column appended under readChangeFeed=true (Delta CDF's
+#: column name)
+CHANGE_TYPE_COL = "_change_type"
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -87,6 +113,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._start = int(opts.get("startingversion", 0))
         self._ignore_deletes = (
             str(opts.get("ignoredeletes", "false")).lower() == "true"
+        )
+        self._skip_change = (
+            str(opts.get("skipchangecommits", "false")).lower() == "true"
+        )
+        self._change_feed = (
+            str(opts.get("readchangefeed", "false")).lower() == "true"
         )
         # admission control (Delta's maxFilesPerTrigger analog at version
         # granularity): cap how many table versions one micro-batch may
@@ -157,80 +189,84 @@ class SnapshotStreamReader(DataSourceStreamReader):
     # -- planning ---------------------------------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        """One partition per delta data file in (start, end] — planned
-        from manifests alone. Refuses non-append versions (module
-        docstring) BEFORE emitting anything, so a rewritten history can
-        never be half-streamed."""
+        """One partition per delta file in (start, end] — planned from
+        manifests alone via a PER-VERSION ref diff (``_delta_entries``:
+        each append's new segments hold exactly its new files, O(delta)
+        cost). The walk is what makes maintenance safe: a
+        ``data_change=false`` compaction between two appends contributes
+        nothing, while both appends' own files still stream — a
+        single lo→hi endpoint diff would either die on the compaction or
+        mis-take its rewritten files for new rows. Refuses data-changing
+        rewrites (module docstring) BEFORE emitting anything, so a
+        rewritten history can never be half-streamed."""
         lo, hi = int(start["version"]), int(end["version"])
         self._cursor = max(getattr(self, "_cursor", lo) or lo, hi)
         t = self._table()
-        appends_only = True  # rewrite/restore re-reference old files
-        hi_body: dict = {}
+        out: list[InputPartition] = []
         for v in range(lo + 1, hi + 1):
             body = t._manifest_body(v)
-            if v == hi:
-                hi_body = body  # reuse below: no re-read per plan
             mode = body.get("mode", "append")
-            if mode in _SAFE_MODES:
-                if mode != "append":
-                    appends_only = False
-                continue
-            if mode == "delete-mor" and self._ignore_deletes:
-                continue
-            raise ValueError(
-                f"snapshot stream source: version {v} has mode {mode!r}; "
-                "only appends are streamable (set ignoreDeletes=true to "
-                "skip merge-on-read delete commits; rewrites/overwrites "
-                "need a fresh stream from a new startingVersion)"
-            )
-        lo_refs_raw = t._segment_refs(lo) if lo > 0 else None
-        if lo > 0 and appends_only and lo_refs_raw is not None:
-            # fast path (r12 review: planning must be O(delta), not
-            # O(table)): with only appends/MOR-deletes in range, the delta
-            # is exactly the segments hi references that lo doesn't —
-            # immutable refs make the diff a set operation over two
-            # manifest JSONs, and summaries let delete-only new segments
-            # skip unopened. A rewrite/restore in range re-references old
-            # files under NEW refs, so only then fall back to a path diff.
-            lo_refs = set(lo_refs_raw)
-            summaries = hi_body.get("summaries", {})
-            out = []
-            for ref in hi_body.get("segments") or ():
-                if ref in lo_refs:
-                    continue
-                s = summaries.get(ref)
-                if s is not None and s.get("n_data", 1) == 0:
-                    continue
-                out.extend(
-                    InputPartition(e["path"])
-                    for e in t._seg_entries(ref)
-                    if e.get("kind") != "delete"
+            emit_data = emit_deletes = False
+            if not body.get("data_change", True) or mode in _ZERO_ROW_MODES:
+                continue  # row-identical (or row-subset) history
+            if mode == "append":
+                emit_data = True
+            elif mode == "delete-mor":
+                if self._change_feed:
+                    emit_deletes = True
+                elif not (self._ignore_deletes or self._skip_change):
+                    raise ValueError(
+                        f"snapshot stream source: version {v} has mode "
+                        "'delete-mor' (merge-on-read delete); set "
+                        "ignoreDeletes=true to skip it, or "
+                        "readChangeFeed=true to receive the deleted keys "
+                        "as _change_type='delete' rows"
+                    )
+            elif self._skip_change:
+                continue  # Delta skipChangeCommits: drop the rewrite
+            else:
+                raise ValueError(
+                    f"snapshot stream source: version {v} has mode "
+                    f"{mode!r}; data-changing rewrites are not streamable "
+                    "(set skipChangeCommits=true to skip them, or start a "
+                    "fresh stream from a new startingVersion)"
                 )
-            if hi_body.get("segments") is not None:
-                return out
-        base = set(t._files(lo)) if lo > 0 else set()
-        return [
-            InputPartition(e["path"])
-            for e in t._data_entries(hi)
-            if e["path"] not in base
-        ]
+            if not (emit_data or emit_deletes):
+                continue
+            for e in t._delta_entries(v):
+                is_delete = e.get("kind") == "delete"
+                if is_delete and emit_deletes:
+                    out.append(InputPartition((e["path"], "delete")))
+                elif not is_delete and emit_data:
+                    out.append(InputPartition((e["path"], "insert")))
+        return out
 
     # -- execution --------------------------------------------------------
 
     def read(self, partition: InputPartition) -> Iterator:
         """Arrow-batch read of one delta file, aligned to the pinned
         schema: present columns cast to their declared Arrow types,
-        absent ones (pre-evolution files) filled with NULLs — the
-        streaming twin of the batch ``_reader`` schema pin."""
+        absent ones (pre-evolution files — and, under the change feed,
+        the non-key columns of a delete-key file) filled with NULLs —
+        the streaming twin of the batch ``_reader`` schema pin. Under
+        ``readChangeFeed`` the planner tagged each partition insert or
+        delete; the tag materializes as the constant ``_change_type``
+        column."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        val = partition.value
+        path, ctype = (val, "insert") if isinstance(val, str) else val
         target = to_arrow_schema(self._schema)
-        raw = pq.read_table(partition.value)
+        raw = pq.read_table(path)
         cols = []
         for field in target:
-            if field.name in raw.column_names:
+            if field.name == CHANGE_TYPE_COL and self._change_feed:
+                cols.append(
+                    pa.array([ctype] * raw.num_rows, type=field.type)
+                )
+            elif field.name in raw.column_names:
                 cols.append(
                     raw.column(field.name).combine_chunks().cast(field.type)
                 )
@@ -245,13 +281,20 @@ class SnapshotStreamDataSource(DataSource):
     Options: ``path`` (table base dir, required), ``startingVersion``
     (exclusive lower bound, default 0 = from the table's beginning),
     ``ignoreDeletes`` (skip merge-on-read delete commits, default
-    false), ``maxVersionsPerTrigger`` (admission control: cap versions
+    false), ``skipChangeCommits`` (skip data-CHANGING rewrite commits —
+    overwrite/COW delete/merge/replace — instead of failing; Delta's
+    option of the same name), ``readChangeFeed`` (emit a row-level
+    change feed: appends as ``_change_type='insert'``, MOR delete keys
+    as ``_change_type='delete'`` — see the module docstring),
+    ``maxVersionsPerTrigger`` (admission control: cap versions
     per micro-batch so a from-the-start backfill folds a long history in
     bounded batches under PROCESSING-TIME triggers; 0 = unbounded.
     Caveats, both engine-side: availableNow captures one end offset for
     the whole run and ignores per-trigger caps, and the first trigger
     after a RESTART is uncapped — the engine hides the checkpointed
-    offset from latestOffset)."""
+    offset from latestOffset). ``data_change=false`` maintenance commits
+    (compaction, manifest rewrites) are always skipped — routine table
+    maintenance never kills a subscriber."""
 
     @classmethod
     def name(cls) -> str:
@@ -261,7 +304,8 @@ class SnapshotStreamDataSource(DataSource):
         # executed in an isolated Python worker: derive the DDL from the
         # table head's manifest schema directly (StructType is pure
         # Python; no SparkSession exists here)
-        t = SnapshotTable(self.options["path"])
+        opts = {k.lower(): v for k, v in self.options.items()}
+        t = SnapshotTable(opts["path"])
         head = t.latest_version()
         if head is None:
             raise ValueError(
@@ -273,9 +317,12 @@ class SnapshotStreamDataSource(DataSource):
             raise ValueError(
                 "snapshot stream source: head manifest records no schema"
             )
-        return ", ".join(
+        ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in st.fields
         )
+        if str(opts.get("readchangefeed", "false")).lower() == "true":
+            ddl += f", {CHANGE_TYPE_COL} string"
+        return ddl
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
         return SnapshotStreamReader(dict(self.options), schema)
@@ -287,6 +334,18 @@ def register(spark: SparkSession) -> None:
 
 
 def read_stream(spark: SparkSession, base: str, **options: str) -> DataFrame:
+    """Subscribe to the snapshot table at ``base`` — see
+    :class:`SnapshotStreamDataSource` for the option surface.
+
+    Admission-control caveat (r12 advice, engine-side): under
+    ``maxVersionsPerTrigger`` the FIRST trigger after a checkpoint
+    restart is uncapped — Spark's DataSource API hides the checkpointed
+    offset from ``latestOffset``, so the reader has no cursor to bound
+    against until ``partitions()`` runs; every trigger from the second
+    onward is capped. ``availableNow`` likewise captures one end offset
+    for the whole run. Size executor memory for a worst-case
+    one-table-sized catch-up batch, or restart with a PROCESSING-TIME
+    trigger and let the cap engage from the second batch."""
     register(spark)
     r = spark.readStream.format("snapshotstream").option("path", base)
     for k, v in options.items():
@@ -465,3 +524,103 @@ def stream_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bronze.commit(orders.filter(F.col("o_orderkey") % 3 == 2))  # delta
     drain()                                                  # folds only it
     return silver.read(spark, cat.visible("silver"))
+
+
+# --- streaming change feed (r13: Delta CDF's streaming half) -------------------
+
+
+@query(
+    "stream_change_feed",
+    priority=150,
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 IN (0, 1))
+    GROUP BY o_orderstatus
+    """,
+)
+def stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CHANGE FEED (r12 verdict item 2 — Delta CDF's streaming
+    half, composing with the batch ``snapshot_changes_between``): a table
+    receives appends AND merge-on-read purges; a ``readChangeFeed``
+    subscriber receives appends as ``_change_type='insert'`` rows and
+    each purge's delete-KEY file as ``_change_type='delete'`` rows, so a
+    downstream incremental consumer can MAINTAIN derived state through
+    purges instead of refusing. The run is adversarial end to end:
+
+    - two checkpointed drains with commits and a SECOND purge between
+      them (the cursor must resume — any re-delivery doubles inserts);
+    - a ``compact_small_files`` between the drains (r12 verdict item 1:
+      the data_change=false maintenance commit must stream NOTHING —
+      before r13 it permanently killed the stream);
+    - the feed lands exactly-once in a result table via the batch
+      ledger.
+
+    The returned aggregate folds the feed (inserts anti-join deleted
+    keys) — it equals the oracle's full recompute ONLY if every insert
+    arrived exactly once, every delete key arrived, and the compaction
+    contributed zero rows. Scale: planning is the per-version ref diff
+    (O(delta)); the fold is one anti-join + one keyed aggregate."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "stream_cdf_tbl")
+    out_dir = scratch(sf_tag(sf_dir), "stream_cdf_out")
+    ckpt = scratch(sf_tag(sf_dir), "stream_cdf_ckpt")
+    for d in (base, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    t = SnapshotTable(base)
+    out = SnapshotTable(out_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    t.commit(orders.filter(k % 3 == 0))
+    t.delete_keys_mor(
+        spark,
+        orders.filter((k % 3 == 0) & (k % 2 == 0)).select("o_orderkey"),
+        ("o_orderkey",),
+    )
+    t.commit(orders.filter(k % 3 == 1))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out.commit_stream_batch(batch_df, "cdf", batch_id)
+
+    def drain() -> None:
+        (
+            read_stream(spark, base, readChangeFeed="true")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()  # versions 1-3: inserts %3==0 and %3==1, deletes (even, %3==0)
+    # routine maintenance mid-stream: materializes the deletes away,
+    # streams nothing (pre-r13 this killed every subscriber)
+    t.compact_small_files(spark, small_bytes=1 << 30)
+    t.delete_keys_mor(
+        spark,
+        orders.filter((k % 3 == 1) & (k % 2 == 0)).select("o_orderkey"),
+        ("o_orderkey",),
+    )
+    t.commit(orders.filter(k % 3 == 2))
+    drain()  # only the post-compaction purge + append
+
+    feed = out.read(spark)
+    inserts = feed.filter(F.col(CHANGE_TYPE_COL) == "insert")
+    deleted = feed.filter(F.col(CHANGE_TYPE_COL) == "delete").select(
+        "o_orderkey"
+    )
+    return (
+        inserts.join(deleted, "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).cast("bigint").alias("sum_cents"),
+        )
+    )

@@ -1483,6 +1483,9 @@ class SnapshotTable:
             "rewrite-manifests",
             self._schema(version),
             version,
+            # row-identical by construction: streams and incremental
+            # readers skip this version entirely (Delta dataChange=false)
+            extra={"data_change": False},
             seq_source=version,
         )
 
@@ -1874,29 +1877,107 @@ class SnapshotTable:
             )
         return out
 
+    def _delta_entries(self, version: int) -> list[dict]:
+        """Manifest entries (data AND delete) INTRODUCED by ``version``
+        relative to its immediate predecessor. Layered manifests answer
+        with a ref-set diff — appends only ever ADD segments, so the new
+        refs hold exactly the new files and the cost is O(delta), never
+        O(table) — with a path diff as the legacy-inline fallback.
+        Entries carry the usual ``_seq`` annotation. This is the
+        per-version planning unit streams and incremental readers walk,
+        which is what lets them skip ``data_change=false`` maintenance
+        versions without mistaking rewritten-but-row-identical files for
+        new rows."""
+        body = self._manifest_body(version)
+        refs = body.get("segments")
+        prev = version - 1
+        prev_refs = self._segment_refs(prev) if prev > 0 else []
+        if refs is not None and prev_refs is not None:
+            base = set(prev_refs)
+            seqs = body.get("seqs", {})
+            out: list[dict] = []
+            for ref in refs:
+                if ref in base:
+                    continue
+                seq = seqs.get(ref, version)
+                for e in self._seg_entries(ref):
+                    e["_seq"] = e.get("seq", seq)
+                    out.append(e)
+            return out
+        base_paths = set(self._files(prev)) if prev > 0 else set()
+        return [e for e in self._entries(version) if e["path"] not in base_paths]
+
+    def _incremental_entries(
+        self, from_version: int, to_version: int
+    ) -> list[dict]:
+        """Data entries holding the rows APPENDED in ``(from_version,
+        to_version]`` — the per-version walk behind
+        :meth:`incremental_files` / :meth:`read_incremental`.
+
+        ``data_change=false`` maintenance versions (small-file compaction,
+        manifest rewrites) are skipped entirely: their files are
+        physically new but row-identical, so surfacing them would
+        double-deliver compacted rows — and, worse, a compaction that
+        folded an IN-RANGE append away would otherwise LOSE that append's
+        rows from the delta (the head no longer references its original
+        files; the per-version walk still reads them, since compaction
+        deletes nothing — only retention does). A data-CHANGING rewrite
+        in range (overwrite / COW delete / merge / replace) falls back to
+        the conservative whole-diff of the two endpoint manifests: its
+        row-level delta is not derivable from file sets, and the
+        documented contract is that the reader sees a full rewrite."""
+        rewriting = False
+        for v in range(from_version + 1, to_version + 1):
+            body = self._manifest_body(v)
+            if not body.get("data_change", True):
+                continue
+            if body.get("mode", "append") not in (
+                "append",
+                "delete-mor",
+                "rewrite-manifests",
+                "restore",
+            ):
+                rewriting = True
+                break
+        if rewriting:
+            base = set(self._files(from_version))
+            return [
+                e
+                for e in self._data_entries(to_version)
+                if e["path"] not in base
+            ]
+        out: list[dict] = []
+        seen: set[str] = set()
+        for v in range(from_version + 1, to_version + 1):
+            body = self._manifest_body(v)
+            if not body.get("data_change", True):
+                continue
+            if body.get("mode", "append") != "append":
+                continue  # delete-mor adds key files only; restore/rewrite add no rows
+            for e in self._delta_entries(v):
+                if e.get("kind") == "delete" or e["path"] in seen:
+                    continue
+                seen.add(e["path"])
+                out.append(e)
+        return out
+
     def incremental_files(self, from_version: int, to_version: int) -> list[str]:
-        """Data files present in ``to_version`` but not in ``from_version`` —
-        the file-level change set of an append-only table (Delta CDF /
-        Iceberg incremental-scan semantics for appends). Because data files
-        are immutable and appends only ever EXTEND the manifest's file list,
-        reading exactly this set yields the rows committed in
-        ``(from_version, to_version]`` without touching a byte of the base:
+        """Data files holding the rows appended in ``(from_version,
+        to_version]`` (Delta CDF / Iceberg incremental-scan semantics for
+        appends). Because data files are immutable, reading exactly this
+        set yields the appended rows without touching a byte of the base:
         an incremental consumer's scan cost is proportional to the delta,
-        not the table. (An overwrite commit replaces the file list, so its
-        whole new list shows up here — the reader sees a full rewrite, which
-        is the correct conservative answer for non-append changes. A
-        ``compact`` commit likewise surfaces its rewritten files — row-
-        identical but physically new; incremental consumers that must not
-        re-see compacted rows should diff between non-maintenance versions,
-        which is why production CDC logs row-level deltas, not files.)
-        Merge-on-read delete-KEY files are metadata, not data: they never
-        appear here (a consumer scanning the delta would otherwise ingest
-        the purged keys as rows — r11 review)."""
-        base = set(self._files(from_version))
+        not the table. ``data_change=false`` maintenance commits
+        (compaction, manifest rewrites) contribute NOTHING — their files
+        are row-identical rewrites (see :meth:`_incremental_entries`); a
+        data-CHANGING overwrite in range surfaces as a full rewrite, the
+        correct conservative answer. Merge-on-read delete-KEY files are
+        metadata, not data: they never appear here (a consumer scanning
+        the delta would otherwise ingest the purged keys as rows — r11
+        review)."""
         return [
             e["path"]
-            for e in self._data_entries(to_version)
-            if e["path"] not in base
+            for e in self._incremental_entries(from_version, to_version)
         ]
 
     def read_incremental(
@@ -1908,13 +1989,10 @@ class SnapshotTable:
         so incremental consumers see one stable schema per target version.
         Merge-on-read delete files never surface as delta ROWS; they are
         applied to the delta data files they cover, so the consumer sees
-        the rows as ``to_version`` would serve them."""
-        base = set(self._files(from_version))
-        ents = [
-            e
-            for e in self._data_entries(to_version)
-            if e["path"] not in base
-        ]
+        the rows as ``to_version`` would serve them. A compaction inside
+        the range is invisible: its rewritten files are skipped and any
+        append it folded away is still served from the original files."""
+        ents = self._incremental_entries(from_version, to_version)
         # an empty delta (no files added) is a schema-true empty frame,
         # not an error — incremental consumers poll across no-op windows
         return self._read_with_deletes(spark, to_version, ents)
@@ -2114,8 +2192,21 @@ class SnapshotTable:
         kept_paths = {e["path"] for e in kept_data} | {
             d["path"] for d in live_deletes
         }
+        # data_change=false (Delta's dataChange flag on OPTIMIZE commits):
+        # the version's VISIBLE row set is identical by construction —
+        # plain compaction rewrites the same rows, and materializing MOR
+        # deletes away removes only rows every reader already saw deleted.
+        # Streams subscribed through snapshotstream and incremental
+        # readers skip this version instead of dying on it or re-seeing
+        # compacted rows (r12 verdict item 1: routine maintenance must
+        # never be stream-fatal).
         return self._publish_cow(
-            version, kept_paths, new_entries, "compact", self._schema(version)
+            version,
+            kept_paths,
+            new_entries,
+            "compact",
+            self._schema(version),
+            extra={"data_change": False},
         )
 
 

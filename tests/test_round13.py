@@ -106,3 +106,140 @@ def test_commit_records_rows_and_stats_one_pass(spark, tmp_path):
     los = [e["stats"]["x"][0] for e in ents if "stats" in e]
     his = [e["stats"]["x"][1] for e in ents if "stats" in e]
     assert min(los) == 5 and max(his) == 11
+
+
+# --- data_change=false: maintenance never kills a stream -------------------
+
+
+def _kdf(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def _drain_to(spark, base, ckpt, rows: list, **options):
+    from serverless_mapreduce_spark.sources.snapshot_stream import read_stream
+
+    def sink(batch_df, batch_id):
+        rows.extend(tuple(r) for r in batch_df.collect())
+
+    (
+        read_stream(spark, base, **options)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def test_stream_survives_compaction(spark, tmp_path):
+    """drain → compact_small_files → append → drain over the SAME
+    checkpoint streams only the new append (r12 verdict item 1)."""
+    base, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t = SnapshotTable(base)
+    t.commit(_kdf(spark, 0, 5))
+    t.commit(_kdf(spark, 5, 8))
+    rows: list = []
+    _drain_to(spark, base, ckpt, rows)
+    assert sorted(k for (k,) in rows) == list(range(8))
+    v = t.compact_small_files(spark, small_bytes=1 << 30)
+    assert v == 3
+    assert t._manifest_body(v).get("data_change") is False
+    t.commit(_kdf(spark, 8, 10))
+    _drain_to(spark, base, ckpt, rows)
+    assert sorted(k for (k,) in rows) == list(range(10))
+    assert len(rows) == 10  # compacted files were NOT re-streamed
+
+
+def test_stream_catches_up_across_compacted_appends(spark, tmp_path):
+    """A fresh stream whose backlog CONTAINS a compaction still delivers
+    each append exactly once, from the original files the compaction
+    folded away (compaction deletes nothing)."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_kdf(spark, 0, 5))
+    t.commit(_kdf(spark, 5, 8))
+    t.compact_small_files(spark, small_bytes=1 << 30)
+    t.commit(_kdf(spark, 8, 10))
+    rows: list = []
+    _drain_to(spark, base, str(tmp_path / "c"), rows)
+    assert sorted(k for (k,) in rows) == list(range(10))
+    assert len(rows) == 10
+
+
+def test_stream_survives_delete_materializing_compaction(spark, tmp_path):
+    """Compaction that materializes MOR deletes away changes no VISIBLE
+    rows: the stream (ignoreDeletes) sees nothing from it."""
+    base, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t = SnapshotTable(base)
+    t.commit(_kdf(spark, 0, 8))
+    t.delete_keys_mor(spark, _kdf(spark, 0, 3), ("k",))
+    rows: list = []
+    _drain_to(spark, base, ckpt, rows, ignoreDeletes="true")
+    assert sorted(k for (k,) in rows) == list(range(8))
+    t.compact_small_files(spark, small_bytes=1 << 30)
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(3, 8))
+    t.commit(_kdf(spark, 8, 9))
+    _drain_to(spark, base, ckpt, rows, ignoreDeletes="true")
+    assert sorted(k for (k,) in rows) == list(range(9))
+
+
+def test_stream_skip_change_commits(spark, tmp_path):
+    """skipChangeCommits=true skips a COW rewrite instead of dying;
+    without it the rewrite still fails loudly."""
+    import pytest
+    from pyspark.sql.utils import StreamingQueryException
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_kdf(spark, 0, 6), stats_cols=("k",))
+    rows: list = []
+    _drain_to(spark, base, str(tmp_path / "c1"), rows)
+    t.delete_where(spark, "k < 2", stats_cols=("k",))
+    t.commit(_kdf(spark, 6, 8), stats_cols=("k",))
+    with pytest.raises(StreamingQueryException, match="delete"):
+        _drain_to(spark, base, str(tmp_path / "c1"), rows)
+    rows2: list = []
+    _drain_to(
+        spark, base, str(tmp_path / "c2"), rows2, skipChangeCommits="true"
+    )
+    # fresh stream: append v1 + append v3; the COW delete's rewritten
+    # files are skipped (v1's original files still stream 0..5)
+    assert sorted(k for (k,) in rows2) == list(range(8))
+
+
+def test_read_incremental_skips_compaction(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kdf(spark, 0, 5))   # v1
+    t.commit(_kdf(spark, 5, 8))   # v2
+    t.compact_small_files(spark, small_bytes=1 << 30)  # v3
+    t.commit(_kdf(spark, 8, 10))  # v4
+    # across the compaction: only the appends' rows, exactly once
+    assert sorted(
+        r.k for r in t.read_incremental(spark, 1, 4).collect()
+    ) == list(range(5, 10))
+    # range ending AT the compaction still serves the folded append's rows
+    assert sorted(
+        r.k for r in t.read_incremental(spark, 1, 3).collect()
+    ) == list(range(5, 8))
+    # compaction-only window is an empty delta
+    assert t.read_incremental(spark, 2, 3).count() == 0
+
+
+def test_stream_change_feed_emits_inserts_and_deletes(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_kdf(spark, 0, 6))                          # v1: insert 0..5
+    t.delete_keys_mor(spark, _kdf(spark, 0, 2), ("k",))  # v2: delete 0,1
+    t.commit(_kdf(spark, 6, 8))                          # v3: insert 6,7
+    rows: list = []
+    _drain_to(spark, base, str(tmp_path / "c"), rows, readChangeFeed="true")
+    inserts = sorted(k for k, ct in rows if ct == "insert")
+    deletes = sorted(k for k, ct in rows if ct == "delete")
+    assert inserts == list(range(8))
+    assert deletes == [0, 1]
+    # folding the feed reproduces the table head
+    survivors = sorted(
+        k for k, ct in rows if ct == "insert" and k not in set(deletes)
+    )
+    assert survivors == sorted(r.k for r in t.read(spark).collect())

@@ -181,7 +181,8 @@ def test_partitions_plan_is_o_delta_on_append_history(
     monkeypatch.setattr(snapmod.SnapshotTable, "_seg_entries", spy)
     reader = SnapshotStreamReader({"path": base}, t._schema(7))
     parts = reader.partitions({"version": 6}, {"version": 7})
-    assert {p.value for p in parts} == want and want
+    # partition payload is (path, change_type) since the r13 change feed
+    assert {p.value[0] for p in parts} == want and want
     # only the ONE new segment was opened to plan the delta
     assert len(set(calls)) == 1
 
