@@ -243,3 +243,155 @@ def test_stream_change_feed_emits_inserts_and_deletes(spark, tmp_path):
         k for k, ct in rows if ct == "insert" and k not in set(deletes)
     )
     assert survivors == sorted(r.k for r in t.read(spark).collect())
+
+
+# --- partition-transform family: year/hour/bucket/truncate (r13 item 3) ----
+
+
+def _spy_opens(monkeypatch):
+    from serverless_mapreduce_spark.sources import snapshots as snapmod
+
+    calls: list = []
+    orig = snapmod.SnapshotTable._seg_entries
+
+    def spy(self, ref):
+        calls.append(ref)
+        return orig(self, ref)
+
+    monkeypatch.setattr(snapmod.SnapshotTable, "_seg_entries", spy)
+    return calls
+
+
+def test_bucket_transform_point_lookup_prunes(spark, tmp_path, monkeypatch):
+    """bucket(N, col): files record the crc32-mod-N bucket, a raw-column
+    equality probe prunes to the matching bucket's files, and segment
+    summaries let non-matching partition-aligned segments stay unopened."""
+    import zlib
+
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(df, partition_by=("bucket(8,k)",))
+    ents = t._data_entries(1)
+    assert all(list(e["partitions"]) == ["bucket(8,k)"] for e in ents)
+    want_bucket = str(zlib.crc32(b"42") % 8)
+    # raw equality probe through read(): only matching-bucket files planned
+    fresh = SnapshotTable(t.base)
+    calls = _spy_opens(monkeypatch)
+    files, total = fresh.plan_files(partition_eq={"k": 42})
+    assert files and total == len(ents)
+    by_path = {e["path"]: e for e in ents}
+    assert all(
+        by_path[f]["partitions"]["bucket(8,k)"] == want_bucket for f in files
+    )
+    # partition-aligned layout: only the covering segment was opened
+    assert len(set(calls)) == 1
+    # rows are value-exact after the caller's own filter
+    got = [r.k for r in t.read(spark, partition_eq={"k": 42}).filter("k = 42").collect()]
+    assert got == [42]
+    # point-lookup planner prunes through the bucket hash too
+    f2, _ = t.plan_files_keys("k", [42])
+    assert set(f2) == set(files)
+
+
+def test_bucket_rejects_unparity_types(spark, tmp_path):
+    df = spark.createDataFrame([(1.5,)], "x double")
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="integer and string"):
+        t.commit(df, partition_by=("bucket(4,x)",))
+
+
+def test_truncate_transform_int_and_string(spark, tmp_path):
+    # integer widths: floor to W-multiple, range boxes prune
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(df, partition_by=("truncate(20,k)",))
+    ents = t._data_entries(1)
+    vals = {e["partitions"]["truncate(20,k)"] for e in ents}
+    assert vals == {"0", "20", "40", "60", "80"}
+    files, _ = t.plan_files(where=("k", 45, 55))
+    by_path = {e["path"]: e for e in ents}
+    assert files and {
+        by_path[f]["partitions"]["truncate(20,k)"] for f in files
+    } == {"40"}
+    # equality probe prunes through the floor too
+    f2, _ = t.plan_files(partition_eq={"k": 63})
+    assert f2 and {
+        by_path[f]["partitions"]["truncate(20,k)"] for f in f2
+    } == {"60"}
+    # string widths: prefix clustering
+    sdf = spark.createDataFrame(
+        [("apple",), ("apricot",), ("banana",), ("berry",)], "w string"
+    )
+    ts = SnapshotTable(str(tmp_path / "tbl2"))
+    ts.commit(sdf, partition_by=("truncate(2,w)",))
+    e2 = ts._data_entries(1)
+    assert {e["partitions"]["truncate(2,w)"] for e in e2} == {"ap", "ba", "be"}
+    f3, _ = ts.plan_files(partition_eq={"w": "apple"})
+    bp = {e["path"]: e for e in e2}
+    assert f3 and {bp[f]["partitions"]["truncate(2,w)"] for f in f3} == {"ap"}
+
+
+def test_year_hour_transforms(spark, tmp_path):
+    rows = [
+        (1, "1996-03-14 10:30:00"),
+        (2, "1996-03-14 11:30:00"),
+        (3, "1997-07-01 10:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, d string").selectExpr(
+        "k", "CAST(d AS TIMESTAMP) AS d"
+    )
+    ty = SnapshotTable(str(tmp_path / "y"))
+    ty.commit(df, partition_by=("year(d)",))
+    ey = ty._data_entries(1)
+    assert {e["partitions"]["year(d)"] for e in ey} == {"1996", "1997"}
+    fy, _ = ty.plan_files(where=("d", "1996-01-01", "1996-12-31 23:59:59"))
+    bp = {e["path"]: e for e in ey}
+    assert fy and {bp[f]["partitions"]["year(d)"] for f in fy} == {"1996"}
+
+    th = SnapshotTable(str(tmp_path / "h"))
+    th.commit(df, partition_by=("hour(d)",))
+    eh = th._data_entries(1)
+    assert {e["partitions"]["hour(d)"] for e in eh} == {
+        "1996-03-14 10", "1996-03-14 11", "1997-07-01 10"
+    }
+    fh, _ = th.plan_files(
+        where=("d", "1996-03-14 10:00:00", "1996-03-14 10:59:59")
+    )
+    bph = {e["path"]: e for e in eh}
+    assert fh and {bph[f]["partitions"]["hour(d)"] for f in fh} == {
+        "1996-03-14 10"
+    }
+    # a date-only probe string is too short to derive an hour: kept
+    fall, _ = th.plan_files(partition_eq={"d": "1996-03-14"})
+    assert len(fall) == len(eh)
+
+
+def test_replace_where_on_bucket_partition(spark, tmp_path):
+    """replace_where's stray guard evaluates the bucket transform, so an
+    atomic per-bucket overwrite works on hash-hidden partitioning."""
+    import zlib
+
+    df = spark.range(0, 40).withColumnRenamed("id", "k")
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(df, partition_by=("bucket(4,k)",))
+    b_of = lambda k: zlib.crc32(str(k).encode()) % 4  # noqa: E731
+    target = b_of(7)
+    in_bucket = [k for k in range(40) if b_of(k) == target]
+    repl = spark.createDataFrame([(k,) for k in in_bucket[:3]], "k bigint")
+    v = t.replace_where(
+        spark,
+        {f"bucket(4,k)": str(target)},
+        repl,
+        partition_by=("bucket(4,k)",),
+    )
+    got = sorted(r.k for r in t.read(spark, v).collect())
+    want = sorted(
+        [k for k in range(40) if b_of(k) != target] + in_bucket[:3]
+    )
+    assert got == want
+    # a stray row (wrong bucket) is refused
+    stray = spark.createDataFrame(
+        [(next(k for k in range(40) if b_of(k) != target),)], "k bigint"
+    )
+    with pytest.raises(ValueError, match="outside the target"):
+        t.replace_where(spark, {f"bucket(4,k)": str(target)}, stray)
