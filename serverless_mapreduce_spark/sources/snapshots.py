@@ -2191,7 +2191,10 @@ class SnapshotTable:
     # -- retention --------------------------------------------------------
 
     def expire_versions(
-        self, keep_latest: int = 2, pin: tuple[int, ...] = ()
+        self,
+        keep_latest: int = 2,
+        pin: tuple[int, ...] = (),
+        min_reader_version: int | None = None,
     ) -> tuple[list[int], list[str]]:
         """RETENTION VACUUM (Iceberg expire_snapshots / Delta VACUUM): keep
         the newest ``keep_latest`` versions; delete older manifests and
@@ -2216,11 +2219,23 @@ class SnapshotTable:
         staged-but-unpublished orphan heads count toward the newest-N
         window, so without the pin a crashed transaction could crowd the
         PUBLISHED version out of retention and break every catalog reader
-        (r11 review)."""
+        (r11 review).
+
+        ``min_reader_version`` pins every version AT OR ABOVE it — the
+        LAGGING-STREAM guard (r12 verdict item 4): a snapshotstream
+        checkpoint at cursor C plans its next batch from manifest C's
+        segment refs and the bodies of every version after it, so
+        expiring any version ≥ C makes the restart fail unrecoverably
+        (the stream source rightly refuses a dead cursor). Pass
+        ``MultiTableCatalog.min_stream_cursor(table)`` — or use
+        :meth:`MultiTableCatalog.expire_table`, which wires both pins —
+        so retention can never outrun a registered subscriber."""
         if keep_latest < 1:
             raise ValueError("keep_latest must be >= 1")
         vs = self.versions()
         keep = set(vs[-keep_latest:]) | {v for v in pin if v in vs}
+        if min_reader_version is not None:
+            keep |= {v for v in vs if v >= min_reader_version}
         drop = [v for v in vs if v not in keep]
         live = {f for v in keep for f in self._files(v)}
         doomed = sorted({f for v in drop for f in self._files(v)} - live)
@@ -2452,9 +2467,11 @@ class MultiTableCatalog:
     def _head(self) -> dict:
         mx = self._max_txn()
         if mx is None:
-            return {"tables": {}, "ledger": {}}
+            return {"tables": {}, "ledger": {}, "cursors": {}}
         with open(self._txn_path(mx)) as fh:
-            return json.load(fh)
+            body = json.load(fh)
+        body.setdefault("cursors", {})
+        return body
 
     def expire_txns(self, keep_latest: int = 16) -> list[int]:
         """RETENTION for the transaction log: every publish carries the
@@ -2495,22 +2512,36 @@ class MultiTableCatalog:
         tables: dict[str, int],
         stream_id: str | None = None,
         batch_id: int | None = None,
+        cursors: dict[str, dict[str, int]] | None = None,
     ) -> int:
         """Atomically make ``tables``' staged versions visible (merged
         over the previous head's map, so untouched tables keep their
-        versions) and advance the stream ledger. Lost CAS races raise
-        :class:`CommitConflict` — the single-writer streaming sink never
-        races itself; a concurrent admin publish must re-derive."""
+        versions) and advance the stream ledger. ``cursors`` merges
+        per-table SUBSCRIBER positions ({table: {stream_id: version}})
+        into the head the same way — a consumer advancing its cursor in
+        the txn that consumes the data makes the position atomic with
+        the consumption, and retention (:meth:`expire_table`) can then
+        never expire a version a registered subscriber still needs.
+        Lost CAS races raise :class:`CommitConflict` — the single-writer
+        streaming sink never races itself; a concurrent admin publish
+        must re-derive."""
         head = self._head()
         n = (self._max_txn() or 0) + 1
         ledger = dict(head["ledger"])
         if stream_id is not None and batch_id is not None:
             if ledger.get(stream_id, -1) < batch_id:
                 ledger[stream_id] = batch_id
+        cur = {k: dict(v) for k, v in head.get("cursors", {}).items()}
+        for tname, sids in (cursors or {}).items():
+            slot = cur.setdefault(tname, {})
+            for sid, ver in sids.items():
+                if slot.get(sid, -1) < ver:
+                    slot[sid] = int(ver)
         body = {
             "txn": n,
             "tables": {**head["tables"], **tables},
             "ledger": ledger,
+            "cursors": cur,
         }
         tmp = os.path.join(self.txn_dir, f".tmp-{uuid.uuid4().hex[:12]}.json")
         with open(tmp, "w") as fh:
@@ -2524,6 +2555,133 @@ class MultiTableCatalog:
         finally:
             os.unlink(tmp)
         return n
+
+    # -- subscriber cursors (retention coordination) -----------------------
+
+    def set_stream_cursor(
+        self, table_name: str, stream_id: str, version: int
+    ) -> int:
+        """Register (or advance) a SUBSCRIBER's position on
+        ``table_name``: "stream ``stream_id`` has consumed through table
+        version ``version``". One catalog publish, monotone per stream
+        (an out-of-order replay can never move a cursor backward). A
+        snapshotstream consumer calls this after each drain — its
+        checkpointed offset IS the version number — and retention then
+        treats every version ≥ the slowest cursor as live
+        (:meth:`expire_table`), closing the r12 gap where
+        ``expire_versions`` could expire a lagging stream's restart
+        point and kill it unrecoverably."""
+        return self.publish({}, cursors={table_name: {stream_id: version}})
+
+    def min_stream_cursor(self, table_name: str) -> int | None:
+        """The slowest registered subscriber position for ``table_name``
+        (None when no stream is registered): the retention floor."""
+        sids = self._head().get("cursors", {}).get(table_name)
+        if not sids:
+            return None
+        return min(sids.values())
+
+    def expire_table(
+        self,
+        tbl: "SnapshotTable",
+        table_name: str,
+        keep_latest: int = 2,
+    ) -> tuple[list[int], list[str]]:
+        """Retention vacuum for a catalog-managed table with BOTH safety
+        pins wired: the catalog-visible version (readers resolve through
+        the catalog, which may lag the table head by staged commits) and
+        every version at or above the slowest registered stream cursor
+        (:meth:`min_stream_cursor`). This is the one retention entry
+        point that cannot break a catalog reader or a checkpointed
+        subscriber — call it instead of ``expire_versions`` whenever the
+        table participates in catalog transactions."""
+        vis = self.visible(table_name)
+        return tbl.expire_versions(
+            keep_latest,
+            pin=(vis,) if vis is not None else (),
+            min_reader_version=self.min_stream_cursor(table_name),
+        )
+
+    # -- staged-but-unpublished debris (crash GC) ---------------------------
+
+    def collect_staged_orphans(
+        self,
+        tables: dict[str, "SnapshotTable"],
+        grace_seconds: float = 3600.0,
+    ) -> dict[str, list[int]]:
+        """GC for CRASHED STAGING ATTEMPTS (r12 verdict item 7): a writer
+        that staged a table commit but died before the catalog publish
+        leaves a version that is table-visible yet catalog-orphaned
+        FOREVER — replay re-stages from the last published base
+        (``commit_onto``), so the orphan is never referenced again, and
+        ``cleanup_orphans`` cannot see it (its files ARE manifest-
+        referenced). This walks each table's versions against the
+        retained transaction log: a version inside the log's coverage
+        window that no retained txn ever made visible, is not the floor
+        of a registered stream cursor's horizon, and whose manifest is
+        older than ``grace_seconds`` (an in-flight stage is younger by
+        definition) is a crashed stage — its manifest, exclusively-
+        referenced data files, and exclusively-referenced segments are
+        deleted. Versions older than the retained window are left to
+        ordinary ``expire_table`` retention (their publish history has
+        been pruned, so orphanhood is no longer provable).
+
+        CONTRACT: only for tables written exclusively through catalog
+        staging (``commit_onto`` + ``publish``) — a direct ``commit``
+        outside the catalog is indistinguishable from a crashed stage
+        and would be collected. Returns {table_name: [collected
+        versions]}."""
+        import contextlib
+        import time
+
+        now = time.time()
+        published: dict[str, set[int]] = {}
+        for n in self.txns():
+            with contextlib.suppress(FileNotFoundError):
+                with open(self._txn_path(n)) as fh:
+                    for name, v in json.load(fh)["tables"].items():
+                        published.setdefault(name, set()).add(v)
+        out: dict[str, list[int]] = {}
+        for name, tbl in tables.items():
+            pub = published.get(name)
+            if not pub:
+                continue  # no retained publish history: nothing provable
+            window_lo = min(pub)
+            floor = self.min_stream_cursor(name)
+            doomed: list[int] = []
+            for v in tbl.versions():
+                if v <= window_lo or v in pub:
+                    continue
+                if floor is not None and v >= floor:
+                    continue  # a subscriber may still plan through it
+                path = tbl._manifest_path(v)
+                with contextlib.suppress(FileNotFoundError):
+                    if now - os.path.getmtime(path) >= grace_seconds:
+                        doomed.append(v)
+            if not doomed:
+                continue
+            kept = [v for v in tbl.versions() if v not in set(doomed)]
+            live = {f for v in kept for f in tbl._files(v)}
+            dead = sorted(
+                {f for v in doomed for f in tbl._files(v)} - live
+            )
+            for f in dead:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(f)
+            kept_refs: set[str] = set()
+            for v in kept:
+                kept_refs.update(tbl._segment_refs(v) or [])
+            drop_refs: set[str] = set()
+            for v in doomed:
+                drop_refs.update(tbl._segment_refs(v) or [])
+            for v in doomed:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(tbl._manifest_path(v))
+            for ref in sorted(drop_refs - kept_refs):
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(tbl._seg_path(ref))
+            out[name] = doomed
+        return out
 
 
 def _cents(col: str = "o_totalprice"):

@@ -395,3 +395,71 @@ def test_replace_where_on_bucket_partition(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="outside the target"):
         t.replace_where(spark, {f"bucket(4,k)": str(target)}, stray)
+
+
+# --- retention respects lagging stream cursors (r13 item 4) ----------------
+
+
+def test_retention_respects_lagging_stream_cursor(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshots import MultiTableCatalog
+
+    root = str(tmp_path)
+    base, ckpt = root + "/tbl", root + "/ckpt"
+    t = SnapshotTable(base)
+    cat = MultiTableCatalog(root)
+    t.commit(_kdf(spark, 0, 4))
+    t.commit(_kdf(spark, 4, 8))
+    rows: list = []
+    _drain_to(spark, base, ckpt, rows)
+    assert sorted(k for (k,) in rows) == list(range(8))
+    # register a LAGGING cursor: retention must keep everything >= it
+    cat.set_stream_cursor("tbl", "s", 1)
+    assert cat.min_stream_cursor("tbl") == 1
+    dropped, _ = cat.expire_table(t, "tbl", keep_latest=1)
+    assert dropped == [] and t.versions() == [1, 2]
+    # cursor advances (monotone: a stale replay cannot move it back)
+    cat.set_stream_cursor("tbl", "s", 2)
+    cat.set_stream_cursor("tbl", "s", 1)
+    assert cat.min_stream_cursor("tbl") == 2
+    t.commit(_kdf(spark, 8, 10))
+    dropped2, _ = cat.expire_table(t, "tbl", keep_latest=1)
+    assert dropped2 == [1] and t.versions() == [2, 3]
+    # the checkpointed stream resumes green across the vacuum
+    _drain_to(spark, base, ckpt, rows)
+    assert sorted(k for (k,) in rows) == list(range(10))
+
+
+# --- staged-but-unpublished orphan GC (r13 item 7) --------------------------
+
+
+def test_collect_staged_orphans_crash_injection(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshots import MultiTableCatalog
+
+    root = str(tmp_path)
+    t = SnapshotTable(root + "/t")
+    cat = MultiTableCatalog(root)
+    v1 = t.commit_onto(None, _kdf(spark, 0, 4))
+    cat.publish({"t": v1})
+    # crash injection: batch staged, publish never happened
+    v2 = t.commit_onto(v1, _kdf(spark, 10, 14))
+    # replay re-stages from the published base and publishes
+    v3 = t.commit_onto(v1, _kdf(spark, 4, 8))
+    cat.publish({"t": v3})
+    assert t.versions() == [1, 2, 3]
+    orphan_files = set(t._files(v2)) - set(t._files(v1)) - set(t._files(v3))
+    assert orphan_files
+    got = cat.collect_staged_orphans({"t": t}, grace_seconds=0.0)
+    assert got == {"t": [2]}
+    assert t.versions() == [1, 3]
+    assert not any(os.path.exists(f) for f in orphan_files)
+    # the catalog-visible pair still reads consistently
+    vis = cat.visible("t")
+    assert sorted(r.k for r in t.read(spark, vis).collect()) == list(range(8))
+    # grace period protects an IN-FLIGHT stage from a concurrent GC
+    v4 = t.commit_onto(v3, _kdf(spark, 8, 9))
+    got2 = cat.collect_staged_orphans({"t": t}, grace_seconds=3600.0)
+    assert got2 == {} and v4 in t.versions()
+    # a registered cursor floor also shields would-be orphans
+    cat.set_stream_cursor("t", "s", 4)
+    got3 = cat.collect_staged_orphans({"t": t}, grace_seconds=0.0)
+    assert got3 == {} and v4 in t.versions()
