@@ -2773,3 +2773,131 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --- retrieval-quality datacard: MRR of each ranker vs the fusion (r13) --------
+
+MRR_PPM = 10**6  #: reciprocal rank in exact integer parts-per-million
+
+
+def _hybrid_mrr_oracle() -> str:
+    from serverless_mapreduce_spark.operators.nlp import (
+        KEYWORD_ORACLE,
+        SEARCH_TERMS,
+    )
+
+    bm_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    kw_in = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return f"""
+    WITH relv AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), w -> w <> '') AS toks
+        FROM documents
+      )
+      WHERE len(list_filter(toks, w -> w IN ({bm_in}))) > 0
+        AND len(list_filter(toks, w -> w IN ({kw_in}))) > 0
+    ),
+    bm AS ({_bm25_oracle()}),
+    kw AS ({KEYWORD_ORACLE}),
+    rrf AS ({_rrf_oracle()}),
+    m AS (
+      SELECT 'bm25' AS ranker, b.rnk AS rnk,
+             CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+      FROM bm b LEFT JOIN relv r USING (doc_id)
+      UNION ALL
+      SELECT 'keyword', k.rnk,
+             CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END
+      FROM kw k LEFT JOIN relv r USING (doc_id)
+      UNION ALL
+      SELECT 'rrf', f.rnk,
+             CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END
+      FROM rrf f LEFT JOIN relv r USING (doc_id)
+    )
+    SELECT ranker,
+           CAST(COUNT(*) AS BIGINT) AS n_list,
+           CAST(SUM(is_rel) AS BIGINT) AS n_rel_in_list,
+           CAST(MIN(CASE WHEN is_rel = 1 THEN rnk END) AS BIGINT)
+             AS first_rel_rank,
+           CAST(COALESCE({MRR_PPM} //
+                  MIN(CASE WHEN is_rel = 1 THEN rnk END), 0) AS BIGINT)
+             AS rr_ppm
+    FROM m GROUP BY ranker
+    """
+
+
+@query("eval_hybrid_retrieval_mrr", priority=150, oracle=_hybrid_mrr_oracle())
+def eval_hybrid_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL-QUALITY DATACARD for the hybrid ranker (r12 verdict item
+    6): ``hybrid_search_rrf`` fuses the BM25 and tf-idf keyword lists,
+    but nothing graded the fusion — this scores ALL THREE result lists
+    (bm25, keyword, rrf) against one brute-force relevance truth, the
+    reciprocal-rank datacard a retrieval team reads before trusting a
+    fusion change. Relevance is derived from the corpus itself: a doc is
+    relevant iff it matches BOTH facets of the information need — at
+    least one BM25 query term AND at least one keyword query term (the
+    two lists probe different facets, so fusion quality is exactly
+    "does the merged list surface the docs satisfying both?"). Per
+    ranker: list length, relevant-in-list count, first relevant rank,
+    and its reciprocal in EXACT integer ppm ({MRR_PPM} DIV rank — the
+    repo's never-ROUND-small-ratios rule; hash-exact on both engines).
+    Non-vacuity is pinned by tests/test_round13.py on a crafted corpus
+    where fusion provably beats both single rankers (the relevant doc
+    sits at rank 2 in each list and rank 1 fused).
+
+    Scale: three result-list-sized joins against a corpus-scan relevance
+    set — the lists are top-k (bounded), the relevance scan is one
+    predicate pass that would be a metadata-pruned scan on a real
+    corpus; nothing here is corpus × corpus."""
+    from serverless_mapreduce_spark.operators.nlp import (
+        SEARCH_TERMS,
+        keyword_search_topk,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda w: w != F.lit("")
+    )
+    relv = docs.select(
+        "doc_id",
+        F.arrays_overlap(
+            toks, F.array(*[F.lit(t) for t in BM25_TERMS])
+        ).alias("f1"),
+        F.arrays_overlap(
+            toks, F.array(*[F.lit(t) for t in SEARCH_TERMS])
+        ).alias("f2"),
+    ).filter("f1 AND f2").select("doc_id", F.lit(1).alias("is_rel"))
+
+    lists = (
+        ("bm25", bm25_search_topk(spark, sf_dir)),
+        ("keyword", keyword_search_topk(spark, sf_dir)),
+        ("rrf", hybrid_search_rrf(spark, sf_dir)),
+    )
+    out = None
+    for name, lst in lists:
+        scored = (
+            lst.select("doc_id", "rnk")
+            .join(F.broadcast(relv), "doc_id", "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_list"),
+                F.coalesce(F.sum("is_rel"), F.lit(0))
+                .cast("bigint")
+                .alias("n_rel_in_list"),
+                F.min(F.when(F.col("is_rel") == 1, F.col("rnk")))
+                .cast("bigint")
+                .alias("first_rel_rank"),
+            )
+            .select(
+                F.lit(name).alias("ranker"),
+                "n_list",
+                "n_rel_in_list",
+                "first_rel_rank",
+                F.coalesce(
+                    F.expr(f"{MRR_PPM} DIV first_rel_rank"), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("rr_ppm"),
+            )
+        )
+        out = scored if out is None else out.unionAll(scored)
+    return out

@@ -463,3 +463,45 @@ def test_collect_staged_orphans_crash_injection(spark, tmp_path):
     cat.set_stream_cursor("t", "s", 4)
     got3 = cat.collect_staged_orphans({"t": t}, grace_seconds=0.0)
     assert got3 == {} and v4 in t.versions()
+
+
+# --- hybrid-ranker MRR datacard: fusion provably beats both singles ---------
+
+
+def test_hybrid_mrr_fusion_beats_singles(spark, tmp_path):
+    """Crafted corpus: the one relevant doc (matches BOTH query facets)
+    sits at rank 2 in the bm25 list and rank 2 in the keyword list, but
+    reciprocal-rank fusion lifts it to rank 1 — so RRF's MRR strictly
+    exceeds both single rankers', and the whole datacard is value-exact
+    against the DuckDB oracle on the same corpus (ties in the fused
+    list break deterministically by doc_id on both engines)."""
+    import pandas as pd
+
+    from oracle import assert_matches_oracle
+    from serverless_mapreduce_spark.operators.text import (
+        eval_hybrid_retrieval_mrr,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "query hash dup query hash dup query hash dup",
+                "spark window merge spark window merge spark window merge",
+                "query spark",
+                "lorem ipsum nothing relevant here at all",
+                "more filler words without any probe terms",
+            ],
+        }
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    docs.to_parquet(d / "documents.parquet")
+    df = eval_hybrid_retrieval_mrr(spark, str(d))
+    assert_matches_oracle(df, __import__("serverless_mapreduce_spark.registry", fromlist=["all_oracles"]).all_oracles()["eval_hybrid_retrieval_mrr"], str(d))
+    rows = {r.ranker: r for r in df.collect()}
+    assert rows["bm25"].first_rel_rank == 2 and rows["bm25"].rr_ppm == 500000
+    assert rows["keyword"].first_rel_rank == 2
+    assert rows["keyword"].rr_ppm == 500000
+    assert rows["rrf"].first_rel_rank == 1 and rows["rrf"].rr_ppm == 1000000
+    assert rows["rrf"].rr_ppm > max(rows["bm25"].rr_ppm, rows["keyword"].rr_ppm)
