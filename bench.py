@@ -369,6 +369,14 @@ HEADLINE = (
     # bronze -> silver medallion: snapshotstream source feeding a
     # catalog-atomic rollup (two checkpointed drains + a redelivery probe)
     "stream_snapshot_rollup",
+    # round 13: streaming change feed (two drains + purge + mid-stream
+    # compaction), bucket-transform point pruning, streamed IVF index
+    # maintenance (catalog-atomic per-batch folds), and the hybrid-ranker
+    # MRR datacard
+    "stream_change_feed",
+    "snapshot_bucket_pruning",
+    "stream_ivf_index_maintenance",
+    "eval_hybrid_retrieval_mrr",
 )
 
 

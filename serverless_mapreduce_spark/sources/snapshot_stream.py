@@ -52,8 +52,13 @@ Semantics (Delta's, deliberately):
   delete-KEY files as ``_change_type='delete'`` rows (key columns set,
   all others NULL — the equality-delete shape), so a downstream
   incremental consumer can MAINTAIN its derived state through purges
-  instead of refusing. Copy-on-write rewrites still refuse (their
-  row-level delta is not derivable from file sets).
+  instead of refusing. A copy-on-write ``delete_where(...,
+  change_feed=True)`` commit records the removed rows' FULL pre-images
+  as ``kind="change"`` files (Delta's enableChangeDataFeed CDC files),
+  and the feed emits those as ``_change_type='delete'`` while skipping
+  the rewritten survivor files; COW rewrites WITHOUT recorded change
+  files still refuse (their row-level delta is not derivable from file
+  sets).
 - Schema is pinned to the SOURCE-START head's manifest schema; files
   written before an add-column surface the new column as NULL (the same
   ``_reader`` contract batch reads use).
@@ -206,7 +211,7 @@ class SnapshotStreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             body = t._manifest_body(v)
             mode = body.get("mode", "append")
-            emit_data = emit_deletes = False
+            emit_data = emit_deletes = emit_changes = False
             if not body.get("data_change", True) or mode in _ZERO_ROW_MODES:
                 continue  # row-identical (or row-subset) history
             if mode == "append":
@@ -222,6 +227,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
                         "readChangeFeed=true to receive the deleted keys "
                         "as _change_type='delete' rows"
                     )
+            elif self._change_feed and body.get("cdf"):
+                # a COW rewrite that recorded CDF change files (today:
+                # delete_where(change_feed=True)): the feed emits the
+                # removed rows' pre-images; the rewritten survivor files
+                # hold no NEW rows and are skipped
+                emit_changes = True
             elif self._skip_change:
                 continue  # Delta skipChangeCommits: drop the rewrite
             else:
@@ -231,13 +242,17 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "(set skipChangeCommits=true to skip them, or start a "
                     "fresh stream from a new startingVersion)"
                 )
-            if not (emit_data or emit_deletes):
+            if not (emit_data or emit_deletes or emit_changes):
                 continue
             for e in t._delta_entries(v):
-                is_delete = e.get("kind") == "delete"
-                if is_delete and emit_deletes:
+                kind = e.get("kind")
+                if kind == "delete" and emit_deletes:
                     out.append(InputPartition((e["path"], "delete")))
-                elif not is_delete and emit_data:
+                elif kind == "change" and emit_changes:
+                    out.append(
+                        InputPartition((e["path"], e.get("change", "delete")))
+                    )
+                elif kind is None and emit_data:
                     out.append(InputPartition((e["path"], "insert")))
         return out
 
@@ -539,6 +554,7 @@ def stream_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS BIGINT)) AS BIGINT) AS sum_cents
     FROM orders
     WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 IN (0, 1))
+      AND NOT (o_orderkey % 7 = 0 AND o_orderkey % 3 IN (0, 1))
     GROUP BY o_orderstatus
     """,
 )
@@ -551,8 +567,12 @@ def stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream incremental consumer can MAINTAIN derived state through
     purges instead of refusing. The run is adversarial end to end:
 
-    - two checkpointed drains with commits and a SECOND purge between
-      them (the cursor must resume — any re-delivery doubles inserts);
+    - two checkpointed drains with commits and BOTH delete shapes
+      between them — a merge-on-read key purge (delete-KEY rows) and a
+      copy-on-write ``delete_where(change_feed=True)`` predicate purge
+      (full pre-image change files; the rewritten survivors must NOT
+      re-stream) — so the cursor must resume and every delete flavor
+      must fold;
     - a ``compact_small_files`` between the drains (r12 verdict item 1:
       the data_change=false maintenance commit must stream NOTHING —
       before r13 it permanently killed the stream);
@@ -603,6 +623,10 @@ def stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # routine maintenance mid-stream: materializes the deletes away,
     # streams nothing (pre-r13 this killed every subscriber)
     t.compact_small_files(spark, small_bytes=1 << 30)
+    # COW predicate purge WITH change files: the feed receives the
+    # removed rows' full pre-images as _change_type='delete' (the other
+    # delete shape beside the MOR key files)
+    t.delete_where(spark, "o_orderkey % 7 = 0", change_feed=True)
     t.delete_keys_mor(
         spark,
         orders.filter((k % 3 == 1) & (k % 2 == 0)).select("o_orderkey"),

@@ -158,8 +158,17 @@ class SnapshotTable:
         sets are capped at :data:`SUMMARY_PARTITION_CAP`, and stat
         envelopes ignore all-NULL files (their rows can never satisfy a
         range predicate, same contract as per-file stats pruning)."""
-        data = [e for e in entries if e.get("kind") != "delete"]
-        s: dict = {"n_data": len(data), "n_delete": len(entries) - len(data)}
+        # three entry kinds: plain data (no "kind"), merge-on-read delete
+        # KEY files ("delete"), and CDF change files ("change" — row
+        # pre-images recorded by a copy-on-write delete for the change
+        # feed; never part of a version's readable data, never a MOR
+        # delete). n_delete counts ONLY true delete files: _has_mor_deletes
+        # and the _delete_entries fast skip key off it.
+        data = [e for e in entries if "kind" not in e]
+        s: dict = {
+            "n_data": len(data),
+            "n_delete": sum(1 for e in entries if e.get("kind") == "delete"),
+        }
         rows = [e.get("rows") for e in data]
         if data and all(r is not None for r in rows):
             s["rows"] = int(sum(rows))
@@ -329,7 +338,7 @@ class SnapshotTable:
         return [e if isinstance(e, dict) else {"path": e} for e in raw]
 
     def _data_entries(self, version: int) -> list[dict]:
-        return [e for e in self._entries(version) if e.get("kind") != "delete"]
+        return [e for e in self._entries(version) if "kind" not in e]
 
     def _delete_entries(self, version: int) -> list[dict]:
         """The version's merge-on-read delete entries. Segment summaries
@@ -398,7 +407,7 @@ class SnapshotTable:
             seq = seqs.get(ref, version)
             ents = []
             for e in self._seg_entries(ref):
-                if e.get("kind") == "delete":
+                if "kind" in e:
                     continue
                 e["_seq"] = e.get("seq", seq)
                 ents.append(e)
@@ -1061,6 +1070,7 @@ class SnapshotTable:
         prune: tuple[str, float, float] | None = None,
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
+        change_feed: bool = False,
     ) -> int:
         """COPY-ON-WRITE DELETE (Delta DELETE / Iceberg copy-on-write
         row delete): publish a version in which rows matching
@@ -1110,11 +1120,35 @@ class SnapshotTable:
             f"NOT coalesce(({condition}), false)"
         )
         new_entries = self._write_data(survivors, stats_cols, bloom_cols)
+        extra = None
+        if change_feed:
+            # CDF CHANGE FILES (Delta enableChangeDataFeed on DELETE): the
+            # commit also records the REMOVED rows' full pre-images as
+            # kind="change" files — invisible to every read path, but the
+            # streaming change feed emits them as _change_type='delete'
+            # rows, so a COW predicate purge no longer kills (or hides
+            # from) downstream incremental consumers. Cost: one extra
+            # pass over the affected files (the rows are being rewritten
+            # anyway); the files expire with this version's manifest.
+            removed = self._read_with_deletes(spark, version, cand).filter(
+                f"coalesce(({condition}), false)"
+            )
+            chg = self._write_data(removed, ())
+            for e in chg:
+                e["kind"] = "change"
+                e["change"] = "delete"
+            new_entries = new_entries + chg
+            extra = {"cdf": True}
         kept_paths = {e["path"] for e in kept} | {
             e["path"] for e in self._delete_entries(version)
         }
         return self._publish_cow(
-            version, kept_paths, new_entries, "delete", self._schema(version)
+            version,
+            kept_paths,
+            new_entries,
+            "delete",
+            self._schema(version),
+            extra,
         )
 
     def merge_upsert(
@@ -2064,7 +2098,7 @@ class SnapshotTable:
                 if skip:
                     continue
             out.extend(
-                e for e in self._seg_entries(ref) if e.get("kind") != "delete"
+                e for e in self._seg_entries(ref) if "kind" not in e
             )
         return out
 
@@ -2146,7 +2180,7 @@ class SnapshotTable:
             if body.get("mode", "append") != "append":
                 continue  # delete-mor adds key files only; restore/rewrite add no rows
             for e in self._delta_entries(v):
-                if e.get("kind") == "delete" or e["path"] in seen:
+                if "kind" in e or e["path"] in seen:
                     continue
                 seen.add(e["path"])
                 out.append(e)

@@ -95,6 +95,15 @@ BNLJ_ALLOWED = {
     # centroid broadcast); the ADC probe itself is pure equi-joins on
     # (m, code, centroid) against the code index
     "ann_persistent_ivfpq",
+    # same coarse-assignment shape per streamed micro-batch and for the
+    # held-out probe set (each × the ~constant frozen-codebook
+    # broadcast); the serving probe itself is an equi-join on centroid
+    "stream_ivf_index_maintenance",
+    # inherits bm25_search_topk's (and hybrid_search_rrf's) allowed
+    # 1-row-statistics crosses through the embedded ranker sub-plans;
+    # the datacard itself joins ≤top-k result lists against the
+    # broadcast relevance set on doc_id (equi)
+    "eval_hybrid_retrieval_mrr",
     # eval_ann_nprobe_sweep's allowed crosses, scored over codes: nprobe
     # frame × queries (crank range join), queries × codebook, embedded
     # bruteforce truth; candidates + ADC are equi-joins throughout

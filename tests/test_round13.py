@@ -505,3 +505,41 @@ def test_hybrid_mrr_fusion_beats_singles(spark, tmp_path):
     assert rows["keyword"].rr_ppm == 500000
     assert rows["rrf"].first_rel_rank == 1 and rows["rrf"].rr_ppm == 1000000
     assert rows["rrf"].rr_ppm > max(rows["bm25"].rr_ppm, rows["keyword"].rr_ppm)
+
+
+# --- CDF change files: COW predicate deletes join the change feed -----------
+
+
+def test_cow_delete_change_feed(spark, tmp_path):
+    """delete_where(change_feed=True) records removed rows' pre-images
+    as change files: the feed emits them as _change_type='delete', the
+    rewritten survivors are not re-streamed, and no read path ever sees
+    a change file as data."""
+    from pyspark.sql.utils import StreamingQueryException
+
+    base, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t = SnapshotTable(base)
+    t.commit(_kdf(spark, 0, 8), stats_cols=("k",))
+    rows: list = []
+    _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
+    assert sorted(k for k, ct in rows) == list(range(8))
+    v_del = t.delete_where(spark, "k < 3", stats_cols=("k",), change_feed=True)
+    # reads never see change files — current or time-traveled
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(3, 8))
+    assert sorted(r.k for r in t.read(spark, v_del).collect()) == list(
+        range(3, 8)
+    )
+    t.commit(_kdf(spark, 8, 10), stats_cols=("k",))
+    _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
+    new = rows[8:]
+    assert sorted(k for k, ct in new if ct == "delete") == [0, 1, 2]
+    assert sorted(k for k, ct in new if ct == "insert") == [8, 9]
+    assert len(new) == 5  # survivors (3..7) were NOT re-streamed
+    # folding the feed reproduces the table head
+    dels = {k for k, ct in rows if ct == "delete"}
+    survivors = sorted(k for k, ct in rows if ct == "insert" and k not in dels)
+    assert survivors == sorted(r.k for r in t.read(spark).collect())
+    # a COW delete WITHOUT recorded change files still refuses under CDF
+    t.delete_where(spark, "k = 5", stats_cols=("k",))
+    with pytest.raises(StreamingQueryException, match="delete"):
+        _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
