@@ -1159,6 +1159,7 @@ class SnapshotTable:
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
         extra: dict | None = None,
+        change_feed: bool = False,
     ) -> int:
         """COPY-ON-WRITE MERGE (Delta MERGE INTO / upsert): rows of
         ``updates`` REPLACE table rows with the same key; unmatched update
@@ -1191,17 +1192,56 @@ class SnapshotTable:
                 f"merge_upsert update batch has duplicate keys "
                 f"({n} rows, {nd} distinct {tuple(keys)})"
             )
-        kept_paths, new_entries = self._rewrite_minus_keys(
-            spark, version, key_batch, keys, stats_cols, bloom_cols, n_keys=n
+        kept_paths, new_entries, removed = self._rewrite_minus_keys(
+            spark,
+            version,
+            key_batch,
+            keys,
+            stats_cols,
+            bloom_cols,
+            n_keys=n,
+            capture_removed=change_feed,
         )
         schema = _merge_schemas(self._schema(version), updates.schema)
         up = updates
         for f in schema.fields:  # align update batch to the evolved shape
             if f.name not in updates.columns:
                 up = up.withColumn(f.name, F.lit(None).cast(f.dataType))
-        new_entries += self._write_data(
-            up.select([f.name for f in schema.fields]), stats_cols, bloom_cols
-        )
+        up_sel = up.select([f.name for f in schema.fields])
+        new_entries += self._write_data(up_sel, stats_cols, bloom_cols)
+        if change_feed:
+            # CDF change files for MERGE (Delta CDC semantics): replaced
+            # rows as update_preimage, their replacements as
+            # update_postimage, unmatched update rows as insert. The
+            # split is one semi/anti join of the ingest-sized batch
+            # against the matched key set; pre-images align to the
+            # evolved schema (new columns NULL) so the feed serves one
+            # stable shape.
+            def _mark(rows_df: DataFrame, change: str) -> list[dict]:
+                ents = self._write_data(rows_df, ())
+                for e in ents:
+                    e["kind"] = "change"
+                    e["change"] = change
+                return ents
+
+            if removed is not None:
+                pre = removed
+                for f in schema.fields:
+                    if f.name not in pre.columns:
+                        pre = pre.withColumn(f.name, F.lit(None).cast(f.dataType))
+                pre = pre.select([f.name for f in schema.fields])
+                matched = removed.select(*keys).distinct()
+                new_entries += _mark(pre, "update_preimage")
+                new_entries += _mark(
+                    up_sel.join(matched, keys, "left_semi"),
+                    "update_postimage",
+                )
+                new_entries += _mark(
+                    up_sel.join(matched, keys, "left_anti"), "insert"
+                )
+            else:
+                new_entries += _mark(up_sel, "insert")
+            extra = {**(extra or {}), "cdf": True}
         return self._publish_cow(
             version, kept_paths, new_entries, "merge", schema, extra
         )
@@ -1215,12 +1255,15 @@ class SnapshotTable:
         stats_cols: tuple[str, ...],
         bloom_cols: tuple[str, ...] = (),
         n_keys: int | None = None,
-    ) -> tuple[list[dict], list[dict]]:
+        capture_removed: bool = False,
+    ) -> tuple[list[dict], list[dict], DataFrame | None]:
         """Shared copy-on-write core of :meth:`merge_upsert` and
         :meth:`delete_keys`: locate the files containing any key of
         ``key_df`` (one left-semi join grouped to file granularity — the
         collect is file-count-sized), rewrite only those with matched rows
-        anti-joined out. Returns (kept file paths, rewritten entries).
+        anti-joined out. Returns (kept file paths, rewritten entries,
+        removed-rows frame when ``capture_removed`` — the CDF pre-image
+        source — else None).
 
         Key batches are ingest-sized by CONTRACT, but the contract is now
         enforced, not assumed: the key set is broadcast only under
@@ -1271,14 +1314,16 @@ class SnapshotTable:
             {e["path"] for e in entries} - rewrite_paths
         ) | {e["path"] for e in self._delete_entries(version)}
         new_entries: list[dict] = []
+        removed: DataFrame | None = None
         if rewrite:
             # MOR deletes apply to the rewrite read (rewritten files get a
             # new sequence number — see delete_where)
-            survivors = self._read_with_deletes(spark, version, rewrite).join(
-                gated, keys, "left_anti"
-            )
+            src_rw = self._read_with_deletes(spark, version, rewrite)
+            survivors = src_rw.join(gated, keys, "left_anti")
+            if capture_removed:
+                removed = src_rw.join(gated, keys, "left_semi")
             new_entries = self._write_data(survivors, stats_cols, bloom_cols)
-        return kept_paths, new_entries
+        return kept_paths, new_entries, removed
 
     def delete_keys(
         self,
@@ -1287,6 +1332,7 @@ class SnapshotTable:
         key_cols: tuple[str, ...],
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
+        change_feed: bool = False,
     ) -> int:
         """COPY-ON-WRITE KEYED DELETE: remove every row whose key appears
         in ``key_df`` — the "apply the keep-list" half of a curation run
@@ -1304,13 +1350,34 @@ class SnapshotTable:
         if version is None:
             raise ValueError("snapshot table has no committed version")
         keys = list(key_cols)
-        kept_paths, new_entries = self._rewrite_minus_keys(
-            spark, version, key_df.select(*keys), keys, stats_cols, bloom_cols
+        kept_paths, new_entries, removed = self._rewrite_minus_keys(
+            spark,
+            version,
+            key_df.select(*keys),
+            keys,
+            stats_cols,
+            bloom_cols,
+            capture_removed=change_feed,
         )
         if len(kept_paths) == len(self._entries(version)):
             return version
+        extra = None
+        if change_feed and removed is not None:
+            # same CDF pattern as delete_where: removed rows' pre-images
+            # ride the commit as change files for the streaming feed
+            chg = self._write_data(removed, ())
+            for e in chg:
+                e["kind"] = "change"
+                e["change"] = "delete"
+            new_entries = new_entries + chg
+            extra = {"cdf": True}
         return self._publish_cow(
-            version, kept_paths, new_entries, "delete", self._schema(version)
+            version,
+            kept_paths,
+            new_entries,
+            "delete",
+            self._schema(version),
+            extra,
         )
 
     def replace_where(
@@ -1804,9 +1871,12 @@ class SnapshotTable:
         must be idempotent on (stream_id, batch_id). A replayed batch is
         recognized from the manifest history and skipped — no files
         written, no version published; returns None for the skip, else
-        the new version. The check-then-write is single-writer-safe (one
-        streaming query owns a sink); multi-writer would CAS the manifest
-        pointer like every other commit path.
+        the new version. Concurrent writers are handled the same way
+        every other commit path is: a lost manifest CAS re-derives
+        against the new head — re-checking the ledger first, so two
+        queries racing on the SAME (stream_id, batch_id) (a zombie
+        executor beside its replacement) commit exactly one copy, and
+        DIFFERENT streams sharing a sink table interleave safely.
 
         Retention interaction: the max committed batch id per stream rides
         EVERY manifest forward (``_ledger`` — the Delta pattern of keeping
@@ -1818,18 +1888,29 @@ class SnapshotTable:
             return None
         written = self._write_data(df, stats_cols, partition_by=partition_by)
         new_segs = self._write_batch_segments(written, partition_by)
-        parent = self.latest_version()
-        segments, schema = list(new_segs), df.schema
-        if parent is not None:
-            segments = self._parent_segments(parent) + new_segs
-            schema = _merge_schemas(self._schema(parent), df.schema)
-        return self._publish_list(
-            segments,
-            "append",
-            schema,
-            parent,
-            extra={"stream_id": stream_id, "stream_batch_id": batch_id},
-        )
+        for _ in range(64):
+            # re-check INSIDE the retry loop: the writer that beat us may
+            # have been a zombie twin committing this very batch — after
+            # its publish, ours must become the no-op (the already-written
+            # files die as unreferenced orphans, swept by cleanup_orphans)
+            if self.stream_batch_committed(stream_id, batch_id):
+                return None
+            parent = self.latest_version()
+            segments, schema = list(new_segs), df.schema
+            if parent is not None:
+                segments = self._parent_segments(parent) + new_segs
+                schema = _merge_schemas(self._schema(parent), df.schema)
+            try:
+                return self._publish_list(
+                    segments,
+                    "append",
+                    schema,
+                    parent,
+                    extra={"stream_id": stream_id, "stream_batch_id": batch_id},
+                )
+            except CommitConflict:
+                continue
+        raise CommitConflict("64 consecutive manifest races; giving up")
 
     def commit_onto(
         self,

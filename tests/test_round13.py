@@ -543,3 +543,104 @@ def test_cow_delete_change_feed(spark, tmp_path):
     t.delete_where(spark, "k = 5", stats_cols=("k",))
     with pytest.raises(StreamingQueryException, match="delete"):
         _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
+
+
+# --- commit_stream_batch: CAS retry + zombie-twin dedup ---------------------
+
+
+def test_commit_stream_batch_survives_cas_race(spark, tmp_path, monkeypatch):
+    """A concurrent writer stealing the version mid-publish makes the
+    streaming append re-derive and land on the next version — not fail,
+    not drop the batch."""
+    from serverless_mapreduce_spark.sources import snapshots as snapmod
+
+    base = str(tmp_path / "tbl")
+    t, other = SnapshotTable(base), SnapshotTable(base)
+    t.commit(_kdf(spark, 0, 2))
+    fired = {"n": 0}
+    orig = snapmod.SnapshotTable._publish_list
+
+    def racy(self, segments, mode, schema, parent, extra=None, seq_source=None):
+        if self is t and fired["n"] == 0:
+            fired["n"] = 1
+            other.commit(_kdf(spark, 90, 92))  # concurrent writer wins v2
+        return orig(self, segments, mode, schema, parent, extra, seq_source)
+
+    monkeypatch.setattr(snapmod.SnapshotTable, "_publish_list", racy)
+    v = t.commit_stream_batch(_kdf(spark, 2, 4), "s", 0)
+    assert v == 3 and fired["n"] == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2, 3, 90, 91]
+
+
+def test_commit_stream_batch_zombie_twin_is_noop(spark, tmp_path, monkeypatch):
+    """Two queries racing on the SAME (stream_id, batch_id) — a zombie
+    beside its replacement — commit exactly one copy: the loser's retry
+    re-checks the ledger and becomes the no-op."""
+    from serverless_mapreduce_spark.sources import snapshots as snapmod
+
+    base = str(tmp_path / "tbl")
+    t, twin = SnapshotTable(base), SnapshotTable(base)
+    t.commit(_kdf(spark, 0, 2))
+    fired = {"n": 0}
+    orig = snapmod.SnapshotTable._publish_list
+
+    def racy(self, segments, mode, schema, parent, extra=None, seq_source=None):
+        if self is t and fired["n"] == 0:
+            fired["n"] = 1
+            twin.commit_stream_batch(_kdf(spark, 2, 4), "s", 1)
+        return orig(self, segments, mode, schema, parent, extra, seq_source)
+
+    monkeypatch.setattr(snapmod.SnapshotTable, "_publish_list", racy)
+    assert t.commit_stream_batch(_kdf(spark, 2, 4), "s", 1) is None
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 1, 2, 3]
+
+
+# --- CDF for merge_upsert and delete_keys -----------------------------------
+
+
+def test_merge_upsert_change_feed(spark, tmp_path):
+    """merge_upsert(change_feed=True) records replaced rows as
+    update_preimage, their replacements as update_postimage, and
+    unmatched update rows as insert — and the feed folds back to the
+    table head."""
+    base, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t = SnapshotTable(base)
+    kv = lambda pairs: spark.createDataFrame(pairs, "k bigint, v bigint")  # noqa: E731
+    t.commit(kv([(1, 10), (2, 20), (3, 30)]))
+    rows: list = []
+    _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
+    assert len(rows) == 3
+    t.merge_upsert(spark, kv([(2, 99), (7, 70)]), ("k",), change_feed=True)
+    # reads see the merged state, never change files
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [
+        (1, 10), (2, 99), (3, 30), (7, 70)
+    ]
+    _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
+    new = rows[3:]
+    assert sorted((k, v, ct) for k, v, ct in new) == [
+        (2, 20, "update_preimage"),
+        (2, 99, "update_postimage"),
+        (7, 70, "insert"),
+    ]
+    # survivors (1, 3) were rewritten on disk but NOT re-streamed
+    # fold: inserts + postimages - (preimage keys not re-asserted)
+    state = {}
+    for k, v, ct in rows:
+        if ct in ("insert", "update_postimage"):
+            state[k] = v
+        elif ct == "update_preimage":
+            pass  # superseded by its postimage
+    assert sorted(state.items()) == [(1, 10), (2, 99), (3, 30), (7, 70)]
+
+
+def test_delete_keys_change_feed(spark, tmp_path):
+    base, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t = SnapshotTable(base)
+    t.commit(_kdf(spark, 0, 6))
+    rows: list = []
+    _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
+    t.delete_keys(spark, _kdf(spark, 1, 3), ("k",), change_feed=True)
+    assert sorted(r.k for r in t.read(spark).collect()) == [0, 3, 4, 5]
+    _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
+    new = rows[6:]
+    assert sorted((k, ct) for k, ct in new) == [(1, "delete"), (2, "delete")]
