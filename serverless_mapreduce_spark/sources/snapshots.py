@@ -145,6 +145,14 @@ class SnapshotTable:
     #: a useful partition spec is low-cardinality per batch anyway)
     SUMMARY_PARTITION_CAP = 64
 
+    #: commits writing at most this many files (and needing no stats
+    #: aggregation) lift row counts from the parquet footers directly —
+    #: BOUNDED driver metadata reads (constant cap, never
+    #: batch-proportional); larger batches run the one distributed
+    #: rows+stats pass instead (r12 advice + r13 bench: a fixed Spark job
+    #: per micro-batch commit dominates small streaming appends)
+    ROWS_FOOTER_CAP = 64
+
     @staticmethod
     def _summarize(entries: list[dict]) -> dict:
         """Segment-level pruning SUMMARY (the Iceberg manifest-list
@@ -641,7 +649,22 @@ class SnapshotTable:
             return raw
         n = cls._PREFIX_LEN.get(kind)
         if n is not None:
-            return raw[:n] if len(raw) >= n else NotImplemented
+            # derive only from ISO-shaped prefixes (what date_format
+            # rendered at write time), normalizing a T date/time
+            # separator to the space the writer used — anything else is
+            # NOT provably the writer's rendering, and a mis-derived
+            # equality probe is a WRONG PRUNE (missing rows), so it must
+            # fall back to the conservative scan
+            import re
+
+            iso = {
+                4: r"\d{4}",
+                7: r"\d{4}-\d{2}",
+                10: r"\d{4}-\d{2}-\d{2}",
+                13: r"\d{4}-\d{2}-\d{2} \d{2}",
+            }
+            p = raw[:n].replace("T", " ")
+            return p if re.fullmatch(iso[n], p) else NotImplemented
         if kind == "bucket":
             import zlib
 
@@ -809,12 +832,12 @@ class SnapshotTable:
             }
 
         real_of = {e["path"]: os.path.realpath(e["path"]) for e in entries}
-        if entries:
+        if entries and (stats_cols or len(entries) > self.ROWS_FOOTER_CAP):
             # Per-entry ROW COUNTS and per-file min/max stats, lifted in
             # ONE distributed pass over the files just written — never by
-            # opening parquet footers serially on the driver (O(files)
-            # driver round-trips per commit is exactly the unbounded-
-            # driver-work shape this repo bans on an object store; r12
+            # opening parquet footers serially on the driver beyond a
+            # CONSTANT cap (unbounded O(files) driver round-trips per
+            # commit is the shape this repo bans on an object store; r12
             # advice). Row counts feed segment summaries (planning skips
             # empty/delete-only segments) and the merge-on-read broadcast
             # gate (_read_with_deletes must NOT broadcast a table-fraction
@@ -838,6 +861,16 @@ class SnapshotTable:
                     ent["stats"] = {
                         c: [r[f"min_{c}"], r[f"max_{c}"]] for c in stats_cols
                     }
+        elif entries:
+            # no stats requested and a small batch: footer metadata reads
+            # bounded by ROWS_FOOTER_CAP (a constant, not table- or
+            # batch-proportional — the bounded-driver-work compromise:
+            # a fixed handful of ~KB footer reads beats scheduling a
+            # whole Spark job per streaming micro-batch commit)
+            import pyarrow.parquet as _pq
+
+            for ent in entries:
+                ent["rows"] = _pq.ParquetFile(ent["path"]).metadata.num_rows
         for c in bloom_cols:
             # Hash parity contract: the bitmap is built from Spark's
             # cast-to-STRING rendering, probed with Python str(value) —
@@ -2696,24 +2729,44 @@ class MultiTableCatalog:
             return None
         return min(sids.values())
 
+    def published_versions(self, table_name: str) -> set[int]:
+        """Every version of ``table_name`` some RETAINED transaction made
+        (or left) visible — the versions a reader resolving through any
+        retained txn could still be scanning. ``expire_txns`` bounds the
+        walk; each txn carries the full merged map, so this is also the
+        coverage window :meth:`collect_staged_orphans` proves orphanhood
+        against."""
+        import contextlib
+
+        out: set[int] = set()
+        for n in self.txns():
+            with contextlib.suppress(FileNotFoundError):
+                with open(self._txn_path(n)) as fh:
+                    v = json.load(fh)["tables"].get(table_name)
+                if v is not None:
+                    out.add(v)
+        return out
+
     def expire_table(
         self,
         tbl: "SnapshotTable",
         table_name: str,
         keep_latest: int = 2,
     ) -> tuple[list[int], list[str]]:
-        """Retention vacuum for a catalog-managed table with BOTH safety
-        pins wired: the catalog-visible version (readers resolve through
-        the catalog, which may lag the table head by staged commits) and
-        every version at or above the slowest registered stream cursor
+        """Retention vacuum for a catalog-managed table with every safety
+        pin wired: ALL versions named by retained transactions (a reader
+        resolving through an older retained txn's map must not race the
+        vacuum — not just the head's visible version) and every version
+        at or above the slowest registered stream cursor
         (:meth:`min_stream_cursor`). This is the one retention entry
         point that cannot break a catalog reader or a checkpointed
         subscriber — call it instead of ``expire_versions`` whenever the
-        table participates in catalog transactions."""
-        vis = self.visible(table_name)
+        table participates in catalog transactions. Tighten the window
+        with ``expire_txns`` first; retention follows the txn log, never
+        the other way around."""
         return tbl.expire_versions(
             keep_latest,
-            pin=(vis,) if vis is not None else (),
+            pin=tuple(self.published_versions(table_name)),
             min_reader_version=self.min_stream_cursor(table_name),
         )
 

@@ -644,3 +644,46 @@ def test_delete_keys_change_feed(spark, tmp_path):
     _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
     new = rows[6:]
     assert sorted((k, ct) for k, ct in new) == [(1, "delete"), (2, "delete")]
+
+
+def test_calendar_probe_requires_iso_shape(spark, tmp_path):
+    """A probe string that is not provably the writer's ISO rendering
+    must keep every file (conservative), while a T-separated ISO
+    timestamp normalizes and still prunes."""
+    rows = [(1, "1996-03-14 10:30:00"), (2, "1997-07-01 11:05:00")]
+    df = spark.createDataFrame(rows, "k bigint, d string").selectExpr(
+        "k", "CAST(d AS TIMESTAMP) AS d"
+    )
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(df, partition_by=("month(d)",))
+    n_all = len(t._data_entries(1))
+    # sloppy-but-parseable date string: NOT derivable -> keep all
+    f1, _ = t.plan_files(partition_eq={"d": "1996-3-14"})
+    assert len(f1) == n_all
+    # T-separated ISO timestamp: normalizes to the writer's rendering
+    f2, _ = t.plan_files(partition_eq={"d": "1996-03-14T10:30:00"})
+    by_path = {e["path"]: e for e in t._data_entries(1)}
+    assert f2 and {by_path[f]["partitions"]["month(d)"] for f in f2} == {
+        "1996-03"
+    }
+
+
+def test_expire_table_pins_all_retained_published_versions(spark, tmp_path):
+    """A reader resolving through an OLDER retained txn's map must not
+    race the vacuum: expire_table pins every version any retained txn
+    names, not just the head's visible one."""
+    from serverless_mapreduce_spark.sources.snapshots import MultiTableCatalog
+
+    root = str(tmp_path)
+    t = SnapshotTable(root + "/t")
+    cat = MultiTableCatalog(root)
+    for lo in (0, 4, 8, 12):
+        v = t.commit_onto(t.latest_version(), _kdf(spark, lo, lo + 4))
+        cat.publish({"t": v})
+    assert cat.published_versions("t") == {1, 2, 3, 4}
+    dropped, _ = cat.expire_table(t, "t", keep_latest=1)
+    assert dropped == []  # every version still named by a retained txn
+    cat.expire_txns(keep_latest=2)  # txn window tightens first
+    assert cat.published_versions("t") == {3, 4}
+    dropped2, _ = cat.expire_table(t, "t", keep_latest=1)
+    assert dropped2 == [1, 2] and t.versions() == [3, 4]
