@@ -377,6 +377,9 @@ HEADLINE = (
     "snapshot_bucket_pruning",
     "stream_ivf_index_maintenance",
     "eval_hybrid_retrieval_mrr",
+    # CDF-maintained rollup: delete pre-images DECREMENT the silver
+    # aggregate (the purge-surviving derived-table loop)
+    "stream_cdf_rollup_maintenance",
 )
 
 

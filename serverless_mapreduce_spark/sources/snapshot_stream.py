@@ -648,3 +648,103 @@ def stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents("o_totalprice")).cast("bigint").alias("sum_cents"),
         )
     )
+
+
+# --- CDF-maintained rollup: deletes DECREMENT instead of killing (r13) ---------
+
+
+@query(
+    "stream_cdf_rollup_maintenance",
+    priority=150,
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderkey % 10 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def stream_cdf_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A DERIVED TABLE MAINTAINED THROUGH PURGES — the loop the change
+    feed exists for (r12 verdict item 2's motivation): the silver rollup
+    in ``stream_snapshot_rollup`` can only FOLD APPENDS; a GDPR purge on
+    bronze previously forced its maintainer to refuse (or silently go
+    stale). Here the subscriber reads the CHANGE FEED: inserts increment
+    the per-priority (count, revenue) rollup and delete PRE-IMAGES
+    decrement it — possible precisely because
+    ``delete_where(change_feed=True)`` records the removed rows' full
+    pre-images (a key-only delete could not reverse a SUM). Each
+    micro-batch folds insert-partials minus delete-partials into the
+    silver SnapshotTable, visibility + ledger flipped per batch in one
+    catalog txn; redelivery is a no-op. The oracle is the full
+    recompute of bronze-after-purge: a lost delete leaves the rollup
+    too high, a double-applied one too low, a re-read doubles inserts —
+    partial ⊕ signed-partial ≡ full only under exactly-once both ways.
+
+    Scale: the fold reads one micro-batch + the group-cardinality-sized
+    rollup; the purge itself is the stats-prunable COW delete; nothing
+    re-aggregates the lake."""
+    import shutil
+
+    from serverless_mapreduce_spark.sources.snapshots import MultiTableCatalog
+
+    root = scratch(sf_tag(sf_dir), "stream_cdf_rollup")
+    shutil.rmtree(root, ignore_errors=True)
+    bronze = SnapshotTable(f"{root}/bronze")
+    silver = SnapshotTable(f"{root}/silver")
+    cat = MultiTableCatalog(root)
+    sid = "cdf_rollup"
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    bronze.commit(orders.filter(k % 2 == 0))
+
+    def signed_partial(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            (F.count("*") * sign).cast("bigint").alias("n_orders"),
+            (F.sum(_cents("o_totalprice")) * sign)
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if cat.batch_committed(sid, batch_id):
+            return
+        ct = F.col(CHANGE_TYPE_COL)
+        merged = signed_partial(batch_df.filter(ct == "insert"), 1).unionAll(
+            signed_partial(batch_df.filter(ct == "delete"), -1)
+        )
+        vis = cat.visible("cdf_silver")
+        if vis is not None:
+            merged = merged.unionAll(silver.read(spark, vis))
+        rolled = merged.groupBy("o_orderpriority").agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+        w = silver.commit(rolled, mode="overwrite")
+        cat.publish({"cdf_silver": w}, sid, batch_id)
+
+    def drain() -> None:
+        (
+            read_stream(spark, bronze.base, readChangeFeed="true")
+            .writeStream.foreachBatch(fold)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()  # evens folded in
+    # the purge: evens divisible by 5 leave bronze WITH pre-images
+    bronze.delete_where(spark, "o_orderkey % 5 = 0", change_feed=True)
+    bronze.commit(orders.filter(k % 2 == 1))
+    drain()  # one feed: delete pre-images decrement, odd inserts increment
+    # out-of-band redelivery of batch 0 must be a no-op
+    fold(
+        bronze.read(spark, 1).withColumn(CHANGE_TYPE_COL, F.lit("insert")), 0
+    )
+    return silver.read(spark, cat.visible("cdf_silver"))
