@@ -3652,6 +3652,7 @@ def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     corpus.commit(emb.filter(~rem.isin(ANN_B1, ANN_B2)))
+    consumed = {"v": 0}  # the end offset the CURRENT drain will reach
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if cat.batch_committed(sid, batch_id):
@@ -3664,10 +3665,16 @@ def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"ivf_index": w},
             sid,
             batch_id,
-            cursors={"corpus": {sid: corpus.latest_version()}},
+            # the cursor is the END OFFSET captured when the drain
+            # started (availableNow pins its end offset then), NEVER the
+            # fold-time table head: a writer appending mid-drain would
+            # otherwise OVERSTATE consumption and let expire_table
+            # vacuum the checkpoint's real restart point (r13 review)
+            cursors={"corpus": {sid: consumed["v"]}},
         )
 
     def drain() -> None:
+        consumed["v"] = corpus.latest_version() or 0
         (
             read_stream(spark, corpus.base)
             .writeStream.foreachBatch(fold)

@@ -207,9 +207,32 @@ class SnapshotStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         self._cursor = max(getattr(self, "_cursor", lo) or lo, hi)
         t = self._table()
+        bodies: dict[int, dict] = {}
+        for v in range(lo + 1, hi + 1):
+            try:
+                bodies[v] = t._manifest_body(v)
+            except FileNotFoundError:
+                # a missing MID-RANGE manifest above a live cursor has
+                # exactly one legitimate source: a staged-orphan GC hole
+                # (collect_staged_orphans removes versions that were
+                # never published — rows that must NOT stream anyway).
+                # Retention respects registered cursors (expire_table),
+                # so skipping is correct, not lossy.
+                continue
+        # versions a later re-staged commit SUPERSEDES (its recorded base
+        # predates them) are crashed staging attempts: the replay
+        # re-staged the same batch, so emitting both would double it
+        # downstream (r13 review)
+        superseded: set[int] = set()
+        for v, body in bodies.items():
+            b = body.get("base")
+            if b is not None and b < v - 1:
+                superseded.update(range(b + 1, v))
         out: list[InputPartition] = []
         for v in range(lo + 1, hi + 1):
-            body = t._manifest_body(v)
+            body = bodies.get(v)
+            if body is None or v in superseded:
+                continue
             mode = body.get("mode", "append")
             emit_data = emit_deletes = emit_changes = False
             if not body.get("data_change", True) or mode in _ZERO_ROW_MODES:

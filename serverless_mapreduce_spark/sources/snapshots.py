@@ -76,6 +76,44 @@ class CommitConflict(RuntimeError):
     re-run their derivation against the new head."""
 
 
+import re as _re
+from functools import lru_cache as _lru_cache
+
+#: ISO prefix shapes a calendar-transform probe must match to be provably
+#: the writer's date_format rendering (space-separated at the hour level;
+#: probes normalize a T separator before matching)
+_ISO_PREFIX_RE = {
+    4: _re.compile(r"\d{4}"),
+    7: _re.compile(r"\d{4}-\d{2}"),
+    10: _re.compile(r"\d{4}-\d{2}-\d{2}"),
+    13: _re.compile(r"\d{4}-\d{2}-\d{2} \d{2}"),
+}
+
+_TRANSFORM_RES = (
+    _re.compile(r"(year|month|day|hour)\((\w+)\)"),
+    _re.compile(r"bucket\((\d+)\s*,\s*(\w+)\)"),
+    _re.compile(r"truncate\((\d+)\s*,\s*(\w+)\)"),
+)
+
+
+@_lru_cache(maxsize=4096)
+def _parse_transform_key(key: str) -> tuple[str, int | None, str]:
+    """Cached transform-key parser (planning calls this per (entry ×
+    partition key); plans see a handful of distinct keys, so the cache
+    turns the regex cost into O(distinct keys) per process — r13
+    review)."""
+    m = _TRANSFORM_RES[0].fullmatch(key)
+    if m is not None:
+        return m.group(1), None, m.group(2)
+    m = _TRANSFORM_RES[1].fullmatch(key)
+    if m is not None:
+        return "bucket", int(m.group(1)), m.group(2)
+    m = _TRANSFORM_RES[2].fullmatch(key)
+    if m is not None:
+        return "truncate", int(m.group(1)), m.group(2)
+    return "identity", None, key
+
+
 def _merge_schemas(parent, incoming):
     """ADD-COLUMN schema evolution (Iceberg union-by-name, additive only):
     the merged schema is the parent's fields in order, plus incoming fields
@@ -238,7 +276,9 @@ class SnapshotTable:
                 if src not in probe:
                     continue
                 exp = SnapshotTable._transform_probe(kind, param, probe[src])
-                if exp is not NotImplemented and exp not in vals:
+                if exp is not NotImplemented and all(
+                    c not in vals for c in exp
+                ):
                     return True
         if where is not None:
             col, lo, hi = where
@@ -556,19 +596,9 @@ class SnapshotTable:
         (crc32 hash mod N: point lookups prune on high-cardinality
         keys), ``truncate(W, col)`` (string prefix / integer
         floor-to-W-multiple: range pruning on wide domains) — plus
-        ``identity`` for a bare column name."""
-        import re
-
-        m = re.fullmatch(r"(year|month|day|hour)\((\w+)\)", key)
-        if m is not None:
-            return m.group(1), None, m.group(2)
-        m = re.fullmatch(r"bucket\((\d+)\s*,\s*(\w+)\)", key)
-        if m is not None:
-            return "bucket", int(m.group(1)), m.group(2)
-        m = re.fullmatch(r"truncate\((\d+)\s*,\s*(\w+)\)", key)
-        if m is not None:
-            return "truncate", int(m.group(1)), m.group(2)
-        return "identity", None, key
+        ``identity`` for a bare column name. Cached module-level:
+        planning calls this per (entry × key)."""
+        return _parse_transform_key(key)
 
     @classmethod
     def _partition_field(cls, spec: str, schema=None):
@@ -637,43 +667,43 @@ class SnapshotTable:
     @classmethod
     def _transform_probe(cls, kind: str, param: int | None, raw):
         """The Python twin of the write-side transform expression, applied
-        to a planner's raw EQUALITY probe value: returns the manifest
-        rendering that a matching file must have recorded, ``None`` for
-        the NULL partition, or ``NotImplemented`` when the probe cannot
-        be derived (conservative keep — e.g. a date-only string probed
-        against an hour() spec)."""
+        to a planner's raw EQUALITY probe value: returns the TUPLE of
+        manifest renderings a matching file may have recorded (a file
+        whose recorded value is in none of them provably cannot match),
+        or ``NotImplemented`` when nothing can be derived (conservative
+        keep — e.g. a date-only string probed against an hour() spec).
+        A NULL probe maps to ``(None,)`` (the NULL partition).
+
+        Multiple candidates exist exactly where the write-side rendering
+        depends on the COLUMN TYPE the planner cannot see: truncate() of
+        a numeric-looking probe may have been written by the string
+        (prefix) or the integer (floor) expression, so BOTH renderings
+        are accepted — guessing one would be a wrong prune, i.e. missing
+        rows (r13 review)."""
         if raw is None:
-            return None
+            return (None,)
         raw = str(raw)
         if kind == "identity":
-            return raw
+            return (raw,)
         n = cls._PREFIX_LEN.get(kind)
         if n is not None:
             # derive only from ISO-shaped prefixes (what date_format
             # rendered at write time), normalizing a T date/time
             # separator to the space the writer used — anything else is
-            # NOT provably the writer's rendering, and a mis-derived
-            # equality probe is a WRONG PRUNE (missing rows), so it must
-            # fall back to the conservative scan
-            import re
-
-            iso = {
-                4: r"\d{4}",
-                7: r"\d{4}-\d{2}",
-                10: r"\d{4}-\d{2}-\d{2}",
-                13: r"\d{4}-\d{2}-\d{2} \d{2}",
-            }
+            # NOT provably the writer's rendering
             p = raw[:n].replace("T", " ")
-            return p if re.fullmatch(iso[n], p) else NotImplemented
+            return (p,) if _ISO_PREFIX_RE[n].fullmatch(p) else NotImplemented
         if kind == "bucket":
             import zlib
 
-            return str(zlib.crc32(raw.encode()) % param)
+            return (str(zlib.crc32(raw.encode()) % param),)
         if kind == "truncate":
+            prefix = raw[:param]
             try:
-                return str(int(raw) - (int(raw) % param))
+                floor = str(int(raw) - (int(raw) % param))
             except ValueError:
-                return raw[:param]
+                return (prefix,)
+            return (prefix, floor)
         return NotImplemented
 
     @classmethod
@@ -695,7 +725,7 @@ class SnapshotTable:
             if src not in probe:
                 continue
             exp = cls._transform_probe(kind, param, probe[src])
-            if exp is not NotImplemented and rec != exp:
+            if exp is not NotImplemented and rec not in exp:
                 return True
         return False
 
@@ -717,7 +747,15 @@ class SnapshotTable:
         if n is not None:
             if not (isinstance(lo, str) and isinstance(hi, str)):
                 return False
-            return not (lo[:n] <= rec <= hi[:n])
+            # normalize a T date/time separator the same way the equality
+            # path does — the writer rendered with a space, and an
+            # unnormalized 'T' bound compares ABOVE every space-rendered
+            # hour value, silently excluding matching files (r13 review)
+            return not (
+                lo[:n].replace("T", " ")
+                <= rec
+                <= hi[:n].replace("T", " ")
+            )
         if kind == "truncate":
             if isinstance(lo, str) and isinstance(hi, str):
                 return not (lo[:param] <= rec <= hi[:param])
@@ -1392,7 +1430,12 @@ class SnapshotTable:
             bloom_cols,
             capture_removed=change_feed,
         )
-        if len(kept_paths) == len(self._entries(version)):
+        # no-op iff NO data file was rewritten — checked by coverage, not
+        # entry counts: the head may carry CDF change files (neither data
+        # nor delete), and a count mismatch would publish a spurious
+        # data-changing 'delete' version for a zero-match key set, which
+        # needlessly kills subscribed streams (r13 review)
+        if all(e["path"] in kept_paths for e in self._data_entries(version)):
             return version
         extra = None
         if change_feed and removed is not None:
@@ -1567,7 +1610,11 @@ class SnapshotTable:
         return int(r)
 
     def _read_with_deletes(
-        self, spark: SparkSession, version: int, data_entries: list[dict]
+        self,
+        spark: SparkSession,
+        version: int,
+        data_entries: list[dict],
+        deletes: list[dict] | None = None,
     ) -> DataFrame:
         """Read ``data_entries`` under ``version``'s schema with every
         APPLICABLE merge-on-read delete anti-joined out. Data files are
@@ -1591,7 +1638,11 @@ class SnapshotTable:
                     "need a schema"
                 )
             return spark.createDataFrame([], schema)
-        dels = self._delete_entries(version)
+        # ``deletes`` overrides the version's own delete entries — the
+        # incremental walk passes the IN-RANGE union, which can include
+        # delete files a later compaction already materialized away from
+        # ``version``'s manifest (still on disk until retention)
+        dels = self._delete_entries(version) if deletes is None else deletes
         if not dels:
             return reader.parquet(*[e["path"] for e in data_entries])
         from collections import defaultdict
@@ -1962,9 +2013,14 @@ class SnapshotTable:
         PUBLISHED state, not stack onto its own orphaned first attempt
         (which would double the batch). Base refs are a subset of the
         head's refs in the staging pattern, so carried sequence numbers
-        are preserved by ``_publish_list``'s parent lookup."""
+        are preserved by ``_publish_list``'s parent lookup. The manifest
+        records the base as its TRUE parent (``"base"``), so per-version
+        delta consumers diff against the published chain, never a
+        crashed sibling stage."""
         written = self._write_data(df, stats_cols)
         seg = self._write_segment(written)
+        ex = dict(extra or {})
+        ex["base"] = base_version or 0
         for _ in range(64):
             parent = self.latest_version()
             if base_version is None:
@@ -1978,7 +2034,7 @@ class SnapshotTable:
                     "append",
                     schema,
                     parent,
-                    extra,
+                    ex,
                     seq_source=base_version,  # base refs keep their seqs
                 )
             except CommitConflict:
@@ -2204,7 +2260,8 @@ class SnapshotTable:
                         for k in keys
                     ]
                     if all(
-                        x is not NotImplemented and x not in vals
+                        x is not NotImplemented
+                        and all(c not in vals for c in x)
                         for x in exps
                     ):
                         skip = True
@@ -2226,10 +2283,16 @@ class SnapshotTable:
         per-version planning unit streams and incremental readers walk,
         which is what lets them skip ``data_change=false`` maintenance
         versions without mistaking rewritten-but-row-identical files for
-        new rows."""
+        new rows.
+
+        The predecessor is the version's TRUE parent: ``commit_onto``
+        records the base it branched from (``"base"``), so a re-staged
+        catalog batch diffs against the published base — never against a
+        crashed sibling stage whose refs it does not extend (and whose
+        manifest a staged-orphan GC may have removed; r13 review)."""
         body = self._manifest_body(version)
         refs = body.get("segments")
-        prev = version - 1
+        prev = body.get("base", version - 1)
         prev_refs = self._segment_refs(prev) if prev > 0 else []
         if refs is not None and prev_refs is not None:
             base = set(prev_refs)
@@ -2248,10 +2311,11 @@ class SnapshotTable:
 
     def _incremental_entries(
         self, from_version: int, to_version: int
-    ) -> list[dict]:
-        """Data entries holding the rows APPENDED in ``(from_version,
-        to_version]`` — the per-version walk behind
-        :meth:`incremental_files` / :meth:`read_incremental`.
+    ) -> tuple[list[dict], list[dict] | None]:
+        """(data entries holding the rows APPENDED in ``(from_version,
+        to_version]``, the in-range merge-on-read delete entries to apply
+        — or None meaning "use ``to_version``'s own") — the per-version
+        walk behind :meth:`incremental_files` / :meth:`read_incremental`.
 
         ``data_change=false`` maintenance versions (small-file compaction,
         manifest rewrites) are skipped entirely: their files are
@@ -2265,9 +2329,20 @@ class SnapshotTable:
         the conservative whole-diff of the two endpoint manifests: its
         row-level delta is not derivable from file sets, and the
         documented contract is that the reader sees a full rewrite."""
+        bodies: dict[int, dict] = {}
         rewriting = False
         for v in range(from_version + 1, to_version + 1):
-            body = self._manifest_body(v)
+            try:
+                body = self._manifest_body(v)
+            except FileNotFoundError:
+                # a mid-range manifest is gone (a pinned-retention gap or
+                # a collected staged orphan): the per-version walk cannot
+                # prove anything about it — fall back to the conservative
+                # endpoint diff, which needs only the two live endpoints
+                # (the pre-r13 behavior; r13 review)
+                rewriting = True
+                break
+            bodies[v] = body
             if not body.get("data_change", True):
                 continue
             if body.get("mode", "append") not in (
@@ -2279,26 +2354,52 @@ class SnapshotTable:
                 rewriting = True
                 break
         if rewriting:
-            base = set(self._files(from_version))
-            return [
-                e
-                for e in self._data_entries(to_version)
-                if e["path"] not in base
-            ]
+            base = (
+                set(self._files(from_version)) if from_version > 0 else set()
+            )
+            return (
+                [
+                    e
+                    for e in self._data_entries(to_version)
+                    if e["path"] not in base
+                ],
+                None,  # to_version's own delete entries apply
+            )
+        # versions a later re-staged commit SUPERSEDES (its recorded base
+        # predates them) are crashed staging attempts that were never
+        # published — their rows must not surface (the replay re-staged
+        # the same batch; emitting both doubles it — r13 review)
+        superseded: set[int] = set()
+        for v, body in bodies.items():
+            b = body.get("base")
+            if b is not None and b < v - 1:
+                superseded.update(range(b + 1, v))
         out: list[dict] = []
+        dels: list[dict] = []
         seen: set[str] = set()
         for v in range(from_version + 1, to_version + 1):
-            body = self._manifest_body(v)
-            if not body.get("data_change", True):
+            body = bodies[v]
+            if v in superseded or not body.get("data_change", True):
                 continue
-            if body.get("mode", "append") != "append":
-                continue  # delete-mor adds key files only; restore/rewrite add no rows
-            for e in self._delta_entries(v):
-                if "kind" in e or e["path"] in seen:
-                    continue
-                seen.add(e["path"])
-                out.append(e)
-        return out
+            mode = body.get("mode", "append")
+            if mode == "append":
+                for e in self._delta_entries(v):
+                    if "kind" in e or e["path"] in seen:
+                        continue
+                    seen.add(e["path"])
+                    out.append(e)
+            elif mode == "delete-mor":
+                # IN-RANGE merge-on-read deletes apply to the delta even
+                # when a later compaction materialized them away from
+                # to_version's manifest (the walk serves the appends'
+                # ORIGINAL files, so the deletes they carried must come
+                # along — r13 review: a purged row must never resurface
+                # in an incremental read)
+                for e in self._delta_entries(v):
+                    if e.get("kind") == "delete" and e["path"] not in seen:
+                        seen.add(e["path"])
+                        dels.append(e)
+        return out, dels
 
     def incremental_files(self, from_version: int, to_version: int) -> list[str]:
         """Data files holding the rows appended in ``(from_version,
@@ -2316,7 +2417,7 @@ class SnapshotTable:
         review)."""
         return [
             e["path"]
-            for e in self._incremental_entries(from_version, to_version)
+            for e in self._incremental_entries(from_version, to_version)[0]
         ]
 
     def read_incremental(
@@ -2329,12 +2430,14 @@ class SnapshotTable:
         Merge-on-read delete files never surface as delta ROWS; they are
         applied to the delta data files they cover, so the consumer sees
         the rows as ``to_version`` would serve them. A compaction inside
-        the range is invisible: its rewritten files are skipped and any
-        append it folded away is still served from the original files."""
-        ents = self._incremental_entries(from_version, to_version)
+        the range is invisible: its rewritten files are skipped, any
+        append it folded away is still served from the original files,
+        and any IN-RANGE MOR delete it materialized away still applies
+        (the walk carries the delete files alongside the originals)."""
+        ents, dels = self._incremental_entries(from_version, to_version)
         # an empty delta (no files added) is a schema-true empty frame,
         # not an error — incremental consumers poll across no-op windows
-        return self._read_with_deletes(spark, to_version, ents)
+        return self._read_with_deletes(spark, to_version, ents, dels)
 
     # -- retention --------------------------------------------------------
 

@@ -687,3 +687,109 @@ def test_expire_table_pins_all_retained_published_versions(spark, tmp_path):
     assert cat.published_versions("t") == {3, 4}
     dropped2, _ = cat.expire_table(t, "t", keep_latest=1)
     assert dropped2 == [1, 2] and t.versions() == [3, 4]
+
+
+# --- r13 review-pass regressions --------------------------------------------
+
+
+def test_read_incremental_applies_in_range_mor_deletes(spark, tmp_path):
+    """A MOR purge followed by a delete-materializing compaction inside
+    the range must NOT resurrect the purged row: the walk serves the
+    appends' original files WITH the in-range delete files applied."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kdf(spark, 0, 5))                               # v1
+    t.commit(_kdf(spark, 11, 21))                             # v2
+    t.delete_keys_mor(spark, _kdf(spark, 15, 16), ("k",))     # v3: purge 15
+    t.compact_small_files(spark, small_bytes=1 << 30)         # v4: materializes
+    got = sorted(r.k for r in t.read_incremental(spark, 1, 4).collect())
+    assert got == [k for k in range(11, 21) if k != 15]
+    # and the head itself agrees
+    assert 15 not in {r.k for r in t.read(spark).collect()}
+
+
+def test_truncate_probe_on_numeric_string_column(spark, tmp_path):
+    """truncate() on a STRING column holding numeric-looking values: the
+    planner cannot see the column type, so the probe accepts BOTH the
+    prefix and the integer-floor rendering — never a wrong prune."""
+    sdf = spark.createDataFrame(
+        [("12345",), ("12999",), ("99001",)], "zip string"
+    )
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(sdf, partition_by=("truncate(2,zip)",))
+    ents = t._data_entries(1)
+    assert {e["partitions"]["truncate(2,zip)"] for e in ents} == {"12", "99"}
+    files, _ = t.plan_files(partition_eq={"zip": "12345"})
+    by_path = {e["path"]: e for e in ents}
+    got = {by_path[f]["partitions"]["truncate(2,zip)"] for f in files}
+    assert "12" in got  # the matching file SURVIVES the probe
+    rows = [
+        r.zip
+        for r in t.read(spark, partition_eq={"zip": "12345"})
+        .filter("zip = '12345'")
+        .collect()
+    ]
+    assert rows == ["12345"]
+
+
+def test_delete_keys_zero_match_is_noop_with_change_files(spark, tmp_path):
+    """A zero-match delete_keys on a head that carries CDF change files
+    must stay a no-op — not publish a spurious stream-killing version."""
+    base, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+    t = SnapshotTable(base)
+    t.commit(_kdf(spark, 0, 6), stats_cols=("k",))
+    v = t.delete_where(spark, "k < 2", stats_cols=("k",), change_feed=True)
+    assert t.delete_keys(spark, _kdf(spark, 100, 103), ("k",)) == v
+    assert t.latest_version() == v
+    # a CDF subscriber keeps working across the would-have-been version
+    rows: list = []
+    _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
+    assert sorted(k for k, ct in rows if ct == "insert") == list(range(6))
+
+
+def test_hour_box_with_t_separator_bounds(spark, tmp_path):
+    rows = [(1, "2024-01-01 05:30:00"), (2, "2024-01-01 07:30:00")]
+    df = spark.createDataFrame(rows, "k bigint, d string").selectExpr(
+        "k", "CAST(d AS TIMESTAMP) AS d"
+    )
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(df, partition_by=("hour(d)",))
+    files, _ = t.plan_files(
+        where=("d", "2024-01-01T05:00:00", "2024-01-01T05:59:59")
+    )
+    by_path = {e["path"]: e for e in t._data_entries(1)}
+    assert files and {
+        by_path[f]["partitions"]["hour(d)"] for f in files
+    } == {"2024-01-01 05"}
+
+
+def test_staged_orphan_streams_and_reads_exactly_once(spark, tmp_path):
+    """A crashed-then-restaged catalog batch: the replacement records its
+    TRUE base, so per-version consumers skip the superseded orphan —
+    the batch arrives exactly once, before AND after the orphan is
+    collected."""
+    from serverless_mapreduce_spark.sources.snapshots import MultiTableCatalog
+
+    root = str(tmp_path)
+    t = SnapshotTable(root + "/t")
+    cat = MultiTableCatalog(root)
+    v1 = t.commit_onto(None, _kdf(spark, 0, 4))
+    cat.publish({"t": v1})
+    t.commit_onto(v1, _kdf(spark, 4, 8))        # v2: crashed stage
+    v3 = t.commit_onto(v1, _kdf(spark, 4, 8))   # v3: replay, same rows
+    cat.publish({"t": v3})
+    # incremental read over the whole range: the batch appears ONCE
+    got = sorted(r.k for r in t.read_incremental(spark, 0, 3).collect())
+    assert got == list(range(8))
+    # fresh stream catch-up: same exactly-once delivery
+    rows: list = []
+    _drain_to(spark, root + "/t", root + "/c1", rows)
+    assert sorted(k for (k,) in rows) == list(range(8))
+    # after the orphan is GC'd (mid-history manifest hole), both repeat
+    assert cat.collect_staged_orphans({"t": t}, grace_seconds=0.0) == {
+        "t": [2]
+    }
+    rows2: list = []
+    _drain_to(spark, root + "/t", root + "/c2", rows2)
+    assert sorted(k for (k,) in rows2) == list(range(8))
+    got2 = sorted(r.k for r in t.read_incremental(spark, 0, 3).collect())
+    assert got2 == list(range(8))
