@@ -380,6 +380,9 @@ HEADLINE = (
     # CDF-maintained rollup: delete pre-images DECREMENT the silver
     # aggregate (the purge-surviving derived-table loop)
     "stream_cdf_rollup_maintenance",
+    # CDC replication: an exact replica maintained purely from the
+    # change feed, applied in _commit_version order
+    "stream_cdc_replication",
 )
 
 

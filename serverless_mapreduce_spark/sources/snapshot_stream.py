@@ -56,9 +56,14 @@ Semantics (Delta's, deliberately):
   change_feed=True)`` commit records the removed rows' FULL pre-images
   as ``kind="change"`` files (Delta's enableChangeDataFeed CDC files),
   and the feed emits those as ``_change_type='delete'`` while skipping
-  the rewritten survivor files; COW rewrites WITHOUT recorded change
-  files still refuse (their row-level delta is not derivable from file
-  sets).
+  the rewritten survivor files; ``merge_upsert(change_feed=True)``
+  likewise emits ``update_preimage`` / ``update_postimage`` / ``insert``
+  rows. COW rewrites WITHOUT recorded change files still refuse (their
+  row-level delta is not derivable from file sets). Every feed row also
+  carries ``_commit_version`` and ``_commit_timestamp`` (Delta CDF's
+  metadata columns) so a CDC consumer can apply changes in commit order
+  — ``stream_cdc_replication`` below maintains an exact replica that
+  way.
 - Schema is pinned to the SOURCE-START head's manifest schema; files
   written before an add-column surface the new column as NULL (the same
   ``_reader`` contract batch reads use).
@@ -100,9 +105,13 @@ from serverless_mapreduce_spark.sources.snapshots import SnapshotTable, _cents
 #: data_change flag / skipChangeCommits.
 _ZERO_ROW_MODES = {"rewrite-manifests", "restore"}
 
-#: the change-feed column appended under readChangeFeed=true (Delta CDF's
-#: column name)
+#: the change-feed columns appended under readChangeFeed=true (Delta
+#: CDF's column names): the change kind, the version that committed the
+#: change, and that commit's wall-clock — the ordering key a CDC
+#: consumer needs to apply upserts and deletes in commit order
 CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+COMMIT_TS_COL = "_commit_timestamp"
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
@@ -267,16 +276,19 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 )
             if not (emit_data or emit_deletes or emit_changes):
                 continue
+            ts = body.get("ts")
             for e in t._delta_entries(v):
                 kind = e.get("kind")
                 if kind == "delete" and emit_deletes:
-                    out.append(InputPartition((e["path"], "delete")))
+                    out.append(InputPartition((e["path"], "delete", v, ts)))
                 elif kind == "change" and emit_changes:
                     out.append(
-                        InputPartition((e["path"], e.get("change", "delete")))
+                        InputPartition(
+                            (e["path"], e.get("change", "delete"), v, ts)
+                        )
                     )
                 elif kind is None and emit_data:
-                    out.append(InputPartition((e["path"], "insert")))
+                    out.append(InputPartition((e["path"], "insert", v, ts)))
         return out
 
     # -- execution --------------------------------------------------------
@@ -295,15 +307,23 @@ class SnapshotStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         val = partition.value
-        path, ctype = (val, "insert") if isinstance(val, str) else val
+        if isinstance(val, str):
+            path, ctype, cver, cts = val, "insert", None, None
+        elif len(val) == 2:
+            path, ctype = val
+            cver = cts = None
+        else:
+            path, ctype, cver, cts = val
         target = to_arrow_schema(self._schema)
         raw = pq.read_table(path)
         cols = []
         for field in target:
-            if field.name == CHANGE_TYPE_COL and self._change_feed:
-                cols.append(
-                    pa.array([ctype] * raw.num_rows, type=field.type)
-                )
+            if self._change_feed and field.name == CHANGE_TYPE_COL:
+                cols.append(pa.array([ctype] * raw.num_rows, type=field.type))
+            elif self._change_feed and field.name == COMMIT_VERSION_COL:
+                cols.append(pa.array([cver] * raw.num_rows, type=field.type))
+            elif self._change_feed and field.name == COMMIT_TS_COL:
+                cols.append(pa.array([cts] * raw.num_rows, type=field.type))
             elif field.name in raw.column_names:
                 cols.append(
                     raw.column(field.name).combine_chunks().cast(field.type)
@@ -359,7 +379,11 @@ class SnapshotStreamDataSource(DataSource):
             f"{f.name} {f.dataType.simpleString()}" for f in st.fields
         )
         if str(opts.get("readchangefeed", "false")).lower() == "true":
-            ddl += f", {CHANGE_TYPE_COL} string"
+            ddl += (
+                f", {CHANGE_TYPE_COL} string"
+                f", {COMMIT_VERSION_COL} bigint"
+                f", {COMMIT_TS_COL} double"
+            )
         return ddl
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
@@ -771,3 +795,118 @@ def stream_cdf_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         bronze.read(spark, 1).withColumn(CHANGE_TYPE_COL, F.lit("insert")), 0
     )
     return silver.read(spark, cat.visible("cdf_silver"))
+
+
+# --- CDC replication: the feed rebuilds the table elsewhere (r13) --------------
+
+
+@query(
+    "stream_cdc_replication",
+    priority=150,
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             + CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 2 = 0
+                    THEN 7 ELSE 0 END AS cents,
+             o_orderkey % 3 AS m3
+      FROM orders
+    )
+    SELECT o_orderkey, cents FROM src
+    WHERE (m3 = 0 AND o_orderkey % 9 <> 0)
+       OR (m3 = 1 AND o_orderkey % 7 = 0 AND o_orderkey % 9 <> 0)
+       OR (m3 = 2)
+    """,
+)
+def stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION — the canonical change-feed consumer (Delta CDF's
+    headline use case): a REPLICA table is maintained purely from the
+    source's change feed, never reading the source itself. Each
+    micro-batch is applied in ``_commit_version`` order — the metadata
+    column the feed carries for exactly this — with inserts and
+    update post-images upserted and delete pre-images removed. Ordering
+    is load-bearing and adversarially probed: one key is UPDATED in one
+    version and DELETED in the next, and both changes arrive in the
+    SAME micro-batch — an unordered fold would resurrect the deleted
+    row. The source history drives every mutation shape: append, CDF
+    merge (pre/post images + inserts), CDF predicate delete, then a
+    second append consumed by a second drain over the same checkpoint;
+    the batch ledger makes redelivery a no-op. The returned replica
+    state equals the oracle's recompute of the source's final state —
+    row-for-row, key and amount — only if every change applied exactly
+    once, in order.
+
+    Scale: the replica applies O(changed rows) per batch via the keyed
+    copy-on-write paths (stats/key-located partial rewrites); the
+    driver-side loop is over the HANDFUL of source versions inside one
+    micro-batch, never rows. This is the cross-region/lakehouse-mirror
+    shape: the mirror costs change-volume, not table-volume."""
+    import shutil
+
+    from serverless_mapreduce_spark.sources.snapshots import MultiTableCatalog
+
+    root = scratch(sf_tag(sf_dir), "stream_cdc_repl")
+    shutil.rmtree(root, ignore_errors=True)
+    src = SnapshotTable(f"{root}/src")
+    replica = SnapshotTable(f"{root}/replica")
+    cat = MultiTableCatalog(root)
+    sid = "cdc_repl"
+    k = F.col("o_orderkey")
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    src.commit(base.filter(k % 3 == 0))
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if cat.batch_committed(sid, batch_id):
+            return
+        ct = F.col(CHANGE_TYPE_COL)
+        versions = sorted(
+            r[0]
+            for r in batch_df.select(COMMIT_VERSION_COL).distinct().collect()
+        )
+        for ver in versions:
+            ev = batch_df.filter(F.col(COMMIT_VERSION_COL) == ver)
+            ups = ev.filter(
+                ct.isin("insert", "update_postimage")
+            ).select("o_orderkey", "cents")
+            dels = ev.filter(ct == "delete").select("o_orderkey")
+            if ups.limit(1).count():
+                if replica.latest_version() is None:
+                    replica.commit(ups)
+                else:
+                    replica.merge_upsert(spark, ups, ("o_orderkey",))
+            if dels.limit(1).count():
+                replica.delete_keys(spark, dels, ("o_orderkey",))
+        cat.publish({}, sid, batch_id)
+
+    def drain() -> None:
+        (
+            read_stream(spark, src.base, readChangeFeed="true")
+            .writeStream.foreachBatch(fold)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()  # v1 replicated
+    # v2: merge — update every even %3==0 key (+7 cents), insert %3==1∧%7==0
+    updates = base.filter((k % 3 == 0) & (k % 2 == 0)).select(
+        "o_orderkey", (F.col("cents") + 7).alias("cents")
+    ).unionAll(base.filter((k % 3 == 1) & (k % 7 == 0)))
+    src.merge_upsert(spark, updates, ("o_orderkey",), change_feed=True)
+    # v3: predicate purge — catches keys v2 JUST updated (order matters)
+    src.delete_where(spark, "o_orderkey % 9 = 0", change_feed=True)
+    # v4: plain append
+    src.commit(base.filter(k % 3 == 2))
+    drain()  # v2..v4 arrive in ONE batch: per-version order is the test
+    # out-of-band redelivery: ledger makes it a no-op
+    fold(
+        src.read(spark, 1)
+        .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+        .withColumn(COMMIT_VERSION_COL, F.lit(1).cast("bigint")),
+        0,
+    )
+    return replica.read(spark).select("o_orderkey", "cents")

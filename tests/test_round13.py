@@ -234,13 +234,13 @@ def test_stream_change_feed_emits_inserts_and_deletes(spark, tmp_path):
     t.commit(_kdf(spark, 6, 8))                          # v3: insert 6,7
     rows: list = []
     _drain_to(spark, base, str(tmp_path / "c"), rows, readChangeFeed="true")
-    inserts = sorted(k for k, ct in rows if ct == "insert")
-    deletes = sorted(k for k, ct in rows if ct == "delete")
+    inserts = sorted(k for k, ct, *_ in rows if ct == "insert")
+    deletes = sorted(k for k, ct, *_ in rows if ct == "delete")
     assert inserts == list(range(8))
     assert deletes == [0, 1]
     # folding the feed reproduces the table head
     survivors = sorted(
-        k for k, ct in rows if ct == "insert" and k not in set(deletes)
+        k for k, ct, *_ in rows if ct == "insert" and k not in set(deletes)
     )
     assert survivors == sorted(r.k for r in t.read(spark).collect())
 
@@ -522,7 +522,7 @@ def test_cow_delete_change_feed(spark, tmp_path):
     t.commit(_kdf(spark, 0, 8), stats_cols=("k",))
     rows: list = []
     _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
-    assert sorted(k for k, ct in rows) == list(range(8))
+    assert sorted(k for k, ct, *_ in rows) == list(range(8))
     v_del = t.delete_where(spark, "k < 3", stats_cols=("k",), change_feed=True)
     # reads never see change files — current or time-traveled
     assert sorted(r.k for r in t.read(spark).collect()) == list(range(3, 8))
@@ -532,12 +532,12 @@ def test_cow_delete_change_feed(spark, tmp_path):
     t.commit(_kdf(spark, 8, 10), stats_cols=("k",))
     _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
     new = rows[8:]
-    assert sorted(k for k, ct in new if ct == "delete") == [0, 1, 2]
-    assert sorted(k for k, ct in new if ct == "insert") == [8, 9]
+    assert sorted(k for k, ct, *_ in new if ct == "delete") == [0, 1, 2]
+    assert sorted(k for k, ct, *_ in new if ct == "insert") == [8, 9]
     assert len(new) == 5  # survivors (3..7) were NOT re-streamed
     # folding the feed reproduces the table head
-    dels = {k for k, ct in rows if ct == "delete"}
-    survivors = sorted(k for k, ct in rows if ct == "insert" and k not in dels)
+    dels = {k for k, ct, *_ in rows if ct == "delete"}
+    survivors = sorted(k for k, ct, *_ in rows if ct == "insert" and k not in dels)
     assert survivors == sorted(r.k for r in t.read(spark).collect())
     # a COW delete WITHOUT recorded change files still refuses under CDF
     t.delete_where(spark, "k = 5", stats_cols=("k",))
@@ -617,7 +617,7 @@ def test_merge_upsert_change_feed(spark, tmp_path):
     ]
     _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
     new = rows[3:]
-    assert sorted((k, v, ct) for k, v, ct in new) == [
+    assert sorted((k, v, ct) for k, v, ct, *_ in new) == [
         (2, 20, "update_preimage"),
         (2, 99, "update_postimage"),
         (7, 70, "insert"),
@@ -625,7 +625,7 @@ def test_merge_upsert_change_feed(spark, tmp_path):
     # survivors (1, 3) were rewritten on disk but NOT re-streamed
     # fold: inserts + postimages - (preimage keys not re-asserted)
     state = {}
-    for k, v, ct in rows:
+    for k, v, ct, *_ in rows:
         if ct in ("insert", "update_postimage"):
             state[k] = v
         elif ct == "update_preimage":
@@ -643,7 +643,7 @@ def test_delete_keys_change_feed(spark, tmp_path):
     assert sorted(r.k for r in t.read(spark).collect()) == [0, 3, 4, 5]
     _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
     new = rows[6:]
-    assert sorted((k, ct) for k, ct in new) == [(1, "delete"), (2, "delete")]
+    assert sorted((k, ct) for k, ct, *_ in new) == [(1, "delete"), (2, "delete")]
 
 
 def test_calendar_probe_requires_iso_shape(spark, tmp_path):
@@ -743,7 +743,7 @@ def test_delete_keys_zero_match_is_noop_with_change_files(spark, tmp_path):
     # a CDF subscriber keeps working across the would-have-been version
     rows: list = []
     _drain_to(spark, base, ckpt, rows, readChangeFeed="true")
-    assert sorted(k for k, ct in rows if ct == "insert") == list(range(6))
+    assert sorted(k for k, ct, *_ in rows if ct == "insert") == list(range(6))
 
 
 def test_hour_box_with_t_separator_bounds(spark, tmp_path):
