@@ -141,6 +141,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._max_versions = int(opts.get("maxversionspertrigger", 0))
         if self._max_versions < 0:
             raise ValueError("maxVersionsPerTrigger must be >= 0")
+        # bytes-based admission control (Delta's maxBytesPerTrigger):
+        # bound a micro-batch by the DELTA'S SCAN VOLUME, derived from
+        # manifest summaries alone — version count is a poor proxy when
+        # batch sizes vary by orders of magnitude
+        self._max_bytes = int(opts.get("maxbytespertrigger", 0))
+        if self._max_bytes < 0:
+            raise ValueError("maxBytesPerTrigger must be >= 0")
         self._schema = schema
 
     def _table(self) -> SnapshotTable:
@@ -180,20 +187,39 @@ class SnapshotStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        head = self._table().latest_version()
+        t = self._table()
+        head = t.latest_version()
         if head is None:
             return {"version": self._start}
         cursor = getattr(self, "_cursor", None)
-        if self._max_versions and cursor is not None:
-            # admission control: bound the batch to max_versions beyond
-            # the last planned/committed cursor. The cursor is learned
-            # from initialOffset (fresh streams — the backfill-from-start
-            # case this exists for) and from partitions()/commit();
-            # the first trigger after a RESTART has no cursor yet and is
-            # uncapped (the engine does not expose the checkpointed
-            # offset to latestOffset in this API).
-            return {"version": min(head, cursor + self._max_versions)}
-        return {"version": head}
+        if cursor is None or not (self._max_versions or self._max_bytes):
+            # no admission control, or the first trigger after a RESTART
+            # (no cursor learned yet — the engine does not expose the
+            # checkpointed offset to latestOffset in this API): uncapped
+            return {"version": head}
+        end = head
+        if self._max_versions:
+            # version-count cap: bound the batch to max_versions beyond
+            # the last planned/committed cursor (learned from
+            # initialOffset on fresh streams — the backfill-from-start
+            # case this exists for — and from partitions()/commit())
+            end = min(end, cursor + self._max_versions)
+        if self._max_bytes:
+            # bytes cap: walk forward accumulating each version's delta
+            # scan volume from manifest summaries (zero file stats,
+            # data_change=false versions cost 0); always admit at least
+            # one version so the stream makes progress. A version whose
+            # bytes are not derivable (legacy manifests) conservatively
+            # ends the batch.
+            total, last = 0, cursor
+            for v in range(cursor + 1, end + 1):
+                nb = t._delta_bytes(v)
+                total += nb if nb is not None else self._max_bytes
+                last = v
+                if total >= self._max_bytes:
+                    break
+            end = last
+        return {"version": end}
 
     def commit(self, end: dict) -> None:
         """Offsets are durable manifests and the engine checkpoint owns
@@ -346,7 +372,10 @@ class SnapshotStreamDataSource(DataSource):
     as ``_change_type='delete'`` — see the module docstring),
     ``maxVersionsPerTrigger`` (admission control: cap versions
     per micro-batch so a from-the-start backfill folds a long history in
-    bounded batches under PROCESSING-TIME triggers; 0 = unbounded.
+    bounded batches under PROCESSING-TIME triggers; 0 = unbounded),
+    ``maxBytesPerTrigger`` (the bytes-based cap — each version's delta
+    scan volume comes from manifest summaries, maintenance versions
+    cost 0, and at least one version is always admitted.
     Caveats, both engine-side: availableNow captures one end offset for
     the whole run and ignores per-trigger caps, and the first trigger
     after a RESTART is uncapped — the engine hides the checkpointed

@@ -218,6 +218,9 @@ class SnapshotTable:
         rows = [e.get("rows") for e in data]
         if data and all(r is not None for r in rows):
             s["rows"] = int(sum(rows))
+        bs = [e.get("bytes") for e in data]
+        if data and all(b is not None for b in bs):
+            s["bytes"] = int(sum(bs))
         if data and all("partitions" in e for e in data):
             common = set(data[0]["partitions"])
             for e in data[1:]:
@@ -838,7 +841,13 @@ class SnapshotTable:
                 for f in os.listdir(out_dir)
                 if f.endswith(".parquet")
             )
-        entries: list[dict] = [{"path": f} for f in new_files]
+        # per-entry byte size, recorded once at commit (O(batch) driver
+        # metadata stats on files the driver just listed anyway):
+        # compaction decisions and bytes-based stream admission control
+        # then read the MANIFEST instead of stat-ing every live file
+        entries: list[dict] = [
+            {"path": f, "bytes": os.path.getsize(f)} for f in new_files
+        ]
         if partition_by:
             from urllib.parse import unquote
 
@@ -1598,6 +1607,16 @@ class SnapshotTable:
     #: memory; beyond that the anti-join shuffles both sides on the key.
     MOR_BROADCAST_ROW_LIMIT = 4_000_000
 
+    def _entry_bytes(self, entry: dict) -> int:
+        """Byte size of a manifest entry — recorded at commit time for
+        post-r13 entries; one stat for legacy ones (so compaction's
+        decision pass is manifest-only on any current-format table
+        instead of O(live files) driver stats)."""
+        b = entry.get("bytes")
+        if b is None:
+            b = os.path.getsize(entry["path"])
+        return int(b)
+
     def _entry_rows(self, entry: dict) -> int:
         """Row count of a manifest entry — recorded at commit time for
         post-r12 entries; lifted from the parquet footer (pure metadata
@@ -2309,6 +2328,38 @@ class SnapshotTable:
         base_paths = set(self._files(prev)) if prev > 0 else set()
         return [e for e in self._entries(version) if e["path"] not in base_paths]
 
+    def _delta_bytes(self, version: int) -> int | None:
+        """Data bytes INTRODUCED by ``version`` relative to its true
+        parent, derived from manifest ref diffs + carried segment
+        summaries alone (zero segment opens, zero file stats) — the
+        accounting bytes-based stream admission control reads per
+        trigger. None when not derivable (legacy manifests / summaries
+        without byte sums); ``data_change=false`` maintenance versions
+        answer 0 (they stream nothing)."""
+        body = self._manifest_body(version)
+        if not body.get("data_change", True):
+            return 0
+        refs = body.get("segments")
+        prev = body.get("base", version - 1)
+        prev_refs = self._segment_refs(prev) if prev > 0 else []
+        if refs is None or prev_refs is None:
+            return None
+        base = set(prev_refs)
+        summaries = body.get("summaries", {})
+        total = 0
+        for ref in refs:
+            if ref in base:
+                continue
+            s = summaries.get(ref)
+            if s is None:
+                return None
+            if s.get("n_data", 0) == 0:
+                continue  # delete/change-only segment: no scan volume
+            if "bytes" not in s:
+                return None
+            total += s["bytes"]
+        return total
+
     def _incremental_entries(
         self, from_version: int, to_version: int
     ) -> tuple[list[dict], list[dict] | None]:
@@ -2610,12 +2661,12 @@ class SnapshotTable:
             # the newest state; maintenance always targets the head
             raise ValueError("compaction must target the latest version")
         entries = self._data_entries(version)
-        small = [e for e in entries if os.path.getsize(e["path"]) < small_bytes]
+        small = [e for e in entries if self._entry_bytes(e) < small_bytes]
         if len(small) < 2:
             return version
         small_paths = {e["path"] for e in small}
         kept_data = [e for e in entries if e["path"] not in small_paths]
-        total = sum(os.path.getsize(e["path"]) for e in small)
+        total = sum(self._entry_bytes(e) for e in small)
         n_out = max(1, -(-total // target_bytes))
         # MOR deletes are MATERIALIZED into the rewrite (the compacted
         # files carry a new sequence number, past the deletes they

@@ -793,3 +793,61 @@ def test_staged_orphan_streams_and_reads_exactly_once(spark, tmp_path):
     assert sorted(k for (k,) in rows2) == list(range(8))
     got2 = sorted(r.k for r in t.read_incremental(spark, 0, 3).collect())
     assert got2 == list(range(8))
+
+
+# --- per-entry bytes + maxBytesPerTrigger -----------------------------------
+
+
+def test_entry_bytes_recorded_and_compaction_manifest_only(
+    spark, tmp_path, monkeypatch
+):
+    """Commits record per-file byte sizes; compaction's decision pass
+    reads the manifest, never stat-ing live data files."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kdf(spark, 0, 5))
+    t.commit(_kdf(spark, 5, 9))
+    ents = t._data_entries(2)
+    assert all(e.get("bytes", 0) > 0 for e in ents)
+    data_paths = {e["path"] for e in ents}
+    import os as _os
+
+    orig = _os.path.getsize
+
+    def guarded(p):
+        assert p not in data_paths, "compaction stat-ed a data file"
+        return orig(p)
+
+    monkeypatch.setattr(_os.path, "getsize", guarded)
+    v = t.compact_small_files(spark, small_bytes=1 << 30)
+    assert v == 3
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(9))
+
+
+def test_max_bytes_per_trigger_bounds_batches(spark, tmp_path):
+    """With a tiny bytes cap, each trigger admits exactly one version of
+    the backlog; a data_change=false maintenance version costs nothing
+    and rides along free."""
+    from serverless_mapreduce_spark.sources.snapshot_stream import (
+        SnapshotStreamReader,
+    )
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    for i in range(3):
+        t.commit(_kdf(spark, i * 10, i * 10 + 10))
+    reader = SnapshotStreamReader(
+        {"path": base, "maxBytesPerTrigger": "1"}, t._schema(3)
+    )
+    off = reader.initialOffset()
+    ends = []
+    for _ in range(3):
+        end = reader.latestOffset()
+        reader.partitions(off, end)
+        reader.commit(end)
+        ends.append(end["version"])
+        off = end
+    assert ends == [1, 2, 3]
+    # summaries carry byte sums so the walk never opens segments
+    assert all(t._delta_bytes(v) > 0 for v in (1, 2, 3))
+    t.compact_small_files(spark, small_bytes=1 << 30)
+    assert t._delta_bytes(4) == 0
