@@ -383,6 +383,8 @@ HEADLINE = (
     # CDC replication: an exact replica maintained purely from the
     # change feed, applied in _commit_version order
     "stream_cdc_replication",
+    # batch change feed from commit-time logs (Delta table_changes)
+    "snapshot_table_changes",
 )
 
 

@@ -851,3 +851,43 @@ def test_max_bytes_per_trigger_bounds_batches(spark, tmp_path):
     assert all(t._delta_bytes(v) > 0 for v in (1, 2, 3))
     t.compact_small_files(spark, small_bytes=1 << 30)
     assert t._delta_bytes(4) == 0
+
+
+# --- batch change feed (read_changes) ---------------------------------------
+
+
+def test_read_changes_batch_feed(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kdf(spark, 0, 5))                                # v1
+    t.delete_keys_mor(spark, _kdf(spark, 1, 3), ("k",))        # v2
+    t.delete_where(spark, "k = 4", change_feed=True)           # v3 CDF
+    t.compact_small_files(spark, small_bytes=1 << 30)          # v4 (silent)
+    t.commit(_kdf(spark, 10, 12))                              # v5
+    feed = t.read_changes(spark, 0, 5)
+    got = sorted(
+        (r.k, r._change_type, r._commit_version) for r in feed.collect()
+    )
+    assert got == sorted(
+        [
+            (0, "insert", 1),
+            (1, "insert", 1),
+            (1, "delete", 2),
+            (2, "insert", 1),
+            (2, "delete", 2),
+            (3, "insert", 1),
+            (4, "insert", 1),
+            (4, "delete", 3),
+            (10, "insert", 5),
+            (11, "insert", 5),
+        ]
+    )
+    # empty window: schema-true empty frame with the metadata columns
+    empty = t.read_changes(spark, 3, 4)
+    assert empty.count() == 0
+    assert empty.columns[-3:] == [
+        "_change_type", "_commit_version", "_commit_timestamp"
+    ]
+    # a rewrite without recorded change files is underivable
+    t.delete_where(spark, "k = 0")                             # v6, no CDF
+    with pytest.raises(ValueError, match="change_feed=True"):
+        t.read_changes(spark, 5, 6)
