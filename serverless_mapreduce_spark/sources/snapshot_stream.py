@@ -213,7 +213,10 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # ends the batch.
             total, last = 0, cursor
             for v in range(cursor + 1, end + 1):
-                nb = t._delta_bytes(v)
+                try:
+                    nb = t._delta_bytes(v)
+                except FileNotFoundError:
+                    nb = 0  # GC'd staged-orphan hole: streams nothing
                 total += nb if nb is not None else self._max_bytes
                 last = v
                 if total >= self._max_bytes:
@@ -242,27 +245,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         self._cursor = max(getattr(self, "_cursor", lo) or lo, hi)
         t = self._table()
-        bodies: dict[int, dict] = {}
-        for v in range(lo + 1, hi + 1):
-            try:
-                bodies[v] = t._manifest_body(v)
-            except FileNotFoundError:
-                # a missing MID-RANGE manifest above a live cursor has
-                # exactly one legitimate source: a staged-orphan GC hole
-                # (collect_staged_orphans removes versions that were
-                # never published — rows that must NOT stream anyway).
-                # Retention respects registered cursors (expire_table),
-                # so skipping is correct, not lossy.
-                continue
-        # versions a later re-staged commit SUPERSEDES (its recorded base
-        # predates them) are crashed staging attempts: the replay
-        # re-staged the same batch, so emitting both would double it
-        # downstream (r13 review)
-        superseded: set[int] = set()
-        for v, body in bodies.items():
-            b = body.get("base")
-            if b is not None and b < v - 1:
-                superseded.update(range(b + 1, v))
+        # one scan serves both: bodies for the window (GC'd staged-orphan
+        # holes omitted — their rows were never published and must not
+        # stream) and the versions SUPERSEDED by a re-staged commit. The
+        # base-link scan runs through the table HEAD, so a re-stage
+        # published beyond a capped window still shields its crashed
+        # predecessor inside it (r13 second review); _walk_bodies
+        # documents the single-staging-writer contract and the residual
+        # at-least-once window for subscribers of staged tables.
+        bodies, superseded = t._walk_bodies(lo, hi)
         out: list[InputPartition] = []
         for v in range(lo + 1, hi + 1):
             body = bodies.get(v)
@@ -889,25 +880,43 @@ def stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if cat.batch_committed(sid, batch_id):
             return
-        ct = F.col(CHANGE_TYPE_COL)
-        versions = sorted(
-            r[0]
-            for r in batch_df.select(COMMIT_VERSION_COL).distinct().collect()
-        )
-        for ver in versions:
-            ev = batch_df.filter(F.col(COMMIT_VERSION_COL) == ver)
-            ups = ev.filter(
-                ct.isin("insert", "update_postimage")
-            ).select("o_orderkey", "cents")
-            dels = ev.filter(ct == "delete").select("o_orderkey")
-            if ups.limit(1).count():
-                if replica.latest_version() is None:
-                    replica.commit(ups)
-                else:
-                    replica.merge_upsert(spark, ups, ("o_orderkey",))
-            if dels.limit(1).count():
-                replica.delete_keys(spark, dels, ("o_orderkey",))
-        cat.publish({}, sid, batch_id)
+        # ONE pass over the feed decides what exists per source version
+        # (no per-version limit/count probes re-scanning the batch —
+        # r13 second review); the batch is persisted because each
+        # version's apply step re-reads it
+        batch_df.persist()
+        try:
+            ct = F.col(CHANGE_TYPE_COL)
+            present = (
+                batch_df.groupBy(COMMIT_VERSION_COL, CHANGE_TYPE_COL)
+                .count()
+                .collect()
+            )
+            has_ups = {
+                r[0]
+                for r in present
+                if r[1] in ("insert", "update_postimage")
+            }
+            has_dels = {r[0] for r in present if r[1] == "delete"}
+            for ver in sorted(has_ups | has_dels):
+                ev = batch_df.filter(F.col(COMMIT_VERSION_COL) == ver)
+                if ver in has_ups:
+                    ups = ev.filter(
+                        ct.isin("insert", "update_postimage")
+                    ).select("o_orderkey", "cents")
+                    if replica.latest_version() is None:
+                        replica.commit(ups)
+                    else:
+                        replica.merge_upsert(spark, ups, ("o_orderkey",))
+                if ver in has_dels:
+                    replica.delete_keys(
+                        spark,
+                        ev.filter(ct == "delete").select("o_orderkey"),
+                        ("o_orderkey",),
+                    )
+            cat.publish({}, sid, batch_id)
+        finally:
+            batch_df.unpersist()
 
     def drain() -> None:
         (

@@ -2328,6 +2328,51 @@ class SnapshotTable:
         base_paths = set(self._files(prev)) if prev > 0 else set()
         return [e for e in self._entries(version) if e["path"] not in base_paths]
 
+    def _walk_bodies(
+        self, lo: int, hi: int
+    ) -> tuple[dict[int, dict], set[int]]:
+        """The shared planning scan behind the stream source,
+        :meth:`_incremental_entries`, and :meth:`read_changes`: manifest
+        bodies for ``(lo, hi]`` (GC'd staged-orphan holes omitted) plus
+        the set of versions SUPERSEDED by a later re-staged commit — a
+        ``commit_onto`` whose recorded base predates them. The base-link
+        scan runs through the TABLE HEAD, not just ``hi``: a re-stage
+        published beyond the planning window must still shield its
+        crashed predecessor inside it, or a capped/tailing consumer
+        would deliver the batch twice (r13 second review).
+
+        CONTRACT (single staging writer per table, the Delta txn-appId
+        assumption the catalog pattern already requires): the inference
+        "between a re-stage's base and the re-stage = crashed attempts"
+        is only sound when one logical writer stages a table — a SECOND
+        concurrent writer staging from a stale base would both (a) make
+        this scan hide the interleaved published version and (b) lose
+        that version's rows at the catalog itself (``publish`` merges
+        maps last-writer-wins). Tables with multiple writers must use
+        plain ``commit`` (CAS-retried) instead of staging.
+
+        Residual at-least-once window: a subscriber that consumed a
+        staged version BEFORE its writer crashed will see the batch
+        again from the re-stage — the re-stage did not exist yet, so no
+        scan can shield it. Exactly-once subscribers should consume
+        plainly-committed tables (the medallion bronze) or dedup on a
+        batch key."""
+        bodies: dict[int, dict] = {}
+        head = self.latest_version()
+        top = max(hi, head) if head is not None else hi
+        superseded: set[int] = set()
+        for v in range(lo + 1, top + 1):
+            try:
+                body = self._manifest_body(v)
+            except FileNotFoundError:
+                continue  # collected staged orphan: never published
+            if v <= hi:
+                bodies[v] = body
+            b = body.get("base")
+            if b is not None and b < v - 1:
+                superseded.update(range(b + 1, v))
+        return bodies, superseded
+
     def _delta_bytes(self, version: int) -> int | None:
         """Data bytes INTRODUCED by ``version`` relative to its true
         parent, derived from manifest ref diffs + carried segment
@@ -2341,7 +2386,10 @@ class SnapshotTable:
             return 0
         refs = body.get("segments")
         prev = body.get("base", version - 1)
-        prev_refs = self._segment_refs(prev) if prev > 0 else []
+        try:
+            prev_refs = self._segment_refs(prev) if prev > 0 else []
+        except FileNotFoundError:
+            return None  # parent expired/collected: not derivable
         if refs is None or prev_refs is None:
             return None
         base = set(prev_refs)
@@ -2380,21 +2428,20 @@ class SnapshotTable:
         the conservative whole-diff of the two endpoint manifests: its
         row-level delta is not derivable from file sets, and the
         documented contract is that the reader sees a full rewrite."""
-        bodies: dict[int, dict] = {}
+        bodies, superseded = self._walk_bodies(from_version, to_version)
         rewriting = False
         for v in range(from_version + 1, to_version + 1):
-            try:
-                body = self._manifest_body(v)
-            except FileNotFoundError:
-                # a mid-range manifest is gone (a pinned-retention gap or
-                # a collected staged orphan): the per-version walk cannot
-                # prove anything about it — fall back to the conservative
-                # endpoint diff, which needs only the two live endpoints
-                # (the pre-r13 behavior; r13 review)
+            body = bodies.get(v)
+            if body is None:
+                if v in superseded:
+                    continue  # GC'd orphan: provably never published
+                # a mid-range manifest is gone for an UNKNOWN reason (a
+                # pinned-retention gap): the walk cannot prove anything
+                # about it — fall back to the conservative endpoint
+                # diff, which needs only the two live endpoints
                 rewriting = True
                 break
-            bodies[v] = body
-            if not body.get("data_change", True):
+            if v in superseded or not body.get("data_change", True):
                 continue
             if body.get("mode", "append") not in (
                 "append",
@@ -2416,21 +2463,16 @@ class SnapshotTable:
                 ],
                 None,  # to_version's own delete entries apply
             )
-        # versions a later re-staged commit SUPERSEDES (its recorded base
-        # predates them) are crashed staging attempts that were never
-        # published — their rows must not surface (the replay re-staged
-        # the same batch; emitting both doubles it — r13 review)
-        superseded: set[int] = set()
-        for v, body in bodies.items():
-            b = body.get("base")
-            if b is not None and b < v - 1:
-                superseded.update(range(b + 1, v))
         out: list[dict] = []
         dels: list[dict] = []
         seen: set[str] = set()
         for v in range(from_version + 1, to_version + 1):
-            body = bodies[v]
-            if v in superseded or not body.get("data_change", True):
+            body = bodies.get(v)
+            if (
+                body is None  # GC'd orphan hole (superseded, see above)
+                or v in superseded
+                or not body.get("data_change", True)
+            ):
                 continue
             mode = body.get("mode", "append")
             if mode == "append":
@@ -2510,17 +2552,7 @@ class SnapshotTable:
         Scale: planning is the same per-version ref diff the stream
         uses; the scan reads exactly the change volume, never the
         table."""
-        bodies: dict[int, dict] = {}
-        for v in range(from_version + 1, to_version + 1):
-            try:
-                bodies[v] = self._manifest_body(v)
-            except FileNotFoundError:
-                continue  # collected staged orphan: never published
-        superseded: set[int] = set()
-        for v, body in bodies.items():
-            b = body.get("base")
-            if b is not None and b < v - 1:
-                superseded.update(range(b + 1, v))
+        bodies, superseded = self._walk_bodies(from_version, to_version)
         groups: list[tuple[list[str], str, int, float | None]] = []
         for v in range(from_version + 1, to_version + 1):
             body = bodies.get(v)

@@ -891,3 +891,70 @@ def test_read_changes_batch_feed(spark, tmp_path):
     t.delete_where(spark, "k = 0")                             # v6, no CDF
     with pytest.raises(ValueError, match="change_feed=True"):
         t.read_changes(spark, 5, 6)
+
+
+# --- second-review regressions ----------------------------------------------
+
+
+def test_capped_stream_skips_superseded_stage_across_windows(spark, tmp_path):
+    """The supersede scan runs through the table HEAD: a re-stage beyond
+    a capped planning window still shields its crashed predecessor, so
+    version-at-a-time consumption delivers the batch exactly once."""
+    from serverless_mapreduce_spark.sources.snapshot_stream import (
+        SnapshotStreamReader,
+    )
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    v1 = t.commit_onto(None, _kdf(spark, 0, 4))
+    t.commit_onto(v1, _kdf(spark, 4, 8))  # crashed stage (v2)
+    t.commit_onto(v1, _kdf(spark, 4, 8))  # re-stage (v3)
+    reader = SnapshotStreamReader(
+        {"path": base, "maxVersionsPerTrigger": "1"}, t._schema(3)
+    )
+    off = reader.initialOffset()
+    paths: list = []
+    for _ in range(3):
+        end = reader.latestOffset()
+        paths += [p.value[0] for p in reader.partitions(off, end)]
+        reader.commit(end)
+        off = end
+    got = sorted(r.k for r in spark.read.parquet(*paths).collect())
+    assert got == list(range(8))  # each row exactly once
+    # window-split incremental reads agree
+    a = [r.k for r in t.read_incremental(spark, 1, 2).collect()]
+    b = [r.k for r in t.read_incremental(spark, 2, 3).collect()]
+    assert a == [] and sorted(b) == list(range(4, 8))
+
+
+def test_max_bytes_walk_tolerates_orphan_hole(spark, tmp_path):
+    """latestOffset's byte walk skips a GC'd staged-orphan manifest hole
+    instead of dying on FileNotFoundError."""
+    from serverless_mapreduce_spark.sources.snapshot_stream import (
+        SnapshotStreamReader,
+    )
+    from serverless_mapreduce_spark.sources.snapshots import MultiTableCatalog
+
+    root = str(tmp_path)
+    t = SnapshotTable(root + "/t")
+    cat = MultiTableCatalog(root)
+    v1 = t.commit_onto(None, _kdf(spark, 0, 4))
+    cat.publish({"t": v1})
+    t.commit_onto(v1, _kdf(spark, 4, 8))        # crashed stage
+    v3 = t.commit_onto(v1, _kdf(spark, 4, 8))   # re-stage
+    cat.publish({"t": v3})
+    assert cat.collect_staged_orphans({"t": t}, grace_seconds=0.0) == {
+        "t": [2]
+    }
+    reader = SnapshotStreamReader(
+        {"path": root + "/t", "maxBytesPerTrigger": "1"}, t._schema(3)
+    )
+    off = reader.initialOffset()
+    paths: list = []
+    for _ in range(3):
+        end = reader.latestOffset()
+        paths += [p.value[0] for p in reader.partitions(off, end)]
+        reader.commit(end)
+        off = end
+    got = sorted(r.k for r in spark.read.parquet(*paths).collect())
+    assert got == list(range(8))
