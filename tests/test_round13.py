@@ -958,3 +958,74 @@ def test_max_bytes_walk_tolerates_orphan_hole(spark, tmp_path):
         off = end
     got = sorted(r.k for r in spark.read.parquet(*paths).collect())
     assert got == list(range(8))
+
+
+# --- randomized model check: fold(change feed) == table head -----------------
+
+
+def test_random_history_feed_folds_to_head(spark, tmp_path):
+    """Model-based invariant over randomized histories (appends, MOR key
+    purges, CDF predicate deletes, compactions): replaying the change
+    feed in _commit_version order must reproduce the table head exactly
+    — via BOTH the batch API (read_changes) and a streaming CDF drain.
+    Any planner bug class this round touched (maintenance skipping,
+    delta walks, change-file emission, ordering) breaks the fold."""
+    import random
+
+    for seed in (7, 13, 29):
+        rng = random.Random(seed)
+        base = str(tmp_path / f"t{seed}")
+        t = SnapshotTable(base)
+        t.commit(_kdf(spark, 0, 5))
+        nxt = 5
+        for _ in range(6):
+            op = rng.choice(["append", "append", "mor", "cow", "compact"])
+            if op == "append":
+                n = rng.randint(1, 5)
+                t.commit(_kdf(spark, nxt, nxt + n))
+                nxt += n
+            elif op == "mor":
+                present = sorted(r.k for r in t.read(spark).collect())
+                if present:
+                    doomed = rng.sample(present, min(2, len(present)))
+                    t.delete_keys_mor(
+                        spark,
+                        spark.createDataFrame(
+                            [(k,) for k in doomed], "k bigint"
+                        ),
+                        ("k",),
+                    )
+            elif op == "cow":
+                t.delete_where(
+                    spark,
+                    f"k % 7 = {rng.randint(0, 6)}",
+                    change_feed=True,
+                )
+            else:
+                t.compact_small_files(spark, small_bytes=1 << 30)
+        head = t.latest_version()
+        expect = sorted(r.k for r in t.read(spark).collect())
+        # batch feed fold
+        state: dict = {}
+        for r in sorted(
+            t.read_changes(spark, 0, head).collect(),
+            key=lambda r: r._commit_version,
+        ):
+            if r._change_type == "insert":
+                state[r.k] = True
+            elif r._change_type == "delete":
+                state.pop(r.k, None)
+        assert sorted(state) == expect, f"batch fold diverged (seed {seed})"
+        # streaming feed fold
+        rows: list = []
+        _drain_to(
+            spark, base, str(tmp_path / f"c{seed}"), rows,
+            readChangeFeed="true",
+        )
+        state2: dict = {}
+        for k, ct, ver, ts in sorted(rows, key=lambda x: x[2]):
+            if ct == "insert":
+                state2[k] = True
+            elif ct == "delete":
+                state2.pop(k, None)
+        assert sorted(state2) == expect, f"stream fold diverged (seed {seed})"
