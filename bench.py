@@ -385,6 +385,9 @@ HEADLINE = (
     "stream_cdc_replication",
     # batch change feed from commit-time logs (Delta table_changes)
     "snapshot_table_changes",
+    # Iceberg-style snapshots metadata table: per-version physical
+    # accounting from manifests alone (zero segment opens)
+    "snapshot_metadata_table",
 )
 
 

@@ -2629,6 +2629,83 @@ class SnapshotTable:
             out = out.unionByName(p)
         return out
 
+    def versions_metadata(self, spark: SparkSession) -> DataFrame:
+        """METADATA TABLE (Iceberg's ``snapshots``/``files`` metadata
+        tables, one level up): one row per live version — version, mode,
+        data_change, commit timestamp, data-file/delete-file counts,
+        PHYSICAL row and byte totals — derived from manifests and their
+        carried segment summaries alone (zero segment opens on a
+        summarized table, zero data-file reads ever). This is the ops
+        surface every question about a table's shape goes through
+        ("how many small files has the stream accumulated", "how much
+        did the purge rewrite", "when did version N land") without
+        scanning a byte of data; row counts are physical (file
+        contents), so a merge-on-read delete leaves them unchanged
+        until compaction materializes it — exactly Iceberg's
+        record_count semantics."""
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        rows = []
+        for v in self.versions():
+            body = self._manifest_body(v)
+            refs = body.get("segments")
+            n_data = n_delete = n_rows = n_bytes = 0
+            summarized = refs is not None and all(
+                ref in body.get("summaries", {})
+                and "rows" in body["summaries"][ref]
+                and "bytes" in body["summaries"][ref]
+                for ref in refs
+                if body["summaries"].get(ref, {}).get("n_data", 1) > 0
+            )
+            if refs is not None and summarized:
+                for ref in refs:
+                    s = body.get("summaries", {}).get(ref, {})
+                    n_data += s.get("n_data", 0)
+                    n_delete += s.get("n_delete", 0)
+                    n_rows += s.get("rows", 0)
+                    n_bytes += s.get("bytes", 0)
+            else:
+                for e in self._entries(v):
+                    kind = e.get("kind")
+                    if kind == "delete":
+                        n_delete += 1
+                    elif kind is None:
+                        n_data += 1
+                        n_rows += self._entry_rows(e)
+                        n_bytes += self._entry_bytes(e)
+            rows.append(
+                (
+                    v,
+                    body.get("mode", "append"),
+                    bool(body.get("data_change", True)),
+                    float(body["ts"]) if body.get("ts") is not None else None,
+                    n_data,
+                    n_delete,
+                    n_rows,
+                    n_bytes,
+                )
+            )
+        schema = StructType(
+            [
+                StructField("version", LongType(), False),
+                StructField("mode", StringType(), False),
+                StructField("data_change", BooleanType(), False),
+                StructField("committed_at", DoubleType(), True),
+                StructField("n_data_files", LongType(), False),
+                StructField("n_delete_files", LongType(), False),
+                StructField("n_rows", LongType(), False),
+                StructField("n_bytes", LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
     # -- retention --------------------------------------------------------
 
     def expire_versions(
@@ -4798,4 +4875,58 @@ def snapshot_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_rows"),
             F.expr("CAST(bit_xor(o_orderkey) AS BIGINT)").alias("xor_key"),
         )
+    )
+
+
+@query(
+    "snapshot_metadata_table",
+    priority=140,
+    oracle="""
+    WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM orders
+               WHERE o_orderkey % 3 = 0),
+         b AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM orders
+               WHERE o_orderkey % 3 = 1),
+         d AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM orders
+               WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 = 0)
+    SELECT CAST(1 AS BIGINT) AS version, 'append' AS mode,
+           a.n AS n_rows FROM a
+    UNION ALL
+    SELECT 2, 'append', a.n + b.n FROM a, b
+    UNION ALL
+    SELECT 3, 'delete-mor', a.n + b.n FROM a, b
+    UNION ALL
+    SELECT 4, 'compact', a.n + b.n - d.n FROM a, b, d
+    """,
+)
+def snapshot_metadata_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-TABLE query (Iceberg ``snapshots``): per-version physical
+    row counts derived from manifests alone — a two-append history, a
+    merge-on-read purge (physical rows UNCHANGED: the delete is a key
+    file, Iceberg's record_count semantics), then a compaction that
+    materializes it away (physical rows drop by exactly the purged
+    count). The oracle recomputes every total from the raw data the
+    construction committed, so a drifting summary, a miscounted segment,
+    or a delete materialization bug is value-visible. The metadata scan
+    itself reads zero data bytes — the in-run spy in
+    tests/test_round13.py pins that a summarized table answers without
+    opening a single segment."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_metadata_tbl")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    t.commit(orders.filter(k % 3 == 0))
+    t.commit(orders.filter(k % 3 == 1))
+    t.delete_keys_mor(
+        spark,
+        orders.filter((k % 3 == 0) & (k % 5 == 0)),
+        ("o_orderkey",),
+    )
+    t.compact_small_files(spark, small_bytes=1 << 30)
+    return t.versions_metadata(spark).select(
+        F.col("version").cast("bigint").alias("version"),
+        "mode",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
     )

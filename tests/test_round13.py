@@ -1029,3 +1029,22 @@ def test_random_history_feed_folds_to_head(spark, tmp_path):
             elif ct == "delete":
                 state2.pop(k, None)
         assert sorted(state2) == expect, f"stream fold diverged (seed {seed})"
+
+
+# --- metadata table: manifests only, zero segment opens ----------------------
+
+
+def test_versions_metadata_zero_segment_opens(spark, tmp_path, monkeypatch):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kdf(spark, 0, 5))
+    t.commit(_kdf(spark, 5, 8))
+    t.delete_keys_mor(spark, _kdf(spark, 0, 2), ("k",))
+    fresh = SnapshotTable(t.base)
+    calls = _spy_opens(monkeypatch)
+    md = {r.version: r for r in fresh.versions_metadata(spark).collect()}
+    assert calls == []  # summaries answered everything
+    assert md[1].n_rows == 5 and md[2].n_rows == 8
+    assert md[3].n_rows == 8 and md[3].n_delete_files >= 1
+    assert md[2].n_bytes > 0 and md[2].n_data_files >= 2
+    assert md[3].mode == "delete-mor" and md[1].data_change is True
+    assert all(md[v].committed_at is not None for v in md)
