@@ -564,6 +564,7 @@ def stream_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bronze.commit(orders.filter(F.col("o_orderkey") % 3 == 0))
     bronze.commit(orders.filter(F.col("o_orderkey") % 3 == 1))
+    consumed = {"v": 0}  # end offset captured when each drain starts
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderpriority").agg(
@@ -587,9 +588,18 @@ def stream_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         w = silver.commit(merged, mode="overwrite")
-        cat.publish({"silver": w}, sid, batch_id)
+        # rollup visibility, batch ledger, AND the bronze cursor flip in
+        # one txn: expire_table(bronze) can then never vacuum this
+        # checkpoint's restart point (the r13 retention contract)
+        cat.publish(
+            {"silver": w},
+            sid,
+            batch_id,
+            cursors={"bronze": {sid: consumed["v"]}},
+        )
 
     def drain() -> None:
+        consumed["v"] = bronze.latest_version() or 0
         (
             read_stream(spark, bronze.base)
             .writeStream.foreachBatch(fold)
