@@ -2706,6 +2706,63 @@ class SnapshotTable:
         )
         return spark.createDataFrame(rows, schema)
 
+    def files_metadata(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """FILE-LEVEL METADATA TABLE (Iceberg's ``files``): one row per
+        manifest entry of ``version`` (default head) — path, kind
+        (data / delete / change), sequence number, row and byte counts,
+        recorded partition values, and which stats/bloom columns the
+        entry carries. Pure manifest derivation (no data reads); the
+        per-file twin of :meth:`versions_metadata`, for answering
+        "which files does the purge cover", "is the layout still
+        partition-aligned", "which files lack stats" without a scan."""
+        from pyspark.sql.types import (
+            ArrayType,
+            LongType,
+            MapType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        rows = []
+        for e in self._entries(version):
+            rows.append(
+                (
+                    e["path"],
+                    e.get("kind", "data"),
+                    int(e.get("_seq", version)),
+                    e.get("rows"),
+                    e.get("bytes"),
+                    {
+                        k: ("" if v is None else str(v))
+                        for k, v in (e.get("partitions") or {}).items()
+                    },
+                    sorted(e.get("stats", {})),
+                    sorted(e.get("bloom", {})),
+                )
+            )
+        schema = StructType(
+            [
+                StructField("path", StringType(), False),
+                StructField("kind", StringType(), False),
+                StructField("seq", LongType(), False),
+                StructField("n_rows", LongType(), True),
+                StructField("n_bytes", LongType(), True),
+                StructField(
+                    "partitions", MapType(StringType(), StringType()), False
+                ),
+                StructField("stats_cols", ArrayType(StringType()), False),
+                StructField("bloom_cols", ArrayType(StringType()), False),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
     # -- retention --------------------------------------------------------
 
     def expire_versions(

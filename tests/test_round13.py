@@ -1048,3 +1048,18 @@ def test_versions_metadata_zero_segment_opens(spark, tmp_path, monkeypatch):
     assert md[2].n_bytes > 0 and md[2].n_data_files >= 2
     assert md[3].mode == "delete-mor" and md[1].data_change is True
     assert all(md[v].committed_at is not None for v in md)
+
+
+def test_files_metadata_listing(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kdf(spark, 0, 40), partition_by=("bucket(4,k)",), )
+    t.delete_keys_mor(spark, _kdf(spark, 0, 2), ("k",))
+    fm = t.files_metadata(spark).collect()
+    kinds = {r.kind for r in fm}
+    assert kinds == {"data", "delete"}
+    data = [r for r in fm if r.kind == "data"]
+    assert all(r.n_rows > 0 and r.n_bytes > 0 for r in data)
+    assert all("bucket(4,k)" in r.partitions for r in data)
+    assert sum(r.n_rows for r in data) == 40
+    dels = [r for r in fm if r.kind == "delete"]
+    assert all(r.seq == 2 for r in dels)
