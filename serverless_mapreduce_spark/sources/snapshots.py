@@ -178,6 +178,40 @@ class SnapshotTable:
     def _seg_path(self, ref: str) -> str:
         return os.path.join(self.manifest_dir, ref)
 
+    # -- staged-orphan tombstones ------------------------------------------
+
+    def _tombstone_path(self) -> str:
+        return os.path.join(self.manifest_dir, "_collected.json")
+
+    def _tombstones(self) -> set[int]:
+        """Version numbers whose manifests were removed by
+        :meth:`MultiTableCatalog.collect_staged_orphans` — i.e. holes in
+        the version sequence PROVABLY created by staged-orphan GC (the
+        version was never published, so its rows must not stream).
+        Every other missing in-window manifest is an unexplained hole —
+        possibly retention outrunning a reader — and consumers treat it
+        as data loss (loud by default) instead of silently skipping
+        (r13 advice)."""
+        try:
+            with open(self._tombstone_path()) as fh:
+                return {int(v) for v in json.load(fh)}
+        except FileNotFoundError:
+            return set()
+
+    def _record_collected(self, versions: list[int]) -> None:
+        """Append ``versions`` to the tombstone record (atomic replace;
+        GC is single-writer by the same contract as the collection
+        itself). Written BEFORE the manifests are removed so a crash
+        mid-GC can only leave a tombstone for a still-present manifest
+        (harmless: the manifest wins), never an untombstoned hole."""
+        merged = sorted(self._tombstones() | {int(v) for v in versions})
+        tmp = os.path.join(
+            self.manifest_dir, f".tmp-tomb-{uuid.uuid4().hex[:12]}.json"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(merged, fh)
+        os.replace(tmp, self._tombstone_path())
+
     #: distinct partition values recorded per column in a segment summary
     #: before the column is dropped from it (dropping = conservative keep;
     #: a useful partition spec is low-cardinality per batch anyway)
@@ -211,16 +245,31 @@ class SnapshotTable:
         # delete). n_delete counts ONLY true delete files: _has_mor_deletes
         # and the _delete_entries fast skip key off it.
         data = [e for e in entries if "kind" not in e]
+        dels = [e for e in entries if e.get("kind") == "delete"]
+        chgs = [e for e in entries if e.get("kind") == "change"]
         s: dict = {
             "n_data": len(data),
-            "n_delete": sum(1 for e in entries if e.get("kind") == "delete"),
+            "n_delete": len(dels),
         }
+        if chgs:
+            s["n_change"] = len(chgs)
         rows = [e.get("rows") for e in data]
         if data and all(r is not None for r in rows):
             s["rows"] = int(sum(rows))
         bs = [e.get("bytes") for e in data]
         if data and all(b is not None for b in bs):
             s["bytes"] = int(sum(bs))
+        # per-kind byte sums mirror the data one: bytes-based stream
+        # admission under readChangeFeed scans delete-key and CDF change
+        # files too, so the byte cap needs their volume from the manifest
+        # alone (r13 advice — without these, a large purge blows past
+        # maxBytesPerTrigger in one micro-batch)
+        dbs = [e.get("bytes") for e in dels]
+        if dels and all(b is not None for b in dbs):
+            s["bytes_delete"] = int(sum(dbs))
+        cbs = [e.get("bytes") for e in chgs]
+        if chgs and all(b is not None for b in cbs):
+            s["bytes_change"] = int(sum(cbs))
         if data and all("partitions" in e for e in data):
             common = set(data[0]["partitions"])
             for e in data[1:]:
@@ -1151,6 +1200,7 @@ class SnapshotTable:
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
         change_feed: bool = False,
+        partition_by: tuple[str, ...] = (),
     ) -> int:
         """COPY-ON-WRITE DELETE (Delta DELETE / Iceberg copy-on-write
         row delete): publish a version in which rows matching
@@ -1199,7 +1249,9 @@ class SnapshotTable:
         survivors = self._read_with_deletes(spark, version, cand).filter(
             f"NOT coalesce(({condition}), false)"
         )
-        new_entries = self._write_data(survivors, stats_cols, bloom_cols)
+        new_entries = self._write_data(
+            survivors, stats_cols, bloom_cols, partition_by
+        )
         extra = None
         if change_feed:
             # CDF CHANGE FILES (Delta enableChangeDataFeed on DELETE): the
@@ -1240,6 +1292,7 @@ class SnapshotTable:
         bloom_cols: tuple[str, ...] = (),
         extra: dict | None = None,
         change_feed: bool = False,
+        partition_by: tuple[str, ...] = (),
     ) -> int:
         """COPY-ON-WRITE MERGE (Delta MERGE INTO / upsert): rows of
         ``updates`` REPLACE table rows with the same key; unmatched update
@@ -1281,6 +1334,7 @@ class SnapshotTable:
             bloom_cols,
             n_keys=n,
             capture_removed=change_feed,
+            partition_by=partition_by,
         )
         schema = _merge_schemas(self._schema(version), updates.schema)
         up = updates
@@ -1288,7 +1342,9 @@ class SnapshotTable:
             if f.name not in updates.columns:
                 up = up.withColumn(f.name, F.lit(None).cast(f.dataType))
         up_sel = up.select([f.name for f in schema.fields])
-        new_entries += self._write_data(up_sel, stats_cols, bloom_cols)
+        new_entries += self._write_data(
+            up_sel, stats_cols, bloom_cols, partition_by
+        )
         if change_feed:
             # CDF change files for MERGE (Delta CDC semantics): replaced
             # rows as update_preimage, their replacements as
@@ -1336,6 +1392,7 @@ class SnapshotTable:
         bloom_cols: tuple[str, ...] = (),
         n_keys: int | None = None,
         capture_removed: bool = False,
+        partition_by: tuple[str, ...] = (),
     ) -> tuple[list[dict], list[dict], DataFrame | None]:
         """Shared copy-on-write core of :meth:`merge_upsert` and
         :meth:`delete_keys`: locate the files containing any key of
@@ -1402,7 +1459,9 @@ class SnapshotTable:
             survivors = src_rw.join(gated, keys, "left_anti")
             if capture_removed:
                 removed = src_rw.join(gated, keys, "left_semi")
-            new_entries = self._write_data(survivors, stats_cols, bloom_cols)
+            new_entries = self._write_data(
+                survivors, stats_cols, bloom_cols, partition_by
+            )
         return kept_paths, new_entries, removed
 
     def delete_keys(
@@ -1413,6 +1472,7 @@ class SnapshotTable:
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
         change_feed: bool = False,
+        partition_by: tuple[str, ...] = (),
     ) -> int:
         """COPY-ON-WRITE KEYED DELETE: remove every row whose key appears
         in ``key_df`` — the "apply the keep-list" half of a curation run
@@ -1438,6 +1498,7 @@ class SnapshotTable:
             stats_cols,
             bloom_cols,
             capture_removed=change_feed,
+            partition_by=partition_by,
         )
         # no-op iff NO data file was rewritten — checked by coverage, not
         # entry counts: the head may carry CDF change files (neither data
@@ -1472,6 +1533,7 @@ class SnapshotTable:
         df: DataFrame,
         stats_cols: tuple[str, ...] = (),
         partition_by: tuple[str, ...] = (),
+        change_feed: bool = False,
     ) -> int:
         """ATOMIC PARTITION OVERWRITE (Delta ``replaceWhere`` / Spark
         dynamic partition overwrite, lifted into the table format): one
@@ -1481,6 +1543,23 @@ class SnapshotTable:
         nothing else, and is a no-op to re-apply). Untouched partitions
         carry over path-identical (and segment-identical under the
         aligned layout); time travel keeps the pre-backfill rows.
+
+        ``change_feed=True`` records Delta-CDF overwrite semantics for
+        the change feed (r13 verdict item 1 — previously the ONE
+        row-level mutation outside the feed, so a ``readChangeFeed``
+        stream on a backfill-maintained table died or silently
+        under-delivered): the replaced partitions' rows surface as
+        ``_change_type='delete'`` pre-images and ``df``'s rows as
+        ``_change_type='insert'``. Write amplification is ZERO on the
+        happy path: a replace drops WHOLE files, so the pre-images are
+        the dropped files themselves, referenced by path in the commit
+        (``cdf_pre`` — Delta CDF reads remove-actions' files for
+        full-file deletes the same way), and the insert half IS the new
+        data files (``cdf_ins``); change files are materialized only
+        when merge-on-read deletes cover a dropped file (a raw read
+        would resurrect the MOR-deleted rows into the pre-images).
+        Retention keeps ``cdf_pre``-referenced paths live while the
+        replace version itself is live (:meth:`expire_versions`).
 
         Two loud exactness guards, both Delta's:
 
@@ -1551,11 +1630,45 @@ class SnapshotTable:
             stats_cols,
             partition_by=partition_by or tuple(partition_eq),
         )
+        extra = None
+        if change_feed:
+            extra = {
+                "cdf": True,
+                # the new data files ARE the feed's insert rows — the
+                # planner emits them as _change_type='insert' without a
+                # second copy of the batch
+                "cdf_ins": [e["path"] for e in new_entries],
+            }
+            dels = self._delete_entries(version)
+            if dropped and not dels:
+                # whole-file pre-images by REFERENCE: the dropped files
+                # stay on storage under the parent version; the feed
+                # scans them directly. Byte sum recorded for admission
+                # control when every dropped entry carries one.
+                extra["cdf_pre"] = [e["path"] for e in dropped]
+                pb = [e.get("bytes") for e in dropped]
+                if all(b is not None for b in pb):
+                    extra["cdf_pre_bytes"] = int(sum(pb))
+            elif dropped:
+                # MOR deletes cover the version: materialize the
+                # pre-images with the deletes applied (one extra pass
+                # over the replaced partitions only)
+                pre = self._read_with_deletes(spark, version, dropped)
+                chg = self._write_data(pre, ())
+                for e in chg:
+                    e["kind"] = "change"
+                    e["change"] = "delete"
+                new_entries = new_entries + chg
         kept_paths = {e["path"] for e in kept} | {
             e["path"] for e in self._delete_entries(version)
         }
         return self._publish_cow(
-            version, kept_paths, new_entries, "replace", self._schema(version)
+            version,
+            kept_paths,
+            new_entries,
+            "replace",
+            self._schema(version),
+            extra,
         )
 
     # -- merge-on-read deletes (delete-key files) ---------------------------
@@ -2021,6 +2134,7 @@ class SnapshotTable:
         df: DataFrame,
         stats_cols: tuple[str, ...] = (),
         extra: dict | None = None,
+        token: str | None = None,
     ) -> int:
         """Append ``df`` ONTO ``base_version``'s file set, regardless of
         what the table head is: the published version references the
@@ -2035,11 +2149,21 @@ class SnapshotTable:
         are preserved by ``_publish_list``'s parent lookup. The manifest
         records the base as its TRUE parent (``"base"``), so per-version
         delta consumers diff against the published chain, never a
-        crashed sibling stage."""
+        crashed sibling stage.
+
+        ``token`` names the LOGICAL BATCH being staged (use
+        ``f"{stream_id}:{batch_id}"``): a re-stage of the same batch
+        carries the same token, which scopes supersede detection to
+        THIS writer's attempts (:meth:`_walk_bodies`) — with tokens,
+        two writers may stage a table concurrently without a crashed
+        attempt of one double-delivering past the other's published
+        version (r13 verdict item 4)."""
         written = self._write_data(df, stats_cols)
         seg = self._write_segment(written)
         ex = dict(extra or {})
         ex["base"] = base_version or 0
+        if token is not None:
+            ex["token"] = token
         for _ in range(64):
             parent = self.latest_version()
             if base_version is None:
@@ -2308,11 +2432,23 @@ class SnapshotTable:
         records the base it branched from (``"base"``), so a re-staged
         catalog batch diffs against the published base — never against a
         crashed sibling stage whose refs it does not extend (and whose
-        manifest a staged-orphan GC may have removed; r13 review)."""
+        manifest a staged-orphan GC may have removed; r13 review). A
+        parent whose manifest is GONE (GC'd orphan between plain
+        commits, or a retention hole under failOnDataLoss=false) falls
+        back to the NEAREST live ancestor: appends only ever add
+        segments, so the diff then covers everything introduced since
+        that ancestor — the hole's still-referenced segments included,
+        which is recovery, not loss, for append histories."""
         body = self._manifest_body(version)
         refs = body.get("segments")
         prev = body.get("base", version - 1)
-        prev_refs = self._segment_refs(prev) if prev > 0 else []
+        prev_refs: list[str] | None = []
+        while prev > 0:
+            try:
+                prev_refs = self._segment_refs(prev)
+                break
+            except FileNotFoundError:
+                prev -= 1
         if refs is not None and prev_refs is not None:
             base = set(prev_refs)
             seqs = body.get("seqs", {})
@@ -2341,15 +2477,23 @@ class SnapshotTable:
         crashed predecessor inside it, or a capped/tailing consumer
         would deliver the batch twice (r13 second review).
 
-        CONTRACT (single staging writer per table, the Delta txn-appId
-        assumption the catalog pattern already requires): the inference
-        "between a re-stage's base and the re-stage = crashed attempts"
-        is only sound when one logical writer stages a table — a SECOND
-        concurrent writer staging from a stale base would both (a) make
-        this scan hide the interleaved published version and (b) lose
-        that version's rows at the catalog itself (``publish`` merges
-        maps last-writer-wins). Tables with multiple writers must use
-        plain ``commit`` (CAS-retried) instead of staging.
+        Supersede detection is TOKEN-SCOPED when stages carry one
+        (``commit_onto(token=...)``, r13 verdict item 4): a token names
+        the LOGICAL BATCH being staged, so among versions sharing a
+        token only the latest attempt is live — a re-stage shields its
+        own crashed predecessors wherever they sit in the sequence,
+        and can never hide a concurrent writer's interleaved PUBLISHED
+        version (the pre-token range rule "everything between my base
+        and me" did exactly that under two stagers). Untokened stages
+        keep the legacy range rule — but a tokened version is never
+        superseded by someone else's untokened re-stage.
+
+        CONTRACT for UNTOKENED staging (single staging writer per
+        table, the Delta txn-appId assumption): the range inference is
+        only sound when one logical writer stages a table. With tokens
+        (token = stream_id:batch_id or any batch-unique id), multiple
+        writers may stage concurrently as long as each replays from
+        the last PUBLISHED base (``commit_onto`` does).
 
         Residual at-least-once window: a subscriber that consumed a
         staged version BEFORE its writer crashed will see the batch
@@ -2361,6 +2505,8 @@ class SnapshotTable:
         head = self.latest_version()
         top = max(hi, head) if head is not None else hi
         superseded: set[int] = set()
+        tokened: dict[int, str] = {}
+        by_token: dict[str, list[int]] = {}
         for v in range(lo + 1, top + 1):
             try:
                 body = self._manifest_body(v)
@@ -2368,19 +2514,37 @@ class SnapshotTable:
                 continue  # collected staged orphan: never published
             if v <= hi:
                 bodies[v] = body
+            tok = body.get("token")
+            if tok is not None:
+                tokened[v] = tok
+                by_token.setdefault(tok, []).append(v)
             b = body.get("base")
-            if b is not None and b < v - 1:
+            if b is not None and b < v - 1 and tok is None:
                 superseded.update(range(b + 1, v))
+        # tokened re-stages shield exactly their own earlier attempts;
+        # a tokened version is superseded ONLY by the token rule
+        tok_sup: set[int] = set()
+        for attempts in by_token.values():
+            tok_sup.update(attempts[:-1])
+        superseded -= set(tokened) - tok_sup
+        superseded |= tok_sup
         return bodies, superseded
 
-    def _delta_bytes(self, version: int) -> int | None:
-        """Data bytes INTRODUCED by ``version`` relative to its true
-        parent, derived from manifest ref diffs + carried segment
-        summaries alone (zero segment opens, zero file stats) — the
-        accounting bytes-based stream admission control reads per
-        trigger. None when not derivable (legacy manifests / summaries
-        without byte sums); ``data_change=false`` maintenance versions
-        answer 0 (they stream nothing)."""
+    def _delta_bytes(self, version: int, feed: bool = False) -> int | None:
+        """Scan bytes a SUBSCRIBER pays for ``version``, derived from
+        manifest ref diffs + carried segment summaries alone (zero
+        segment opens, zero file stats) — the accounting bytes-based
+        stream admission control reads per trigger. ``feed=False`` is
+        the plain-stream answer (data bytes introduced by the version);
+        ``feed=True`` is the ``readChangeFeed`` answer, which charges
+        what the FEED actually scans: appends their data files,
+        merge-on-read deletes their key files, CDF commits their change
+        files plus any whole-file pre-images the commit references
+        (``cdf_pre_bytes``) plus, for commits whose data files ARE the
+        insert half (``cdf_ins``), those data bytes. None when not
+        derivable (legacy manifests / summaries without the needed byte
+        sums); ``data_change=false`` maintenance versions answer 0
+        (they stream nothing)."""
         body = self._manifest_body(version)
         if not body.get("data_change", True):
             return 0
@@ -2394,18 +2558,49 @@ class SnapshotTable:
             return None
         base = set(prev_refs)
         summaries = body.get("summaries", {})
+        mode = body.get("mode", "append")
+        cdf = bool(body.get("cdf"))
         total = 0
+        if feed and cdf:
+            # whole-file pre-images referenced (not copied) by the commit
+            pre = body.get("cdf_pre")
+            if pre:
+                pb = body.get("cdf_pre_bytes")
+                if pb is None:
+                    return None
+                total += int(pb)
         for ref in refs:
             if ref in base:
                 continue
             s = summaries.get(ref)
             if s is None:
                 return None
-            if s.get("n_data", 0) == 0:
-                continue  # delete/change-only segment: no scan volume
-            if "bytes" not in s:
-                return None
-            total += s["bytes"]
+            if not feed:
+                if s.get("n_data", 0) == 0:
+                    continue  # delete/change-only segment: no scan volume
+                if "bytes" not in s:
+                    return None
+                total += s["bytes"]
+                continue
+            # feed accounting, per commit shape
+            if mode == "append" or (cdf and body.get("cdf_ins")):
+                if s.get("n_data", 0) > 0:
+                    if "bytes" not in s:
+                        return None
+                    total += s["bytes"]
+            if mode == "delete-mor" or cdf:
+                if s.get("n_delete", 0) > 0:
+                    if "bytes_delete" not in s:
+                        return None
+                    total += s["bytes_delete"]
+                # n_change is recorded by every summary that saw a change
+                # entry; a legacy cdf summary without it is not derivable
+                if s.get("n_change", 0) > 0:
+                    if "bytes_change" not in s:
+                        return None
+                    total += s["bytes_change"]
+                elif cdf and "n_change" not in s and s.get("n_data", 0) == 0:
+                    return None  # legacy cdf segment: change volume unknown
         return total
 
     def _incremental_entries(
@@ -2543,20 +2738,37 @@ class SnapshotTable:
         ``_commit_version``, and ``_commit_timestamp`` columns. Appends
         contribute their delta rows as inserts; merge-on-read delete
         commits their key files (non-key columns NULL); CDF-enabled
-        copy-on-write commits their recorded change files verbatim.
+        copy-on-write commits their recorded change files verbatim —
+        plus, for ``replace_where(change_feed=True)``, the dropped
+        files it references as whole-file pre-images (``cdf_pre``) and
+        its new data files as the insert half (``cdf_ins``).
         ``data_change=false`` maintenance and superseded staging
         attempts contribute nothing. A data-changing rewrite WITHOUT
         recorded change files raises — its row delta is not derivable
-        from file sets (commit it with ``change_feed=True``).
+        from file sets (commit it with ``change_feed=True``). A version
+        MISSING from the range raises unless the hole is provably a
+        GC'd staged orphan (tombstoned) or a superseded staging attempt
+        — a retention-expired version inside the range means the feed
+        would be silently partial (r13 verdict item 6).
 
         Scale: planning is the same per-version ref diff the stream
         uses; the scan reads exactly the change volume, never the
         table."""
         bodies, superseded = self._walk_bodies(from_version, to_version)
+        tombs = self._tombstones()
         groups: list[tuple[list[str], str, int, float | None]] = []
         for v in range(from_version + 1, to_version + 1):
             body = bodies.get(v)
-            if body is None or v in superseded:
+            if body is None:
+                if v in superseded or v in tombs:
+                    continue  # provably never published
+                raise ValueError(
+                    f"version {v} in the change range ({from_version}, "
+                    f"{to_version}] has no manifest and is not a known "
+                    "staged orphan — it was likely retention-expired; "
+                    "the change feed over this range would be partial"
+                )
+            if v in superseded:
                 continue
             if not body.get("data_change", True):
                 continue
@@ -2579,6 +2791,11 @@ class SnapshotTable:
                         by_type.setdefault(
                             e.get("change", "delete"), []
                         ).append(e["path"])
+                for p in body.get("cdf_pre", []):
+                    by_type.setdefault("delete", []).append(p)
+                ins = body.get("cdf_ins")
+                if ins:
+                    by_type.setdefault("insert", []).extend(ins)
             else:
                 raise ValueError(
                     f"version {v} has mode {mode!r} without recorded "
@@ -2813,7 +3030,47 @@ class SnapshotTable:
             keep |= {v for v in vs if v >= min_reader_version}
         drop = [v for v in vs if v not in keep]
         live = {f for v in keep for f in self._files(v)}
-        doomed = sorted({f for v in drop for f in self._files(v)} - live)
+        # a kept replace_where(change_feed=True) version references its
+        # dropped files as whole-file CDF pre-images (cdf_pre): the feed
+        # still scans them, so they are live even when no kept manifest
+        # lists them as entries
+        for v in keep:
+            live |= set(self._manifest_body(v).get("cdf_pre", []))
+        # CDF change files are readable ONLY through the version that
+        # committed them (read_changes / the stream read the INTRODUCING
+        # version's ref diff; carried refs never open kind="change"
+        # entries) — so a change file whose commit expires is garbage
+        # even while kept manifests still carry its segment. Without
+        # this, change files referenced by carried segments would
+        # survive retention FOREVER (r13 verdict item 6). Computed from
+        # the still-present manifests before anything is removed.
+        def _listed_change(v: int) -> set[str]:
+            return {
+                e["path"]
+                for e in self._entries(v)
+                if e.get("kind") == "change"
+            }
+
+        live_change: set[str] = set()
+        for v in keep:
+            try:
+                live_change |= {
+                    e["path"]
+                    for e in self._delta_entries(v)
+                    if e.get("kind") == "change"
+                }
+            except FileNotFoundError:
+                # parent manifest already expired (earlier vacuum): the
+                # ref diff is not derivable — conservatively keep every
+                # change file the kept version still lists
+                live_change |= _listed_change(v)
+        all_change: set[str] = set()
+        for v in vs:
+            all_change |= _listed_change(v)
+        doomed = sorted(
+            ({f for v in drop for f in self._files(v)} - live)
+            | (all_change - live_change)
+        )
         # missing_ok deletes make the vacuum IDEMPOTENT: after a crash
         # between file deletes and manifest deletes, the expired manifests
         # still list already-removed files — the re-run must finish the
@@ -3269,6 +3526,11 @@ class MultiTableCatalog:
             drop_refs: set[str] = set()
             for v in doomed:
                 drop_refs.update(tbl._segment_refs(v) or [])
+            # tombstone BEFORE removing manifests: the record is what
+            # lets a stream/change-feed consumer prove a hole in its
+            # window was a never-published staged orphan (skip silently)
+            # rather than retention outrunning it (fail loudly)
+            tbl._record_collected(doomed)
             for v in doomed:
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(tbl._manifest_path(v))
