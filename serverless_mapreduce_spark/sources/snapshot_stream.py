@@ -826,6 +826,104 @@ def stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming change feed over a partition overwrite (r14) --------------------
+
+
+@query(
+    "stream_replace_change_feed",
+    priority=0,
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             + CASE WHEN o_orderstatus = 'O' THEN 3 ELSE 0 END AS cents
+      FROM orders
+      WHERE o_orderstatus <> 'O' OR o_orderkey % 5 <> 0
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def stream_replace_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CHANGE FEED SURVIVES A PARTITION OVERWRITE (r13 verdict item
+    1's done-gate): a partitioned table is fully consumed by a
+    ``readChangeFeed`` subscriber; a ``replace_where(change_feed=True)``
+    backfill then rewrites one partition (every 'O' order re-priced +3
+    cents, the %5==0 keys dropped); a second drain over the SAME
+    checkpoint receives the overwrite as delete pre-images + insert
+    rows — served from the dropped and new data files BY REFERENCE,
+    zero change-file write amplification — and a last-writer-wins fold
+    reconstructs the final table state. Pre-r14 this exact history
+    either killed the stream (default) or silently under-delivered
+    (``skipChangeCommits``). The fold is value-visible everywhere: a
+    missed pre-image leaves the stale row double-counted, a missed
+    insert loses the re-priced partition, a re-delivered batch doubles
+    it, and each diverges from the oracle's recompute.
+
+    Scale: planning stays manifest-only O(delta); the feed scans the
+    replaced partition's volume, never the table; the fold is one
+    max-version join + keyed aggregate over the feed."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "stream_repl_cdf_tbl")
+    out_dir = scratch(sf_tag(sf_dir), "stream_repl_cdf_out")
+    ckpt = scratch(sf_tag(sf_dir), "stream_repl_cdf_ckpt")
+    for d in (base, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    t = SnapshotTable(base)
+    out = SnapshotTable(out_dir)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("cents"),
+    )
+    t.commit(orders, partition_by=("o_orderstatus",))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out.commit_stream_batch(batch_df, "repl_cdf", batch_id)
+
+    def drain() -> None:
+        (
+            read_stream(spark, base, readChangeFeed="true")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()  # v1: every order as insert
+    t.replace_where(
+        spark,
+        {"o_orderstatus": "O"},
+        orders.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 5 != 0)
+        ).withColumn("cents", F.col("cents") + 3),
+        change_feed=True,
+    )
+    drain()  # only the overwrite: pre-image deletes + re-priced inserts
+
+    # last-writer-wins fold: per key, the highest _commit_version decides;
+    # within it an insert wins (a key deleted AND re-inserted by the same
+    # overwrite is live with the new value)
+    feed = out.read(spark)
+    last = feed.groupBy("o_orderkey").agg(
+        F.max(COMMIT_VERSION_COL).alias("_mv")
+    )
+    live = (
+        feed.join(last, "o_orderkey")
+        .filter(F.col(COMMIT_VERSION_COL) == F.col("_mv"))
+        .filter(F.col(CHANGE_TYPE_COL) == "insert")
+    )
+    return live.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
 # --- CDF-maintained rollup: deletes DECREMENT instead of killing (r13) ---------
 
 
@@ -931,7 +1029,7 @@ def stream_cdf_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "stream_cdc_replication",
-    priority=150,
+    priority=0,
     oracle="""
     WITH src AS (
       SELECT o_orderkey,
@@ -941,10 +1039,12 @@ def stream_cdf_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
              o_orderkey % 3 AS m3
       FROM orders
     )
-    SELECT o_orderkey, cents FROM src
+    SELECT o_orderkey,
+           CASE WHEN m3 = 2 THEN cents + 1 ELSE cents END AS cents
+    FROM src
     WHERE (m3 = 0 AND o_orderkey % 9 <> 0)
        OR (m3 = 1 AND o_orderkey % 7 = 0 AND o_orderkey % 9 <> 0)
-       OR (m3 = 2)
+       OR (m3 = 2 AND o_orderkey % 11 <> 0)
     """,
 )
 def stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -954,16 +1054,22 @@ def stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch is applied in ``_commit_version`` order — the metadata
     column the feed carries for exactly this — with inserts and
     update post-images upserted and delete pre-images removed. Ordering
-    is load-bearing and adversarially probed: one key is UPDATED in one
-    version and DELETED in the next, and both changes arrive in the
-    SAME micro-batch — an unordered fold would resurrect the deleted
-    row. The source history drives every mutation shape: append, CDF
-    merge (pre/post images + inserts), CDF predicate delete, then a
-    second append consumed by a second drain over the same checkpoint;
-    the batch ledger makes redelivery a no-op. The returned replica
-    state equals the oracle's recompute of the source's final state —
-    row-for-row, key and amount — only if every change applied exactly
-    once, in order.
+    is load-bearing and adversarially probed TWICE: one key is UPDATED
+    in one version and DELETED in the next, and both changes arrive in
+    the SAME micro-batch (an unordered fold would resurrect the deleted
+    row); and a partition OVERWRITE deletes and re-inserts the same
+    keys within ONE version (a fold applying that version's upserts
+    before its deletes would erase the re-inserted rows — deletes apply
+    only to keys the same version does not re-insert). The source
+    history drives every mutation shape: append, CDF merge (pre/post
+    images + inserts), CDF predicate delete, a second append, and a
+    ``replace_where(change_feed=True)`` partition backfill (r13 verdict
+    item 1: re-price the m3=2 partition +1 cent, drop its %11 keys) —
+    all consumed by a second drain over the same checkpoint; the batch
+    ledger makes redelivery a no-op. The returned replica state equals
+    the oracle's recompute of the source's final state — row-for-row,
+    key and amount — only if every change applied exactly once, in
+    order.
 
     Scale: the replica applies O(changed rows) per batch via the keyed
     copy-on-write paths (stats/key-located partial rewrites); the
@@ -982,9 +1088,11 @@ def stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     sid = "cdc_repl"
     k = F.col("o_orderkey")
     base = table(spark, sf_dir, "orders").select(
-        "o_orderkey", _cents("o_totalprice").alias("cents")
+        "o_orderkey",
+        _cents("o_totalprice").alias("cents"),
+        (F.col("o_orderkey") % 3).alias("m3"),
     )
-    src.commit(base.filter(k % 3 == 0))
+    src.commit(base.filter(k % 3 == 0), partition_by=("m3",))
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if cat.batch_committed(sid, batch_id):
@@ -1009,20 +1117,31 @@ def stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
             has_dels = {r[0] for r in present if r[1] == "delete"}
             for ver in sorted(has_ups | has_dels):
                 ev = batch_df.filter(F.col(COMMIT_VERSION_COL) == ver)
-                if ver in has_ups:
-                    ups = ev.filter(
-                        ct.isin("insert", "update_postimage")
-                    ).select("o_orderkey", "cents")
+                ups = (
+                    ev.filter(ct.isin("insert", "update_postimage")).select(
+                        "o_orderkey", "cents"
+                    )
+                    if ver in has_ups
+                    else None
+                )
+                if ver in has_dels:
+                    # within ONE version, deletes apply only to keys the
+                    # version does not re-insert: an overwrite's
+                    # pre-image delete + re-insert of the same key must
+                    # net to the new row, not a missing one
+                    dk = ev.filter(ct == "delete").select("o_orderkey")
+                    if ups is not None:
+                        dk = dk.join(
+                            ups.select("o_orderkey"), "o_orderkey",
+                            "left_anti",
+                        )
+                    if replica.latest_version() is not None:
+                        replica.delete_keys(spark, dk, ("o_orderkey",))
+                if ups is not None:
                     if replica.latest_version() is None:
                         replica.commit(ups)
                     else:
                         replica.merge_upsert(spark, ups, ("o_orderkey",))
-                if ver in has_dels:
-                    replica.delete_keys(
-                        spark,
-                        ev.filter(ct == "delete").select("o_orderkey"),
-                        ("o_orderkey",),
-                    )
             cat.publish({}, sid, batch_id)
         finally:
             batch_df.unpersist()
@@ -1041,14 +1160,32 @@ def stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain()  # v1 replicated
     # v2: merge — update every even %3==0 key (+7 cents), insert %3==1∧%7==0
     updates = base.filter((k % 3 == 0) & (k % 2 == 0)).select(
-        "o_orderkey", (F.col("cents") + 7).alias("cents")
+        "o_orderkey", (F.col("cents") + 7).alias("cents"), "m3"
     ).unionAll(base.filter((k % 3 == 1) & (k % 7 == 0)))
-    src.merge_upsert(spark, updates, ("o_orderkey",), change_feed=True)
+    src.merge_upsert(
+        spark,
+        updates,
+        ("o_orderkey",),
+        change_feed=True,
+        partition_by=("m3",),
+    )
     # v3: predicate purge — catches keys v2 JUST updated (order matters)
-    src.delete_where(spark, "o_orderkey % 9 = 0", change_feed=True)
+    src.delete_where(
+        spark, "o_orderkey % 9 = 0", change_feed=True, partition_by=("m3",)
+    )
     # v4: plain append
-    src.commit(base.filter(k % 3 == 2))
-    drain()  # v2..v4 arrive in ONE batch: per-version order is the test
+    src.commit(base.filter(k % 3 == 2), partition_by=("m3",))
+    # v5: partition backfill — re-price m3=2 (+1 cent), drop its %11 keys;
+    # the overwrite deletes AND re-inserts the same keys in ONE version
+    src.replace_where(
+        spark,
+        {"m3": "2"},
+        base.filter((k % 3 == 2) & (k % 11 != 0)).withColumn(
+            "cents", F.col("cents") + 1
+        ),
+        change_feed=True,
+    )
+    drain()  # v2..v5 arrive in ONE batch: per-version order is the test
     # out-of-band redelivery: ledger makes it a no-op
     fold(
         src.read(spark, 1)
