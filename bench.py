@@ -388,6 +388,12 @@ HEADLINE = (
     # Iceberg-style snapshots metadata table: per-version physical
     # accounting from manifests alone (zero segment opens)
     "snapshot_metadata_table",
+    # round 14: change feed across partition overwrites (streaming fold +
+    # batch table_changes), and the batch spark.read.format("snapshot")
+    # DataSource (pushdown-pruned, MOR-applying, time-travelling)
+    "stream_replace_change_feed",
+    "snapshot_replace_changes",
+    "snapshot_batch_datasource",
 )
 
 

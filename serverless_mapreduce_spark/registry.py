@@ -159,6 +159,7 @@ def _ensure_loaded() -> None:
         jdbc_kv,
         layout,
         pyds_kv,
+        snapshot_batch,
         snapshot_stream,
         snapshots,
         source_queries,
