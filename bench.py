@@ -394,6 +394,9 @@ HEADLINE = (
     "stream_replace_change_feed",
     "snapshot_replace_changes",
     "snapshot_batch_datasource",
+    # IVF codebook refresh: drift-triggered retrain + single-txn swap of
+    # (codebook, index, cursor)
+    "stream_ivf_codebook_refresh",
 )
 
 

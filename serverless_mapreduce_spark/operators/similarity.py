@@ -3712,3 +3712,319 @@ def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= ANN_SERVE_K)
         .select("q_id", "nb_id", "cos_sim", "rnk")
     )
+
+
+# --- IVF codebook refresh under drift (r13 verdict item 5) ---------------------
+
+#: drifted rows get fixture ids offset by this; ≡ 48 (mod CENTROID_MOD=50),
+#: so the deterministic "retrain" rule vec_id % 50 == 0 over the refreshed
+#: corpus selects drifted centroids at source ids ≡ 2 (mod 50)
+DRIFT_OFFSET = 1_000_048
+DRIFT_MOD, DRIFT_REM = 5, 2        #: source slice that drifts
+DRIFT_PROBE_MOD, DRIFT_PROBE_REM = 25, 7  #: held-out drifted probes
+#: hot-cell trigger: refresh when one cell absorbs ≥ this share of a batch
+#: (training-time share is ~1/n_cells; a concentrated drift mass pushes it
+#: toward 1.0 — the cell-overload signal that degrades IVF serving)
+IVF_REFRESH_SHARE = 0.5
+
+
+def ivf_drift_metrics(assigned: DataFrame) -> tuple[float, float]:
+    """Drift metrics of one assigned batch: (max cell share, mean
+    best-centroid cosine). Two cell-cardinality aggregations over the
+    batch — never corpus-proportional. The share is the refresh trigger
+    (:data:`IVF_REFRESH_SHARE`); the mean-cos is reported alongside (the
+    assignment-distance signal — under drift away from every centroid it
+    collapses, under concentrated drift the share spikes first)."""
+    rows = (
+        assigned.groupBy("centroid")
+        .agg(F.count("*").alias("n"), F.avg("c_cos").alias("m"))
+        .collect()
+    )
+    total = sum(r["n"] for r in rows)
+    if not total:
+        return 0.0, 0.0
+    share = max(r["n"] for r in rows) / total
+    mean_cos = sum(r["n"] * r["m"] for r in rows) / total
+    return share, mean_cos
+
+
+def ivf_refresh(
+    spark: SparkSession,
+    cat,
+    corpus_t,
+    codebook_t,
+    index_t,
+    new_codebook: DataFrame,
+    corpus_version: int,
+    sid: str,
+    batch_id: int,
+) -> None:
+    """RETRAIN-AND-SWAP (r13 verdict item 5): re-assign the ENTIRE corpus
+    snapshot at ``corpus_version`` against ``new_codebook`` and flip
+    (codebook version, index version, stream cursor, batch ledger) in ONE
+    catalog transaction — a prober that resolves both tables from a
+    single catalog head can NEVER pair the new index with the old
+    codebook or vice versa; mid-swap reads see the old consistent pair
+    until the txn lands, the new one after. The old codebook/index
+    versions stay readable (time travel) until retention.
+
+    Cost: one O(corpus × codebook) assignment + an O(corpus) overwrite —
+    paid only when the drift trigger fires, against the corpus SNAPSHOT
+    (probes keep serving the old pair throughout)."""
+    wc = codebook_t.commit(new_codebook, mode="overwrite")
+    cb = codebook_t.read(spark, wc).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    assigned = _ivf_assign(corpus_t.read(spark, corpus_version), cb).select(
+        "vec_id", "embedding", "centroid"
+    )
+    wi = index_t.commit(assigned.repartition("centroid"), mode="overwrite")
+    cat.publish(
+        {"ivf_codebook": wc, "ivf_index": wi},
+        sid,
+        batch_id,
+        cursors={"corpus": {sid: corpus_version}},
+    )
+
+
+def _ivf_assign(batch: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of ``batch`` (vec_id, embedding)
+    against the broadcast ``cent`` (c_id, c_emb): the shared
+    coarse-quantizer shape (corpus × ~constant codebook, then one
+    window per vec_id). Keeps ``c_cos`` for drift metrics."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
+    return (
+        batch.join(F.broadcast(cent))
+        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
+        .withColumn("arn", F.row_number().over(w))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "embedding", F.col("c_id").alias("centroid"), "c_cos")
+    )
+
+
+def _drift_blend_sql(src: str, v0: str) -> str:
+    """DuckDB analog of the drifted-vector blend (0.9·v0 + 0.1·src in
+    explicit double math — bit-identical to the Spark ``zip_with``)."""
+    return (
+        f"list_transform(range(1, len({src}) + 1), "
+        f"i -> 0.9 * CAST({v0}[i] AS DOUBLE) + 0.1 * CAST({src}[i] AS DOUBLE))"
+    )
+
+
+@query(
+    "stream_ivf_codebook_refresh",
+    priority=0,
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), v0 AS (
+      SELECT emb AS v0e FROM base WHERE vec_id = 0
+    ), drift AS (
+      SELECT b.vec_id + {DRIFT_OFFSET} AS vec_id,
+             {_drift_blend_sql('b.emb', 'v0.v0e')} AS emb
+      FROM base b, v0
+      WHERE b.vec_id % {DRIFT_MOD} = {DRIFT_REM}
+        AND b.vec_id % {DRIFT_PROBE_MOD} <> {DRIFT_PROBE_REM}
+    ), corpus AS (
+      SELECT vec_id, emb FROM base
+      UNION ALL SELECT vec_id, emb FROM drift
+    ), cent AS (
+      SELECT vec_id AS c_id, emb AS c_emb FROM corpus
+      WHERE vec_id % {CENTROID_MOD} = 0
+    ), a AS (
+      SELECT vec_id, emb, c_id AS centroid
+      FROM (
+        SELECT u.vec_id, u.emb, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY u.vec_id
+                 ORDER BY {_cosine_sql('u.emb', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM corpus u CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT b.vec_id + {DRIFT_OFFSET} AS q_id,
+             {_drift_blend_sql('b.emb', 'v0.v0e')} AS q_emb
+      FROM base b, v0
+      WHERE b.vec_id % {DRIFT_PROBE_MOD} = {DRIFT_PROBE_REM}
+    ), p_assign AS (
+      SELECT q_id, q_emb, c_id AS centroid
+      FROM (
+        SELECT p.q_id, p.q_emb, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.q_id
+                 ORDER BY {_cosine_sql('p.q_emb', 'c.c_emb')} DESC, c.c_id
+               ) AS rn
+        FROM probes p CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), hits AS (
+      SELECT p.q_id, u.vec_id AS nb_id,
+             ROUND({_cosine_sql('u.emb', 'p.q_emb')}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.q_id
+               ORDER BY ROUND({_cosine_sql('u.emb', 'p.q_emb')}, 6) DESC,
+                        u.vec_id
+             ) AS rnk
+      FROM p_assign p JOIN a u ON u.centroid = p.centroid
+    )
+    SELECT q_id, nb_id, cos_sim, rnk FROM hits WHERE rnk <= {ANN_SERVE_K}
+    """,
+)
+def stream_ivf_codebook_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEBOOK REFRESH UNDER DRIFT (r13 verdict item 5 — the gap in
+    ``stream_ivf_index_maintenance``, whose FROZEN codebook silently
+    degrades when the data distribution moves): the streamed IVF
+    maintenance loop now measures each batch's drift
+    (:func:`ivf_drift_metrics` — hot-cell share + mean assignment
+    cosine) and, past :data:`IVF_REFRESH_SHARE`, RETRAINS instead of
+    appending: a new codebook is derived from the CURRENT corpus
+    snapshot (the deterministic id-rule "training" the IVF family
+    standardizes on — drifted centroids appear because the drifted ids
+    land on the rule), the whole corpus is re-assigned, and (codebook,
+    index, cursor, ledger) flip in ONE catalog txn
+    (:func:`ivf_refresh`) — probes resolving both tables from a single
+    catalog head can never mix an old codebook with a new index.
+
+    The run: the standing fixture corpus streams in (no drift — the
+    fold appends incrementally, share ≈ 1/cells); a DRIFTED batch —
+    fixture vectors blended 90 % toward one direction, re-keyed past
+    DRIFT_OFFSET — commits and drains; its assignment collapses
+    into ONE cell of the frozen codebook (share ≈ 1.0, the overload
+    signal), the trigger fires, and the refresh swaps in the retrained
+    pair. Held-out drifted probes then retrieve their top-{ANN_SERVE_K}
+    same-cell neighbors through (visible codebook → assign → visible
+    index) — equal to the oracle's from-scratch recompute of the
+    POST-REFRESH state only if the retrain covered the full corpus,
+    the swap was atomic, and the trigger actually fired (a frozen
+    codebook serves different cells and different neighbors).
+    tests/test_ivf_refresh.py additionally pins recall recovery on
+    injected gaussian drift and single-txn atomicity of the swap.
+
+    Scale: drift metrics are two cell-cardinality aggregations per
+    batch; the retrain costs one corpus × codebook assignment only when
+    triggered; serving stays one equi-join on centroid."""
+    import shutil
+
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+    from serverless_mapreduce_spark.sources.snapshot_stream import read_stream
+    from serverless_mapreduce_spark.sources.snapshots import (
+        MultiTableCatalog,
+        SnapshotTable,
+    )
+
+    root = scratch(sf_tag(sf_dir), "stream_ivf_refresh")
+    shutil.rmtree(root, ignore_errors=True)
+    corpus = SnapshotTable(f"{root}/corpus")
+    codebook = SnapshotTable(f"{root}/codebook")
+    index = SnapshotTable(f"{root}/index")
+    cat = MultiTableCatalog(root)
+    sid = "ivf_refresh"
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    v0 = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("v0e")
+        )
+    )
+
+    def blend(df: DataFrame) -> DataFrame:
+        return df.crossJoin(v0).select(
+            (F.col("vec_id") + F.lit(DRIFT_OFFSET)).alias("vec_id"),
+            F.zip_with(
+                "v0e", "embedding", lambda x, y: F.lit(0.9) * x + F.lit(0.1) * y
+            ).alias("embedding"),
+        )
+
+    # v1 codebook: trained on the standing corpus, published before any fold
+    wc0 = codebook.commit(
+        emb.filter(F.col("vec_id") % CENTROID_MOD == 0), mode="overwrite"
+    )
+    cat.publish({"ivf_codebook": wc0})
+    corpus.commit(emb)
+    consumed = {"v": 0}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if cat.batch_committed(sid, batch_id):
+            return
+        vis = cat._head()["tables"]  # ONE head read: consistent pair
+        cb = codebook.read(spark, vis["ivf_codebook"]).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        )
+        assigned = _ivf_assign(batch_df, cb)
+        assigned.persist()
+        try:
+            share, _mean_cos = ivf_drift_metrics(assigned)
+            if share >= IVF_REFRESH_SHARE:
+                # drift: retrain on the corpus snapshot this drain pinned
+                new_cb = corpus.read(spark, consumed["v"]).filter(
+                    F.col("vec_id") % CENTROID_MOD == 0
+                )
+                ivf_refresh(
+                    spark, cat, corpus, codebook, index,
+                    new_cb, consumed["v"], sid, batch_id,
+                )
+            else:
+                w = index.commit_onto(
+                    vis.get("ivf_index"),
+                    assigned.drop("c_cos").repartition("centroid"),
+                )
+                cat.publish(
+                    {"ivf_index": w},
+                    sid,
+                    batch_id,
+                    cursors={"corpus": {sid: consumed["v"]}},
+                )
+        finally:
+            assigned.unpersist()
+
+    def drain() -> None:
+        consumed["v"] = corpus.latest_version() or 0
+        (
+            read_stream(spark, corpus.base)
+            .writeStream.foreachBatch(fold)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()  # standing corpus: no drift, incremental append
+    drift_committed = blend(
+        emb.filter(
+            (F.col("vec_id") % DRIFT_MOD == DRIFT_REM)
+            & (F.col("vec_id") % DRIFT_PROBE_MOD != DRIFT_PROBE_REM)
+        )
+    )
+    corpus.commit(drift_committed)
+    drain()  # hot-cell trigger fires → retrain + atomic swap
+    fold(corpus.read(spark, 1), 0)  # out-of-band redelivery: ledger no-op
+
+    # serve: resolve BOTH tables from one catalog head (never mixes pairs)
+    vis = cat._head()["tables"]
+    cb = codebook.read(spark, vis["ivf_codebook"]).select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+    )
+    probes = _ivf_assign(
+        blend(emb.filter(F.col("vec_id") % DRIFT_PROBE_MOD == DRIFT_PROBE_REM)),
+        cb,
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        "centroid",
+    )
+    idx = index.read(spark, vis["ivf_index"]).select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("embedding").alias("nb_emb"),
+        "centroid",
+    )
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("nb_id"))
+    return (
+        probes.join(idx, "centroid")
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("nb_emb"), F.col("q_emb")), 6)
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= ANN_SERVE_K)
+        .select("q_id", "nb_id", "cos_sim", "rnk")
+    )

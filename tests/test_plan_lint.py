@@ -112,6 +112,11 @@ BNLJ_ALLOWED = {
     # centroid broadcast); shortlist ADC and the exact re-rank are
     # equi-joins on (q_cent)/(m, code)/(vec_id) throughout
     "ann_ivfpq_rerank_topk",
+    # the stream_ivf_index_maintenance coarse-assignment shape per batch
+    # and for the held-out probes (each × the ~constant codebook
+    # broadcast), plus the 1-row v0 blend cross (constant × slice); the
+    # serving probe itself is an equi-join on centroid
+    "stream_ivf_codebook_refresh",
 }
 
 FORBIDDEN_EVERYWHERE = ("CartesianProduct",)
