@@ -548,6 +548,29 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Per-query budget pins (r13 verdict item 7): BENCH_BUDGETS.json maps
+    # each line to a generous ceiling (steady-state × margin). Overruns
+    # don't fail the bench — host noise is real — but they are RECORDED in
+    # the artifact, so a real regression can no longer hide inside a
+    # uniformly-inflated run: a noisy host trips many budgets at once, a
+    # regression trips its own line against an otherwise-quiet board.
+    budgets_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BUDGETS.json"
+    )
+    if abs(sf - 0.1) < 1e-12 and os.path.exists(budgets_path):
+        with open(budgets_path) as f:
+            budgets = json.load(f)
+        over = {
+            n: {"sec": t, "budget": budgets[n]}
+            for n, t in timings.items()
+            if n in budgets and t > budgets[n]
+        }
+        full["over_budget"] = over
+        for n, o in sorted(over.items()):
+            print(
+                f"# OVER BUDGET {n}: {o['sec']:.2f}s > {o['budget']:.2f}s",
+                file=sys.stderr,
+            )
     # Only the canonical benchmark scale may write the committed artifact;
     # dev-scale smoke runs go to a scale-suffixed (gitignored) file so a
     # quick sf0.001 iteration can never clobber the judge-readable record.
@@ -570,6 +593,8 @@ def main() -> None:
         "n_queries": len(timings),
         "detail": fname,
     }
+    if "over_budget" in full:
+        compact["n_over_budget"] = len(full["over_budget"])
     budget = 1700  # < driver tail (2000) with headroom for the newline
     for name in HEADLINE:
         if name not in timings:
