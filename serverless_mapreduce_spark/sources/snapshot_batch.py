@@ -91,6 +91,14 @@ class SnapshotBatchReader(DataSourceReader):
         self._base = opts["path"]
         self._version = _resolve_version(SnapshotTable(self._base), opts)
         self._schema = schema
+        # batch change feed (Delta's table_changes through the reader
+        # API): serve every row-level change in (startingVersion,
+        # endingVersion] with the CDF metadata columns appended
+        self._change_feed = (
+            str(opts.get("readchangefeed", "false")).lower() == "true"
+        )
+        self._cf_start = int(opts.get("startingversion", 0))
+        self._cf_end = int(opts.get("endingversion", self._version))
         # pushed pruning probes: {col: value} equalities and
         # {col: [lo, hi]} numeric boxes (None = unbounded side)
         self._eq: dict[str, str | None] = {}
@@ -178,8 +186,19 @@ class SnapshotBatchReader(DataSourceReader):
         """One partition per planned data file, each carrying exactly
         the delete-key files that supersede it (delete seq > data seq —
         the library's ``_read_with_deletes`` grouping, shipped to the
-        executor as (path, [(delete_path, key_cols), ...]))."""
+        executor as (path, [(delete_path, key_cols), ...])). Under
+        ``readChangeFeed`` the plan is instead the library's
+        ``plan_changes`` walk: one partition per change-volume file,
+        tagged (change_type, commit_version, commit_ts)."""
         t = self._table()
+        if self._change_feed:
+            return [
+                InputPartition(("cdf", p, ctype, v, ts))
+                for paths, ctype, v, ts in t.plan_changes(
+                    self._cf_start, self._cf_end
+                )
+                for p in paths
+            ]
         dels = t._delete_entries(self._version)
         out = []
         for e in self._planned_entries():
@@ -203,8 +222,35 @@ class SnapshotBatchReader(DataSourceReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        path, appl = partition.value
         target = to_arrow_schema(self._schema)
+        if self._change_feed:
+            _tag, path, ctype, cver, cts = partition.value
+            raw = pq.read_table(path)
+            cols = []
+            for field in target:
+                if field.name == "_change_type":
+                    cols.append(
+                        pa.array([ctype] * raw.num_rows, type=field.type)
+                    )
+                elif field.name == "_commit_version":
+                    cols.append(
+                        pa.array([cver] * raw.num_rows, type=field.type)
+                    )
+                elif field.name == "_commit_timestamp":
+                    cols.append(
+                        pa.array([cts] * raw.num_rows, type=field.type)
+                    )
+                elif field.name in raw.column_names:
+                    cols.append(
+                        raw.column(field.name)
+                        .combine_chunks()
+                        .cast(field.type)
+                    )
+                else:
+                    cols.append(pa.nulls(raw.num_rows, field.type))
+            yield from pa.table(cols, schema=target).to_batches()
+            return
+        path, appl = partition.value
         raw = pq.read_table(path)
         cols = []
         for field in target:
@@ -249,7 +295,12 @@ class SnapshotBatchDataSource(DataSource):
 
     Options: ``path`` (table base dir, required), ``versionAsOf``
     (exact live version), ``timestampAsOf`` (epoch seconds — resolved
-    like the library's ``resolve_as_of``). Enable
+    like the library's ``resolve_as_of``), ``readChangeFeed`` (batch
+    CDF: serve every row-level change in ``(startingVersion,
+    endingVersion]`` — default (0, resolved version] — with the
+    ``_change_type``/``_commit_version``/``_commit_timestamp`` columns;
+    the plan is the library's ``plan_changes`` walk, loud on
+    retention-expired holes). Enable
     ``spark.sql.python.filterPushdown.enabled`` for manifest pruning
     of pushed filters (they are still re-applied row-level by Spark
     either way)."""
@@ -268,9 +319,16 @@ class SnapshotBatchDataSource(DataSource):
                 "snapshot batch source: the resolved manifest records no "
                 "schema (pre-round-10 table)"
             )
-        return ", ".join(
+        ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in st.fields
         )
+        if str(opts.get("readchangefeed", "false")).lower() == "true":
+            ddl += (
+                ", _change_type string"
+                ", _commit_version bigint"
+                ", _commit_timestamp double"
+            )
+        return ddl
 
     def reader(self, schema: StructType) -> SnapshotBatchReader:
         return SnapshotBatchReader(dict(self.options), schema)

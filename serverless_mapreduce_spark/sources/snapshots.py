@@ -2754,6 +2754,57 @@ class SnapshotTable:
         Scale: planning is the same per-version ref diff the stream
         uses; the scan reads exactly the change volume, never the
         table."""
+        groups = self.plan_changes(from_version, to_version)
+        reader = self._reader(spark, to_version)
+        parts = []
+        for paths, ctype, v, ts in groups:
+            parts.append(
+                reader.parquet(*paths)
+                .withColumn("_change_type", F.lit(ctype))
+                .withColumn(
+                    "_commit_version", F.lit(v).cast("bigint")
+                )
+                .withColumn(
+                    "_commit_timestamp",
+                    F.lit(ts).cast("double"),
+                )
+            )
+        if not parts:
+            schema = self._schema(to_version)
+            if schema is None:
+                raise ValueError(
+                    "empty change range and no recorded schema"
+                )
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            full = StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                    StructField("_commit_timestamp", DoubleType()),
+                ]
+            )
+            return spark.createDataFrame([], full)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def plan_changes(
+        self, from_version: int, to_version: int
+    ) -> list[tuple[list[str], str, int, float | None]]:
+        """The change feed's FILE PLAN for ``(from_version, to_version]``:
+        (paths, change_type, commit_version, commit_ts) groups, derived
+        from manifests alone — shared by :meth:`read_changes` and the
+        batch ``spark.read.format("snapshot")`` change-feed option. Same
+        loud-hole and supersede semantics as :meth:`read_changes`."""
         bodies, superseded = self._walk_bodies(from_version, to_version)
         tombs = self._tombstones()
         groups: list[tuple[list[str], str, int, float | None]] = []
@@ -2804,47 +2855,7 @@ class SnapshotTable:
                 )
             for ctype, paths in sorted(by_type.items()):
                 groups.append((paths, ctype, v, ts))
-        reader = self._reader(spark, to_version)
-        parts = []
-        for paths, ctype, v, ts in groups:
-            parts.append(
-                reader.parquet(*paths)
-                .withColumn("_change_type", F.lit(ctype))
-                .withColumn(
-                    "_commit_version", F.lit(v).cast("bigint")
-                )
-                .withColumn(
-                    "_commit_timestamp",
-                    F.lit(ts).cast("double"),
-                )
-            )
-        if not parts:
-            schema = self._schema(to_version)
-            if schema is None:
-                raise ValueError(
-                    "empty change range and no recorded schema"
-                )
-            from pyspark.sql.types import (
-                DoubleType,
-                LongType,
-                StringType,
-                StructField,
-                StructType,
-            )
-
-            full = StructType(
-                list(schema.fields)
-                + [
-                    StructField("_change_type", StringType()),
-                    StructField("_commit_version", LongType()),
-                    StructField("_commit_timestamp", DoubleType()),
-                ]
-            )
-            return spark.createDataFrame([], full)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return groups
 
     def versions_metadata(self, spark: SparkSession) -> DataFrame:
         """METADATA TABLE (Iceberg's ``snapshots``/``files`` metadata

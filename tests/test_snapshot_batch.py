@@ -130,3 +130,49 @@ def test_batch_source_unknown_version_raises(spark, tmp_path):
             .load()
             .collect()
         )
+
+
+def test_batch_source_change_feed_matches_library(spark, tmp_path):
+    """format('snapshot') with readChangeFeed=true serves the same rows
+    as the library's read_changes, CDF metadata columns included."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _pkv(spark, [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)]),
+        partition_by=("p",),
+    )
+    t.replace_where(
+        spark, {"p": "a"}, _pkv(spark, [("a", 9, 90)]), change_feed=True
+    )
+    t.commit(_pkv(spark, [("c", 4, 40)]), partition_by=("p",))
+    head = t.latest_version()
+    s = _pushdown_session(spark)
+    ds = (
+        s.read.format("snapshot")
+        .option("path", base)
+        .option("readChangeFeed", "true")
+        .load()
+    )
+    lib = t.read_changes(spark, 0, head)
+    got = sorted(
+        (r["_change_type"], r["_commit_version"], r["k"], r["v"])
+        for r in ds.collect()
+    )
+    want = sorted(
+        (r["_change_type"], r["_commit_version"], r["k"], r["v"])
+        for r in lib.collect()
+    )
+    assert got == want and len(got) == 3 + 2 + 1 + 1  # v1 ins + v2 del/ins + v3
+
+    # bounded window: only v2's overwrite
+    windowed = (
+        s.read.format("snapshot")
+        .option("path", base)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("endingVersion", "2")
+        .load()
+    )
+    assert sorted(
+        (r["_change_type"], r["k"]) for r in windowed.collect()
+    ) == [("delete", 1), ("delete", 2), ("insert", 9)]
