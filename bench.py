@@ -397,6 +397,10 @@ HEADLINE = (
     # IVF codebook refresh: drift-triggered retrain + single-txn swap of
     # (codebook, index, cursor)
     "stream_ivf_codebook_refresh",
+    # the WRITE half of format("snapshot"): batch writer with inline Arrow
+    # stats, and the ledger-exactly-once streaming sink
+    "snapshot_batch_writer_roundtrip",
+    "stream_snapshot_writer_sink",
 )
 
 

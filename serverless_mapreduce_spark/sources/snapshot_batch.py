@@ -44,7 +44,9 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -52,6 +54,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -290,6 +293,208 @@ class SnapshotBatchReader(DataSourceReader):
         yield from tbl.cast(target).to_batches()
 
 
+# --- the WRITE half: df.write.format("snapshot") + its streaming sink ----------
+
+
+class _WrittenFiles(WriterCommitMessage):
+    """Per-task commit message: the manifest entries for the files this
+    task wrote (path, bytes, rows, stats, partition values) — the driver
+    publishes their union as one atomic version."""
+
+    def __init__(self, entries: list[dict]):
+        self.entries = entries
+
+
+class _SnapshotWriterBase:
+    """Executor-side Arrow write shared by the batch writer and the
+    streaming sink: each task streams its ``RecordBatch``es into one
+    parquet file per partition-value combination (``ParquetWriter`` —
+    batches are appended as they arrive, never buffered whole), lifting
+    rows/bytes/min-max stats/partition values into manifest entries as
+    it goes. The write is therefore ONE pass with zero extra jobs — the
+    stats the library path computes with a distributed aggregation come
+    free from the Arrow batches here."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        opts = {k.lower(): v for k, v in options.items()}
+        self._base = opts["path"]
+        self._schema = schema
+        self._overwrite = overwrite
+        self._stats = tuple(
+            c.strip() for c in opts.get("statscols", "").split(",") if c.strip()
+        )
+        self._partition_by = tuple(
+            c.strip()
+            for c in opts.get("partitionby", "").split(",")
+            if c.strip()
+        )
+        for c in self._partition_by:
+            if "(" in c:
+                raise ValueError(
+                    "the DataSource writer supports plain partition "
+                    f"columns only (got transform {c!r}); hidden "
+                    "partitioning goes through the library commit API"
+                )
+        import uuid as _uuid
+
+        self._dir = os.path.join(self._base, "data", _uuid.uuid4().hex[:12])
+
+    def _write_batches(self, iterator) -> "_WrittenFiles":
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._dir, exist_ok=True)
+        writers: dict[tuple, tuple] = {}  # key -> (writer, path, agg-state)
+        for batch in iterator:
+            tbl = pa.table(batch) if isinstance(batch, pa.RecordBatch) else batch
+            if tbl.num_rows == 0:
+                continue
+            if self._partition_by:
+                keys = list(
+                    zip(
+                        *(
+                            tbl.column(c).to_pylist()
+                            for c in self._partition_by
+                        )
+                    )
+                )
+                uniq = sorted(set(keys), key=repr)
+            else:
+                keys, uniq = None, [()]
+            for key in uniq:
+                if keys is None:
+                    part = tbl
+                else:
+                    mask = pa.array([k == key for k in keys])
+                    part = tbl.filter(mask)
+                if key not in writers:
+                    path = os.path.join(
+                        self._dir, f"part-{_uuid.uuid4().hex[:12]}.parquet"
+                    )
+                    writers[key] = (
+                        pq.ParquetWriter(path, tbl.schema),
+                        path,
+                        {"rows": 0, "stats": {c: [None, None] for c in self._stats}},
+                    )
+                w, _path, agg = writers[key]
+                w.write_table(part)
+                agg["rows"] += part.num_rows
+                for c in self._stats:
+                    mm = pc.min_max(part.column(c))
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if lo is None:
+                        continue  # all-null slice: contributes no bounds
+                    cur = agg["stats"][c]
+                    cur[0] = lo if cur[0] is None else min(cur[0], lo)
+                    cur[1] = hi if cur[1] is None else max(cur[1], hi)
+        entries: list[dict] = []
+        for key, (w, path, agg) in writers.items():
+            w.close()
+            e: dict = {
+                "path": path,
+                "bytes": os.path.getsize(path),
+                "rows": agg["rows"],
+            }
+            if self._stats:
+                e["stats"] = dict(agg["stats"])
+            if self._partition_by:
+                # hive-rendered string values — the same shape the library
+                # parses from partition directory names, so partition_eq
+                # probes compare like with like
+                e["partitions"] = {
+                    c: (None if v is None else str(v))
+                    for c, v in zip(self._partition_by, key)
+                }
+            entries.append(e)
+        return _WrittenFiles(entries)
+
+    @staticmethod
+    def _cleanup(messages) -> None:
+        import contextlib
+        import shutil
+
+        dirs = set()
+        for m in messages:
+            for e in getattr(m, "entries", []) if m else []:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(e["path"])
+                dirs.add(os.path.dirname(e["path"]))
+        for d in dirs:
+            with contextlib.suppress(OSError):
+                if not os.listdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+
+
+class SnapshotBatchWriter(_SnapshotWriterBase, DataSourceArrowWriter):
+    """``df.write.format("snapshot").option("path", base).save()`` —
+    executors write immutable files (one Arrow pass, stats lifted
+    inline), the driver publishes their union as ONE atomic version via
+    :meth:`SnapshotTable.publish_entries` (files-then-pointer, CAS on
+    the manifest). ``mode("append")`` extends the parent's segments;
+    ``mode("overwrite")`` replaces the table. A failed job aborts by
+    deleting the staged files — readers never saw them."""
+
+    def write(self, iterator):
+        return self._write_batches(iterator)
+
+    def commit(self, messages) -> None:
+        entries = [e for m in messages if m for e in m.entries]
+        SnapshotTable(self._base).publish_entries(
+            entries,
+            mode="overwrite" if self._overwrite else "append",
+            schema=self._schema,
+            partition_by=self._partition_by,
+        )
+
+    def abort(self, messages) -> None:
+        self._cleanup(messages)
+
+
+class SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamArrowWriter):
+    """``writeStream.format("snapshot")`` — the first-class EXACTLY-ONCE
+    streaming sink for the table format (previously only reachable via
+    foreachBatch + ``commit_stream_batch``): each micro-batch's files
+    publish under the manifest LEDGER keyed on (``streamId``, batchId),
+    so an engine redelivery after a checkpoint crash is recognized and
+    skipped — the duplicate files are deleted, no version is published
+    (Delta's txnAppId/txnVersion idempotent-sink pattern). ``streamId``
+    is the required app identity; two different streams sharing one
+    sink table interleave safely (per-stream ledger slots)."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        super().__init__(options, schema, overwrite)
+        opts = {k.lower(): v for k, v in options.items()}
+        sid = opts.get("streamid")
+        if not sid:
+            raise ValueError(
+                "snapshot streaming sink requires a streamId option — the "
+                "exactly-once ledger is keyed on it (Delta's txnAppId)"
+            )
+        self._sid = sid
+
+    def write(self, iterator):
+        return self._write_batches(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        entries = [e for m in messages if m for e in m.entries]
+        v = SnapshotTable(self._base).publish_entries(
+            entries,
+            mode="append",
+            schema=self._schema,
+            stream_id=self._sid,
+            batch_id=batchId,
+            partition_by=self._partition_by,
+        )
+        if v is None:
+            self._cleanup(messages)  # replayed batch: drop the duplicates
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(messages)
+
+
 class SnapshotBatchDataSource(DataSource):
     """``spark.read.format("snapshot").option("path", base).load()``.
 
@@ -332,6 +537,14 @@ class SnapshotBatchDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SnapshotBatchReader:
         return SnapshotBatchReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> SnapshotBatchWriter:
+        return SnapshotBatchWriter(dict(self.options), schema, overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> SnapshotStreamWriter:
+        return SnapshotStreamWriter(dict(self.options), schema, overwrite)
 
 
 def register(spark) -> None:
@@ -431,3 +644,155 @@ def snapshot_batch_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("v1_all").alias("probe"), "n_rows", "sum_cents")
     )
     return head.unionAll(v1)
+
+
+@query(
+    "snapshot_batch_writer_roundtrip",
+    priority=0,
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderpriority AS p,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT 'urgent' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM src WHERE p = '1-URGENT'
+    UNION ALL
+    SELECT 'full' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM src
+    """,
+)
+def snapshot_batch_writer_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE WRITE HALF OF ``format("snapshot")``: orders land in a
+    snapshot table purely through ``df.write.format("snapshot")`` — two
+    appends (even then odd keys), partitioned by priority with
+    o_orderkey min/max stats lifted INLINE from the Arrow batches (one
+    pass, zero extra stats jobs — the library path pays a distributed
+    aggregation for the same numbers). The table is then read back
+    through the LIBRARY with a partition-equality probe, so the query
+    is green only if the DS writer's manifest entries (partition
+    values, stats, rows, bytes) are exactly what the planner expects
+    from a library-written table. tests/test_snapshot_batch.py
+    additionally pins plan_files pruning on DS-written tables, the
+    exactly-once streaming-sink ledger, overwrite mode, and abort
+    cleanup.
+
+    Scale: the executor write streams batches through ParquetWriter
+    (never buffers a task's data); the driver commit is metadata-only
+    (one segment + one manifest CAS per save)."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_batch_writer")
+    shutil.rmtree(base, ignore_errors=True)
+    # registration is additive and idempotent (no session conf touched),
+    # and Python DS WRITE resolution does not see a clone's registry —
+    # register on the caller's session, like the stream source does
+    s = spark
+    register(s)
+    orders = table(s, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        _cents("o_totalprice").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    for half in (orders.filter(k % 2 == 0), orders.filter(k % 2 == 1)):
+        (
+            half.write.format("snapshot")
+            .option("path", base)
+            .option("partitionBy", "o_orderpriority")
+            .option("statsCols", "o_orderkey")
+            .mode("append")
+            .save()
+        )
+    t = SnapshotTable(base)
+    urgent = (
+        t.read(s, partition_eq={"o_orderpriority": "1-URGENT"})
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(F.lit("urgent").alias("probe"), "n_rows", "sum_cents")
+    )
+    full = t.read(s).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    ).select(F.lit("full").alias("probe"), "n_rows", "sum_cents")
+    return urgent.unionAll(full)
+
+
+@query(
+    "stream_snapshot_writer_sink",
+    priority=0,
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def stream_snapshot_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-CLASS EXACTLY-ONCE STREAMING SINK: a snapshot table is
+    maintained by ``writeStream.format("snapshot")`` — no foreachBatch,
+    no user-written idempotence — fed by the snapshotstream SOURCE over
+    another snapshot table, so both halves of the table format's
+    streaming story run through the standard reader/writer API in one
+    checkpointed pipeline. Two drains over the same checkpoint (the
+    source commits more between them) must land every row exactly once:
+    the sink publishes each micro-batch under the manifest ledger keyed
+    on (streamId, batchId) — an engine redelivery is recognized and its
+    duplicate files are deleted unpublished (Delta's txnAppId pattern).
+    The final per-status aggregate equals the oracle's full recompute
+    only if the cursor resumed AND no batch double-published.
+
+    Scale: per batch the sink writes O(batch) files + one metadata CAS;
+    the source plans by manifest ref-diff — the loop costs delta, not
+    table."""
+    import shutil
+
+    from serverless_mapreduce_spark.sources.snapshot_stream import read_stream
+
+    root = scratch(sf_tag(sf_dir), "stream_writer_sink")
+    shutil.rmtree(root, ignore_errors=True)
+    s = spark  # write-path DS resolution needs the caller's registry
+    register(s)
+    src = SnapshotTable(f"{root}/src")
+    out = f"{root}/out"
+    orders = table(s, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    src.commit(orders.filter(k % 2 == 0))
+
+    def drain() -> None:
+        (
+            read_stream(s, src.base)
+            .writeStream.format("snapshot")
+            .option("path", out)
+            .option("streamId", "writer_sink")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()                                  # evens land exactly once
+    src.commit(orders.filter(k % 2 == 1))    # delta
+    drain()                                  # only the odds land
+    return (
+        SnapshotTable(out)
+        .read(s)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )

@@ -2128,6 +2128,56 @@ class SnapshotTable:
                 continue
         raise CommitConflict("64 consecutive manifest races; giving up")
 
+    def publish_entries(
+        self,
+        entries: list[dict],
+        mode: str = "append",
+        schema=None,
+        stream_id: str | None = None,
+        batch_id: int | None = None,
+        partition_by: tuple[str, ...] = (),
+    ) -> int | None:
+        """Publish ALREADY-WRITTEN manifest entries as one version — the
+        metadata-only commit half behind the Python DataSource writers
+        (``df.write.format("snapshot")`` / its streaming sink): executors
+        wrote the files and lifted rows/bytes/stats/partition values into
+        ``entries``; this publishes them under the usual CAS retry.
+        With ``stream_id``/``batch_id`` the commit is EXACTLY-ONCE on the
+        manifest ledger (the :meth:`commit_stream_batch` contract —
+        re-checked inside the retry loop so a zombie twin's duplicate
+        becomes the no-op); returns None for a skipped replay, else the
+        version. ``partition_by`` aligns the new segments per partition
+        value so segment-summary pruning works on DS-written tables the
+        same as library-written ones."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"unknown publish mode {mode!r}")
+        ledgered = stream_id is not None and batch_id is not None
+        if ledgered and self.stream_batch_committed(stream_id, batch_id):
+            return None
+        new_segs = self._write_batch_segments(list(entries), partition_by)
+        extra = (
+            {"stream_id": stream_id, "stream_batch_id": batch_id}
+            if ledgered
+            else None
+        )
+        for _ in range(64):
+            if ledgered and self.stream_batch_committed(stream_id, batch_id):
+                return None
+            parent = self.latest_version()
+            segments, sch = list(new_segs), schema
+            if mode == "append" and parent is not None:
+                segments = self._parent_segments(parent) + new_segs
+                sch = (
+                    _merge_schemas(self._schema(parent), schema)
+                    if schema is not None
+                    else self._schema(parent)
+                )
+            try:
+                return self._publish_list(segments, mode, sch, parent, extra)
+            except CommitConflict:
+                continue
+        raise CommitConflict("64 consecutive manifest races; giving up")
+
     def commit_onto(
         self,
         base_version: int | None,

@@ -176,3 +176,122 @@ def test_batch_source_change_feed_matches_library(spark, tmp_path):
     assert sorted(
         (r["_change_type"], r["k"]) for r in windowed.collect()
     ) == [("delete", 1), ("delete", 2), ("insert", 9)]
+
+
+# --- the write half: df.write.format("snapshot") + streaming sink ----------
+
+
+def test_ds_writer_prunes_like_library_writes(spark, tmp_path):
+    """A DS-written table carries the same manifest metadata a
+    library-written one does: partition_eq and stats-box pruning both
+    engage on plan_files."""
+    base = str(tmp_path / "tbl")
+    register(spark)
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("c", 4, 40)],
+        "p string, k bigint, v bigint",
+    )
+    (
+        df.write.format("snapshot")
+        .option("path", base)
+        .option("partitionBy", "p")
+        .option("statsCols", "k")
+        .mode("append")
+        .save()
+    )
+    t = SnapshotTable(base)
+    files_b, total = t.plan_files(1, partition_eq={"p": "b"})
+    assert total >= 3 and len(files_b) < total
+    assert sorted(
+        tuple(r) for r in t.read(spark, 1, partition_eq={"p": "b"}).collect()
+    ) == [("b", 3, 30)]
+    files_k, _ = t.plan_files(1, where=("k", 4, 9))
+    assert len(files_k) < total  # stats box pruned
+    # entries carry rows/bytes (admission control + metadata tables)
+    for e in t._data_entries(1):
+        assert e.get("rows") is not None and e.get("bytes") > 0
+
+
+def test_ds_writer_overwrite_and_time_travel(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    register(spark)
+    d1 = spark.createDataFrame([(1, 10)], "k bigint, v bigint")
+    d2 = spark.createDataFrame([(2, 20)], "k bigint, v bigint")
+    d1.write.format("snapshot").option("path", base).mode("append").save()
+    d2.write.format("snapshot").option("path", base).mode("overwrite").save()
+    t = SnapshotTable(base)
+    assert [tuple(r) for r in t.read(spark).collect()] == [(2, 20)]
+    assert [tuple(r) for r in t.read(spark, 1).collect()] == [(1, 10)]
+
+
+def test_stream_writer_ledger_skips_replayed_batch(spark, tmp_path):
+    """The streaming sink's exactly-once half, driven at the writer API:
+    commit(messages, batchId) twice for the same batch publishes ONE
+    version and deletes the duplicate files."""
+    import pyarrow as pa
+
+    from serverless_mapreduce_spark.sources.snapshot_batch import (
+        SnapshotStreamWriter,
+    )
+
+    base = str(tmp_path / "tbl")
+    schema = spark.createDataFrame([(1, 10)], "k bigint, v bigint").schema
+    opts = {"path": base, "streamId": "s1"}
+
+    def deliver(rows):
+        w = SnapshotStreamWriter(opts, schema, False)
+        msg = w.write(
+            iter(
+                [
+                    pa.record_batch(
+                        [
+                            pa.array([r[0] for r in rows], pa.int64()),
+                            pa.array([r[1] for r in rows], pa.int64()),
+                        ],
+                        names=["k", "v"],
+                    )
+                ]
+            )
+        )
+        return w, [msg]
+
+    w, msgs = deliver([(1, 10), (2, 20)])
+    w.commit(msgs, 0)
+    t = SnapshotTable(base)
+    assert t.latest_version() == 1
+    # engine redelivery of batch 0 (crash between sink commit and
+    # checkpoint write): new files staged, then recognized and dropped
+    w2, msgs2 = deliver([(1, 10), (2, 20)])
+    dup_paths = [e["path"] for m in msgs2 for e in m.entries]
+    w2.commit(msgs2, 0)
+    assert t.latest_version() == 1  # no second version
+    import os as _os
+
+    assert all(not _os.path.exists(p) for p in dup_paths)
+    # the next batch id publishes normally
+    w3, msgs3 = deliver([(3, 30)])
+    w3.commit(msgs3, 1)
+    assert t.latest_version() == 2
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, 10),
+        (2, 20),
+        (3, 30),
+    ]
+
+
+def test_batch_writer_abort_cleans_staged_files(spark, tmp_path):
+    import pyarrow as pa
+
+    from serverless_mapreduce_spark.sources.snapshot_batch import (
+        SnapshotBatchWriter,
+    )
+
+    base = str(tmp_path / "tbl")
+    schema = spark.createDataFrame([(1,)], "k bigint").schema
+    w = SnapshotBatchWriter({"path": base}, schema, False)
+    msg = w.write(iter([pa.record_batch([pa.array([1, 2])], names=["k"])]))
+    staged = [e["path"] for e in msg.entries]
+    assert all(__import__("os").path.exists(p) for p in staged)
+    w.abort([msg])
+    assert all(not __import__("os").path.exists(p) for p in staged)
+    assert SnapshotTable(base).latest_version() is None
