@@ -401,6 +401,8 @@ HEADLINE = (
     # stats, and the ledger-exactly-once streaming sink
     "snapshot_batch_writer_roundtrip",
     "stream_snapshot_writer_sink",
+    # full-clause MERGE: conditional matched update/delete with CDC files
+    "snapshot_merge_conditional",
 )
 
 

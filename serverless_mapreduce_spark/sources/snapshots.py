@@ -1382,6 +1382,182 @@ class SnapshotTable:
             version, kept_paths, new_entries, "merge", schema, extra
         )
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        key_cols: tuple[str, ...],
+        *,
+        when_matched: str = "update",
+        matched_condition: str | None = None,
+        insert_unmatched: bool = True,
+        stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
+        change_feed: bool = False,
+        partition_by: tuple[str, ...] = (),
+    ) -> int:
+        """FULL-CLAUSE COPY-ON-WRITE MERGE (Delta ``MERGE INTO``'s
+        matched-clause surface — :meth:`merge_upsert` is the
+        unconditional update+insert special case): rows whose key
+        appears in ``source`` are ACTED on — replaced
+        (``when_matched="update"``) or removed (``"delete"``) — but only
+        where ``matched_condition`` (a SQL predicate over the TARGET
+        row's columns; None = always) holds; matched rows failing the
+        condition are KEPT UNCHANGED, and their source rows are not
+        inserted (no clause fired — Delta's semantics). Unmatched source
+        rows insert when ``insert_unmatched`` (WHEN NOT MATCHED THEN
+        INSERT). ``change_feed=True`` records Delta CDC change files:
+        update → ``update_preimage``/``update_postimage``/``insert``;
+        delete → ``delete`` pre-images (+ ``insert`` for unmatched).
+
+        Shape and cost are :meth:`merge_upsert`'s: one file-granular
+        left-semi locate (collect is file-count-sized), a rewrite of
+        ONLY the files holding an acted row, O(affected + batch) —
+        the condition can only NARROW the rewrite. Keys are
+        ingest-sized by contract; broadcasts are size-gated
+        (:data:`MOR_BROADCAST_ROW_LIMIT`). NULL condition evaluations
+        act like false (three-valued logic: the row is kept)."""
+        if when_matched not in ("update", "delete"):
+            raise ValueError(
+                f"when_matched must be 'update' or 'delete', got "
+                f"{when_matched!r}"
+            )
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        keys = list(key_cols)
+        key_batch = source.select(*keys)
+        n, nd = key_batch.count(), key_batch.distinct().count()
+        if n != nd:
+            raise ValueError(
+                f"merge_into source batch has duplicate keys "
+                f"({n} rows, {nd} distinct {tuple(keys)})"
+            )
+        gated = (
+            F.broadcast(key_batch)
+            if n <= self.MOR_BROADCAST_ROW_LIMIT
+            else key_batch
+        )
+        entries = self._data_entries(version)
+        src_files = self._reader(spark, version).parquet(
+            *[e["path"] for e in entries]
+        )
+        affected_rows = (
+            src_files.withColumn("_file", F.input_file_name())
+            .join(gated, keys, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        from urllib.parse import unquote, urlparse
+
+        affected = {
+            os.path.realpath(unquote(urlparse(r["_file"]).path))
+            for r in affected_rows
+        }
+        by_real = {os.path.realpath(e["path"]): e for e in entries}
+        unknown = affected - set(by_real)
+        if unknown:
+            raise RuntimeError(
+                "affected files match no manifest entry (path "
+                f"normalization bug): {sorted(unknown)[:3]}"
+            )
+        rewrite = [by_real[p] for p in affected]
+        kept_paths = (
+            {e["path"] for e in entries} - {e["path"] for e in rewrite}
+        ) | {e["path"] for e in self._delete_entries(version)}
+        schema = self._schema(version)
+        if when_matched == "update" or insert_unmatched:
+            schema = _merge_schemas(schema, source.schema)
+        src_aligned = source
+        for f in schema.fields:
+            if f.name not in source.columns:
+                src_aligned = src_aligned.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        src_aligned = src_aligned.select([f.name for f in schema.fields])
+        new_entries: list[dict] = []
+        removed = None
+        acted_keys = None
+        if rewrite:
+            # marker join: matched rows flagged, then the condition
+            # decides action; a NULL condition keeps the row (SQL)
+            marker = gated.withColumn("_m", F.lit(1))
+            rw = self._read_with_deletes(spark, version, rewrite).join(
+                marker, keys, "left"
+            )
+            act = F.col("_m").isNotNull()
+            if matched_condition is not None:
+                act = act & F.expr(
+                    f"coalesce(({matched_condition}), false)"
+                )
+            survivors = rw.filter(~act).drop("_m")
+            new_entries = self._write_data(
+                survivors, stats_cols, bloom_cols, partition_by
+            )
+            removed = rw.filter(act).drop("_m")
+            acted_keys = removed.select(*keys).distinct()
+        # matched source keys, computed from the AFFECTED FILES only
+        # (they hold every matching row by construction) — O(affected),
+        # never an O(table) distinct
+        if rewrite:
+            matched_keys = (
+                self._read_with_deletes(spark, version, rewrite)
+                .join(gated, keys, "left_semi")
+                .select(*keys)
+                .distinct()
+            )
+        else:
+            matched_keys = None
+        chg: list[tuple[DataFrame, str]] = []
+        if when_matched == "update" and acted_keys is not None:
+            postimage = src_aligned.join(
+                F.broadcast(acted_keys)
+                if n <= self.MOR_BROADCAST_ROW_LIMIT
+                else acted_keys,
+                keys,
+                "left_semi",
+            )
+            new_entries += self._write_data(
+                postimage, stats_cols, bloom_cols, partition_by
+            )
+            if change_feed:
+                chg.append((removed, "update_preimage"))
+                chg.append((postimage, "update_postimage"))
+        elif change_feed and removed is not None:
+            chg.append((removed, "delete"))
+        if insert_unmatched:
+            unmatched = src_aligned
+            if matched_keys is not None:
+                unmatched = src_aligned.join(
+                    matched_keys, keys, "left_anti"
+                )
+            new_entries += self._write_data(
+                unmatched, stats_cols, bloom_cols, partition_by
+            )
+            if change_feed:
+                chg.append((unmatched, "insert"))
+        extra = None
+        if change_feed:
+            for frame, kind in chg:
+                aligned = frame
+                for f in schema.fields:
+                    if f.name not in frame.columns:
+                        aligned = aligned.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+                ents = self._write_data(
+                    aligned.select([f.name for f in schema.fields]), ()
+                )
+                for e in ents:
+                    e["kind"] = "change"
+                    e["change"] = kind
+                new_entries += ents
+            extra = {"cdf": True}
+        return self._publish_cow(
+            version, kept_paths, new_entries, "merge", schema, extra
+        )
+
     def _rewrite_minus_keys(
         self,
         spark: SparkSession,
@@ -5390,4 +5566,84 @@ def snapshot_metadata_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version").cast("bigint").alias("version"),
         "mode",
         F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+# --- full-clause MERGE: conditional matched update / matched delete (r14) ------
+
+
+@query(
+    "snapshot_merge_conditional",
+    priority=0,
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT s AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents + CASE WHEN k % 14 = 0 THEN 100 ELSE 0 END)
+                AS BIGINT) AS sum_cents
+    FROM src WHERE k % 15 <> 0
+    GROUP BY s
+    """,
+)
+def snapshot_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA MERGE's CONDITIONAL MATCHED CLAUSES (`WHEN MATCHED AND cond
+    THEN UPDATE` / `WHEN MATCHED AND cond THEN DELETE`) — the clause
+    surface :func:`SnapshotTable.merge_upsert` (unconditional
+    update+insert) cannot express: (1) a re-pricing batch for every %7
+    key merges with ``matched_condition="o_orderkey % 2 = 0"`` — only
+    the EVEN matches are replaced (+100 cents); odd matches are kept
+    unchanged AND their source rows are not inserted (no clause fired,
+    Delta's semantics); (2) a key list of every %5 key merges with
+    ``when_matched="delete"`` under ``"o_orderkey % 3 = 0"`` — only the
+    %15 keys die. The final per-status aggregate equals the oracle's
+    direct recompute only if both conditions gated exactly (an
+    unconditional update overshoots every odd %7 key by 100; an
+    unconditional delete loses all %5 keys). Both merges record CDF
+    change files (pre/post images, delete pre-images) —
+    tests/test_merge_into.py pins the feed contents and the
+    matched-but-unacted contract.
+
+    Scale: identical to merge_upsert — file-granular locate, rewrite of
+    only affected files; the condition can only NARROW the rewrite."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_merge_cond")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    t.commit(orders.repartition(8))
+    t.merge_into(
+        spark,
+        orders.filter(k % 7 == 0).withColumn("cents", F.col("cents") + 100),
+        ("o_orderkey",),
+        when_matched="update",
+        matched_condition="o_orderkey % 2 = 0",
+        insert_unmatched=False,
+        change_feed=True,
+    )
+    t.merge_into(
+        spark,
+        orders.filter(k % 5 == 0).select("o_orderkey"),
+        ("o_orderkey",),
+        when_matched="delete",
+        matched_condition="o_orderkey % 3 = 0",
+        insert_unmatched=False,
+        change_feed=True,
+    )
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
     )

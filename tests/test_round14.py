@@ -413,3 +413,52 @@ def test_partitioned_rewrites_keep_replace_where_usable(spark, tmp_path):
     got = _changes(t, spark, v - 1, v)
     assert ("insert", v, 9, 90) in got
     assert ("delete", v, 3, 30) in got and ("delete", v, 4, 40) in got
+
+
+def test_restart_clamp_end_to_end(spark, tmp_path):
+    """Integration of the restart clamp: a checkpointed stream consumes
+    version 1 and registers its cursor; it is killed; a 5-version
+    backlog lands; on restart with maxVersionsPerTrigger=2 +
+    catalog options, the FIRST micro-batch covers at most 2 versions
+    (pre-r14 it planned the whole backlog in one batch)."""
+    root = str(tmp_path)
+    t = SnapshotTable(f"{root}/tbl")
+    cat = MultiTableCatalog(root)
+    sid = "clamped"
+    t.commit(_kv(spark, [(1, 1)]))
+    batches: list[list[tuple]] = []
+
+    def sink(df, bid):
+        rows = [(r["k"], r["v"]) for r in df.collect()]
+        batches.append(rows)
+        cat.publish({}, sid, bid, cursors={"tbl": {sid: t.latest_version()}})
+
+    def drain(**opts):
+        (
+            read_stream(spark, t.base, **opts)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()  # v1 consumed, cursor registered at 1
+    assert batches == [[(1, 1)]]
+    for i in range(2, 7):  # the backlog: v2..v6
+        t.commit(_kv(spark, [(i, i)]))
+    # restart with the clamp: availableNow captures ONE end offset per
+    # run, so each drain is one batch — the clamp bounds that first
+    # (and here only) batch to cursor+2
+    clamp = {
+        "maxVersionsPerTrigger": "2",
+        "catalogRoot": root,
+        "catalogTableName": "tbl",
+        "catalogStreamId": sid,
+    }
+    drain(**clamp)
+    assert sorted(batches[1]) == [(2, 2), (3, 3)]  # ≤ 2 versions, not 5
+    drain(**clamp)
+    assert sorted(batches[2]) == [(4, 4), (5, 5)]
+    drain(**clamp)
+    assert sorted(batches[3]) == [(6, 6)]  # caught up
