@@ -401,8 +401,10 @@ HEADLINE = (
     # stats, and the ledger-exactly-once streaming sink
     "snapshot_batch_writer_roundtrip",
     "stream_snapshot_writer_sink",
-    # full-clause MERGE: conditional matched update/delete with CDC files
+    # full-clause MERGE: conditional matched update/delete with CDC files,
+    # and the full-sync merge (not-matched-by-source delete)
     "snapshot_merge_conditional",
+    "snapshot_merge_sync",
 )
 
 

@@ -1391,6 +1391,9 @@ class SnapshotTable:
         when_matched: str = "update",
         matched_condition: str | None = None,
         insert_unmatched: bool = True,
+        not_matched_by_source: str | None = None,
+        nmbs_condition: str | None = None,
+        nmbs_prune: tuple[str, float, float] | None = None,
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
         change_feed: bool = False,
@@ -1406,21 +1409,36 @@ class SnapshotTable:
         condition are KEPT UNCHANGED, and their source rows are not
         inserted (no clause fired — Delta's semantics). Unmatched source
         rows insert when ``insert_unmatched`` (WHEN NOT MATCHED THEN
-        INSERT). ``change_feed=True`` records Delta CDC change files:
-        update → ``update_preimage``/``update_postimage``/``insert``;
-        delete → ``delete`` pre-images (+ ``insert`` for unmatched).
+        INSERT). ``not_matched_by_source="delete"`` adds Delta's `WHEN
+        NOT MATCHED BY SOURCE [AND cond] THEN DELETE` — target rows
+        whose key is absent from ``source`` (and satisfy
+        ``nmbs_condition``; None = all of them) are removed; update +
+        insert + source-absent-delete is the FULL-SYNC merge that makes
+        the table equal the source. ``change_feed=True`` records Delta
+        CDC change files: update → ``update_preimage``/
+        ``update_postimage``/``insert``; every delete shape →
+        ``delete`` pre-images.
 
         Shape and cost are :meth:`merge_upsert`'s: one file-granular
         left-semi locate (collect is file-count-sized), a rewrite of
         ONLY the files holding an acted row, O(affected + batch) —
-        the condition can only NARROW the rewrite. Keys are
-        ingest-sized by contract; broadcasts are size-gated
-        (:data:`MOR_BROADCAST_ROW_LIMIT`). NULL condition evaluations
-        act like false (three-valued logic: the row is kept)."""
+        the condition can only NARROW the rewrite. The source-absent
+        delete is inherently table-proportional (any file may hold a
+        source-absent row); bound it with ``nmbs_prune`` — the stats
+        box of ``nmbs_condition``, the :meth:`delete_where` contract:
+        files whose recorded [min, max] cannot intersect it carry over
+        untouched. Keys are ingest-sized by contract; broadcasts are
+        size-gated (:data:`MOR_BROADCAST_ROW_LIMIT`). NULL condition
+        evaluations act like false (three-valued logic: row kept)."""
         if when_matched not in ("update", "delete"):
             raise ValueError(
                 f"when_matched must be 'update' or 'delete', got "
                 f"{when_matched!r}"
+            )
+        if not_matched_by_source not in (None, "delete"):
+            raise ValueError(
+                "not_matched_by_source must be None or 'delete', got "
+                f"{not_matched_by_source!r}"
             )
         version = self.latest_version()
         if version is None:
@@ -1463,6 +1481,26 @@ class SnapshotTable:
                 f"normalization bug): {sorted(unknown)[:3]}"
             )
         rewrite = [by_real[p] for p in affected]
+        if not_matched_by_source == "delete":
+            # the source-absent delete may act in ANY file; nmbs_prune
+            # (the stats box of nmbs_condition) bounds the rewrite to
+            # files that can hold a condition-true row — delete_where's
+            # contract, files without stats conservatively rewritten
+            have = {e["path"] for e in rewrite}
+            for e in entries:
+                if e["path"] in have:
+                    continue
+                if nmbs_prune is not None:
+                    col, lo, hi = nmbs_prune
+                    rng = e.get("stats", {}).get(col)
+                    if (
+                        rng is not None
+                        and rng[0] is not None
+                        and rng[1] is not None
+                        and (rng[0] > hi or rng[1] < lo)
+                    ):
+                        continue  # provably no condition-true row
+                rewrite.append(e)
         kept_paths = (
             {e["path"] for e in entries} - {e["path"] for e in rewrite}
         ) | {e["path"] for e in self._delete_entries(version)}
@@ -1478,10 +1516,11 @@ class SnapshotTable:
         src_aligned = src_aligned.select([f.name for f in schema.fields])
         new_entries: list[dict] = []
         removed = None
+        removed_nmbs = None
         acted_keys = None
         if rewrite:
-            # marker join: matched rows flagged, then the condition
-            # decides action; a NULL condition keeps the row (SQL)
+            # marker join: matched rows flagged, then the conditions
+            # decide action; a NULL condition keeps the row (SQL)
             marker = gated.withColumn("_m", F.lit(1))
             rw = self._read_with_deletes(spark, version, rewrite).join(
                 marker, keys, "left"
@@ -1491,12 +1530,21 @@ class SnapshotTable:
                 act = act & F.expr(
                     f"coalesce(({matched_condition}), false)"
                 )
-            survivors = rw.filter(~act).drop("_m")
+            nmbs_act = F.lit(False)
+            if not_matched_by_source == "delete":
+                nmbs_act = F.col("_m").isNull()
+                if nmbs_condition is not None:
+                    nmbs_act = nmbs_act & F.expr(
+                        f"coalesce(({nmbs_condition}), false)"
+                    )
+            survivors = rw.filter(~(act | nmbs_act)).drop("_m")
             new_entries = self._write_data(
                 survivors, stats_cols, bloom_cols, partition_by
             )
             removed = rw.filter(act).drop("_m")
             acted_keys = removed.select(*keys).distinct()
+            if not_matched_by_source == "delete":
+                removed_nmbs = rw.filter(nmbs_act).drop("_m")
         # matched source keys, computed from the AFFECTED FILES only
         # (they hold every matching row by construction) — O(affected),
         # never an O(table) distinct
@@ -1526,6 +1574,8 @@ class SnapshotTable:
                 chg.append((postimage, "update_postimage"))
         elif change_feed and removed is not None:
             chg.append((removed, "delete"))
+        if change_feed and removed_nmbs is not None:
+            chg.append((removed_nmbs, "delete"))
         if insert_unmatched:
             unmatched = src_aligned
             if matched_keys is not None:
@@ -5637,6 +5687,86 @@ def snapshot_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         when_matched="delete",
         matched_condition="o_orderkey % 3 = 0",
         insert_unmatched=False,
+        change_feed=True,
+    )
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "snapshot_merge_sync",
+    priority=0,
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), target_src AS (
+      SELECT k, s, cents + CASE WHEN k % 4 = 0 THEN 7 ELSE 0 END AS cents
+      FROM src WHERE k % 3 <> 0
+      UNION ALL
+      SELECT k + 10000000 AS k, s, cents FROM src WHERE k % 50 = 0
+    )
+    SELECT s AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM target_src GROUP BY s
+    """,
+)
+def snapshot_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-SYNC MERGE (Delta's `WHEN MATCHED UPDATE + WHEN NOT MATCHED
+    INSERT + WHEN NOT MATCHED BY SOURCE DELETE` — the one statement that
+    makes a table EQUAL its source): the orders table merges against a
+    mutated source (every %3 key gone, every %4 key re-priced +7, a
+    slice of brand-new keys), and afterward the table must be
+    row-for-row the source — updates applied, inserts added, and every
+    source-absent row DELETED by the new not-matched-by-source clause.
+    The per-status aggregate equals the oracle's recompute of the
+    source alone only if all three clauses fired exactly: a missed
+    delete leaves %3 keys inflating counts, a missed update loses the
+    +7s, a missed insert drops the new slice.
+
+    Scale: matched clauses cost O(affected files + batch) as ever; the
+    source-absent delete is inherently table-proportional (bound it
+    with nmbs_prune when the deletion predicate has a stats box — here
+    the sync IS table-wide by intent)."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_merge_sync")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    t.commit(orders.repartition(8))
+    source = (
+        orders.filter(k % 3 != 0)
+        .withColumn(
+            "cents",
+            F.col("cents") + F.when(k % 4 == 0, F.lit(7)).otherwise(F.lit(0)),
+        )
+        .unionAll(
+            orders.filter(k % 50 == 0).withColumn(
+                "o_orderkey", k + F.lit(10_000_000)
+            )
+        )
+    )
+    t.merge_into(
+        spark,
+        source,
+        ("o_orderkey",),
+        when_matched="update",
+        insert_unmatched=True,
+        not_matched_by_source="delete",
         change_feed=True,
     )
     return (

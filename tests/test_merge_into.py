@@ -117,3 +117,64 @@ def test_untouched_files_carry_over(spark, tmp_path):
     assert set(t._files(1)) <= after  # v1's file untouched, carried by path
     assert before & after  # shared files referenced, not copied
     assert _state(t, spark) == [(1, 10), (100, 1001)]
+
+
+# --- WHEN NOT MATCHED BY SOURCE THEN DELETE ---------------------------------
+
+
+def test_nmbs_delete_full_sync(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10), (2, 20), (3, 30)]))
+    v = t.merge_into(
+        spark,
+        _kv(spark, [(2, 222), (9, 90)]),
+        ("k",),
+        when_matched="update",
+        insert_unmatched=True,
+        not_matched_by_source="delete",
+        change_feed=True,
+    )
+    # table == source exactly
+    assert _state(t, spark) == [(2, 222), (9, 90)]
+    feed = _feed(t, spark, v - 1, v)
+    assert ("delete", 1, 10) in feed and ("delete", 3, 30) in feed
+    assert ("insert", 9, 90) in feed
+    assert ("update_postimage", 2, 222) in feed
+
+
+def test_nmbs_delete_condition_and_prune(spark, tmp_path):
+    """The conditioned source-absent delete only touches in-box files;
+    the out-of-box file carries over path-identical."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10), (2, 20)]).coalesce(1), stats_cols=("k",))
+    t.commit(_kv(spark, [(100, 1000), (101, 1010)]).coalesce(1), stats_cols=("k",))
+    before = set(t._files(2))
+    t.merge_into(
+        spark,
+        _kv(spark, [(1, 0)]).select("k"),
+        ("k",),
+        when_matched="delete",
+        insert_unmatched=False,
+        not_matched_by_source="delete",
+        nmbs_condition="k >= 100 AND k < 101",
+        nmbs_prune=("k", 100, 100),
+    )
+    # k=1 died (matched delete), k=100 died (source-absent, in box);
+    # k=2 survived the rewrite, k=101 survived in-box filtering
+    assert _state(t, spark) == [(2, 20), (101, 1010)]
+    # no file could be fully carried here (both held acted rows) — now
+    # pin the carry-over case: an out-of-box file is never rewritten
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    t2.commit(_kv(spark, [(1, 10)]).coalesce(1), stats_cols=("k",))
+    t2.commit(_kv(spark, [(100, 1000)]).coalesce(1), stats_cols=("k",))
+    t2.merge_into(
+        spark,
+        _kv(spark, [(7, 70)]),
+        ("k",),
+        insert_unmatched=True,
+        not_matched_by_source="delete",
+        nmbs_condition="k >= 100",
+        nmbs_prune=("k", 100, float("inf")),
+    )
+    assert set(t2._files(1)) <= set(t2._files(3))  # v1 file untouched
+    assert _state(t2, spark) == [(1, 10), (7, 70)]
