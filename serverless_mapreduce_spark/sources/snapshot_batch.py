@@ -73,7 +73,18 @@ def _resolve_version(t: SnapshotTable, opts: dict) -> int:
         return version
     ts = opts.get("timestampasof")
     if ts is not None:
-        return t.resolve_as_of(float(ts))
+        try:
+            target = float(ts)
+        except ValueError:
+            # ISO-8601 string ("2026-08-16 12:00:00" / with T) — the
+            # Delta option shape; naive stamps read as UTC
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(str(ts).replace("T", " "))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            target = dt.timestamp()
+        return t.resolve_as_of(target)
     head = t.latest_version()
     if head is None:
         raise ValueError(
@@ -548,8 +559,16 @@ class SnapshotBatchDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent per-session registration."""
-    spark.dataSource.register(SnapshotBatchDataSource)
+    """Idempotent registration. Re-registering on the SAME session
+    replaces silently, but a session CLONE inherits its parent's
+    registration and re-registering there raises
+    DATA_SOURCE_ALREADY_EXISTS — swallow exactly that (the registered
+    class is always this one, so already-exists is success)."""
+    try:
+        spark.dataSource.register(SnapshotBatchDataSource)
+    except Exception as ex:  # pyspark AnalysisException
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(ex):
+            raise
 
 
 # --- registered correctness query ---------------------------------------------
@@ -616,8 +635,12 @@ def snapshot_batch_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # pushFilters is gated behind spark.sql.python.filterPushdown.enabled
-    # (default false). Enable on a CLONE — never the caller's session.
-    spark = spark.newSession()
+    # (default false). Set on the CALLER session: Python DS registration
+    # is name-scoped per JVM and session CLONES break once the parent
+    # registers (they can neither re-register nor resolve — bisected in
+    # r14), so this format always registers and runs on the caller; the
+    # conf only gates pushFilters calls, which every Python source in
+    # this repo implements conservatively.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register(spark)
 

@@ -21,10 +21,11 @@ def _pkv(spark, triples):
 
 
 def _pushdown_session(spark):
-    s = spark.newSession()
-    s.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    register(s)
-    return s
+    # caller session, not a clone: Python DS registration is name-scoped
+    # per JVM and clones break once any session registered (r14 bisect)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    return spark
 
 
 def test_pushed_partition_filter_matches_plan_files(spark, tmp_path):
@@ -295,3 +296,34 @@ def test_batch_writer_abort_cleans_staged_files(spark, tmp_path):
     w.abort([msg])
     assert all(not __import__("os").path.exists(p) for p in staged)
     assert SnapshotTable(base).latest_version() is None
+
+
+def test_timestamp_as_of_iso_and_epoch(spark, tmp_path):
+    import time
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(spark.createDataFrame([(1, 10)], "k bigint, v bigint"))
+    mid = time.time()
+    time.sleep(0.05)
+    t.commit(spark.createDataFrame([(2, 20)], "k bigint, v bigint"))
+    s = _pushdown_session(spark)
+    epoch = (
+        s.read.format("snapshot")
+        .option("path", base)
+        .option("timestampAsOf", str(mid))
+        .load()
+    )
+    assert [tuple(r) for r in epoch.collect()] == [(1, 10)]
+    from datetime import datetime, timezone
+
+    iso = datetime.fromtimestamp(mid, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f"
+    )
+    via_iso = (
+        s.read.format("snapshot")
+        .option("path", base)
+        .option("timestampAsOf", iso)
+        .load()
+    )
+    assert [tuple(r) for r in via_iso.collect()] == [(1, 10)]
