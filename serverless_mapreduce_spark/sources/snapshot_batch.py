@@ -71,6 +71,12 @@ def _resolve_version(t: SnapshotTable, opts: dict) -> int:
                 f"live version of {t.base!r}"
             )
         return version
+    b = opts.get("branch")
+    if b is not None:
+        return t.resolve_branch(b)
+    g = opts.get("tag")
+    if g is not None:
+        return t.resolve_tag(g)
     ts = opts.get("timestampasof")
     if ts is not None:
         try:
@@ -510,8 +516,10 @@ class SnapshotBatchDataSource(DataSource):
     """``spark.read.format("snapshot").option("path", base).load()``.
 
     Options: ``path`` (table base dir, required), ``versionAsOf``
-    (exact live version), ``timestampAsOf`` (epoch seconds — resolved
-    like the library's ``resolve_as_of``), ``readChangeFeed`` (batch
+    (exact live version), ``branch``/``tag`` (named refs — Iceberg
+    branch/tag reads through the reader API), ``timestampAsOf``
+    (epoch seconds or ISO-8601 — resolved like the library's
+    ``resolve_as_of``), ``readChangeFeed`` (batch
     CDF: serve every row-level change in ``(startingVersion,
     endingVersion]`` — default (0, resolved version] — with the
     ``_change_type``/``_commit_version``/``_commit_timestamp`` columns;

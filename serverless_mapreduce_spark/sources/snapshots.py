@@ -3274,6 +3274,7 @@ class SnapshotTable:
         keep_latest: int = 2,
         pin: tuple[int, ...] = (),
         min_reader_version: int | None = None,
+        dry_run: bool = False,
     ) -> tuple[list[int], list[str]]:
         """RETENTION VACUUM (Iceberg expire_snapshots / Delta VACUUM): keep
         the newest ``keep_latest`` versions; delete older manifests and
@@ -3358,6 +3359,10 @@ class SnapshotTable:
             ({f for v in drop for f in self._files(v)} - live)
             | (all_change - live_change)
         )
+        if dry_run:
+            # VACUUM DRY RUN (Delta's of the same name): report exactly
+            # what a real run would expire and delete, touch nothing
+            return drop, doomed
         # missing_ok deletes make the vacuum IDEMPOTENT: after a crash
         # between file deletes and manifest deletes, the expired manifests
         # still list already-removed files — the re-run must finish the

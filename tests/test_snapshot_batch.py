@@ -327,3 +327,80 @@ def test_timestamp_as_of_iso_and_epoch(spark, tmp_path):
         .load()
     )
     assert [tuple(r) for r in via_iso.collect()] == [(1, 10)]
+
+
+def test_branch_and_tag_reads(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(spark.createDataFrame([(1, 10)], "k bigint, v bigint"))
+    t.commit(spark.createDataFrame([(2, 20)], "k bigint, v bigint"))
+    t.set_tag("release-1", 1)
+    t.set_branch("audit", 1)
+    s = _pushdown_session(spark)
+
+    def rows(**opts):
+        r = s.read.format("snapshot").option("path", base)
+        for k_, v_ in opts.items():
+            r = r.option(k_, v_)
+        return sorted(tuple(x) for x in r.load().collect())
+
+    assert rows(tag="release-1") == [(1, 10)]
+    assert rows(branch="audit") == [(1, 10)]
+    t.set_branch("audit", 2)  # branches move; tags never do
+    assert rows(branch="audit") == [(1, 10), (2, 20)]
+    assert rows(tag="release-1") == [(1, 10)]
+
+
+def test_stream_writer_sink_partitioned(spark, tmp_path):
+    """writeStream.format('snapshot') with partitionBy: the sink's
+    entries record partition values, so plan_files prunes DS-streamed
+    tables too."""
+    import pyarrow as pa
+
+    from serverless_mapreduce_spark.sources.snapshot_batch import (
+        SnapshotStreamWriter,
+    )
+
+    base = str(tmp_path / "tbl")
+    schema = spark.createDataFrame(
+        [("a", 1)], "p string, k bigint"
+    ).schema
+    w = SnapshotStreamWriter(
+        {"path": base, "streamId": "s", "partitionBy": "p"}, schema, False
+    )
+    msg = w.write(
+        iter(
+            [
+                pa.record_batch(
+                    [
+                        pa.array(["a", "a", "b"]),
+                        pa.array([1, 2, 3], pa.int64()),
+                    ],
+                    names=["p", "k"],
+                )
+            ]
+        )
+    )
+    w.commit([msg], 0)
+    t = SnapshotTable(base)
+    files_b, total = t.plan_files(1, partition_eq={"p": "b"})
+    assert total == 2 and len(files_b) == 1
+    assert sorted(
+        tuple(r) for r in t.read(spark, partition_eq={"p": "b"}).collect()
+    ) == [("b", 3)]
+
+
+def test_expire_versions_dry_run(spark, tmp_path):
+    import os as _os
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1,)], "k bigint"))
+    t.commit(spark.createDataFrame([(2,)], "k bigint"), mode="overwrite")
+    drop, doomed = t.expire_versions(keep_latest=1, dry_run=True)
+    assert drop == [1] and doomed
+    # nothing was touched
+    assert all(_os.path.exists(p) for p in doomed)
+    assert t.versions() == [1, 2]
+    real_drop, real_doomed = t.expire_versions(keep_latest=1)
+    assert (real_drop, real_doomed) == (drop, doomed)  # the report was exact
+    assert all(not _os.path.exists(p) for p in real_doomed)
