@@ -58,7 +58,10 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
+from serverless_mapreduce_spark.sources.snapshots import (
+    SnapshotTable,
+    hive_partition_value,
+)
 
 
 def _resolve_version(t: SnapshotTable, opts: dict) -> int:
@@ -149,7 +152,11 @@ class SnapshotBatchReader(DataSourceReader):
                 continue
             col = f.attribute[0]
             if isinstance(f, EqualTo):
-                self._eq[col] = None if f.value is None else str(f.value)
+                # hive rendering, not str(): a pushed bool/timestamp
+                # equality must compare as the manifest recorded it
+                # ('true', not 'True') or matching files silently prune
+                # out of the result (r14 advice 2)
+                self._eq[col] = hive_partition_value(f.value)
                 if isinstance(f.value, (int, float)) and not isinstance(
                     f.value, bool
                 ):
@@ -370,22 +377,34 @@ class _SnapshotWriterBase:
             if tbl.num_rows == 0:
                 continue
             if self._partition_by:
-                keys = list(
-                    zip(
-                        *(
-                            tbl.column(c).to_pylist()
-                            for c in self._partition_by
-                        )
-                    )
+                # vectorized split (r14 advice 3): unique keys via an
+                # Arrow group_by (O(unique) Python, never O(rows)),
+                # then one pc.equal mask per unique value — partition
+                # value cardinality is low per batch by the spec's
+                # nature, and every per-row compare stays in C
+                cols = list(self._partition_by)
+                uniq = sorted(
+                    (
+                        tuple(r[c] for c in cols)
+                        for r in tbl.group_by(cols).aggregate([]).to_pylist()
+                    ),
+                    key=repr,
                 )
-                uniq = sorted(set(keys), key=repr)
             else:
-                keys, uniq = None, [()]
+                uniq = [()]
             for key in uniq:
-                if keys is None:
+                if not self._partition_by:
                     part = tbl
                 else:
-                    mask = pa.array([k == key for k in keys])
+                    mask = None
+                    for c, v in zip(self._partition_by, key):
+                        col_arr = tbl.column(c)
+                        m = (
+                            pc.is_null(col_arr)
+                            if v is None
+                            else pc.equal(col_arr, v)
+                        )
+                        mask = m if mask is None else pc.and_(mask, m)
                     part = tbl.filter(mask)
                 if key not in writers:
                     path = os.path.join(
@@ -418,11 +437,13 @@ class _SnapshotWriterBase:
             if self._stats:
                 e["stats"] = dict(agg["stats"])
             if self._partition_by:
-                # hive-rendered string values — the same shape the library
-                # parses from partition directory names, so partition_eq
-                # probes compare like with like
+                # hive-rendered string values — the SAME renderer the
+                # library's hive-layout parse produces, so a bool
+                # partition records 'true' here exactly as a
+                # library-written file would and partition_eq probes
+                # compare like with like (r14 advice 2)
                 e["partitions"] = {
-                    c: (None if v is None else str(v))
+                    c: hive_partition_value(v)
                     for c, v in zip(self._partition_by, key)
                 }
             entries.append(e)
@@ -537,6 +558,11 @@ class SnapshotBatchDataSource(DataSource):
         opts = {k.lower(): v for k, v in self.options.items()}
         t = SnapshotTable(opts["path"])
         version = _resolve_version(t, opts)
+        # pin the resolution: reader() reuses THIS version, so the
+        # pinned schema and the planned file set always come from the
+        # same snapshot even when a commit lands between analysis and
+        # reader construction (r14 advice 5)
+        self._resolved_version = version
         st = t._schema(version)
         if st is None:
             raise ValueError(
@@ -555,7 +581,14 @@ class SnapshotBatchDataSource(DataSource):
         return ddl
 
     def reader(self, schema: StructType) -> SnapshotBatchReader:
-        return SnapshotBatchReader(dict(self.options), schema)
+        opts = dict(self.options)
+        v = getattr(self, "_resolved_version", None)
+        if v is not None:
+            # one resolution serves schema AND plan (r14 advice 5);
+            # versionAsOf wins every other resolution rule, so this
+            # also freezes branch/tag/timestamp reads at analysis time
+            opts["versionAsOf"] = str(v)
+        return SnapshotBatchReader(opts, schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> SnapshotBatchWriter:
         return SnapshotBatchWriter(dict(self.options), schema, overwrite)

@@ -373,7 +373,12 @@ class SnapshotStreamReader(DataSourceStreamReader):
             if not (emit_data or emit_deletes or emit_changes):
                 continue
             ts = body.get("ts")
-            for e in t._delta_entries(v):
+            # the per-version ref diff inherits this stream's data-loss
+            # stance: under failOnDataLoss=true a BOUNDARY retention hole
+            # (expired parent just below the window) raises here rather
+            # than silently re-delivering the hole's rows via a wider
+            # ancestor diff (r14 advice); =false opts into the fallback
+            for e in t._delta_entries(v, allow_holes=not self._fail_on_loss):
                 kind = e.get("kind")
                 if kind == "delete" and emit_deletes:
                     out.append(InputPartition((e["path"], "delete", v, ts)))

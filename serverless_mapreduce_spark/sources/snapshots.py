@@ -114,6 +114,34 @@ def _parse_transform_key(key: str) -> tuple[str, int | None, str]:
     return "identity", None, key
 
 
+def hive_partition_value(v) -> str | None:
+    """Render a partition VALUE the way Spark's hive directory layout
+    does — the format :meth:`SnapshotTable._write_df` parses back out
+    of partition dir names and records in manifests: lowercase
+    booleans, ISO dates, ``yyyy-MM-dd HH:mm:ss[.f…]`` timestamps with
+    trailing fractional zeros trimmed. The ONE renderer shared by the
+    DataSource writer (which records values without going through a
+    hive layout) and every ``partition_eq`` probe coercion, so
+    DS-written entries, library-written entries, and typed probes all
+    compare identically — Python's ``str(True)`` is ``'True'`` while
+    hive renders ``'true'``, and that one-character divergence is a
+    silent wrong-prune, not a wasted scan (r14 advice 2)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        return s
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
+
+
 def _merge_schemas(parent, incoming):
     """ADD-COLUMN schema evolution (Iceberg union-by-name, additive only):
     the merged schema is the parent's fields in order, plus incoming fields
@@ -316,7 +344,7 @@ class SnapshotTable:
             return True  # delete-only segment: nothing to plan as data
         if partition_eq:
             probe = {
-                col: (None if val is None else str(val))
+                col: hive_partition_value(val)
                 for col, val in partition_eq.items()
             }
             for key, vals in s.get("partitions", {}).items():
@@ -734,7 +762,7 @@ class SnapshotTable:
         rows (r13 review)."""
         if raw is None:
             return (None,)
-        raw = str(raw)
+        raw = hive_partition_value(raw)
         if kind == "identity":
             return (raw,)
         n = cls._PREFIX_LEN.get(kind)
@@ -1811,7 +1839,7 @@ class SnapshotTable:
         if version is None:
             raise ValueError("snapshot table has no committed version")
         probe = {
-            col: (None if val is None else str(val))
+            col: hive_partition_value(val)
             for col, val in partition_eq.items()
         }
         kept, dropped = [], []
@@ -2380,15 +2408,30 @@ class SnapshotTable:
         ledgered = stream_id is not None and batch_id is not None
         if ledgered and self.stream_batch_committed(stream_id, batch_id):
             return None
-        new_segs = self._write_batch_segments(list(entries), partition_by)
         extra = (
             {"stream_id": stream_id, "stream_batch_id": batch_id}
             if ledgered
             else None
         )
+        # segments are written lazily INSIDE the retry loop, after its
+        # ledger recheck: a zombie twin's duplicate batch detected there
+        # then returns before any segment JSON exists, and a duplicate
+        # detected on a LATER iteration removes what the first wrote —
+        # replays used to orphan segment files in the manifest dir
+        # forever (r14 advice 4)
+        new_segs: list[str] | None = None
+        import contextlib
+
         for _ in range(64):
             if ledgered and self.stream_batch_committed(stream_id, batch_id):
+                for ref in new_segs or ():
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(self._seg_path(ref))
                 return None
+            if new_segs is None:
+                new_segs = self._write_batch_segments(
+                    list(entries), partition_by
+                )
             parent = self.latest_version()
             segments, sch = list(new_segs), schema
             if mode == "append" and parent is not None:
@@ -2521,7 +2564,7 @@ class SnapshotTable:
             # bucket hash, truncate), so hidden partitioning prunes
             # without callers knowing the spec.
             probe = {
-                col: (None if val is None else str(val))
+                col: hive_partition_value(val)
                 for col, val in partition_eq.items()
             }
             kept = [
@@ -2606,7 +2649,7 @@ class SnapshotTable:
             parts = e.get("partitions", {})
             if keys and all(
                 SnapshotTable._eq_mismatch(
-                    parts, {col: None if k is None else str(k)}
+                    parts, {col: hive_partition_value(k)}
                 )
                 for k in keys
             ):
@@ -2674,7 +2717,7 @@ class SnapshotTable:
                         continue
                     exps = [
                         self._transform_probe(
-                            kind, param, None if k is None else str(k)
+                            kind, param, hive_partition_value(k)
                         )
                         for k in keys
                     ]
@@ -2692,7 +2735,9 @@ class SnapshotTable:
             )
         return out
 
-    def _delta_entries(self, version: int) -> list[dict]:
+    def _delta_entries(
+        self, version: int, allow_holes: bool = False
+    ) -> list[dict]:
         """Manifest entries (data AND delete) INTRODUCED by ``version``
         relative to its immediate predecessor. Layered manifests answer
         with a ref-set diff — appends only ever ADD segments, so the new
@@ -2709,22 +2754,43 @@ class SnapshotTable:
         catalog batch diffs against the published base — never against a
         crashed sibling stage whose refs it does not extend (and whose
         manifest a staged-orphan GC may have removed; r13 review). A
-        parent whose manifest is GONE (GC'd orphan between plain
-        commits, or a retention hole under failOnDataLoss=false) falls
-        back to the NEAREST live ancestor: appends only ever add
-        segments, so the diff then covers everything introduced since
-        that ancestor — the hole's still-referenced segments included,
-        which is recovery, not loss, for append histories."""
+        parent whose manifest is GONE falls back to the NEAREST live
+        ancestor ONLY when every skipped version is a tombstoned GC'd
+        staged orphan — provably never published, so the wider diff
+        adds nothing a consumer could have seen. Any OTHER missing
+        ancestor (a retention hole at the window boundary: stream
+        cursor = expired version, ``read_changes`` from an expired
+        ``from_version``) raises instead — the fallback diff would
+        re-deliver rows the consumer already consumed, tagged with the
+        wrong ``_commit_version`` (r14 advice). ``allow_holes=True``
+        (the stream's ``failOnDataLoss=false``, and vacuum liveness
+        accounting where a wider diff is conservatively MORE live)
+        opts back into the fallback explicitly."""
         body = self._manifest_body(version)
         refs = body.get("segments")
         prev = body.get("base", version - 1)
         prev_refs: list[str] | None = []
+        skipped: list[int] = []
         while prev > 0:
             try:
                 prev_refs = self._segment_refs(prev)
                 break
             except FileNotFoundError:
+                skipped.append(prev)
                 prev -= 1
+        if skipped and not allow_holes:
+            bad = sorted(set(skipped) - self._tombstones())
+            if bad:
+                raise ValueError(
+                    f"version {version}'s parent chain has missing "
+                    f"manifests {bad} that are not tombstoned staged "
+                    "orphans — likely retention-expired; a delta "
+                    "computed against an older ancestor would "
+                    "re-deliver already-consumed rows under the wrong "
+                    "_commit_version. Start the read from a live "
+                    "version, or (streams) set failOnDataLoss=false "
+                    "to accept the wider diff explicitly."
+                )
         if refs is not None and prev_refs is not None:
             base = set(prev_refs)
             seqs = body.get("seqs", {})
@@ -3344,7 +3410,10 @@ class SnapshotTable:
             try:
                 live_change |= {
                     e["path"]
-                    for e in self._delta_entries(v)
+                    # allow_holes: for LIVENESS accounting a wider
+                    # ancestor diff only ever adds entries — i.e. keeps
+                    # MORE change files — which is the safe direction
+                    for e in self._delta_entries(v, allow_holes=True)
                     if e.get("kind") == "change"
                 }
             except FileNotFoundError:
