@@ -405,6 +405,9 @@ HEADLINE = (
     # and the full-sync merge (not-matched-by-source delete)
     "snapshot_merge_conditional",
     "snapshot_merge_sync",
+    # round 15: branch commit chains audited + published via one atomic
+    # fast-forward (the multi-batch WAP publish)
+    "snapshot_branch_fast_forward",
 )
 
 

@@ -221,3 +221,319 @@ def test_batch_ds_schema_and_plan_pin_same_version(spark, tmp_path):
     assert reader._version == 1  # plan comes from the pinned snapshot
     planned = {p.value[0] for p in reader.partitions()}
     assert planned == set(t._files(1))
+
+
+# --- write-serializable RMW: conflict classification + auto-rebase ----------
+# (r14 verdict item 2)
+
+
+def _pkv(spark, triples):
+    return spark.createDataFrame(list(triples), "p string, k bigint, v bigint")
+
+
+def _inject_once(monkeypatch, fn):
+    """Deterministic race: run ``fn`` (the interloper's commit) right
+    before the victim's FIRST _publish_cow attempt, so the victim loses
+    the CAS and must classify + rebase (or raise)."""
+    import serverless_mapreduce_spark.sources.snapshots as S
+
+    orig = S.SnapshotTable._publish_cow
+    state = {"armed": True}
+
+    def wrapper(self, *a, **k):
+        if state["armed"]:
+            state["armed"] = False
+            fn()
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(S.SnapshotTable, "_publish_cow", wrapper)
+
+
+def test_merge_rebases_over_disjoint_partition_append(spark, tmp_path, monkeypatch):
+    """Merge on partition 'a' concurrent with an append to partition 'b'
+    lands WITHOUT caller retry — the interloper's files record a
+    partition value outside the source's key set, so the rebase is
+    provably serializable."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _pkv(spark, [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)]),
+        partition_by=("p",),
+    )
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.commit(
+            _pkv(spark, [("b", 9, 90)]), partition_by=("p",)
+        ),
+    )
+    v = t.merge_into(
+        spark,
+        _pkv(spark, [("a", 1, 11), ("a", 7, 70)]),
+        ("p", "k"),
+    )
+    # the interloper claimed v2; the rebased merge published v3
+    assert v == 3
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    assert rows == [
+        ("a", 1, 11),   # matched update
+        ("a", 2, 20),   # untouched
+        ("a", 7, 70),   # unmatched insert
+        ("b", 3, 30),   # untouched
+        ("b", 9, 90),   # interloper's concurrent append SURVIVES
+    ]
+
+
+def test_merge_conflicts_on_overlapping_partition_append(spark, tmp_path, monkeypatch):
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _pkv(spark, [("a", 1, 10), ("b", 3, 30)]), partition_by=("p",)
+    )
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.commit(
+            _pkv(spark, [("a", 8, 80)]), partition_by=("p",)
+        ),
+    )
+    with pytest.raises(CommitConflict, match="read set"):
+        t.merge_into(spark, _pkv(spark, [("a", 1, 11)]), ("p", "k"))
+
+
+def test_concurrent_rewrites_of_same_files_still_conflict(spark, tmp_path, monkeypatch):
+    """Two writers rewriting the same files = lost update; must raise
+    regardless of predicates."""
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _pkv(spark, [("a", 1, 10), ("a", 2, 20)]), partition_by=("p",)
+    )
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.merge_into(
+            spark, _pkv(spark, [("a", 2, 22)]), ("p", "k")
+        ),
+    )
+    with pytest.raises(CommitConflict, match="rewrites"):
+        t.merge_into(spark, _pkv(spark, [("a", 1, 11)]), ("p", "k"))
+
+
+def test_delete_where_rebases_over_out_of_box_append(spark, tmp_path, monkeypatch):
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_kv(spark, [(1, 1), (2, 2), (100, 100)]), stats_cols=("k",))
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.commit(_kv(spark, [(500, 500)]), stats_cols=("k",)),
+    )
+    v = t.delete_where(spark, "k <= 2", prune=("k", 0, 2), stats_cols=("k",))
+    assert v == 3  # rebased over the interloper's v2
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    assert rows == [(100, 100), (500, 500)]
+
+
+def test_delete_where_conflicts_on_in_box_append(spark, tmp_path, monkeypatch):
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_kv(spark, [(1, 1), (100, 100)]), stats_cols=("k",))
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.commit(_kv(spark, [(2, 2)]), stats_cols=("k",)),
+    )
+    with pytest.raises(CommitConflict, match="read set"):
+        t.delete_where(spark, "k <= 2", prune=("k", 0, 2), stats_cols=("k",))
+
+
+def test_compaction_rebases_over_any_append(spark, tmp_path, monkeypatch):
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    for i in range(4):
+        t.commit(_kv(spark, [(i, i)]).coalesce(1))
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.commit(_kv(spark, [(99, 99)]).coalesce(1)),
+    )
+    v = t.compact_small_files(spark, target_bytes=1 << 30)
+    assert v == t.latest_version()
+    rows = sorted(r.k for r in t.read(spark).collect())
+    assert rows == [0, 1, 2, 3, 99]  # the concurrent append survives
+
+
+def test_mor_delete_conflicts_rmw_but_retries_itself(spark, tmp_path, monkeypatch):
+    """(a) An interleaved MOR delete makes a concurrent COW merge raise
+    (rebasing would sequence the delete below the rewrite and disarm
+    it); (b) delete_keys_mor itself auto-retries across a lost race to
+    a plain append — write-serializable order: the delete sees the
+    appended rows."""
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _pkv(spark, [("a", 1, 10), ("b", 3, 30)]), partition_by=("p",)
+    )
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.delete_keys_mor(
+            spark, spark.createDataFrame([(3,)], "k bigint"), ("k",)
+        ),
+    )
+    with pytest.raises(CommitConflict, match="merge-on-read"):
+        t.merge_into(spark, _pkv(spark, [("a", 1, 11)]), ("p", "k"))
+
+
+def test_rebased_merge_keeps_change_feed_and_ledger_consistent(spark, tmp_path, monkeypatch):
+    """Through a rebase: the merge's CDF rows carry the REBASED commit
+    version, the interloper's insert rows carry theirs, and the
+    streaming ledger survives (carried from the new parent)."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    df = _pkv(spark, [("a", 1, 10), ("b", 3, 30)])
+    ents = t._write_data(df, ())
+    assert (
+        t.publish_entries(
+            ents, schema=df.schema, stream_id="ing", batch_id=0,
+            partition_by=("p",),
+        )
+        == 1
+    )
+    # re-commit partitioned so partition values are recorded
+    t.commit(df, mode="overwrite", partition_by=("p",))  # v2
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.commit(
+            _pkv(spark, [("b", 9, 90)]), partition_by=("p",)
+        ),
+    )
+    v = t.merge_into(
+        spark,
+        _pkv(spark, [("a", 1, 11)]),
+        ("p", "k"),
+        change_feed=True,
+    )
+    assert v == 4  # interloper took v3
+    # ledger carried through the rebase: the replayed batch still no-ops
+    assert t.stream_batch_committed("ing", 0)
+    changes = sorted(
+        (r["_change_type"], r["_commit_version"], r["p"], r["k"], r["v"])
+        for r in t.read_changes(spark, 2, 4).collect()
+    )
+    assert changes == [
+        ("insert", 3, "b", 9, 90),
+        ("update_postimage", 4, "a", 1, 11),
+        ("update_preimage", 4, "a", 1, 10),
+    ]
+
+
+# --- branch commit chains + fast-forward (r14 verdict item 3) ----------------
+
+
+def test_branch_commits_are_invisible_to_main(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v1 = t.commit(_kv(spark, [(1, 1)]))
+    t.set_branch("audit", v1)
+    b1 = t.commit_to_branch("audit", _kv(spark, [(2, 2)]))
+    b2 = t.commit_to_branch("audit", _kv(spark, [(3, 3)]))
+    assert t.resolve_branch("audit") == b2 and b2 > b1 > v1
+    # MAIN head resolution, reads, and time travel never see the branch
+    assert t.latest_version() == v1
+    assert sorted(r.k for r in t.read(spark).collect()) == [1]
+    assert t.resolve_as_of(t._manifest_body(b2)["ts"] + 1) == v1
+    # branch reads see the whole chain
+    assert sorted(
+        r.k for r in t.read(spark, t.resolve_branch("audit")).collect()
+    ) == [1, 2, 3]
+    # a main append interleaves without caring: next global number,
+    # base-linked to the true main parent
+    v4 = t.commit(_kv(spark, [(9, 9)]))
+    assert v4 > b2 and t.latest_version() == v4
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 9]
+    # main's change feed never serves branch rows
+    changes = sorted(
+        (r["_change_type"], r["_commit_version"], r["k"])
+        for r in t.read_changes(spark, v1, v4).collect()
+    )
+    assert changes == [("insert", v4, 9)]
+    # main moved past the fork: fast-forward now refuses
+    with pytest.raises(CommitConflict, match="fast-forward"):
+        t.fast_forward("audit")
+
+
+def test_fast_forward_publishes_branch_series_atomically(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v1 = t.commit(_kv(spark, [(1, 1)]))
+    t.set_branch("wap", v1)
+    t.commit_to_branch("wap", _kv(spark, [(2, 2)]))
+    b2 = t.commit_to_branch("wap", _kv(spark, [(3, 3)]))
+    # audit on the branch, then publish
+    assert t.read(spark, b2).count() == 3
+    ff = t.fast_forward("wap")
+    assert t.latest_version() == ff and ff > b2
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 3]
+    # the whole series lands as ONE data-changing main version: the
+    # change feed over (v1, ff] is exactly the branch rows at ff
+    changes = sorted(
+        (r["_change_type"], r["_commit_version"], r["k"])
+        for r in t.read_changes(spark, v1, ff).collect()
+    )
+    assert changes == [("insert", ff, 2), ("insert", ff, 3)]
+    # a stream planning (0, ff] sees v1's and ff's files, nothing twice
+    from serverless_mapreduce_spark.sources.snapshot_stream import (
+        SnapshotStreamReader,
+    )
+
+    reader = SnapshotStreamReader({"path": t.base}, None)
+    parts = reader.partitions({"version": 0}, {"version": ff})
+    rows = sorted(
+        r.k
+        for p in parts
+        for r in spark.read.parquet(p.value[0]).collect()
+    )
+    assert rows == [1, 2, 3]
+
+
+def test_vacuum_keeps_branch_chain_live(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v1 = t.commit(_kv(spark, [(1, 1)]))
+    t.set_branch("exp", v1)
+    b = t.commit_to_branch("exp", _kv(spark, [(2, 2)]))
+    for i in range(5):
+        t.commit(_kv(spark, [(10 + i, 0)]))
+    dropped, _deleted = t.expire_versions(keep_latest=1)
+    # the branch tip AND its fork-point ancestor survive retention
+    assert b not in dropped and v1 not in dropped
+    assert sorted(
+        r.k for r in t.read(spark, t.resolve_branch("exp")).collect()
+    ) == [1, 2]
+
+
+def test_orphan_gc_never_collects_branch_commits(spark, tmp_path):
+    root = str(tmp_path)
+    t = SnapshotTable(f"{root}/tbl")
+    cat = MultiTableCatalog(root)
+    v1 = t.commit_onto(None, _kv(spark, [(1, 1)]))
+    cat.publish({"tbl": v1})
+    t.set_branch("keep", v1)
+    b = t.commit_to_branch("keep", _kv(spark, [(2, 2)]))
+    # catalog never published b, and it is older than any grace window —
+    # but it is branch-referenced, not a crashed stage
+    assert cat.collect_staged_orphans({"tbl": t}, grace_seconds=0.0) == {}
+    assert sorted(
+        r.k for r in t.read(spark, t.resolve_branch("keep")).collect()
+    ) == [1, 2]
+    assert b in t.versions()
