@@ -406,8 +406,10 @@ HEADLINE = (
     "snapshot_merge_conditional",
     "snapshot_merge_sync",
     # round 15: branch commit chains audited + published via one atomic
-    # fast-forward (the multi-batch WAP publish)
+    # fast-forward (the multi-batch WAP publish), and the ordered
+    # matched-clause merge (delete-then-update, first-match-wins)
     "snapshot_branch_fast_forward",
+    "snapshot_merge_multi_clause",
 )
 
 

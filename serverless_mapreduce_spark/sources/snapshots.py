@@ -1691,7 +1691,7 @@ class SnapshotTable:
         source: DataFrame,
         key_cols: tuple[str, ...],
         *,
-        when_matched: str = "update",
+        when_matched: str | list = "update",
         matched_condition: str | None = None,
         insert_unmatched: bool = True,
         not_matched_by_source: str | None = None,
@@ -1722,22 +1722,69 @@ class SnapshotTable:
         ``update_postimage``/``insert``; every delete shape →
         ``delete`` pre-images.
 
+        MULTIPLE MATCHED CLAUSES (Delta's ordered clause list — r14
+        verdict item 6): pass ``when_matched=[(condition, action),
+        ...]`` where each ``action`` is ``"update"`` or ``"delete"``
+        and conditions are SQL predicates over the target row (``None``
+        = always). Clauses evaluate in order, FIRST MATCH WINS — e.g.
+        ``[("stale", "delete"), (None, "update")]`` is `WHEN MATCHED
+        AND stale THEN DELETE WHEN MATCHED THEN UPDATE`. A matched row
+        firing no clause is kept unchanged (and its source row is not
+        inserted). Only the last clause may omit its condition —
+        first-match-wins makes anything after an unconditional clause
+        unreachable, which Delta likewise rejects. CDC shapes are
+        per-clause: update clauses emit pre/postimage pairs, delete
+        clauses emit ``delete`` pre-images. The string form
+        (``when_matched="update"``, optional ``matched_condition``)
+        stays as the single-clause shorthand.
+
         Shape and cost are :meth:`merge_upsert`'s: one file-granular
         left-semi locate (collect is file-count-sized), a rewrite of
         ONLY the files holding an acted row, O(affected + batch) —
-        the condition can only NARROW the rewrite. The source-absent
-        delete is inherently table-proportional (any file may hold a
-        source-absent row); bound it with ``nmbs_prune`` — the stats
-        box of ``nmbs_condition``, the :meth:`delete_where` contract:
-        files whose recorded [min, max] cannot intersect it carry over
+        the condition can only NARROW the rewrite; the clause decision
+        is one whole-stage-codegen CASE WHEN over the rewritten rows,
+        never a per-clause pass. The source-absent delete is inherently
+        table-proportional (any file may hold a source-absent row);
+        bound it with ``nmbs_prune`` — the stats box of
+        ``nmbs_condition``, the :meth:`delete_where` contract: files
+        whose recorded [min, max] cannot intersect it carry over
         untouched. Keys are ingest-sized by contract; broadcasts are
         size-gated (:data:`MOR_BROADCAST_ROW_LIMIT`). NULL condition
         evaluations act like false (three-valued logic: row kept)."""
-        if when_matched not in ("update", "delete"):
-            raise ValueError(
-                f"when_matched must be 'update' or 'delete', got "
-                f"{when_matched!r}"
-            )
+        if isinstance(when_matched, str):
+            if when_matched not in ("update", "delete"):
+                raise ValueError(
+                    f"when_matched must be 'update' or 'delete', got "
+                    f"{when_matched!r}"
+                )
+            clauses: list[tuple[str | None, str]] = [
+                (matched_condition, when_matched)
+            ]
+        else:
+            if matched_condition is not None:
+                raise ValueError(
+                    "matched_condition composes with the string form "
+                    "only; give per-clause conditions in the "
+                    "when_matched list"
+                )
+            clauses = [(cond, action) for cond, action in when_matched]
+            if not clauses:
+                raise ValueError(
+                    "when_matched list must name at least one clause"
+                )
+            for cond, action in clauses:
+                if action not in ("update", "delete"):
+                    raise ValueError(
+                        f"matched-clause action must be 'update' or "
+                        f"'delete', got {action!r}"
+                    )
+            for cond, _action in clauses[:-1]:
+                if cond is None:
+                    raise ValueError(
+                        "only the LAST matched clause may omit its "
+                        "condition — first-match-wins makes every "
+                        "later clause unreachable"
+                    )
         if not_matched_by_source not in (None, "delete"):
             raise ValueError(
                 "not_matched_by_source must be None or 'delete', got "
@@ -1807,8 +1854,9 @@ class SnapshotTable:
         kept_paths = (
             {e["path"] for e in entries} - {e["path"] for e in rewrite}
         ) | {e["path"] for e in self._delete_entries(version)}
+        has_update = any(action == "update" for _c, action in clauses)
         schema = self._schema(version)
-        if when_matched == "update" or insert_unmatched:
+        if has_update or insert_unmatched:
             schema = _merge_schemas(schema, source.schema)
         src_aligned = source
         for f in schema.fields:
@@ -1818,21 +1866,37 @@ class SnapshotTable:
                 )
         src_aligned = src_aligned.select([f.name for f in schema.fields])
         new_entries: list[dict] = []
-        removed = None
+        removed_upd = None
+        removed_del = None
         removed_nmbs = None
         acted_keys = None
         if rewrite:
-            # marker join: matched rows flagged, then the conditions
-            # decide action; a NULL condition keeps the row (SQL)
+            # marker join: matched rows flagged, then ONE first-match-
+            # wins CASE WHEN assigns each row its firing clause index
+            # (NULL = no clause fired, row kept — SQL three-valued
+            # logic: a NULL condition never fires)
             marker = gated.withColumn("_m", F.lit(1))
             rw = self._read_with_deletes(spark, version, rewrite).join(
                 marker, keys, "left"
             )
-            act = F.col("_m").isNotNull()
-            if matched_condition is not None:
-                act = act & F.expr(
-                    f"coalesce(({matched_condition}), false)"
+            cexpr = None
+            for i, (cond, _action) in enumerate(clauses):
+                hit = F.col("_m").isNotNull()
+                if cond is not None:
+                    hit = hit & F.expr(f"coalesce(({cond}), false)")
+                cexpr = (
+                    F.when(hit, F.lit(i))
+                    if cexpr is None
+                    else cexpr.when(hit, F.lit(i))
                 )
+            rw = rw.withColumn("_c", cexpr)
+            upd_idx = [
+                i for i, (_c, a) in enumerate(clauses) if a == "update"
+            ]
+            del_idx = [
+                i for i, (_c, a) in enumerate(clauses) if a == "delete"
+            ]
+            act = F.col("_c").isNotNull()
             nmbs_act = F.lit(False)
             if not_matched_by_source == "delete":
                 nmbs_act = F.col("_m").isNull()
@@ -1840,14 +1904,21 @@ class SnapshotTable:
                     nmbs_act = nmbs_act & F.expr(
                         f"coalesce(({nmbs_condition}), false)"
                     )
-            survivors = rw.filter(~(act | nmbs_act)).drop("_m")
+            survivors = rw.filter(~(act | nmbs_act)).drop("_m", "_c")
             new_entries = self._write_data(
                 survivors, stats_cols, bloom_cols, partition_by
             )
-            removed = rw.filter(act).drop("_m")
-            acted_keys = removed.select(*keys).distinct()
+            if upd_idx:
+                removed_upd = rw.filter(
+                    F.col("_c").isin(upd_idx)
+                ).drop("_m", "_c")
+                acted_keys = removed_upd.select(*keys).distinct()
+            if del_idx:
+                removed_del = rw.filter(
+                    F.col("_c").isin(del_idx)
+                ).drop("_m", "_c")
             if not_matched_by_source == "delete":
-                removed_nmbs = rw.filter(nmbs_act).drop("_m")
+                removed_nmbs = rw.filter(nmbs_act).drop("_m", "_c")
         # matched source keys, computed from the AFFECTED FILES only
         # (they hold every matching row by construction) — O(affected),
         # never an O(table) distinct
@@ -1861,7 +1932,9 @@ class SnapshotTable:
         else:
             matched_keys = None
         chg: list[tuple[DataFrame, str]] = []
-        if when_matched == "update" and acted_keys is not None:
+        if acted_keys is not None:
+            # rows acted on by an UPDATE clause: their replacements are
+            # the source rows sharing the acted keys
             postimage = src_aligned.join(
                 F.broadcast(acted_keys)
                 if n <= self.MOR_BROADCAST_ROW_LIMIT
@@ -1873,10 +1946,10 @@ class SnapshotTable:
                 postimage, stats_cols, bloom_cols, partition_by
             )
             if change_feed:
-                chg.append((removed, "update_preimage"))
+                chg.append((removed_upd, "update_preimage"))
                 chg.append((postimage, "update_postimage"))
-        elif change_feed and removed is not None:
-            chg.append((removed, "delete"))
+        if change_feed and removed_del is not None:
+            chg.append((removed_del, "delete"))
         if change_feed and removed_nmbs is not None:
             chg.append((removed_nmbs, "delete"))
         if insert_unmatched:
@@ -6301,6 +6374,72 @@ def snapshot_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("o_orderkey",),
         when_matched="delete",
         matched_condition="o_orderkey % 3 = 0",
+        insert_unmatched=False,
+        change_feed=True,
+    )
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "snapshot_merge_multi_clause",
+    priority=0,
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT s AS o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents + CASE WHEN k % 7 = 0 AND k % 21 <> 0
+                                      AND k % 2 = 0
+                                 THEN 100 ELSE 0 END)
+                AS BIGINT) AS sum_cents
+    FROM src WHERE k % 21 <> 0
+    GROUP BY s
+    """,
+)
+def snapshot_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED MATCHED-CLAUSE MERGE (Delta's multi-clause `WHEN MATCHED
+    AND c1 THEN DELETE WHEN MATCHED AND c2 THEN UPDATE`, first-match-
+    wins — r14 verdict item 6): one merge of the %7-key re-pricing
+    batch carries TWO matched clauses — `AND k%3=0 THEN DELETE`, then
+    `AND k%2=0 THEN UPDATE`. Clause ORDER is what the oracle pins: a
+    %42 key satisfies both, and only delete-first kills it — update-
+    first would leave it alive carrying +100, shifting both the count
+    and the sum. Matched rows firing NEITHER clause (odd non-%3 %7
+    keys) are kept byte-identical, and unmatched source rows are not
+    inserted. The clause decision is one CASE WHEN inside the single
+    affected-file rewrite — adding clauses adds zero passes.
+    tests/test_round15.py pins the per-clause CDC shapes (delete
+    pre-images for clause 1, pre/post pairs for clause 2)."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_merge_multi")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    t.commit(orders.repartition(8))
+    t.merge_into(
+        spark,
+        orders.filter(k % 7 == 0).withColumn("cents", F.col("cents") + 100),
+        ("o_orderkey",),
+        when_matched=[
+            ("o_orderkey % 3 = 0", "delete"),
+            ("o_orderkey % 2 = 0", "update"),
+        ],
         insert_unmatched=False,
         change_feed=True,
     )

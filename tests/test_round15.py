@@ -537,3 +537,83 @@ def test_orphan_gc_never_collects_branch_commits(spark, tmp_path):
         r.k for r in t.read(spark, t.resolve_branch("keep")).collect()
     ) == [1, 2]
     assert b in t.versions()
+
+
+# --- multi-clause MERGE: first-match-wins + per-clause CDC (item 6) ----------
+
+
+def test_merge_multi_clause_precedence_and_kept_rows(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        _kv(spark, [(1, 10), (2, 20), (3, 30), (6, 60), (9, 90)]).coalesce(1)
+    )
+    src = _kv(spark, [(2, 200), (3, 300), (6, 600), (9, 900), (50, 500)])
+    v = t.merge_into(
+        spark,
+        src,
+        ("k",),
+        when_matched=[
+            ("k % 3 = 0", "delete"),   # 3, 6, 9 die
+            ("k % 2 = 0", "update"),   # 2 updates (6 already claimed!)
+        ],
+        insert_unmatched=True,          # 50 inserts
+        change_feed=True,
+    )
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    # 1 untouched (unmatched target), 2 updated, 3/6/9 deleted by the
+    # FIRST clause (6 satisfies both — delete wins), 50 inserted
+    assert rows == [(1, 10), (2, 200), (50, 500)]
+    changes = sorted(
+        (r["_change_type"], r["k"], r["v"])
+        for r in t.read_changes(spark, 1, v).collect()
+    )
+    assert changes == [
+        ("delete", 3, 30),
+        ("delete", 6, 60),
+        ("delete", 9, 90),
+        ("insert", 50, 500),
+        ("update_postimage", 2, 200),
+        ("update_preimage", 2, 20),
+    ]
+
+
+def test_merge_multi_clause_no_clause_fired_keeps_row(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(5, 50), (8, 80)]).coalesce(1))
+    v = t.merge_into(
+        spark,
+        _kv(spark, [(5, 555), (8, 888)]),
+        ("k",),
+        when_matched=[
+            ("k % 2 = 0", "update"),
+            ("k % 99 = 0", "delete"),
+        ],
+        insert_unmatched=False,
+    )
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    # 8 updated; 5 matched but fired NO clause: kept unchanged, and its
+    # source row NOT inserted
+    assert rows == [(5, 50), (8, 888)]
+    assert v == 2
+
+
+def test_merge_multi_clause_validation(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 1)]))
+    with pytest.raises(ValueError, match="unreachable"):
+        t.merge_into(
+            spark,
+            _kv(spark, [(1, 2)]),
+            ("k",),
+            when_matched=[(None, "update"), ("k > 0", "delete")],
+        )
+    with pytest.raises(ValueError, match="string form"):
+        t.merge_into(
+            spark,
+            _kv(spark, [(1, 2)]),
+            ("k",),
+            when_matched=[("k > 0", "update")],
+            matched_condition="k > 0",
+        )
+    with pytest.raises(ValueError, match="at least one"):
+        t.merge_into(spark, _kv(spark, [(1, 2)]), ("k",), when_matched=[])
