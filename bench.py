@@ -410,6 +410,9 @@ HEADLINE = (
     # matched-clause merge (delete-then-update, first-match-wins)
     "snapshot_branch_fast_forward",
     "snapshot_merge_multi_clause",
+    # z-order compaction inside the table format: one range exchange on
+    # the interleave, then a two-predicate plan_files audit
+    "snapshot_zorder_compact",
 )
 
 

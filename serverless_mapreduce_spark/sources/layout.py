@@ -143,3 +143,155 @@ def zorder_cluster_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(
         (F.col("o_custkey") >= CUSTKEY_LO) & (F.col("o_custkey") <= CUSTKEY_HI)
     ).select("o_orderkey", "o_custkey", "zval")
+
+
+def zorder_value(
+    df: DataFrame, cols: tuple[str, ...], out: str = "_zval"
+) -> DataFrame:
+    """``df`` + a generic quantized-interleaved z-value over N numeric
+    columns (the :func:`with_zval` mechanism, generalized for the
+    snapshot format's ``compact_small_files(cluster_mode="zorder")`` —
+    r14 verdict item 5). Each dimension is min/max-quantized to
+    ``min(16, 63 // N)`` bits (so the interleave always fits a signed
+    bigint) and bit ``i`` of dimension ``d`` lands at position
+    ``i*N + d``. Dimension stats come from ONE 1-row aggregate crossed
+    in by broadcast — no driver collect; at 100 TB that stats pass is a
+    column-pruned scan or free from table metadata. NULLs quantize to
+    0 (they cluster together at the low corner, which is the useful
+    behavior: a NULL-heavy dimension still leaves the others tight)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError(
+            "zorder_value needs >= 2 columns (one column is a plain "
+            "range cluster; use cluster_mode='range')"
+        )
+    bits = min(Z_BITS, 63 // n)
+    qmax = (1 << bits) - 1
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_zlo{i}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_zhi{i}"))
+    widened = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    qnames = []
+    for i, c in enumerate(cols):
+        q = (
+            (F.col(c).cast("double") - F.col(f"_zlo{i}"))
+            * F.lit(float(qmax))
+            / F.greatest(
+                F.col(f"_zhi{i}") - F.col(f"_zlo{i}"), F.lit(1.0)
+            )
+        ).cast("bigint")
+        widened = widened.withColumn(f"_zq{i}", F.coalesce(q, F.lit(0)))
+        qnames.append(f"_zq{i}")
+    terms = []
+    for i in range(bits):
+        for d, qn in enumerate(qnames):
+            terms.append(
+                f"((shiftright({qn}, {i}) & 1) * {1 << (i * n + d)})"
+            )
+    out_df = widened.withColumn(out, F.expr(" + ".join(terms)).cast("bigint"))
+    drop = qnames + [f"_zlo{i}" for i in range(n)] + [f"_zhi{i}" for i in range(n)]
+    return out_df.drop(*drop)
+
+
+DAYS_LO = 9862   #: 1997-01-01 as epoch days — the probe's date box
+DAYS_HI = 10226  #: 1997-12-31 (inside the fixtures' 1995..2001 domain)
+
+
+@query(
+    "snapshot_zorder_compact",
+    priority=0,
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_custkey BETWEEN {CUSTKEY_LO} AND {CUSTKEY_HI}
+      AND CAST(date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS BIGINT)
+          BETWEEN {DAYS_LO} AND {DAYS_HI}
+    """,
+)
+def snapshot_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER COMPACTION INSIDE THE TABLE FORMAT (Delta OPTIMIZE ZORDER
+    BY — r14 verdict item 5): a randomly-laid-out snapshot table (every
+    small file spans the full (custkey, date) domain, so a box probe
+    prunes NOTHING) is compacted with
+    ``cluster_mode="zorder", cluster_by=(o_custkey, o_days)`` — one
+    range exchange on the quantized bit-interleave — and the rewritten
+    files' recomputed min/max are tight on BOTH dimensions at once.
+    The in-query audit is load-bearing: the two-predicate probe's
+    ``plan_files`` intersection must shrink to under half the table
+    post-compaction after pruning ~nothing before (raised on failure,
+    so a green driver row certifies the layout actually prunes); the
+    returned aggregate reads THROUGH the pruned plan and must equal
+    the oracle's raw recompute — a wrong prune loses rows, not just
+    speed. tests/test_layout.py pins the same contract at file
+    granularity."""
+    import shutil
+
+    from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
+
+    base = scratch(sf_tag(sf_dir), "snapshot_zorder")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(_DAYS_SPARK).alias("o_days"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    # unsorted write: hash-scatter so every file spans the full domain
+    t.commit(
+        orders.repartition(24, "o_orderkey"),
+        stats_cols=("o_custkey", "o_days"),
+    )
+
+    def _both_boxes(version: int) -> tuple[int, int]:
+        by_cust, total = t.plan_files(
+            version, where=("o_custkey", CUSTKEY_LO, CUSTKEY_HI)
+        )
+        by_days, _ = t.plan_files(
+            version, where=("o_days", DAYS_LO, DAYS_HI)
+        )
+        return len(set(by_cust) & set(by_days)), total
+
+    kept_before, total_before = _both_boxes(1)
+    ents = t._data_entries(1)
+    target = max(1, sum(t._entry_bytes(e) for e in ents) // 12)
+    v = t.compact_small_files(
+        spark,
+        small_bytes=1 << 30,
+        target_bytes=target,
+        cluster_by=("o_custkey", "o_days"),
+        cluster_mode="zorder",
+        stats_cols=("o_custkey", "o_days"),
+    )
+    kept_after, total_after = _both_boxes(v)
+    # the audit: random layout prunes ~nothing; z-order layout prunes
+    # the two-predicate box to a minority of files
+    if kept_before < total_before:
+        raise AssertionError(
+            f"pre-compaction layout should not prune: {kept_before}/"
+            f"{total_before}"
+        )
+    if total_after < 2 or kept_after * 2 > total_after:
+        raise AssertionError(
+            f"z-order compaction failed to prune: {kept_after}/"
+            f"{total_after} files survive the box probe"
+        )
+    probed = (
+        t.read(spark, v, where=("o_custkey", CUSTKEY_LO, CUSTKEY_HI))
+        .filter(
+            (F.col("o_custkey") >= CUSTKEY_LO)
+            & (F.col("o_custkey") <= CUSTKEY_HI)
+            & (F.col("o_days") >= DAYS_LO)
+            & (F.col("o_days") <= DAYS_HI)
+        )
+    )
+    return probed.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )

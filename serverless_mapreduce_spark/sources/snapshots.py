@@ -4023,6 +4023,7 @@ class SnapshotTable:
         small_bytes: int = 128 << 20,
         target_bytes: int = 128 << 20,
         cluster_by: tuple[str, ...] = (),
+        cluster_mode: str = "range",
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
         partition_by: tuple[str, ...] = (),
@@ -4035,10 +4036,23 @@ class SnapshotTable:
         batch) accumulates small files forever and a probe's manifest —
         and its task count — grows with BATCHES, not bytes. This rewrites
         the LOGICAL NO-OP: files under ``small_bytes`` are read back,
-        re-written as ~``target_bytes`` files (range-clustered on
-        ``cluster_by`` when given, so per-file min/max stay tight for
-        manifest pruning), and published as a MANIFEST-SWAP version whose
+        re-written as ~``target_bytes`` files (clustered on ``cluster_by``
+        when given, so per-file min/max stay tight for manifest pruning),
+        and published as a MANIFEST-SWAP version whose
         file list is (untouched large files) + (new compacted files).
+
+        ``cluster_mode`` picks the layout (r14 verdict item 5):
+        ``"range"`` (default) range-partitions on ``cluster_by`` — one
+        tight dimension, the leading-column sort; ``"zorder"``
+        (Delta's OPTIMIZE ZORDER BY) clusters on the quantized
+        bit-interleave of ALL ``cluster_by`` columns
+        (:func:`~serverless_mapreduce_spark.sources.layout.zorder_value`)
+        so per-file min/max are tight on EVERY dimension at once — a
+        multi-predicate point/box probe then prunes files on each
+        predicate independently, which a single-axis range cluster
+        cannot give. Pass the probed columns in ``stats_cols`` too so
+        the rewritten files record the fresh per-file min/max the
+        pruning reads.
         Row content is bit-identical by construction — parquet rewrite of
         the same rows under the same schema; the registered
         ``snapshot_compaction`` query oracles that identity and
@@ -4089,7 +4103,26 @@ class SnapshotTable:
             df = df.repartition(
                 *[self._partition_field(c, df.schema)[2] for c in partition_by]
             )
+        elif cluster_by and cluster_mode == "zorder" and len(cluster_by) > 1:
+            # multi-dimensional cluster: one range exchange on the
+            # interleaved z-value + an in-partition sort — same shuffle
+            # cost as the range mode, tight min/max on every dimension
+            from serverless_mapreduce_spark.sources.layout import (
+                zorder_value,
+            )
+
+            df = (
+                zorder_value(df, tuple(cluster_by))
+                .repartitionByRange(n_out, "_zval")
+                .sortWithinPartitions("_zval")
+                .drop("_zval")
+            )
         elif cluster_by:
+            if cluster_mode not in ("range", "zorder"):
+                raise ValueError(
+                    f"cluster_mode must be 'range' or 'zorder', got "
+                    f"{cluster_mode!r}"
+                )
             df = df.repartitionByRange(n_out, *cluster_by)
         else:
             # no shuffle: merge the small read partitions down in place

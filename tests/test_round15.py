@@ -617,3 +617,61 @@ def test_merge_multi_clause_validation(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="at least one"):
         t.merge_into(spark, _kv(spark, [(1, 2)]), ("k",), when_matched=[])
+
+
+# --- z-order inside the snapshot format (item 5) -----------------------------
+
+
+def test_zorder_compaction_prunes_multidim_boxes(spark, tmp_path):
+    """Same data, same file count: a plain range cluster on the leading
+    column cannot make a two-predicate box prune on BOTH dimensions;
+    the z-order mode must. Pins cluster_mode='zorder' vs 'range'."""
+    from pyspark.sql import functions as F
+
+    rows = spark.range(20000).select(
+        (F.col("id") % 997).alias("x"),
+        ((F.col("id") * 7919) % 983).alias("y"),
+        F.col("id").alias("v"),
+    )
+
+    def build(mode):
+        t = SnapshotTable(str(tmp_path / f"tbl_{mode}"))
+        t.commit(rows.repartition(16, "v"), stats_cols=("x", "y"))
+        ents = t._data_entries(1)
+        target = max(1, sum(t._entry_bytes(e) for e in ents) // 8)
+        v = t.compact_small_files(
+            spark,
+            small_bytes=1 << 30,
+            target_bytes=target,
+            cluster_by=("x", "y"),
+            cluster_mode=mode,
+            stats_cols=("x", "y"),
+        )
+        bx, total = t.plan_files(v, where=("x", 100, 199))
+        by, _ = t.plan_files(v, where=("y", 100, 199))
+        both = (len(set(bx) & set(by)), len(by))
+        # correctness of the pruned read regardless of layout
+        got = (
+            t.read(spark, v, where=("x", 100, 199))
+            .filter(
+                (F.col("x").between(100, 199)) & (F.col("y").between(100, 199))
+            )
+            .count()
+        )
+        want = rows.filter(
+            (F.col("x").between(100, 199)) & (F.col("y").between(100, 199))
+        ).count()
+        assert got == want
+        return both, total
+
+    (both_range, y_range), total_range = build("range")
+    (both_z, y_z), total_z = build("zorder")
+    assert total_z >= 4 and total_range >= 4
+    # the TRAILING dimension is where the modes differ: a lexicographic
+    # range cluster on (x, y) leaves y spanning ~everything per file
+    # (no pruning), while the z-interleave keeps y tight too
+    assert y_range == total_range  # range mode: y-box prunes nothing
+    assert y_z * 2 <= total_z      # z mode: y-box alone prunes a majority out
+    # and the two-predicate intersection never regresses vs range mode
+    assert both_z <= both_range
+    assert both_z * 2 <= total_z
