@@ -413,6 +413,74 @@ HEADLINE = (
     # z-order compaction inside the table format: one range exchange on
     # the interleave, then a two-predicate plan_files audit
     "snapshot_zorder_compact",
+    # round 15 (r14 verdict item 4): FULL-REGISTRY coverage — the 58
+    # queries previously unbenched get lines + budgets, so no single-line
+    # regression is invisible to the budget guard. This deliberately
+    # supersedes the earlier double-count exclusions above
+    # (dsir_select_topk, graph_metrics_summary, minhash_band_eval,
+    # perplexity_prune_buckets, filter_cascade_audit, eval_pq_adc_recall,
+    # uncertainty_band_sample, dedup_cluster_size_histogram,
+    # bpe_fertility_by_lang, split_leakage_audit): they re-run shared
+    # derivations other lines track, but an unbudgeted query is a blind
+    # spot worth the redundant seconds.
+    "ann_ivf_topk",
+    "ann_topk_bruteforce",
+    "bpe_fertility_by_lang",
+    "cohort_retention",
+    "cpu_udf_collatz_revenue",
+    "cpu_udf_fib",
+    "cpu_udf_url_magic",
+    "csv_scan",
+    "daily_active_users",
+    "dedup_cluster_size_histogram",
+    "dedup_ngram_jaccard",
+    "dsir_select_topk",
+    "dynamo_typed_extract",
+    "eval_pq_adc_recall",
+    "facade_full_chain",
+    "facade_groupby_sum",
+    "facade_map_chain",
+    "facade_merge_union",
+    "facade_word_count",
+    "filter_cascade_audit",
+    "graph_metrics_summary",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_orders",
+    "lang_id",
+    "minhash_band_eval",
+    "multi_source_union",
+    "multimodal_features",
+    "multimodal_meta",
+    "perplexity_prune_buckets",
+    "pivot_status_by_priority",
+    "price_quantiles_by_priority",
+    "q3_date_filter",
+    "q3_groupby_avg_sum",
+    "q3_join",
+    "quality_score",
+    "rollup_revenue",
+    "scalar_pipeline",
+    "sink_partitioned_pruned",
+    "sink_roundtrip",
+    "sink_roundtrip_json",
+    "split_leakage_audit",
+    "sql_tpch_q6",
+    "stratified_sample_orders",
+    "stream_file_sink",
+    "stream_sliding_counts",
+    "stream_stateful_user_stats",
+    "stream_word_count",
+    "token_stats",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "training_data_pipeline",
+    "uncertainty_band_sample",
+    "unpivot_order_status",
 )
 
 

@@ -675,3 +675,53 @@ def test_zorder_compaction_prunes_multidim_boxes(spark, tmp_path):
     # and the two-predicate intersection never regresses vs range mode
     assert both_z <= both_range
     assert both_z * 2 <= total_z
+
+
+# --- CDF across schema evolution (item 7) ------------------------------------
+
+
+def test_change_feed_window_spanning_add_column_is_schema_consistent(
+    spark, tmp_path
+):
+    """A feed window spanning an add-column commit must serve ONE
+    consistent evolved schema: pre-evolution inserts and pre-images
+    NULL-fill the added column — via the library read_changes AND via
+    format('snapshot').option('readChangeFeed')."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_kv(spark, [(1, 10), (2, 20)]).coalesce(1))       # v1
+    evolved = spark.createDataFrame(
+        [(3, 30, "x")], "k bigint, v bigint, tag string"
+    )
+    t.commit(evolved, mode="append")                            # v2: + tag
+    v3 = t.delete_where(spark, "k = 1", change_feed=True)       # v3: purge
+    feed = t.read_changes(spark, 0, v3)
+    assert set(feed.columns) == {
+        "k", "v", "tag", "_change_type", "_commit_version", "_commit_timestamp"
+    }
+    rows = sorted(
+        (r["_change_type"], r["_commit_version"], r["k"], r["v"], r["tag"])
+        for r in feed.collect()
+    )
+    assert rows == [
+        ("delete", 3, 1, 10, None),   # pre-image: evolved shape, tag NULL
+        ("insert", 1, 1, 10, None),   # pre-evolution insert, NULL-filled
+        ("insert", 1, 2, 20, None),
+        ("insert", 2, 3, 30, "x"),
+    ]
+    # the reader-API half serves the identical frame
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    ds = (
+        spark.read.format("snapshot")
+        .option("path", base)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 0)
+        .option("endingVersion", v3)
+        .load()
+    )
+    got = sorted(
+        (r["_change_type"], r["_commit_version"], r["k"], r["v"], r["tag"])
+        for r in ds.collect()
+    )
+    assert got == rows
