@@ -344,6 +344,9 @@ class _SnapshotWriterBase:
         self._base = opts["path"]
         self._schema = schema
         self._overwrite = overwrite
+        # branch writes (r14 verdict item 3): commit TO the named branch
+        # instead of main — the WAP staging half through the writer API
+        self._branch = opts.get("branch")
         self._stats = tuple(
             c.strip() for c in opts.get("statscols", "").split(",") if c.strip()
         )
@@ -480,7 +483,21 @@ class SnapshotBatchWriter(_SnapshotWriterBase, DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         entries = [e for m in messages if m for e in m.entries]
-        SnapshotTable(self._base).publish_entries(
+        t = SnapshotTable(self._base)
+        if self._branch:
+            if self._overwrite:
+                raise ValueError(
+                    "branch writes are append-only staging (WAP); use "
+                    "mode('append') and publish via fast_forward"
+                )
+            t.publish_entries_to_branch(
+                self._branch,
+                entries,
+                schema=self._schema,
+                partition_by=self._partition_by,
+            )
+            return
+        t.publish_entries(
             entries,
             mode="overwrite" if self._overwrite else "append",
             schema=self._schema,
@@ -510,6 +527,11 @@ class SnapshotStreamWriter(_SnapshotWriterBase, DataSourceStreamArrowWriter):
             raise ValueError(
                 "snapshot streaming sink requires a streamId option — the "
                 "exactly-once ledger is keyed on it (Delta's txnAppId)"
+            )
+        if self._branch:
+            raise ValueError(
+                "the streaming sink commits to main only; branch staging "
+                "is a batch WAP flow (df.write.option('branch', ...))"
             )
         self._sid = sid
 

@@ -2525,6 +2525,55 @@ class SnapshotTable:
         self.set_branch(name, v)
         return v
 
+    def publish_entries_to_branch(
+        self,
+        name: str,
+        entries: list[dict],
+        schema=None,
+        partition_by: tuple[str, ...] = (),
+    ) -> int:
+        """:meth:`publish_entries`' branch twin — the metadata-only
+        commit half behind ``df.write.format("snapshot").option(
+        "branch", ...)``: executors already wrote the files; this
+        appends them to the BRANCH head's file set as a ref-marked,
+        uniquely-tokened, base-linked commit (the
+        :meth:`commit_to_branch` shape) and advances the branch ref.
+        Main stays blind until :meth:`fast_forward`."""
+        head = self.resolve_branch(name)  # raises for an unknown branch
+        new_segs = self._write_batch_segments(list(entries), partition_by)
+        ex = {
+            "ref": name,
+            "base": head,
+            "token": f"branch:{name}:{uuid.uuid4().hex[:8]}",
+        }
+        v: int | None = None
+        for _ in range(64):
+            parent = self.latest_version()
+            segments = self._parent_segments(head) + new_segs
+            sch = (
+                _merge_schemas(self._schema(head), schema)
+                if schema is not None
+                else self._schema(head)
+            )
+            try:
+                v = self._publish_list(
+                    segments, "append", sch, parent, ex, seq_source=head
+                )
+                break
+            except CommitConflict:
+                continue
+        if v is None:
+            raise CommitConflict(
+                "64 consecutive manifest races; giving up"
+            )
+        if self.resolve_branch(name) != head:
+            raise CommitConflict(
+                f"branch {name!r} moved past version {head} while this "
+                "commit was staging; one writer per branch"
+            )
+        self.set_branch(name, v)
+        return v
+
     def fast_forward(self, name: str) -> int:
         """PUBLISH a branch onto main (Iceberg ``fast_forward``): when
         main still sits at the branch's FORK POINT, publish one new

@@ -725,3 +725,46 @@ def test_change_feed_window_spanning_add_column_is_schema_consistent(
         for r in ds.collect()
     )
     assert got == rows
+
+
+# --- branch writes through the DataSource writer ------------------------------
+
+
+def test_ds_writer_branch_option_stages_and_fast_forwards(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    v1 = t.commit(_kv(spark, [(1, 1)]))
+    t.set_branch("stage", v1)
+    register(spark)
+    (
+        _kv(spark, [(2, 2), (3, 3)])
+        .write.format("snapshot")
+        .option("path", base)
+        .option("branch", "stage")
+        .mode("append")
+        .save()
+    )
+    # main blind; branch sees the staged write
+    assert t.latest_version() == v1
+    assert sorted(r.k for r in t.read(spark).collect()) == [1]
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    audited = (
+        spark.read.format("snapshot")
+        .option("path", base)
+        .option("branch", "stage")
+        .load()
+    )
+    assert sorted(r.k for r in audited.collect()) == [1, 2, 3]
+    ff = t.fast_forward("stage")
+    assert t.latest_version() == ff
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 3]
+    # overwrite-to-branch is refused (staging is append-only WAP)
+    with pytest.raises(Exception, match="append-only"):
+        (
+            _kv(spark, [(9, 9)])
+            .write.format("snapshot")
+            .option("path", base)
+            .option("branch", "stage")
+            .mode("overwrite")
+            .save()
+        )
