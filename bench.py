@@ -413,6 +413,10 @@ HEADLINE = (
     # z-order compaction inside the table format: one range exchange on
     # the interleave, then a two-predicate plan_files audit
     "snapshot_zorder_compact",
+    # predicate UPDATE (delete_where's DML twin) and the completed MERGE
+    # grammar (NMBS UPDATE soft-delete flagging + conditional insert)
+    "snapshot_update_where",
+    "snapshot_merge_nmbs_flag",
     # round 15 (r14 verdict item 4): FULL-REGISTRY coverage — the 58
     # queries previously unbenched get lines + budgets, so no single-line
     # regression is invisible to the budget guard. This deliberately

@@ -1578,6 +1578,132 @@ class SnapshotTable:
             read_regions=[{"where": prune}] if prune is not None else None,
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        set: dict[str, str],
+        *,
+        prune: tuple[str, float, float] | None = None,
+        stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
+        change_feed: bool = False,
+        partition_by: tuple[str, ...] = (),
+    ) -> int:
+        """COPY-ON-WRITE UPDATE (Delta ``UPDATE table SET ... WHERE ...``
+        — :meth:`delete_where`'s DML twin, completing the predicate-DML
+        surface): publish a version in which rows matching ``condition``
+        have each ``set`` column replaced by its SQL expression,
+        rewriting ONLY the files that can contain them. SQL UPDATE
+        semantics throughout: every SET expression is evaluated against
+        the PRE-update row in one projection (a SET referencing another
+        SET column sees the old value), a row where the condition
+        evaluates NULL is NOT matched and survives unchanged
+        (three-valued logic), expressions are cast to the column's
+        declared type (an UPDATE can never retype a column), and SET
+        columns must already exist — adding columns is schema
+        evolution, not UPDATE. ``prune`` is the predicate's stats box
+        (:meth:`delete_where`'s contract): files whose recorded
+        [min, max] cannot intersect it carry over byte-identical, so a
+        targeted re-price/backfill is O(affected files), never
+        O(table), at 100 TB. ``change_feed=True`` records Delta CDC
+        change files (``update_preimage``/``update_postimage`` pairs).
+        A lost CAS race classifies + auto-rebases like every RMW path
+        (:meth:`_publish_cow_serializable`). Reference analog: none —
+        the reference can only clobber whole objects
+        (``output_handler_s3.py:41-53``)."""
+        set_ = dict(set)
+        if not set_:
+            raise ValueError("update_where requires at least one SET column")
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        schema = self._schema(version)
+        if schema is not None:
+            known = {f.name for f in schema.fields}
+            missing = sorted(set_.keys() - known)
+            if missing:
+                raise ValueError(
+                    f"SET columns {missing} do not exist in the table "
+                    "schema; add columns via an evolving append, not "
+                    "UPDATE"
+                )
+        entries = self._data_entries(version)
+        if prune is not None:
+            col, lo, hi = prune
+            cand, kept = [], []
+            for e in entries:
+                rng = e.get("stats", {}).get(col)
+                usable = (
+                    rng is not None
+                    and rng[0] is not None
+                    and rng[1] is not None
+                )
+                (
+                    cand
+                    if not usable or (rng[0] <= hi and rng[1] >= lo)
+                    else kept
+                ).append(e)
+        else:
+            cand, kept = entries, []
+        if not cand:
+            return version
+        src = self._read_with_deletes(spark, version, cand)
+        marked = src.withColumn(
+            "_u", F.expr(f"coalesce(({condition}), false)")
+        )
+        fields = (
+            list(schema.fields)
+            if schema is not None
+            else [src.schema[c] for c in src.columns]
+        )
+        # ONE projection: every SET expression reads the pre-update row
+        projected = []
+        for f in fields:
+            expr = set_.get(f.name)
+            if expr is None:
+                projected.append(F.col(f.name))
+            else:
+                projected.append(
+                    F.when(
+                        F.col("_u"), F.expr(expr).cast(f.dataType)
+                    )
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+        out = marked.select(*projected, F.col("_u"))
+        new_entries = self._write_data(
+            out.drop("_u"), stats_cols, bloom_cols, partition_by
+        )
+        extra = None
+        if change_feed:
+            def _mark(rows_df: DataFrame, change: str) -> list[dict]:
+                ents = self._write_data(rows_df, ())
+                for e in ents:
+                    e["kind"] = "change"
+                    e["change"] = change
+                return ents
+
+            extra = {"cdf": True}
+            new_entries += _mark(
+                marked.filter("_u").drop("_u"), "update_preimage"
+            )
+            new_entries += _mark(
+                out.filter("_u").drop("_u"), "update_postimage"
+            )
+        kept_paths = {e["path"] for e in kept} | {
+            e["path"] for e in self._delete_entries(version)
+        }
+        return self._publish_cow_serializable(
+            version,
+            kept_paths,
+            new_entries,
+            "update",
+            schema,
+            extra,
+            read_regions=[{"where": prune}] if prune is not None else None,
+        )
+
     def merge_upsert(
         self,
         spark: SparkSession,
@@ -1694,8 +1820,10 @@ class SnapshotTable:
         when_matched: str | list = "update",
         matched_condition: str | None = None,
         insert_unmatched: bool = True,
+        insert_condition: str | None = None,
         not_matched_by_source: str | None = None,
         nmbs_condition: str | None = None,
+        nmbs_set: dict[str, str] | None = None,
         nmbs_prune: tuple[str, float, float] | None = None,
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
@@ -1711,16 +1839,23 @@ class SnapshotTable:
         row's columns; None = always) holds; matched rows failing the
         condition are KEPT UNCHANGED, and their source rows are not
         inserted (no clause fired — Delta's semantics). Unmatched source
-        rows insert when ``insert_unmatched`` (WHEN NOT MATCHED THEN
-        INSERT). ``not_matched_by_source="delete"`` adds Delta's `WHEN
-        NOT MATCHED BY SOURCE [AND cond] THEN DELETE` — target rows
-        whose key is absent from ``source`` (and satisfy
-        ``nmbs_condition``; None = all of them) are removed; update +
-        insert + source-absent-delete is the FULL-SYNC merge that makes
-        the table equal the source. ``change_feed=True`` records Delta
-        CDC change files: update → ``update_preimage``/
-        ``update_postimage``/``insert``; every delete shape →
-        ``delete`` pre-images.
+        rows insert when ``insert_unmatched`` (WHEN NOT MATCHED [AND
+        ``insert_condition``, a SQL predicate over the SOURCE row]
+        THEN INSERT — a source row failing the condition is simply
+        not inserted). ``not_matched_by_source`` adds Delta's `WHEN
+        NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...`
+        — target rows whose key is absent from ``source`` (and
+        satisfy ``nmbs_condition``; None = all of them) are removed
+        (``"delete"``) or transformed in place (``"update"`` with
+        ``nmbs_set`` — SQL-UPDATE semantics: every SET expression
+        reads the pre-update row, cast to the column's declared type;
+        the canonical use is flagging stale rows a sync batch no
+        longer carries). Update + insert + source-absent-delete is
+        the FULL-SYNC merge that makes the table equal the source.
+        ``change_feed=True`` records Delta CDC change files: update →
+        ``update_preimage``/``update_postimage``/``insert``; every
+        delete shape → ``delete`` pre-images; an NMBS update → its
+        own pre/postimage pair.
 
         MULTIPLE MATCHED CLAUSES (Delta's ordered clause list — r14
         verdict item 6): pass ``when_matched=[(condition, action),
@@ -1785,10 +1920,20 @@ class SnapshotTable:
                         "condition — first-match-wins makes every "
                         "later clause unreachable"
                     )
-        if not_matched_by_source not in (None, "delete"):
+        if not_matched_by_source not in (None, "delete", "update"):
             raise ValueError(
-                "not_matched_by_source must be None or 'delete', got "
-                f"{not_matched_by_source!r}"
+                "not_matched_by_source must be None, 'delete', or "
+                f"'update', got {not_matched_by_source!r}"
+            )
+        if not_matched_by_source == "update" and not nmbs_set:
+            raise ValueError(
+                "not_matched_by_source='update' requires nmbs_set "
+                "({column: SQL expression})"
+            )
+        if not_matched_by_source != "update" and nmbs_set:
+            raise ValueError(
+                "nmbs_set only composes with not_matched_by_source="
+                "'update'"
             )
         version = self.latest_version()
         if version is None:
@@ -1831,8 +1976,8 @@ class SnapshotTable:
                 f"normalization bug): {sorted(unknown)[:3]}"
             )
         rewrite = [by_real[p] for p in affected]
-        if not_matched_by_source == "delete":
-            # the source-absent delete may act in ANY file; nmbs_prune
+        if not_matched_by_source is not None:
+            # the source-absent clause may act in ANY file; nmbs_prune
             # (the stats box of nmbs_condition) bounds the rewrite to
             # files that can hold a condition-true row — delete_where's
             # contract, files without stats conservatively rewritten
@@ -1898,7 +2043,7 @@ class SnapshotTable:
             ]
             act = F.col("_c").isNotNull()
             nmbs_act = F.lit(False)
-            if not_matched_by_source == "delete":
+            if not_matched_by_source is not None:
                 nmbs_act = F.col("_m").isNull()
                 if nmbs_condition is not None:
                     nmbs_act = nmbs_act & F.expr(
@@ -1917,7 +2062,7 @@ class SnapshotTable:
                 removed_del = rw.filter(
                     F.col("_c").isin(del_idx)
                 ).drop("_m", "_c")
-            if not_matched_by_source == "delete":
+            if not_matched_by_source is not None:
                 removed_nmbs = rw.filter(nmbs_act).drop("_m", "_c")
         # matched source keys, computed from the AFFECTED FILES only
         # (they hold every matching row by construction) — O(affected),
@@ -1950,13 +2095,50 @@ class SnapshotTable:
                 chg.append((postimage, "update_postimage"))
         if change_feed and removed_del is not None:
             chg.append((removed_del, "delete"))
-        if change_feed and removed_nmbs is not None:
+        if removed_nmbs is not None and not_matched_by_source == "update":
+            # WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ...: the acted
+            # rows are TRANSFORMED in one projection reading the
+            # pre-update row (update_where's semantics), cast to the
+            # declared types, and written back
+            if schema is not None:
+                unknown_set = sorted(
+                    set(nmbs_set) - {f.name for f in schema.fields}
+                )
+                if unknown_set:
+                    raise ValueError(
+                        f"nmbs_set columns {unknown_set} do not exist "
+                        "in the table schema"
+                    )
+            nmbs_after = removed_nmbs.select(
+                *[
+                    (
+                        F.expr(nmbs_set[f.name]).cast(f.dataType).alias(f.name)
+                        if f.name in nmbs_set
+                        else F.col(f.name)
+                    )
+                    for f in schema.fields
+                ]
+            )
+            new_entries += self._write_data(
+                nmbs_after, stats_cols, bloom_cols, partition_by
+            )
+            if change_feed:
+                chg.append((removed_nmbs, "update_preimage"))
+                chg.append((nmbs_after, "update_postimage"))
+        elif change_feed and removed_nmbs is not None:
             chg.append((removed_nmbs, "delete"))
         if insert_unmatched:
             unmatched = src_aligned
             if matched_keys is not None:
                 unmatched = src_aligned.join(
                     matched_keys, keys, "left_anti"
+                )
+            if insert_condition is not None:
+                # WHEN NOT MATCHED AND cond THEN INSERT: the predicate
+                # evaluates over the SOURCE row; failing rows are
+                # simply not inserted (no clause fired)
+                unmatched = unmatched.filter(
+                    F.expr(f"coalesce(({insert_condition}), false)")
                 )
             new_entries += self._write_data(
                 unmatched, stats_cols, bloom_cols, partition_by
@@ -1984,7 +2166,7 @@ class SnapshotTable:
         # identity partition column; NOT MATCHED BY SOURCE additionally
         # reads every row its prune box admits (no box = whole table)
         regions = self._key_partition_regions(entries, keys, key_batch)
-        if not_matched_by_source == "delete":
+        if not_matched_by_source is not None:
             if regions is None or nmbs_prune is None:
                 regions = None
             else:
@@ -5150,6 +5332,71 @@ def snapshot_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_update_where",
+    priority=150,
+    oracle=f"""
+    WITH updated AS (
+      SELECT CASE WHEN o_custkey BETWEEN {DEL_LO} AND {DEL_HI}
+                  THEN 'X-REPRICED' ELSE o_orderpriority END
+               AS o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + CASE WHEN o_custkey BETWEEN {DEL_LO} AND {DEL_HI}
+                      THEN 250 ELSE 0 END AS cents
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM updated GROUP BY o_orderpriority
+    """,
+)
+def snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE UPDATE (Delta ``UPDATE ... SET ... WHERE`` —
+    ``delete_where``'s DML twin): commit orders range-clustered on
+    o_custkey with manifest stats, then re-price the
+    {DEL_LO}..{DEL_HI} custkey box IN PLACE — cents += 250 AND
+    priority := 'X-REPRICED' in one statement, both SET expressions
+    reading the pre-update row. The rewrite touches ONLY files whose
+    stats intersect the box (delete_where's prune contract; untouched
+    files carry byte-identical), records CDF pre/postimage pairs, and
+    publishes atomically. The per-priority aggregate equals the
+    oracle's recompute only if exactly the box was updated — an
+    over-wide rewrite inflates 'X-REPRICED', a missed file loses +250s.
+    tests/test_round15.py pins simultaneous-SET semantics (a SET
+    referencing another SET column sees the OLD value), NULL-condition
+    rows surviving, type preservation, and the CDF shapes."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_update")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        _cents("o_totalprice").alias("cents"),
+    )
+    t.commit(
+        orders.repartitionByRange(8, "o_custkey"), stats_cols=("o_custkey",)
+    )
+    t.update_where(
+        spark,
+        f"o_custkey BETWEEN {DEL_LO} AND {DEL_HI}",
+        {"cents": "cents + 250", "o_orderpriority": "'X-REPRICED'"},
+        prune=("o_custkey", DEL_LO, DEL_HI),
+        stats_cols=("o_custkey",),
+        change_feed=True,
+    )
+    return (
+        t.read(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
 # --- copy-on-write merge (upsert) --------------------------------------------
 
 UPSERT_MOD = 97   #: o_orderkey % UPSERT_MOD == 0 → row is UPDATED in place
@@ -6530,6 +6777,77 @@ def snapshot_merge_multi_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "snapshot_merge_nmbs_flag",
+    priority=0,
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), shaped AS (
+      SELECT CASE WHEN k % 3 = 0 THEN 'stale' ELSE 'live' END AS status,
+             cents
+      FROM src
+      UNION ALL
+      SELECT 'new' AS status, cents FROM src
+      WHERE k % 50 = 0 AND k % 100 = 0
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM shaped GROUP BY status
+    """,
+)
+def snapshot_merge_nmbs_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE grammar completion (Delta's remaining clause shapes): one
+    merge combines `WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+    status='stale'` — source-absent rows FLAGGED in place instead of
+    deleted, the soft-delete sync — with `WHEN NOT MATCHED AND cond
+    THEN INSERT` — a conditional insert that admits only the source
+    rows passing a predicate. The %3 keys are absent from the source
+    (→ flagged 'stale', cents untouched); present keys re-merge
+    unchanged ('live'); a slice of brand-new keys inserts only where
+    the insert_condition holds (%100, half the %50 slice — an
+    unconditional insert would double it). The per-status aggregate
+    equals the oracle only if all three clauses gated exactly."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_merge_nmbs")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lit("live").alias("status"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    t.commit(orders.repartition(8))
+    source = orders.filter(k % 3 != 0).unionByName(
+        orders.filter(k % 50 == 0).select(
+            (k + INSERT_OFFSET).alias("o_orderkey"),
+            F.lit("new").alias("status"),
+            F.col("cents"),
+        )
+    )
+    t.merge_into(
+        spark,
+        source,
+        ("o_orderkey",),
+        insert_condition="o_orderkey % 100 = 0",
+        not_matched_by_source="update",
+        nmbs_set={"status": "'stale'"},
+    )
+    return (
+        t.read(spark)
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
     )

@@ -768,3 +768,128 @@ def test_ds_writer_branch_option_stages_and_fast_forwards(spark, tmp_path):
             .mode("overwrite")
             .save()
         )
+
+
+# --- update_where: the predicate-UPDATE DML verb ------------------------------
+
+
+def test_update_where_simultaneous_sets_and_null_condition(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, None, 300)],
+        "k bigint, a bigint, b bigint",
+    )
+    t.commit(df.coalesce(1))
+    # both SETs read the PRE-update row: a := b, b := a must SWAP
+    v = t.update_where(
+        spark, "a < 15", {"a": "b", "b": "a"}, change_feed=True
+    )
+    rows = sorted(
+        tuple(r) for r in t.read(spark).collect()
+    )
+    # k=1 swapped; k=2 unmatched; k=3: condition NULL -> NOT matched
+    assert rows == [(1, 100, 10), (2, 20, 200), (3, None, 300)]
+    changes = sorted(
+        (r["_change_type"], r["k"], r["a"], r["b"])
+        for r in t.read_changes(spark, 1, v).collect()
+    )
+    assert changes == [
+        ("update_postimage", 1, 100, 10),
+        ("update_preimage", 1, 10, 100),
+    ]
+
+
+def test_update_where_prunes_and_validates(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(1000)
+        .selectExpr("id AS k", "id AS v")
+        .repartitionByRange(8, "k"),
+        stats_cols=("k",),
+    )
+    before = set(t._files(1))
+    v = t.update_where(
+        spark,
+        "k BETWEEN 100 AND 120",
+        {"v": "v * 10"},
+        prune=("k", 100, 120),
+        stats_cols=("k",),
+    )
+    after = set(t._files(v))
+    # pruned rewrite: most range-clustered files carry byte-identical
+    assert len(before & after) >= 6
+    got = {r.k: r.v for r in t.read(spark).filter("k IN (99, 100, 120, 121)").collect()}
+    assert got == {99: 99, 100: 1000, 120: 1200, 121: 121}
+    # SET of an unknown column refuses (UPDATE never adds columns)
+    with pytest.raises(ValueError, match="do not exist"):
+        t.update_where(spark, "k = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="at least one"):
+        t.update_where(spark, "k = 1", {})
+    # type preservation: an expression yielding a wider type casts back
+    t.update_where(spark, "k = 5", {"v": "1.9"})
+    r5 = t.read(spark).filter("k = 5").collect()[0]
+    assert r5.v == 1 and isinstance(r5.v, int)
+
+
+# --- MERGE grammar completion: insert_condition + NMBS UPDATE ----------------
+
+
+def test_merge_insert_condition_filters_source_rows(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10)]).coalesce(1))
+    t.merge_into(
+        spark,
+        _kv(spark, [(1, 11), (2, 20), (3, -5)]),
+        ("k",),
+        insert_condition="v > 0",   # row (3, -5) fails -> not inserted
+    )
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    assert rows == [(1, 11), (2, 20)]
+
+
+def test_merge_nmbs_update_flags_stale_rows(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, 10, "live"), (2, 20, "live"), (3, 30, "live")],
+        "k bigint, v bigint, status string",
+    )
+    t.commit(df.coalesce(1))
+    src = spark.createDataFrame(
+        [(1, 11, "live")], "k bigint, v bigint, status string"
+    )
+    v = t.merge_into(
+        spark,
+        src,
+        ("k",),
+        insert_unmatched=False,
+        not_matched_by_source="update",
+        nmbs_condition="v >= 30",     # only k=3 is flagged
+        nmbs_set={"status": "'stale'", "v": "v + 1"},
+        change_feed=True,
+    )
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    # k=1 updated by the matched clause, k=2 untouched (condition
+    # false), k=3 transformed in place (SETs read the pre-update row)
+    assert rows == [
+        (1, 11, "live"),
+        (2, 20, "live"),
+        (3, 31, "stale"),
+    ]
+    changes = sorted(
+        (r["_change_type"], r["k"], r["v"], r["status"])
+        for r in t.read_changes(spark, 1, v).collect()
+    )
+    assert changes == [
+        ("update_postimage", 1, 11, "live"),
+        ("update_postimage", 3, 31, "stale"),
+        ("update_preimage", 1, 10, "live"),
+        ("update_preimage", 3, 30, "live"),
+    ]
+    # validation: nmbs_set without update / update without set refuse
+    with pytest.raises(ValueError, match="requires nmbs_set"):
+        t.merge_into(spark, src, ("k",), not_matched_by_source="update")
+    with pytest.raises(ValueError, match="only composes"):
+        t.merge_into(
+            spark, src, ("k",),
+            not_matched_by_source="delete", nmbs_set={"v": "1"},
+        )
