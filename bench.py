@@ -417,6 +417,8 @@ HEADLINE = (
     # grammar (NMBS UPDATE soft-delete flagging + conditional insert)
     "snapshot_update_where",
     "snapshot_merge_nmbs_flag",
+    # CHECK constraints: add-validates-existing, enforce-on-every-write
+    "snapshot_check_constraints",
     # round 15 (r14 verdict item 4): FULL-REGISTRY coverage — the 58
     # queries previously unbenched get lines + budgets, so no single-line
     # regression is invisible to the budget guard. This deliberately

@@ -648,6 +648,7 @@ class SnapshotTable:
         stats/bloom pruning and with every read path unchanged."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unknown commit mode {mode!r}")
+        self._enforce_constraints(df, self.latest_version())
         written = self._write_data(df, stats_cols, bloom_cols, partition_by)
         new_segs = self._write_batch_segments(written, partition_by)
         # CAS retry loop: data files are already durable and never
@@ -1173,6 +1174,14 @@ class SnapshotTable:
         body["ts"] = ts_now
         if extra:
             body.update(extra)
+        # CHECK constraints ride the manifests exactly like the ledger:
+        # every publish carries the parent's set forward unless this
+        # commit explicitly rewrites it (add/drop), so retention can
+        # never lose table governance
+        if parent is not None and "constraints" not in body:
+            pcons = self._manifest_body(parent).get("constraints")
+            if pcons:
+                body["constraints"] = pcons
         ledger = self._ledger(parent)
         sid = body.get("stream_id")
         if sid is not None and "stream_batch_id" in body:
@@ -1672,6 +1681,7 @@ class SnapshotTable:
                     .alias(f.name)
                 )
         out = marked.select(*projected, F.col("_u"))
+        self._enforce_constraints(out.filter("_u").drop("_u"), version)
         new_entries = self._write_data(
             out.drop("_u"), stats_cols, bloom_cols, partition_by
         )
@@ -1703,6 +1713,118 @@ class SnapshotTable:
             extra,
             read_regions=[{"where": prune}] if prune is not None else None,
         )
+
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT) ---------------
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """The CHECK constraints in force at ``version`` (default head):
+        {name: SQL predicate}. Carried forward by every publish like
+        the streaming ledger, so they survive retention."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return {}
+        return dict(self._manifest_body(version).get("constraints", {}))
+
+    def add_check_constraint(
+        self, spark: SparkSession, name: str, condition: str
+    ) -> int:
+        """ADD a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``):
+        first validates that EVERY existing row satisfies ``condition``
+        (one aggregate scan — the Delta contract: you cannot declare an
+        invariant the table already violates), then publishes a
+        metadata-only version recording it. From then on every commit
+        path that introduces or transforms rows (append, overwrite,
+        staged commit, merge postimages/inserts/NMBS updates,
+        update_where, replace_where, the DataSource writer and
+        streaming sink via ``publish_entries``) validates the NEW rows
+        and refuses the whole commit on violation — SQL CHECK
+        semantics: only a FALSE evaluation violates; NULL passes."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        cons = self.constraints(version)
+        if name in cons:
+            raise ValueError(
+                f"constraint {name!r} already exists; drop it first"
+            )
+        bad = (
+            self.read(spark, version)
+            .filter(~F.coalesce(F.expr(condition).cast("boolean"), F.lit(True)))
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add CHECK constraint {name!r}: {bad} existing "
+                f"rows violate ({condition})"
+            )
+        cons[name] = condition
+        return self._publish_list(
+            self._parent_segments(version),
+            "set-constraint",
+            self._schema(version),
+            version,
+            extra={"data_change": False, "constraints": cons},
+        )
+
+    def drop_check_constraint(self, name: str) -> int:
+        """DROP a CHECK constraint — a metadata-only commit recording
+        the reduced set. Raises for an unknown name (a typo silently
+        'dropping' nothing would leave the caller believing the
+        constraint is gone)."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        cons = self.constraints(version)
+        if name not in cons:
+            raise ValueError(f"no CHECK constraint named {name!r}")
+        del cons[name]
+        return self._publish_list(
+            self._parent_segments(version),
+            "set-constraint",
+            self._schema(version),
+            version,
+            extra={"data_change": False, "constraints": cons},
+        )
+
+    def _enforce_constraints(
+        self, df: DataFrame, version: int | None
+    ) -> None:
+        """Refuse rows violating any CHECK constraint in force at
+        ``version`` — ONE aggregate pass counts every constraint's
+        violations simultaneously (O(batch), never O(table)). SQL CHECK
+        three-valued logic: a row violates only when the predicate is
+        FALSE; NULL passes (that is what NOT NULL-style constraints
+        must spell explicitly, same as every SQL engine)."""
+        cons = self.constraints(version) if version is not None else {}
+        if not cons:
+            return
+        names = list(cons)
+        row = df.agg(
+            *[
+                F.sum(
+                    (
+                        ~F.coalesce(
+                            F.expr(cons[n]).cast("boolean"), F.lit(True)
+                        )
+                    ).cast("int")
+                ).alias(f"_c{i}")
+                for i, n in enumerate(names)
+            ]
+        ).collect()[0]
+        viol = {
+            n: int(row[f"_c{i}"])
+            for i, n in enumerate(names)
+            if row[f"_c{i}"]
+        }
+        if viol:
+            raise ValueError(
+                f"CHECK constraint violation, commit refused: "
+                + ", ".join(
+                    f"{n!r} ({cons[n]}) fails for {c} new rows"
+                    for n, c in viol.items()
+                )
+            )
 
     def merge_upsert(
         self,
@@ -1763,6 +1885,7 @@ class SnapshotTable:
             if f.name not in updates.columns:
                 up = up.withColumn(f.name, F.lit(None).cast(f.dataType))
         up_sel = up.select([f.name for f in schema.fields])
+        self._enforce_constraints(up_sel, version)
         new_entries += self._write_data(
             up_sel, stats_cols, bloom_cols, partition_by
         )
@@ -2087,6 +2210,7 @@ class SnapshotTable:
                 keys,
                 "left_semi",
             )
+            self._enforce_constraints(postimage, version)
             new_entries += self._write_data(
                 postimage, stats_cols, bloom_cols, partition_by
             )
@@ -2119,6 +2243,7 @@ class SnapshotTable:
                     for f in schema.fields
                 ]
             )
+            self._enforce_constraints(nmbs_after, version)
             new_entries += self._write_data(
                 nmbs_after, stats_cols, bloom_cols, partition_by
             )
@@ -2140,6 +2265,7 @@ class SnapshotTable:
                 unmatched = unmatched.filter(
                     F.expr(f"coalesce(({insert_condition}), false)")
                 )
+            self._enforce_constraints(unmatched, version)
             new_entries += self._write_data(
                 unmatched, stats_cols, bloom_cols, partition_by
             )
@@ -2428,6 +2554,7 @@ class SnapshotTable:
                 f"the target partition {partition_eq!r}; refusing to "
                 "widen the replacement"
             )
+        self._enforce_constraints(df, version)
         new_entries = self._write_data(
             df,
             stats_cols,
@@ -3128,6 +3255,23 @@ class SnapshotTable:
         ledgered = stream_id is not None and batch_id is not None
         if ledgered and self.stream_batch_committed(stream_id, batch_id):
             return None
+        head = self.latest_version()
+        if head is not None and self.constraints(head):
+            # CHECK constraints hold for DataSource-written batches too:
+            # the executors already wrote the files, so validation is
+            # one schema-pinned scan of exactly the new data files
+            data_paths = [e["path"] for e in entries if "kind" not in e]
+            if data_paths:
+                sess = SparkSession.getActiveSession()
+                if sess is None:
+                    raise ValueError(
+                        "this table has CHECK constraints; "
+                        "publish_entries needs an active SparkSession "
+                        "to validate the new files"
+                    )
+                self._enforce_constraints(
+                    self._reader(sess, head).parquet(*data_paths), head
+                )
         extra = (
             {"stream_id": stream_id, "stream_batch_id": batch_id}
             if ledgered
@@ -3197,6 +3341,7 @@ class SnapshotTable:
         two writers may stage a table concurrently without a crashed
         attempt of one double-delivering past the other's published
         version (r13 verdict item 4)."""
+        self._enforce_constraints(df, base_version or self.latest_version())
         written = self._write_data(df, stats_cols)
         seg = self._write_segment(written)
         ex = dict(extra or {})
@@ -5390,6 +5535,68 @@ def snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.read(spark)
         .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+
+
+@query(
+    "snapshot_check_constraints",
+    priority=0,
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def snapshot_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK CONSTRAINTS (Delta ``ALTER TABLE ADD CONSTRAINT``): the
+    table declares ``cents >= 0`` and a status-domain invariant after
+    its first batch (ADD validates every EXISTING row first — an
+    already-violated invariant is refused), the second half of orders
+    commits under them, and a poisoned batch (negated cents) must be
+    REFUSED ATOMICALLY — the in-query audit raises unless the commit
+    fails AND the head is unchanged, so a green driver row certifies
+    enforcement actually fired. Constraints ride every manifest
+    (ledger-style carry), so retention can never drop governance. The
+    final aggregate equals the oracle's recompute of raw orders only
+    if the good batches all landed and the poisoned one left no
+    trace."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_constraints")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        _cents("o_totalprice").alias("cents"),
+    )
+    k = F.col("o_orderkey")
+    t.commit(orders.filter(k % 2 == 0))
+    t.add_check_constraint(spark, "cents_nonneg", "cents >= 0")
+    t.add_check_constraint(
+        spark, "status_domain", "o_orderstatus IN ('F', 'O', 'P')"
+    )
+    t.commit(orders.filter(k % 2 == 1))  # good batch: passes both
+    head = t.latest_version()
+    try:
+        t.commit(
+            orders.filter(k % 1000 == 0).withColumn(
+                "cents", -F.col("cents") - 1
+            )
+        )
+        raise AssertionError("poisoned batch committed; CHECK not enforced")
+    except ValueError:
+        pass
+    if t.latest_version() != head:
+        raise AssertionError("refused commit moved the head")
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
             F.sum("cents").cast("bigint").alias("sum_cents"),

@@ -893,3 +893,47 @@ def test_merge_nmbs_update_flags_stale_rows(spark, tmp_path):
             spark, src, ("k",),
             not_matched_by_source="delete", nmbs_set={"v": "1"},
         )
+
+
+# --- CHECK constraints (Delta ADD CONSTRAINT) ---------------------------------
+
+
+def test_check_constraints_enforced_across_write_paths(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10), (2, 20)]).coalesce(1))
+    v = t.add_check_constraint(spark, "v_pos", "v >= 0")
+    assert t.constraints() == {"v_pos": "v >= 0"}
+    # declaring an invariant the table already violates is refused
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_check_constraint(spark, "v_big", "v > 15")
+    # append / merge / update / replace of violating rows all refuse,
+    # atomically (head never moves)
+    with pytest.raises(ValueError, match="v_pos"):
+        t.commit(_kv(spark, [(3, -1)]))
+    with pytest.raises(ValueError, match="v_pos"):
+        t.merge_upsert(spark, _kv(spark, [(1, -5)]), ("k",))
+    with pytest.raises(ValueError, match="v_pos"):
+        t.update_where(spark, "k = 1", {"v": "-9"})
+    assert t.latest_version() == v
+    # NULL passes (SQL CHECK three-valued logic)
+    t.commit(
+        spark.createDataFrame([(9, None)], "k bigint, v bigint").coalesce(1)
+    )
+    # constraints carry through ordinary commits (ledger-style)
+    assert t.constraints() == {"v_pos": "v >= 0"}
+    # the DataSource writer validates too (publish_entries path)
+    register(spark)
+    with pytest.raises(Exception, match="CHECK constraint"):
+        (
+            _kv(spark, [(4, -4)])
+            .write.format("snapshot")
+            .option("path", t.base)
+            .mode("append")
+            .save()
+        )
+    # drop: violating rows commit again; unknown names refuse
+    t.drop_check_constraint("v_pos")
+    t.commit(_kv(spark, [(5, -5)]).coalesce(1))
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 5, 9]
+    with pytest.raises(ValueError, match="no CHECK constraint"):
+        t.drop_check_constraint("nope")
