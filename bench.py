@@ -419,6 +419,8 @@ HEADLINE = (
     "snapshot_merge_nmbs_flag",
     # CHECK constraints: add-validates-existing, enforce-on-every-write
     "snapshot_check_constraints",
+    # shallow clone (zero-copy fork) + divergence probes
+    "snapshot_shallow_clone",
     # round 15 (r14 verdict item 4): FULL-REGISTRY coverage — the 58
     # queries previously unbenched get lines + budgets, so no single-line
     # regression is invisible to the budget guard. This deliberately

@@ -130,6 +130,32 @@ class SnapshotStreamReader(DataSourceStreamReader):
         opts = {k.lower(): v for k, v in options.items()}
         self._base = opts["path"]
         self._start = int(opts.get("startingversion", 0))
+        st = opts.get("startingtimestamp")
+        if st is not None:
+            # Delta's startingTimestamp (epoch seconds or ISO-8601):
+            # stream every version committed strictly AFTER the newest
+            # commit at-or-before the timestamp; a timestamp predating
+            # the first commit streams the whole history
+            if "startingversion" in opts:
+                raise ValueError(
+                    "startingVersion and startingTimestamp are "
+                    "mutually exclusive"
+                )
+            try:
+                target = float(st)
+            except ValueError:
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(str(st).replace("T", " "))
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                target = dt.timestamp()
+            try:
+                self._start = SnapshotTable(self._base).resolve_as_of(
+                    target
+                )
+            except ValueError:
+                self._start = 0  # predates the table: from the beginning
         self._ignore_deletes = (
             str(opts.get("ignoredeletes", "false")).lower() == "true"
         )

@@ -1714,6 +1714,61 @@ class SnapshotTable:
             read_regions=[{"where": prune}] if prune is not None else None,
         )
 
+    def clone_from(
+        self, source: "SnapshotTable", version: int | None = None
+    ) -> int:
+        """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): make
+        THIS (empty) table's v1 reference the source's data files AT
+        ``version`` (default: source head) — a zero-copy, metadata-only
+        fork whose history then diverges independently: writes to the
+        clone never touch the source, and vice versa. The clone
+        materializes its own manifest segment (entries copied — the
+        source may compact/GC its segment FILES at any time; data files
+        are the shared, immutable layer), carries the source's schema
+        and CHECK constraints, and drops source-private state (ledger,
+        branch refs, tombstones — a clone is a new table, not a
+        replica). Merge-on-read delete files clone too, with their
+        sequence numbers preserved, so deleted rows stay deleted in the
+        clone.
+
+        The Delta caveat applies verbatim: a VACUUM on the SOURCE
+        deletes data files the clone still references (the source
+        cannot see the clone's refs). Clone from versions your
+        retention policy pins, or use clones as short-lived
+        dev/test/experiment forks — exactly Delta's guidance."""
+        if self.latest_version() is not None:
+            raise ValueError(
+                "clone_from requires an empty target table (a clone is "
+                "a CREATE, not an overwrite)"
+            )
+        if version is None:
+            version = source.latest_version()
+        if version is None:
+            raise ValueError("source table has no committed version")
+        entries = []
+        for e in source._entries(version):
+            if e.get("kind") == "change":
+                # CDF change files are readable only through their
+                # introducing version in the SOURCE history — a clone
+                # starts its own change history
+                continue
+            e = dict(e)
+            # preserve MOR visibility: the entry's seq rides as the
+            # explicit per-entry stamp (the residual-fold mechanism)
+            e["seq"] = e.pop("_seq")
+            entries.append(e)
+        extra: dict = {"cloned_from": {"base": source.base, "version": version}}
+        cons = source.constraints(version)
+        if cons:
+            extra["constraints"] = cons
+        return self._publish_list(
+            [self._write_segment(entries)],
+            "append",
+            source._schema(version),
+            None,
+            extra,
+        )
+
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT) ---------------
 
     def constraints(self, version: int | None = None) -> dict[str, str]:
@@ -5540,6 +5595,73 @@ def snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+@query(
+    "snapshot_shallow_clone",
+    priority=0,
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    )
+    SELECT 'clone_head' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM src WHERE k % 10 <> 0
+    UNION ALL
+    SELECT 'source_head' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM src WHERE k % 2 = 0 AND k % 10 <> 0 AND k % 6 <> 0
+    """,
+)
+def snapshot_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE``): the
+    source commits the even orders and MOR-purges the %10 keys; the
+    clone forks ZERO-COPY (its v1 references the source's data files —
+    the in-query audit asserts not one data byte was copied), inherits
+    the purge (sequence stamps carried: deleted rows stay deleted),
+    then the histories DIVERGE — the clone appends the odd orders
+    while the source purges the %6 keys. The two probes prove
+    divergence both ways: the clone must equal all-non-%10 rows
+    (evens minus purge plus odds) untouched by the source's later
+    purge; the source must equal evens minus both purges, untouched
+    by the clone's append."""
+    import shutil
+
+    src_base = scratch(sf_tag(sf_dir), "snapshot_clone_src")
+    clone_base = scratch(sf_tag(sf_dir), "snapshot_clone_dst")
+    shutil.rmtree(src_base, ignore_errors=True)
+    shutil.rmtree(clone_base, ignore_errors=True)
+    src = SnapshotTable(src_base)
+    clone = SnapshotTable(clone_base)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    k = F.col("o_orderkey")
+    src.commit(orders.filter(k % 2 == 0))
+    src.delete_keys_mor(
+        spark, orders.filter(k % 10 == 0).select("o_orderkey"), ("o_orderkey",)
+    )
+    clone.clone_from(src)
+    # zero-copy audit: every clone file IS a source file
+    if not set(clone._files(1)) <= set(src._files(src.latest_version())):
+        raise AssertionError("shallow clone copied data files")
+    # diverge: clone appends odds; source purges %6 evens
+    clone.commit(orders.filter(k % 2 == 1))
+    src.delete_keys_mor(
+        spark, orders.filter(k % 6 == 0).select("o_orderkey"), ("o_orderkey",)
+    )
+
+    def _probe(t: SnapshotTable, name: str) -> DataFrame:
+        return t.read(spark).agg(
+            F.lit(name).alias("probe"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    return _probe(clone, "clone_head").unionAll(_probe(src, "source_head"))
 
 
 @query(

@@ -937,3 +937,66 @@ def test_check_constraints_enforced_across_write_paths(spark, tmp_path):
     assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 5, 9]
     with pytest.raises(ValueError, match="no CHECK constraint"):
         t.drop_check_constraint("nope")
+
+
+# --- shallow clone + stream startingTimestamp ---------------------------------
+
+
+def test_shallow_clone_is_zero_copy_and_diverges(spark, tmp_path):
+    src = SnapshotTable(str(tmp_path / "src"))
+    src.commit(_kv(spark, [(1, 1), (2, 2), (10, 10)]).coalesce(1))
+    src.delete_keys_mor(
+        spark, spark.createDataFrame([(10,)], "k bigint"), ("k",)
+    )
+    src.add_check_constraint(spark, "v_pos", "v >= 0")
+    clone = SnapshotTable(str(tmp_path / "clone"))
+    v = clone.clone_from(src)
+    assert v == 1
+    # zero-copy: the clone references the SOURCE's data files
+    assert set(clone._files(1)) <= set(src._files(src.latest_version()))
+    # MOR delete visibility survives the clone (seq stamps carried)
+    assert sorted(r.k for r in clone.read(spark).collect()) == [1, 2]
+    # constraints carried; source-private ledger/branches do not apply
+    assert clone.constraints() == {"v_pos": "v >= 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        clone.commit(_kv(spark, [(5, -5)]))
+    # histories diverge independently
+    clone.commit(_kv(spark, [(7, 7)]).coalesce(1))
+    src.commit(_kv(spark, [(9, 9)]).coalesce(1))
+    assert sorted(r.k for r in clone.read(spark).collect()) == [1, 2, 7]
+    assert sorted(r.k for r in src.read(spark).collect()) == [1, 2, 9]
+    # a clone is a CREATE: cloning into a non-empty table refuses
+    with pytest.raises(ValueError, match="empty target"):
+        clone.clone_from(src)
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    import time
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_kv(spark, [(1, 1)]))
+    cut = time.time()
+    # make v2's clamped timestamp land strictly after the cut
+    time.sleep(0.05)
+    t.commit(_kv(spark, [(2, 2)]))
+    reader = SnapshotStreamReader(
+        {"path": base, "startingTimestamp": str(cut)}, None
+    )
+    assert reader.initialOffset() == {"version": 1}
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    rows = sorted(
+        r.k for p in parts for r in spark.read.parquet(p.value[0]).collect()
+    )
+    assert rows == [2]  # only the post-cut commit streams
+    # predating the table = stream everything
+    early = SnapshotStreamReader(
+        {"path": base, "startingTimestamp": "1970-01-02"}, None
+    )
+    assert early.initialOffset() == {"version": 0}
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        SnapshotStreamReader(
+            {"path": base, "startingTimestamp": str(cut),
+             "startingVersion": "1"},
+            None,
+        )
