@@ -421,6 +421,8 @@ HEADLINE = (
     "snapshot_check_constraints",
     # shallow clone (zero-copy fork) + divergence probes
     "snapshot_shallow_clone",
+    # in-place parquet conversion (zero-rewrite onboarding + lifted stats)
+    "snapshot_convert_parquet",
     # round 15 (r14 verdict item 4): FULL-REGISTRY coverage — the 58
     # queries previously unbenched get lines + budgets, so no single-line
     # regression is invisible to the budget guard. This deliberately

@@ -1714,6 +1714,115 @@ class SnapshotTable:
             read_regions=[{"where": prune}] if prune is not None else None,
         )
 
+    @classmethod
+    def convert_parquet(
+        cls,
+        spark: SparkSession,
+        src_dir: str,
+        base_dir: str,
+        partition_by: tuple[str, ...] = (),
+        stats_cols: tuple[str, ...] = (),
+    ) -> "SnapshotTable":
+        """IN-PLACE CONVERSION of an existing plain-parquet directory
+        into a snapshot table (Delta ``CONVERT TO DELTA`` / Iceberg
+        ``migrate``): v1 REFERENCES the existing files — zero bytes
+        rewritten, which is the entire point at 100 TB (a read+commit
+        onboarding would rewrite the corpus). One distributed pass
+        lifts per-file rows + min/max for ``stats_cols`` and
+        ``partition_by`` columns; a ``partition_by`` column whose
+        min == max within a file (the value-clustered layout Spark's
+        ``partitionBy``-with-duplicated-columns or ``repartition(col)``
+        produces) additionally records that value, so ``partition_eq``
+        pruning works on the converted table immediately — files that
+        mix values just stay conservatively scanned.
+
+        Hive-layout directories (``col=val`` path components) are
+        REFUSED: their partition columns live in paths, not files, and
+        this format's contract is that every column is IN the data
+        (readers never reconstruct from paths) — onboard those with a
+        one-time ``spark.read.parquet(...)`` + ``commit(partition_by=)``
+        rewrite instead. After conversion the table OWNS the files
+        (retention may delete them), same as Delta's convert."""
+        t = cls(base_dir)
+        if t.latest_version() is not None:
+            raise ValueError(
+                "convert_parquet requires an empty target table"
+            )
+        files = sorted(
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(src_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        if not files:
+            raise ValueError(f"no parquet files under {src_dir!r}")
+        hive = [
+            f
+            for f in files
+            if any(
+                "=" in comp
+                for comp in os.path.relpath(f, src_dir).split(os.sep)[:-1]
+            )
+        ]
+        if hive:
+            raise ValueError(
+                "hive-layout directories (col=val path components) "
+                "cannot convert in place — their partition columns "
+                "live in paths, not files; rewrite once via "
+                f"spark.read.parquet + commit(partition_by=). First "
+                f"offender: {hive[0]!r}"
+            )
+        schema = spark.read.parquet(src_dir).schema
+        known = {f.name for f in schema.fields}
+        bad = sorted((set(stats_cols) | set(partition_by)) - known)
+        if bad:
+            raise ValueError(f"columns {bad} not present in the source")
+        entries: list[dict] = [
+            {"path": f, "bytes": os.path.getsize(f)} for f in files
+        ]
+        cols = tuple(dict.fromkeys(tuple(stats_cols) + tuple(partition_by)))
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+        from urllib.parse import unquote, urlparse
+
+        agg_rows = (
+            spark.read.schema(schema)
+            .parquet(*files)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(*aggs)
+            .collect()
+        )
+        by_path = {
+            os.path.realpath(unquote(urlparse(r["f"]).path)): r
+            for r in agg_rows
+        }
+        for ent in entries:
+            r = by_path.get(os.path.realpath(ent["path"]))
+            ent["rows"] = int(r["_rows"]) if r is not None else 0
+            if r is None:
+                continue
+            if cols:
+                ent["stats"] = {
+                    c: [r[f"min_{c}"], r[f"max_{c}"]] for c in cols
+                }
+            parts = {
+                c: hive_partition_value(r[f"min_{c}"])
+                for c in partition_by
+                if r[f"min_{c}"] is not None
+                and r[f"min_{c}"] == r[f"max_{c}"]
+            }
+            if parts:
+                ent["partitions"] = parts
+        t._publish_list(
+            [t._write_segment(entries)],
+            "append",
+            schema,
+            None,
+            extra={"converted_from": src_dir},
+        )
+        return t
+
     def clone_from(
         self, source: "SnapshotTable", version: int | None = None
     ) -> int:
@@ -5595,6 +5704,78 @@ def snapshot_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+@query(
+    "snapshot_convert_parquet",
+    priority=0,
+    oracle=f"""
+    SELECT 'converted_probe' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders WHERE o_custkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+    UNION ALL
+    SELECT 'after_append' AS probe,
+           CAST(COUNT(*) * 2 AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) * 2 AS BIGINT) AS sum_cents
+    FROM orders
+    """,
+)
+def snapshot_convert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-PLACE CONVERSION (Delta ``CONVERT TO DELTA`` / Iceberg
+    ``migrate``): a plain parquet directory of orders (range-clustered,
+    no table format) becomes a snapshot table by REFERENCE — zero data
+    bytes rewritten, one distributed pass lifts per-file rows + stats
+    into the new manifest. The audits are load-bearing: every v1 file
+    must be an ORIGINAL file (a copy means the conversion rewrote the
+    corpus — raised), and the custkey box probe must plan fewer files
+    than the table holds (lifted stats prune immediately). The
+    converted table is then a NORMAL table: the second probe appends a
+    full duplicate of orders and reads back the doubled aggregate —
+    proving commits, schema tracking, and reads all compose with the
+    referenced files."""
+    import shutil
+
+    src_dir = scratch(sf_tag(sf_dir), "convert_src")
+    base = scratch(sf_tag(sf_dir), "convert_tbl")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        _cents("o_totalprice").alias("cents"),
+    )
+    orders.repartitionByRange(8, "o_custkey").write.parquet(src_dir)
+    t = SnapshotTable.convert_parquet(
+        spark, src_dir, base, stats_cols=("o_custkey",)
+    )
+    if not all(f.startswith(src_dir) for f in t._files(1)):
+        raise AssertionError("conversion copied data files")
+    kept, total = t.plan_files(1, where=("o_custkey", PRUNE_LO, PRUNE_HI))
+    if total < 2 or len(kept) >= total:
+        raise AssertionError(
+            f"lifted stats failed to prune: {len(kept)}/{total}"
+        )
+    probe = (
+        t.read(spark, where=("o_custkey", PRUNE_LO, PRUNE_HI))
+        .filter(
+            (F.col("o_custkey") >= PRUNE_LO)
+            & (F.col("o_custkey") <= PRUNE_HI)
+        )
+        .agg(
+            F.lit("converted_probe").alias("probe"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    t.commit(orders)  # the converted table is a normal table
+    after = t.read(spark).agg(
+        F.lit("after_append").alias("probe"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    return probe.unionAll(after)
 
 
 @query(

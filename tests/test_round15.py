@@ -1000,3 +1000,75 @@ def test_stream_starting_timestamp(spark, tmp_path):
              "startingVersion": "1"},
             None,
         )
+
+
+# --- CONVERT TO SNAPSHOT: in-place parquet onboarding -------------------------
+
+
+def test_convert_parquet_in_place(spark, tmp_path):
+    src_dir = str(tmp_path / "plain")
+    (
+        spark.range(1000)
+        .selectExpr("id AS k", "id % 7 AS g", "id * 2 AS v")
+        .repartitionByRange(8, "k")
+        .write.parquet(src_dir)
+    )
+    t = SnapshotTable.convert_parquet(
+        spark,
+        src_dir,
+        str(tmp_path / "tbl"),
+        partition_by=("g",),
+        stats_cols=("k",),
+    )
+    # zero-copy: v1 references the original files
+    assert all(f.startswith(src_dir) for f in t._files(1))
+    assert t.read(spark).count() == 1000
+    # lifted stats prune immediately
+    kept, total = t.plan_files(1, where=("k", 100, 120))
+    assert total == 8 and len(kept) <= 2
+    got = sorted(
+        r.k
+        for r in t.read(spark, where=("k", 100, 120))
+        .filter("k BETWEEN 100 AND 120")
+        .collect()
+    )
+    assert got == list(range(100, 121))
+    # the converted table is a NORMAL table: appends, deletes, schema all work
+    t.commit(
+        spark.createDataFrame([(5000, 1, 2)], "k bigint, g bigint, v bigint")
+    )
+    assert t.read(spark).count() == 1001
+    # hive layouts refuse with guidance
+    hive_dir = str(tmp_path / "hive")
+    spark.range(10).selectExpr("id AS k", "id % 2 AS p").write.partitionBy(
+        "p"
+    ).parquet(hive_dir)
+    with pytest.raises(ValueError, match="hive-layout"):
+        SnapshotTable.convert_parquet(spark, hive_dir, str(tmp_path / "t2"))
+    # unknown columns refuse
+    with pytest.raises(ValueError, match="not present"):
+        SnapshotTable.convert_parquet(
+            spark, src_dir, str(tmp_path / "t3"), stats_cols=("nope",)
+        )
+
+
+def test_convert_parquet_single_value_files_record_partitions(spark, tmp_path):
+    src_dir = str(tmp_path / "clustered")
+    (
+        spark.range(400)
+        .selectExpr("id AS k", "CAST(id % 4 AS STRING) AS tenant")
+        .repartition(4, "tenant")
+        .write.parquet(src_dir)
+    )
+    t = SnapshotTable.convert_parquet(
+        spark, src_dir, str(tmp_path / "tbl"), partition_by=("tenant",)
+    )
+    ents = [e for e in t._data_entries(1) if e.get("rows")]
+    # hash-clustered on tenant: single-valued files record the value
+    assert any("partitions" in e for e in ents)
+    kept, total = t.plan_files(1, partition_eq={"tenant": "2"})
+    assert len(kept) < total
+    rows = t.read(spark, partition_eq={"tenant": "2"}).filter(
+        "tenant = '2'"
+    )
+    assert rows.count() == 100
