@@ -51,6 +51,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -122,10 +123,12 @@ class SnapshotBatchReader(DataSourceReader):
         )
         self._cf_start = int(opts.get("startingversion", 0))
         self._cf_end = int(opts.get("endingversion", self._version))
-        # pushed pruning probes: {col: value} equalities and
-        # {col: [lo, hi]} numeric boxes (None = unbounded side)
+        # pushed pruning probes: {col: value} equalities,
+        # {col: [lo, hi]} numeric boxes (None = unbounded side), and
+        # {col: (values, ...)} IN-lists
         self._eq: dict[str, str | None] = {}
         self._box: dict[str, list] = {}
+        self._in: dict[str, tuple] = {}
 
     def _table(self) -> SnapshotTable:
         t = getattr(self, "_tbl", None)
@@ -172,6 +175,11 @@ class SnapshotBatchReader(DataSourceReader):
                     b = self._box.setdefault(col, [None, None])
                     if b[1] is None or f.value < b[1]:
                         b[1] = f.value
+            elif isinstance(f, In):
+                # IN-list: a file survives iff ANY listed value could be
+                # inside it (partition values / transforms / stats are
+                # each checked per value at planning time)
+                self._in[col] = tuple(f.value)
             yield f
 
     # -- planning ----------------------------------------------------------
@@ -205,6 +213,35 @@ class SnapshotBatchReader(DataSourceReader):
                     and (rng[0] > hi or rng[1] < lo)
                 ):
                     continue
+                kept.append(e)
+            entries = kept
+        # IN-lists: drop a file only when EVERY listed value is provably
+        # absent — per value via the partition/transform mismatch proof,
+        # plus the numeric stats range when all values are numeric
+        for col, values in self._in.items():
+            probes = [{col: hive_partition_value(v)} for v in values]
+            nums = [
+                v
+                for v in values
+                if isinstance(v, (int, float)) and not isinstance(v, bool)
+            ]
+            all_numeric = len(nums) == len(values) and values
+            kept = []
+            for e in entries:
+                parts = e.get("partitions", {})
+                if parts and all(
+                    SnapshotTable._eq_mismatch(parts, p) for p in probes
+                ):
+                    continue
+                if all_numeric:
+                    rng = e.get("stats", {}).get(col)
+                    if (
+                        rng is not None
+                        and rng[0] is not None
+                        and rng[1] is not None
+                        and not any(rng[0] <= v <= rng[1] for v in nums)
+                    ):
+                        continue
                 kept.append(e)
             entries = kept
         return entries

@@ -1072,3 +1072,45 @@ def test_convert_parquet_single_value_files_record_partitions(spark, tmp_path):
         "tenant = '2'"
     )
     assert rows.count() == 100
+
+
+# --- IN-list filter pushdown in the batch DataSource ---------------------------
+
+
+def test_pushed_in_filter_prunes_partitions_and_stats(spark, tmp_path):
+    from pyspark.sql.datasource import In
+
+    from serverless_mapreduce_spark.sources.snapshot_batch import (
+        SnapshotBatchReader,
+    )
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3), ("d", 4)], "p string, v bigint"
+        ),
+        partition_by=("p",),
+    )
+    reader = SnapshotBatchReader({"path": base}, t._schema(1))
+    residual = list(reader.pushFilters([In(("p",), ("a", "c"))]))
+    assert len(residual) == 1  # returned for row-level re-eval
+    planned = [p.value[0] for p in reader.partitions()]
+    assert len(planned) == 2  # only the a and c partitions
+    rows = sorted(
+        r.v
+        for f in planned
+        for r in spark.read.parquet(f).collect()
+    )
+    assert rows == [1, 3]
+    # numeric IN prunes via stats on an unpartitioned layout too
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    for lo in (0, 100, 200):
+        t2.commit(
+            spark.range(lo, lo + 10).selectExpr("id AS k").coalesce(1),
+            stats_cols=("k",),
+        )
+    r2 = SnapshotBatchReader({"path": str(tmp_path / "tbl2")}, t2._schema(3))
+    list(r2.pushFilters([In(("k",), (5, 7))]))
+    planned2 = [p.value[0] for p in r2.partitions()]
+    assert len(planned2) == 1  # only the 0..9 file can hold 5 or 7
