@@ -53,8 +53,11 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -129,6 +132,9 @@ class SnapshotBatchReader(DataSourceReader):
         self._eq: dict[str, str | None] = {}
         self._box: dict[str, list] = {}
         self._in: dict[str, tuple] = {}
+        self._prefix: dict[str, str] = {}
+        self._not_null: set[str] = set()
+        self._is_null: set[str] = set()
 
     def _table(self) -> SnapshotTable:
         t = getattr(self, "_tbl", None)
@@ -180,6 +186,12 @@ class SnapshotBatchReader(DataSourceReader):
                 # inside it (partition values / transforms / stats are
                 # each checked per value at planning time)
                 self._in[col] = tuple(f.value)
+            elif isinstance(f, StringStartsWith):
+                self._prefix[col] = str(f.value)
+            elif isinstance(f, IsNotNull):
+                self._not_null.add(col)
+            elif isinstance(f, IsNull):
+                self._is_null.add(col)
             yield f
 
     # -- planning ----------------------------------------------------------
@@ -242,6 +254,78 @@ class SnapshotBatchReader(DataSourceReader):
                         and not any(rng[0] <= v <= rng[1] for v in nums)
                     ):
                         continue
+                kept.append(e)
+            entries = kept
+        # startsWith: identity/truncate partition values compare by
+        # prefix; string stats [min, max] exclude when the whole range
+        # sorts outside [prefix, next(prefix)) — lexicographic compare
+        # is exactly the parquet min/max contract for strings
+        for col, prefix in self._prefix.items():
+            if not prefix:
+                continue
+            nxt = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            kept = []
+            for e in entries:
+                skip = False
+                for key, rec in e.get("partitions", {}).items():
+                    kind, param, src = SnapshotTable._parse_transform(key)
+                    if src != col:
+                        continue
+                    if rec is None:
+                        # the NULL partition: startsWith(NULL) is NULL,
+                        # never TRUE — an identity value proves every
+                        # row is excluded
+                        skip = kind == "identity"
+                        if skip:
+                            break
+                        continue
+                    if kind == "identity":
+                        skip = not str(rec).startswith(prefix)
+                    elif kind == "truncate" and param is not None:
+                        w = int(param)
+                        skip = (
+                            not str(rec).startswith(prefix[:w])
+                            if len(prefix) >= w
+                            else not str(rec).startswith(prefix)
+                        )
+                    if skip:
+                        break
+                if skip:
+                    continue
+                rng = e.get("stats", {}).get(col)
+                if (
+                    rng is not None
+                    and isinstance(rng[0], str)
+                    and isinstance(rng[1], str)
+                    and (rng[1] < prefix or rng[0] >= nxt)
+                ):
+                    continue
+                kept.append(e)
+            entries = kept
+        # IsNotNull drops all-NULL files (NULL partition value, or a
+        # [None, None] stats range = min/max over zero non-null values);
+        # IsNull keeps only files that may hold a NULL (an identity
+        # partition value proves every row's value)
+        for col in self._not_null:
+            entries = [
+                e
+                for e in entries
+                if not (
+                    e.get("partitions", {}).get(col, "") is None
+                    or (
+                        e.get("stats", {}).get(col) == [None, None]
+                        and col in e.get("stats", {})
+                    )
+                )
+            ]
+        for col in self._is_null:
+            kept = []
+            for e in entries:
+                parts = e.get("partitions", {})
+                if col in parts and parts[col] is not None:
+                    kind, _p, src = SnapshotTable._parse_transform(col)
+                    if kind == "identity" and src == col:
+                        continue  # provably no NULL rows in this file
                 kept.append(e)
             entries = kept
         return entries

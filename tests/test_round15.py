@@ -1114,3 +1114,64 @@ def test_pushed_in_filter_prunes_partitions_and_stats(spark, tmp_path):
     list(r2.pushFilters([In(("k",), (5, 7))]))
     planned2 = [p.value[0] for p in r2.partitions()]
     assert len(planned2) == 1  # only the 0..9 file can hold 5 or 7
+
+
+def test_pushed_startswith_and_null_filters_prune(spark, tmp_path):
+    from pyspark.sql.datasource import IsNotNull, IsNull, StringStartsWith
+
+    from serverless_mapreduce_spark.sources.snapshot_batch import (
+        SnapshotBatchReader,
+    )
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        spark.createDataFrame(
+            [("alpha", 1), ("beta", 2), (None, 3), ("alto", 4)],
+            "p string, v bigint",
+        ),
+        partition_by=("p",),
+    )
+    # startsWith('al') keeps exactly the alpha and alto partitions
+    r = SnapshotBatchReader({"path": base}, t._schema(1))
+    list(r.pushFilters([StringStartsWith(("p",), "al")]))
+    vals = sorted(
+        row.v
+        for part in r.partitions()
+        for row in spark.read.parquet(part.value[0]).collect()
+    )
+    assert vals == [1, 4]
+    # IsNotNull drops the NULL partition; IsNull keeps only it
+    r2 = SnapshotBatchReader({"path": base}, t._schema(1))
+    list(r2.pushFilters([IsNotNull(("p",))]))
+    vals2 = sorted(
+        row.v
+        for part in r2.partitions()
+        for row in spark.read.parquet(part.value[0]).collect()
+    )
+    assert vals2 == [1, 2, 4]
+    r3 = SnapshotBatchReader({"path": base}, t._schema(1))
+    list(r3.pushFilters([IsNull(("p",))]))
+    vals3 = sorted(
+        row.v
+        for part in r3.partitions()
+        for row in spark.read.parquet(part.value[0]).collect()
+    )
+    assert vals3 == [3]
+    # string stats prune startsWith on an UNpartitioned clustered layout
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    t2.commit(
+        spark.createDataFrame(
+            [("apple", 1), ("axe", 2), ("melon", 3), ("zebra", 4)],
+            "s string, v bigint",
+        ).repartitionByRange(2, "s"),
+        stats_cols=("s",),
+    )
+    r4 = SnapshotBatchReader({"path": t2.base}, t2._schema(1))
+    list(r4.pushFilters([StringStartsWith(("s",), "a")]))
+    planned = [p.value[0] for p in r4.partitions()]
+    assert len(planned) == 1
+    vals4 = sorted(
+        row.v for f in planned for row in spark.read.parquet(f).collect()
+    )
+    assert vals4 == [1, 2]
