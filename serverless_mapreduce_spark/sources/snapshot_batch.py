@@ -227,6 +227,27 @@ class SnapshotBatchReader(DataSourceReader):
                     continue
                 kept.append(e)
             entries = kept
+        # Bloom bitmaps: pushed equalities and IN-lists also probe any
+        # per-file bitmaps the commit recorded — the high-cardinality
+        # complement of stats (a scattered key defeats min/max; a
+        # membership bitmap doesn't care). No false negatives; a false
+        # positive costs one wasted scan, never a wrong row.
+        for col, val in self._eq.items():
+            if val is None:
+                continue
+            entries = [
+                e
+                for e in entries
+                if not SnapshotTable._bloom_excludes(e, col, [val])
+            ]
+        for col, values in self._in.items():
+            keys = [v for v in values if v is not None]
+            if keys:
+                entries = [
+                    e
+                    for e in entries
+                    if not SnapshotTable._bloom_excludes(e, col, keys)
+                ]
         # IN-lists: drop a file only when EVERY listed value is provably
         # absent — per value via the partition/transform mismatch proof,
         # plus the numeric stats range when all values are numeric

@@ -3633,6 +3633,26 @@ class SnapshotTable:
                 nxt.append(e)
         return nxt
 
+    @staticmethod
+    def _bloom_excludes(entry: dict, col: str, keys: list) -> bool:
+        """True iff the entry's Bloom bitmap for ``col`` proves NONE of
+        the probe ``keys`` is present (no false negatives — the
+        :meth:`plan_files_keys` per-entry check, shared with the batch
+        DataSource's pushed-equality planning). Entries without a
+        bitmap answer False (conservative scan)."""
+        rec = entry.get("bloom", {}).get(col)
+        if rec is None or not keys:
+            return False
+        if isinstance(rec, dict):
+            m, k, bits = rec["m"], rec["k"], rec["bits"]
+        else:
+            m, k, bits = BLOOM_M, BLOOM_K, rec
+        bs = set(bits)
+        return not any(
+            all(p in bs for p in _bloom_probe_positions(key, m, k))
+            for key in keys
+        )
+
     def plan_files_keys(
         self,
         col: str,

@@ -1175,3 +1175,29 @@ def test_pushed_startswith_and_null_filters_prune(spark, tmp_path):
         row.v for f in planned for row in spark.read.parquet(f).collect()
     )
     assert vals4 == [1, 2]
+
+
+def test_pushed_equality_probes_bloom_bitmaps(spark, tmp_path):
+    from pyspark.sql.datasource import EqualTo, In
+
+    from serverless_mapreduce_spark.sources.snapshot_batch import (
+        SnapshotBatchReader,
+    )
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    # scattered high-cardinality keys: min/max spans everything, only
+    # the bloom bitmap can skip files
+    for lo in (0, 1, 2):
+        t.commit(
+            spark.range(lo, 3000, 3).selectExpr("id AS k").coalesce(1),
+            bloom_cols=("k",),
+        )
+    r = SnapshotBatchReader({"path": base}, t._schema(3))
+    list(r.pushFilters([EqualTo(("k",), 42)]))   # 42 % 3 == 0: file 1
+    planned = [p.value[0] for p in r.partitions()]
+    assert len(planned) == 1
+    assert [row.k for row in spark.read.parquet(planned[0]).filter("k = 42").collect()] == [42]
+    r2 = SnapshotBatchReader({"path": base}, t._schema(3))
+    list(r2.pushFilters([In(("k",), (42, 43))]))  # files 1 and 2
+    assert len(r2.partitions()) == 2
