@@ -1348,7 +1348,7 @@ class SnapshotTable:
                     f"version {v} has no manifest (staged orphan or "
                     "retention hole) — file accounting is not derivable"
                 )
-            if "base" in body and int(body.get("base") or 0) != v - 1:
+            if not self._gap_is_branch_slots(body, v, self._tombstones()):
                 return (
                     f"version {v} is a staged commit branching from "
                     f"version {body.get('base')} — non-linear history"
@@ -3047,21 +3047,84 @@ class SnapshotTable:
         self.set_branch(name, v)
         return v
 
-    def fast_forward(self, name: str) -> int:
+    def _gap_is_branch_slots(
+        self, body: dict, v: int, tombs: set[int]
+    ) -> bool:
+        """True iff ``body``'s recorded base link is LINEAR main history:
+        either no gap (base == v-1 / no base), or every version in the
+        gap is a branch commit or tombstoned orphan — the slots
+        ``_publish_list`` legitimately skips over. A gap containing a
+        real unmarked manifest means a STAGED commit (commit_onto onto
+        an older base), which conflict classifiers must refuse."""
+        if "base" not in body:
+            return True
+        b = int(body.get("base") or 0)
+        if b == v - 1:
+            return True
+        for u in range(b + 1, v):
+            try:
+                ub = self._manifest_body(u)
+            except FileNotFoundError:
+                if u in tombs:
+                    continue
+                return False
+            if "ref" not in ub:
+                return False
+        return True
+
+    def _ff_rebase_reason(self, fork: int, head: int) -> str | None:
+        """Classify main's movement in ``(fork, head]`` for a rebased
+        fast-forward: ``None`` when every interleaved MAIN version is a
+        plain append (or data-preserving maintenance / another branch's
+        commits / a tombstoned orphan) — two append-only histories
+        commute, so publishing the branch's delta segments onto the
+        moved head loses nothing. Any row-REMOVING or row-REWRITING
+        movement (delete/merge/update/replace/overwrite/restore,
+        merge-on-read deletes) returns the reason: the branch's rows
+        would be sequenced PAST those mutations and escape them."""
+        tombs = self._tombstones()
+        for v in range(fork + 1, head + 1):
+            try:
+                body = self._manifest_body(v)
+            except FileNotFoundError:
+                if v in tombs:
+                    continue
+                return f"version {v} has no manifest and is not tombstoned"
+            if "ref" in body:
+                continue  # another branch's commit: not main movement
+            if not body.get("data_change", True):
+                continue  # row-identical maintenance
+            if not self._gap_is_branch_slots(body, v, tombs):
+                return f"version {v} is a staged commit (non-linear)"
+            if body.get("mode", "append") != "append":
+                return (
+                    f"version {v} is a {body.get('mode')!r} commit — "
+                    "the branch's rows would escape it"
+                )
+        return None
+
+    def fast_forward(self, name: str, rebase_appends: bool = False) -> int:
         """PUBLISH a branch onto main (Iceberg ``fast_forward``): when
         main still sits at the branch's FORK POINT, publish one new
         MAIN version referencing exactly the branch head's file set —
         metadata-only (zero bytes rewritten; the branch commits' data
         files are referenced, not copied), atomic (one manifest CAS),
         and sequence-preserving (carried refs keep the branch chain's
-        seq map, so merge-on-read deletes staged on the branch keep
-        applying). Main consumers see the branch's whole series land
-        as ONE data-changing version — exactly the WAP publish
-        semantics. If main moved since the fork, raises
-        :class:`CommitConflict` — a moved main makes this a MERGE of
-        divergent histories, not a fast-forward; rebase the branch
-        (re-stage its batches on a fresh branch from the new head) or
-        land the work through :meth:`merge_into`."""
+        seq map). Main consumers see the branch's whole series land as
+        ONE data-changing version — exactly the WAP publish semantics.
+
+        If main moved since the fork the default raises
+        :class:`CommitConflict` (a moved main makes this a merge of
+        divergent histories — Iceberg's behavior).
+        ``rebase_appends=True`` opts into the r14-verdict item-2 style
+        classification: when main's movement is provably PURE APPENDS
+        (plus data-preserving maintenance), the publish rebases —
+        main head's segments plus the branch's delta segments, both
+        histories' rows surviving — and still raises when anything
+        row-removing interleaved (the branch's rows would be sequenced
+        past it and escape). The realistic WAP race this unblocks: the
+        ingest keeps appending to main while a backfill stages on a
+        branch; neither should have to retry."""
         tip = self.resolve_branch(name)
         chain: list[int] = []
         fork = tip
@@ -3078,21 +3141,52 @@ class SnapshotTable:
                 f"branch {name!r} has no commits of its own; nothing to "
                 "fast-forward"
             )
-        head = self.latest_version()
-        if (head or 0) != fork:
-            raise CommitConflict(
-                f"main moved from the fork point {fork} to {head} since "
-                f"branch {name!r} diverged; fast-forward is impossible — "
-                "rebase the branch or merge"
-            )
-        return self._publish_list(
-            self._parent_segments(tip),
-            "append",
-            self._schema(tip),
-            head if head != 0 else None,
-            extra={"fast_forward": name},
-            seq_source=tip,
-        )
+        for _ in range(16):
+            head = self.latest_version()
+            if (head or 0) == fork:
+                segments = self._parent_segments(tip)
+                seq_source, schema = tip, self._schema(tip)
+            elif rebase_appends:
+                reason = self._ff_rebase_reason(fork, head)
+                if reason is not None:
+                    raise CommitConflict(
+                        f"cannot rebase fast-forward of branch {name!r} "
+                        f"over main's movement: {reason}"
+                    )
+                fork_refs = set(
+                    (self._segment_refs(fork) or []) if fork else []
+                )
+                tip_refs = self._segment_refs(tip)
+                if tip_refs is None:
+                    raise CommitConflict(
+                        "branch tip has a legacy inline manifest; its "
+                        "delta is not ref-derivable"
+                    )
+                delta = [r for r in tip_refs if r not in fork_refs]
+                segments = self._parent_segments(head) + delta
+                seq_source = head
+                schema = _merge_schemas(
+                    self._schema(head), self._schema(tip)
+                )
+            else:
+                raise CommitConflict(
+                    f"main moved from the fork point {fork} to {head} "
+                    f"since branch {name!r} diverged; fast-forward is "
+                    "impossible — pass rebase_appends=True (append-only "
+                    "movement), rebase the branch, or merge"
+                )
+            try:
+                return self._publish_list(
+                    segments,
+                    "append",
+                    schema,
+                    head if head else None,
+                    extra={"fast_forward": name},
+                    seq_source=seq_source,
+                )
+            except CommitConflict:
+                continue  # lost the CAS: reclassify against the new head
+        raise CommitConflict("16 consecutive manifest races; giving up")
 
     # -- named refs: tags (immutable) --------------------------------------
 

@@ -1201,3 +1201,31 @@ def test_pushed_equality_probes_bloom_bitmaps(spark, tmp_path):
     r2 = SnapshotBatchReader({"path": base}, t._schema(3))
     list(r2.pushFilters([In(("k",), (42, 43))]))  # files 1 and 2
     assert len(r2.partitions()) == 2
+
+
+def test_fast_forward_rebase_appends(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v1 = t.commit(_kv(spark, [(1, 1)]))
+    t.set_branch("bf", v1)
+    t.commit_to_branch("bf", _kv(spark, [(2, 2)]))
+    t.commit(_kv(spark, [(9, 9)]))  # main keeps appending meanwhile
+    # strict FF refuses; the append-classified rebase lands BOTH histories
+    with pytest.raises(CommitConflict, match="rebase_appends"):
+        t.fast_forward("bf")
+    ff = t.fast_forward("bf", rebase_appends=True)
+    assert t.latest_version() == ff
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 9]
+    # the FF version introduces ONLY the branch's rows to the feed
+    changes = sorted(
+        (r["_change_type"], r["_commit_version"] == ff, r["k"])
+        for r in t.read_changes(spark, v1, ff).collect()
+    )
+    assert ("insert", True, 2) in changes and ("insert", False, 9) in changes
+    # row-REMOVING main movement still refuses the rebase
+    t.set_branch("bg", ff)
+    t.commit_to_branch("bg", _kv(spark, [(3, 3)]))
+    t.delete_where(spark, "k = 9")
+    with pytest.raises(CommitConflict, match="escape"):
+        t.fast_forward("bg", rebase_appends=True)
