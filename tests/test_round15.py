@@ -1229,3 +1229,42 @@ def test_fast_forward_rebase_appends(spark, tmp_path):
     t.delete_where(spark, "k = 9")
     with pytest.raises(CommitConflict, match="escape"):
         t.fast_forward("bg", rebase_appends=True)
+
+
+# --- partition-spec evolution: mixed specs coexist per-entry -------------------
+
+
+def test_partition_spec_evolution_prunes_per_entry(spark, tmp_path):
+    """Iceberg partition-spec EVOLUTION falls out of per-entry value
+    recording: a table committed first unpartitioned, then under an
+    identity spec, then under a transform spec serves one read while
+    each probe prunes exactly the entries whose recorded values prove
+    exclusion — unrecorded entries stay conservatively scanned."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("b", 2, 20)], "p string, k bigint, v bigint"
+    )
+    t.commit(df.coalesce(1))                                    # no spec
+    t.commit(
+        spark.createDataFrame(
+            [("a", 3, 30), ("c", 4, 40)], "p string, k bigint, v bigint"
+        ),
+        partition_by=("p",),                                    # identity
+    )
+    t.commit(
+        spark.createDataFrame(
+            [("ax", 5, 50), ("cx", 6, 60)], "p string, k bigint, v bigint"
+        ),
+        partition_by=("truncate(1, p)",),                       # transform
+    )
+    head = t.latest_version()
+    # probe p='c': the unspec'd file is kept (no proof), the identity
+    # entries prune to the 'c' file, the truncate entries prune to 'cx'
+    kept, total = t.plan_files(head, partition_eq={"p": "c"})
+    assert total == 5 and len(kept) == 3
+    rows = sorted(
+        r.v for r in t.read(spark, partition_eq={"p": "c"}).filter("p = 'c'").collect()
+    )
+    assert rows == [40]
+    # full read is spec-agnostic
+    assert t.read(spark).count() == 6
