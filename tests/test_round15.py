@@ -1268,3 +1268,62 @@ def test_partition_spec_evolution_prunes_per_entry(spark, tmp_path):
     assert rows == [40]
     # full read is spec-agnostic
     assert t.read(spark).count() == 6
+
+
+def test_replace_where_rebases_and_conflicts(spark, tmp_path, monkeypatch):
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _pkv(spark, [("a", 1, 10), ("b", 2, 20)]), partition_by=("p",)
+    )
+    other = SnapshotTable(base)
+    # disjoint: backfill of partition 'a' races an append to 'b' -> lands
+    _inject_once(
+        monkeypatch,
+        lambda: other.commit(_pkv(spark, [("b", 9, 90)]), partition_by=("p",)),
+    )
+    v = t.replace_where(
+        spark, {"p": "a"}, _pkv(spark, [("a", 7, 70)]),
+    )
+    rows = sorted(tuple(r) for r in t.read(spark, v).collect())
+    assert rows == [("a", 7, 70), ("b", 2, 20), ("b", 9, 90)]
+
+
+def test_replace_where_conflicts_on_target_partition_append(
+    spark, tmp_path, monkeypatch
+):
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _pkv(spark, [("a", 1, 10), ("b", 2, 20)]), partition_by=("p",)
+    )
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.commit(_pkv(spark, [("a", 8, 80)]), partition_by=("p",)),
+    )
+    # overlapping: a concurrent append INTO the replaced partition would
+    # be silently erased by a rebase -> must surface
+    with pytest.raises(CommitConflict, match="read set"):
+        t.replace_where(spark, {"p": "a"}, _pkv(spark, [("a", 7, 70)]))
+
+
+def test_update_where_rebases_over_out_of_box_append(spark, tmp_path, monkeypatch):
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_kv(spark, [(1, 1), (100, 100)]).coalesce(1), stats_cols=("k",))
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.commit(_kv(spark, [(500, 500)]), stats_cols=("k",)),
+    )
+    v = t.update_where(
+        spark, "k <= 2", {"v": "v * 10"}, prune=("k", 0, 2), stats_cols=("k",)
+    )
+    rows = sorted(tuple(r) for r in t.read(spark, v).collect())
+    # both the update AND the concurrent append survive
+    assert rows == [(1, 10), (100, 100), (500, 500)]
