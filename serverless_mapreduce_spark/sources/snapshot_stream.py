@@ -132,30 +132,44 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._start = int(opts.get("startingversion", 0))
         st = opts.get("startingtimestamp")
         if st is not None:
-            # Delta's startingTimestamp (epoch seconds or ISO-8601):
-            # stream every version committed strictly AFTER the newest
-            # commit at-or-before the timestamp; a timestamp predating
-            # the first commit streams the whole history
+            # Delta's startingTimestamp (ISO-8601 or epoch seconds):
+            # INCLUSIVE — stream every version committed AT or after
+            # the timestamp (a commit whose wall-clock equals the
+            # option exactly is streamed); a timestamp predating the
+            # first commit streams the whole history. ISO parse is
+            # attempted FIRST so a digit-only date like '20240101'
+            # (compact ISO-8601) reads as a date, not epoch seconds.
             if "startingversion" in opts:
                 raise ValueError(
                     "startingVersion and startingTimestamp are "
                     "mutually exclusive"
                 )
-            try:
-                target = float(st)
-            except ValueError:
-                from datetime import datetime, timezone
+            from datetime import datetime, timezone
 
+            try:
                 dt = datetime.fromisoformat(str(st).replace("T", " "))
                 if dt.tzinfo is None:
                     dt = dt.replace(tzinfo=timezone.utc)
                 target = dt.timestamp()
-            try:
-                self._start = SnapshotTable(self._base).resolve_as_of(
-                    target
-                )
             except ValueError:
-                self._start = 0  # predates the table: from the beginning
+                target = float(st)
+            # resolve to the last MAIN version committed strictly
+            # BEFORE the target (streaming covers versions after
+            # _start, so the first at-or-after commit is included);
+            # ts-less versions are treated as arbitrarily old, same as
+            # resolve_as_of, and commit ts is clamped monotonic at
+            # publish so the first at-or-after version bounds the rest
+            tbl = SnapshotTable(self._base)
+            start = 0
+            for v in tbl.versions():
+                body = tbl._manifest_body(v)
+                if "ref" in body:
+                    continue  # branch commit: invisible to main streams
+                committed = body.get("ts")
+                if committed is not None and committed >= target:
+                    break
+                start = v
+            self._start = start
         self._ignore_deletes = (
             str(opts.get("ignoredeletes", "false")).lower() == "true"
         )

@@ -1340,15 +1340,26 @@ class SnapshotTable:
         metadata scale, the same accounting Delta's conflict checker
         pays reading the interleaved commits' action logs."""
         prev_paths = {e["path"] for e in self._entries(base)}
+        tombs = self._tombstones()
         for v in range(base + 1, head + 1):
             try:
                 body = self._manifest_body(v)
             except FileNotFoundError:
+                if v in tombs:
+                    continue  # collected orphan slot: not main movement
                 return (
                     f"version {v} has no manifest (staged orphan or "
                     "retention hole) — file accounting is not derivable"
                 )
-            if not self._gap_is_branch_slots(body, v, self._tombstones()):
+            if "ref" in body:
+                # branch slot: invisible to main readers and appends
+                # (latest_version/_walk_bodies/resolve_as_of all skip
+                # it) — its divergent file set is NOT main movement, so
+                # walk past it WITHOUT updating prev_paths, or every
+                # RMW racing concurrent branch staging would spuriously
+                # conflict on the branch's file-set diff
+                continue
+            if not self._gap_is_branch_slots(body, v, tombs):
                 return (
                     f"version {v} is a staged commit branching from "
                     f"version {body.get('base')} — non-linear history"
@@ -1449,7 +1460,17 @@ class SnapshotTable:
                         f"{mode}: {reason}; re-derive against the new "
                         "head and retry"
                     ) from None
-                kept = {e["path"] for e in self._entries(head)} - dropped
+                # exclude change files when recomputing kept: the
+                # interleaved commits' CDF entries are readable only
+                # through their introducing version and drop out of
+                # later manifests by design — carrying them into the
+                # rebased commit would re-emit the interloper's CDC
+                # rows a second time under this commit's version
+                kept = {
+                    e["path"]
+                    for e in self._entries(head)
+                    if e.get("kind") != "change"
+                } - dropped
                 if sch is not None:
                     sch = _merge_schemas(self._schema(head), sch)
                 base = head
@@ -1952,15 +1973,19 @@ class SnapshotTable:
         )
 
     def _enforce_constraints(
-        self, df: DataFrame, version: int | None
+        self, df: DataFrame, version: int | None, cons: dict | None = None
     ) -> None:
         """Refuse rows violating any CHECK constraint in force at
         ``version`` — ONE aggregate pass counts every constraint's
         violations simultaneously (O(batch), never O(table)). SQL CHECK
         three-valued logic: a row violates only when the predicate is
         FALSE; NULL passes (that is what NOT NULL-style constraints
-        must spell explicitly, same as every SQL engine)."""
-        cons = self.constraints(version) if version is not None else {}
+        must spell explicitly, same as every SQL engine). ``cons``
+        overrides the constraint set (fast_forward validates only the
+        constraints added on main AFTER a branch forked — the rest were
+        enforced when the branch commits staged)."""
+        if cons is None:
+            cons = self.constraints(version) if version is not None else {}
         if not cons:
             return
         names = list(cons)
@@ -3013,6 +3038,25 @@ class SnapshotTable:
         :meth:`commit_to_branch` shape) and advances the branch ref.
         Main stays blind until :meth:`fast_forward`."""
         head = self.resolve_branch(name)  # raises for an unknown branch
+        if self.constraints(head):
+            # CHECK constraints hold on the branch staging path exactly
+            # as on publish_entries: the executors already wrote the
+            # files, so validation is one schema-pinned scan of the new
+            # data files — without this, WAP staging through the
+            # DataSource writer would land violating rows on main at
+            # fast_forward with no error
+            data_paths = [e["path"] for e in entries if "kind" not in e]
+            if data_paths:
+                sess = SparkSession.getActiveSession()
+                if sess is None:
+                    raise ValueError(
+                        "this table has CHECK constraints; "
+                        "publish_entries_to_branch needs an active "
+                        "SparkSession to validate the new files"
+                    )
+                self._enforce_constraints(
+                    self._reader(sess, head).parquet(*data_paths), head
+                )
         new_segs = self._write_batch_segments(list(entries), partition_by)
         ex = {
             "ref": name,
@@ -3175,6 +3219,45 @@ class SnapshotTable:
                     "impossible — pass rebase_appends=True (append-only "
                     "movement), rebase the branch, or merge"
                 )
+            # constraints added on MAIN after the fork were never seen
+            # by the branch's staging-time enforcement — validate the
+            # branch delta's data files against exactly those before
+            # they land on main (constraints already in force at the
+            # fork were enforced by commit_to_branch /
+            # publish_entries_to_branch when each branch commit staged)
+            cons_head = self.constraints(head) if head else {}
+            if cons_head:
+                at_fork = self.constraints(fork) if fork else {}
+                fresh = {
+                    n: c
+                    for n, c in cons_head.items()
+                    if at_fork.get(n) != c
+                }
+                if fresh:
+                    fork_paths = (
+                        {e["path"] for e in self._entries(fork)}
+                        if fork
+                        else set()
+                    )
+                    delta_paths = [
+                        e["path"]
+                        for e in self._entries(tip)
+                        if "kind" not in e and e["path"] not in fork_paths
+                    ]
+                    if delta_paths:
+                        sess = SparkSession.getActiveSession()
+                        if sess is None:
+                            raise ValueError(
+                                "this table gained CHECK constraints "
+                                "since the branch forked; fast_forward "
+                                "needs an active SparkSession to "
+                                "validate the branch's files"
+                            )
+                        self._enforce_constraints(
+                            self._reader(sess, tip).parquet(*delta_paths),
+                            head,
+                            cons=fresh,
+                        )
             try:
                 return self._publish_list(
                     segments,

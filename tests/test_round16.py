@@ -1,0 +1,275 @@
+"""Round-16 pins for the r15 ADVICE items: (1) an auto-REBASED RMW
+commit must not carry the interleaved commit's CDF change files into
+its own manifest (they would re-emit the interloper's CDC rows under
+the rebased version), (2) WAP staging through the DataSource branch
+writer and fast_forward must enforce CHECK constraints like every
+other write path, (3) concurrent BRANCH staging must not spuriously
+conflict a provably-disjoint RMW rebase (branch slots are invisible to
+main), (4) streaming startingTimestamp is INCLUSIVE of exact-equality
+commits and parses compact ISO dates as dates, not epoch seconds."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_mapreduce_spark.sources.snapshot_stream import (
+    SnapshotStreamReader,
+)
+from serverless_mapreduce_spark.sources.snapshots import (
+    CommitConflict,
+    SnapshotTable,
+)
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(list(pairs), "k bigint, v bigint")
+
+
+def _inject_once(monkeypatch, fn):
+    """Deterministic race: run ``fn`` (the interloper's commits) right
+    before the victim's FIRST _publish_cow attempt."""
+    import serverless_mapreduce_spark.sources.snapshots as S
+
+    orig = S.SnapshotTable._publish_cow
+    state = {"armed": True}
+
+    def wrapper(self, *a, **k):
+        if state["armed"]:
+            state["armed"] = False
+            fn()
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(S.SnapshotTable, "_publish_cow", wrapper)
+
+
+# --- advice 1: rebase must not re-introduce interloper CDF files --------------
+
+
+def test_rebase_does_not_reemit_interloper_change_files(
+    spark, tmp_path, monkeypatch
+):
+    """Victim update_where on the k<=2 box races an interloper
+    delete_where(change_feed=True) on k>=100. The interloper's fresh
+    segment holds BOTH its change file and residual entries the victim
+    rewrites, so the victim's rebase folds that segment — before the
+    fix, the change file rode into the rebased commit's new segment and
+    read_changes re-emitted the interloper's delete CDC row a second
+    time under the rebased _commit_version."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    # range-cluster so k<=2 and k=100 land in DIFFERENT files with no
+    # stats-less empty files (those would be rewritten by both boxes)
+    t.commit(
+        _kv(spark, [(1, 1), (2, 2), (100, 100)]).repartitionByRange(
+            2, "k"
+        ),
+        stats_cols=("k",),
+    )
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.delete_where(
+            spark,
+            "k >= 100",
+            prune=("k", 100, 10**9),
+            stats_cols=("k",),
+            change_feed=True,
+        ),
+    )
+    v = t.update_where(
+        spark,
+        "k <= 2",
+        {"v": "v + 1"},
+        prune=("k", 0, 2),
+        stats_cols=("k",),
+        change_feed=True,
+    )
+    assert v == 3  # rebased over the interloper's v2
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    assert rows == [(1, 2), (2, 3)]
+    chg = t.read_changes(spark, 0, 3).collect()
+    deletes = [r for r in chg if r["_change_type"] == "delete"]
+    # exactly ONE delete pre-image, under the INTERLOPER's version
+    assert [(r.k, r["_commit_version"]) for r in deletes] == [(100, 2)]
+    # the rebased commit contributes only its own update pair
+    ups = sorted(
+        (r["_change_type"], r.k, r.v)
+        for r in chg
+        if r["_commit_version"] == 3 and r["_change_type"] != "insert"
+    )
+    assert ups == [
+        ("update_postimage", 1, 2),
+        ("update_postimage", 2, 3),
+        ("update_preimage", 1, 1),
+        ("update_preimage", 2, 2),
+    ]
+    # the head manifest carries its OWN change entries (v3 is their
+    # introducing version) but never the interloper's — change files
+    # drop out of later manifests by construction, rebased or not
+    interloper_chg = {
+        e["path"] for e in t._entries(2) if e.get("kind") == "change"
+    }
+    assert interloper_chg  # the interloper did record CDF files
+    assert interloper_chg.isdisjoint(e["path"] for e in t._entries(v))
+
+
+# --- advice 3: branch slots are not main movement in the rebase walk ----------
+
+
+def test_rmw_rebases_over_concurrent_branch_staging(
+    spark, tmp_path, monkeypatch
+):
+    """A branch commit landing in (base, head] is invisible to main —
+    the rebase classifier must walk past its slot without diffing the
+    branch's divergent file set, even when the branch's rows land
+    INSIDE the victim's read box (they are not on main). A concurrent
+    MAIN append outside the box still rebases cleanly."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    v1 = t.commit(
+        _kv(spark, [(1, 1), (2, 2), (100, 100)]).repartitionByRange(
+            2, "k"
+        ),
+        stats_cols=("k",),
+    )
+    t.set_branch("stage", v1)
+    other = SnapshotTable(base)
+
+    def interlope():
+        # branch commit INSIDE the victim's read box (k=1): invisible
+        other.commit_to_branch("stage", _kv(spark, [(1, 999)]))
+        # main append OUTSIDE the box: provably disjoint, rebases
+        other.commit(_kv(spark, [(500, 500)]).coalesce(1), stats_cols=("k",))
+
+    _inject_once(monkeypatch, interlope)
+    v = t.delete_where(
+        spark, "k <= 2", prune=("k", 0, 2), stats_cols=("k",)
+    )
+    assert v == t.latest_version()
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    assert rows == [(100, 100), (500, 500)]
+    # the branch still sees its own staged row on top of the fork
+    assert sorted(r.k for r in t.read(spark, t.resolve_branch("stage")).collect()) == [
+        1,
+        1,
+        2,
+        100,
+    ]
+
+
+# --- advice 2: WAP staging + fast_forward enforce CHECK constraints -----------
+
+
+def test_branch_ds_publish_enforces_constraints(spark, tmp_path):
+    """publish_entries_to_branch (the df.write.option('branch',...)
+    path) validates new files against the constraints in force at the
+    branch head — the staging-time mirror of publish_entries."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    v1 = t.commit(_kv(spark, [(1, 1)]))
+    t.add_check_constraint(spark, "v_pos", "v >= 0")
+    t.set_branch("stage", t.latest_version())
+    bad = t._write_data(_kv(spark, [(2, -5)]), ())
+    with pytest.raises(ValueError, match="v_pos"):
+        t.publish_entries_to_branch("stage", bad)
+    # valid rows stage fine and fast-forward onto main
+    good = t._write_data(_kv(spark, [(3, 3)]), ())
+    t.publish_entries_to_branch("stage", good)
+    t.fast_forward("stage")
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3]
+
+
+def test_fast_forward_validates_constraints_added_after_fork(
+    spark, tmp_path
+):
+    """A CHECK constraint added on MAIN after the branch forked was
+    never seen by the branch's staging-time enforcement — fast_forward
+    validates the branch delta's files against exactly the post-fork
+    constraints before they land on main."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    v1 = t.commit(_kv(spark, [(1, 1)]))
+    t.set_branch("stage", v1)
+    t.commit_to_branch("stage", _kv(spark, [(2, -5)]))  # no constraint yet
+    t.add_check_constraint(spark, "v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        t.fast_forward("stage", rebase_appends=True)
+    # a clean branch passes the post-fork constraint and publishes
+    t.set_branch("ok", v1)
+    t.commit_to_branch("ok", _kv(spark, [(3, 3)]))
+    ff = t.fast_forward("ok", rebase_appends=True)
+    assert t.latest_version() == ff
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3]
+
+
+# --- advice 4: startingTimestamp inclusivity + ISO-first parsing --------------
+
+
+def test_starting_timestamp_exact_equality_is_included(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_kv(spark, [(1, 1)]))
+    t.commit(_kv(spark, [(2, 2)]))
+    v2_ts = t._manifest_body(2)["ts"]
+    reader = SnapshotStreamReader(
+        {"path": base, "startingTimestamp": str(v2_ts)}, None
+    )
+    # Delta semantics: 'changes committed AT or after the timestamp' —
+    # the commit whose wall-clock equals the option exactly streams
+    assert reader.initialOffset() == {"version": 1}
+    # strictly after v2's ts: nothing old streams
+    late = SnapshotStreamReader(
+        {"path": base, "startingTimestamp": str(v2_ts + 0.001)}, None
+    )
+    assert late.initialOffset() == {"version": 2}
+
+
+def test_starting_timestamp_compact_iso_parses_as_date(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_kv(spark, [(1, 1)]))
+    # '29991231' as a DATE is far future (stream nothing old); as
+    # epoch-seconds it would be 1970 (stream everything) — ISO wins
+    reader = SnapshotStreamReader(
+        {"path": base, "startingTimestamp": "29991231"}, None
+    )
+    assert reader.initialOffset() == {"version": 1}
+    # a plain float string still reads as epoch seconds
+    early = SnapshotStreamReader(
+        {"path": base, "startingTimestamp": "86400.5"}, None
+    )
+    assert early.initialOffset() == {"version": 0}
+
+
+# --- r15 verdict item 1: shared triangle memo ---------------------------------
+
+
+def test_metrics_summary_shares_triangle_memo(spark):
+    """graph_metrics_summary must serve the SAME triangle count as
+    graph_triangles from the session memo, and the memoized value must
+    equal a fresh 3-way wedge-closure join over the edge table — the
+    plan it replaced."""
+    from pyspark.sql import functions as F
+
+    import serverless_mapreduce_spark.operators.graph as G
+
+    sf_dir = "/root/testdata/sf0.001"
+    tri_df = G.graph_triangles(spark, sf_dir).collect()[0]
+    assert G._TRI_MEMO  # first call populated the memo
+    summary = G.graph_metrics_summary(spark, sf_dir).collect()[0]
+    assert summary["n_triangles"] == tri_df["n_triangles"]
+    assert summary["n_nodes"] == tri_df["n_nodes"]
+    assert summary["n_edges"] == tri_df["n_edges"]
+    # ground truth: the oriented 3-way join the summary used to re-run
+    edges = G._edges(spark, sf_dir)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    fresh = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .count()
+    )
+    assert tri_df["n_triangles"] == fresh
