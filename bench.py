@@ -419,6 +419,9 @@ HEADLINE = (
     "snapshot_merge_nmbs_flag",
     # CHECK constraints: add-validates-existing, enforce-on-every-write
     "snapshot_check_constraints",
+    # round 16: disjoint-partition mutate-vs-mutate race — merge rebases
+    # over a concurrent partition_eq-scoped delete (injected CAS loss)
+    "snapshot_partition_dml_race",
     # shallow clone (zero-copy fork) + divergence probes
     "snapshot_shallow_clone",
     # in-place parquet conversion (zero-rewrite onboarding + lifted stats)

@@ -273,3 +273,142 @@ def test_metrics_summary_shares_triangle_memo(spark):
         .count()
     )
     assert tri_df["n_triangles"] == fresh
+
+
+# --- r15 verdict item 3: disjoint-partition mutate-vs-mutate rebase -----------
+
+
+def _pkv(spark, triples):
+    return spark.createDataFrame(
+        list(triples), "p string, k bigint, v bigint"
+    )
+
+
+def test_merge_rebases_over_disjoint_partition_delete(
+    spark, tmp_path, monkeypatch
+):
+    """Merge on partition 'a' racing a partition_eq-scoped delete on
+    partition 'b': disjoint file sets + disjoint read regions, so the
+    merge rebases mechanically and BOTH mutations' rows survive, with
+    the change feed single-sourced through the rebase."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _pkv(spark, [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("b", 4, 40)]),
+        partition_by=("p",),
+    )
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.delete_where(
+            spark,
+            "p = 'b' and k = 4",
+            partition_eq={"p": "b"},
+            partition_by=("p",),
+            change_feed=True,
+        ),
+    )
+    v = t.merge_into(
+        spark,
+        _pkv(spark, [("a", 1, 11), ("a", 7, 70)]),
+        ("p", "k"),
+        change_feed=True,
+    )
+    assert v == 3  # delete took v2; the merge rebased onto it
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    assert rows == [
+        ("a", 1, 11),  # merged update
+        ("a", 2, 20),
+        ("a", 7, 70),  # merged insert
+        ("b", 3, 30),
+        # (b, 4, 40) deleted by the interloper — survives the rebase
+    ]
+    chg = t.read_changes(spark, 1, 3).collect()
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r.p, r.k, r.v)
+        for r in chg
+    )
+    assert got == [
+        (2, "delete", "b", 4, 40),
+        (3, "insert", "a", 7, 70),
+        (3, "update_postimage", "a", 1, 11),
+        (3, "update_preimage", "a", 1, 10),
+    ]
+
+
+def test_merge_conflicts_on_same_partition_delete(
+    spark, tmp_path, monkeypatch
+):
+    """Same race, but the delete hits the partition the merge rewrites:
+    overlapping file sets = lost update, must raise."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _pkv(spark, [("a", 1, 10), ("a", 2, 20), ("b", 3, 30)]),
+        partition_by=("p",),
+    )
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.delete_where(
+            spark, "p = 'a' and k = 2", partition_eq={"p": "a"},
+            partition_by=("p",),
+        ),
+    )
+    with pytest.raises(CommitConflict, match="rewrites"):
+        t.merge_into(spark, _pkv(spark, [("a", 1, 11)]), ("p", "k"))
+
+
+def test_partition_eq_prune_keeps_other_partitions_byte_identical(
+    spark, tmp_path
+):
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _pkv(spark, [("a", 1, 10), ("b", 3, 30), ("c", 5, 50)]),
+        partition_by=("p",),
+    )
+    before = {
+        e["path"]: e.get("partitions", {}).get("p")
+        for e in t._data_entries(1)
+    }
+    a_paths = {p for p, part in before.items() if part == "a"}
+    rest = set(before) - a_paths
+    v = t.delete_where(
+        spark, "p = 'a'", partition_eq={"p": "a"}, partition_by=("p",)
+    )
+    after = {e["path"] for e in t._data_entries(v)}
+    assert rest <= after  # untouched partitions carry path-identical
+    assert a_paths.isdisjoint(after)
+    assert sorted(r.p for r in t.read(spark).collect()) == ["b", "c"]
+
+
+def test_update_where_partition_eq_rebases_over_disjoint_delete(
+    spark, tmp_path, monkeypatch
+):
+    """Both sides partition-scoped: UPDATE on 'a' races DELETE on 'b' —
+    lands without retry; both effects visible."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _pkv(spark, [("a", 1, 10), ("b", 3, 30), ("b", 4, 40)]),
+        partition_by=("p",),
+    )
+    other = SnapshotTable(base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.delete_where(
+            spark, "p = 'b' and k = 3", partition_eq={"p": "b"},
+            partition_by=("p",),
+        ),
+    )
+    v = t.update_where(
+        spark,
+        "p = 'a'",
+        {"v": "v * 2"},
+        partition_eq={"p": "a"},
+        partition_by=("p",),
+    )
+    assert v == 3
+    rows = sorted(tuple(r) for r in t.read(spark).collect())
+    assert rows == [("a", 1, 20), ("b", 4, 40)]
