@@ -422,6 +422,9 @@ HEADLINE = (
     # round 16: disjoint-partition mutate-vs-mutate race — merge rebases
     # over a concurrent partition_eq-scoped delete (injected CAS loss)
     "snapshot_partition_dml_race",
+    # column mapping: metadata-only rename/drop, fresh-physical re-add,
+    # pruning + DML through the logical->physical translation
+    "snapshot_column_mapping",
     # shallow clone (zero-copy fork) + divergence probes
     "snapshot_shallow_clone",
     # in-place parquet conversion (zero-rewrite onboarding + lifted stats)

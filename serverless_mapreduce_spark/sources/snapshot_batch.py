@@ -118,6 +118,13 @@ class SnapshotBatchReader(DataSourceReader):
         self._base = opts["path"]
         self._version = _resolve_version(SnapshotTable(self._base), opts)
         self._schema = schema
+        # logical -> physical column mapping pinned with the version
+        # (rename/drop without rewrite): pushed probes translate before
+        # touching manifest keys; the Arrow read aliases physical ->
+        # logical. Identity (empty) for unmapped tables.
+        self._colmap = SnapshotTable(self._base).column_mapping(
+            self._version
+        )
         # batch change feed (Delta's table_changes through the reader
         # API): serve every row-level change in (startingVersion,
         # endingVersion] with the CDF metadata columns appended
@@ -201,16 +208,28 @@ class SnapshotBatchReader(DataSourceReader):
         pruning pass per pushed probe (each pass is conservative, so
         composing them can only remove files no probe could keep)."""
         t = self._table()
+        # entry stats/partition keys are PHYSICAL under column mapping:
+        # translate the pushed (logical) probes once, up front. The
+        # translation is idempotent (rename_column refuses logical names
+        # that shadow another column's physical name), so the library's
+        # own translation downstream is a no-op on these.
+        P = lambda c: self._colmap.get(c, c)  # noqa: E731
+        box = {P(c): v for c, v in self._box.items()}
+        eq = {P(c): v for c, v in self._eq.items()}
+        in_ = {P(c): v for c, v in self._in.items()}
+        prefix_ = {P(c): v for c, v in self._prefix.items()}
+        not_null = [P(c) for c in self._not_null]
+        is_null = [P(c) for c in self._is_null]
         where = None
-        for col, (lo, hi) in self._box.items():
+        for col, (lo, hi) in box.items():
             if lo is not None and hi is not None:
                 where = (col, lo, hi)
                 break  # the library box is single-column; others residual
         entries = t._pruned_data_entries(
-            self._version, where, self._eq or None
+            self._version, where, eq or None
         )
         # remaining complete boxes prune entry-level via recorded stats
-        for col, (lo, hi) in self._box.items():
+        for col, (lo, hi) in box.items():
             if where is not None and col == where[0]:
                 continue
             if lo is None or hi is None:
@@ -232,7 +251,7 @@ class SnapshotBatchReader(DataSourceReader):
         # complement of stats (a scattered key defeats min/max; a
         # membership bitmap doesn't care). No false negatives; a false
         # positive costs one wasted scan, never a wrong row.
-        for col, val in self._eq.items():
+        for col, val in eq.items():
             if val is None:
                 continue
             entries = [
@@ -240,7 +259,7 @@ class SnapshotBatchReader(DataSourceReader):
                 for e in entries
                 if not SnapshotTable._bloom_excludes(e, col, [val])
             ]
-        for col, values in self._in.items():
+        for col, values in in_.items():
             keys = [v for v in values if v is not None]
             if keys:
                 entries = [
@@ -251,7 +270,7 @@ class SnapshotBatchReader(DataSourceReader):
         # IN-lists: drop a file only when EVERY listed value is provably
         # absent — per value via the partition/transform mismatch proof,
         # plus the numeric stats range when all values are numeric
-        for col, values in self._in.items():
+        for col, values in in_.items():
             probes = [{col: hive_partition_value(v)} for v in values]
             nums = [
                 v
@@ -281,7 +300,7 @@ class SnapshotBatchReader(DataSourceReader):
         # prefix; string stats [min, max] exclude when the whole range
         # sorts outside [prefix, next(prefix)) — lexicographic compare
         # is exactly the parquet min/max contract for strings
-        for col, prefix in self._prefix.items():
+        for col, prefix in prefix_.items():
             if not prefix:
                 continue
             nxt = prefix[:-1] + chr(ord(prefix[-1]) + 1)
@@ -327,7 +346,7 @@ class SnapshotBatchReader(DataSourceReader):
         # [None, None] stats range = min/max over zero non-null values);
         # IsNull keeps only files that may hold a NULL (an identity
         # partition value proves every row's value)
-        for col in self._not_null:
+        for col in not_null:
             entries = [
                 e
                 for e in entries
@@ -339,7 +358,7 @@ class SnapshotBatchReader(DataSourceReader):
                     )
                 )
             ]
-        for col in self._is_null:
+        for col in is_null:
             kept = []
             for e in entries:
                 parts = e.get("partitions", {})
@@ -409,9 +428,9 @@ class SnapshotBatchReader(DataSourceReader):
                     cols.append(
                         pa.array([cts] * raw.num_rows, type=field.type)
                     )
-                elif field.name in raw.column_names:
+                elif self._colmap.get(field.name, field.name) in raw.column_names:
                     cols.append(
-                        raw.column(field.name)
+                        raw.column(self._colmap.get(field.name, field.name))
                         .combine_chunks()
                         .cast(field.type)
                     )
@@ -423,23 +442,28 @@ class SnapshotBatchReader(DataSourceReader):
         raw = pq.read_table(path)
         cols = []
         for field in target:
-            if field.name in raw.column_names:
+            src = self._colmap.get(field.name, field.name)
+            if src in raw.column_names:
                 cols.append(
-                    raw.column(field.name).combine_chunks().cast(field.type)
+                    raw.column(src).combine_chunks().cast(field.type)
                 )
             else:
                 cols.append(pa.nulls(raw.num_rows, field.type))
         tbl = pa.table(cols, schema=target)
-        for dpath, keys in appl:
-            dk = pq.read_table(dpath, columns=list(keys))
+        # delete-key files record PHYSICAL key names; the joined data
+        # table carries LOGICAL names — translate physical -> logical
+        inv = {p: l for l, p in self._colmap.items()}
+        for dpath, pkeys in appl:
+            keys = [inv.get(k, k) for k in pkeys]
+            dk = pq.read_table(dpath, columns=list(pkeys))
             # align key types to the pinned schema so the hash join
             # compares like with like
             dk = pa.table(
                 [
-                    dk.column(k)
+                    dk.column(pk)
                     .combine_chunks()
-                    .cast(target.field(k).type)
-                    for k in keys
+                    .cast(target.field(lk).type)
+                    for pk, lk in zip(pkeys, keys)
                 ],
                 names=list(keys),
             )
@@ -504,6 +528,22 @@ class _SnapshotWriterBase:
                     f"columns only (got transform {c!r}); hidden "
                     "partitioning goes through the library commit API"
                 )
+        # logical -> physical column mapping at the write target
+        # (rename/drop without rewrite): files and manifest keys are
+        # written under PHYSICAL names; the stats/partition options
+        # arrive logical and translate here. Branch staging inherits the
+        # fork's mapping (fast_forward refuses when main's mapping moved).
+        try:
+            self._colmap = SnapshotTable(self._base).column_mapping()
+        except FileNotFoundError:
+            self._colmap = {}
+        if self._colmap:
+            self._stats = tuple(
+                self._colmap.get(c, c) for c in self._stats
+            )
+            self._partition_by = tuple(
+                self._colmap.get(c, c) for c in self._partition_by
+            )
         import uuid as _uuid
 
         self._dir = os.path.join(self._base, "data", _uuid.uuid4().hex[:12])
@@ -521,6 +561,10 @@ class _SnapshotWriterBase:
             tbl = pa.table(batch) if isinstance(batch, pa.RecordBatch) else batch
             if tbl.num_rows == 0:
                 continue
+            if self._colmap:
+                tbl = tbl.rename_columns(
+                    [self._colmap.get(n, n) for n in tbl.column_names]
+                )
             if self._partition_by:
                 # vectorized split (r14 advice 3): unique keys via an
                 # Arrow group_by (O(unique) Python, never O(rows)),

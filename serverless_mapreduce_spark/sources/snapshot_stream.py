@@ -170,6 +170,15 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     break
                 start = v
             self._start = start
+        # logical -> physical column mapping pinned at start (like the
+        # schema): renamed columns keep streaming from their stable
+        # physical parquet names; a rename mid-stream needs a restart,
+        # same as Delta
+        _t = SnapshotTable(self._base)
+        _head = _t.latest_version()
+        self._colmap = (
+            _t.column_mapping(_head) if _head is not None else {}
+        )
         self._ignore_deletes = (
             str(opts.get("ignoredeletes", "false")).lower() == "true"
         )
@@ -474,9 +483,11 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 cols.append(pa.array([cver] * raw.num_rows, type=field.type))
             elif self._change_feed and field.name == COMMIT_TS_COL:
                 cols.append(pa.array([cts] * raw.num_rows, type=field.type))
-            elif field.name in raw.column_names:
+            elif self._colmap.get(field.name, field.name) in raw.column_names:
                 cols.append(
-                    raw.column(field.name).combine_chunks().cast(field.type)
+                    raw.column(self._colmap.get(field.name, field.name))
+                    .combine_chunks()
+                    .cast(field.type)
                 )
             else:
                 cols.append(pa.nulls(raw.num_rows, field.type))

@@ -530,7 +530,18 @@ class SnapshotTable:
         what keeps planning O(matching metadata) instead of O(total
         files): at 10^6 files across 10^3 partition-aligned segments, a
         ``partition_eq`` probe opens ~1 segment, not 10^3. Entries carry
-        the same ``_seq`` annotation :meth:`_entries` stamps."""
+        the same ``_seq`` annotation :meth:`_entries` stamps. Probes
+        arrive under LOGICAL names; manifest keys are PHYSICAL — the
+        translation happens here, once, for every planning consumer."""
+        cmap = self.column_mapping(version)
+        if cmap:
+            if where is not None:
+                where = (cmap.get(where[0], where[0]), where[1], where[2])
+            if partition_eq:
+                partition_eq = {
+                    self._translate_spec(k, cmap): v
+                    for k, v in partition_eq.items()
+                }
         body = self._manifest_body(version)
         refs = body.get("segments")
         if refs is None:
@@ -888,6 +899,20 @@ class SnapshotTable:
             groups[key].append(e)
         return [self._write_segment(groups[k]) for k in sorted(groups, key=repr)]
 
+    @staticmethod
+    def _translate_spec(spec: str, mapping: dict[str, str]) -> str:
+        """Rewrite a partition-spec / prune key's SOURCE column through a
+        logical→physical mapping, preserving the transform."""
+        kind, param, src = _parse_transform_key(spec)
+        phys = mapping.get(src, src)
+        if phys == src:
+            return spec
+        if kind == "identity":
+            return phys
+        if kind in ("bucket", "truncate"):
+            return f"{kind}({param}, {phys})"
+        return f"{kind}({phys})"
+
     def _write_data(
         self,
         df: DataFrame,
@@ -906,7 +931,27 @@ class SnapshotTable:
         break multi-commit reads, whose files span many base dirs).
         Duplicating keeps the real column in every file — the directories
         exist only to value-cluster the write, and the manifest entry,
-        parsed from them once at commit time, is what pruning reads."""
+        parsed from them once at commit time, is what pruning reads.
+
+        Under column mapping every file and every manifest key (stats,
+        bloom, partition values) is written under PHYSICAL names: the
+        caller's logical columns/specs are translated here, once, so a
+        rename never splits the on-disk naming."""
+        cmap = self.column_mapping(self.latest_version())
+        if cmap:
+            present = {c: p for c, p in cmap.items() if c in df.columns}
+            if present:
+                df = df.select(
+                    *[
+                        F.col(c).alias(present.get(c, c))
+                        for c in df.columns
+                    ]
+                )
+                stats_cols = tuple(present.get(c, c) for c in stats_cols)
+                bloom_cols = tuple(present.get(c, c) for c in bloom_cols)
+                partition_by = tuple(
+                    self._translate_spec(s, present) for s in partition_by
+                )
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, commit_id)
         fields = [self._partition_field(c, df.schema) for c in partition_by]
@@ -1182,6 +1227,43 @@ class SnapshotTable:
             pcons = self._manifest_body(parent).get("constraints")
             if pcons:
                 body["constraints"] = pcons
+        # COLUMN MAPPING (Delta columnMapping / Iceberg field ids, r15
+        # verdict item 5): {logical name: physical parquet column}. Rides
+        # manifests like constraints; "dropped_physical" tombstones the
+        # physical names of dropped columns so a later same-named logical
+        # column can never silently resurface their committed bytes
+        if parent is not None:
+            pbody = self._manifest_body(parent)
+            if "column_mapping" not in body and pbody.get("column_mapping"):
+                body["column_mapping"] = pbody["column_mapping"]
+            if "dropped_physical" not in body and pbody.get(
+                "dropped_physical"
+            ):
+                body["dropped_physical"] = pbody["dropped_physical"]
+            tomb = set(body.get("dropped_physical", ()))
+            cmap = body.get("column_mapping", {})
+            if (tomb or cmap) and schema is not None:
+                pschema = self._schema(parent)
+                pnames = (
+                    {f.name for f in pschema.fields} if pschema else set()
+                )
+                phys = [cmap.get(f.name, f.name) for f in schema.fields]
+                if len(set(phys)) != len(phys):
+                    raise ValueError(
+                        "two columns resolve to the same physical "
+                        "parquet name — a read could not tell them "
+                        "apart; use add_column_mapped for the new column"
+                    )
+                for f in schema.fields:
+                    if f.name in pnames:
+                        continue
+                    if cmap.get(f.name, f.name) in tomb:
+                        raise ValueError(
+                            f"new column {f.name!r} collides with a "
+                            "DROPPED column's physical name; re-add it "
+                            "via add_column_mapped so old files' bytes "
+                            "cannot resurface under the new column"
+                        )
         ledger = self._ledger(parent)
         sid = body.get("stream_id")
         if sid is not None and "stream_batch_id" in body:
@@ -1451,6 +1533,18 @@ class SnapshotTable:
                 head = self.latest_version()
                 if callable(read_regions):
                     read_regions = read_regions()
+                hb = self._manifest_body(head)
+                bb = self._manifest_body(base)
+                if hb.get("column_mapping") != bb.get("column_mapping") or (
+                    hb.get("dropped_physical") != bb.get("dropped_physical")
+                ):
+                    # a concurrent rename/drop changed what this commit's
+                    # already-written files MEAN — Delta raises
+                    # MetadataChangedException here for the same reason
+                    raise CommitConflict(
+                        "a concurrent commit changed the column mapping "
+                        "(rename/drop); re-derive against the new head"
+                    ) from None
                 reason = self._rebase_conflict(
                     base, head, dropped, read_regions
                 )
@@ -1488,23 +1582,29 @@ class SnapshotTable:
         recording a DIFFERENT value provably holds no matched row.
         Returns a zero-arg callable (resolved only on a lost race; the
         distinct-collect is ingest-sized) yielding the region list, or
-        ``None`` when no key column qualifies (whole-table read)."""
+        ``None`` when no key column qualifies (whole-table read).
+        Regions are keyed by the PHYSICAL column name (what entries
+        record under column mapping); values come from the logical
+        key_batch column."""
+        cmap = self.column_mapping(self.latest_version())
         usable = [
-            c
+            (c, cmap.get(c, c))
             for c in keys
             if entries
-            and all(c in e.get("partitions", {}) for e in entries)
+            and all(
+                cmap.get(c, c) in e.get("partitions", {}) for e in entries
+            )
         ]
         if not usable:
             return None
 
         def _resolve() -> list[dict]:
             pin = {
-                c: {
+                phys: {
                     hive_partition_value(r[c])
                     for r in key_batch.select(c).distinct().collect()
                 }
-                for c in usable
+                for c, phys in usable
             }
             return [{"partition_in": pin}]
 
@@ -1571,6 +1671,18 @@ class SnapshotTable:
         if version is None:
             raise ValueError("snapshot table has no committed version")
         entries = self._data_entries(version)
+        # manifest stats/partition keys are PHYSICAL under column
+        # mapping; the condition string stays logical (it runs on the
+        # logically-named read)
+        cmap = self.column_mapping(version)
+        if cmap:
+            if prune is not None:
+                prune = (cmap.get(prune[0], prune[0]), prune[1], prune[2])
+            if partition_eq is not None:
+                partition_eq = {
+                    self._translate_spec(k, cmap): v
+                    for k, v in partition_eq.items()
+                }
         kept: list[dict] = []
         if partition_eq is not None:
             # partition-scoped DML (``DELETE ... WHERE p = 'b' AND ...``):
@@ -1718,6 +1830,15 @@ class SnapshotTable:
                     "UPDATE"
                 )
         entries = self._data_entries(version)
+        cmap = self.column_mapping(version)
+        if cmap:
+            if prune is not None:
+                prune = (cmap.get(prune[0], prune[0]), prune[1], prune[2])
+            if partition_eq is not None:
+                partition_eq = {
+                    self._translate_spec(k, cmap): v
+                    for k, v in partition_eq.items()
+                }
         kept: list[dict] = []
         if partition_eq is not None:
             # partition-scoped UPDATE: see delete_where — bounds the
@@ -1970,6 +2091,15 @@ class SnapshotTable:
         cons = source.constraints(version)
         if cons:
             extra["constraints"] = cons
+        # the clone shares the source's DATA FILES, so it must share the
+        # logical→physical mapping (and the dropped-name tombstones)
+        # that makes those files readable under the cloned schema
+        cmap = source.column_mapping(version)
+        if cmap:
+            extra["column_mapping"] = cmap
+        tomb = source._manifest_body(version).get("dropped_physical")
+        if tomb:
+            extra["dropped_physical"] = tomb
         return self._publish_list(
             [self._write_segment(entries)],
             "append",
@@ -2049,6 +2179,224 @@ class SnapshotTable:
             self._schema(version),
             version,
             extra={"data_change": False, "constraints": cons},
+        )
+
+    # -- column mapping: rename/drop without rewrite (r15 verdict item 5) --
+
+    def column_mapping(self, version: int | None = None) -> dict[str, str]:
+        """The column mapping in force at ``version`` (default head):
+        {logical name: physical parquet column name}. Empty = identity
+        (every pre-mapping table). Physical names are STABLE across
+        renames — that is the whole mechanism: a rename is one metadata
+        commit; every committed byte stays where it is."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return {}
+        return dict(self._manifest_body(version).get("column_mapping", {}))
+
+    def _phys(self, version: int | None, col: str) -> str:
+        """Physical parquet column for logical ``col`` at ``version``."""
+        return self.column_mapping(version).get(col, col)
+
+    def _physical_schema(self, version: int):
+        """``version``'s schema with every field under its PHYSICAL name
+        — the schema parquet readers must pin; ``None`` when none
+        recorded."""
+        schema = self._schema(version)
+        if schema is None:
+            return None
+        cmap = self.column_mapping(version)
+        if not cmap:
+            return schema
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [
+                StructField(
+                    cmap.get(f.name, f.name),
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+
+    def _open_files(
+        self, spark: SparkSession, version: int, paths: list[str]
+    ) -> DataFrame:
+        """Read data/change files under ``version``'s LOGICAL schema:
+        pin the physical schema (parquet columns), then alias physical →
+        logical. The single read choke point that makes renames
+        metadata-only — every caller keeps seeing logical names."""
+        df = self._reader(spark, version).parquet(*paths)
+        schema = self._schema(version)
+        cmap = self.column_mapping(version)
+        if schema is None or not cmap:
+            return df
+        return df.select(
+            *[
+                F.col(cmap.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    def _constraint_mentions(self, col: str, cons: dict[str, str]) -> str | None:
+        """Name of a CHECK constraint whose predicate references ``col``
+        as a word, or None. Conservative token match — renaming or
+        dropping a constrained column would silently change what the
+        constraint validates, so both refuse (Delta does the same)."""
+        import re
+
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])")
+        for name, pred in cons.items():
+            if pat.search(pred):
+                return name
+        return None
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME a column WITHOUT rewriting a byte (Delta
+        ``ALTER TABLE RENAME COLUMN`` under columnMapping): one
+        metadata-only commit whose schema carries the new logical name
+        and whose column mapping pins it to the OLD physical parquet
+        column — readers of any version alias physical → logical at
+        scan (:meth:`_open_files`), new writes translate logical →
+        physical (:meth:`_write_data`), and stats/partition pruning
+        translates predicates the same way. Refuses when the old name
+        is missing, the new name collides, or a CHECK constraint
+        references the column (its predicate text would silently stop
+        validating what it was declared over)."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        schema = self._schema(version)
+        if schema is None:
+            raise ValueError("rename needs a recorded schema")
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column named {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        used = {
+            self._phys(version, n) for n in names
+        } | set(self._manifest_body(version).get("dropped_physical", ()))
+        if new in used and self._phys(version, old) != new:
+            # keeping logical names disjoint from every OTHER physical
+            # name in play makes the logical→physical translation
+            # IDEMPOTENT — planners may translate a probe twice without
+            # chaining through a swapped name. Renaming a column back to
+            # its own physical name is the identity restore and is fine.
+            raise ValueError(
+                f"{new!r} is (or was) a physical parquet column name of "
+                "this table; pick a different logical name"
+            )
+        hit = self._constraint_mentions(old, self.constraints(version))
+        if hit is not None:
+            raise ValueError(
+                f"cannot rename {old!r}: CHECK constraint {hit!r} "
+                "references it; drop the constraint first"
+            )
+        cmap = self.column_mapping(version)
+        cmap[new] = cmap.pop(old, old)
+        if cmap.get(new) == new:
+            del cmap[new]  # rename back to the physical name: identity
+        from pyspark.sql.types import StructField, StructType
+
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        return self._publish_list(
+            self._parent_segments(version),
+            "rename-column",
+            new_schema,
+            version,
+            extra={"data_change": False, "column_mapping": cmap},
+        )
+
+    def drop_column(self, col: str) -> int:
+        """DROP a column WITHOUT rewriting a byte: a metadata-only
+        commit whose schema lacks the field — the physical parquet
+        column stays in every committed file (time travel still serves
+        it at old versions) but no current-version read path projects
+        it. The physical name is TOMBSTONED (``dropped_physical``): a
+        later evolving append re-introducing the same logical name is
+        refused at publish (the old bytes would resurface under the new
+        column); use :meth:`add_column_mapped`, which assigns a fresh
+        physical name, to re-add. Refuses for the last column and for
+        constraint-referenced columns."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        schema = self._schema(version)
+        if schema is None:
+            raise ValueError("drop needs a recorded schema")
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise ValueError(f"no column named {col!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        hit = self._constraint_mentions(col, self.constraints(version))
+        if hit is not None:
+            raise ValueError(
+                f"cannot drop {col!r}: CHECK constraint {hit!r} "
+                "references it; drop the constraint first"
+            )
+        cmap = self.column_mapping(version)
+        phys = cmap.pop(col, col)
+        tomb = sorted(
+            set(self._manifest_body(version).get("dropped_physical", ()))
+            | {phys}
+        )
+        from pyspark.sql.types import StructType
+
+        new_schema = StructType([f for f in schema.fields if f.name != col])
+        return self._publish_list(
+            self._parent_segments(version),
+            "drop-column",
+            new_schema,
+            version,
+            extra={
+                "data_change": False,
+                "column_mapping": cmap,
+                "dropped_physical": tomb,
+            },
+        )
+
+    def add_column_mapped(self, name: str, data_type) -> int:
+        """ADD a column under a FRESH physical name (``name_<uuid8>``)
+        — the re-add path after :meth:`drop_column` (and safe anytime):
+        because no committed file carries the new physical column, every
+        old row reads NULL for it by construction, regardless of what a
+        previously-dropped same-named column held."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        schema = self._schema(version)
+        if schema is None:
+            raise ValueError("add_column_mapped needs a recorded schema")
+        if name in {f.name for f in schema.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        if isinstance(data_type, str):
+            data_type = _parse_datatype_string(data_type)
+        cmap = self.column_mapping(version)
+        cmap[name] = f"{name}_{uuid.uuid4().hex[:8]}"
+        new_schema = StructType(
+            list(schema.fields) + [StructField(name, data_type, True)]
+        )
+        return self._publish_list(
+            self._parent_segments(version),
+            "add-column",
+            new_schema,
+            version,
+            extra={"data_change": False, "column_mapping": cmap},
         )
 
     def _enforce_constraints(
@@ -2343,8 +2691,8 @@ class SnapshotTable:
             else key_batch
         )
         entries = self._data_entries(version)
-        src_files = self._reader(spark, version).parquet(
-            *[e["path"] for e in entries]
+        src_files = self._open_files(
+            spark, version, [e["path"] for e in entries]
         )
         affected_rows = (
             src_files.withColumn("_file", F.input_file_name())
@@ -2621,7 +2969,7 @@ class SnapshotTable:
             else key_df
         )
         entries = self._data_entries(version)
-        src = self._reader(spark, version).parquet(*[e["path"] for e in entries])
+        src = self._open_files(spark, version, [e["path"] for e in entries])
         affected_rows = (
             src.withColumn("_file", F.input_file_name())
             .join(gated, keys, "left_semi")
@@ -2781,8 +3129,9 @@ class SnapshotTable:
         version = self.latest_version()
         if version is None:
             raise ValueError("snapshot table has no committed version")
+        cmap = self.column_mapping(version)
         probe = {
-            col: hive_partition_value(val)
+            self._translate_spec(col, cmap): hive_partition_value(val)
             for col, val in partition_eq.items()
         }
         kept, dropped = [], []
@@ -2806,8 +3155,11 @@ class SnapshotTable:
         # manifest records), so replace_where works on hidden-partitioned
         # tables too.
         in_target = None
-        for key, val in probe.items():
+        # the stray guard evaluates over df's LOGICAL columns — iterate
+        # the caller's spec, not the physical probe keys
+        for key, raw in partition_eq.items():
             expr = self._partition_field(key, df.schema)[2]
+            val = hive_partition_value(raw)
             c = (
                 expr.isNull()
                 if val is None
@@ -2905,9 +3257,14 @@ class SnapshotTable:
             raise ValueError("snapshot table has no committed version")
         keys = list(key_cols)
         written = self._write_data(key_df.select(*keys).distinct(), ())
+        # record keys as the PHYSICAL names the key file was written
+        # under (column mapping): the read-side anti-join translates
+        # physical → whatever the logical names are at read time, so the
+        # delete keeps applying across renames
+        cmap = self.column_mapping(version)
         for e in written:
             e["kind"] = "delete"
-            e["keys"] = keys
+            e["keys"] = [cmap.get(k, k) for k in keys]
         seg = self._write_segment(written)
         # append-shaped commit: the delete file is an explicit key list,
         # not a snapshot-derived rewrite, so a lost CAS race re-derives
@@ -2975,7 +3332,6 @@ class SnapshotTable:
         :data:`MOR_BROADCAST_ROW_LIMIT`; above it the anti-join shuffles
         (a mega-purge list must never become driver/executor-resident
         state)."""
-        reader = self._reader(spark, version)
         if not data_entries:
             # pruning can legitimately eliminate every candidate file;
             # callers composing further joins need a schema-true empty
@@ -2993,7 +3349,9 @@ class SnapshotTable:
         # ``version``'s manifest (still on disk until retention)
         dels = self._delete_entries(version) if deletes is None else deletes
         if not dels:
-            return reader.parquet(*[e["path"] for e in data_entries])
+            return self._open_files(
+                spark, version, [e["path"] for e in data_entries]
+            )
         from collections import defaultdict
 
         groups: dict[tuple, list[str]] = defaultdict(list)
@@ -3013,14 +3371,28 @@ class SnapshotTable:
         seq_rows: dict[int, int] = defaultdict(int)
         for d in dels:
             seq_rows[d["_seq"]] += self._entry_rows(d)
+        # delete-key files hold PHYSICAL column names (written through
+        # _write_data); the recorded key list is physical too for
+        # mapping-era commits — translate both sides to the version's
+        # LOGICAL names so the anti-join survives any rename between the
+        # delete and this read
+        inv = {p: l for l, p in self.column_mapping(version).items()}
         parts = []
         for appl, files in groups.items():
-            df = reader.parquet(*files)
+            df = self._open_files(spark, version, files)
             for dp in appl:
                 kdf = spark.read.parquet(dp)
+                keys = [inv.get(k, k) for k in dmap[dp]["keys"]]
+                if inv:
+                    kdf = kdf.select(
+                        *[
+                            F.col(k).alias(inv.get(k, k))
+                            for k in kdf.columns
+                        ]
+                    )
                 if seq_rows[dmap[dp]["_seq"]] <= self.MOR_BROADCAST_ROW_LIMIT:
                     kdf = F.broadcast(kdf)
-                df = df.join(kdf, list(dmap[dp]["keys"]), "left_anti")
+                df = df.join(kdf, keys, "left_anti")
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -3134,7 +3506,7 @@ class SnapshotTable:
                         "SparkSession to validate the new files"
                     )
                 self._enforce_constraints(
-                    self._reader(sess, head).parquet(*data_paths), head
+                    self._open_files(sess, head, data_paths), head
                 )
         new_segs = self._write_batch_segments(list(entries), partition_by)
         ex = {
@@ -3276,6 +3648,15 @@ class SnapshotTable:
                         f"cannot rebase fast-forward of branch {name!r} "
                         f"over main's movement: {reason}"
                     )
+                if self.column_mapping(head) != (
+                    self.column_mapping(fork) if fork else {}
+                ):
+                    raise CommitConflict(
+                        f"main renamed/dropped columns since branch "
+                        f"{name!r} forked; the branch's files were "
+                        "written under the old mapping — rebase the "
+                        "branch instead"
+                    )
                 fork_refs = set(
                     (self._segment_refs(fork) or []) if fork else []
                 )
@@ -3333,7 +3714,7 @@ class SnapshotTable:
                                 "validate the branch's files"
                             )
                         self._enforce_constraints(
-                            self._reader(sess, tip).parquet(*delta_paths),
+                            self._open_files(sess, tip, delta_paths),
                             head,
                             cons=fresh,
                         )
@@ -3690,7 +4071,7 @@ class SnapshotTable:
                         "to validate the new files"
                     )
                 self._enforce_constraints(
-                    self._reader(sess, head).parquet(*data_paths), head
+                    self._open_files(sess, head, data_paths), head
                 )
         extra = (
             {"stream_id": stream_id, "stream_batch_id": batch_id}
@@ -3940,6 +4321,7 @@ class SnapshotTable:
                 "plan would resurrect deleted rows — use read(), or pass "
                 "ignore_deletes=True and apply _delete_entries yourself"
             )
+        col = self._phys(version, col)  # manifest keys are physical
         entries = self._keyed_data_entries(version, col, keys)
         kept = []
         probe_cache: dict[tuple[int, int], list[list[int]]] = {}
@@ -4411,11 +4793,12 @@ class SnapshotTable:
         uses; the scan reads exactly the change volume, never the
         table."""
         groups = self.plan_changes(from_version, to_version)
-        reader = self._reader(spark, to_version)
         parts = []
         for paths, ctype, v, ts in groups:
             parts.append(
-                reader.parquet(*paths)
+                # logical names pinned to to_version: a CDF window
+                # spanning a rename serves the POST-rename schema
+                self._open_files(spark, to_version, list(paths))
                 .withColumn("_change_type", F.lit(ctype))
                 .withColumn(
                     "_commit_version", F.lit(v).cast("bigint")
@@ -4803,8 +5186,10 @@ class SnapshotTable:
         was recorded (Iceberg-style: schema lives in METADATA, so readers
         never pay a footer-merging scan — ``mergeSchema`` at 100 TB opens
         every footer — and files written before an add-column surface the
-        new column as NULL)."""
-        schema = self._schema(version)
+        new column as NULL). Under column mapping the pin is the
+        PHYSICAL schema (parquet column names); use :meth:`_open_files`
+        to get logical names back."""
+        schema = self._physical_schema(version)
         return spark.read.schema(schema) if schema is not None else spark.read
 
     def read(
@@ -5861,6 +6246,104 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_column_mapping",
+    priority=150,
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS amount_cents
+      FROM orders
+    ),
+    readded AS (
+      SELECT o_orderkey, o_custkey, amount_cents,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM base
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, amount_cents, 'READDED'
+      FROM base WHERE o_custkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+    )
+    SELECT COALESCE(o_orderpriority, 'NULLED') AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(amount_cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN o_custkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+                         THEN amount_cents END) AS BIGINT) AS box_cents
+    FROM readded GROUP BY COALESCE(o_orderpriority, 'NULLED')
+    """,
+)
+def snapshot_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPING SCHEMA EVOLUTION (Delta columnMapping / Iceberg
+    field ids — r15 verdict item 5): RENAME and DROP are metadata-only
+    commits; zero committed bytes move. Construction: commit orders
+    (o_orderkey, o_custkey, o_orderpriority, cents) range-clustered
+    with stats; ``rename_column("cents", "amount_cents")`` (the audit
+    asserts v2 references the IDENTICAL file paths as v1 — a rename
+    that rewrote anything raises here); ``drop_column`` +
+    ``add_column_mapped`` of o_orderpriority (fresh physical name, so
+    the dropped column's committed bytes can NEVER resurface under the
+    re-added one — every pre-drop row must read NULL); append a
+    ``'READDED'``-tagged batch for the {PRUNE_LO}..{PRUNE_HI} custkey
+    box under the POST-rename schema. The aggregate then exercises the
+    whole translation surface at once: filtering and summing
+    ``amount_cents`` over files whose physical parquet column is still
+    ``cents``, stats pruning on o_custkey straddling renamed files, and
+    the NULL-vs-READDED split proving drop/re-add isolation. At 100 TB
+    this is the difference between an O(1) rename and an O(corpus)
+    rewrite."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_colmap")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        _cents("o_totalprice").alias("cents"),
+    )
+    v1 = t.commit(
+        orders.repartitionByRange(8, "o_custkey"), stats_cols=("o_custkey",)
+    )
+    files_before = sorted(t._files(v1))
+    v2 = t.rename_column("cents", "amount_cents")
+    if sorted(t._files(v2)) != files_before:
+        raise AssertionError(
+            "rename_column must be metadata-only: the file set moved"
+        )
+    t.drop_column("o_orderpriority")
+    t.add_column_mapped("o_orderpriority", "string")
+    readd = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").between(PRUNE_LO, PRUNE_HI))
+        .select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_custkey",
+            _cents("o_totalprice").alias("amount_cents"),
+            F.lit("READDED").alias("o_orderpriority"),
+        )
+    )
+    t.commit(readd, stats_cols=("o_custkey",))
+    df = t.read(spark)
+    return (
+        df.groupBy(
+            F.coalesce("o_orderpriority", F.lit("NULLED")).alias("band")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("amount_cents").cast("bigint").alias("sum_cents"),
+            F.sum(
+                F.when(
+                    F.col("o_custkey").between(PRUNE_LO, PRUNE_HI),
+                    F.col("amount_cents"),
+                )
+            )
+            .cast("bigint")
+            .alias("box_cents"),
+        )
+    )
+
+
 # --- copy-on-write row-level delete ------------------------------------------
 
 DEL_LO = 300  #: the purged o_custkey box (a GDPR-style erasure set)
@@ -6404,8 +6887,7 @@ def snapshot_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit(docs.repartition(16, "doc_id"), bloom_cols=("doc_id",))
     files, _total = t.plan_files_keys("doc_id", list(LOOKUP_KEYS))
     return (
-        t._reader(spark, t.latest_version())
-        .parquet(*files)
+        t._open_files(spark, t.latest_version(), files)
         .filter(F.col("doc_id").isin(*LOOKUP_KEYS))
         .select("doc_id", "source", F.md5("text").alias("content_md5"))
     )

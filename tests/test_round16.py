@@ -412,3 +412,172 @@ def test_update_where_partition_eq_rebases_over_disjoint_delete(
     assert v == 3
     rows = sorted(tuple(r) for r in t.read(spark).collect())
     assert rows == [("a", 1, 20), ("b", 4, 40)]
+
+
+# --- r15 verdict item 5: column mapping (rename/drop without rewrite) ---------
+
+
+def _kvs(spark, rows):
+    return spark.createDataFrame(
+        list(rows), "k bigint, v bigint, s string"
+    )
+
+
+def test_rename_is_metadata_only_and_translates_everywhere(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        _kvs(spark, [(1, 10, "x"), (2, 20, "y"), (100, 1, "z")])
+        .repartitionByRange(2, "k"),
+        stats_cols=("k", "v"),
+    )
+    files = sorted(t._files(1))
+    v = t.rename_column("v", "amount")
+    assert sorted(t._files(v)) == files  # zero bytes moved
+    # reads serve the new logical name; time travel serves the old one
+    assert t.read(spark).columns == ["k", "amount", "s"]
+    assert t.read(spark, 1).columns == ["k", "v", "s"]
+    # stats pruning translates: the box on the RENAMED column still
+    # prunes via the physical stats recorded at v1
+    planned, total = t.plan_files(where=("amount", 15, 25))
+    assert total >= 2 and len(planned) < total
+    # DML on the renamed column: prune + condition + SET
+    t.update_where(
+        spark,
+        "amount <= 10",
+        {"amount": "amount + 1"},
+        prune=("amount", 0, 10),
+        stats_cols=("k",),
+        change_feed=True,
+    )
+    rows = sorted((r.k, r.amount) for r in t.read(spark).collect())
+    assert rows == [(1, 11), (2, 20), (100, 2)]
+    # CDF window spanning the rename serves the POST-rename schema
+    chg = t.read_changes(spark, 0, t.latest_version())
+    assert "amount" in chg.columns and "v" not in chg.columns
+
+
+def test_drop_then_readd_isolation(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kvs(spark, [(1, 10, "secret"), (2, 20, "hidden")]))
+    t.drop_column("s")
+    assert t.read(spark).columns == ["k", "v"]
+    # plain evolving re-add refuses (old bytes would resurface)
+    with pytest.raises(ValueError, match="add_column_mapped"):
+        t.commit(_kvs(spark, [(3, 30, "w")]))
+    t.add_column_mapped("s", "string")
+    t.commit(_kvs(spark, [(3, 30, "fresh")]))
+    rows = sorted(
+        (r.k, r.s) for r in t.read(spark).collect()
+    )
+    # pre-drop rows read NULL — never 'secret'/'hidden'
+    assert rows == [(1, None), (2, None), (3, "fresh")]
+    # time travel before the drop still serves the old values
+    old = sorted((r.k, r.s) for r in t.read(spark, 1).collect())
+    assert old == [(1, "secret"), (2, "hidden")]
+
+
+def test_rename_guards(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kvs(spark, [(1, 10, "x")]))
+    t.add_check_constraint(spark, "v_pos", "v >= 0")
+    with pytest.raises(ValueError, match="v_pos"):
+        t.rename_column("v", "amount")
+    with pytest.raises(ValueError, match="v_pos"):
+        t.drop_column("v")
+    t.drop_check_constraint("v_pos")
+    t.rename_column("v", "amount")
+    # renaming another column INTO a physical name in play refuses
+    with pytest.raises(ValueError, match="physical"):
+        t.rename_column("s", "v")
+    # renaming back to the own physical name is the identity restore
+    t.rename_column("amount", "v")
+    assert t.column_mapping() == {}
+
+
+def test_rmw_conflicts_on_concurrent_rename(spark, tmp_path, monkeypatch):
+    """A rename landing between an RMW's derive and publish changes what
+    the written files MEAN — must surface as CommitConflict, never a
+    silent rebase (Delta's MetadataChangedException)."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _kvs(spark, [(1, 10, "x"), (100, 1, "y")]).repartitionByRange(
+            2, "k"
+        ),
+        stats_cols=("k",),
+    )
+    other = SnapshotTable(base)
+    _inject_once(monkeypatch, lambda: other.rename_column("v", "amount"))
+    with pytest.raises(CommitConflict, match="column mapping"):
+        t.delete_where(spark, "k <= 1", prune=("k", 0, 1), stats_cols=("k",))
+
+
+def test_batch_ds_reads_and_pushdown_across_rename(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshot_batch import register
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _kvs(spark, [(1, 10, "x"), (2, 20, "y"), (100, 1, "z")])
+        .repartitionByRange(2, "k"),
+        stats_cols=("k", "v"),
+    )
+    t.rename_column("v", "amount")
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("snapshot")
+        .option("path", base)
+        .load()
+        .filter("amount >= 15")
+    )
+    assert sorted((r.k, r.amount) for r in df.collect()) == [(2, 20)]
+    # the DS writer to a mapped table writes the stable PHYSICAL name
+    (
+        spark.createDataFrame([(7, 70, "w")], "k bigint, amount bigint, s string")
+        .write.format("snapshot")
+        .option("path", base)
+        .option("statsCols", "amount")
+        .mode("append")
+        .save()
+    )
+    rows = sorted((r.k, r.amount) for r in t.read(spark).collect())
+    assert rows == [(1, 10), (2, 20), (7, 70), (100, 1)]
+    # physical invariant: the new file's parquet column is 'v', not
+    # 'amount', and its stats ride under the physical key
+    new = [
+        e
+        for e in t._data_entries(t.latest_version())
+        if e.get("stats", {}).get("v") == [70, 70]
+    ]
+    assert len(new) == 1
+    import pyarrow.parquet as pq
+
+    assert "v" in pq.read_schema(new[0]["path"]).names
+
+
+def test_stream_reads_renamed_table(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshot_stream import (
+        SnapshotStreamReader,
+    )
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(_kvs(spark, [(1, 10, "x")]))
+    t.rename_column("v", "amount")
+    t.commit(
+        spark.createDataFrame(
+            [(2, 20, "y")], "k bigint, amount bigint, s string"
+        )
+    )
+    reader = SnapshotStreamReader({"path": base}, t._schema(t.latest_version()))
+    parts = reader.partitions({"version": 0}, {"version": 3})
+    vals = sorted(
+        (b.column(0)[i].as_py(), b.column(1)[i].as_py())
+        for p in parts
+        for b in reader.read(p)
+        for i in range(b.num_rows)
+    )
+    # both the pre-rename file (physical 'v') and the post-rename file
+    # serve the logical 'amount' column with real values, never NULLs
+    assert vals == [(1, 10), (2, 20)]
