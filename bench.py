@@ -425,6 +425,9 @@ HEADLINE = (
     # column mapping: metadata-only rename/drop, fresh-physical re-add,
     # pruning + DML through the logical->physical translation
     "snapshot_column_mapping",
+    # SQL-text DML: a multi-clause MERGE statement parsed + dispatched
+    # to the library verbs (clause-order parity pinned in pytest)
+    "snapshot_sql_merge",
     # shallow clone (zero-copy fork) + divergence probes
     "snapshot_shallow_clone",
     # in-place parquet conversion (zero-rewrite onboarding + lifted stats)

@@ -160,6 +160,7 @@ def _ensure_loaded() -> None:
         layout,
         pyds_kv,
         snapshot_batch,
+        snapshot_sql,
         snapshot_stream,
         snapshots,
         source_queries,

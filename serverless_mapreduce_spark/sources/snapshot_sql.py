@@ -1,0 +1,496 @@
+"""SQL-TEXT DML over snapshot tables (r15 verdict item 6): parse the
+four Delta DML statement shapes and dispatch to the library verbs —
+
+- ``MERGE INTO t USING s ON ... WHEN [NOT] MATCHED [BY SOURCE] ...``
+  → :meth:`SnapshotTable.merge_into` (ordered matched clauses,
+  first-match-wins; ``UPDATE SET *`` / ``DELETE`` / ``INSERT *`` /
+  NOT-MATCHED-BY-SOURCE ``DELETE`` / ``UPDATE SET col = expr``)
+- ``UPDATE t SET col = expr[, ...] [WHERE cond]``
+  → :meth:`SnapshotTable.update_where`
+- ``DELETE FROM t [WHERE cond]`` → :meth:`SnapshotTable.delete_where`
+- ``INSERT OVERWRITE t PARTITION (col = v[, ...]) SELECT ...``
+  → :meth:`SnapshotTable.replace_where` (the atomic partition
+  backfill); ``INSERT INTO t SELECT ...`` → :meth:`SnapshotTable.commit`
+
+The reference's users wrote their workloads as SQL files
+(``hive/Query1-3.q``, consumed by ``serverless_mr`` job configs); the
+library verbs cover Delta's semantics but only as Python calls — this
+front end closes that last-mile gap. The parser is deliberately a
+STATEMENT parser, not an expression parser: conditions, SET
+expressions, and the USING subquery pass through verbatim to Spark SQL
+(Catalyst owns expression semantics); only the statement skeleton and
+the clause ordering are interpreted here, so every dispatched call is
+exactly the library call a Python caller would have written — pinned
+by tests/test_round16.py clause-order parity.
+
+Restrictions (each raises with the library alternative named):
+``MERGE`` ``ON`` must be a conjunction of ``t.col = s.col`` equalities
+(the library merge is key-based); matched ``UPDATE SET`` supports only
+``*`` (the library's matched update is a full-row replace); matched
+conditions may reference TARGET columns only (the library contract).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
+
+__all__ = ["sql_dml"]
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth zero."""
+    out, depth, cur, i, q = [], 0, [], 0, None
+    while i < len(s):
+        ch = s[i]
+        if q is not None:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"`":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    last = "".join(cur).strip()
+    if last:
+        out.append(last)
+    return out
+
+
+def _strip_alias(expr: str, alias: str | None) -> str:
+    if not alias:
+        return expr
+    return re.sub(
+        rf"(?<![A-Za-z0-9_`]){re.escape(alias)}\.", "", expr
+    ).strip()
+
+
+def _refuses_alias(expr: str, alias: str | None, what: str) -> None:
+    if alias and re.search(rf"(?<![A-Za-z0-9_`]){re.escape(alias)}\.", expr):
+        raise ValueError(
+            f"{what} may reference target columns only (the library "
+            f"merge contract); found a {alias!r}-qualified reference in "
+            f"{expr!r}"
+        )
+
+
+def _parse_assignments(text: str, alias: str | None) -> dict[str, str]:
+    sets: dict[str, str] = {}
+    for part in _split_top(text):
+        m = re.fullmatch(
+            r"(?:[A-Za-z_][\w]*\.)?([A-Za-z_][\w]*)\s*=\s*(.+)",
+            part.strip(),
+            re.DOTALL,
+        )
+        if m is None:
+            raise ValueError(f"cannot parse SET assignment {part!r}")
+        sets[m.group(1)] = _strip_alias(m.group(2).strip(), alias)
+    return sets
+
+
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)"
+    r"(?:\s+AS)?(?:\s+(?P<talias>(?!USING\b)\w+))?"
+    r"\s+USING\s+",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_MERGE_TAIL_RE = re.compile(
+    r"^(?:\s*AS)?(?:\s+(?P<salias>(?!ON\b)\w+))?"
+    r"\s+ON\s+(?P<on>.*?)"
+    r"(?P<clauses>\s+WHEN\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _take_source(rest: str) -> tuple[str, str]:
+    """Split off the USING source: a balanced-paren subquery or a bare
+    name. Returns (source_text, remainder)."""
+    rest = rest.lstrip()
+    if rest.startswith("("):
+        depth, q, i = 0, None, 0
+        while i < len(rest):
+            ch = rest[i]
+            if q is not None:
+                if ch == q:
+                    q = None
+            elif ch in "'\"`":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return rest[: i + 1], rest[i + 1 :]
+            i += 1
+        raise ValueError("unbalanced parentheses in MERGE USING source")
+    m = re.match(r"[\w.]+", rest)
+    if m is None:
+        raise ValueError("cannot parse MERGE USING source")
+    return m.group(0), rest[m.end() :]
+
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?P<bysource>\s+BY\s+SOURCE)?(?:\s+BY\s+TARGET)?"
+    r"(?:\s+AND\s+(?P<cond>.*?))?"
+    r"\s+THEN\s+(?P<action>.*)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_merge(
+    spark: SparkSession, stmt: str, tables: dict[str, SnapshotTable]
+):
+    hm = _MERGE_HEAD_RE.match(stmt)
+    if hm is None:
+        raise ValueError("cannot parse MERGE statement")
+    tname = hm.group("target")
+    if tname not in tables:
+        raise ValueError(f"unknown snapshot table {tname!r}")
+    t = tables[tname]
+    talias = hm.group("talias")
+    src_txt, rest = _take_source(stmt[hm.end() :])
+    m = _MERGE_TAIL_RE.match(rest)
+    if m is None:
+        raise ValueError("cannot parse MERGE statement after USING")
+    salias = m.group("salias")
+    if src_txt.startswith("("):
+        source = spark.sql(src_txt[1:-1])
+    else:
+        source = spark.table(src_txt)
+
+    # ON: a conjunction of t.col = s.col equalities → the key tuple
+    keys: list[str] = []
+    renames: dict[str, str] = {}  # source col -> target col
+    for eq in re.split(r"\s+AND\s+", m.group("on"), flags=re.IGNORECASE):
+        em = re.fullmatch(
+            r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", eq, re.DOTALL
+        )
+        if em is None:
+            raise ValueError(
+                f"MERGE ON must be a conjunction of alias.col = "
+                f"alias.col equalities (key-based merge); got {eq!r}"
+            )
+        a1, c1, a2, c2 = em.groups()
+        if a1 == talias and a2 == salias:
+            tcol, scol = c1, c2
+        elif a1 == salias and a2 == talias:
+            tcol, scol = c2, c1
+        else:
+            raise ValueError(
+                f"ON equality {eq!r} must pair the target alias "
+                f"{talias!r} with the source alias {salias!r}"
+            )
+        keys.append(tcol)
+        if scol != tcol:
+            renames[scol] = tcol
+    if renames:
+        source = source.withColumnsRenamed(renames)
+
+    matched: list[tuple[str | None, str]] = []
+    insert_unmatched = False
+    insert_condition: str | None = None
+    nmbs: str | None = None
+    nmbs_condition: str | None = None
+    nmbs_set: dict[str, str] | None = None
+    # WHEN clauses split at top level, parsed IN ORDER (first-match-wins
+    # rides through to merge_into's ordered clause list verbatim)
+    chunks = re.split(
+        r"(?i)\s+WHEN\s+(?=(?:NOT\s+)?MATCHED)", m.group("clauses").strip()
+    )
+    for chunk in chunks:
+        chunk = re.sub(r"(?i)^\s*WHEN\s+", "", chunk).strip()
+        if not chunk:
+            continue
+        wm = _WHEN_RE.match("WHEN " + chunk) or _WHEN_RE.match(chunk)
+        if wm is None:
+            raise ValueError(f"cannot parse WHEN clause {chunk!r}")
+        cond = wm.group("cond")
+        action = wm.group("action").strip().rstrip(";").strip()
+        is_not = wm.group("not") is not None
+        by_source = wm.group("bysource") is not None
+        if not is_not:  # WHEN MATCHED
+            _refuses_alias(cond or "", salias, "a WHEN MATCHED condition")
+            c = _strip_alias(cond, talias) if cond else None
+            if re.fullmatch(r"(?i)DELETE", action):
+                matched.append((c, "delete"))
+            elif re.fullmatch(r"(?i)UPDATE\s+SET\s+\*", action):
+                matched.append((c, "update"))
+            else:
+                raise ValueError(
+                    "WHEN MATCHED supports THEN DELETE or THEN UPDATE "
+                    "SET * (the library's matched update is a full-row "
+                    f"replace); got {action!r}"
+                )
+        elif not by_source:  # WHEN NOT MATCHED [BY TARGET]
+            _refuses_alias(
+                cond or "", talias, "a WHEN NOT MATCHED condition"
+            )
+            if not re.fullmatch(r"(?i)INSERT\s+\*", action):
+                raise ValueError(
+                    f"WHEN NOT MATCHED supports THEN INSERT *; got "
+                    f"{action!r}"
+                )
+            insert_unmatched = True
+            insert_condition = _strip_alias(cond, salias) if cond else None
+        else:  # WHEN NOT MATCHED BY SOURCE
+            _refuses_alias(
+                cond or "", salias, "a NOT MATCHED BY SOURCE condition"
+            )
+            nmbs_condition = _strip_alias(cond, talias) if cond else None
+            if re.fullmatch(r"(?i)DELETE", action):
+                nmbs = "delete"
+            else:
+                um = re.fullmatch(
+                    r"(?i)UPDATE\s+SET\s+(.*)", action, re.DOTALL
+                )
+                if um is None:
+                    raise ValueError(
+                        f"NOT MATCHED BY SOURCE supports DELETE or "
+                        f"UPDATE SET col = expr; got {action!r}"
+                    )
+                nmbs = "update"
+                nmbs_set = _parse_assignments(um.group(1), talias)
+    if not matched and not insert_unmatched and nmbs is None:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    if matched:
+        kw = {"when_matched": matched}
+    else:
+        # no matched clause: matched rows are kept unchanged (Delta) —
+        # an always-false matched condition expresses exactly that
+        kw = {"when_matched": "update", "matched_condition": "false"}
+    return t.merge_into(
+        spark,
+        source,
+        tuple(keys),
+        insert_unmatched=insert_unmatched,
+        insert_condition=insert_condition,
+        not_matched_by_source=nmbs,
+        nmbs_condition=nmbs_condition,
+        nmbs_set=nmbs_set,
+        **kw,
+    )
+
+
+def sql_dml(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, SnapshotTable],
+    **kwargs,
+) -> int | None:
+    """Execute one DML statement against the registered snapshot
+    ``tables`` ({name: SnapshotTable}); returns the published version.
+    ``kwargs`` pass physical hints through to the verbs (``prune=``,
+    ``partition_eq=``, ``stats_cols=``, ``change_feed=`` — the SQL text
+    carries semantics; scale hints stay explicit, same as the library
+    calls)."""
+    stmt = statement.strip().rstrip(";").strip()
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+    if head == "MERGE":
+        if kwargs:
+            raise ValueError("MERGE takes no hint kwargs")
+        return _parse_merge(spark, stmt, tables)
+    if head == "UPDATE":
+        m = re.match(
+            r"(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+            stmt,
+        )
+        if m is None:
+            raise ValueError("cannot parse UPDATE statement")
+        name, sets_txt, cond = m.group(1), m.group(2), m.group(3)
+        if name not in tables:
+            raise ValueError(f"unknown snapshot table {name!r}")
+        return tables[name].update_where(
+            spark,
+            cond.strip() if cond else "true",
+            _parse_assignments(sets_txt, None),
+            **kwargs,
+        )
+    if head == "DELETE":
+        m = re.match(
+            r"(?is)^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?$", stmt
+        )
+        if m is None:
+            raise ValueError("cannot parse DELETE statement")
+        name, cond = m.group(1), m.group(2)
+        if name not in tables:
+            raise ValueError(f"unknown snapshot table {name!r}")
+        return tables[name].delete_where(
+            spark, cond.strip() if cond else "true", **kwargs
+        )
+    if head == "INSERT":
+        m = re.match(
+            r"(?is)^INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)"
+            r"(?:\s+PARTITION\s*\((.*?)\))?\s+(SELECT\b.*|VALUES\b.*)$",
+            stmt,
+        )
+        if m is None:
+            raise ValueError("cannot parse INSERT statement")
+        verb, name, part_txt, select = (
+            m.group(1).upper(),
+            m.group(2),
+            m.group(3),
+            m.group(4),
+        )
+        if name not in tables:
+            raise ValueError(f"unknown snapshot table {name!r}")
+        df: DataFrame = spark.sql(select)
+        if verb == "INTO":
+            if part_txt:
+                raise ValueError(
+                    "INSERT INTO ... PARTITION is not a DML shape here; "
+                    "plain INSERT INTO appends (partition values belong "
+                    "in the rows)"
+                )
+            return tables[name].commit(df, **kwargs)
+        if not part_txt:
+            raise ValueError(
+                "INSERT OVERWRITE without PARTITION replaces the whole "
+                "table — use commit(mode='overwrite') explicitly"
+            )
+        partition_eq: dict[str, object] = {}
+        for part in _split_top(part_txt):
+            pm = re.fullmatch(
+                r"\s*(\w+)\s*=\s*(.+?)\s*", part, re.DOTALL
+            )
+            if pm is None:
+                raise ValueError(
+                    f"cannot parse PARTITION equality {part!r}"
+                )
+            raw = pm.group(2).strip()
+            if (raw.startswith("'") and raw.endswith("'")) or (
+                raw.startswith('"') and raw.endswith('"')
+            ):
+                val: object = raw[1:-1]
+            elif raw.upper() == "NULL":
+                val = None
+            else:
+                try:
+                    val = int(raw)
+                except ValueError:
+                    val = float(raw)
+            partition_eq[pm.group(1)] = val
+        return tables[name].replace_where(
+            spark, partition_eq, df, **kwargs
+        )
+    raise ValueError(
+        f"unsupported DML statement (MERGE/UPDATE/DELETE/INSERT): "
+        f"{stmt[:50]!r}"
+    )
+
+
+# --- registered query ----------------------------------------------------------
+
+
+def _register_query() -> None:
+    from pyspark.sql import functions as F
+
+    from serverless_mapreduce_spark.catalog import table
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+    from serverless_mapreduce_spark.registry import query
+    from serverless_mapreduce_spark.sources.snapshots import (
+        DEL_HI,
+        DEL_LO,
+        _cents,
+    )
+
+    @query(
+        "snapshot_sql_merge",
+        priority=150,
+        oracle=f"""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders
+        ),
+        boxed AS (
+          SELECT * FROM base
+          WHERE o_custkey BETWEEN {DEL_LO} AND {DEL_HI}
+        ),
+        final AS (
+          SELECT o_orderkey, o_custkey,
+                 CASE WHEN o_custkey BETWEEN {DEL_LO} AND {DEL_HI}
+                      THEN cents + 7 ELSE cents END AS cents
+          FROM base
+          WHERE NOT (o_custkey BETWEEN {DEL_LO} AND {DEL_HI}
+                     AND cents % 3 = 0)
+          UNION ALL
+          SELECT o_orderkey + 10000000, o_custkey, cents + 7 FROM boxed
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(CASE WHEN o_orderkey > 10000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inserted
+        FROM final
+        """,
+    )
+    def snapshot_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SQL-TEXT MULTI-CLAUSE MERGE (r15 verdict item 6): the exact
+        statement a Delta user would write — ordered WHEN MATCHED
+        clauses (DELETE before UPDATE SET *, first-match-wins) plus
+        WHEN NOT MATCHED INSERT * — parsed by :func:`sql_dml` and
+        dispatched to :meth:`SnapshotTable.merge_into`, against a
+        snapshot table built from orders. The reference's users wrote
+        their workloads as SQL files (``hive/Query1.q`` ff.); this
+        closes that surface over the DML verbs.
+        tests/test_round16.py pins statement-vs-library clause-order
+        parity on the same inputs."""
+        import shutil
+
+        from serverless_mapreduce_spark.sources.snapshots import (
+            SnapshotTable,
+        )
+
+        base = scratch(sf_tag(sf_dir), "snapshot_sql_merge")
+        shutil.rmtree(base, ignore_errors=True)
+        t = SnapshotTable(base)
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", _cents("o_totalprice").alias("cents")
+        )
+        t.commit(orders.repartitionByRange(8, "o_custkey"))
+        boxed = orders.filter(
+            F.col("o_custkey").between(DEL_LO, DEL_HI)
+        ).withColumn("cents", F.col("cents") + 7)
+        boxed.unionByName(
+            boxed.withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        ).createOrReplaceTempView("sql_merge_src")
+        sql_dml(
+            spark,
+            """
+            MERGE INTO tbl t USING sql_merge_src s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND t.cents % 3 = 0 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+            {"tbl": t},
+        )
+        return t.read(spark).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.sum(
+                F.when(F.col("o_orderkey") > 10_000_000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_inserted"),
+        )
+
+
+_register_query()

@@ -581,3 +581,105 @@ def test_stream_reads_renamed_table(spark, tmp_path):
     # both the pre-rename file (physical 'v') and the post-rename file
     # serve the logical 'amount' column with real values, never NULLs
     assert vals == [(1, 10), (2, 20)]
+
+
+# --- r15 verdict item 6: SQL-text DML front end --------------------------------
+
+
+def test_sql_merge_clause_order_parity_with_library(spark, tmp_path):
+    """The SQL statement and the equivalent library call must publish
+    byte-identical table states — clause order included (DELETE before
+    UPDATE, first-match-wins)."""
+    from serverless_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    rows = [(1, 10), (2, 20), (3, 30), (6, 60), (9, 90)]
+    src_rows = [(2, 200), (3, 300), (6, 600), (9, 900), (50, 500)]
+
+    lib = SnapshotTable(str(tmp_path / "lib"))
+    lib.commit(_kv(spark, rows).coalesce(1))
+    lib.merge_into(
+        spark,
+        _kv(spark, src_rows),
+        ("k",),
+        when_matched=[("k % 3 = 0", "delete"), ("k % 2 = 0", "update")],
+        insert_unmatched=True,
+    )
+
+    via_sql = SnapshotTable(str(tmp_path / "sql"))
+    via_sql.commit(_kv(spark, rows).coalesce(1))
+    _kv(spark, src_rows).createOrReplaceTempView("parity_src")
+    sql_dml(
+        spark,
+        """MERGE INTO tbl t USING parity_src s ON t.k = s.k
+           WHEN MATCHED AND t.k % 3 = 0 THEN DELETE
+           WHEN MATCHED AND t.k % 2 = 0 THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        {"tbl": via_sql},
+    )
+    a = sorted(tuple(r) for r in lib.read(spark).collect())
+    b = sorted(tuple(r) for r in via_sql.read(spark).collect())
+    assert a == b == [(1, 10), (2, 200), (50, 500)]
+
+
+def test_sql_update_delete_insert_shapes(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10), (2, 20), (9, 90)]).coalesce(1))
+    tables = {"tbl": t}
+    sql_dml(spark, "UPDATE tbl SET v = v * 2 WHERE k <= 2", tables)
+    sql_dml(spark, "DELETE FROM tbl WHERE k = 9;", tables)
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, 20),
+        (2, 40),
+    ]
+    # partitioned replace + plain insert
+    p = SnapshotTable(str(tmp_path / "p"))
+    p.commit(
+        spark.createDataFrame([("a", 1), ("b", 2)], "p string, k bigint"),
+        partition_by=("p",),
+    )
+    spark.createDataFrame([("b", 99)], "p string, k bigint").createOrReplaceTempView(
+        "sqlr_newb"
+    )
+    sql_dml(
+        spark,
+        "INSERT OVERWRITE ptbl PARTITION (p = 'b') SELECT * FROM sqlr_newb",
+        {"ptbl": p},
+        partition_by=("p",),
+    )
+    assert sorted(tuple(r) for r in p.read(spark).collect()) == [
+        ("a", 1),
+        ("b", 99),
+    ]
+
+
+def test_sql_merge_guards(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10)]).coalesce(1))
+    _kv(spark, [(1, 11)]).createOrReplaceTempView("guard_src")
+    with pytest.raises(ValueError, match="key-based"):
+        sql_dml(
+            spark,
+            "MERGE INTO tbl t USING guard_src s ON t.k > s.k "
+            "WHEN MATCHED THEN DELETE",
+            {"tbl": t},
+        )
+    with pytest.raises(ValueError, match="full-row"):
+        sql_dml(
+            spark,
+            "MERGE INTO tbl t USING guard_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = 1",
+            {"tbl": t},
+        )
+    with pytest.raises(ValueError, match="target columns only"):
+        sql_dml(
+            spark,
+            "MERGE INTO tbl t USING guard_src s ON t.k = s.k "
+            "WHEN MATCHED AND s.v > 0 THEN DELETE",
+            {"tbl": t},
+        )
+    with pytest.raises(ValueError, match="unknown snapshot table"):
+        sql_dml(spark, "DELETE FROM nope WHERE k = 1", {"tbl": t})
