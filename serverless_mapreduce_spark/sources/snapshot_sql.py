@@ -300,6 +300,74 @@ def sql_dml(
     calls)."""
     stmt = statement.strip().rstrip(";").strip()
     head = stmt.split(None, 1)[0].upper() if stmt else ""
+    if head == "ALTER":
+        m = re.match(
+            r"(?is)^ALTER\s+TABLE\s+([\w.]+)\s+(.*)$", stmt
+        )
+        if m is None:
+            raise ValueError("cannot parse ALTER TABLE statement")
+        name, action = m.group(1), m.group(2).strip()
+        if name not in tables:
+            raise ValueError(f"unknown snapshot table {name!r}")
+        t = tables[name]
+        am = re.match(
+            r"(?is)^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", action
+        )
+        if am:
+            return t.rename_column(am.group(1), am.group(2))
+        am = re.match(r"(?is)^DROP\s+COLUMN\s+(\w+)$", action)
+        if am:
+            return t.drop_column(am.group(1))
+        am = re.match(
+            r"(?is)^ADD\s+COLUMN\s+(\w+)\s+([\w()<>, ]+?)$", action
+        )
+        if am:
+            return t.add_column_mapped(am.group(1), am.group(2).strip())
+        am = re.match(
+            r"(?is)^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)$", action
+        )
+        if am:
+            return t.add_check_constraint(spark, am.group(1), am.group(2))
+        am = re.match(r"(?is)^DROP\s+CONSTRAINT\s+(\w+)$", action)
+        if am:
+            return t.drop_check_constraint(am.group(1))
+        raise ValueError(
+            f"unsupported ALTER TABLE action {action[:40]!r} (RENAME "
+            "COLUMN / DROP COLUMN / ADD COLUMN / ADD CONSTRAINT ... "
+            "CHECK (...) / DROP CONSTRAINT)"
+        )
+    if head == "OPTIMIZE":
+        m = re.match(
+            r"(?is)^OPTIMIZE\s+([\w.]+)"
+            r"(?:\s+ZORDER\s+BY\s*\(?\s*([\w\s,]+?)\s*\)?)?$",
+            stmt,
+        )
+        if m is None:
+            raise ValueError("cannot parse OPTIMIZE statement")
+        name, zcols = m.group(1), m.group(2)
+        if name not in tables:
+            raise ValueError(f"unknown snapshot table {name!r}")
+        if zcols:
+            cols = tuple(c.strip() for c in zcols.split(",") if c.strip())
+            kwargs.setdefault("cluster_by", cols)
+            kwargs.setdefault("cluster_mode", "zorder")
+        return tables[name].compact_small_files(spark, **kwargs)
+    if head == "VACUUM":
+        m = re.match(
+            r"(?is)^VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?$",
+            stmt,
+        )
+        if m is None:
+            raise ValueError(
+                "cannot parse VACUUM (VACUUM tbl [RETAIN n VERSIONS])"
+            )
+        name, keep = m.group(1), m.group(2)
+        if name not in tables:
+            raise ValueError(f"unknown snapshot table {name!r}")
+        if keep is not None:
+            kwargs.setdefault("keep_latest", int(keep))
+        dropped, _doomed = tables[name].expire_versions(**kwargs)
+        return tables[name].latest_version()
     if head == "MERGE":
         if kwargs:
             raise ValueError("MERGE takes no hint kwargs")

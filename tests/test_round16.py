@@ -683,3 +683,38 @@ def test_sql_merge_guards(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="unknown snapshot table"):
         sql_dml(spark, "DELETE FROM nope WHERE k = 1", {"tbl": t})
+
+
+def test_sql_ddl_and_maintenance_shapes(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10), (2, 20)]).coalesce(1))
+    tables = {"tbl": t}
+    sql_dml(spark, "ALTER TABLE tbl RENAME COLUMN v TO amount", tables)
+    assert t.read(spark).columns == ["k", "amount"]
+    sql_dml(
+        spark,
+        "ALTER TABLE tbl ADD CONSTRAINT amt_pos CHECK (amount >= 0)",
+        tables,
+    )
+    assert "amt_pos" in t.constraints()
+    with pytest.raises(ValueError, match="amt_pos"):
+        t.commit(
+            spark.createDataFrame([(3, -3)], "k bigint, amount bigint")
+        )
+    sql_dml(spark, "ALTER TABLE tbl DROP CONSTRAINT amt_pos", tables)
+    sql_dml(spark, "ALTER TABLE tbl ADD COLUMN note string", tables)
+    assert t.read(spark).columns == ["k", "amount", "note"]
+    sql_dml(spark, "ALTER TABLE tbl DROP COLUMN note", tables)
+    # maintenance verbs parse and dispatch
+    for _ in range(3):
+        t.commit(_kv_named(spark, [(5, 50)]).coalesce(1))
+    v = sql_dml(spark, "OPTIMIZE tbl", tables)
+    assert v == t.latest_version()
+    sql_dml(spark, "VACUUM tbl RETAIN 2 VERSIONS", tables)
+    assert len(t.versions()) <= 4  # retention dropped the old manifests
+
+
+def _kv_named(spark, pairs):
+    return spark.createDataFrame(list(pairs), "k bigint, amount bigint")
