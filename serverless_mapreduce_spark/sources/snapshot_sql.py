@@ -331,10 +331,16 @@ def sql_dml(
         am = re.match(r"(?is)^DROP\s+CONSTRAINT\s+(\w+)$", action)
         if am:
             return t.drop_check_constraint(am.group(1))
+        am = re.match(
+            r"(?is)^ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()<>, ]+?)$",
+            action,
+        )
+        if am:
+            return t.widen_column_type(am.group(1), am.group(2).strip())
         raise ValueError(
             f"unsupported ALTER TABLE action {action[:40]!r} (RENAME "
-            "COLUMN / DROP COLUMN / ADD COLUMN / ADD CONSTRAINT ... "
-            "CHECK (...) / DROP CONSTRAINT)"
+            "COLUMN / DROP COLUMN / ADD COLUMN / ALTER COLUMN ... TYPE "
+            "/ ADD CONSTRAINT ... CHECK (...) / DROP CONSTRAINT)"
         )
     if head == "OPTIMIZE":
         m = re.match(

@@ -159,9 +159,31 @@ def _merge_schemas(parent, incoming):
     for f in parent.fields:
         got = by_name.get(f.name)
         if got is not None and got.dataType != f.dataType:
+            chains = (["byte", "short", "integer", "long"], ["float", "double"])
+            p, g = f.dataType.typeName(), got.dataType.typeName()
+            narrower = any(
+                p in ch and g in ch and ch.index(g) < ch.index(p)
+                for ch in chains
+            )
+            if narrower:
+                # an incoming batch may keep the OLD narrow type after a
+                # widen_column_type: the parent's wide type wins and the
+                # reader upcasts the new file at scan
+                continue
+            wider = any(
+                p in ch and g in ch and ch.index(g) > ch.index(p)
+                for ch in chains
+            )
+            hint = (
+                " (a wider batch type never widens the table implicitly "
+                "— declare it via widen_column_type first)"
+                if wider
+                else ""
+            )
             raise ValueError(
                 f"schema evolution cannot change column {f.name!r} from "
-                f"{f.dataType.simpleString()} to {got.dataType.simpleString()}"
+                f"{f.dataType.simpleString()} to "
+                f"{got.dataType.simpleString()}{hint}"
             )
     parent_names = {f.name for f in parent.fields}
     return StructType(
@@ -2366,6 +2388,73 @@ class SnapshotTable:
                 "column_mapping": cmap,
                 "dropped_physical": tomb,
             },
+        )
+
+    #: safe read-compatible promotions (Delta type widening): every
+    #: committed narrow value is exactly representable in the wide type,
+    #: and both the Spark parquet reader and Arrow cast upcast at scan
+    _WIDENING_CHAINS = (
+        ["byte", "short", "integer", "long"],
+        ["float", "double"],
+    )
+
+    @classmethod
+    def _is_widening(cls, narrow: str, wide: str) -> bool:
+        for chain in cls._WIDENING_CHAINS:
+            if narrow in chain and wide in chain:
+                return chain.index(narrow) < chain.index(wide)
+        return False
+
+    def widen_column_type(self, col: str, new_type) -> int:
+        """WIDEN a column's type WITHOUT rewriting a byte (Delta type
+        widening / ``ALTER TABLE ... ALTER COLUMN ... TYPE``): one
+        metadata-only commit whose schema carries the wider type —
+        byte→short→int→long and float→double only, the promotions
+        where every committed value is exactly representable and the
+        parquet reader upcasts at scan (probed: Spark 4 reads INT32
+        under a bigint pin natively; the Arrow readers cast the same
+        way). Narrowing or cross-family changes refuse — a reader
+        applying a narrower type to committed bytes would truncate
+        them. Appends may keep writing the OLD narrow type after the
+        widen (upcast on read), and an append arriving with a WIDER
+        type than the schema is refused with a pointer here —
+        widening is a declared ALTER, never an implicit side effect
+        of one batch's dtypes (Delta's contract)."""
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+        if isinstance(new_type, str):
+            new_type = _parse_datatype_string(new_type)
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        schema = self._schema(version)
+        if schema is None:
+            raise ValueError("widen needs a recorded schema")
+        by_name = {f.name: f for f in schema.fields}
+        if col not in by_name:
+            raise ValueError(f"no column named {col!r}")
+        cur = by_name[col].dataType
+        if not self._is_widening(cur.typeName(), new_type.typeName()):
+            raise ValueError(
+                f"cannot widen {col!r} from {cur.simpleString()} to "
+                f"{new_type.simpleString()}: only "
+                "byte->short->int->long and float->double are "
+                "read-compatible promotions"
+            )
+        new_schema = StructType(
+            [
+                StructField(col, new_type, f.nullable, f.metadata)
+                if f.name == col
+                else f
+                for f in schema.fields
+            ]
+        )
+        return self._publish_list(
+            self._parent_segments(version),
+            "widen-column",
+            new_schema,
+            version,
+            extra={"data_change": False},
         )
 
     def add_column_mapped(self, name: str, data_type) -> int:

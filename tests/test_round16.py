@@ -718,3 +718,62 @@ def test_sql_ddl_and_maintenance_shapes(spark, tmp_path):
 
 def _kv_named(spark, pairs):
     return spark.createDataFrame(list(pairs), "k bigint, amount bigint")
+
+
+# --- type widening: metadata-only ALTER COLUMN TYPE ---------------------------
+
+
+def test_widen_column_type_metadata_only(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame([(1, 10), (2, 2_000_000)], "k int, v int")
+        .repartitionByRange(2, "k"),
+        stats_cols=("v",),
+    )
+    files = sorted(t._files(1))
+    v = sql_dml(
+        spark, "ALTER TABLE tbl ALTER COLUMN v TYPE bigint", {"tbl": t}
+    )
+    assert sorted(t._files(v)) == files  # zero bytes moved
+    assert dict(t.read(spark).dtypes)["v"] == "bigint"
+    # old INT32 files read under the bigint pin with values intact
+    assert sorted((r.k, r.v) for r in t.read(spark).collect()) == [
+        (1, 10),
+        (2, 2_000_000),
+    ]
+    # a wider-than-int value now commits (the point of the widen)...
+    t.commit(
+        spark.createDataFrame([(3, 2**40)], "k int, v bigint"),
+        stats_cols=("v",),
+    )
+    # ...and an append that KEPT the old narrow type still lands too
+    t.commit(spark.createDataFrame([(4, 44)], "k int, v int"))
+    rows = sorted((r.k, r.v) for r in t.read(spark).collect())
+    assert rows == [(1, 10), (2, 2_000_000), (3, 2**40), (4, 44)]
+    # stats pruning still works across narrow- and wide-typed files
+    planned, total = t.plan_files(where=("v", 2**39, 2**41))
+    assert len(planned) < total
+    # narrowing and cross-family changes refuse
+    with pytest.raises(ValueError, match="read-compatible"):
+        t.widen_column_type("v", "int")
+    with pytest.raises(ValueError, match="read-compatible"):
+        t.widen_column_type("v", "string")
+    # a wider BATCH type without the declared ALTER refuses with a hint
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    t2.commit(spark.createDataFrame([(1, 1)], "k int, v int"))
+    with pytest.raises(ValueError, match="widen_column_type"):
+        t2.commit(spark.createDataFrame([(2, 2)], "k int, v bigint"))
+
+
+def test_widen_then_rename_compose(spark, tmp_path):
+    """Widening composes with column mapping: widen, rename, read —
+    the physical file column is still the original narrow-typed name."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, 7)], "k int, v int"))
+    t.widen_column_type("v", "bigint")
+    t.rename_column("v", "amount")
+    rows = t.read(spark).collect()
+    assert [(r.k, r.amount) for r in rows] == [(1, 7)]
+    assert dict(t.read(spark).dtypes)["amount"] == "bigint"
