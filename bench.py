@@ -428,6 +428,9 @@ HEADLINE = (
     # SQL-text DML: a multi-clause MERGE statement parsed + dispatched
     # to the library verbs (clause-order parity pinned in pytest)
     "snapshot_sql_merge",
+    # metadata-only type widening via SQL ALTER COLUMN TYPE: file-set
+    # identity audited, int32 files + beyond-int32 appends coexist
+    "snapshot_type_widening",
     # shallow clone (zero-copy fork) + divergence probes
     "snapshot_shallow_clone",
     # in-place parquet conversion (zero-rewrite onboarding + lifted stats)

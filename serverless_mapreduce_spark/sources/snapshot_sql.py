@@ -292,12 +292,17 @@ def sql_dml(
     tables: dict[str, SnapshotTable],
     **kwargs,
 ) -> int | None:
-    """Execute one DML statement against the registered snapshot
-    ``tables`` ({name: SnapshotTable}); returns the published version.
-    ``kwargs`` pass physical hints through to the verbs (``prune=``,
-    ``partition_eq=``, ``stats_cols=``, ``change_feed=`` — the SQL text
-    carries semantics; scale hints stay explicit, same as the library
-    calls)."""
+    """Execute one DML/DDL/maintenance statement against the registered
+    snapshot ``tables`` ({name: SnapshotTable}); returns the published
+    version (``DESCRIBE HISTORY`` instead returns its result
+    DataFrame). ``kwargs`` pass physical hints through to the verbs
+    (``prune=``, ``partition_eq=``, ``stats_cols=``, ``change_feed=`` —
+    the SQL text carries semantics; scale hints stay explicit, same as
+    the library calls). Statements beyond the four DML shapes: ``ALTER
+    TABLE`` (rename/drop/add column, widen type, add/drop constraint),
+    ``OPTIMIZE [ZORDER BY]``, ``VACUUM [RETAIN n VERSIONS]``,
+    ``RESTORE TABLE ... TO VERSION|TIMESTAMP AS OF``, ``DESCRIBE
+    HISTORY``."""
     stmt = statement.strip().rstrip(";").strip()
     head = stmt.split(None, 1)[0].upper() if stmt else ""
     if head == "ALTER":
@@ -374,6 +379,44 @@ def sql_dml(
             kwargs.setdefault("keep_latest", int(keep))
         dropped, _doomed = tables[name].expire_versions(**kwargs)
         return tables[name].latest_version()
+    if head == "RESTORE":
+        m = re.match(
+            r"(?is)^RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+"
+            r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+)$",
+            stmt,
+        )
+        if m is None:
+            raise ValueError(
+                "cannot parse RESTORE (RESTORE TABLE t TO "
+                "VERSION|TIMESTAMP AS OF x)"
+            )
+        name, kind, target = m.group(1), m.group(2).upper(), m.group(3)
+        if name not in tables:
+            raise ValueError(f"unknown snapshot table {name!r}")
+        t = tables[name]
+        if kind == "VERSION":
+            return t.restore_version(int(target))
+        raw = target.strip().strip("'\"")
+        try:
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(raw.replace("T", " "))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts = dt.timestamp()
+        except ValueError:
+            ts = float(raw)
+        return t.restore_version(t.resolve_as_of(ts))
+    if head == "DESCRIBE":
+        m = re.match(r"(?is)^DESCRIBE\s+HISTORY\s+([\w.]+)$", stmt)
+        if m is None:
+            raise ValueError("cannot parse DESCRIBE (DESCRIBE HISTORY t)")
+        name = m.group(1)
+        if name not in tables:
+            raise ValueError(f"unknown snapshot table {name!r}")
+        # the one statement that returns a DataFrame, not a version —
+        # Delta's DESCRIBE HISTORY result-set shape
+        return tables[name].versions_metadata(spark)
     if head == "MERGE":
         if kwargs:
             raise ValueError("MERGE takes no hint kwargs")
@@ -567,4 +610,103 @@ def _register_query() -> None:
         )
 
 
+def _register_widening_query() -> None:
+    from pyspark.sql import functions as F
+
+    from serverless_mapreduce_spark.catalog import table
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+    from serverless_mapreduce_spark.registry import query
+    from serverless_mapreduce_spark.sources.snapshots import (
+        PRUNE_HI,
+        PRUNE_LO,
+        _cents,
+    )
+
+    @query(
+        "snapshot_type_widening",
+        priority=150,
+        oracle=f"""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders
+        ),
+        wide AS (
+          SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+                 cents * 100000 AS cents
+          FROM base WHERE o_custkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+        ),
+        unioned AS (
+          SELECT o_orderkey, cents FROM base
+          UNION ALL SELECT o_orderkey, cents FROM wide
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents,
+               CAST(SUM(CASE WHEN o_orderkey > 10000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_wide
+        FROM unioned
+        """,
+    )
+    def snapshot_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """METADATA-ONLY TYPE WIDENING (Delta type widening, SURVEY
+        §2.19.9): commit orders with an INT cents column, `ALTER TABLE
+        ... ALTER COLUMN cents TYPE bigint` through the SQL front end
+        (the audit asserts the file set is IDENTICAL — zero bytes
+        moved), then append a batch whose values OVERFLOW int32 (cents
+        × 100000 for the custkey box, keys shifted +10M). The aggregate
+        proves both directions at once: the old INT32 files read intact
+        under the bigint pin, and the beyond-int32 max lands — a wrong
+        upcast truncates max_cents, a rewrite-based widen breaks the
+        file-identity audit."""
+        import shutil
+
+        from serverless_mapreduce_spark.sources.snapshots import (
+            SnapshotTable,
+        )
+
+        base = scratch(sf_tag(sf_dir), "snapshot_widen")
+        shutil.rmtree(base, ignore_errors=True)
+        t = SnapshotTable(base)
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            _cents("o_totalprice").cast("int").alias("cents"),
+        )
+        v1 = t.commit(orders, stats_cols=("cents",))
+        files = sorted(t._files(v1))
+        v2 = sql_dml(
+            spark,
+            "ALTER TABLE tbl ALTER COLUMN cents TYPE bigint",
+            {"tbl": t},
+        )
+        if sorted(t._files(v2)) != files:
+            raise AssertionError(
+                "widen_column_type must be metadata-only: the file set "
+                "moved"
+            )
+        wide = (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_custkey").between(PRUNE_LO, PRUNE_HI))
+            .select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                (_cents("o_totalprice") * 100_000).alias("cents"),
+            )
+        )
+        t.commit(wide, stats_cols=("cents",))
+        return t.read(spark).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+            F.sum(
+                F.when(F.col("o_orderkey") > 10_000_000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_wide"),
+        )
+
+
 _register_query()
+_register_widening_query()

@@ -777,3 +777,20 @@ def test_widen_then_rename_compose(spark, tmp_path):
     rows = t.read(spark).collect()
     assert [(r.k, r.amount) for r in rows] == [(1, 7)]
     assert dict(t.read(spark).dtypes)["amount"] == "bigint"
+
+
+def test_sql_restore_and_describe_history(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10)]).coalesce(1))
+    t.commit(_kv(spark, [(2, 20)]).coalesce(1))
+    tables = {"tbl": t}
+    v = sql_dml(spark, "RESTORE TABLE tbl TO VERSION AS OF 1", tables)
+    assert v == t.latest_version()
+    assert sorted(r.k for r in t.read(spark).collect()) == [1]
+    hist = sql_dml(spark, "DESCRIBE HISTORY tbl", tables)
+    modes = [r["mode"] for r in hist.collect()]
+    assert "restore" in modes and "append" in modes
+    with pytest.raises(ValueError, match="unknown snapshot table"):
+        sql_dml(spark, "DESCRIBE HISTORY nope", tables)
