@@ -71,6 +71,37 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return out
 
 
+def _split_statement_where(text: str) -> tuple[str, str | None]:
+    """Split off the STATEMENT-level WHERE: the first ``WHERE`` word at
+    paren/quote depth zero. A WHERE inside a SET subquery or a string
+    literal never splits (round-16 review)."""
+    depth, q, i = 0, None, 0
+    up = text.upper()
+    while i < len(text):
+        ch = text[i]
+        if q is not None:
+            if ch == q:
+                q = None
+        elif ch in "'\"`":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("WHERE", i)
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (
+                i + 5 >= len(text)
+                or not (text[i + 5].isalnum() or text[i + 5] == "_")
+            )
+        ):
+            return text[:i].strip(), text[i + 5 :].strip()
+        i += 1
+    return text.strip(), None
+
+
 def _strip_alias(expr: str, alias: str | None) -> str:
     if not alias:
         return expr
@@ -169,9 +200,21 @@ def _parse_merge(
         raise ValueError("cannot parse MERGE statement after USING")
     salias = m.group("salias")
     if src_txt.startswith("("):
+        if salias is None:
+            raise ValueError(
+                "MERGE USING (subquery) needs an alias — the ON clause "
+                "has no name to qualify source columns with"
+            )
         source = spark.sql(src_txt[1:-1])
     else:
         source = spark.table(src_txt)
+    # alias-free Delta MERGE qualifies by table/source NAME — fall back
+    # to those so 'MERGE INTO tbl USING src ON tbl.k = src.k' parses
+    # (round-16 review)
+    if talias is None:
+        talias = tname
+    if salias is None:
+        salias = src_txt
 
     # ON: a conjunction of t.col = s.col equalities → the key tuple
     keys: list[str] = []
@@ -422,13 +465,13 @@ def sql_dml(
             raise ValueError("MERGE takes no hint kwargs")
         return _parse_merge(spark, stmt, tables)
     if head == "UPDATE":
-        m = re.match(
-            r"(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
-            stmt,
-        )
+        m = re.match(r"(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.*)$", stmt)
         if m is None:
             raise ValueError("cannot parse UPDATE statement")
-        name, sets_txt, cond = m.group(1), m.group(2), m.group(3)
+        name = m.group(1)
+        # split at the first DEPTH-ZERO WHERE: a WHERE inside a SET
+        # subquery or a string literal belongs to the expression
+        sets_txt, cond = _split_statement_where(m.group(2))
         if name not in tables:
             raise ValueError(f"unknown snapshot table {name!r}")
         return tables[name].update_where(

@@ -155,20 +155,34 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 target = float(st)
             # resolve to the last MAIN version committed strictly
             # BEFORE the target (streaming covers versions after
-            # _start, so the first at-or-after commit is included);
-            # ts-less versions are treated as arbitrarily old, same as
-            # resolve_as_of, and commit ts is clamped monotonic at
-            # publish so the first at-or-after version bounds the rest
+            # _start, so the first at-or-after commit is included).
+            # NEWEST-FIRST walk with early exit: cost is O(streamed
+            # suffix), not O(full history) — a restart near head on a
+            # 10^4-version table must not read 10^4 manifests
+            # (round-16 review). ts-less versions are arbitrarily old
+            # (resolve_as_of's rule); ts is clamped monotonic at
+            # publish, so the first explicit ts < target bounds
+            # everything deeper. ``pending`` carries the newest ts-less
+            # version seen since the last at-or-after commit — it is
+            # the true boundary when the walk stops just below it.
             tbl = SnapshotTable(self._base)
-            start = 0
-            for v in tbl.versions():
+            start, pending = 0, None
+            for v in reversed(tbl.versions()):
                 body = tbl._manifest_body(v)
                 if "ref" in body:
                     continue  # branch commit: invisible to main streams
                 committed = body.get("ts")
-                if committed is not None and committed >= target:
+                if committed is None:
+                    if pending is None:
+                        pending = v
+                elif committed >= target:
+                    pending = None
+                else:
+                    start = pending if pending is not None else v
                     break
-                start = v
+            else:
+                if pending is not None:
+                    start = pending
             self._start = start
         # logical -> physical column mapping pinned at start (like the
         # schema): renamed columns keep streaming from their stable

@@ -1557,8 +1557,13 @@ class SnapshotTable:
                     read_regions = read_regions()
                 hb = self._manifest_body(head)
                 bb = self._manifest_body(base)
-                if hb.get("column_mapping") != bb.get("column_mapping") or (
-                    hb.get("dropped_physical") != bb.get("dropped_physical")
+                # normalize: an explicit empty mapping (identity-restore
+                # rename, restore_version) and an absent key are the
+                # same identity mapping — only a SEMANTIC change raises
+                if (hb.get("column_mapping") or {}) != (
+                    bb.get("column_mapping") or {}
+                ) or set(hb.get("dropped_physical") or ()) != set(
+                    bb.get("dropped_physical") or ()
                 ):
                     # a concurrent rename/drop changed what this commit's
                     # already-written files MEAN — Delta raises
@@ -2370,6 +2375,18 @@ class SnapshotTable:
                 "references it; drop the constraint first"
             )
         cmap = self.column_mapping(version)
+        phys_probe = cmap.get(col, col)
+        for d in self._delete_entries(version):
+            if phys_probe in d.get("keys", ()):
+                # a live merge-on-read delete keyed on this column would
+                # leave every read unjoinable (the key no longer exists
+                # in the logical schema) — materialize the deletes away
+                # first (round-16 review)
+                raise ValueError(
+                    f"cannot drop {col!r}: a live merge-on-read delete "
+                    "file is keyed on it; compact_small_files first to "
+                    "materialize the deletes"
+                )
         phys = cmap.pop(col, col)
         tomb = sorted(
             set(self._manifest_body(version).get("dropped_physical", ()))
@@ -2469,8 +2486,23 @@ class SnapshotTable:
         schema = self._schema(version)
         if schema is None:
             raise ValueError("add_column_mapped needs a recorded schema")
-        if name in {f.name for f in schema.fields}:
+        names = {f.name for f in schema.fields}
+        if name in names:
             raise ValueError(f"column {name!r} already exists")
+        if name in {self._phys(version, n) for n in names}:
+            # the rename_column disjointness invariant holds here too:
+            # a logical name shadowing another LIVE column's physical
+            # name breaks translation idempotency — a probe on that
+            # other column would chain-translate through this one and
+            # prune against the wrong stats (round-16 review).
+            # Tombstoned names are fine: that is the re-add flow itself
+            # (this column gets a fresh uuid physical, and no live
+            # column translates TO a tombstoned name).
+            raise ValueError(
+                f"{name!r} is a live physical parquet column name of "
+                "this table (another column was renamed away from it); "
+                "pick a different logical name"
+            )
         from pyspark.sql.types import StructField, StructType, _parse_datatype_string
 
         if isinstance(data_type, str):
@@ -3223,6 +3255,10 @@ class SnapshotTable:
             self._translate_spec(col, cmap): hive_partition_value(val)
             for col, val in partition_eq.items()
         }
+        # deliberately NOT _partition_eq_split: a REPLACE refuses files
+        # missing the probed partition record (replacing around them
+        # leaves stale rows), where the DML split keeps them as
+        # conservative rewrite candidates — the two contracts differ
         kept, dropped = [], []
         for e in self._data_entries(version):
             parts = e.get("partitions", {})
@@ -3894,13 +3930,26 @@ class SnapshotTable:
         the restored manifest lists the old files, those files are LIVE
         again: a later vacuum keeping only the restored head deletes
         exactly the bad commits' additions and never the restored data
-        (liveness is the kept-manifest union, unchanged)."""
+        (liveness is the kept-manifest union, unchanged).
+
+        Column mapping restores WITH the state: the restored manifest
+        explicitly carries ``version``'s mapping and dropped-name
+        tombstones (empty dicts included, which OVERRIDE the inherit-
+        from-parent rule) — inheriting the HEAD's mapping instead would
+        pin physical names the restored files never carried and serve
+        NULL for every column renamed/dropped since ``version``
+        (silent data loss, caught in round-16 review)."""
         refs = self._parent_segments(version)  # raises for unknown versions
+        body = self._manifest_body(version)
         return self._publish_list(
             refs,
             "restore",
             self._schema(version),
             self.latest_version(),
+            extra={
+                "column_mapping": body.get("column_mapping", {}),
+                "dropped_physical": body.get("dropped_physical", []),
+            },
             seq_source=version,  # MOR deletes keep applying post-restore
         )
 

@@ -794,3 +794,123 @@ def test_sql_restore_and_describe_history(spark, tmp_path):
     assert "restore" in modes and "append" in modes
     with pytest.raises(ValueError, match="unknown snapshot table"):
         sql_dml(spark, "DESCRIBE HISTORY nope", tables)
+
+
+# --- round-16 self-review fixes ------------------------------------------------
+
+
+def test_restore_restores_column_mapping(spark, tmp_path):
+    """RESTORE carries the restored version's mapping/tombstones, not
+    the head's — restoring past a drop+re-add must serve the ORIGINAL
+    values, never NULLs under the head's fresh physical name."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kvs(spark, [(1, 10, "secret")]))
+    t.drop_column("s")
+    t.add_column_mapped("s", "string")
+    t.commit(_kvs(spark, [(2, 20, "fresh")]))
+    t.restore_version(1)
+    rows = sorted((r.k, r.s) for r in t.read(spark).collect())
+    assert rows == [(1, "secret")]  # original bytes, original mapping
+    assert t.column_mapping() == {}
+    # and the restored head keeps working as a normal table
+    t.commit(_kvs(spark, [(3, 30, "post")]))
+    assert sorted(r.s for r in t.read(spark).collect()) == [
+        "post",
+        "secret",
+    ]
+
+
+def test_add_column_mapped_refuses_live_physical_shadow(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10)]))
+    t.rename_column("v", "amount")  # physical 'v' still live
+    with pytest.raises(ValueError, match="live physical"):
+        t.add_column_mapped("v", "bigint")
+
+
+def test_drop_column_refuses_live_mor_delete_key(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kvs(spark, [(1, 10, "x"), (2, 20, "y")]))
+    t.delete_keys_mor(spark, spark.createDataFrame([("x",)], "s string"), ("s",))
+    with pytest.raises(ValueError, match="merge-on-read delete"):
+        t.drop_column("s")
+    # after compaction materializes the delete, the drop lands
+    t.compact_small_files(spark)
+    t.drop_column("s")
+    assert sorted(r.k for r in t.read(spark).collect()) == [2]
+
+
+def test_sql_update_where_inside_subquery_or_literal(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kvs(spark, [(1, 10, "a"), (2, 20, "b")]).coalesce(1))
+    tables = {"tbl": t}
+    spark.createDataFrame([(7,)], "x bigint").createOrReplaceTempView("u16")
+    # WHERE inside the SET subquery must not split the statement
+    sql_dml(
+        spark,
+        "UPDATE tbl SET v = (SELECT max(x) FROM u16 WHERE x > 0)",
+        tables,
+    )
+    assert sorted(r.v for r in t.read(spark).collect()) == [7, 7]
+    # WHERE inside a string literal must not split either; the real
+    # statement-level WHERE after it must still apply
+    sql_dml(
+        spark,
+        "UPDATE tbl SET s = 'where it goes' WHERE k = 1",
+        tables,
+    )
+    rows = sorted((r.k, r.s) for r in t.read(spark).collect())
+    assert rows == [(1, "where it goes"), (2, "b")]
+
+
+def test_sql_merge_without_aliases_uses_table_names(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10)]).coalesce(1))
+    _kv(spark, [(1, 11), (2, 22)]).createOrReplaceTempView("srcnames")
+    sql_dml(
+        spark,
+        "MERGE INTO tbl USING srcnames ON tbl.k = srcnames.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"tbl": t},
+    )
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [
+        (1, 11),
+        (2, 22),
+    ]
+    with pytest.raises(ValueError, match="needs an alias"):
+        sql_dml(
+            spark,
+            "MERGE INTO tbl USING (SELECT 1 AS k, 2 AS v) "
+            "ON tbl.k = s.k WHEN MATCHED THEN DELETE",
+            {"tbl": t},
+        )
+
+
+def test_rmw_rebase_tolerates_identity_restore_mapping(
+    spark, tmp_path, monkeypatch
+):
+    """An interloper whose commit leaves the mapping SEMANTICALLY
+    identity (rename away and back) must not trip the metadata-change
+    guard: {} and absent compare equal."""
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    t.commit(
+        _kv(spark, [(1, 1), (100, 100)]).repartitionByRange(2, "k"),
+        stats_cols=("k",),
+    )
+    other = SnapshotTable(base)
+
+    def interlope():
+        other.rename_column("v", "w")
+        other.rename_column("w", "v")  # identity restore: cmap == {}
+        other.commit(_kv(spark, [(500, 500)]).coalesce(1), stats_cols=("k",))
+
+    _inject_once(monkeypatch, interlope)
+    v = t.delete_where(spark, "k <= 1", prune=("k", 0, 1), stats_cols=("k",))
+    assert v == t.latest_version()
+    assert sorted(r.k for r in t.read(spark).collect()) == [100, 500]
