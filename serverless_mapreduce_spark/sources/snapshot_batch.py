@@ -531,10 +531,18 @@ class _SnapshotWriterBase:
         # logical -> physical column mapping at the write target
         # (rename/drop without rewrite): files and manifest keys are
         # written under PHYSICAL names; the stats/partition options
-        # arrive logical and translate here. Branch staging inherits the
-        # fork's mapping (fast_forward refuses when main's mapping moved).
+        # arrive logical and translate here. Branch staging uses the
+        # BRANCH head's mapping — if main renamed after the fork, the
+        # staged files must still read correctly under the branch's
+        # schema (and fast_forward refuses the divergence anyway).
         try:
-            self._colmap = SnapshotTable(self._base).column_mapping()
+            t = SnapshotTable(self._base)
+            v = (
+                t.resolve_branch(self._branch)
+                if self._branch
+                else t.latest_version()
+            )
+            self._colmap = t.column_mapping(v) if v is not None else {}
         except FileNotFoundError:
             self._colmap = {}
         if self._colmap:
