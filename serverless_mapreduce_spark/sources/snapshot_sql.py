@@ -41,30 +41,51 @@ from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
 __all__ = ["sql_dml"]
 
 
-def _split_top(s: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` at paren/quote depth zero."""
-    out, depth, cur, i, q = [], 0, [], 0, None
+def _scan(s: str):
+    """THE depth/quote scanner every statement splitter shares: yield
+    ``(i, ch, depth, in_quote)`` per character. Quotes (' \" \\`) are
+    opaque; a backslash inside a quote escapes the next character
+    (Spark accepts ``'don\\'t'``); parens nest. One implementation so
+    escape handling can never diverge between splitters (round-16
+    second review)."""
+    depth, q, i = 0, None, 0
     while i < len(s):
         ch = s[i]
         if q is not None:
-            cur.append(ch)
+            if ch == "\\" and i + 1 < len(s):
+                yield i, ch, depth, True
+                i += 1
+                yield i, s[i], depth, True
+                i += 1
+                continue
+            yield i, ch, depth, True
             if ch == q:
                 q = None
-        elif ch in "'\"`":
+            i += 1
+            continue
+        if ch in "'\"`":
             q = ch
-            cur.append(ch)
+            yield i, ch, depth, True
         elif ch == "(":
             depth += 1
-            cur.append(ch)
+            yield i, ch, depth, False
         elif ch == ")":
+            yield i, ch, depth, False
             depth -= 1
-            cur.append(ch)
-        elif ch == sep and depth == 0:
+        else:
+            yield i, ch, depth, False
+        i += 1
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth zero."""
+    out, cur = [], []
+    for _i, ch, depth, in_q in _scan(s):
+        if ch == sep and depth == 0 and not in_q:
             out.append("".join(cur).strip())
             cur = []
         else:
             cur.append(ch)
-        i += 1
     last = "".join(cur).strip()
     if last:
         out.append(last)
@@ -74,31 +95,27 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 def _split_statement_where(text: str) -> tuple[str, str | None]:
     """Split off the STATEMENT-level WHERE: the first ``WHERE`` word at
     paren/quote depth zero. A WHERE inside a SET subquery or a string
-    literal never splits (round-16 review)."""
-    depth, q, i = 0, None, 0
-    up = text.upper()
-    while i < len(text):
-        ch = text[i]
-        if q is not None:
-            if ch == q:
-                q = None
-        elif ch in "'\"`":
-            q = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif (
+    literal never splits (round-16 review). Case-compare happens on the
+    original string's slice (``text[i:i+5].upper()``) — an uppercased
+    COPY can be longer than the original (ß→SS) and desynchronize the
+    index. A WHERE with an empty condition raises rather than silently
+    meaning no-WHERE (which would turn a malformed statement into a
+    full-table update)."""
+    for i, _ch, depth, in_q in _scan(text):
+        if (
             depth == 0
-            and up.startswith("WHERE", i)
+            and not in_q
+            and text[i : i + 5].upper() == "WHERE"
             and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
             and (
                 i + 5 >= len(text)
                 or not (text[i + 5].isalnum() or text[i + 5] == "_")
             )
         ):
-            return text[:i].strip(), text[i + 5 :].strip()
-        i += 1
+            cond = text[i + 5 :].strip()
+            if not cond:
+                raise ValueError("WHERE with no condition")
+            return text[:i].strip(), cond
     return text.strip(), None
 
 
@@ -153,21 +170,9 @@ def _take_source(rest: str) -> tuple[str, str]:
     name. Returns (source_text, remainder)."""
     rest = rest.lstrip()
     if rest.startswith("("):
-        depth, q, i = 0, None, 0
-        while i < len(rest):
-            ch = rest[i]
-            if q is not None:
-                if ch == q:
-                    q = None
-            elif ch in "'\"`":
-                q = ch
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0:
-                    return rest[: i + 1], rest[i + 1 :]
-            i += 1
+        for i, ch, depth, in_q in _scan(rest):
+            if ch == ")" and depth == 1 and not in_q:
+                return rest[: i + 1], rest[i + 1 :]
         raise ValueError("unbalanced parentheses in MERGE USING source")
     m = re.match(r"[\w.]+", rest)
     if m is None:
@@ -210,11 +215,13 @@ def _parse_merge(
         source = spark.table(src_txt)
     # alias-free Delta MERGE qualifies by table/source NAME — fall back
     # to those so 'MERGE INTO tbl USING src ON tbl.k = src.k' parses
-    # (round-16 review)
+    # (round-16 review). Dotted names qualify by their LAST component
+    # (db.src → src.k), the SQL name-resolution rule — the ON regex
+    # matches single-word qualifiers only.
     if talias is None:
-        talias = tname
+        talias = tname.rsplit(".", 1)[-1]
     if salias is None:
-        salias = src_txt
+        salias = src_txt.rsplit(".", 1)[-1]
 
     # ON: a conjunction of t.col = s.col equalities → the key tuple
     keys: list[str] = []

@@ -941,6 +941,7 @@ class SnapshotTable:
         stats_cols: tuple[str, ...],
         bloom_cols: tuple[str, ...] = (),
         partition_by: tuple[str, ...] = (),
+        mapping: dict[str, str] | None = None,
     ) -> list[dict]:
         """Write ``df`` as immutable parquet under a fresh uuid commit dir;
         return manifest entries (with per-file min/max, per-file Bloom
@@ -958,8 +959,16 @@ class SnapshotTable:
         Under column mapping every file and every manifest key (stats,
         bloom, partition values) is written under PHYSICAL names: the
         caller's logical columns/specs are translated here, once, so a
-        rename never splits the on-disk naming."""
-        cmap = self.column_mapping(self.latest_version())
+        rename never splits the on-disk naming. ``mapping`` overrides
+        the translation source — staged/branch commits write under
+        their BASE's mapping, not the main head's (a rename on main
+        after the fork must not split the branch's on-disk naming from
+        its manifest — round-16 second review)."""
+        cmap = (
+            self.column_mapping(self.latest_version())
+            if mapping is None
+            else mapping
+        )
         if cmap:
             present = {c: p for c, p in cmap.items() if c in df.columns}
             if present:
@@ -2489,7 +2498,8 @@ class SnapshotTable:
         names = {f.name for f in schema.fields}
         if name in names:
             raise ValueError(f"column {name!r} already exists")
-        if name in {self._phys(version, n) for n in names}:
+        cmap = self.column_mapping(version)  # one manifest read
+        if name in {cmap.get(n, n) for n in names}:
             # the rename_column disjointness invariant holds here too:
             # a logical name shadowing another LIVE column's physical
             # name breaks translation idempotency — a probe on that
@@ -2507,7 +2517,6 @@ class SnapshotTable:
 
         if isinstance(data_type, str):
             data_type = _parse_datatype_string(data_type)
-        cmap = self.column_mapping(version)
         cmap[name] = f"{name}_{uuid.uuid4().hex[:8]}"
         new_schema = StructType(
             list(schema.fields) + [StructField(name, data_type, True)]
@@ -3634,10 +3643,20 @@ class SnapshotTable:
                     self._open_files(sess, head, data_paths), head
                 )
         new_segs = self._write_batch_segments(list(entries), partition_by)
+        head_body = self._manifest_body(head)
         ex = {
             "ref": name,
             "base": head,
             "token": f"branch:{name}:{uuid.uuid4().hex[:8]}",
+            # the staged files were written under the BRANCH head's
+            # mapping (the DS writer resolves it there); the manifest
+            # must carry the same mapping explicitly — inheriting the
+            # main head's would disagree with the files if main renamed
+            # after the fork (round-16 second review)
+            "column_mapping": dict(head_body.get("column_mapping", {})),
+            "dropped_physical": list(
+                head_body.get("dropped_physical", [])
+            ),
         }
         v: int | None = None
         for _ in range(64):
@@ -4281,10 +4300,23 @@ class SnapshotTable:
         attempt of one double-delivering past the other's published
         version (r13 verdict item 4)."""
         self._enforce_constraints(df, base_version or self.latest_version())
-        written = self._write_data(df, stats_cols)
+        # a staged commit extends its BASE, so it writes under the
+        # base's column mapping and its manifest carries that mapping
+        # explicitly — inheriting the MAIN head's (the publish parent)
+        # would disagree with the referenced files whenever a rename
+        # landed on main after the base (round-16 second review)
+        base_body = (
+            self._manifest_body(base_version) if base_version else {}
+        )
+        base_map = dict(base_body.get("column_mapping", {}))
+        written = self._write_data(df, stats_cols, mapping=base_map)
         seg = self._write_segment(written)
         ex = dict(extra or {})
         ex["base"] = base_version or 0
+        ex.setdefault("column_mapping", base_map)
+        ex.setdefault(
+            "dropped_physical", list(base_body.get("dropped_physical", []))
+        )
         if token is not None:
             ex["token"] = token
         for _ in range(64):

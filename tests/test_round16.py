@@ -914,3 +914,80 @@ def test_rmw_rebase_tolerates_identity_restore_mapping(
     v = t.delete_where(spark, "k <= 1", prune=("k", 0, 1), stats_cols=("k",))
     assert v == t.latest_version()
     assert sorted(r.k for r in t.read(spark).collect()) == [100, 500]
+
+
+# --- round-16 second-review fixes ----------------------------------------------
+
+
+def test_branch_staging_survives_post_fork_main_rename(spark, tmp_path):
+    """Files staged on a branch after main renamed a column must stay
+    readable on the branch (written + manifested under the BRANCH
+    head's mapping, not main's); fast_forward still refuses the
+    divergence."""
+    from serverless_mapreduce_spark.sources.snapshot_batch import register
+
+    base = str(tmp_path / "tbl")
+    t = SnapshotTable(base)
+    v1 = t.commit(_kv(spark, [(1, 10)]))
+    t.set_branch("stage", v1)
+    t.rename_column("v", "amount")  # main moves AFTER the fork
+    # library staging path (commit_to_branch -> commit_onto)
+    t.commit_to_branch("stage", _kv(spark, [(2, 20)]))
+    got = sorted(
+        (r.k, r.v) for r in t.read(spark, t.resolve_branch("stage")).collect()
+    )
+    assert got == [(1, 10), (2, 20)]  # staged row NOT null
+    # DS writer staging path
+    register(spark)
+    (
+        _kv(spark, [(3, 30)])
+        .write.format("snapshot")
+        .option("path", base)
+        .option("branch", "stage")
+        .mode("append")
+        .save()
+    )
+    got = sorted(
+        (r.k, r.v) for r in t.read(spark, t.resolve_branch("stage")).collect()
+    )
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # main's reads are untouched and the divergent publish refuses
+    assert t.read(spark).columns == ["k", "amount"]
+    with pytest.raises(CommitConflict, match="renamed/dropped"):
+        t.fast_forward("stage", rebase_appends=True)
+
+
+def test_sql_where_edge_cases(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kvs(spark, [(1, 10, "a"), (2, 20, "b")]).coalesce(1))
+    tables = {"tbl": t}
+    # a bare trailing WHERE is malformed, never a full-table update
+    with pytest.raises(ValueError, match="no condition"):
+        sql_dml(spark, "UPDATE tbl SET v = 0 WHERE", tables)
+    assert sorted(r.v for r in t.read(spark).collect()) == [10, 20]
+    # multi-byte uppercase in a literal must not desynchronize the
+    # WHERE scan (str.upper can grow the string)
+    sql_dml(spark, "UPDATE tbl SET s = 'straße' WHERE k = 1", tables)
+    rows = sorted((r.k, r.s) for r in t.read(spark).collect())
+    assert rows == [(1, "straße"), (2, "b")]
+    # a backslash-escaped quote inside the literal stays inside it
+    sql_dml(spark, r"UPDATE tbl SET s = 'don\'t' WHERE k = 2", tables)
+    rows = sorted((r.k, r.s) for r in t.read(spark).collect())
+    assert rows == [(1, "straße"), (2, "don't")]
+
+
+def test_sql_merge_dotted_target_name_qualifier(spark, tmp_path):
+    from serverless_mapreduce_spark.sources.snapshot_sql import sql_dml
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10)]).coalesce(1))
+    _kv(spark, [(1, 11)]).createOrReplaceTempView("dot_src")
+    sql_dml(
+        spark,
+        "MERGE INTO db.tbl USING dot_src ON tbl.k = dot_src.k "
+        "WHEN MATCHED THEN UPDATE SET *",
+        {"db.tbl": t},
+    )
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == [(1, 11)]
