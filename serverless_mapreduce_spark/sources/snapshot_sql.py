@@ -119,6 +119,103 @@ def _split_statement_where(text: str) -> tuple[str, str | None]:
     return text.strip(), None
 
 
+def _split_conjuncts(s: str) -> list[str]:
+    """Split a predicate on top-level ``AND``, case-insensitive and
+    word-bounded — conjuncts inside parens/quotes stay whole, and the
+    ``AND`` that belongs to a ``BETWEEN lo AND hi`` is part of its
+    conjunct, not a split point."""
+
+    def _word_at(i: int, w: str) -> bool:
+        n = len(w)
+        return (
+            s[i : i + n].upper() == w
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + n >= len(s)
+                or not (s[i + n].isalnum() or s[i + n] == "_")
+            )
+        )
+
+    out, last, pending_between = [], 0, 0
+    for i, _ch, depth, in_q in _scan(s):
+        if depth != 0 or in_q:
+            continue
+        if _word_at(i, "BETWEEN"):
+            pending_between += 1
+        elif _word_at(i, "AND"):
+            if pending_between:
+                pending_between -= 1
+                continue
+            out.append(s[last:i].strip())
+            last = i + 3
+    out.append(s[last:].strip())
+    return [p for p in out if p]
+
+
+_NUM_RE = r"-?\d+(?:\.\d+)?"
+
+
+def _derive_scope(condition: str) -> dict:
+    """Derive SOUND pruning hints from a DML WHERE clause: any
+    top-level AND-conjunct bound holds for every matching row, so a
+    stats box / partition scope read off the conjuncts can only keep
+    extra files, never miss one. Recognized (simple identifier vs
+    literal only — anything else contributes nothing):
+
+    - ``col BETWEEN n AND m`` / ``col >= n`` / ``col <= m`` /
+      ``col = n`` (numeric) → ONE stats box ``prune=(col, lo, hi)``
+      (the first column with a usable bound wins; the verbs take a
+      single box);
+    - ``col = 'str'`` → ``partition_eq={col: 'str'}`` (files recording
+      a different partition value are untouched by proof; non-partition
+      columns record nothing and stay candidates — harmless).
+
+    This is what makes the SQL front end SCALE-CORRECT BY DEFAULT: a
+    ``DELETE ... WHERE day = '2026-01-01'`` through sql_dml rewrites
+    one partition, not the table, without the caller passing physical
+    hints. Explicit kwargs always win (callers may know tighter
+    scopes)."""
+    boxes: dict[str, list] = {}
+    part: dict[str, str] = {}
+    inf = float("inf")
+    for conj in _split_conjuncts(condition):
+        m = re.fullmatch(
+            rf"(?is)\s*(\w+)\s+BETWEEN\s+({_NUM_RE})\s+AND\s+({_NUM_RE})\s*",
+            conj,
+        )
+        if m:
+            b = boxes.setdefault(m.group(1), [-inf, inf])
+            b[0] = max(b[0], float(m.group(2)))
+            b[1] = min(b[1], float(m.group(3)))
+            continue
+        m = re.fullmatch(
+            rf"(?s)\s*(\w+)\s*(>=|<=|=|==|>|<)\s*({_NUM_RE})\s*", conj
+        )
+        if m:
+            col, op, val = m.group(1), m.group(2), float(m.group(3))
+            b = boxes.setdefault(col, [-inf, inf])
+            if op in (">=", ">"):
+                b[0] = max(b[0], val)
+            elif op in ("<=", "<"):
+                b[1] = min(b[1], val)
+            else:
+                b[0], b[1] = max(b[0], val), min(b[1], val)
+            continue
+        m = re.fullmatch(
+            r"(?s)\s*(\w+)\s*==?\s*'((?:[^'\\]|\\.)*)'\s*", conj
+        )
+        if m:
+            part[m.group(1)] = m.group(2).replace("\\'", "'")
+    hints: dict = {}
+    for col, (lo, hi) in boxes.items():
+        if lo != -inf or hi != inf:
+            hints["prune"] = (col, lo, hi)
+            break
+    if part:
+        hints["partition_eq"] = part
+    return hints
+
+
 def _strip_alias(expr: str, alias: str | None) -> str:
     if not alias:
         return expr
@@ -481,6 +578,8 @@ def sql_dml(
         sets_txt, cond = _split_statement_where(m.group(2))
         if name not in tables:
             raise ValueError(f"unknown snapshot table {name!r}")
+        if cond and "prune" not in kwargs and "partition_eq" not in kwargs:
+            kwargs = {**_derive_scope(cond), **kwargs}
         return tables[name].update_where(
             spark,
             cond.strip() if cond else "true",
@@ -496,6 +595,8 @@ def sql_dml(
         name, cond = m.group(1), m.group(2)
         if name not in tables:
             raise ValueError(f"unknown snapshot table {name!r}")
+        if cond and "prune" not in kwargs and "partition_eq" not in kwargs:
+            kwargs = {**_derive_scope(cond), **kwargs}
         return tables[name].delete_where(
             spark, cond.strip() if cond else "true", **kwargs
         )
