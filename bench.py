@@ -431,6 +431,9 @@ HEADLINE = (
     # metadata-only type widening via SQL ALTER COLUMN TYPE: file-set
     # identity audited, int32 files + beyond-int32 appends coexist
     "snapshot_type_widening",
+    # hint-free SQL DELETE/UPDATE with derived partition/stats scope:
+    # both file-identity audits raise on a derivation regression
+    "snapshot_sql_dml_scoped",
     # shallow clone (zero-copy fork) + divergence probes
     "snapshot_shallow_clone",
     # in-place parquet conversion (zero-rewrite onboarding + lifted stats)

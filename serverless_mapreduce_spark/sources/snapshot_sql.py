@@ -859,5 +859,122 @@ def _register_widening_query() -> None:
         )
 
 
+def _register_scoped_dml_query() -> None:
+    from pyspark.sql import functions as F
+
+    from serverless_mapreduce_spark.catalog import table
+    from serverless_mapreduce_spark.paths import scratch, sf_tag
+    from serverless_mapreduce_spark.registry import query
+    from serverless_mapreduce_spark.sources.snapshots import (
+        DEL_HI,
+        DEL_LO,
+        _cents,
+    )
+
+    @query(
+        "snapshot_sql_dml_scoped",
+        priority=150,
+        oracle=f"""
+        WITH base AS (
+          SELECT o_orderkey, o_custkey, o_orderpriority,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders
+        ),
+        after_delete AS (
+          SELECT * FROM base WHERE NOT (o_orderpriority = '5-LOW')
+        ),
+        after_update AS (
+          SELECT o_orderkey, o_custkey, o_orderpriority,
+                 CASE WHEN o_custkey BETWEEN {DEL_LO} AND {DEL_HI}
+                      THEN cents + 50 ELSE cents END AS cents
+          FROM after_delete
+        )
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM after_update GROUP BY o_orderpriority
+        """,
+    )
+    def snapshot_sql_dml_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SCALE-CORRECT-BY-DEFAULT SQL DML (SURVEY §2.19.14): a plain
+        ``DELETE FROM t WHERE o_orderpriority = '5-LOW'`` and a plain
+        ``UPDATE t SET cents = cents + 50 WHERE o_custkey BETWEEN
+        {DEL_LO} AND {DEL_HI}`` through :func:`sql_dml`, with ZERO
+        caller hints — the front end derives the partition scope and
+        the stats box from the WHERE conjuncts itself. Both audits are
+        load-bearing: the delete must leave every non-5-LOW partition
+        file path-identical (derived ``partition_eq``), and the update
+        must leave every out-of-box file path-identical (derived
+        ``prune``); a derivation regression rewrites the table and
+        RAISES here before the oracle ever compares values."""
+        import shutil
+
+        from serverless_mapreduce_spark.sources.snapshots import (
+            SnapshotTable,
+        )
+
+        base = scratch(sf_tag(sf_dir), "snapshot_sql_scoped")
+        shutil.rmtree(base, ignore_errors=True)
+        t = SnapshotTable(base)
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            _cents("o_totalprice").alias("cents"),
+        )
+        # partition by priority AND range-cluster custkey inside each
+        # partition with stats: both derivations have metadata to prove
+        # their scopes against
+        v1 = t.commit(
+            orders.repartitionByRange(8, "o_custkey"),
+            partition_by=("o_orderpriority",),
+            stats_cols=("o_custkey",),
+        )
+        keep = {
+            e["path"]
+            for e in t._data_entries(v1)
+            if e.get("partitions", {}).get("o_orderpriority") != "5-LOW"
+        }
+        v2 = sql_dml(
+            spark,
+            "DELETE FROM tbl WHERE o_orderpriority = '5-LOW'",
+            {"tbl": t},
+        )
+        after_del = {e["path"] for e in t._data_entries(v2)}
+        if not keep <= after_del:
+            raise AssertionError(
+                "derived partition scope failed: the delete rewrote "
+                "files outside the 5-LOW partition"
+            )
+        out_of_box = {
+            e["path"]
+            for e in t._data_entries(v2)
+            if (rng := e.get("stats", {}).get("o_custkey")) is not None
+            and rng[0] is not None
+            and (rng[1] < DEL_LO or rng[0] > DEL_HI)
+        }
+        v3 = sql_dml(
+            spark,
+            f"UPDATE tbl SET cents = cents + 50 "
+            f"WHERE o_custkey BETWEEN {DEL_LO} AND {DEL_HI}",
+            {"tbl": t},
+        )
+        after_up = {e["path"] for e in t._data_entries(v3)}
+        if not out_of_box <= after_up:
+            raise AssertionError(
+                "derived stats box failed: the update rewrote files "
+                "outside the custkey box"
+            )
+        return (
+            t.read(spark)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+        )
+
+
 _register_query()
 _register_widening_query()
+_register_scoped_dml_query()
