@@ -175,6 +175,29 @@ def _derive_scope(condition: str) -> dict:
     one partition, not the table, without the caller passing physical
     hints. Explicit kwargs always win (callers may know tighter
     scopes)."""
+    # a TOP-LEVEL OR breaks the conjunct implication entirely: SQL
+    # precedence makes `A AND B OR C` = `(A AND B) OR C`, so a row can
+    # match via C alone without satisfying any AND-side bound — derive
+    # nothing (parenthesized ORs stay opaque inside their conjunct)
+    for i, _ch, depth, in_q in _scan(condition):
+        if (
+            depth == 0
+            and not in_q
+            and condition[i : i + 2].upper() == "OR"
+            and (
+                i == 0
+                or not (
+                    condition[i - 1].isalnum() or condition[i - 1] == "_"
+                )
+            )
+            and (
+                i + 2 >= len(condition)
+                or not (
+                    condition[i + 2].isalnum() or condition[i + 2] == "_"
+                )
+            )
+        ):
+            return {}
     boxes: dict[str, list] = {}
     part: dict[str, str] = {}
     inf = float("inf")
