@@ -72,19 +72,23 @@ def query(
     return deco
 
 
-_DRIVER_GREEN: set[str] | None = None
+_DRIVER_GREEN: dict[str, int] | None = None
 
 
-def driver_green() -> set[str]:
-    """Query names with a clean driver row in ANY checked-in
-    ``CORRECTNESS_r*.json`` at the repo root.
+def driver_green() -> dict[str, int]:
+    """Map from query name to the LATEST round whose checked-in
+    ``CORRECTNESS_r*.json`` at the repo root has a clean driver row for it.
 
     This makes the driver-window ordering (SURVEY.md §2.5) data-driven: a
     query is demoted behind the 50-slot correctness window exactly when a
     prior round's driver already hash-verified it, with no per-site
     ``priority=`` bookkeeping to go stale between rounds (round 4's static
     priorities would have let round 5 re-check 49 already-green queries
-    while reaching only 1 of the 23 never-verified ones).
+    while reaching only 1 of the 23 never-verified ones). Carrying the
+    round number lets :func:`_ordered` ROTATE verified queries
+    oldest-evidence-first, so driver-side evidence can't age indefinitely
+    (by round 16, 281/331 queries had no driver row newer than r15 and the
+    core workload queries had last been driver-checked in round 2).
 
     Green = no ``err`` and no ``False`` among rows/schema/hash matches
     (``None`` tolerated so a future rows-only check of a no-oracle query
@@ -95,10 +99,15 @@ def driver_green() -> set[str]:
         import glob
         import json
         import os
+        import re
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        green: set[str] = set()
+        green: dict[str, int] = {}
         for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if m is None:
+                continue
+            rnd = int(m.group(1))
             try:
                 with open(path) as fh:
                     data = json.load(fh)
@@ -115,16 +124,27 @@ def driver_green() -> set[str]:
                     rec.get("hash_match"),
                 )
                 if False not in checks:
-                    green.add(name)
+                    green[name] = max(green.get(name, 0), rnd)
         _DRIVER_GREEN = green
     return _DRIVER_GREEN
 
 
 def _ordered(names: list[str]) -> list[str]:
+    """Never-driver-verified queries first (by priority, then registration
+    order), then verified ones oldest-driver-evidence-first — so each round's
+    50-slot correctness window re-checks the names whose hard driver-side
+    signal is stalest, rotating the whole registry through the window over
+    successive rounds instead of re-checking the same static prefix."""
     index = {n: i for i, n in enumerate(_QUERIES)}
     verified = driver_green()
     return sorted(
-        names, key=lambda n: (n in verified, _PRIORITY[n], index[n])
+        names,
+        key=lambda n: (
+            n in verified,
+            verified.get(n, 0),
+            _PRIORITY[n],
+            index[n],
+        ),
     )
 
 
