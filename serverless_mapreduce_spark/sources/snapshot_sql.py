@@ -201,6 +201,15 @@ def _derive_scope(condition: str) -> dict:
     boxes: dict[str, list] = {}
     part: dict[str, str] = {}
     inf = float("inf")
+
+    def _num(text: str) -> int | float:
+        # integral literals stay int: float() rounds beyond 2^53
+        # (9007199254740993 -> ...992.0) and a rounded bound can
+        # provably-skip a file whose rows actually match — a silent
+        # wrong prune (round-16 advice 1). Python compares int/float
+        # exactly, so mixed bounds downstream stay sound.
+        return float(text) if "." in text else int(text)
+
     for conj in _split_conjuncts(condition):
         m = re.fullmatch(
             rf"(?is)\s*(\w+)\s+BETWEEN\s+({_NUM_RE})\s+AND\s+({_NUM_RE})\s*",
@@ -208,14 +217,14 @@ def _derive_scope(condition: str) -> dict:
         )
         if m:
             b = boxes.setdefault(m.group(1), [-inf, inf])
-            b[0] = max(b[0], float(m.group(2)))
-            b[1] = min(b[1], float(m.group(3)))
+            b[0] = max(b[0], _num(m.group(2)))
+            b[1] = min(b[1], _num(m.group(3)))
             continue
         m = re.fullmatch(
             rf"(?s)\s*(\w+)\s*(>=|<=|=|==|>|<)\s*({_NUM_RE})\s*", conj
         )
         if m:
-            col, op, val = m.group(1), m.group(2), float(m.group(3))
+            col, op, val = m.group(1), m.group(2), _num(m.group(3))
             b = boxes.setdefault(col, [-inf, inf])
             if op in (">=", ">"):
                 b[0] = max(b[0], val)
@@ -299,13 +308,67 @@ def _take_source(rest: str) -> tuple[str, str]:
         raise ValueError("cannot parse MERGE USING source")
     return m.group(0), rest[m.end() :]
 
-_WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+def _top_word_positions(s: str, word: str) -> list[int]:
+    """Positions where ``word`` appears as a whole word at paren/quote
+    depth zero (the :func:`_scan` discipline) — so a ``WHEN MATCHED`` or
+    ``THEN`` inside a string literal or a parenthesized subexpression
+    never acts as a clause boundary (round-16 advice 3)."""
+    n = len(word)
+    out: list[int] = []
+    for i, _ch, depth, in_q in _scan(s):
+        if depth != 0 or in_q:
+            continue
+        if (
+            s[i : i + n].upper() == word
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + n >= len(s)
+                or not (s[i + n].isalnum() or s[i + n] == "_")
+            )
+        ):
+            out.append(i)
+    return out
+
+
+_WHEN_HEAD_RE = re.compile(
+    r"\s*WHEN\s+(?P<not>NOT\s+)?MATCHED"
     r"(?P<bysource>\s+BY\s+SOURCE)?(?:\s+BY\s+TARGET)?"
-    r"(?:\s+AND\s+(?P<cond>.*?))?"
-    r"\s+THEN\s+(?P<action>.*)",
+    r"(?:\s+AND\s+(?P<cond>.*?))?\s*",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_when_clauses(text: str) -> list[tuple[re.Match, str]]:
+    """Split the MERGE tail into WHEN clauses at TOP-LEVEL boundaries
+    and locate each clause's top-level THEN, via the shared
+    quote/paren scanner — the old regex split mis-split on ``' WHEN
+    MATCHED'`` / ``' THEN '`` inside string literals. Returns
+    ``(head_match, action)`` per clause. An unparenthesized CASE WHEN
+    ... THEN inside a condition still confuses the boundary search —
+    parenthesize such conditions (the error names the fix)."""
+    starts = [
+        i
+        for i in _top_word_positions(text, "WHEN")
+        if re.match(r"(?is)WHEN\s+(?:NOT\s+)?MATCHED\b", text[i:])
+    ]
+    if not starts or text[: starts[0]].strip():
+        raise ValueError(f"cannot parse WHEN clauses {text[:60]!r}")
+    out: list[tuple[re.Match, str]] = []
+    for a, b in zip(starts, starts[1:] + [len(text)]):
+        chunk = text[a:b]
+        thens = _top_word_positions(chunk, "THEN")
+        if not thens:
+            raise ValueError(
+                f"cannot find THEN in WHEN clause {chunk[:60]!r} "
+                "(a CASE expression in the condition must be "
+                "parenthesized)"
+            )
+        head, action = chunk[: thens[0]], chunk[thens[0] + 4 :]
+        hm = _WHEN_HEAD_RE.fullmatch(head)
+        if hm is None:
+            raise ValueError(f"cannot parse WHEN clause {chunk[:60]!r}")
+        out.append((hm, action))
+    return out
 
 
 def _parse_merge(
@@ -369,6 +432,28 @@ def _parse_merge(
         if scol != tcol:
             renames[scol] = tcol
     if renames:
+        # renaming s.b -> a when the source ALREADY has a column named a
+        # (that is not itself renamed away) would yield duplicate 'a'
+        # columns and ambiguous key data downstream (round-16 advice 4)
+        clash = sorted(
+            {
+                tc
+                for tc in renames.values()
+                if tc in source.columns and tc not in renames
+            }
+        )
+        vals = list(renames.values())
+        if len(set(vals)) != len(vals):
+            raise ValueError(
+                "MERGE ON maps two source columns to the same target "
+                f"column {sorted(vals)!r}"
+            )
+        if clash:
+            raise ValueError(
+                f"MERGE ON renames a source column to {clash!r}, but the "
+                "source already has a column of that name — alias it "
+                "away in the USING subquery"
+            )
         source = source.withColumnsRenamed(renames)
 
     matched: list[tuple[str | None, str]] = []
@@ -377,20 +462,12 @@ def _parse_merge(
     nmbs: str | None = None
     nmbs_condition: str | None = None
     nmbs_set: dict[str, str] | None = None
-    # WHEN clauses split at top level, parsed IN ORDER (first-match-wins
+    # WHEN clauses split at TOP-LEVEL boundaries (quote/paren-aware
+    # _scan, round-16 advice 3), parsed IN ORDER (first-match-wins
     # rides through to merge_into's ordered clause list verbatim)
-    chunks = re.split(
-        r"(?i)\s+WHEN\s+(?=(?:NOT\s+)?MATCHED)", m.group("clauses").strip()
-    )
-    for chunk in chunks:
-        chunk = re.sub(r"(?i)^\s*WHEN\s+", "", chunk).strip()
-        if not chunk:
-            continue
-        wm = _WHEN_RE.match("WHEN " + chunk) or _WHEN_RE.match(chunk)
-        if wm is None:
-            raise ValueError(f"cannot parse WHEN clause {chunk!r}")
+    for wm, action in _split_when_clauses(m.group("clauses").strip()):
         cond = wm.group("cond")
-        action = wm.group("action").strip().rstrip(";").strip()
+        action = action.strip().rstrip(";").strip()
         is_not = wm.group("not") is not None
         by_source = wm.group("bysource") is not None
         if not is_not:  # WHEN MATCHED
@@ -415,12 +492,28 @@ def _parse_merge(
                     f"WHEN NOT MATCHED supports THEN INSERT *; got "
                     f"{action!r}"
                 )
+            if insert_unmatched:
+                # last-one-wins here would silently DROP the earlier
+                # clause's condition and insert the wrong rows — Delta
+                # permits multiple NOT MATCHED clauses, this front end
+                # does not (round-16 advice 2)
+                raise ValueError(
+                    "multiple WHEN NOT MATCHED clauses are not "
+                    "supported — combine the conditions into one "
+                    "INSERT clause or use merge_into directly"
+                )
             insert_unmatched = True
             insert_condition = _strip_alias(cond, salias) if cond else None
         else:  # WHEN NOT MATCHED BY SOURCE
             _refuses_alias(
                 cond or "", salias, "a NOT MATCHED BY SOURCE condition"
             )
+            if nmbs is not None:
+                raise ValueError(
+                    "multiple WHEN NOT MATCHED BY SOURCE clauses are "
+                    "not supported — combine the conditions into one "
+                    "clause or use merge_into directly"
+                )
             nmbs_condition = _strip_alias(cond, talias) if cond else None
             if re.fullmatch(r"(?i)DELETE", action):
                 nmbs = "delete"

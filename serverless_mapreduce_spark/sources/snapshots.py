@@ -1736,14 +1736,9 @@ class SnapshotTable:
             cand = []
             for e in entries:
                 rng = e.get("stats", {}).get(col)
-                usable = (
-                    rng is not None
-                    and rng[0] is not None
-                    and rng[1] is not None
-                )
                 (
                     cand
-                    if not usable or (rng[0] <= hi and rng[1] >= lo)
+                    if self._stats_box_overlaps(rng, lo, hi)
                     else kept
                 ).append(e)
         else:
@@ -1888,14 +1883,9 @@ class SnapshotTable:
             cand = []
             for e in entries:
                 rng = e.get("stats", {}).get(col)
-                usable = (
-                    rng is not None
-                    and rng[0] is not None
-                    and rng[1] is not None
-                )
                 (
                     cand
-                    if not usable or (rng[0] <= hi and rng[1] >= lo)
+                    if self._stats_box_overlaps(rng, lo, hi)
                     else kept
                 ).append(e)
         else:
@@ -2857,12 +2847,7 @@ class SnapshotTable:
                 if nmbs_prune is not None:
                     col, lo, hi = nmbs_prune
                     rng = e.get("stats", {}).get(col)
-                    if (
-                        rng is not None
-                        and rng[0] is not None
-                        and rng[1] is not None
-                        and (rng[0] > hi or rng[1] < lo)
-                    ):
+                    if not self._stats_box_overlaps(rng, lo, hi):
                         continue  # provably no condition-true row
                 rewrite.append(e)
         kept_paths = (
@@ -4430,15 +4415,30 @@ class SnapshotTable:
             # (F.min/F.max of no non-NULL values): its rows can never
             # match a range predicate, but keep it CONSERVATIVELY rather
             # than crash on the None compare (r12 review) — the caller's
-            # row filter drops the NULLs, same as an unrecorded column
-            if (
-                rng is None
-                or rng[0] is None
-                or rng[1] is None
-                or (rng[0] <= hi and rng[1] >= lo)
-            ):
+            # row filter drops the NULLs, same as an unrecorded column.
+            # Type-mismatched stats (string stats vs numeric bounds) stay
+            # candidates too (_stats_box_overlaps, round-16 advice 1).
+            if SnapshotTable._stats_box_overlaps(rng, lo, hi):
                 nxt.append(e)
         return nxt
+
+    @staticmethod
+    def _stats_box_overlaps(rng, lo, hi) -> bool:
+        """True unless the file's stats range [rng[0], rng[1]] is
+        PROVABLY disjoint from the probe box [lo, hi]. Missing/None
+        bounds keep the file a candidate, and so does a TYPE-MISMATCHED
+        compare (string stats against numeric bounds — e.g. a numeric
+        SQL literal probed against a string-typed column): comparing
+        those would either crash (str vs float TypeError) or prove
+        nothing, and a wrong prune is missing rows (round-16 advice 1).
+        Python int/float comparisons are exact at any magnitude, so
+        integer bounds beyond 2^53 stay sound here."""
+        if rng is None or rng[0] is None or rng[1] is None:
+            return True
+        try:
+            return rng[0] <= hi and rng[1] >= lo
+        except TypeError:
+            return True
 
     @staticmethod
     def _bloom_excludes(entry: dict, col: str, keys: list) -> bool:

@@ -1,0 +1,222 @@
+"""Round-17 pins for the r16 ADVICE items on the SQL DML front end:
+(1) _derive_scope keeps integral literals exact (no float() rounding
+beyond 2^53) and the stats-box prune treats type-mismatched stats as
+conservative candidates instead of crashing or wrongly pruning,
+(2) repeated WHEN NOT MATCHED / NOT MATCHED BY SOURCE clauses raise
+instead of silently last-one-wins,
+(3) clause splitting is quote/paren-aware (' THEN ' or ' WHEN MATCHED'
+inside a string literal no longer mis-splits),
+(4) an ON-clause rename that collides with an existing source column
+raises instead of producing duplicate columns."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_mapreduce_spark.sources.snapshot_sql import (
+    _derive_scope,
+    sql_dml,
+)
+from serverless_mapreduce_spark.sources.snapshots import SnapshotTable
+
+
+def _kv(spark, pairs, ddl="k bigint, v bigint"):
+    return spark.createDataFrame(list(pairs), ddl)
+
+
+# --- advice 1: integer-exact scope derivation ---------------------------------
+
+
+def test_derive_scope_keeps_big_ints_exact():
+    big = 9_007_199_254_740_993  # 2^53 + 1: float(big) rounds to ...992.0
+    s = _derive_scope(f"k = {big}")
+    assert s["prune"] == ("k", big, big)
+    lo, hi = s["prune"][1], s["prune"][2]
+    assert isinstance(lo, int) and isinstance(hi, int)
+    s = _derive_scope(f"k BETWEEN {big} AND {big + 2}")
+    assert s["prune"] == ("k", big, big + 2)
+    # fractional literals still parse as floats
+    assert _derive_scope("k >= 1.5")["prune"] == ("k", 1.5, float("inf"))
+
+
+def test_big_int_bound_does_not_wrongly_prune(spark, tmp_path):
+    """A file whose stats range is exactly [2^53+1, 2^53+1] must stay a
+    DELETE candidate for WHERE k = 2^53+1 — under the old float()
+    coercion the bound rounded to 2^53 and the file was provably-
+    skipped, silently leaving the row undeleted."""
+    big = 9_007_199_254_740_993
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        _kv(spark, [(big, 1)]).repartition(1), stats_cols=("k",)
+    )
+    t.commit(_kv(spark, [(1, 2)]).repartition(1), stats_cols=("k",))
+    sql_dml(spark, f"DELETE FROM tbl WHERE k = {big}", {"tbl": t})
+    rows = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert rows == {(1, 2)}
+
+
+def test_numeric_literal_on_string_column_is_conservative(spark, tmp_path):
+    """`day = 20260101` against a STRING day column derives a numeric
+    stats box; the prune compare must treat the string stats as
+    unusable (conservative candidate) instead of raising TypeError.
+    The row condition itself still runs under Spark's cast semantics,
+    so the matching row is deleted — the old code crashed before
+    reaching it."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        _kv(
+            spark,
+            [("20260101", 1), ("20260102", 2)],
+            "day string, v bigint",
+        ).repartition(1),
+        stats_cols=("day",),
+    )
+    sql_dml(spark, "DELETE FROM tbl WHERE day = 20260101", {"tbl": t})
+    assert {r.day for r in t.read(spark).collect()} == {"20260102"}
+
+
+def test_stats_box_overlaps_type_mismatch_is_candidate():
+    f = SnapshotTable._stats_box_overlaps
+    assert f(("a", "z"), 1, 2) is True  # str stats vs int bounds
+    assert f(None, 1, 2) is True
+    assert f((None, None), 1, 2) is True
+    assert f((5, 9), 1, 2) is False  # provably disjoint still prunes
+    assert f((5, 9), 9, 12) is True
+    big = 9_007_199_254_740_993
+    assert f((big, big), big, big) is True
+    assert f((big, big), big + 1, big + 2) is False  # exact int compare
+
+
+# --- advice 2: repeated NOT MATCHED clauses raise -----------------------------
+
+
+@pytest.fixture()
+def merge_tbl(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, 10), (2, 20)]))
+    _kv(spark, [(2, 21), (3, 31)]).createOrReplaceTempView("r17_src")
+    return t
+
+
+def test_multiple_not_matched_clauses_raise(spark, merge_tbl):
+    with pytest.raises(ValueError, match="multiple WHEN NOT MATCHED"):
+        sql_dml(
+            spark,
+            """
+            MERGE INTO tbl t USING r17_src s ON t.k = s.k
+            WHEN NOT MATCHED AND s.v > 30 THEN INSERT *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+            {"tbl": merge_tbl},
+        )
+
+
+def test_multiple_nmbs_clauses_raise(spark, merge_tbl):
+    with pytest.raises(
+        ValueError, match="multiple WHEN NOT MATCHED BY SOURCE"
+    ):
+        sql_dml(
+            spark,
+            """
+            MERGE INTO tbl t USING r17_src s ON t.k = s.k
+            WHEN NOT MATCHED BY SOURCE AND t.v > 15 THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN DELETE
+            """,
+            {"tbl": merge_tbl},
+        )
+
+
+def test_multiple_matched_clauses_still_ordered(spark, merge_tbl):
+    """Ordered WHEN MATCHED clauses remain supported (first-match-wins
+    list) — only the NOT MATCHED families are single-clause."""
+    sql_dml(
+        spark,
+        """
+        MERGE INTO tbl t USING r17_src s ON t.k = s.k
+        WHEN MATCHED AND t.v = 999 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        {"tbl": merge_tbl},
+    )
+    rows = {(r.k, r.v) for r in merge_tbl.read(spark).collect()}
+    assert rows == {(1, 10), (2, 21), (3, 31)}
+
+
+# --- advice 3: quote-aware clause splitting -----------------------------------
+
+
+def test_then_inside_string_literal_does_not_missplit(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        _kv(
+            spark,
+            [(1, " THEN "), (2, "b")],
+            "k bigint, v string",
+        )
+    )
+    _kv(
+        spark,
+        [(1, " WHEN MATCHED "), (3, "c")],
+        "k bigint, v string",
+    ).createOrReplaceTempView("r17_qsrc")
+    sql_dml(
+        spark,
+        """
+        MERGE INTO tbl t USING r17_qsrc s ON t.k = s.k
+        WHEN MATCHED AND t.v = ' THEN ' THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.v != ' WHEN MATCHED x' THEN INSERT *
+        """,
+        {"tbl": t},
+    )
+    rows = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert rows == {(1, " WHEN MATCHED "), (2, "b"), (3, "c")}
+
+
+def test_update_set_string_with_then_and_where(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_kv(spark, [(1, "x"), (2, "y")], "k bigint, v string"))
+    sql_dml(
+        spark,
+        "UPDATE tbl SET v = ' THEN WHERE AND ' WHERE k = 1",
+        {"tbl": t},
+    )
+    rows = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert rows == {(1, " THEN WHERE AND "), (2, "y")}
+
+
+# --- advice 4: ON-rename collision with an existing source column -------------
+
+
+def test_on_rename_collision_raises(spark, merge_tbl):
+    # source has BOTH 'b' (the join column) and 'k' (the target name) —
+    # renaming b->k would duplicate 'k'
+    spark.createDataFrame(
+        [(2, 7, 21)], "b bigint, k bigint, v bigint"
+    ).createOrReplaceTempView("r17_clash")
+    with pytest.raises(ValueError, match="already has a column"):
+        sql_dml(
+            spark,
+            """
+            MERGE INTO tbl t USING r17_clash s ON t.k = s.b
+            WHEN MATCHED THEN UPDATE SET *
+            """,
+            {"tbl": merge_tbl},
+        )
+
+
+def test_on_rename_without_collision_still_works(spark, merge_tbl):
+    spark.createDataFrame(
+        [(2, 22), (4, 44)], "b bigint, v bigint"
+    ).createOrReplaceTempView("r17_ren")
+    sql_dml(
+        spark,
+        """
+        MERGE INTO tbl t USING r17_ren s ON t.k = s.b
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        {"tbl": merge_tbl},
+    )
+    rows = {(r.k, r.v) for r in merge_tbl.read(spark).collect()}
+    assert rows == {(1, 10), (2, 22), (4, 44)}
