@@ -434,6 +434,9 @@ HEADLINE = (
     # hint-free SQL DELETE/UPDATE with derived partition/stats scope:
     # both file-identity audits raise on a derivation regression
     "snapshot_sql_dml_scoped",
+    # round 17: SQL read-side time travel — one SELECT reading VERSION
+    # AS OF, TIMESTAMP AS OF, and latest states of the same table
+    "snapshot_sql_time_travel",
     # shallow clone (zero-copy fork) + divergence probes
     "snapshot_shallow_clone",
     # in-place parquet conversion (zero-rewrite onboarding + lifted stats)
