@@ -437,6 +437,10 @@ HEADLINE = (
     # round 17: SQL read-side time travel — one SELECT reading VERSION
     # AS OF, TIMESTAMP AS OF, and latest states of the same table
     "snapshot_sql_time_travel",
+    # round 17: DV-over-DV row-level concurrency — two predicate MOR
+    # deletes on disjoint key ranges of the same files, injected race,
+    # rebase without rewrite
+    "snapshot_dv_delete_race",
     # shallow clone (zero-copy fork) + divergence probes
     "snapshot_shallow_clone",
     # in-place parquet conversion (zero-rewrite onboarding + lifted stats)

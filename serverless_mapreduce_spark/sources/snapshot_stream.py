@@ -409,7 +409,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 emit_data = True
             elif mode == "delete-mor":
                 if self._change_feed:
-                    emit_deletes = True
+                    # delete_where_mor(change_feed=True) records FULL
+                    # pre-images as change files — emit those; emitting
+                    # the key files too would double-count every row
+                    if body.get("cdf"):
+                        emit_changes = True
+                    else:
+                        emit_deletes = True
                 elif not (self._ignore_deletes or self._skip_change):
                     raise ValueError(
                         f"snapshot stream source: version {v} has mode "

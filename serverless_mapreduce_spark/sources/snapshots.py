@@ -1401,12 +1401,9 @@ class SnapshotTable:
         if w is not None:
             col, lo, hi = w
             rng = entry.get("stats", {}).get(col)
-            if (
-                rng is not None
-                and rng[0] is not None
-                and rng[1] is not None
-                and (rng[0] > hi or rng[1] < lo)
-            ):
+            # type-mismatched stats answer "overlaps" (not provable) —
+            # same conservative rule as read-side pruning (r16 advice 1)
+            if not SnapshotTable._stats_box_overlaps(rng, lo, hi):
                 return True
             return any(
                 SnapshotTable._box_excludes(key, rec, col, lo, hi)
@@ -1429,6 +1426,7 @@ class SnapshotTable:
         head: int,
         dropped: set[str],
         read_regions: list[dict] | None,
+        dv_only: bool = False,
     ) -> str | None:
         """Classify the versions interleaved in ``(base, head]`` against
         an RMW commit derived at ``base``: return ``None`` when EVERY
@@ -1440,7 +1438,15 @@ class SnapshotTable:
         this commit rewrites (``dropped``) — overlap is a lost update;
         (2) it added no merge-on-read delete files — a key delete
         sequenced BELOW this commit's rewritten files would silently
-        stop applying to them (resurrection); (3) any NEW rows it added
+        stop applying to them (resurrection). When this commit is
+        itself DV-ONLY (``dv_only``: rewrites nothing, adds only
+        delete/change files — :meth:`delete_where_mor`), rule (2)
+        relaxes to Delta's DV-over-DV rule (r16 verdict item 4):
+        there are no rewrites to disarm, so the interleaved delete
+        conflicts only if its deleted keys may lie INSIDE this
+        commit's read set (its delete files' recorded stats vs
+        ``read_regions`` — two DV deletes on provably disjoint key
+        ranges of the SAME file both land); (3) any NEW rows it added
         (``data_change=true`` additions) provably miss every region of
         this commit's read set (``read_regions``; ``None`` = the commit
         read the whole table, so any addition conflicts; ``[]`` = the
@@ -1488,12 +1494,32 @@ class SnapshotTable:
             added = [
                 e for e in self._entries(v) if e["path"] not in prev_paths
             ]
-            if any(e.get("kind") == "delete" for e in added):
+            added_deletes = [e for e in added if e.get("kind") == "delete"]
+            if added_deletes and not dv_only:
                 return (
                     f"version {v} added merge-on-read delete files; a "
                     "rebase would sequence them below this commit's "
                     "rewrites and silently disarm them"
                 )
+            if added_deletes:
+                # DV-over-DV: this commit rewrites nothing, so the
+                # sequencing hazard is moot; the interleaved delete's
+                # only mutation is its deleted keys — conflict exactly
+                # when those may lie inside this commit's read set (a
+                # stats-less delete file proves nothing → conflict)
+                if read_regions is None:
+                    return (
+                        f"version {v} added merge-on-read delete files "
+                        "and this commit read the whole table"
+                    )
+                for e in added_deletes:
+                    for r in read_regions:
+                        if not self._entry_misses_region(e, r):
+                            return (
+                                f"version {v} deleted keys "
+                                f"({e['path']!r}) that may lie inside "
+                                "this commit's read set"
+                            )
             new_data = [e for e in added if "kind" not in e]
             if new_data and body.get("data_change", True):
                 if read_regions is None:
@@ -1554,6 +1580,16 @@ class SnapshotTable:
             # are not part of this commit's write set
             if e.get("kind") != "change"
         } - set(kept_paths)
+        # a DV-only commit (delete_where_mor) rewrites nothing and adds
+        # only delete/change files — rule (2) of the classifier relaxes
+        # to key-range disjointness for it (r16 verdict item 4)
+        dv_only = (
+            not dropped
+            and bool(new_entries)
+            and all(
+                e.get("kind") in ("delete", "change") for e in new_entries
+            )
+        )
         base, kept, sch = parent, set(kept_paths), schema
         for _ in range(16):
             try:
@@ -1582,7 +1618,7 @@ class SnapshotTable:
                         "(rename/drop); re-derive against the new head"
                     ) from None
                 reason = self._rebase_conflict(
-                    base, head, dropped, read_regions
+                    base, head, dropped, read_regions, dv_only
                 )
                 if reason is not None:
                     raise CommitConflict(
@@ -3403,6 +3439,131 @@ class SnapshotTable:
                 continue
         raise CommitConflict("64 consecutive manifest races; giving up")
 
+    def delete_where_mor(
+        self,
+        spark: SparkSession,
+        condition: str,
+        key_cols: tuple[str, ...],
+        prune: tuple[str, float, float] | None = None,
+        partition_eq: dict[str, str | None] | None = None,
+        change_feed: bool = False,
+    ) -> int:
+        """MERGE-ON-READ PREDICATE DELETE (Delta deletion-vector DELETE,
+        r16 verdict item 4): evaluate ``condition`` against the current
+        snapshot, commit the matching rows' ``key_cols`` as a delete-key
+        file — NO data file is rewritten. Beyond :meth:`delete_keys_mor`
+        this (a) derives the keys from a predicate with the same
+        ``prune``/``partition_eq`` planning scope as :meth:`delete_where`,
+        and (b) publishes through the write-serializable classifier with
+        that scope as its READ SET, so two DV deletes on provably
+        disjoint key ranges of the SAME file both land without caller
+        retry (the r16 classifier conflicted any mutate-vs-mutate pair
+        touching one file); overlapping ranges still raise. The key file
+        records min/max stats over ``key_cols`` so CONCURRENT commits can
+        prove disjointness against it the same way.
+
+        Two scope-soundness contracts, both :meth:`delete_where`'s: the
+        condition must not match rows outside the declared scope, and —
+        new here — the key columns must identify rows (a key shared by a
+        doomed and an innocent row would delete both; same contract as
+        :meth:`delete_keys_mor`). The delete file's sequence number is
+        pinned at the SNAPSHOT BOUNDARY (``base+1``), so concurrently
+        appended or rewritten files — provably outside the read scope —
+        are never retroactively swept by the rebased delete.
+
+        ``change_feed=True`` records the matched rows' pre-images as CDF
+        change files (``_change_type='delete'``), written once from the
+        same snapshot the keys came from — a provably-disjoint rebase
+        cannot change the matched set, so the CDC rows stay exact."""
+        version = self.latest_version()
+        if version is None:
+            raise ValueError("snapshot table has no committed version")
+        entries = self._data_entries(version)
+        cmap = self.column_mapping(version)
+        logical_prune_col = prune[0] if prune is not None else None
+        if cmap:
+            if prune is not None:
+                prune = (cmap.get(prune[0], prune[0]), prune[1], prune[2])
+            if partition_eq is not None:
+                partition_eq = {
+                    self._translate_spec(k, cmap): v
+                    for k, v in partition_eq.items()
+                }
+        if partition_eq is not None:
+            entries, _part_kept = self._partition_eq_split(
+                entries, partition_eq
+            )
+        if prune is not None:
+            col, lo, hi = prune
+            entries = [
+                e
+                for e in entries
+                if self._stats_box_overlaps(
+                    e.get("stats", {}).get(col), lo, hi
+                )
+            ]
+        if not entries:
+            return version
+        keys = list(key_cols)
+        matched = self._read_with_deletes(spark, version, entries).filter(
+            f"coalesce(({condition}), false)"
+        )
+        # the key file carries the prune column too (when it is not
+        # already a key): its recorded stats are what lets a CONCURRENT
+        # DV delete prove this one's rows lie outside its own read box
+        # (the extra column is ignored by the read-side anti-join)
+        stat_cols = list(keys)
+        if (
+            logical_prune_col is not None
+            and logical_prune_col not in stat_cols
+        ):
+            stat_cols.append(logical_prune_col)
+        key_df = matched.select(*stat_cols).distinct()
+        if key_df.limit(1).count() == 0:
+            return version  # no matching row: publish nothing
+        written = self._write_data(key_df, stats_cols=tuple(stat_cols))
+        for e in written:
+            e["kind"] = "delete"
+            e["keys"] = [cmap.get(k, k) for k in keys]
+            # snapshot-boundary visibility: applies to every file of the
+            # base snapshot (seq <= version) and to NOTHING committed
+            # after it — a rebase over disjoint concurrent work must not
+            # let this delete sweep rows it never read
+            e["seq"] = version + 1
+        new_entries: list[dict] = list(written)
+        extra = None
+        if change_feed:
+            chg = self._write_data(matched, ())
+            for e in chg:
+                e["kind"] = "change"
+                e["change"] = "delete"
+            new_entries = new_entries + chg
+            extra = {"cdf": True}
+        kept_paths = {e["path"] for e in self._data_entries(version)} | {
+            e["path"] for e in self._delete_entries(version)
+        }
+        regions: list[dict] = []
+        if prune is not None:
+            regions.append({"where": prune})
+        if partition_eq is not None:
+            regions.append(
+                {
+                    "partition_in": {
+                        c: {hive_partition_value(v)}
+                        for c, v in partition_eq.items()
+                    }
+                }
+            )
+        return self._publish_cow_serializable(
+            version,
+            kept_paths,
+            new_entries,
+            "delete-mor",
+            self._schema(version),
+            extra,
+            read_regions=regions if regions else None,
+        )
+
     #: rows above which a merge-on-read delete-key file is applied as a
     #: SHUFFLED anti-join instead of a broadcast one. A delete file is a
     #: decision output (dedup losers, GDPR purge list) and can be a TABLE
@@ -5039,7 +5200,12 @@ class SnapshotTable:
                 for e in self._delta_entries(v):
                     if "kind" not in e:
                         by_type.setdefault("insert", []).append(e["path"])
-            elif mode == "delete-mor":
+            elif mode == "delete-mor" and not body.get("cdf"):
+                # the deleted KEYS are the best available pre-image
+                # (non-key columns NULL); delete_where_mor with
+                # change_feed=True records full pre-images instead and
+                # falls through to the cdf branch — emitting both would
+                # double-count every deleted row
                 for e in self._delta_entries(v):
                     if e.get("kind") == "delete":
                         by_type.setdefault("delete", []).append(e["path"])
@@ -6746,6 +6912,94 @@ def snapshot_partition_dml_race(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_orders"),
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
+    )
+
+
+@query(
+    "snapshot_dv_delete_race",
+    priority=150,
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    survivors AS (
+      SELECT * FROM base
+      WHERE NOT (o_custkey BETWEEN {PRUNE_LO} AND {PRUNE_HI})
+        AND NOT (o_custkey BETWEEN {DEL_LO} AND {DEL_HI})
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys
+    FROM survivors
+    """,
+)
+def snapshot_dv_delete_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-OVER-DV ROW-LEVEL CONCURRENCY (r16 verdict item 4 — Delta's
+    deletion-vector write-serializable rule): orders committed as HASH
+    partitions (every file spans the whole custkey domain, so any two
+    predicate deletes touch the SAME files — the shape the r16
+    classifier always conflicted), then two concurrent
+    :meth:`SnapshotTable.delete_where_mor` calls on provably disjoint
+    custkey boxes ({PRUNE_LO}..{PRUNE_HI} vs {DEL_LO}..{DEL_HI}). The
+    victim loses its CAS race to the interloper, the classifier proves
+    the interloper's delete-file key stats miss the victim's read box,
+    and the victim REBASES — both deletes land, zero data files
+    rewritten, no caller retry. The query RAISES unless the rebase
+    actually happened, so the oracle match certifies both deletions
+    applied through the merge-on-read read path. Reference analog: none
+    — the reference's S3 writes are last-writer-wins whole objects
+    (``output_handler_s3.py:41-53``)."""
+    import shutil
+
+    base = scratch(sf_tag(sf_dir), "snapshot_dv_race")
+    shutil.rmtree(base, ignore_errors=True)
+    t = SnapshotTable(base)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("cents")
+    )
+    v0 = t.commit(orders.repartition(8), stats_cols=("o_custkey",))
+    other = SnapshotTable(base)
+    state = {"armed": True, "delete_version": None}
+
+    def _wrapped(*a, **k):
+        if state["armed"]:
+            state["armed"] = False
+            state["delete_version"] = other.delete_where_mor(
+                spark,
+                f"o_custkey BETWEEN {DEL_LO} AND {DEL_HI}",
+                ("o_orderkey",),
+                prune=("o_custkey", DEL_LO, DEL_HI),
+            )
+        return SnapshotTable._publish_cow(t, *a, **k)
+
+    t._publish_cow = _wrapped  # instance-scoped, self-disarming
+    victim_v = t.delete_where_mor(
+        spark,
+        f"o_custkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}",
+        ("o_orderkey",),
+        prune=("o_custkey", PRUNE_LO, PRUNE_HI),
+    )
+    del t._publish_cow
+    if state["armed"] or state["delete_version"] is None:
+        raise RuntimeError("race never injected; query proves nothing")
+    if victim_v <= state["delete_version"]:
+        raise RuntimeError(
+            f"victim v{victim_v} did not serialize after the interloper "
+            f"v{state['delete_version']} — no rebase happened"
+        )
+    if {e["path"] for e in t._data_entries(victim_v)} != {
+        e["path"] for e in t._data_entries(v0)
+    }:
+        raise RuntimeError(
+            "DV deletes must not rewrite data files — the file set moved"
+        )
+    return t.read(spark).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_custkeys"),
     )
 
 

@@ -205,6 +205,180 @@ def test_on_rename_collision_raises(spark, merge_tbl):
         )
 
 
+# --- DV predicate delete + row-level conflict refinement (r16 item 4) --------
+
+
+def _inject_once(monkeypatch, fn):
+    """Deterministic race: run ``fn`` (the interloper's commits) right
+    before the victim's FIRST _publish_cow attempt."""
+    import serverless_mapreduce_spark.sources.snapshots as S
+
+    orig = S.SnapshotTable._publish_cow
+    state = {"armed": True}
+
+    def wrapper(self, *a, **k):
+        if state["armed"]:
+            state["armed"] = False
+            fn()
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(S.SnapshotTable, "_publish_cow", wrapper)
+    return state
+
+
+def _one_file_tbl(spark, tmp_path):
+    """One data FILE holding keys 1..8 — the shape the r16 classifier
+    could never rebase mutate-vs-mutate on."""
+    t = SnapshotTable(str(tmp_path / "dv"))
+    t.commit(
+        _kv(spark, [(k, k * 10) for k in range(1, 9)]).repartition(1),
+        stats_cols=("k",),
+    )
+    return t
+
+
+def test_dv_deletes_disjoint_ranges_same_file_both_land(
+    spark, tmp_path, monkeypatch
+):
+    t = _one_file_tbl(spark, tmp_path)
+    other = SnapshotTable(t.base)
+    state = _inject_once(
+        monkeypatch,
+        lambda: other.delete_where_mor(
+            spark, "k >= 7", ("k",), prune=("k", 7, 10**9)
+        ),
+    )
+    v = t.delete_where_mor(spark, "k <= 2", ("k",), prune=("k", 0, 2))
+    assert not state["armed"], "race never injected"
+    assert v > other.latest_version() - 1  # rebased past the interloper
+    rows = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert rows == {(k, k * 10) for k in (3, 4, 5, 6)}
+
+
+def test_dv_deletes_overlapping_ranges_conflict(
+    spark, tmp_path, monkeypatch
+):
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    t = _one_file_tbl(spark, tmp_path)
+    other = SnapshotTable(t.base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.delete_where_mor(
+            spark, "k >= 4", ("k",), prune=("k", 4, 10**9)
+        ),
+    )
+    with pytest.raises(CommitConflict, match="read set"):
+        t.delete_where_mor(spark, "k <= 5", ("k",), prune=("k", 0, 5))
+
+
+def test_dv_delete_vs_unscoped_dv_delete_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """An unscoped DV delete (no prune) read the whole table — any
+    interleaved DV delete conflicts, scoped or not."""
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    t = _one_file_tbl(spark, tmp_path)
+    other = SnapshotTable(t.base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.delete_where_mor(
+            spark, "k >= 7", ("k",), prune=("k", 7, 10**9)
+        ),
+    )
+    with pytest.raises(CommitConflict, match="whole table"):
+        t.delete_where_mor(spark, "k <= 2", ("k",))
+
+
+def test_cow_delete_still_conflicts_with_interleaved_dv(
+    spark, tmp_path, monkeypatch
+):
+    """The relaxation is DV-over-DV only: a COW delete (rewrites files)
+    racing an interleaved DV delete still raises — sequencing the DV
+    below the rewrite would disarm it."""
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    t = _one_file_tbl(spark, tmp_path)
+    other = SnapshotTable(t.base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.delete_where_mor(
+            spark, "k >= 7", ("k",), prune=("k", 7, 10**9)
+        ),
+    )
+    with pytest.raises(CommitConflict, match="delete files"):
+        t.delete_where(spark, "k <= 2", prune=("k", 0, 2))
+
+
+def test_dv_rebase_over_append_does_not_sweep_new_rows(
+    spark, tmp_path, monkeypatch
+):
+    """Seq pinning: a DV delete rebased over a concurrent out-of-scope
+    append must NOT retroactively delete an appended row that shares a
+    doomed key (the appended row serializes first; the delete never
+    read it)."""
+    t = _one_file_tbl(spark, tmp_path)
+    other = SnapshotTable(t.base)
+    _inject_once(
+        monkeypatch,
+        # same key (2) as a doomed row, but outside the delete's k-box?
+        # No — key IS k here, so append key 100 plus a re-insert of key
+        # 2 cannot be out-of-box. Use a v-scoped delete instead: key
+        # col k, predicate+prune on v.
+        lambda: other.commit(
+            _kv(spark, [(2, 999)]), stats_cols=("v",)
+        ),
+    )
+    # delete rows with v <= 25 (keys 1, 2); the appended (2, 999) is
+    # outside the v-box and must survive even though its key is doomed
+    v = t.delete_where_mor(spark, "v <= 25", ("k",), prune=("v", 0, 25))
+    rows = {(r.k, r.v) for r in t.read(spark, version=v).collect()}
+    assert (2, 999) in rows
+    assert rows == {(2, 999)} | {(k, k * 10) for k in range(3, 9)}
+
+
+def test_dv_delete_cdf_consistent_through_rebase(
+    spark, tmp_path, monkeypatch
+):
+    """The rebased DV delete's CDF pre-images are exactly its own
+    matched rows — the interloper's deletions don't leak in."""
+    t = _one_file_tbl(spark, tmp_path)
+    other = SnapshotTable(t.base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.delete_where_mor(
+            spark,
+            "k >= 7",
+            ("k",),
+            prune=("k", 7, 10**9),
+            change_feed=True,
+        ),
+    )
+    v = t.delete_where_mor(
+        spark, "k <= 2", ("k",), prune=("k", 0, 2), change_feed=True
+    )
+    chg = t.read_changes(spark, v - 1, v)
+    got = {
+        (r.k, r.v, r._change_type)
+        for r in chg.select("k", "v", "_change_type").collect()
+    }
+    assert got == {(1, 10, "delete"), (2, 20, "delete")}
+
+
+def test_dv_delete_plain_semantics_and_noop(spark, tmp_path):
+    t = _one_file_tbl(spark, tmp_path)
+    v0 = t.latest_version()
+    # no matching rows: version unchanged, nothing published
+    assert t.delete_where_mor(spark, "k > 100", ("k",)) == v0
+    v = t.delete_where_mor(spark, "k % 2 = 0", ("k",))
+    assert v == v0 + 1
+    rows = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert rows == {(k, k * 10) for k in (1, 3, 5, 7)}
+    # time travel still shows the pre-delete rows
+    assert t.read(spark, version=v0).count() == 8
+
+
 # --- SQL read-side time travel (r16 verdict item 3) ---------------------------
 
 
