@@ -198,6 +198,33 @@ def test_star_contraction_high_diameter_path(spark):
     assert lab == {i: 1 for i in range(1, n + 1)}
 
 
+def test_star_converges_in_fewer_rounds_than_hashmin(spark):
+    """MEASURED convergence-rate justification for keeping the star
+    variant (r16 verdict item 6): on a 13-node path (diameter 12) the
+    hash-min loop needs ~diameter rounds (label 0 moves one hop per
+    round, +1 to detect the fixpoint) while the star contraction lands
+    in O(log n) — the LAST_CC_ROUNDS telemetry pins both counts, so the
+    'use star on high-diameter graphs' doc claim is measurement, not
+    citation. Per-round cost note: a star round is two edge-keyed
+    min-agg + join passes (edge-sized shuffles) vs hash-min's one
+    broadcast join + node-keyed min-agg — star wins exactly when round
+    count, not per-round cost, dominates."""
+    from serverless_mapreduce_spark.operators import graph as G
+
+    path = [(i, i + 1) for i in range(12)]  # nodes 0..12, diameter 12
+    sym = _sym_df(spark, path)
+    lpa_lab = {r["node"]: r["comp"] for r in G._label_propagate(sym).collect()}
+    lpa_rounds = G.LAST_CC_ROUNDS["hashmin"]
+    star_lab = {
+        r["node"]: r["comp"] for r in G._label_propagate_star(sym).collect()
+    }
+    star_rounds = G.LAST_CC_ROUNDS["star"]
+    assert lpa_lab == star_lab == {i: 0 for i in range(13)}
+    assert lpa_rounds >= 12  # ~diameter: the label walked the chain
+    assert star_rounds <= 6  # ~log2(13) + fixpoint-detect margin
+    assert star_rounds < lpa_rounds
+
+
 def test_star_contraction_star_and_pair(spark):
     """Degenerate shapes: an already-star component (hub = min and hub =
     max variants) and a 2-node component are fixpoints the contraction must
