@@ -844,32 +844,39 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(SIMHASH_BANDS)
         ]
     )
+    # IN-JOIN VERIFY (r17 sf1 spot finding): the fingerprints ride the
+    # band rows and the hamming test is an extra JOIN condition, so a
+    # colliding candidate is verified DURING the band join and only true
+    # pairs are ever materialized. The previous shape (candidates →
+    # distinct → two fingerprint-fetch joins → filter) shuffled the full
+    # candidate set first — at a 10x corpus the near-identical tf
+    # distribution made level-1 buckets quadratically hot (54M candidate
+    # pairs for 166k true pairs, measured on the derived sf1 fixture)
+    # and the candidate materialization dominated: 51.5s vs 15.6s with
+    # the in-join verify, identical output, sf0.1 unchanged. The C(n,2)
+    # comparisons inside a hot bucket still happen, but as ~ns bit_count
+    # probes inside the join loop, never as shuffled rows; a bucket hot
+    # enough to make even THAT quadratic cost bind (~1M docs sharing one
+    # 16-bit segment) is the hub-cap regime documented at BAND_CAP.
     bands = fp.select(
-        "doc_id", F.posexplode(segments).alias("seg_idx", "seg")
+        "doc_id", "simhash", F.posexplode(segments).alias("seg_idx", "seg")
     )
-    cand = (
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.seg_idx") == F.col("b.seg_idx"))
             & (F.col("a.seg") == F.col("b.seg"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ham <= F.lit(HAMMING_THRESH)),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
         .distinct()
-    )
-    f = fp.select("doc_id", "simhash")
-    out = (
-        cand.join(
-            f.withColumnsRenamed({"doc_id": "doc_a", "simhash": "fp_a"}), "doc_a"
-        )
-        .join(f.withColumnsRenamed({"doc_id": "doc_b", "simhash": "fp_b"}), "doc_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-        )
-    )
-    return out.filter(F.col("hamming") <= HAMMING_THRESH).select(
-        "doc_a", "doc_b", "hamming"
     )
 
 

@@ -1245,9 +1245,18 @@ def stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         change_feed=True,
         partition_by=("m3",),
     )
-    # v3: predicate purge — catches keys v2 JUST updated (order matters)
-    src.delete_where(
-        spark, "o_orderkey % 9 = 0", change_feed=True, partition_by=("m3",)
+    # v3: predicate purge — catches keys v2 JUST updated (order matters).
+    # DELETION-VECTOR shape (r17): the purge commits a delete-key file +
+    # full CDF pre-images WITHOUT rewriting a single data file; the feed
+    # receives the same _change_type='delete' pre-image rows a COW purge
+    # would emit (the COW flavor stays covered by stream_change_feed).
+    # %9 keys are all %3==0, so the read scope is the m3=0 partition.
+    src.delete_where_mor(
+        spark,
+        "o_orderkey % 9 = 0",
+        ("o_orderkey",),
+        partition_eq={"m3": "0"},
+        change_feed=True,
     )
     # v4: plain append
     src.commit(base.filter(k % 3 == 2), partition_by=("m3",))
