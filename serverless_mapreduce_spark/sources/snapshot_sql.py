@@ -596,7 +596,11 @@ def sql_select(
     quoted = {i for i, _ch, _d, in_q in _scan(stmt) if in_q}
     names = sorted(tables, key=len, reverse=True)
     for name in names:
-        if re.search(rf"(?is)\b{re.escape(name)}\s+AS\s*\(", stmt):
+        for m in re.finditer(
+            rf"(?is)\b{re.escape(name)}\s+AS\s*\(", stmt
+        ):
+            if m.start() in quoted:
+                continue  # '<name> AS (' inside a string literal is data
             raise ValueError(
                 f"a CTE named {name!r} shadows a registered snapshot "
                 "table — rename the CTE"
@@ -608,6 +612,7 @@ def sql_select(
         r"('(?:[^'\\]|\\.)*'|[^\s,);]+))?"
     )
     out: list[str] = []
+    views: list[str] = []
     last = 0
     for m in pat.finditer(stmt):
         if m.start() in quoted:
@@ -623,11 +628,19 @@ def sql_select(
         _SELECT_VIEW_SEQ[0] += 1
         view = f"snap_asof_{m.group(2)}_{_SELECT_VIEW_SEQ[0]}"
         df.createOrReplaceTempView(view)
+        views.append(view)
         out.append(stmt[last : m.start()])
         out.append(f"{m.group(1)} {view}")
         last = m.end()
     out.append(stmt[last:])
-    return spark.sql("".join(out))
+    result = spark.sql("".join(out))
+    # the analyzer substituted each view's plan into `result` at sql()
+    # time, so the catalog entries are dead weight now — drop them or a
+    # long-lived session issuing many SELECTs accumulates views without
+    # bound (round-17 review)
+    for view in views:
+        spark.catalog.dropTempView(view)
+    return result
 
 
 def sql_dml(

@@ -1458,7 +1458,8 @@ class SnapshotTable:
         its cost is O(interleaved versions × manifest entries) —
         metadata scale, the same accounting Delta's conflict checker
         pays reading the interleaved commits' action logs."""
-        prev_paths = {e["path"] for e in self._entries(base)}
+        prev_entries = self._entries(base)
+        prev_paths = {e["path"] for e in prev_entries}
         tombs = self._tombstones()
         for v in range(base + 1, head + 1):
             try:
@@ -1483,7 +1484,8 @@ class SnapshotTable:
                     f"version {v} is a staged commit branching from "
                     f"version {body.get('base')} — non-linear history"
                 )
-            cur_paths = {e["path"] for e in self._entries(v)}
+            cur_entries = self._entries(v)
+            cur_paths = {e["path"] for e in cur_entries}
             removed = prev_paths - cur_paths
             hit = removed & dropped
             if hit:
@@ -1491,6 +1493,34 @@ class SnapshotTable:
                     f"version {v} removed/rewrote files this commit "
                     f"also rewrites (e.g. {sorted(hit)[0]!r})"
                 )
+            if dv_only and removed:
+                # a DV-only commit's delete file is seq-pinned at its
+                # snapshot boundary, so ANY interleaved rewrite of a
+                # file that may hold doomed rows moves those rows into a
+                # higher-seq file the delete no longer applies to — a
+                # silently lost delete (round-17 review, reproduced with
+                # a concurrent compaction). A rewrite of a file provably
+                # OUTSIDE the read scope moves only innocent rows (keys
+                # identify rows, and keys come from in-scope rows) and
+                # stays rebasable. data_change=false does NOT exempt
+                # this check: compaction rewrites are exactly the
+                # hazard.
+                prev_by_path = {e["path"]: e for e in prev_entries}
+                for path in removed:
+                    e = prev_by_path.get(path, {})
+                    if e.get("kind") is not None:
+                        continue  # delete/change files hold no data rows
+                    if read_regions is None or not all(
+                        self._entry_misses_region(e, r)
+                        for r in read_regions
+                    ):
+                        return (
+                            f"version {v} removed/rewrote {path!r}, "
+                            "which may hold rows this delete-vector "
+                            "commit's keys target — the rewrite would "
+                            "lift them above the delete's sequence "
+                            "number"
+                        )
             added = [
                 e for e in self._entries(v) if e["path"] not in prev_paths
             ]
@@ -1537,6 +1567,7 @@ class SnapshotTable:
                                 "which may hold rows inside this "
                                 "commit's read set"
                             )
+            prev_entries = cur_entries
             prev_paths = cur_paths
         return None
 
@@ -3505,40 +3536,49 @@ class SnapshotTable:
         if not entries:
             return version
         keys = list(key_cols)
+        # ONE pruned scan feeds the emptiness probe, the key-file write,
+        # and (under change_feed) the pre-image write (round-17 review:
+        # unpersisted, the identical scan+anti-join+filter pipeline ran
+        # as up to three separate jobs)
         matched = self._read_with_deletes(spark, version, entries).filter(
             f"coalesce(({condition}), false)"
         )
-        # the key file carries the prune column too (when it is not
-        # already a key): its recorded stats are what lets a CONCURRENT
-        # DV delete prove this one's rows lie outside its own read box
-        # (the extra column is ignored by the read-side anti-join)
-        stat_cols = list(keys)
-        if (
-            logical_prune_col is not None
-            and logical_prune_col not in stat_cols
-        ):
-            stat_cols.append(logical_prune_col)
-        key_df = matched.select(*stat_cols).distinct()
-        if key_df.limit(1).count() == 0:
-            return version  # no matching row: publish nothing
-        written = self._write_data(key_df, stats_cols=tuple(stat_cols))
-        for e in written:
-            e["kind"] = "delete"
-            e["keys"] = [cmap.get(k, k) for k in keys]
-            # snapshot-boundary visibility: applies to every file of the
-            # base snapshot (seq <= version) and to NOTHING committed
-            # after it — a rebase over disjoint concurrent work must not
-            # let this delete sweep rows it never read
-            e["seq"] = version + 1
-        new_entries: list[dict] = list(written)
-        extra = None
-        if change_feed:
-            chg = self._write_data(matched, ())
-            for e in chg:
-                e["kind"] = "change"
-                e["change"] = "delete"
-            new_entries = new_entries + chg
-            extra = {"cdf": True}
+        matched.persist()
+        try:
+            if matched.count() == 0:
+                return version  # no matching row: publish nothing
+            # the key file carries the prune column too (when it is not
+            # already a key): its recorded stats are what lets a
+            # CONCURRENT DV delete prove this one's rows lie outside its
+            # own read box (the extra column is ignored by the read-side
+            # anti-join)
+            stat_cols = list(keys)
+            if (
+                logical_prune_col is not None
+                and logical_prune_col not in stat_cols
+            ):
+                stat_cols.append(logical_prune_col)
+            key_df = matched.select(*stat_cols).distinct()
+            written = self._write_data(key_df, stats_cols=tuple(stat_cols))
+            for e in written:
+                e["kind"] = "delete"
+                e["keys"] = [cmap.get(k, k) for k in keys]
+                # snapshot-boundary visibility: applies to every file of
+                # the base snapshot (seq <= version) and to NOTHING
+                # committed after it — a rebase over disjoint concurrent
+                # work must not let this delete sweep rows it never read
+                e["seq"] = version + 1
+            new_entries: list[dict] = list(written)
+            extra = None
+            if change_feed:
+                chg = self._write_data(matched, ())
+                for e in chg:
+                    e["kind"] = "change"
+                    e["change"] = "delete"
+                new_entries = new_entries + chg
+                extra = {"cdf": True}
+        finally:
+            matched.unpersist()
         kept_paths = {e["path"] for e in self._data_entries(version)} | {
             e["path"] for e in self._delete_entries(version)
         }

@@ -242,17 +242,72 @@ def test_dv_deletes_disjoint_ranges_same_file_both_land(
 ):
     t = _one_file_tbl(spark, tmp_path)
     other = SnapshotTable(t.base)
-    state = _inject_once(
-        monkeypatch,
-        lambda: other.delete_where_mor(
+    interloper_v = {}
+
+    def interleave():
+        interloper_v["v"] = other.delete_where_mor(
             spark, "k >= 7", ("k",), prune=("k", 7, 10**9)
+        )
+
+    state = _inject_once(monkeypatch, interleave)
+    v = t.delete_where_mor(spark, "k <= 2", ("k",), prune=("k", 0, 2))
+    assert not state["armed"], "race never injected"
+    # rebased past the interloper's PUBLISHED version (captured at
+    # injection time — comparing against latest_version() after our own
+    # publish would be a tautology)
+    assert v > interloper_v["v"]
+    rows = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert rows == {(k, k * 10) for k in (3, 4, 5, 6)}
+
+
+def test_dv_delete_conflicts_with_interleaved_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent compaction rewrites the base files with a HIGHER
+    sequence number, which would lift the doomed rows above the
+    seq-pinned delete file — the classifier must refuse the rebase
+    (round-17 review: before the fix this rebased 'cleanly' and the
+    delete was silently lost)."""
+    from serverless_mapreduce_spark.sources.snapshots import CommitConflict
+
+    t = SnapshotTable(str(tmp_path / "dv"))
+    t.commit(
+        _kv(spark, [(k, k * 10) for k in range(1, 9)]).repartition(2),
+        stats_cols=("k",),
+    )
+    other = SnapshotTable(t.base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.compact_small_files(spark, small_bytes=1 << 30),
+    )
+    with pytest.raises(CommitConflict, match="sequence number"):
+        t.delete_where_mor(spark, "k <= 2", ("k",), prune=("k", 0, 2))
+
+
+def test_dv_delete_rebases_over_out_of_scope_cow_delete(
+    spark, tmp_path, monkeypatch
+):
+    """An interleaved COW delete whose rewrites are provably OUTSIDE
+    the DV commit's read box moves only innocent rows — the rebase must
+    proceed and both deletions land."""
+    t = SnapshotTable(str(tmp_path / "dv"))
+    # range-cluster so the k<=2 and k>=100 rows land in DIFFERENT files
+    t.commit(
+        _kv(
+            spark, [(1, 10), (2, 20), (5, 50), (100, 1000), (101, 1010)]
+        ).repartitionByRange(2, "k"),
+        stats_cols=("k",),
+    )
+    other = SnapshotTable(t.base)
+    _inject_once(
+        monkeypatch,
+        lambda: other.delete_where(
+            spark, "k >= 100", prune=("k", 100, 10**9), stats_cols=("k",)
         ),
     )
     v = t.delete_where_mor(spark, "k <= 2", ("k",), prune=("k", 0, 2))
-    assert not state["armed"], "race never injected"
-    assert v > other.latest_version() - 1  # rebased past the interloper
-    rows = {(r.k, r.v) for r in t.read(spark).collect()}
-    assert rows == {(k, k * 10) for k in (3, 4, 5, 6)}
+    rows = {(r.k, r.v) for r in t.read(spark, version=v).collect()}
+    assert rows == {(5, 50)}
 
 
 def test_dv_deletes_overlapping_ranges_conflict(
@@ -465,6 +520,30 @@ def test_sql_select_cte_shadow_raises(spark, versioned_tbl):
             "WITH tt AS (SELECT 1 AS k) SELECT * FROM tt",
             {"tt": t},
         )
+    # '<name> AS (' INSIDE a string literal is data, not a CTE
+    rows = sql_dml(
+        spark,
+        "SELECT k, 'tt AS (x)' AS note FROM tt ORDER BY k",
+        {"tt": t},
+    ).collect()
+    assert [r.k for r in rows] == [1, 3, 4]
+
+
+def test_sql_select_drops_its_temp_views(spark, versioned_tbl):
+    """sql_select must not leak one catalog temp view per reference —
+    the analyzer substitutes the plan at sql() time, so the views are
+    droppable before the caller ever collects."""
+    t, v1, _v2 = versioned_tbl
+    before = {v.name for v in spark.catalog.listTables()}
+    df = sql_dml(
+        spark,
+        f"SELECT k FROM tt VERSION AS OF {v1} ORDER BY k",
+        {"tt": t},
+    )
+    after = {v.name for v in spark.catalog.listTables()}
+    assert not {n for n in after - before if n.startswith("snap_asof_")}
+    # the returned frame still collects correctly after the drop
+    assert [r.k for r in df.collect()] == [1, 2, 3]
 
 
 def test_on_rename_without_collision_still_works(spark, merge_tbl):
