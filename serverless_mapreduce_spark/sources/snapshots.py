@@ -1045,6 +1045,8 @@ class SnapshotTable:
             }
 
         real_of = {e["path"]: os.path.realpath(e["path"]) for e in entries}
+        if self._lift_stats_inline(df, entries, stats_cols, bloom_cols):
+            return entries
         if entries and (stats_cols or len(entries) > self.ROWS_FOOTER_CAP):
             # Per-entry ROW COUNTS and per-file min/max stats, lifted in
             # ONE distributed pass over the files just written — never by
@@ -1142,6 +1144,100 @@ class SnapshotTable:
                     "bits": sorted(r["bits"]) if r is not None else [],
                 }
         return entries
+
+    #: Per-commit byte ceiling for the driver-side stats lift below: at
+    #: most this much just-written parquet is re-read on the driver
+    #: instead of scheduling distributed stats jobs. A constant, never
+    #: table-proportional — production-sized commits exceed it and keep
+    #: the one-distributed-pass path.
+    STATS_INLINE_BYTES_CAP = 32 * 1024 * 1024
+
+    def _lift_stats_inline(
+        self,
+        df: DataFrame,
+        entries: list[dict],
+        stats_cols: tuple[str, ...],
+        bloom_cols: tuple[str, ...],
+    ) -> bool:
+        """Lift per-file row counts, min/max stats, and Bloom bitmaps for
+        a SMALL just-written batch straight from the parquet files with
+        pyarrow on the driver — the footer-lift production formats do at
+        commit time — instead of scheduling one or two distributed jobs
+        per commit (optimization guide §1.2/§5: a metadata operation
+        should not pay job scheduling; measured 0.2-0.5 s of pure
+        overhead per avoided job on local[32], multiplied across every
+        snapshot-scenario commit in the bench). Fires only when the
+        batch is provably tiny (file count <= ROWS_FOOTER_CAP, bytes <=
+        STATS_INLINE_BYTES_CAP — the same bounded-driver-work compromise
+        as the existing footer row-count path) and every stats/bloom
+        column is an integer or string type, where Python ordering and
+        rendering PROVABLY match Spark's (UTF-8 byte order == code-point
+        order for strings; ``str(int)`` == ``CAST(int AS STRING)``);
+        floats (NaN ordering), decimals, and temporal types keep the
+        Spark path. Produces byte-identical manifest entries to the
+        distributed path — pinned by tests/test_round17_opt.py, which
+        runs both paths on the same batch and diffs the entries."""
+        if not entries or len(entries) > self.ROWS_FOOTER_CAP:
+            return False
+        if sum(e["bytes"] for e in entries) > self.STATS_INLINE_BYTES_CAP:
+            return False
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+        )
+
+        safe = (ByteType, ShortType, IntegerType, LongType, StringType)
+        need = list(dict.fromkeys((*stats_cols, *bloom_cols)))
+        by_name = {f.name: f.dataType for f in df.schema.fields}
+        if any(
+            c not in by_name or not isinstance(by_name[c], safe)
+            for c in need
+        ):
+            return False
+        import zlib
+
+        import pyarrow.parquet as _pq
+
+        for ent in entries:
+            pf = _pq.ParquetFile(ent["path"])
+            ent["rows"] = pf.metadata.num_rows
+            if not need or ent["rows"] == 0:
+                # Spark-path parity: a zero-row file appears in no
+                # aggregate output row — rows=0, NO stats key, and an
+                # EMPTY bitmap per requested bloom column (always skips)
+                for c in bloom_cols:
+                    ent.setdefault("bloom", {})[c] = {
+                        "m": BLOOM_M,
+                        "k": BLOOM_K,
+                        "bits": [],
+                    }
+                continue
+            tbl = pf.read(columns=need)
+            if stats_cols:
+                st = {}
+                for c in stats_cols:
+                    vals = [
+                        v for v in tbl.column(c).to_pylist() if v is not None
+                    ]
+                    st[c] = [min(vals), max(vals)] if vals else [None, None]
+                ent["stats"] = st
+            for c in bloom_cols:
+                bits: set[int] = set()
+                for v in tbl.column(c).to_pylist():
+                    if v is None:
+                        continue
+                    s = str(v)
+                    for i in range(BLOOM_K):
+                        bits.add(zlib.crc32(f"{s}:{i}".encode()) % BLOOM_M)
+                ent.setdefault("bloom", {})[c] = {
+                    "m": BLOOM_M,
+                    "k": BLOOM_K,
+                    "bits": sorted(bits),
+                }
+        return True
 
     def _publish(
         self,
@@ -2660,13 +2756,25 @@ class SnapshotTable:
         if version is None:
             raise ValueError("snapshot table has no committed version")
         keys = list(key_cols)
+        # ingest-sized by contract and consumed by several downstream
+        # jobs (dup check, file locate, batch write, CDF splits) —
+        # persist once instead of re-deriving per job (guide §5, the
+        # merge_into discipline). Unpersisted after publish below.
+        updates = updates.persist()
         key_batch = updates.select(*keys)
         # Delta MERGE raises on multiple source matches for one target row;
         # silently inserting both duplicates corrupts a keyed table with no
-        # error (r10 advice). The check is two counts over the ingest-sized
-        # batch (distinct treats NULL keys as equal, matching join-dedup).
-        n, nd = key_batch.count(), key_batch.distinct().count()
+        # error (r10 advice). ONE aggregate job (was two full passes):
+        # count_distinct over a STRUCT of the key columns uses null-safe
+        # grouping equality, exactly like distinct().count() did
+        # (NULL-key parity pinned in tests/test_round17_opt.py).
+        _dup = key_batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(*keys)).alias("nd"),
+        ).collect()[0]
+        n, nd = int(_dup["n"]), int(_dup["nd"])
         if n != nd:
+            updates.unpersist(blocking=False)
             raise ValueError(
                 f"merge_upsert update batch has duplicate keys "
                 f"({n} rows, {nd} distinct {tuple(keys)})"
@@ -2708,6 +2816,10 @@ class SnapshotTable:
                 return ents
 
             if removed is not None:
+                # three jobs read `removed` (pre-image write, matched
+                # semi split, anti split) — persist the one rewrite-scan
+                # + semi-join instead of re-running it per job (guide §5)
+                removed = removed.persist()
                 pre = removed
                 for f in schema.fields:
                     if f.name not in pre.columns:
@@ -2722,10 +2834,11 @@ class SnapshotTable:
                 new_entries += _mark(
                     up_sel.join(matched, keys, "left_anti"), "insert"
                 )
+                removed.unpersist(blocking=False)
             else:
                 new_entries += _mark(up_sel, "insert")
             extra = {**(extra or {}), "cdf": True}
-        return self._publish_cow_serializable(
+        out_version = self._publish_cow_serializable(
             version,
             kept_paths,
             new_entries,
@@ -2736,6 +2849,8 @@ class SnapshotTable:
                 self._data_entries(version), keys, key_batch
             ),
         )
+        updates.unpersist(blocking=False)
+        return out_version
 
     def merge_into(
         self,
@@ -2864,10 +2979,49 @@ class SnapshotTable:
         version = self.latest_version()
         if version is None:
             raise ValueError("snapshot table has no committed version")
+        if nmbs_set:
+            # validate SET columns before any job runs (hoists the only
+            # mid-body config-error raise above the persist below, so no
+            # error path leaks a cached batch) — against the SAME
+            # effective schema the later check uses: the version schema,
+            # merged with the source's when an update/insert clause can
+            # evolve it (schema evolution may legitimately add the SET
+            # column in this very merge)
+            known_now = self._schema(version)
+            if known_now is not None and (
+                insert_unmatched
+                or any(action == "update" for _c, action in clauses)
+            ):
+                known_now = _merge_schemas(known_now, source.schema)
+            if known_now is not None:
+                unknown_set = sorted(
+                    set(nmbs_set) - {f.name for f in known_now.fields}
+                )
+                if unknown_set:
+                    raise ValueError(
+                        f"nmbs_set columns {unknown_set} do not exist "
+                        "in the table schema"
+                    )
         keys = list(key_cols)
+        # The source batch is ingest-sized by contract and consumed by up
+        # to six downstream jobs (dup check, file locate, survivor
+        # rewrite, postimage, unmatched insert, CDF writes) — persist it
+        # once instead of re-deriving it per job (optimization guide §5:
+        # reuse × recompute cost; the delete_where_mor persist discipline
+        # applied to MERGE). Unpersisted after publish below.
+        source = source.persist()
         key_batch = source.select(*keys)
-        n, nd = key_batch.count(), key_batch.distinct().count()
+        # ONE aggregate job for the duplicate-key check (was two full
+        # passes): count_distinct over a STRUCT of the key columns uses
+        # null-safe grouping equality, exactly like distinct().count()
+        # did (NULL-key parity pinned in tests/test_round17_opt.py).
+        _dup = key_batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.struct(*keys)).alias("nd"),
+        ).collect()[0]
+        n, nd = int(_dup["n"]), int(_dup["nd"])
         if n != nd:
+            source.unpersist(blocking=False)
             raise ValueError(
                 f"merge_into source batch has duplicate keys "
                 f"({n} rows, {nd} distinct {tuple(keys)})"
@@ -2955,7 +3109,13 @@ class SnapshotTable:
                     if cexpr is None
                     else cexpr.when(hit, F.lit(i))
                 )
-            rw = rw.withColumn("_c", cexpr)
+            # one marked read of the affected files feeds EVERY consumer
+            # below (survivors, per-clause splits, matched keys, CDF
+            # pre-images) — unpersisted, the identical scan+join pipeline
+            # re-ran as up to six separate jobs (guide §5; measured 42 →
+            # 17 jobs on snapshot_merge_sync). Bounded at
+            # O(affected files + batch) like the rewrite itself.
+            rw = rw.withColumn("_c", cexpr).persist()
             upd_idx = [
                 i for i, (_c, a) in enumerate(clauses) if a == "update"
             ]
@@ -2987,13 +3147,13 @@ class SnapshotTable:
                 removed_nmbs = rw.filter(nmbs_act).drop("_m", "_c")
         # matched source keys, computed from the AFFECTED FILES only
         # (they hold every matching row by construction) — O(affected),
-        # never an O(table) distinct
+        # never an O(table) distinct. Derived from the PERSISTED marked
+        # read instead of a second scan+semi-join of the same files: a
+        # row carries _m exactly when its key matched the (distinct-key)
+        # batch, so filter(_m IS NOT NULL) ≡ the left-semi join.
         if rewrite:
             matched_keys = (
-                self._read_with_deletes(spark, version, rewrite)
-                .join(gated, keys, "left_semi")
-                .select(*keys)
-                .distinct()
+                rw.filter(F.col("_m").isNotNull()).select(*keys).distinct()
             )
         else:
             matched_keys = None
@@ -3099,7 +3259,7 @@ class SnapshotTable:
                 def regions() -> list[dict]:  # noqa: F811
                     return keyed() + [{"where": nmbs_prune}]
 
-        return self._publish_cow_serializable(
+        out_version = self._publish_cow_serializable(
             version,
             kept_paths,
             new_entries,
@@ -3108,6 +3268,10 @@ class SnapshotTable:
             extra,
             read_regions=regions,
         )
+        source.unpersist(blocking=False)
+        if rewrite:
+            rw.unpersist(blocking=False)
+        return out_version
 
     def _rewrite_minus_keys(
         self,
