@@ -536,10 +536,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cascade drops 846 of 20k nodes. Deg after subtraction equals the
     # degree within the alive-induced subgraph by induction (edges between
     # two dropped nodes leave with their endpoints).
+    # LAZY checkpoint: the count right below materializes it in the same
+    # job (see _label_propagate for the eager-vs-lazy job accounting)
     deg = (
         sym.groupBy("src")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Same size gate as PageRank/components: under the limit the node-sized
     # drop/loss/alive tables broadcast into the edge scans; above it every
@@ -552,7 +554,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(KCORE_MAX_ITERS):
         drop = deg.filter(F.col("d") < KCORE_K).select("src")
-        if drop.isEmpty():
+        # a FULL-partition count, not isEmpty: one job both tests
+        # convergence AND materializes the lazy checkpoint of deg
+        # (isEmpty's take(1) computes a partition subset, leaving the
+        # checkpoint backfill as a second job); under the broadcast
+        # gate the coalesce(1) additionally removes the count's
+        # partial/final Exchange so AQE runs it as ONE job (see
+        # _label_propagate) — above the gate it stays parallel
+        conv = drop.coalesce(1) if n <= BROADCAST_NODE_LIMIT else drop
+        if conv.count() == 0:
             break
         loss = (
             sym.join(hinted(drop), "src", "semi")
@@ -567,7 +577,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "src",
                 (F.col("d") - F.coalesce(F.col("lost"), F.lit(0))).alias("d"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         deg = nxt
     else:
@@ -675,13 +685,25 @@ def _label_propagate(
     n_nodes = sym.select("src").distinct().count()
     if n_nodes > node_limit:
         return _label_propagate_star(sym)
+    # LAZY checkpoints + exchange-free convergence throughout this loop:
+    # the aggregate right below each checkpoint is its first action, so
+    # ONE job both materializes the generation and tests the fixpoint
+    # (eager paid a separate materialization job per round), and the
+    # coalesce(1) removes the aggregate's partial/final Exchange so AQE
+    # runs it as ONE job instead of two — safe here because this whole
+    # branch only runs under the node-broadcast size gate (node-sized
+    # cached input; the 100 TB path is _label_propagate_star, which
+    # keeps parallel counts). PageRank keeps eager checkpoints: there
+    # the next action is a BROADCAST build, which bypasses RDD
+    # materialization and would leave the checkpoint unmaterialized
+    # (measured slower — see graph_pagerank).
     lab = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    prev_sum = lab.agg(F.sum("comp")).collect()[0][0]
+    prev_sum = lab.coalesce(1).agg(F.sum("comp")).collect()[0][0]
     for i in range(CC_MAX_ITERS):
         # label table is node-sized → BROADCAST it into the edge join
         # (same call as PageRank's rank broadcast, graph.py: a
@@ -696,12 +718,12 @@ def _label_propagate(
             .unionByName(prop)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # monotone convergence: labels only ever DECREASE, so the label
         # sum strictly drops until the fixpoint and equality is an exact
         # no-change test — one scalar aggregate instead of an anti-join
-        cur_sum = nxt.agg(F.sum("comp")).collect()[0][0]
+        cur_sum = nxt.coalesce(1).agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             LAST_CC_ROUNDS["hashmin"] = i + 1
             return nxt
@@ -780,13 +802,18 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         prop = sym.join(d, sym.dst == d.node).select(
             F.col("src").alias("node"), (F.col("hops") + 1).alias("hops")
         )
+        # lazy: the (count, sum) convergence aggregate right below is
+        # the first action and materializes the checkpoint in the same
+        # job; coalesce(1) under the broadcast gate removes the
+        # aggregate's Exchange so AQE runs it as ONE job (see
+        # _label_propagate) — above the gate it stays parallel
         nxt = (
             dist.unionByName(prop)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        row = nxt.agg(
+        row = (nxt.coalesce(1) if use_broadcast else nxt).agg(
             F.count("*").alias("n"), F.sum("hops").alias("s")
         ).collect()[0]
         cur = (row["n"], row["s"])
@@ -877,13 +904,23 @@ def _label_propagate_star(
     )
     if dedup:  # callers feeding a symmetrized DISTINCT edge set skip this
         edges = edges.distinct()
-    edges = edges.localCheckpoint(eager=True)
+    # lazy checkpoints + one COUNT per generation: the count right after
+    # each checkpoint materializes it in the same job (see
+    # _label_propagate), the previous round's count is REMEMBERED
+    # instead of re-run (it was a job per round against the cached
+    # frame), and the exact exceptAll equality test only runs when the
+    # counts already agree (count mismatch proves non-convergence).
+    # Measured 50 -> 42 jobs on graph_components_star (the parallel
+    # count keeps its Exchange — this is the no-broadcast 100 TB path,
+    # so no coalesce(1) here), same rounds, identical output.
+    edges = edges.localCheckpoint(eager=False)
+    prev_n = edges.count()
     for i in range(max_iters):
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        converged = (
-            nxt.count() == edges.count() and nxt.exceptAll(edges).isEmpty()
-        )
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        n = nxt.count()
+        converged = n == prev_n and nxt.exceptAll(edges).isEmpty()
         edges = nxt
+        prev_n = n
         if converged:
             LAST_CC_ROUNDS["star"] = i + 1
             break
@@ -1008,13 +1045,15 @@ def _sssp_relax(
             F.col("src").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
+        # lazy + gated coalesce(1) convergence, exactly as in
+        # graph_bfs_hops (see _label_propagate for the job accounting)
         nxt = (
             dist.unionByName(prop)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        row = nxt.agg(
+        row = (nxt.coalesce(1) if use_broadcast else nxt).agg(
             F.count("*").alias("n"), F.sum("dist").alias("s")
         ).collect()[0]
         cur = (row["n"], row["s"])
