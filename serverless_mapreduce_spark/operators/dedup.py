@@ -2060,6 +2060,11 @@ def minhash_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # KEPT as a window despite _band_candidates' agg+anti-join pattern:
+    # measured same-session A/B at sf0.1 (round 17) — window 0.60 s vs
+    # agg+anti-join 0.83 s at steady state, identical rows — the sort
+    # rides the one (r, band_idx, band_hash) exchange the self-join
+    # needs anyway, while the anti-join adds a second join pass.
     capped = persist_tracked(
         eb.withColumn(
             "bsz",
@@ -2510,6 +2515,14 @@ def dedup_persistent_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stay tight (the graph-family bucketed-artifact pattern)
     version = t.commit(standing.repartition("band_idx", "band_hash"), mode="append")
 
+    # both batch sizes in ONE scan-sized aggregate job (was one count
+    # job per batch over the same table — guide §1.2, don't re-scan)
+    _bn = docs.agg(
+        *[
+            F.count(F.when(rem == r, 1)).alias(f"n{r}")
+            for r in (PERSIST_B1, PERSIST_B2)
+        ]
+    ).collect()[0]
     cands = []
     for batch_no, r in ((1, PERSIST_B1), (2, PERSIST_B2)):
         pb = bands.filter(rem == r).select(
@@ -2517,7 +2530,7 @@ def dedup_persistent_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # SIZE-GATED probe broadcast (same gate as dedup_incremental_minhash:
         # the batch is a corpus fraction, not a constant)
-        n_probe = docs.filter(rem == r).count() * NUM_BANDS
+        n_probe = int(_bn[f"n{r}"]) * NUM_BANDS
         probe = (
             F.broadcast(pb)
             if n_probe <= INCR_BROADCAST_LIMIT
