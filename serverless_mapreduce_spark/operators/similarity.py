@@ -1268,19 +1268,37 @@ def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
             F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
         )
-        w_assign = Window.partitionBy("vec_id").orderBy(
-            F.desc("c_cos"), F.asc("c_id")
-        )
         w_rank = Window.partitionBy("centroid").orderBy("vec_id")
-        cols = ["vec_id", "embedding"] + (
-            ["label"] if "label" in emb.columns else []
-        )
-        result = (
+        extra = ["label"] if "label" in emb.columns else []
+        # assignment arg-max as max(struct(...)) groupBy, not a window:
+        # map-side partial aggregation ships ~one row per vec_id across
+        # the exchange instead of the corpus × codebook expansion, with
+        # the identical (highest cosine, lowest c_id) tie-break — see
+        # _ivf_assign for the measured A/B. first() is exact: all rows
+        # of a vec_id group carry the same embedding/label.
+        best = (
             emb.join(F.broadcast(cent))
             .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select(*cols, F.col("c_id").alias("centroid"))
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c_cos"),
+                        (-F.col("c_id")).alias("nid"),
+                        F.col("c_id"),
+                    )
+                ).alias("b"),
+                F.first("embedding").alias("embedding"),
+                *[F.first(c).alias(c) for c in extra],
+            )
+        )
+        result = (
+            best.select(
+                "vec_id",
+                "embedding",
+                *extra,
+                F.col("b.c_id").alias("centroid"),
+            )
             .withColumn("rn", F.row_number().over(w_rank))
             .localCheckpoint()
         )
@@ -2354,15 +2372,25 @@ def ann_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
-
     def assign(df: DataFrame) -> DataFrame:
+        # arg-max via max(struct(...)) groupBy — map-side partials, no
+        # window sort of the batch × codebook expansion; identical
+        # tie-break (see _ivf_assign for the measured A/B)
         return (
             df.join(F.broadcast(cent))
             .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-            .withColumn("arn", F.row_number().over(w_assign))
-            .filter(F.col("arn") == 1)
-            .select("vec_id", "embedding", F.col("c_id").alias("centroid"))
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c_cos"),
+                        (-F.col("c_id")).alias("nid"),
+                        F.col("c_id"),
+                    )
+                ).alias("b"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select("vec_id", "embedding", F.col("b.c_id").alias("centroid"))
         )
 
     base = scratch(sf_tag(sf_dir), "ann_ivf_index")
@@ -3790,15 +3818,34 @@ def ivf_refresh(
 def _ivf_assign(batch: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment of ``batch`` (vec_id, embedding)
     against the broadcast ``cent`` (c_id, c_emb): the shared
-    coarse-quantizer shape (corpus × ~constant codebook, then one
-    window per vec_id). Keeps ``c_cos`` for drift metrics."""
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_id"))
-    return (
-        batch.join(F.broadcast(cent))
-        .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-        .withColumn("arn", F.row_number().over(w))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "embedding", F.col("c_id").alias("centroid"), "c_cos")
+    coarse-quantizer shape. Keeps ``c_cos`` for drift metrics.
+
+    Arg-max via ``max(struct(c_cos, -c_id, c_id))`` groupBy, NOT a
+    row_number window: the aggregate runs map-side partial aggregation,
+    so only ~one row per vec_id crosses the exchange instead of the
+    full batch × codebook expansion, and nothing is sorted (guide
+    §2.3 "aggregate before you shuffle"). Tie-break identical to the
+    old window (highest cosine, then lowest c_id — the -c_id struct
+    field makes lexicographic max pick the minimum id); measured
+    same-session A/B at sf0.1: 0.75 s vs 0.98 s steady, 1.6 s vs
+    4.4 s first-run, identical rows. ``first(embedding)`` is exact:
+    every row in a vec_id group carries the identical embedding."""
+    ex = batch.join(F.broadcast(cent)).withColumn(
+        "c_cos", cosine(F.col("embedding"), F.col("c_emb"))
+    )
+    best = ex.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("c_cos"), (-F.col("c_id")).alias("nid"), F.col("c_id")
+            )
+        ).alias("b"),
+        F.first("embedding").alias("embedding"),
+    )
+    return best.select(
+        "vec_id",
+        "embedding",
+        F.col("b.c_id").alias("centroid"),
+        F.col("b.c_cos").alias("c_cos"),
     )
 
 
