@@ -3666,17 +3666,25 @@ def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_cos"), F.asc("c_id")
-    )
-
     def assign(df: DataFrame) -> DataFrame:
+        # arg-max via max(struct(...)) groupBy — map-side partials, no
+        # window sort of the batch × codebook expansion; identical
+        # tie-break (see _ivf_assign for the measured A/B)
         return (
             df.join(F.broadcast(cent))
             .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-            .withColumn("arn", F.row_number().over(w_assign))
-            .filter(F.col("arn") == 1)
-            .select("vec_id", "embedding", F.col("c_id").alias("centroid"))
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c_cos"),
+                        (-F.col("c_id")).alias("nid"),
+                        F.col("c_id"),
+                    )
+                ).alias("b"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select("vec_id", "embedding", F.col("b.c_id").alias("centroid"))
         )
 
     corpus.commit(emb.filter(~rem.isin(ANN_B1, ANN_B2)))
