@@ -1142,22 +1142,28 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = _sym(_edges(spark, sf_dir))
     deg = sym.groupBy("src").agg(F.count("*").alias("d"))
     adj = persist_tracked(sym.join(deg, "src"))
-    # checkpoint the SEED-SIZED tables once: without it every round's
-    # materialization re-derives tele from the unpersisted degree
-    # aggregation — 5 redundant edge-table scans just to rebuild a tiny
-    # constant table (review finding; graph_pagerank folds its teleport
-    # into a scalar so it never had the issue)
+    # ONE aggregate job for both scalars (was two counts over the same
+    # degree aggregation — guide §1.2, don't re-scan), and a LAZY
+    # seed checkpoint: round 1's materialization job computes it, so no
+    # separate checkpoint job runs. tele is a projection OVER the
+    # checkpointed seed table — re-deriving it per round is a node-set
+    # scan of cached data, so it needs no checkpoint of its own (the
+    # original hazard was re-deriving it from the UNPERSISTED degree
+    # aggregation, i.e. an edge-table scan per round).
+    _ct = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("src") % PPR_SEED_MOD == 0, 1)).alias("ns"),
+    ).collect()[0]
+    n_nodes, ns = int(_ct["n"]), int(_ct["ns"])
+    use_broadcast = n_nodes <= BROADCAST_NODE_LIMIT
     seeds = (
         deg.filter(F.col("src") % PPR_SEED_MOD == 0)
         .select(F.col("src").alias("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    ns = seeds.count()  # scalar over the checkpointed seed table
-    n_nodes = deg.count()
-    use_broadcast = n_nodes <= BROADCAST_NODE_LIMIT
     tele = seeds.select(
         "node", F.lit(PAGERANK_TELEPORT / ns).alias("tele")
-    ).localCheckpoint(eager=True)
+    )
     ranks = seeds.select(
         "node", F.lit(1.0 / ns).alias("rank")
     ).localCheckpoint()
