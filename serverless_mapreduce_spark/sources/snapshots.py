@@ -8163,11 +8163,19 @@ def snapshot_manifest_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = SnapshotTable(base)
     orders = table(spark, sf_dir, "orders")
     rem = F.col("o_orderkey") % 8
+    # ONE range-partition of orders feeds all eight append batches: the
+    # narrow rem filter preserves the 2-way custkey range layout, so each
+    # commit still writes two files with disjoint custkey boxes (the
+    # split lands at the GLOBAL median instead of each batch's — the rem
+    # slices are uniform over custkey, so the boxes are equivalent and
+    # the [PRUNE_LO, PRUNE_HI] probe stays a strict subset). Unpersisted
+    # form re-ran the orders scan + a range-sampling job PER APPEND —
+    # 8 scans and 8 samplings for identical bytes (guide §5 reuse; the
+    # probe measured 28 -> 13 jobs on this line).
+    ranged = orders.repartitionByRange(2, "o_custkey").persist()
     for i in range(8):
-        t.commit(
-            orders.filter(rem == i).repartitionByRange(2, "o_custkey"),
-            stats_cols=("o_custkey",),
-        )
+        t.commit(ranged.filter(rem == i), stats_cols=("o_custkey",))
+    ranged.unpersist(blocking=False)
     pre_v = t.latest_version()
     pre_files = t._files(pre_v)
     if len(t._segment_refs(pre_v)) != 8:
