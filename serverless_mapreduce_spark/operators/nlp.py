@@ -982,9 +982,16 @@ def perplexity_prune_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int64-envelope guard (the _dsir_int64_headroom discipline): the worst
     # BIGINT intermediate is sum_freq·1000 for the hottest document — a
     # long doc whose held-out trigrams are all corpus-hot at a ~1e14-token
-    # corpus wraps Spark silently while DuckDB raises (r9 review). One
-    # scalar over the persisted score table.
-    max_sf = raw.agg(F.max("sum_freq")).collect()[0][0] or 0
+    # corpus wraps Spark silently while DuckDB raises (r9 review). ONE
+    # scalar aggregate over the persisted score table carries both the
+    # guard max and the bucket-formula total (was two separate jobs over
+    # the same frame — guide §5, the merge-family one-aggregate
+    # discipline; sc below is a projection of raw, so count(raw) ==
+    # count(sc)).
+    _sc0 = raw.agg(
+        F.max("sum_freq").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    max_sf = _sc0["mx"] or 0
     if max_sf * 1000 > (1 << 63) - 1:
         raise ValueError(
             "perplexity_prune_buckets integer-milli arithmetic would "
@@ -1002,7 +1009,7 @@ def perplexity_prune_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     offs = hist.withColumn(
         "offset", F.coalesce(F.sum("cnt").over(w), F.lit(0))
     ).select("mfreq_milli", "offset")
-    n_total = sc.count()  # bounded scalar: one count over the scored table
+    n_total = int(_sc0["n"])  # from the fused scalar aggregate above
     if n_total == 0:
         return sc.selectExpr(
             "CAST(NULL AS BIGINT) AS bucket",
