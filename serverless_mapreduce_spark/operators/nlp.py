@@ -553,19 +553,52 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which Catalyst interprets). Ties break (cnt DESC, a, b) in both
     engines; counts are exact integers, so the merge sequence — and
     therefore every later round — is bit-deterministic."""
-    wf = (
-        table(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-        .select(
-            F.regexp_replace("w", "(.)", " $1 ").alias("seq"), "freq"
-        )
-    )
-    wf = wf.localCheckpoint(eager=True)  # corpus scan happens exactly once
-    merges = _learn_merges(wf)
+    merges = _trained_merges(spark, sf_dir)
     return spark.createDataFrame(merges, "rnk bigint, pair string, cnt bigint")
+
+
+#: Session-lifetime memo for the learned merge list, keyed by
+#: (applicationId, shuffle-partition setting, sf_dir): three registered
+#: queries ride the same {BPE_N_MERGES}-round trainer (bpe_train_merges
+#: returns the table, bpe_encode_docs applies it, bpe_fertility_by_lang
+#: rides the encode), and a driver pass running them should pay the
+#: corpus scan + training loop ONCE — the _DSIR_MEMO/graph-artifact
+#: discipline. The memoized value is a driver-small plain-Python list,
+#: and the merge sequence is bit-deterministic under any partitioning
+#: (exact integer counts, total-order tie-break), so reuse can never
+#: change a result; the partitions key is kept anyway to match the house
+#: memo discipline (each config derives its own copy).
+_MERGES_MEMO: dict = {}
+_MERGES_LOCK = __import__("threading").RLock()
+
+
+def _trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
+    """Build the space-wrapped distinct-word frame and run the
+    {BPE_N_MERGES}-round trainer over it, memoized per session (see
+    _MERGES_MEMO). The corpus scan happens exactly once per (session,
+    sf_dir); the returned list is the trainer's exact output."""
+    memo_key = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.shuffle.partitions", ""),
+        sf_dir,
+    )
+    with _MERGES_LOCK:
+        cached = _MERGES_MEMO.get(memo_key)
+        if cached is not None:
+            return cached
+        wf = (
+            table(spark, sf_dir, "documents")
+            .select(
+                F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("w")
+            )
+            .filter(F.length("w") >= 2)
+            .groupBy("w")
+            .agg(F.count("*").alias("freq"))
+            .select(F.regexp_replace("w", "(.)", " $1 ").alias("seq"), "freq")
+        ).localCheckpoint(eager=True)
+        merges = _learn_merges(wf)
+        _MERGES_MEMO[memo_key] = merges
+        return merges
 
 
 def _learn_merges(wf: DataFrame) -> list[tuple[int, str, int]]:
@@ -683,16 +716,7 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Characters the tokenizer never merges (the whole-text encoding keeps
     non-letter symbols as singleton tokens) are excluded from the token
     count via the letter-prefix filter, mirrored exactly in the oracle."""
-    wf = (
-        table(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("w"))
-        .filter(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-        .select(F.regexp_replace("w", "(.)", " $1 ").alias("seq"), "freq")
-        .localCheckpoint(eager=True)
-    )
-    merges = _learn_merges(wf)
+    merges = _trained_merges(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_replace(F.lower("text"), "(.)", " $1 ").alias("seq"),

@@ -161,3 +161,39 @@ def test_merge_into_two_key_null_dup_parity(spark, tmp_path):
     )
     v = t.merge_into(spark, ok, ("a", "b"))
     assert t.read(spark, v).count() == 3  # both inserted, original kept
+
+
+def test_bpe_merges_memo_hit_and_parity(spark, sf_dir):
+    """The session merge-list memo (nlp._MERGES_MEMO) must return the
+    trainer's exact output on a cold build, and the three BPE queries
+    must share one training per (session, sf_dir): a second call is a
+    memo hit (same object, no recompute)."""
+    from serverless_mapreduce_spark.operators import nlp
+
+    key = (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.shuffle.partitions", ""),
+        sf_dir,
+    )
+    with nlp._MERGES_LOCK:
+        nlp._MERGES_MEMO.pop(key, None)
+    cold = nlp._trained_merges(spark, sf_dir)
+    warm = nlp._trained_merges(spark, sf_dir)
+    assert warm is cold  # memo hit — training ran once
+    # parity with an independent, memo-free training on a fresh frame
+    from pyspark.sql import functions as F
+    from serverless_mapreduce_spark.catalog import table
+    from serverless_mapreduce_spark.operators.nlp import (
+        TOKEN_SPLIT_RE,
+        _learn_merges,
+    )
+
+    wf = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.regexp_replace("w", "(.)", " $1 ").alias("seq"), "freq")
+    ).localCheckpoint(eager=True)
+    assert cold == _learn_merges(wf)
