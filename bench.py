@@ -644,6 +644,28 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # Drift indicator (r17 verdict item 2): capture the COMMITTED anchor's
+    # per-line map BEFORE this run overwrites BENCH_LOCAL.json. The driver
+    # benches a fresh checkout, so at read time this IS the committed
+    # steady-state record; the emitted median_ratio_vs_anchor then lets
+    # the round-over-round comparator mechanically split uniform host
+    # drift (every untouched line shifted by ~the same ratio) from a real
+    # per-line regression. Additions only — the JSON contract is unchanged.
+    anchor_lines: dict[str, float] = {}
+    anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    if abs(sf - 0.1) < 1e-12 and os.path.exists(anchor_path):
+        try:
+            with open(anchor_path) as f:
+                anchor_lines = {
+                    k: float(v)
+                    for k, v in json.load(f).get("queries", {}).items()
+                    if isinstance(v, (int, float)) and v > 0
+                }
+        except (ValueError, OSError):
+            anchor_lines = {}
+
     from serverless_mapreduce_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
@@ -901,6 +923,29 @@ def main() -> None:
         full["retimed"] = retimed
     if calibration is not None:
         full["calibration"] = calibration
+    # Host-drift indicator vs the committed anchor (see anchor_lines
+    # above): median of per-line now/anchor ratios over every common
+    # line. ~1.0 = comparable host; uniformly >1 = the host ran slow and
+    # per-line "regressions" near that ratio are drift, not code.
+    ratio_vs_anchor = None
+    if anchor_lines:
+        common = sorted(
+            timings[n] / anchor_lines[n]
+            for n in timings
+            if n in anchor_lines
+        )
+        if common:
+            mid = len(common) // 2
+            med = (
+                common[mid]
+                if len(common) % 2
+                else (common[mid - 1] + common[mid]) / 2.0
+            )
+            ratio_vs_anchor = {
+                "median_ratio_vs_anchor": round(med, 4),
+                "anchor_n_common": len(common),
+            }
+            full.update(ratio_vs_anchor)
     # Per-query budget pins (r13 verdict item 7): BENCH_BUDGETS.json maps
     # each line to a generous ceiling (steady-state × margin). Overruns
     # don't fail the bench — host noise is real — but they are RECORDED in
@@ -952,6 +997,10 @@ def main() -> None:
         compact["n_over_budget"] = len(full["over_budget"])
     if calibration is not None:
         compact["calib"] = calibration["scalar"]
+    if ratio_vs_anchor is not None:
+        compact["median_ratio_vs_anchor"] = ratio_vs_anchor[
+            "median_ratio_vs_anchor"
+        ]
     budget = 1700  # < driver tail (2000) with headroom for the newline
     for name in HEADLINE:
         if name not in timings:

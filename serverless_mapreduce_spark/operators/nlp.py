@@ -572,16 +572,38 @@ _MERGES_MEMO: dict = {}
 _MERGES_LOCK = __import__("threading").RLock()
 
 
+def _session_data_key(
+    spark: SparkSession, sf_dir: str, table_name: str
+) -> tuple:
+    """Session-memo key for an artifact derived from one fixture table:
+    (applicationId, shuffle partitions, sf_dir, source file identity).
+    The file identity (size, mtime_ns — an os.stat, no Spark job) is the
+    r17-advice fix for both session memos below: the sf_dir path alone
+    cannot see a REGENERATED fixture, so a table rebuilt within one
+    session would silently serve the stale artifact. A non-file layout
+    (no ``<table>.parquet``) keys on the path alone, as before."""
+    import os as _os
+
+    src = _os.path.join(sf_dir, f"{table_name}.parquet")
+    try:
+        st = _os.stat(src)
+        data_fp: tuple | None = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        data_fp = None
+    return (
+        spark.sparkContext.applicationId,
+        spark.conf.get("spark.sql.shuffle.partitions", ""),
+        sf_dir,
+        data_fp,
+    )
+
+
 def _trained_merges(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
     """Build the space-wrapped distinct-word frame and run the
     {BPE_N_MERGES}-round trainer over it, memoized per session (see
     _MERGES_MEMO). The corpus scan happens exactly once per (session,
     sf_dir); the returned list is the trainer's exact output."""
-    memo_key = (
-        spark.sparkContext.applicationId,
-        spark.conf.get("spark.sql.shuffle.partitions", ""),
-        sf_dir,
-    )
+    memo_key = _session_data_key(spark, sf_dir, "documents")
     with _MERGES_LOCK:
         cached = _MERGES_MEMO.get(memo_key)
         if cached is not None:
@@ -1465,11 +1487,7 @@ def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one derivation, memoized per session like the graph artifacts.
     See dsir_importance_weights for the full design and exactness
     argument."""
-    memo_key = (
-        spark.sparkContext.applicationId,
-        spark.conf.get("spark.sql.shuffle.partitions", ""),
-        sf_dir,
-    )
+    memo_key = _session_data_key(spark, sf_dir, "documents")
     with _DSIR_LOCK:
         cached = _DSIR_MEMO.get(memo_key)
         if cached is not None:

@@ -942,10 +942,28 @@ class SnapshotTable:
         bloom_cols: tuple[str, ...] = (),
         partition_by: tuple[str, ...] = (),
         mapping: dict[str, str] | None = None,
+        change_tag_col: str | None = None,
+        data_tag: str | None = None,
     ) -> list[dict]:
         """Write ``df`` as immutable parquet under a fresh uuid commit dir;
         return manifest entries (with per-file min/max, per-file Bloom
         bitmaps, and/or per-file partition values when asked).
+
+        ``change_tag_col`` names a synthetic string column holding each
+        row's CDF change kind: the write is partitioned by it DIRECTLY
+        (no ``_p_`` duplication — the tag must NOT appear in the file
+        contents, only in the directory name), and each entry comes back
+        with ``kind="change"`` / ``change=<tag>`` parsed from its
+        directory. One merge/delete commit can then write EVERY change
+        kind (pre-images, post-images, inserts) in a single Spark job
+        instead of one job per kind (optimization guide §1.2/§5), with
+        file CONTENTS identical to the per-kind writes this replaces.
+        ``data_tag`` additionally names one tag value whose files are
+        plain DATA entries (no kind/change; stats/bloom lifted for them
+        alone) — a CDF delete can then split survivors and pre-images
+        from ONE pass over the affected files instead of reading them
+        twice (guide §8: move the heavy bytes once). Mutually exclusive
+        with ``partition_by``; stats/bloom require ``data_tag``.
 
         Partitioned writes go through ``partitionBy`` on DUPLICATED
         ``_p_<col>`` columns: Spark's hive layout drops the partition
@@ -985,6 +1003,87 @@ class SnapshotTable:
                 )
         commit_id = uuid.uuid4().hex[:12]
         out_dir = os.path.join(self.data_dir, commit_id)
+        if change_tag_col is not None:
+            if partition_by or (
+                (stats_cols or bloom_cols) and data_tag is None
+            ):
+                raise ValueError(
+                    "change_tag_col composes with plain change-file "
+                    "writes only (no partition_by; stats/bloom need "
+                    "data_tag)"
+                )
+            from urllib.parse import unquote
+
+            df.write.mode("error").partitionBy(change_tag_col).parquet(
+                out_dir
+            )
+            entries = []
+            for root, _dirs, fs in os.walk(out_dir):
+                for f in fs:
+                    if not f.endswith(".parquet"):
+                        continue
+                    path = os.path.join(root, f)
+                    tag = None
+                    for comp in os.path.relpath(path, out_dir).split(
+                        os.sep
+                    ):
+                        name, sep, raw = comp.partition("=")
+                        if sep and name == change_tag_col:
+                            tag = unquote(raw)
+                    if tag is None:  # pragma: no cover - writer contract
+                        raise RuntimeError(
+                            f"tagged change write produced a file outside "
+                            f"its {change_tag_col} directory: {path}"
+                        )
+                    ent = {"path": path, "bytes": os.path.getsize(path)}
+                    if tag != data_tag:
+                        ent["kind"] = "change"
+                        ent["change"] = tag
+                    entries.append(ent)
+            entries.sort(key=lambda e: e["path"])
+            import pyarrow.parquet as _pq
+
+            if len(entries) <= self.ROWS_FOOTER_CAP:
+                for ent in entries:
+                    ent["rows"] = _pq.ParquetFile(
+                        ent["path"]
+                    ).metadata.num_rows
+            else:
+                rows = (
+                    df.sparkSession.read.parquet(out_dir)
+                    .groupBy(F.input_file_name().alias("f"))
+                    .agg(F.count(F.lit(1)).alias("_rows"))
+                    .collect()
+                )
+                from urllib.parse import unquote as _uq
+                from urllib.parse import urlparse as _up
+
+                by_path = {
+                    os.path.realpath(_uq(_up(r["f"]).path)): int(r["_rows"])
+                    for r in rows
+                }
+                for ent in entries:
+                    ent["rows"] = by_path.get(
+                        os.path.realpath(ent["path"]), 0
+                    )
+            if data_tag is not None and (stats_cols or bloom_cols):
+                data_entries = [e for e in entries if "kind" not in e]
+                if data_entries and not self._lift_stats_inline(
+                    df, data_entries, stats_cols, bloom_cols
+                ):
+                    # distributed fallback over the DATA subtree only —
+                    # same one-pass aggregate the untagged path runs
+                    self._lift_stats_distributed(
+                        df.sparkSession,
+                        os.path.join(
+                            out_dir, f"{change_tag_col}={data_tag}"
+                        ),
+                        data_entries,
+                        stats_cols,
+                        bloom_cols,
+                        df.schema,
+                    )
+            return entries
         fields = [self._partition_field(c, df.schema) for c in partition_by]
         key_of = {wcol: key for key, wcol, _ in fields}
         if partition_by:
@@ -1030,6 +1129,31 @@ class SnapshotTable:
                         None if val == "__HIVE_DEFAULT_PARTITION__" else val
                     )
                 ent["partitions"] = values
+        if self._lift_stats_inline(df, entries, stats_cols, bloom_cols):
+            return entries
+        self._lift_stats_distributed(
+            df.sparkSession, out_dir, entries, stats_cols, bloom_cols,
+            df.schema,
+        )
+        return entries
+
+    def _lift_stats_distributed(
+        self,
+        session: SparkSession,
+        src_dir: str,
+        entries: list[dict],
+        stats_cols: tuple[str, ...],
+        bloom_cols: tuple[str, ...],
+        schema,
+    ) -> None:
+        """Per-entry row counts, min/max stats and Bloom bitmaps lifted
+        by DISTRIBUTED passes over the just-written files under
+        ``src_dir`` — the big-batch fallback behind the driver-side
+        inline lift (one aggregate for rows+stats, one per bloom
+        column; collect sizes are file-count-bounded manifest
+        metadata). Factored out of ``_write_data`` so the tagged
+        change+data fused write can lift stats for its DATA subtree
+        alone."""
         # Per-file aggregates are matched back to manifest entries by FULL
         # normalized path, never basename: Spark's dynamic-partition writer
         # reuses one task's basename across partition directories
@@ -1045,8 +1169,6 @@ class SnapshotTable:
             }
 
         real_of = {e["path"]: os.path.realpath(e["path"]) for e in entries}
-        if self._lift_stats_inline(df, entries, stats_cols, bloom_cols):
-            return entries
         if entries and (stats_cols or len(entries) > self.ROWS_FOOTER_CAP):
             # Per-entry ROW COUNTS and per-file min/max stats, lifted in
             # ONE distributed pass over the files just written — never by
@@ -1061,7 +1183,7 @@ class SnapshotTable:
             for c in stats_cols:
                 aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
             rows = (
-                df.sparkSession.read.parquet(out_dir)
+                session.read.parquet(src_dir)
                 .groupBy(F.input_file_name().alias("f"))
                 .agg(*aggs)
                 .collect()
@@ -1102,7 +1224,7 @@ class SnapshotTable:
                 StringType,
             )
 
-            dt = df.schema[c].dataType
+            dt = schema[c].dataType
             if not isinstance(
                 dt, (ByteType, ShortType, IntegerType, LongType, StringType)
             ):
@@ -1122,7 +1244,7 @@ class SnapshotTable:
                 )
             ).alias("p")
             rows = (
-                df.sparkSession.read.parquet(out_dir)
+                session.read.parquet(src_dir)
                 .filter(F.col(c).isNotNull())
                 .select(F.input_file_name().alias("f"), pos)
                 .groupBy("f")
@@ -1144,6 +1266,40 @@ class SnapshotTable:
                     "bits": sorted(r["bits"]) if r is not None else [],
                 }
         return entries
+
+    def _write_change_set(
+        self, frames: list[tuple[DataFrame, str | None]], schema
+    ) -> list[dict]:
+        """Write ALL of one commit's CDF change frames in a single
+        tagged Spark job (see ``_write_data``'s ``change_tag_col``):
+        each frame is aligned to the evolved ``schema`` (absent columns
+        NULL — the stable shape the feed serves) and tagged with its
+        change kind; a ``None`` kind means the frame already carries its
+        own per-row ``_chg`` column (e.g. the postimage/insert split
+        computed by one left join instead of a semi + anti pair).
+        Replaces one ``_write_data`` job per change kind."""
+        tagged = []
+        for frame, kind in frames:
+            aligned = frame
+            for f in schema.fields:
+                if f.name not in frame.columns:
+                    aligned = aligned.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            cols = [f.name for f in schema.fields]
+            if kind is None:
+                aligned = aligned.select(*cols, "_chg")
+            else:
+                aligned = aligned.select(*cols).withColumn(
+                    "_chg", F.lit(kind)
+                )
+            tagged.append(aligned)
+        if not tagged:
+            return []
+        df = tagged[0]
+        for t in tagged[1:]:
+            df = df.unionByName(t)
+        return self._write_data(df, (), change_tag_col="_chg")
 
     #: Per-commit byte ceiling for the driver-side stats lift below: at
     #: most this much just-written parquet is re-read on the driver
@@ -1201,8 +1357,25 @@ class SnapshotTable:
 
         import pyarrow.parquet as _pq
 
+        # the on-disk cap above bounds COMPRESSED bytes, but to_pylist()
+        # materializes decompressed values on the driver — re-check the
+        # footer's UNCOMPRESSED row-group sizes (r17 advice) and fall
+        # back to the distributed path when a highly-compressible batch
+        # would blow past the same cap decompressed
+        uncompressed = 0
+        metas = []
         for ent in entries:
             pf = _pq.ParquetFile(ent["path"])
+            md = pf.metadata
+            uncompressed += sum(
+                md.row_group(g).total_byte_size
+                for g in range(md.num_row_groups)
+            )
+            metas.append(pf)
+        if uncompressed > 4 * self.STATS_INLINE_BYTES_CAP:
+            return False
+
+        for ent, pf in zip(entries, metas):
             ent["rows"] = pf.metadata.num_rows
             if not need or ent["rows"] == 0:
                 # Spark-path parity: a zero-row file appears in no
@@ -1916,31 +2089,55 @@ class SnapshotTable:
         # MOR deletes are applied to the rewrite read: the rewritten files
         # get a NEW sequence number, so a row resurrected here would
         # permanently escape its delete file.
-        survivors = self._read_with_deletes(spark, version, cand).filter(
-            f"NOT coalesce(({condition}), false)"
-        )
-        new_entries = self._write_data(
-            survivors, stats_cols, bloom_cols, partition_by
-        )
         extra = None
-        if change_feed:
+        if change_feed and not partition_by:
             # CDF CHANGE FILES (Delta enableChangeDataFeed on DELETE): the
             # commit also records the REMOVED rows' full pre-images as
             # kind="change" files — invisible to every read path, but the
             # streaming change feed emits them as _change_type='delete'
             # rows, so a COW predicate purge no longer kills (or hides
-            # from) downstream incremental consumers. Cost: one extra
-            # pass over the affected files (the rows are being rewritten
-            # anyway); the files expire with this version's manifest.
-            removed = self._read_with_deletes(spark, version, cand).filter(
-                f"coalesce(({condition}), false)"
+            # from) downstream incremental consumers. Survivors and
+            # pre-images split in ONE pass over the affected files (one
+            # tagged write — guide §8: the rows are read once, routed by
+            # the predicate into data vs change directories; previously
+            # two full reads + two write jobs); the change files expire
+            # with this version's manifest.
+            marked = self._read_with_deletes(
+                spark, version, cand
+            ).withColumn(
+                "_chg",
+                F.when(
+                    F.expr(f"coalesce(({condition}), false)"),
+                    F.lit("delete"),
+                ).otherwise(F.lit("__data__")),
             )
-            chg = self._write_data(removed, ())
-            for e in chg:
-                e["kind"] = "change"
-                e["change"] = "delete"
-            new_entries = new_entries + chg
+            new_entries = self._write_data(
+                marked,
+                stats_cols,
+                bloom_cols,
+                change_tag_col="_chg",
+                data_tag="__data__",
+            )
             extra = {"cdf": True}
+        else:
+            survivors = self._read_with_deletes(
+                spark, version, cand
+            ).filter(f"NOT coalesce(({condition}), false)")
+            new_entries = self._write_data(
+                survivors, stats_cols, bloom_cols, partition_by
+            )
+            if change_feed:
+                # partitioned CDF delete keeps the two-pass shape: the
+                # table-partitioned data write and the unpartitioned
+                # change write cannot share one partitionBy clause
+                removed = self._read_with_deletes(
+                    spark, version, cand
+                ).filter(f"coalesce(({condition}), false)")
+                new_entries = new_entries + self._write_change_set(
+                    [(removed, "delete")],
+                    self._schema(version) or removed.schema,
+                )
+                extra = {"cdf": True}
         kept_paths = {e["path"] for e in kept} | {
             e["path"] for e in self._delete_entries(version)
         }
@@ -2080,25 +2277,73 @@ class SnapshotTable:
                 )
         out = marked.select(*projected, F.col("_u"))
         self._enforce_constraints(out.filter("_u").drop("_u"), version)
-        new_entries = self._write_data(
-            out.drop("_u"), stats_cols, bloom_cols, partition_by
-        )
         extra = None
-        if change_feed:
-            def _mark(rows_df: DataFrame, change: str) -> list[dict]:
-                ents = self._write_data(rows_df, ())
-                for e in ents:
-                    e["kind"] = "change"
-                    e["change"] = change
-                return ents
+        if change_feed and not partition_by:
+            # CDF UPDATE in ONE pass over the affected files (guide §8:
+            # move the heavy bytes once — previously three full passes:
+            # the data write, the pre-image write, the post-image
+            # write). Each matched row explodes into its new data row +
+            # its pre-image + its post-image; an unmatched row passes
+            # through as data alone (its post-update values ARE its old
+            # values). One tagged write routes the copies into data vs
+            # change directories; file CONTENTS are identical to the
+            # three-write shape this replaces.
+            names = [f.name for f in fields]
 
+            def _tagged(tag: str, exprs) -> F.Column:
+                return F.struct(
+                    F.lit(tag).alias("_chg"),
+                    *[e.alias(n) for e, n in zip(exprs, names)],
+                )
+
+            row_old = [F.col(n) for n in names]
+            row_new = [
+                (
+                    F.expr(set_[f.name]).cast(f.dataType)
+                    if f.name in set_
+                    else F.col(f.name)
+                )
+                for f in fields
+            ]
+            copies = F.when(
+                F.col("_u"),
+                F.array(
+                    _tagged("__data__", row_new),
+                    _tagged("update_preimage", row_old),
+                    _tagged("update_postimage", row_new),
+                ),
+            ).otherwise(F.array(_tagged("__data__", row_old)))
+            fused = marked.select(F.explode(copies).alias("_x")).select(
+                *[F.col(f"_x.{n}").alias(n) for n in names],
+                F.col("_x._chg").alias("_chg"),
+            )
+            new_entries = self._write_data(
+                fused,
+                stats_cols,
+                bloom_cols,
+                change_tag_col="_chg",
+                data_tag="__data__",
+            )
             extra = {"cdf": True}
-            new_entries += _mark(
-                marked.filter("_u").drop("_u"), "update_preimage"
+        else:
+            new_entries = self._write_data(
+                out.drop("_u"), stats_cols, bloom_cols, partition_by
             )
-            new_entries += _mark(
-                out.filter("_u").drop("_u"), "update_postimage"
-            )
+            if change_feed:
+                # partitioned CDF update keeps the split shape (the
+                # partitioned data write and the unpartitioned change
+                # write cannot share one partitionBy clause), but both
+                # change kinds land in ONE tagged write
+                from pyspark.sql.types import StructType
+
+                new_entries += self._write_change_set(
+                    [
+                        (marked.filter("_u").drop("_u"), "update_preimage"),
+                        (out.filter("_u").drop("_u"), "update_postimage"),
+                    ],
+                    StructType(fields),
+                )
+                extra = {"cdf": True}
         kept_paths = {e["path"] for e in kept} | {
             e["path"] for e in self._delete_entries(version)
         }
@@ -2759,98 +3004,110 @@ class SnapshotTable:
         # ingest-sized by contract and consumed by several downstream
         # jobs (dup check, file locate, batch write, CDF splits) —
         # persist once instead of re-deriving per job (guide §5, the
-        # merge_into discipline). Unpersisted after publish below.
+        # merge_into discipline). Unpersisted on EVERY exit path below
+        # (try/finally — an OCC conflict or constraint raise must not
+        # leak the cache for the session lifetime).
         updates = updates.persist()
-        key_batch = updates.select(*keys)
-        # Delta MERGE raises on multiple source matches for one target row;
-        # silently inserting both duplicates corrupts a keyed table with no
-        # error (r10 advice). ONE aggregate job (was two full passes):
-        # count_distinct over a STRUCT of the key columns uses null-safe
-        # grouping equality, exactly like distinct().count() did
-        # (NULL-key parity pinned in tests/test_round17_opt.py).
-        _dup = key_batch.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.struct(*keys)).alias("nd"),
-        ).collect()[0]
-        n, nd = int(_dup["n"]), int(_dup["nd"])
-        if n != nd:
-            updates.unpersist(blocking=False)
-            raise ValueError(
-                f"merge_upsert update batch has duplicate keys "
-                f"({n} rows, {nd} distinct {tuple(keys)})"
+        removed: DataFrame | None = None
+        try:
+            key_batch = updates.select(*keys)
+            # Delta MERGE raises on multiple source matches for one
+            # target row; silently inserting both duplicates corrupts a
+            # keyed table with no error (r10 advice). ONE aggregate job
+            # (was two full passes): count_distinct over a STRUCT of the
+            # key columns uses null-safe grouping equality, exactly like
+            # distinct().count() did (NULL-key parity pinned in
+            # tests/test_round17_opt.py).
+            _dup = key_batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.struct(*keys)).alias("nd"),
+            ).collect()[0]
+            n, nd = int(_dup["n"]), int(_dup["nd"])
+            if n != nd:
+                raise ValueError(
+                    f"merge_upsert update batch has duplicate keys "
+                    f"({n} rows, {nd} distinct {tuple(keys)})"
+                )
+            kept_paths, _ents, removed, survivors = self._rewrite_minus_keys(
+                spark,
+                version,
+                key_batch,
+                keys,
+                stats_cols,
+                bloom_cols,
+                n_keys=n,
+                capture_removed=change_feed,
+                partition_by=partition_by,
+                defer_write=True,
             )
-        kept_paths, new_entries, removed = self._rewrite_minus_keys(
-            spark,
-            version,
-            key_batch,
-            keys,
-            stats_cols,
-            bloom_cols,
-            n_keys=n,
-            capture_removed=change_feed,
-            partition_by=partition_by,
-        )
-        schema = _merge_schemas(self._schema(version), updates.schema)
-        up = updates
-        for f in schema.fields:  # align update batch to the evolved shape
-            if f.name not in updates.columns:
-                up = up.withColumn(f.name, F.lit(None).cast(f.dataType))
-        up_sel = up.select([f.name for f in schema.fields])
-        self._enforce_constraints(up_sel, version)
-        new_entries += self._write_data(
-            up_sel, stats_cols, bloom_cols, partition_by
-        )
-        if change_feed:
-            # CDF change files for MERGE (Delta CDC semantics): replaced
-            # rows as update_preimage, their replacements as
-            # update_postimage, unmatched update rows as insert. The
-            # split is one semi/anti join of the ingest-sized batch
-            # against the matched key set; pre-images align to the
-            # evolved schema (new columns NULL) so the feed serves one
-            # stable shape.
-            def _mark(rows_df: DataFrame, change: str) -> list[dict]:
-                ents = self._write_data(rows_df, ())
-                for e in ents:
-                    e["kind"] = "change"
-                    e["change"] = change
-                return ents
-
+            schema = _merge_schemas(self._schema(version), updates.schema)
+            up = updates
+            for f in schema.fields:  # align update batch to evolved shape
+                if f.name not in updates.columns:
+                    up = up.withColumn(f.name, F.lit(None).cast(f.dataType))
+            up_sel = up.select([f.name for f in schema.fields])
+            self._enforce_constraints(up_sel, version)
+            # ONE data write for the whole merge: rewritten survivors +
+            # the update batch land in a single Spark job (they were two
+            # — guide §1.2/§5; the union adds no shuffle, each input
+            # partition still writes its own file). Survivors read under
+            # the pre-evolution schema NULL-fill any evolved columns —
+            # the same values readers would fill in.
+            data_df = up_sel
+            if survivors is not None:
+                data_df = survivors.unionByName(
+                    up_sel, allowMissingColumns=True
+                ).select([f.name for f in schema.fields])
+            new_entries = self._write_data(
+                data_df, stats_cols, bloom_cols, partition_by
+            )
+            if change_feed:
+                # CDF change files for MERGE (Delta CDC semantics):
+                # replaced rows as update_preimage, their replacements
+                # as update_postimage, unmatched update rows as insert.
+                # ONE tagged write lands every change kind in a single
+                # job (_write_change_set; was one job per kind), and the
+                # postimage/insert split is ONE left join against the
+                # matched key set instead of a semi + anti pair.
+                if removed is not None:
+                    # two jobs read `removed` (the fused change write and
+                    # the matched-key build) — persist the one
+                    # rewrite-scan + semi-join (guide §5)
+                    removed = removed.persist()
+                    matched = removed.select(*keys).distinct()
+                    split = up_sel.join(
+                        matched.withColumn("_mt", F.lit(1)), keys, "left"
+                    ).withColumn(
+                        "_chg",
+                        F.when(
+                            F.col("_mt").isNotNull(),
+                            F.lit("update_postimage"),
+                        ).otherwise(F.lit("insert")),
+                    )
+                    new_entries += self._write_change_set(
+                        [(removed, "update_preimage"), (split, None)],
+                        schema,
+                    )
+                else:
+                    new_entries += self._write_change_set(
+                        [(up_sel, "insert")], schema
+                    )
+                extra = {**(extra or {}), "cdf": True}
+            return self._publish_cow_serializable(
+                version,
+                kept_paths,
+                new_entries,
+                "merge",
+                schema,
+                extra,
+                read_regions=self._key_partition_regions(
+                    self._data_entries(version), keys, key_batch
+                ),
+            )
+        finally:
             if removed is not None:
-                # three jobs read `removed` (pre-image write, matched
-                # semi split, anti split) — persist the one rewrite-scan
-                # + semi-join instead of re-running it per job (guide §5)
-                removed = removed.persist()
-                pre = removed
-                for f in schema.fields:
-                    if f.name not in pre.columns:
-                        pre = pre.withColumn(f.name, F.lit(None).cast(f.dataType))
-                pre = pre.select([f.name for f in schema.fields])
-                matched = removed.select(*keys).distinct()
-                new_entries += _mark(pre, "update_preimage")
-                new_entries += _mark(
-                    up_sel.join(matched, keys, "left_semi"),
-                    "update_postimage",
-                )
-                new_entries += _mark(
-                    up_sel.join(matched, keys, "left_anti"), "insert"
-                )
                 removed.unpersist(blocking=False)
-            else:
-                new_entries += _mark(up_sel, "insert")
-            extra = {**(extra or {}), "cdf": True}
-        out_version = self._publish_cow_serializable(
-            version,
-            kept_paths,
-            new_entries,
-            "merge",
-            schema,
-            extra,
-            read_regions=self._key_partition_regions(
-                self._data_entries(version), keys, key_batch
-            ),
-        )
-        updates.unpersist(blocking=False)
-        return out_version
+            updates.unpersist(blocking=False)
 
     def merge_into(
         self,
@@ -3003,275 +3260,301 @@ class SnapshotTable:
                         "in the table schema"
                     )
         keys = list(key_cols)
-        # The source batch is ingest-sized by contract and consumed by up
-        # to six downstream jobs (dup check, file locate, survivor
-        # rewrite, postimage, unmatched insert, CDF writes) — persist it
-        # once instead of re-deriving it per job (optimization guide §5:
-        # reuse × recompute cost; the delete_where_mor persist discipline
-        # applied to MERGE). Unpersisted after publish below.
+        # The source batch is ingest-sized by contract and consumed by
+        # several downstream jobs (dup check, file locate, the fused
+        # batch write, CDF writes) — persist it once instead of
+        # re-deriving it per job (optimization guide §5: reuse ×
+        # recompute cost; the delete_where_mor persist discipline
+        # applied to MERGE). Unpersisted on EVERY exit path (try/finally
+        # — an OCC conflict, constraint violation, or clause error must
+        # not leak the cached frames for the session lifetime).
         source = source.persist()
-        key_batch = source.select(*keys)
-        # ONE aggregate job for the duplicate-key check (was two full
-        # passes): count_distinct over a STRUCT of the key columns uses
-        # null-safe grouping equality, exactly like distinct().count()
-        # did (NULL-key parity pinned in tests/test_round17_opt.py).
-        _dup = key_batch.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.struct(*keys)).alias("nd"),
-        ).collect()[0]
-        n, nd = int(_dup["n"]), int(_dup["nd"])
-        if n != nd:
-            source.unpersist(blocking=False)
-            raise ValueError(
-                f"merge_into source batch has duplicate keys "
-                f"({n} rows, {nd} distinct {tuple(keys)})"
-            )
-        gated = (
-            F.broadcast(key_batch)
-            if n <= self.MOR_BROADCAST_ROW_LIMIT
-            else key_batch
-        )
-        entries = self._data_entries(version)
-        src_files = self._open_files(
-            spark, version, [e["path"] for e in entries]
-        )
-        affected_rows = (
-            src_files.withColumn("_file", F.input_file_name())
-            .join(gated, keys, "left_semi")
-            .select("_file")
-            .distinct()
-            .collect()
-        )
-        from urllib.parse import unquote, urlparse
-
-        affected = {
-            os.path.realpath(unquote(urlparse(r["_file"]).path))
-            for r in affected_rows
-        }
-        by_real = {os.path.realpath(e["path"]): e for e in entries}
-        unknown = affected - set(by_real)
-        if unknown:
-            raise RuntimeError(
-                "affected files match no manifest entry (path "
-                f"normalization bug): {sorted(unknown)[:3]}"
-            )
-        rewrite = [by_real[p] for p in affected]
-        if not_matched_by_source is not None:
-            # the source-absent clause may act in ANY file; nmbs_prune
-            # (the stats box of nmbs_condition) bounds the rewrite to
-            # files that can hold a condition-true row — delete_where's
-            # contract, files without stats conservatively rewritten
-            have = {e["path"] for e in rewrite}
-            for e in entries:
-                if e["path"] in have:
-                    continue
-                if nmbs_prune is not None:
-                    col, lo, hi = nmbs_prune
-                    rng = e.get("stats", {}).get(col)
-                    if not self._stats_box_overlaps(rng, lo, hi):
-                        continue  # provably no condition-true row
-                rewrite.append(e)
-        kept_paths = (
-            {e["path"] for e in entries} - {e["path"] for e in rewrite}
-        ) | {e["path"] for e in self._delete_entries(version)}
-        has_update = any(action == "update" for _c, action in clauses)
-        schema = self._schema(version)
-        if has_update or insert_unmatched:
-            schema = _merge_schemas(schema, source.schema)
-        src_aligned = source
-        for f in schema.fields:
-            if f.name not in source.columns:
-                src_aligned = src_aligned.withColumn(
-                    f.name, F.lit(None).cast(f.dataType)
+        rw: DataFrame | None = None
+        try:
+            key_batch = source.select(*keys)
+            # ONE aggregate job for the duplicate-key check (was two full
+            # passes): count_distinct over a STRUCT of the key columns
+            # uses null-safe grouping equality, exactly like
+            # distinct().count() did (NULL-key parity pinned in
+            # tests/test_round17_opt.py).
+            _dup = key_batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.struct(*keys)).alias("nd"),
+            ).collect()[0]
+            n, nd = int(_dup["n"]), int(_dup["nd"])
+            if n != nd:
+                raise ValueError(
+                    f"merge_into source batch has duplicate keys "
+                    f"({n} rows, {nd} distinct {tuple(keys)})"
                 )
-        src_aligned = src_aligned.select([f.name for f in schema.fields])
-        new_entries: list[dict] = []
-        removed_upd = None
-        removed_del = None
-        removed_nmbs = None
-        acted_keys = None
-        if rewrite:
-            # marker join: matched rows flagged, then ONE first-match-
-            # wins CASE WHEN assigns each row its firing clause index
-            # (NULL = no clause fired, row kept — SQL three-valued
-            # logic: a NULL condition never fires)
-            marker = gated.withColumn("_m", F.lit(1))
-            rw = self._read_with_deletes(spark, version, rewrite).join(
-                marker, keys, "left"
-            )
-            cexpr = None
-            for i, (cond, _action) in enumerate(clauses):
-                hit = F.col("_m").isNotNull()
-                if cond is not None:
-                    hit = hit & F.expr(f"coalesce(({cond}), false)")
-                cexpr = (
-                    F.when(hit, F.lit(i))
-                    if cexpr is None
-                    else cexpr.when(hit, F.lit(i))
-                )
-            # one marked read of the affected files feeds EVERY consumer
-            # below (survivors, per-clause splits, matched keys, CDF
-            # pre-images) — unpersisted, the identical scan+join pipeline
-            # re-ran as up to six separate jobs (guide §5; measured 42 →
-            # 17 jobs on snapshot_merge_sync). Bounded at
-            # O(affected files + batch) like the rewrite itself.
-            rw = rw.withColumn("_c", cexpr).persist()
-            upd_idx = [
-                i for i, (_c, a) in enumerate(clauses) if a == "update"
-            ]
-            del_idx = [
-                i for i, (_c, a) in enumerate(clauses) if a == "delete"
-            ]
-            act = F.col("_c").isNotNull()
-            nmbs_act = F.lit(False)
-            if not_matched_by_source is not None:
-                nmbs_act = F.col("_m").isNull()
-                if nmbs_condition is not None:
-                    nmbs_act = nmbs_act & F.expr(
-                        f"coalesce(({nmbs_condition}), false)"
-                    )
-            survivors = rw.filter(~(act | nmbs_act)).drop("_m", "_c")
-            new_entries = self._write_data(
-                survivors, stats_cols, bloom_cols, partition_by
-            )
-            if upd_idx:
-                removed_upd = rw.filter(
-                    F.col("_c").isin(upd_idx)
-                ).drop("_m", "_c")
-                acted_keys = removed_upd.select(*keys).distinct()
-            if del_idx:
-                removed_del = rw.filter(
-                    F.col("_c").isin(del_idx)
-                ).drop("_m", "_c")
-            if not_matched_by_source is not None:
-                removed_nmbs = rw.filter(nmbs_act).drop("_m", "_c")
-        # matched source keys, computed from the AFFECTED FILES only
-        # (they hold every matching row by construction) — O(affected),
-        # never an O(table) distinct. Derived from the PERSISTED marked
-        # read instead of a second scan+semi-join of the same files: a
-        # row carries _m exactly when its key matched the (distinct-key)
-        # batch, so filter(_m IS NOT NULL) ≡ the left-semi join.
-        if rewrite:
-            matched_keys = (
-                rw.filter(F.col("_m").isNotNull()).select(*keys).distinct()
-            )
-        else:
-            matched_keys = None
-        chg: list[tuple[DataFrame, str]] = []
-        if acted_keys is not None:
-            # rows acted on by an UPDATE clause: their replacements are
-            # the source rows sharing the acted keys
-            postimage = src_aligned.join(
-                F.broadcast(acted_keys)
+            gated = (
+                F.broadcast(key_batch)
                 if n <= self.MOR_BROADCAST_ROW_LIMIT
-                else acted_keys,
-                keys,
-                "left_semi",
+                else key_batch
             )
-            self._enforce_constraints(postimage, version)
-            new_entries += self._write_data(
-                postimage, stats_cols, bloom_cols, partition_by
+            entries = self._data_entries(version)
+            src_files = self._open_files(
+                spark, version, [e["path"] for e in entries]
             )
-            if change_feed:
-                chg.append((removed_upd, "update_preimage"))
-                chg.append((postimage, "update_postimage"))
-        if change_feed and removed_del is not None:
-            chg.append((removed_del, "delete"))
-        if removed_nmbs is not None and not_matched_by_source == "update":
-            # WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ...: the acted
-            # rows are TRANSFORMED in one projection reading the
-            # pre-update row (update_where's semantics), cast to the
-            # declared types, and written back
-            if schema is not None:
-                unknown_set = sorted(
-                    set(nmbs_set) - {f.name for f in schema.fields}
+            affected_rows = (
+                src_files.withColumn("_file", F.input_file_name())
+                .join(gated, keys, "left_semi")
+                .select("_file")
+                .distinct()
+                .collect()
+            )
+            from urllib.parse import unquote, urlparse
+
+            affected = {
+                os.path.realpath(unquote(urlparse(r["_file"]).path))
+                for r in affected_rows
+            }
+            by_real = {os.path.realpath(e["path"]): e for e in entries}
+            unknown = affected - set(by_real)
+            if unknown:
+                raise RuntimeError(
+                    "affected files match no manifest entry (path "
+                    f"normalization bug): {sorted(unknown)[:3]}"
                 )
-                if unknown_set:
-                    raise ValueError(
-                        f"nmbs_set columns {unknown_set} do not exist "
-                        "in the table schema"
+            rewrite = [by_real[p] for p in affected]
+            if not_matched_by_source is not None:
+                # the source-absent clause may act in ANY file;
+                # nmbs_prune (the stats box of nmbs_condition) bounds
+                # the rewrite to files that can hold a condition-true
+                # row — delete_where's contract, files without stats
+                # conservatively rewritten
+                have = {e["path"] for e in rewrite}
+                for e in entries:
+                    if e["path"] in have:
+                        continue
+                    if nmbs_prune is not None:
+                        col, lo, hi = nmbs_prune
+                        rng = e.get("stats", {}).get(col)
+                        if not self._stats_box_overlaps(rng, lo, hi):
+                            continue  # provably no condition-true row
+                    rewrite.append(e)
+            kept_paths = (
+                {e["path"] for e in entries} - {e["path"] for e in rewrite}
+            ) | {e["path"] for e in self._delete_entries(version)}
+            has_update = any(action == "update" for _c, action in clauses)
+            schema = self._schema(version)
+            if has_update or insert_unmatched:
+                schema = _merge_schemas(schema, source.schema)
+            src_aligned = source
+            for f in schema.fields:
+                if f.name not in source.columns:
+                    src_aligned = src_aligned.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
                     )
-            nmbs_after = removed_nmbs.select(
-                *[
-                    (
-                        F.expr(nmbs_set[f.name]).cast(f.dataType).alias(f.name)
-                        if f.name in nmbs_set
-                        else F.col(f.name)
+            src_aligned = src_aligned.select(
+                [f.name for f in schema.fields]
+            )
+            survivors = None
+            removed_upd = None
+            removed_del = None
+            removed_nmbs = None
+            acted_keys = None
+            if rewrite:
+                # marker join: matched rows flagged, then ONE first-
+                # match-wins CASE WHEN assigns each row its firing
+                # clause index (NULL = no clause fired, row kept — SQL
+                # three-valued logic: a NULL condition never fires)
+                marker = gated.withColumn("_m", F.lit(1))
+                rw = self._read_with_deletes(spark, version, rewrite).join(
+                    marker, keys, "left"
+                )
+                cexpr = None
+                for i, (cond, _action) in enumerate(clauses):
+                    hit = F.col("_m").isNotNull()
+                    if cond is not None:
+                        hit = hit & F.expr(f"coalesce(({cond}), false)")
+                    cexpr = (
+                        F.when(hit, F.lit(i))
+                        if cexpr is None
+                        else cexpr.when(hit, F.lit(i))
                     )
-                    for f in schema.fields
+                # one marked read of the affected files feeds EVERY
+                # consumer below (survivors, per-clause splits, matched
+                # keys, CDF pre-images) — unpersisted, the identical
+                # scan+join pipeline re-ran as up to six separate jobs
+                # (guide §5; measured 42 → 17 jobs on
+                # snapshot_merge_sync). Bounded at O(affected files +
+                # batch) like the rewrite itself.
+                rw = rw.withColumn("_c", cexpr).persist()
+                upd_idx = [
+                    i for i, (_c, a) in enumerate(clauses) if a == "update"
                 ]
-            )
-            self._enforce_constraints(nmbs_after, version)
-            new_entries += self._write_data(
-                nmbs_after, stats_cols, bloom_cols, partition_by
-            )
-            if change_feed:
-                chg.append((removed_nmbs, "update_preimage"))
-                chg.append((nmbs_after, "update_postimage"))
-        elif change_feed and removed_nmbs is not None:
-            chg.append((removed_nmbs, "delete"))
-        if insert_unmatched:
-            unmatched = src_aligned
-            if matched_keys is not None:
-                unmatched = src_aligned.join(
-                    matched_keys, keys, "left_anti"
-                )
-            if insert_condition is not None:
-                # WHEN NOT MATCHED AND cond THEN INSERT: the predicate
-                # evaluates over the SOURCE row; failing rows are
-                # simply not inserted (no clause fired)
-                unmatched = unmatched.filter(
-                    F.expr(f"coalesce(({insert_condition}), false)")
-                )
-            self._enforce_constraints(unmatched, version)
-            new_entries += self._write_data(
-                unmatched, stats_cols, bloom_cols, partition_by
-            )
-            if change_feed:
-                chg.append((unmatched, "insert"))
-        extra = None
-        if change_feed:
-            for frame, kind in chg:
-                aligned = frame
-                for f in schema.fields:
-                    if f.name not in frame.columns:
-                        aligned = aligned.withColumn(
-                            f.name, F.lit(None).cast(f.dataType)
+                del_idx = [
+                    i for i, (_c, a) in enumerate(clauses) if a == "delete"
+                ]
+                act = F.col("_c").isNotNull()
+                nmbs_act = F.lit(False)
+                if not_matched_by_source is not None:
+                    nmbs_act = F.col("_m").isNull()
+                    if nmbs_condition is not None:
+                        nmbs_act = nmbs_act & F.expr(
+                            f"coalesce(({nmbs_condition}), false)"
                         )
-                ents = self._write_data(
-                    aligned.select([f.name for f in schema.fields]), ()
+                survivors = rw.filter(~(act | nmbs_act)).drop("_m", "_c")
+                if upd_idx:
+                    removed_upd = rw.filter(
+                        F.col("_c").isin(upd_idx)
+                    ).drop("_m", "_c")
+                    acted_keys = removed_upd.select(*keys).distinct()
+                if del_idx:
+                    removed_del = rw.filter(
+                        F.col("_c").isin(del_idx)
+                    ).drop("_m", "_c")
+                if not_matched_by_source is not None:
+                    removed_nmbs = rw.filter(nmbs_act).drop("_m", "_c")
+            # matched source keys, computed from the AFFECTED FILES only
+            # (they hold every matching row by construction) —
+            # O(affected), never an O(table) distinct. Derived from the
+            # PERSISTED marked read instead of a second scan+semi-join
+            # of the same files: a row carries _m exactly when its key
+            # matched the (distinct-key) batch, so filter(_m IS NOT
+            # NULL) ≡ the left-semi join.
+            if rewrite:
+                matched_keys = (
+                    rw.filter(F.col("_m").isNotNull())
+                    .select(*keys)
+                    .distinct()
                 )
-                for e in ents:
-                    e["kind"] = "change"
-                    e["change"] = kind
-                new_entries += ents
-            extra = {"cdf": True}
-        # read set: the keyed half is derivable when a key column is an
-        # identity partition column; NOT MATCHED BY SOURCE additionally
-        # reads every row its prune box admits (no box = whole table)
-        regions = self._key_partition_regions(entries, keys, key_batch)
-        if not_matched_by_source is not None:
-            if regions is None or nmbs_prune is None:
-                regions = None
             else:
-                keyed = regions
+                matched_keys = None
+            # Every row class this merge writes is COLLECTED first and
+            # written in ONE Spark job per file kind at the end (guide
+            # §1.2/§5: one data write + one tagged change write per
+            # commit, was up to seven write jobs): new_rows gates the
+            # single constraint pass, data_frames the data write, chg
+            # the change write. The unions add no shuffle — each input
+            # partition still writes its own file.
+            new_rows: list[DataFrame] = []
+            chg: list[tuple[DataFrame, str | None]] = []
+            if acted_keys is not None:
+                # rows acted on by an UPDATE clause: their replacements
+                # are the source rows sharing the acted keys
+                postimage = src_aligned.join(
+                    F.broadcast(acted_keys)
+                    if n <= self.MOR_BROADCAST_ROW_LIMIT
+                    else acted_keys,
+                    keys,
+                    "left_semi",
+                )
+                new_rows.append(postimage)
+                if change_feed:
+                    chg.append((removed_upd, "update_preimage"))
+                    chg.append((postimage, "update_postimage"))
+            if change_feed and removed_del is not None:
+                chg.append((removed_del, "delete"))
+            if removed_nmbs is not None and not_matched_by_source == "update":
+                # WHEN NOT MATCHED BY SOURCE THEN UPDATE SET ...: the
+                # acted rows are TRANSFORMED in one projection reading
+                # the pre-update row (update_where's semantics), cast to
+                # the declared types, and written back
+                if schema is not None:
+                    unknown_set = sorted(
+                        set(nmbs_set) - {f.name for f in schema.fields}
+                    )
+                    if unknown_set:
+                        raise ValueError(
+                            f"nmbs_set columns {unknown_set} do not "
+                            "exist in the table schema"
+                        )
+                nmbs_after = removed_nmbs.select(
+                    *[
+                        (
+                            F.expr(nmbs_set[f.name])
+                            .cast(f.dataType)
+                            .alias(f.name)
+                            if f.name in nmbs_set
+                            else F.col(f.name)
+                        )
+                        for f in schema.fields
+                    ]
+                )
+                new_rows.append(nmbs_after)
+                if change_feed:
+                    chg.append((removed_nmbs, "update_preimage"))
+                    chg.append((nmbs_after, "update_postimage"))
+            elif change_feed and removed_nmbs is not None:
+                chg.append((removed_nmbs, "delete"))
+            if insert_unmatched:
+                unmatched = src_aligned
+                if matched_keys is not None:
+                    unmatched = src_aligned.join(
+                        matched_keys, keys, "left_anti"
+                    )
+                if insert_condition is not None:
+                    # WHEN NOT MATCHED AND cond THEN INSERT: the
+                    # predicate evaluates over the SOURCE row; failing
+                    # rows are simply not inserted (no clause fired)
+                    unmatched = unmatched.filter(
+                        F.expr(f"coalesce(({insert_condition}), false)")
+                    )
+                new_rows.append(unmatched)
+                if change_feed:
+                    chg.append((unmatched, "insert"))
+            new_entries: list[dict] = []
+            # postimage/nmbs_after/unmatched are already schema-aligned
+            # (they derive from src_aligned / a schema-field select);
+            # survivors may lack evolved columns — allowMissingColumns
+            # NULL-fills them, the same values readers would fill in
+            data_frames = (
+                [survivors] if survivors is not None else []
+            ) + new_rows
+            if new_rows:
+                # one constraint pass over every NEW row this merge
+                # writes (survivors passed their constraints at their
+                # original commit); a violation raises BEFORE any file
+                # is written
+                checked = new_rows[0]
+                for f in new_rows[1:]:
+                    checked = checked.unionByName(f)
+                self._enforce_constraints(checked, version)
+            if data_frames:
+                data_df = data_frames[0]
+                for f in data_frames[1:]:
+                    data_df = data_df.unionByName(
+                        f, allowMissingColumns=True
+                    )
+                data_df = data_df.select(
+                    [f.name for f in schema.fields]
+                )
+                new_entries = self._write_data(
+                    data_df, stats_cols, bloom_cols, partition_by
+                )
+            extra = None
+            if change_feed:
+                new_entries += self._write_change_set(chg, schema)
+                extra = {"cdf": True}
+            # read set: the keyed half is derivable when a key column is
+            # an identity partition column; NOT MATCHED BY SOURCE
+            # additionally reads every row its prune box admits (no box
+            # = whole table)
+            regions = self._key_partition_regions(entries, keys, key_batch)
+            if not_matched_by_source is not None:
+                if regions is None or nmbs_prune is None:
+                    regions = None
+                else:
+                    keyed = regions
 
-                def regions() -> list[dict]:  # noqa: F811
-                    return keyed() + [{"where": nmbs_prune}]
+                    def regions() -> list[dict]:  # noqa: F811
+                        return keyed() + [{"where": nmbs_prune}]
 
-        out_version = self._publish_cow_serializable(
-            version,
-            kept_paths,
-            new_entries,
-            "merge",
-            schema,
-            extra,
-            read_regions=regions,
-        )
-        source.unpersist(blocking=False)
-        if rewrite:
-            rw.unpersist(blocking=False)
-        return out_version
+            return self._publish_cow_serializable(
+                version,
+                kept_paths,
+                new_entries,
+                "merge",
+                schema,
+                extra,
+                read_regions=regions,
+            )
+        finally:
+            source.unpersist(blocking=False)
+            if rw is not None:
+                rw.unpersist(blocking=False)
 
     def _rewrite_minus_keys(
         self,
@@ -3284,14 +3567,19 @@ class SnapshotTable:
         n_keys: int | None = None,
         capture_removed: bool = False,
         partition_by: tuple[str, ...] = (),
-    ) -> tuple[list[dict], list[dict], DataFrame | None]:
+        defer_write: bool = False,
+    ) -> tuple[list[dict], list[dict], DataFrame | None, DataFrame | None]:
         """Shared copy-on-write core of :meth:`merge_upsert` and
         :meth:`delete_keys`: locate the files containing any key of
         ``key_df`` (one left-semi join grouped to file granularity — the
         collect is file-count-sized), rewrite only those with matched rows
         anti-joined out. Returns (kept file paths, rewritten entries,
         removed-rows frame when ``capture_removed`` — the CDF pre-image
-        source — else None).
+        source — else None, survivors frame). Under ``defer_write`` the
+        survivors are NOT written here: the frame comes back unwritten
+        (entries empty) so the caller can union it with its own new rows
+        into ONE write job (merge_upsert does — guide §1.2/§5: one write
+        pass per commit instead of one per row class).
 
         Key batches are ingest-sized by CONTRACT, but the contract is now
         enforced, not assumed: the key set is broadcast only under
@@ -3343,6 +3631,7 @@ class SnapshotTable:
         ) | {e["path"] for e in self._delete_entries(version)}
         new_entries: list[dict] = []
         removed: DataFrame | None = None
+        survivors: DataFrame | None = None
         if rewrite:
             # MOR deletes apply to the rewrite read (rewritten files get a
             # new sequence number — see delete_where)
@@ -3350,10 +3639,11 @@ class SnapshotTable:
             survivors = src_rw.join(gated, keys, "left_anti")
             if capture_removed:
                 removed = src_rw.join(gated, keys, "left_semi")
-            new_entries = self._write_data(
-                survivors, stats_cols, bloom_cols, partition_by
-            )
-        return kept_paths, new_entries, removed
+            if not defer_write:
+                new_entries = self._write_data(
+                    survivors, stats_cols, bloom_cols, partition_by
+                )
+        return kept_paths, new_entries, removed, survivors
 
     def delete_keys(
         self,
@@ -3381,7 +3671,7 @@ class SnapshotTable:
         if version is None:
             raise ValueError("snapshot table has no committed version")
         keys = list(key_cols)
-        kept_paths, new_entries, removed = self._rewrite_minus_keys(
+        kept_paths, new_entries, removed, _surv = self._rewrite_minus_keys(
             spark,
             version,
             key_df.select(*keys),
@@ -3402,11 +3692,11 @@ class SnapshotTable:
         if change_feed and removed is not None:
             # same CDF pattern as delete_where: removed rows' pre-images
             # ride the commit as change files for the streaming feed
-            chg = self._write_data(removed, ())
-            for e in chg:
-                e["kind"] = "change"
-                e["change"] = "delete"
-            new_entries = new_entries + chg
+            # (one tagged write job — _write_change_set)
+            new_entries = new_entries + self._write_change_set(
+                [(removed, "delete")],
+                self._schema(version) or removed.schema,
+            )
             extra = {"cdf": True}
         return self._publish_cow(
             version,

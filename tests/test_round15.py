@@ -625,7 +625,26 @@ def test_merge_multi_clause_validation(spark, tmp_path):
 def test_zorder_compaction_prunes_multidim_boxes(spark, tmp_path):
     """Same data, same file count: a plain range cluster on the leading
     column cannot make a two-predicate box prune on BOTH dimensions;
-    the z-order mode must. Pins cluster_mode='zorder' vs 'range'."""
+    the z-order mode must. Pins cluster_mode='zorder' vs 'range'.
+
+    The range exchange's boundary SAMPLE is seeded from the RDD id, so
+    the file cut points — and with them the pruning ratios asserted
+    below — depended on how many jobs ran earlier in the session (the
+    test flaked under full-suite ordering). An exhaustive sample (size
+    >= every partition's rows) makes the cut points a deterministic
+    function of the data, which is the property the assertions pin."""
+    from pyspark.sql import functions as F
+
+    sample_key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    old_sample = spark.conf.get(sample_key)
+    spark.conf.set(sample_key, 40000)
+    try:
+        _run_zorder_case(spark, tmp_path)
+    finally:
+        spark.conf.set(sample_key, old_sample)
+
+
+def _run_zorder_case(spark, tmp_path):
     from pyspark.sql import functions as F
 
     rows = spark.range(20000).select(
