@@ -3709,11 +3709,14 @@ def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             cursors={"corpus": {sid: consumed["v"]}},
         )
 
+    # one load for both drains (see stream_from_snapshot: offsets
+    # resolve at start() from the checkpoint, the resume probe holds)
+    sdf = read_stream(spark, corpus.base)
+
     def drain() -> None:
         consumed["v"] = corpus.latest_version() or 0
         (
-            read_stream(spark, corpus.base)
-            .writeStream.foreachBatch(fold)
+            sdf.writeStream.foreachBatch(fold)
             .outputMode("append")
             .option("checkpointLocation", f"{root}/ckpt")
             .trigger(availableNow=True)
@@ -4032,11 +4035,14 @@ def stream_ivf_codebook_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             assigned.unpersist()
 
+    # one load for both drains (see stream_from_snapshot: offsets
+    # resolve at start() from the checkpoint, the resume probe holds)
+    sdf = read_stream(spark, corpus.base)
+
     def drain() -> None:
         consumed["v"] = corpus.latest_version() or 0
         (
-            read_stream(spark, corpus.base)
-            .writeStream.foreachBatch(fold)
+            sdf.writeStream.foreachBatch(fold)
             .outputMode("append")
             .option("checkpointLocation", f"{root}/ckpt")
             .trigger(availableNow=True)

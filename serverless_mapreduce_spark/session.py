@@ -32,6 +32,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
+    # One BLAS thread per Python worker (guide §4.5 — right-size per-task
+    # thread pools): importing numpy spins up an OpenBLAS pool sized to
+    # the MACHINE (~3 s of sys time per process on 32 cores, measured —
+    # plans/r18/prof_worker_spawn.txt). Every Python process Spark spawns
+    # (executor workers, streaming source/sink runners, schema-inference
+    # workers) pays that at import; a cold 32-worker batch turns it into
+    # a multi-second kernel storm. Parallelism comes from Spark tasks,
+    # not intra-worker BLAS — one thread per worker is the correct
+    # production sizing (os.environ: local-mode workers inherit it;
+    # executorEnv carries the same setting to real clusters).
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -47,6 +60,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # see the os.environ block above — carries the same one-BLAS-
+        # thread-per-worker sizing to non-local executors
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
     )
     if extra_conf:
         for k, v in extra_conf.items():

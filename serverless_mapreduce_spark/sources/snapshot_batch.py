@@ -1052,10 +1052,13 @@ def stream_snapshot_writer_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey")
     src.commit(orders.filter(k % 2 == 0))
 
+    # one load for both drains (see stream_from_snapshot: offsets
+    # resolve at start() from the checkpoint, the resume probe holds)
+    sdf = read_stream(s, src.base)
+
     def drain() -> None:
         (
-            read_stream(s, src.base)
-            .writeStream.format("snapshot")
+            sdf.writeStream.format("snapshot")
             .option("path", out)
             .option("streamId", "writer_sink")
             .option("checkpointLocation", f"{root}/ckpt")

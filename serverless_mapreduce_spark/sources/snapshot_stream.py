@@ -663,10 +663,17 @@ def stream_from_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_id,
         )
 
+    # ONE load serves both drains (guide §4 — the Python boundary):
+    # every read_stream().load() spawns a schema-inference Python
+    # worker (~0.3 s measured, plans/r18/prof_stream_floor.txt); the
+    # streaming DataFrame is a lazy plan whose offsets resolve at each
+    # start() from the CHECKPOINT, so drain 2 still proves cursor
+    # resume — the probe lives in the checkpoint dir, not df identity.
+    sdf = read_stream(spark, base)
+
     def run_drain() -> None:
         (
-            read_stream(spark, base)
-            .writeStream.foreachBatch(sink)
+            sdf.writeStream.foreachBatch(sink)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -773,11 +780,14 @@ def stream_snapshot_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cursors={"bronze": {sid: consumed["v"]}},
         )
 
+    # one load for both drains (see stream_from_snapshot: offsets
+    # resolve at start() from the checkpoint, the resume probe holds)
+    sdf = read_stream(spark, bronze.base)
+
     def drain() -> None:
         consumed["v"] = bronze.latest_version() or 0
         (
-            read_stream(spark, bronze.base)
-            .writeStream.foreachBatch(fold)
+            sdf.writeStream.foreachBatch(fold)
             .outputMode("append")
             .option("checkpointLocation", f"{root}/ckpt")
             .trigger(availableNow=True)
@@ -860,10 +870,13 @@ def stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out.commit_stream_batch(batch_df, "cdf", batch_id)
 
+    # one load for both drains (see stream_from_snapshot: offsets
+    # resolve at start() from the checkpoint, the resume probe holds)
+    sdf = read_stream(spark, base, readChangeFeed="true")
+
     def drain() -> None:
         (
-            read_stream(spark, base, readChangeFeed="true")
-            .writeStream.foreachBatch(sink)
+            sdf.writeStream.foreachBatch(sink)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -960,10 +973,13 @@ def stream_replace_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out.commit_stream_batch(batch_df, "repl_cdf", batch_id)
 
+    # one load for both drains (see stream_from_snapshot: offsets
+    # resolve at start() from the checkpoint, the resume probe holds)
+    sdf = read_stream(spark, base, readChangeFeed="true")
+
     def drain() -> None:
         (
-            read_stream(spark, base, readChangeFeed="true")
-            .writeStream.foreachBatch(sink)
+            sdf.writeStream.foreachBatch(sink)
             .outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -1077,10 +1093,13 @@ def stream_cdf_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         w = silver.commit(rolled, mode="overwrite")
         cat.publish({"cdf_silver": w}, sid, batch_id)
 
+    # one load for both drains (see stream_from_snapshot: offsets
+    # resolve at start() from the checkpoint, the resume probe holds)
+    sdf = read_stream(spark, bronze.base, readChangeFeed="true")
+
     def drain() -> None:
         (
-            read_stream(spark, bronze.base, readChangeFeed="true")
-            .writeStream.foreachBatch(fold)
+            sdf.writeStream.foreachBatch(fold)
             .outputMode("append")
             .option("checkpointLocation", f"{root}/ckpt")
             .trigger(availableNow=True)
@@ -1222,10 +1241,13 @@ def stream_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             batch_df.unpersist()
 
+    # one load for both drains (see stream_from_snapshot: offsets
+    # resolve at start() from the checkpoint, the resume probe holds)
+    sdf = read_stream(spark, src.base, readChangeFeed="true")
+
     def drain() -> None:
         (
-            read_stream(spark, src.base, readChangeFeed="true")
-            .writeStream.foreachBatch(fold)
+            sdf.writeStream.foreachBatch(fold)
             .outputMode("append")
             .option("checkpointLocation", f"{root}/ckpt")
             .trigger(availableNow=True)
