@@ -895,9 +895,9 @@ def _label_propagate_star(
     anywhere, and the fixpoint (a forest of stars, each rooted at its
     component's minimum id) arrives in O(log n) rounds even where hash-min
     needs diameter rounds. Convergence is an EXACT edge-set equality test
-    (count match + no new edge, fused into one join-aggregate per round —
-    edge-sized, same cost class as the round itself); labels then read
-    directly off the star edges. Each
+    gated by a per-round (count, content-digest) aggregate — the exact
+    exceptAll confirm runs at most once, at the true fixpoint; labels then
+    read directly off the star edges. Each
     generation is localCheckpoint'ed for the usual lineage-truncation
     reason (on a real cluster: reliable checkpoint())."""
     edges = sym.filter(F.col("src") < F.col("dst")).select(
@@ -905,37 +905,41 @@ def _label_propagate_star(
     )
     if dedup:  # callers feeding a symmetrized DISTINCT edge set skip this
         edges = edges.distinct()
-    # lazy checkpoints + ONE job per generation (r17 verdict item 7): a
-    # single left-join-marker aggregate materializes the generation's
-    # checkpoint, counts it, AND counts its edges absent from the
-    # previous generation — fusing the former per-round count plus the
-    # conditional exceptAll equality test (two extra jobs whenever the
-    # counts agreed, which they do on every converging tail round) into
-    # the round's own job. Both generations are DISTINCT canonical edge
-    # sets, so count(*) over the 1:at-most-1 join is |nxt| and a NULL
-    # marker is exactly an edge of nxt \ edges; converged ⟺ |nxt| ==
-    # |edges| ∧ nxt ⊆ edges — the identical predicate. The join is
-    # edge-sized and fully partitioned (same cost class as the round's
-    # own joins; no broadcast — this stays the 100 TB path). Measured
-    # 42 -> 31 jobs on graph_components_star, rounds unchanged.
+    # lazy checkpoints + ONE aggregate per generation (r17 verdict item
+    # 7): the job that materializes each generation's checkpoint also
+    # computes (count, order-independent content digest) over nxt ALONE
+    # — no per-round join against the previous generation (an earlier
+    # r18 attempt fused the test as a left-join marker aggregate, but
+    # under AQE the extra edge-sized shuffle cost one MORE job per round
+    # than the plain count it replaced: 49 -> 54 measured; reverted).
+    # The digest (exact decimal sum of xxhash64(u, v) — ANSI-safe, no
+    # overflow) upgrades the old count-only gate: the EXACT exceptAll
+    # equality test now runs only when count AND digest both repeat,
+    # i.e. at most once, at the true fixpoint (equal sets imply equal
+    # digest, so convergence is never missed; a digest collision on
+    # unequal sets is caught by the exact test and the loop continues —
+    # rounds and output are bit-identical to the count-gated form).
+    def _gen_stats(df: DataFrame) -> tuple[int, object]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("u", "v").cast("decimal(38,0)")
+            ).alias("dig"),
+        ).collect()[0]
+        return int(row["n"]), row["dig"]
+
     edges = edges.localCheckpoint(eager=False)
-    prev_n = edges.count()
+    prev_n, prev_dig = _gen_stats(edges)
     for i in range(max_iters):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        row = (
-            nxt.join(
-                edges.withColumn("_e", F.lit(1)), ["u", "v"], "left"
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count(F.when(F.col("_e").isNull(), 1)).alias("n_new"),
-            )
-            .collect()[0]
+        n, dig = _gen_stats(nxt)
+        converged = (
+            n == prev_n
+            and dig == prev_dig
+            and nxt.exceptAll(edges).isEmpty()
         )
-        n = int(row["n"])
-        converged = n == prev_n and int(row["n_new"]) == 0
         edges = nxt
-        prev_n = n
+        prev_n, prev_dig = n, dig
         if converged:
             LAST_CC_ROUNDS["star"] = i + 1
             break
