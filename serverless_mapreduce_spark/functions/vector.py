@@ -68,6 +68,53 @@ def cosine(a: Column, b: Column) -> Column:
     return _cosine_arrow()(a, b)
 
 
+def nearest_centroid_udf(cents):
+    """Batched nearest-centroid assignment against a SMALL codebook:
+    ``cents`` is a sequence of ``(c_id, embedding)`` pairs (any order;
+    sorted by c_id here) and the returned pandas_udf maps an
+    ``array<float>`` embedding column to ``struct<c_cos: double,
+    c_id: bigint>`` — the (raw cosine, id) of the best centroid, ties
+    to the LOWEST c_id.
+
+    This replaces the former broadcast-join + ``max(struct(c_cos,
+    -c_id))`` aggregate (guide §4/§8): the codebook was already
+    collected driver-side to build the broadcast, but the join shipped
+    every embedding across the Python boundary once PER CANDIDATE
+    CENTROID and then shuffled the argmax; here the codebook rides the
+    task closure, each embedding crosses exactly once, and the
+    assignment is a narrow map — no join, no exchange. Numerics are
+    bitwise-identical to functions.vector.cosine over the joined pairs:
+    the per-(row, centroid) contraction is the same einsum over the
+    same f64 operands, and ``np.argmax``'s first-max-wins matches the
+    struct-max's (-c_id) tie-break (verified bitwise on the fixtures,
+    tests/test_round18_opt.py)."""
+    cents = sorted(cents, key=lambda c: c[0])
+    ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    vecs = [np.asarray(v, dtype=np.float64) for _, v in cents]
+    norms = [np.sqrt(np.einsum("j,j->", v, v)) for v in vecs]
+
+    @pandas_udf("c_cos double, c_id bigint")
+    def nearest(a: pd.Series) -> pd.DataFrame:
+        if len(a) == 0 or not vecs:
+            return pd.DataFrame(
+                {
+                    "c_cos": pd.Series(np.empty(0, dtype=np.float64)),
+                    "c_id": pd.Series(np.empty(0, dtype=np.int64)),
+                }
+            )
+        av = np.asarray(a.tolist(), dtype=np.float64)
+        na = np.sqrt(np.einsum("ij,ij->i", av, av))
+        sims = np.empty((av.shape[0], len(vecs)), dtype=np.float64)
+        for j, cv in enumerate(vecs):
+            dots = np.einsum("ij,j->i", av, cv)
+            sims[:, j] = dots / (na * norms[j])
+        best = np.argmax(sims, axis=1)
+        rows = np.arange(av.shape[0])
+        return pd.DataFrame({"c_cos": sims[rows, best], "c_id": ids[best]})
+
+    return nearest
+
+
 @lru_cache(maxsize=1)
 def _l2sq_arrow():
     @pandas_udf("double")

@@ -32,7 +32,11 @@ from pyspark.sql.functions import pandas_udf
 
 from serverless_mapreduce_spark.caching import persist_tracked
 from serverless_mapreduce_spark.catalog import ensure_parallelism, table
-from serverless_mapreduce_spark.functions.vector import cosine, l2sq
+from serverless_mapreduce_spark.functions.vector import (
+    cosine,
+    l2sq,
+    nearest_centroid_udf,
+)
 from serverless_mapreduce_spark.operators.dedup import COSINE_THRESH, _cosine_sql
 from serverless_mapreduce_spark.registry import query
 
@@ -1270,35 +1274,15 @@ def _ivf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         w_rank = Window.partitionBy("centroid").orderBy("vec_id")
         extra = ["label"] if "label" in emb.columns else []
-        # assignment arg-max as max(struct(...)) groupBy, not a window:
-        # map-side partial aggregation ships ~one row per vec_id across
-        # the exchange instead of the corpus × codebook expansion, with
-        # the identical (highest cosine, lowest c_id) tie-break — see
-        # _ivf_assign for the measured A/B. first() is exact: all rows
-        # of a vec_id group carry the same embedding/label.
-        best = (
-            emb.join(F.broadcast(cent))
-            .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-            .groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("c_cos"),
-                        (-F.col("c_id")).alias("nid"),
-                        F.col("c_id"),
-                    )
-                ).alias("b"),
-                F.first("embedding").alias("embedding"),
-                *[F.first(c).alias(c) for c in extra],
-            )
-        )
+        # assignment via the batched closure UDF (_centroid_assigner):
+        # the codebook rides the task closure and each embedding crosses
+        # the Python boundary once — no corpus × codebook join expansion
+        # and no argmax exchange at all; cosine bits and the lowest-c_id
+        # tie-break are identical to the former aggregate (r18, pinned
+        # by tests/test_round18_opt.py). label rides the row unchanged.
         result = (
-            best.select(
-                "vec_id",
-                "embedding",
-                *extra,
-                F.col("b.c_id").alias("centroid"),
-            )
+            _centroid_assigner(cent)(emb, keep=tuple(extra))
+            .select("vec_id", "embedding", *extra, "centroid")
             .withColumn("rn", F.row_number().over(w_rank))
             .localCheckpoint()
         )
@@ -2372,26 +2356,13 @@ def ann_persistent_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
+    # batched closure-UDF assignment — codebook collected once for all
+    # three assign calls, each embedding crosses Python once, no join or
+    # argmax exchange (see _centroid_assigner; bitwise-identical)
+    _assign = _centroid_assigner(cent)
+
     def assign(df: DataFrame) -> DataFrame:
-        # arg-max via max(struct(...)) groupBy — map-side partials, no
-        # window sort of the batch × codebook expansion; identical
-        # tie-break (see _ivf_assign for the measured A/B)
-        return (
-            df.join(F.broadcast(cent))
-            .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-            .groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("c_cos"),
-                        (-F.col("c_id")).alias("nid"),
-                        F.col("c_id"),
-                    )
-                ).alias("b"),
-                F.first("embedding").alias("embedding"),
-            )
-            .select("vec_id", "embedding", F.col("b.c_id").alias("centroid"))
-        )
+        return _assign(df).select("vec_id", "embedding", "centroid")
 
     base = scratch(sf_tag(sf_dir), "ann_ivf_index")
     shutil.rmtree(base, ignore_errors=True)
@@ -3666,26 +3637,13 @@ def stream_ivf_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.filter(F.col("vec_id") % CENTROID_MOD == 0).select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
+    # batched closure-UDF assignment — codebook collected once before
+    # the drains, each embedding crosses Python once, no join or argmax
+    # exchange (see _centroid_assigner; bitwise-identical)
+    _assign = _centroid_assigner(cent)
+
     def assign(df: DataFrame) -> DataFrame:
-        # arg-max via max(struct(...)) groupBy — map-side partials, no
-        # window sort of the batch × codebook expansion; identical
-        # tie-break (see _ivf_assign for the measured A/B)
-        return (
-            df.join(F.broadcast(cent))
-            .withColumn("c_cos", cosine(F.col("embedding"), F.col("c_emb")))
-            .groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("c_cos"),
-                        (-F.col("c_id")).alias("nid"),
-                        F.col("c_id"),
-                    )
-                ).alias("b"),
-                F.first("embedding").alias("embedding"),
-            )
-            .select("vec_id", "embedding", F.col("b.c_id").alias("centroid"))
-        )
+        return _assign(df).select("vec_id", "embedding", "centroid")
 
     corpus.commit(emb.filter(~rem.isin(ANN_B1, ANN_B2)))
     consumed = {"v": 0}  # the end offset the CURRENT drain will reach
@@ -3826,38 +3784,53 @@ def ivf_refresh(
     )
 
 
+def _centroid_assigner(cent: DataFrame):
+    """Collect the small ``(c_id, c_emb)`` codebook ONCE (it was already
+    collected driver-side to build the former broadcast join) and return
+    an ``assign(df, keep=())`` callable mapping (vec_id, embedding[,
+    keep...]) to the same plus (centroid, c_cos) via the batched
+    closure UDF — each embedding crosses the Python boundary once per
+    assignment instead of once per candidate centroid, and there is no
+    join or exchange at all (guide §4/§8; r18). Cosine values and the
+    lowest-c_id tie-break are bitwise-identical to the former
+    broadcast-join + ``max(struct(c_cos, -c_id))`` aggregate (pinned by
+    tests/test_round18_opt.py)."""
+    rows = sorted(cent.collect(), key=lambda r: r[0])
+    if not rows:
+        def assign_empty(df: DataFrame, keep: tuple = ()) -> DataFrame:
+            # former cross-join against an empty codebook yielded 0 rows
+            return df.filter(F.lit(False)).select(
+                "vec_id",
+                "embedding",
+                *keep,
+                F.lit(None).cast("bigint").alias("centroid"),
+                F.lit(None).cast("double").alias("c_cos"),
+            )
+
+        return assign_empty
+    nearest = nearest_centroid_udf([(r[0], r[1]) for r in rows])
+
+    def assign(df: DataFrame, keep: tuple = ()) -> DataFrame:
+        return df.select(
+            "vec_id", "embedding", *keep, nearest(F.col("embedding")).alias("_b")
+        ).select(
+            "vec_id",
+            "embedding",
+            *keep,
+            F.col("_b.c_id").alias("centroid"),
+            F.col("_b.c_cos").alias("c_cos"),
+        )
+
+    return assign
+
+
 def _ivf_assign(batch: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment of ``batch`` (vec_id, embedding)
-    against the broadcast ``cent`` (c_id, c_emb): the shared
-    coarse-quantizer shape. Keeps ``c_cos`` for drift metrics.
-
-    Arg-max via ``max(struct(c_cos, -c_id, c_id))`` groupBy, NOT a
-    row_number window: the aggregate runs map-side partial aggregation,
-    so only ~one row per vec_id crosses the exchange instead of the
-    full batch × codebook expansion, and nothing is sorted (guide
-    §2.3 "aggregate before you shuffle"). Tie-break identical to the
-    old window (highest cosine, then lowest c_id — the -c_id struct
-    field makes lexicographic max pick the minimum id); measured
-    same-session A/B at sf0.1: 0.75 s vs 0.98 s steady, 1.6 s vs
-    4.4 s first-run, identical rows. ``first(embedding)`` is exact:
-    every row in a vec_id group carries the identical embedding."""
-    ex = batch.join(F.broadcast(cent)).withColumn(
-        "c_cos", cosine(F.col("embedding"), F.col("c_emb"))
-    )
-    best = ex.groupBy("vec_id").agg(
-        F.max(
-            F.struct(
-                F.col("c_cos"), (-F.col("c_id")).alias("nid"), F.col("c_id")
-            )
-        ).alias("b"),
-        F.first("embedding").alias("embedding"),
-    )
-    return best.select(
-        "vec_id",
-        "embedding",
-        F.col("b.c_id").alias("centroid"),
-        F.col("b.c_cos").alias("c_cos"),
-    )
+    against the small codebook ``cent`` (c_id, c_emb): the shared
+    coarse-quantizer shape. Keeps ``c_cos`` for drift metrics. See
+    ``_centroid_assigner`` for the execution shape (batched closure
+    UDF, no join/exchange) and the exactness argument."""
+    return _centroid_assigner(cent)(batch)
 
 
 def _drift_blend_sql(src: str, v0: str) -> str:
