@@ -426,6 +426,25 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result
 
 
+def _jaccard_sets(sh_a: str, sh_b: str) -> Column:
+    """Exact shingle-set Jaccard |A∩B| / (|A|+|B|−|A∩B|) — the
+    inclusion-exclusion identity, valid because ``minhash_signatures``
+    emits each doc's shingles as a sorted SET (distinct elements), so
+    the denominator equals |A∪B| as the SAME integer and the IEEE
+    divide is bit-identical to the former
+    ``size(array_distinct(concat(...)))`` form (pinned in
+    tests/test_round18_opt.py). What changes is allocation: the old
+    denominator materialized the ~|A|+|B| element union ARRAY per
+    candidate pair — at 32 local cores that allocation rate made the
+    verify join anti-scale (sf1 truth join: 44 s at c32 vs 12 s at c8,
+    GC-bound; guide §5). size() on the intersect is the only array op
+    left, and codegen CSE evaluates the intersect once."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    return inter.cast("double") / (
+        F.size(sh_a) + F.size(sh_b) - inter
+    ).cast("double")
+
+
 def _build_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # Materialize signatures once: the plan references them three times
@@ -444,8 +463,7 @@ def _build_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
         .withColumn(
             "jaccard_raw",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+            _jaccard_sets("sh_a", "sh_b"),
         )
     )
     return (
@@ -1049,8 +1067,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "jaccard_raw",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+            _jaccard_sets("sh_a", "sh_b"),
         )
     )
     return (
@@ -1761,8 +1778,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "jaccard_raw",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+            _jaccard_sets("sh_a", "sh_b"),
         )
         .filter(F.col("jaccard_raw") >= JACCARD_THRESH)
         .select("new_id", "old_id", F.round("jaccard_raw", 6).alias("jaccard"))
@@ -1901,7 +1917,14 @@ def eval_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("sh_a", "sh_b"))
             .cast("bigint")
             .alias("n_inter"),
-            F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+            # |A∪B| by inclusion-exclusion over the distinct shingle
+            # sets — same integer, no union-array materialization per
+            # pair (see _jaccard_sets); codegen CSE shares the intersect
+            (
+                F.size("sh_a")
+                + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+            )
             .cast("bigint")
             .alias("n_union"),
             F.expr(
@@ -2098,9 +2121,7 @@ def minhash_band_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sigs.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    jac = _jaccard_sets("sh_a", "sh_b")
     truth = persist_tracked(
         pooled.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -2562,8 +2583,7 @@ def dedup_persistent_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "jaccard_raw",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+            _jaccard_sets("sh_a", "sh_b"),
         )
         .filter(F.col("jaccard_raw") >= JACCARD_THRESH)
         .select("batch", "new_id", "old_id", F.round("jaccard_raw", 6).alias("jaccard"))

@@ -301,10 +301,11 @@ def dpo_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a AS ex_a", "doc_b AS ex_b"
     )
 
-    def jac(a: str, b: str):
-        return F.size(F.array_intersect(a, b)).cast("double") / F.size(
-            F.array_distinct(F.concat(a, b))
-        )
+    # every compared column is a DISTINCT-element array (shingle sets
+    # from minhash_signatures; chosen/rejected pass array_distinct
+    # above), so the inclusion-exclusion Jaccard applies bit-exactly —
+    # see dedup._jaccard_sets for the allocation argument
+    from serverless_mapreduce_spark.operators.dedup import _jaccard_sets as jac
 
     sh = sigs.select("doc_id", "shingles")
     rl = legs.select("doc_id", "chosen", "rejected")

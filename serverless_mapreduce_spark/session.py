@@ -60,6 +60,18 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pre-size the heap to its max (-Xms = spark.driver.memory): the
+        # JVM otherwise starts near the default min heap and the first
+        # allocation-heavy stage pays repeated full GCs while the heap
+        # grows — measured 50.6 s -> 11.6 s on the FIRST execution of the
+        # sf1 shingle-verify join at local[32] (r18, guide §5). Same
+        # production practice as sizing executor -Xms on a real cluster;
+        # applied uniformly at every core count so c8/c32 benches stay
+        # comparable.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')}",
+        )
         # see the os.environ block above — carries the same one-BLAS-
         # thread-per-worker sizing to non-local executors
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")

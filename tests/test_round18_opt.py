@@ -102,3 +102,35 @@ def test_batched_assign_empty_codebook_yields_no_rows(spark):
     out = _centroid_assigner(cent.filter(F.lit(False)))(emb)
     assert out.count() == 0
     assert out.columns == ["vec_id", "embedding", "centroid", "c_cos"]
+
+
+def test_jaccard_inclusion_exclusion_bitwise(spark):
+    """_jaccard_sets (|A∩B| / (|A|+|B|−|A∩B|)) must be bit-identical to
+    the replaced size(array_distinct(concat(...)))-denominator form on
+    DISTINCT-element arrays — including empty-vs-empty (NaN both ways)
+    and disjoint sets (0.0)."""
+    import numpy as np
+
+    from serverless_mapreduce_spark.operators.dedup import _jaccard_sets
+
+    rows = [
+        (["a", "b", "c"], ["b", "c", "d"]),
+        (["a"], ["a"]),
+        (["a", "b"], ["c", "d"]),  # disjoint -> 0.0
+        (["x"], []),  # one empty -> 0.0
+        (["a b", "b c", "c d"], ["b c"]),
+        ([f"s{i}" for i in range(200)], [f"s{i}" for i in range(100, 350)]),
+    ]
+    df = spark.createDataFrame(
+        rows, "sh_a ARRAY<STRING>, sh_b ARRAY<STRING>"
+    )
+    out = df.select(
+        (
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+        ).alias("old"),
+        _jaccard_sets("sh_a", "sh_b").alias("new"),
+    ).toPandas()
+    a = out["old"].values.view(np.int64)
+    b = out["new"].values.view(np.int64)
+    assert (a == b).all(), out
