@@ -292,14 +292,105 @@ def _group_sorted(pairs: list[tuple]) -> Iterable[tuple]:
 
 def _run_reduce(spark: SparkSession, df: DataFrame, stage: _Stage) -> DataFrame:
     """Shuffle (hash by default, exact user partitioner when given) then
-    sort-group-reduce per reducer partition. RDD layer on purpose: it is the
-    only way to honor exact bin *placement* and the per-reducer shared
-    ``outputs`` contract; results themselves would be identical under
-    ``repartition(n, key)``."""
+    sort-group-reduce per reducer partition.
+
+    Two transports (r18, guide §4): with NO custom partitioner the whole
+    combine → shuffle → reduce chain stays in DataFrame/Arrow —
+    ``df.rdd`` pickles every (key, value) row out of the JVM and
+    ``createDataFrame`` pickles it back, twice per chain, and hash
+    placement is not user-visible (``repartition(n, "key")`` keys each
+    reducer identically: every key still meets exactly one reducer, and
+    explicit repartition counts are exempt from AQE coalescing, so
+    ``num_reducers`` is honored). The RDD layer remains for the custom-
+    partitioner path, where exact bin *placement* is the contract
+    (rdd.partitionBy is the only exact-placement primitive) — results
+    themselves are identical either way, pinned by the facade oracle
+    rows."""
     fn = stage.fn
     combiner = stage.combiner
     n = stage.num_reducers
     partitioner = stage.partitioner
+
+    if partitioner is None:
+        import pandas as pd
+
+        def _emit(out: list[tuple]):
+            if out:
+                yield pd.DataFrame(
+                    {
+                        "key": [str(k) for k, _ in out],
+                        "value": [_encode(v) for _, v in out],
+                    }
+                )
+
+        def _fold_gen(g: ReduceFn):
+            # streaming per-key fold (associative contract): O(distinct
+            # keys) memory, identical to the RDD assoc path
+            def gen(batches: Iterable["pd.DataFrame"]):
+                acc: dict = {}
+                for pdf in batches:
+                    for k, v in zip(pdf["key"], pdf["value"]):
+                        val = _decode(v)
+                        if k in acc:
+                            merged: list[tuple] = []
+                            g(merged, (k, [acc[k], val]))
+                            acc[k] = merged[0][1]
+                        else:
+                            acc[k] = val
+                yield from _emit(list(acc.items()))
+
+            return gen
+
+        def _fold_gen_seeded(g: ReduceFn):
+            # reduce contract: even a lone value passes through g once
+            def gen(batches: Iterable["pd.DataFrame"]):
+                acc: dict = {}
+                for pdf in batches:
+                    for k, v in zip(pdf["key"], pdf["value"]):
+                        val = _decode(v)
+                        if k in acc:
+                            merged: list[tuple] = []
+                            g(merged, (k, [acc[k], val]))
+                            acc[k] = merged[0][1]
+                        else:
+                            single: list[tuple] = []
+                            g(single, (k, [val]))
+                            acc[k] = single[0][1]
+                yield from _emit(list(acc.items()))
+
+            return gen
+
+        def _grouped_gen(g: ReduceFn):
+            # contract-parity: g sees each key's FULL sorted value list,
+            # one shared outputs list per task (materializes the
+            # partition — the reference's own memory behavior)
+            def gen(batches: Iterable["pd.DataFrame"]):
+                pairs: list[tuple] = []
+                for pdf in batches:
+                    pairs.extend(
+                        (k, _decode(v))
+                        for k, v in zip(pdf["key"], pdf["value"])
+                    )
+                out: list[tuple] = []
+                for key, vals in _group_sorted(pairs):
+                    g(out, (key, vals))
+                yield from _emit(out)
+
+            return gen
+
+        if combiner is not None:
+            cg = (
+                _fold_gen(combiner)
+                if stage.combiner_associative
+                else _grouped_gen(combiner)
+            )
+            df = df.mapInPandas(cg, KV_SCHEMA)
+        rg = (
+            _fold_gen_seeded(fn)
+            if stage.reduce_associative
+            else _grouped_gen(fn)
+        )
+        return df.repartition(n, "key").mapInPandas(rg, KV_SCHEMA)
 
     rdd = df.rdd.map(lambda row: (row[0], row[1]))
 
